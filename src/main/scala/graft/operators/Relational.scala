@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational operator suite (SURVEY §2 B-series).
+  *
+  * Every query is declarative DataFrame API — Catalyst handles pushdown,
+  * join selection, and partial aggregation. Numeric aggregates are computed
+  * in decimal so results are bit-exact across engines (the DuckDB oracle
+  * compares value hashes); raw doubles are only passed through, never
+  * accumulated. Every query ends in a deterministic ORDER BY.
+  */
+object Relational {
+  private val dec12_2 = DecimalType(12, 2)
+  private val dec4_2 = DecimalType(4, 2)
+
+  /** Discounted price in exact decimal arithmetic: price * (1 - disc). */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(dec12_2) *
+      (lit(1).cast(dec4_2) - col("l_discount").cast(dec4_2))
+
+  /** b1: scan + filter + project — predicates and the 3-column projection
+    * must reach the parquet scan (PushedFilters / ReadSchema). */
+  def b1ScanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_discount") > lit(0.07))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** b2: multi-aggregate groupBy (TPC-H Q1 style pricing summary).
+    * Low-cardinality keys → map-side partial agg does nearly all the work;
+    * the shuffle moves O(groups) rows regardless of input scale. */
+  def b2AggPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(discPrice).cast(DecimalType(38, 4)).as("sum_disc_price"),
+        max(col("l_quantity").cast("bigint")).as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** b3: multiway join — revenue per nation. Dimension tables (nation,
+    * customer at this scale) broadcast; the lineitem⋈orders fact-fact join
+    * shuffles on orderkey with AQE skew handling. */
+  def b3JoinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** b4: global top-k — planned as TakeOrderedAndProject, never a full sort. */
+  def b4TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** b5: distinct aggregation — exact count-distinct per group (expand +
+    * two-phase agg under the hood). */
+  def b5Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** b6: window function — top-3 customers per market segment by balance.
+    * Single shuffle on the partition key. */
+  def b6Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** b7: semi + anti join — per-customer order existence, tagged. Both
+    * sides plan as LeftSemi/LeftAnti with the orders side broadcast when
+    * small enough. */
+  def b7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val cond = col("c_custkey") === col("o_custkey")
+    val has = c.join(o, cond, "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit(true).as("has_orders"))
+    val not = c.join(o, cond, "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit(false).as("has_orders"))
+    has.unionByName(not).orderBy("c_custkey")
+  }
+
+  /** b8: set operations — users who both purchased and signed up
+    * (INTERSECT), and purchasers who never signed up (EXCEPT). */
+  def b8SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchase = e.filter(col("event_type") === "purchase").select("user_id")
+    val signup = e.filter(col("event_type") === "signup").select("user_id")
+    val both = purchase.intersect(signup).select(lit("both").as("tag"), col("user_id"))
+    val only = purchase.except(signup).select(lit("purchase_only").as("tag"), col("user_id"))
+    both.unionByName(only).orderBy("tag", "user_id")
+  }
+
+  /** b9: conditional aggregation + HAVING. */
+  def b9ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_large"),
+        sum(col("value").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_value"))
+      .filter(col("n_events") > 10)
+      .orderBy("event_type")
+
+  /** b10: tumbling time-window aggregation over the event stream table —
+    * the batch shape of Structured Streaming's window(ts, '1 hour'). */
+  def b10TimeWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** b11: hierarchical aggregates via ROLLUP (region → nation → total). */
+  def b11GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_acctbal"))
+      .orderBy("region", "nation")
+  }
+
+  /** b12: exact interpolated percentiles per group (sort-based; same linear
+    * interpolation as DuckDB's quantile_cont). */
+  def b12Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2 c7-c10).
+  *
+  * All pure `functions._` column expressions — whole-stage codegen'd, no
+  * UDFs, embarrassingly parallel over document splits at any scale. Ratio
+  * metrics are produced by a single double division (two exact integer
+  * operands → bit-identical IEEE result in any engine), never by float
+  * accumulation.
+  */
+object TextOps {
+
+  /** Small fixed stopword profile used by quality scoring and language id. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def stopwordHits(c: Column): Column =
+    size(filter(words(c), w => w.isin(EnStopwords: _*))).cast("bigint")
+
+  /** c7: quality scoring — word counts, average word length, stopword
+    * ratio, and a boolean keep/drop verdict. */
+  def c7TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nWords = size(words(col("text"))).cast("bigint")
+    d.select(
+        col("doc_id"), col("n_chars"),
+        nWords.as("n_words"),
+        stopwordHits(col("text")).as("n_stopwords"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_words"))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0)
+      .orderBy("doc_id")
+  }
+
+  /** c8: language id — stopword-profile heuristic (n-gram/stopword overlap
+    * is the classic cheap langid signal; deterministic, SQL-expressible). */
+  def c8LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), stopwordHits(col("text")).as("en_hits"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= 2, "en")
+          .when(col("en_hits") === 1, "en_maybe")
+          .otherwise("other"))
+      .orderBy("doc_id")
+
+  /** c9: token counting — whitespace tokens plus a BPE-style pre-tokenizer
+    * regex (letter runs / digit runs / single punctuation). */
+  def c9TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("alpha_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** c10: document fingerprinting — md5 content hash (md5 is the one hash
+    * both engines share bit-for-bit) + an 8-hex-char prefix bucket usable
+    * as a shard/dedup key. */
+  def c10Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fingerprint"),
+        substring(md5(col("text")), 1, 8).as("fp_bucket"),
+        col("n_chars"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local rehearsal of the driver's correctness gate (dev tool only; the
+shipped library has no Python dependency).
+
+Usage: python3 tools/check.py <outDir> [sfDir]
+  where <outDir> is what `graft.Verify` wrote (one parquet dir per query +
+  oracle_sql.json). Registers each testdata table as a DuckDB view, runs the
+  oracle SQL, and compares against the Spark result: columns sorted by name,
+  rows compared in order, exact equality (floats reported with diff
+  magnitude when unequal).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    # Decimal vs Decimal compares by value; Decimal vs int too.
+    try:
+        return a == b
+    except Exception:
+        return str(a) == str(b)
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        got, want = got[gcols], want[wcols]
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
+            n_fail += 1
+            continue
+        bad = []
+        grows = got.itertuples(index=False)
+        wrows = want.itertuples(index=False)
+        for i, (gr, wr) in enumerate(zip(grows, wrows)):
+            for c, (gv, wv) in zip(gcols, zip(gr, wr)):
+                if not eq(norm(gv), norm(wv)):
+                    bad.append((i, c, gv, wv))
+                    if len(bad) >= 3:
+                        break
+            if len(bad) >= 3:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ value diffs, first: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
