@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SeqColumn, Similarity, TextOps}
+
+class OperatorsSpec extends SparkSpec {
+
+  test("a4 seq is contiguous 0..n-1 and follows doc_id order") {
+    val rows = SeqColumn.a4SeqColumn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("seq")).toSeq == (0L until rows.length).toSeq)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a < b })
+  }
+
+  test("a4 seq survives multi-partition input") {
+    val df = SeqColumn.withSeq(
+      Tables.lineitem(spark, sfDir).repartition(7), Seq("l_orderkey", "l_linenumber"))
+    val n = df.count()
+    assert(df.agg(min("seq"), max("seq")).collect().head.toSeq == Seq(0L, n - 1))
+  }
+
+  test("c1 exact dedup keeps one canonical id per distinct text") {
+    val df = Dedup.c1DedupExact(spark, sfDir)
+    assert(df.count() == Tables.documents(spark, sfDir).select("text").distinct().count())
+  }
+
+  test("c5 rank-1 neighbor is the true argmax cosine (brute-force ground truth)") {
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.c5AnnBrute(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    for (q <- 0L until 5L) {
+      val best = e.filter(_._1 >= 5).maxBy { case (_, v) => cos(e(q), v) }._1
+      assert(got(q) == best, s"query $q")
+    }
+  }
+
+  test("c7/c9 token counts agree between whitespace split and regex on this corpus") {
+    val df = TextOps.c9TokenCount(spark, sfDir)
+    assert(df.filter(col("ws_tokens") =!= col("alpha_tokens")).count() == 0,
+      "corpus is lowercase words, so both tokenizations must coincide")
+  }
+
+  test("c10 fingerprints are unique per distinct text") {
+    val df = TextOps.c10Fingerprint(spark, sfDir)
+    assert(df.select("fingerprint").distinct().count() == df.count())
+  }
+}
