@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, SeqColumn, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Relational, SeqColumn, Similarity, TextOps}
 import graft.sources.JsonConvert
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -41,11 +41,18 @@ object SparkEntry {
     "b12_quantiles" -> (Relational.b12Quantiles _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
+    "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
+    "c3_dedup_simhash" -> (Dedup.c3DedupSimhash _),
+    "c4_ngram_jaccard" -> (Dedup.c4NgramJaccard _),
     "c5_ann_brute" -> ((s: SparkSession, d: String) => Similarity.c5AnnBrute(s, d)),
+    "c6_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.c6AnnLsh(s, d)),
     "c7_text_quality" -> (TextOps.c7TextQuality _),
     "c8_lang_id" -> (TextOps.c8LangId _),
     "c9_token_count" -> (TextOps.c9TokenCount _),
     "c10_fingerprint" -> (TextOps.c10Fingerprint _),
+    "c11_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.c11EmbedNearDup(s, d)),
+    "c12_multimodal" -> (Multimodal.c12Multimodal _),
+    "c13_sessionize" -> ((s: SparkSession, d: String) => Relational.c13Sessionize(s, d)),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -189,5 +196,96 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fingerprint,
         |  substr(md5(text), 1, 8) AS fp_bucket, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // c3_dedup_simhash: rows-only (no engine-portable 64-bit hash exists;
+    // semantics covered by OperatorsSpec).
+    "c2_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |shl AS (SELECT doc_id, count(*) AS ns, list(shingle) AS sl FROM sh GROUP BY doc_id),
+        |mh AS (SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        |  FROM sh GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM mh
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mh
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mh
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mh),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(len(list_filter(za.sl, x -> list_contains(zb.sl, x))) AS DOUBLE)
+        |        / (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))), 6) AS jaccard
+        |FROM pr p
+        |JOIN shl za ON za.doc_id = p.doc_a
+        |JOIN shl zb ON zb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "c4_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |gx AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+        |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |gr AS (SELECT doc_id, list(DISTINCT gram) AS gl, count(DISTINCT gram) AS ng
+        |       FROM gx GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_filter(a.gl, x -> list_contains(b.gl, x))) AS BIGINT) AS n_common,
+        |  round(CAST(len(list_filter(a.gl, x -> list_contains(b.gl, x))) AS DOUBLE)
+        |        / (a.ng + b.ng - len(list_filter(a.gl, x -> list_contains(b.gl, x)))), 6) AS jaccard
+        |FROM gr a JOIN gr b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "c6_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    concat(CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[2] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[3] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[4] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[5] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[6] >= 0 AS INT) AS VARCHAR)) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e WHERE vec_id >= 5),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |      FROM q JOIN c USING (bucket)),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine_r
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "c11_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    concat(CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[2] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[3] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[4] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[5] >= 0 AS INT) AS VARCHAR),
+        |           CAST(CAST(embedding[6] >= 0 AS INT) AS VARCHAR)) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine_r
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "c12_multimodal" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  ord(substr(text, 1, 1)) AS first_byte,
+        |  ord(substr(text, CAST(strlen(text) AS INT), 1)) AS last_byte,
+        |  CAST(strlen(text) // 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c13_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |b AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM b)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
   )
 }

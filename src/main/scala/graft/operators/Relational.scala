@@ -163,4 +163,26 @@ object Relational {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** c13: batch sessionization — a new session starts after a >30 min gap
+    * per user. One shuffle on user_id serves both window passes and the
+    * final groupBy (same partitioning, Catalyst reuses the exchange). Gap
+    * arithmetic is in integer epoch-micros so both engines agree exactly;
+    * the streaming shape of this operator is d3 (flatMapGroupsWithState). */
+  def c13Sessionize(spark: SparkSession, dir: String,
+                    gapMicros: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_no", sum("brk").over(wc))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy("user_id", "session_no")
+  }
 }

@@ -13,6 +13,13 @@ import graft.Tables
   * aggregate — no UDF), keep top-k per query with a window. At cluster
   * scale the candidate side streams from parquet splits; only k rows per
   * query per partition survive the partial top-k.
+  *
+  * The scale path (c6, c11) buckets vectors with an axis-aligned-hyperplane
+  * LSH (sign pattern of the leading coordinates): scoring happens only
+  * inside a bucket, turning the O(n·q) scan into an equi-join on the bucket
+  * key. More planes → smaller buckets → cheaper + lower recall; an IVF
+  * variant would swap the sign pattern for a learned-centroid id with the
+  * same join shape.
   */
 object Similarity {
 
@@ -27,6 +34,14 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-pattern LSH bucket over the first `planes` coordinates — a
+    * deterministic axis-aligned random-hyperplane family (the testdata
+    * embeddings are already isotropic; seeded Gaussian planes would replace
+    * element_at with a dot product, same plan shape). */
+  private[graft] def signBucket(emb: Column, planes: Int): Column =
+    concat_ws("", (0 until planes).map(j =>
+      (element_at(emb, j + 1) >= 0).cast("int").cast("string")): _*)
 
   /** c5: brute-force cosine top-k. Query vectors: vec_id < 5 (broadcast);
     * candidates: the rest. */
@@ -45,5 +60,47 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** c6: LSH-bucketed ANN — same contract as c5 but candidates are only
+    * scored when they share the query's bucket. The crossJoin becomes a
+    * hash equi-join on the bucket key: at 100 TB each query touches
+    * n/2^planes candidates instead of n. */
+  def c6AnnLsh(spark: SparkSession, dir: String,
+               k: Int = 5, planes: Int = 6): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+        signBucket(col("embedding"), planes).as("bucket"))
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
+    val candidates = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates.join(queries, "bucket")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
+    * scoring happens only within a bucket (the 100 TB-safe shape — the
+    * alternative is an O(n²) cross join). The threshold is applied to the
+    * 6-decimal rounding of the score so engines agree at the boundary. */
+  def c11EmbedNearDup(spark: SparkSession, dir: String,
+                      threshold: Double = 0.3, planes: Int = 6): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+        signBucket(col("embedding"), planes).as("bucket"))
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb")),
+        "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine_r", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine_r") >= threshold)
+      .select("vec_a", "vec_b", "cosine_r")
+      .orderBy("vec_a", "vec_b")
   }
 }

