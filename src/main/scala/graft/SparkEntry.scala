@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ipc.IpcQueries
 import graft.operators.{Dedup, Multimodal, Relational, SeqColumn, Similarity, TextOps}
 import graft.sources.JsonConvert
 
@@ -26,6 +27,8 @@ object SparkEntry {
     "a2_json_battery" -> (JsonConvert.a2JsonBattery _),
     "a3_json_trip" -> (JsonConvert.a3JsonTrip _),
     "a4_seq_column" -> (SeqColumn.a4SeqColumn _),
+    "a5_batch_resize" -> (IpcQueries.a5BatchResize _),
+    "a6_ipc_serialize" -> (IpcQueries.a6IpcSerialize _),
     // B-series: relational core
     "b1_scan_filter_project" -> (Relational.b1ScanFilterProject _),
     "b2_agg_pricing" -> (Relational.b2AggPricing _),
@@ -76,6 +79,13 @@ object SparkEntry {
     "a4_seq_column" ->
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a5_batch_resize" ->
+      """SELECT CAST((rn - 1) // 128 AS BIGINT) AS batch_id, count(*) AS n_rows
+        |FROM (SELECT row_number() OVER (ORDER BY doc_id) AS rn FROM documents)
+        |GROUP BY 1 ORDER BY batch_id""".stripMargin,
+    "a6_ipc_serialize" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "b1_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount > 0.07

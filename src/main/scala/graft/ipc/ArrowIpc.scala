@@ -1,0 +1,203 @@
+package graft.ipc
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One Arrow IPC stream message: a standalone byte payload holding the
+  * schema plus exactly one RecordBatch — the unit bolson enqueues to its
+  * publisher (reference: src/bolson/convert/serializer.cpp:20-45). Batch ids
+  * are `partition << 32 | ordinal`, unique without any cross-partition
+  * coordination. */
+case class IpcMessage(batch_id: Long, n_rows: Long, n_bytes: Long, bytes: Array[Byte])
+
+/** DataFrame ⇄ Arrow IPC conversion (SURVEY §2 a5, a6).
+  *
+  * Bolson's resizer splits RecordBatches to `--max-rows`
+  * (convert/resizer.cpp:21-50) and its serializer enforces `--max-ipc`
+  * bytes (convert/serializer.cpp); here both limits are enforced inside a
+  * single `mapPartitions` pass — rows stream from the scan into Arrow
+  * vectors, a batch is cut when maxRows is hit, and any serialized message
+  * over maxIpcBytes is re-serialized in halves. No shuffle, no driver
+  * involvement: partition count alone controls fan-out, so the same code
+  * runs on one core or a thousand executors.
+  *
+  * Supported Spark types: integral/floating scalars, boolean, string,
+  * binary, timestamp (micros, UTC), array<long>, array<double> — the
+  * closure of the testdata tables and bolson's battery/trip schemas
+  * (doc/src/schemas.md).
+  */
+object ArrowIpc {
+
+  def toArrowField(f: StructField): Field = f.dataType match {
+    case LongType => primitive(f.name, new ArrowType.Int(64, true))
+    case IntegerType => primitive(f.name, new ArrowType.Int(32, true))
+    case DoubleType => primitive(f.name, new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+    case FloatType => primitive(f.name, new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+    case BooleanType => primitive(f.name, ArrowType.Bool.INSTANCE)
+    case StringType => primitive(f.name, ArrowType.Utf8.INSTANCE)
+    case BinaryType => primitive(f.name, ArrowType.Binary.INSTANCE)
+    case TimestampType =>
+      primitive(f.name, new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC"))
+    case ArrayType(LongType, _) =>
+      new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+        Seq(primitive("element", new ArrowType.Int(64, true))).asJava)
+    case ArrayType(DoubleType, _) =>
+      new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+        Seq(primitive("element", new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))).asJava)
+    case dt => throw new IllegalArgumentException(s"unsupported type for IPC: $dt")
+  }
+
+  private def primitive(name: String, t: ArrowType): Field =
+    new Field(name, FieldType.nullable(t), null)
+
+  def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+  private def writeValue(vec: FieldVector, idx: Int, v: Any): Unit = v match {
+    case null => vec match {
+      case x: BaseFixedWidthVector => x.setNull(idx)
+      case x: BaseVariableWidthVector => x.setNull(idx)
+      case x: ListVector => x.setNull(idx)
+    }
+    case _ => vec match {
+      case x: BigIntVector => x.setSafe(idx, v.asInstanceOf[Long])
+      case x: IntVector => x.setSafe(idx, v.asInstanceOf[Int])
+      case x: Float8Vector => x.setSafe(idx, v.asInstanceOf[Double])
+      case x: Float4Vector => x.setSafe(idx, v.asInstanceOf[Float])
+      case x: BitVector => x.setSafe(idx, if (v.asInstanceOf[Boolean]) 1 else 0)
+      case x: VarCharVector => x.setSafe(idx, v.asInstanceOf[String].getBytes(UTF_8))
+      case x: VarBinaryVector => x.setSafe(idx, v.asInstanceOf[Array[Byte]])
+      case x: TimeStampMicroTZVector => x.setSafe(idx, micros(v.asInstanceOf[java.sql.Timestamp]))
+      case x: ListVector =>
+        val w = x.getWriter
+        w.setPosition(idx)
+        w.startList()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach {
+          case l: Long => w.bigInt().writeBigInt(l)
+          case d: Double => w.float8().writeFloat8(d)
+          case other => throw new IllegalArgumentException(s"list element: $other")
+        }
+        w.endList()
+    }
+  }
+
+  private def readValue(vec: FieldVector, idx: Int, dt: DataType): Any =
+    if (vec.isNull(idx)) null
+    else dt match {
+      case LongType => vec.asInstanceOf[BigIntVector].get(idx)
+      case IntegerType => vec.asInstanceOf[IntVector].get(idx)
+      case DoubleType => vec.asInstanceOf[Float8Vector].get(idx)
+      case FloatType => vec.asInstanceOf[Float4Vector].get(idx)
+      case BooleanType => vec.asInstanceOf[BitVector].get(idx) == 1
+      case StringType => new String(vec.asInstanceOf[VarCharVector].get(idx), UTF_8)
+      case BinaryType => vec.asInstanceOf[VarBinaryVector].get(idx)
+      case TimestampType =>
+        val us = vec.asInstanceOf[TimeStampMicroTZVector].get(idx)
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case ArrayType(et, _) =>
+        vec.asInstanceOf[ListVector].getObject(idx).asScala.map {
+          case l: java.lang.Long => l.longValue()
+          case d: java.lang.Double => d.doubleValue()
+          case other => other
+        }.toSeq
+      case other => throw new IllegalArgumentException(s"unsupported type for IPC: $other")
+    }
+
+  /** Serialize `rows` (already bounded by maxRows) to one IPC stream
+    * message; recursively halve if the payload exceeds maxIpcBytes —
+    * bolson's max_ipc enforcement (serializer.cpp), done per split. */
+  private def serializeRows(rows: IndexedSeq[Row], schema: StructType,
+                            arrowSchema: ArrowSchema, allocator: RootAllocator,
+                            maxIpcBytes: Long): Seq[(Array[Byte], Int)] = {
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    val bytes = try {
+      val vecs = root.getFieldVectors.asScala
+      root.allocateNew()
+      rows.zipWithIndex.foreach { case (row, i) =>
+        var c = 0
+        while (c < schema.length) {
+          writeValue(vecs(c), i, row.get(c))
+          c += 1
+        }
+      }
+      root.setRowCount(rows.length)
+      val out = new ByteArrayOutputStream()
+      val writer = new ArrowStreamWriter(root, null, out)
+      writer.start(); writer.writeBatch(); writer.end(); writer.close()
+      out.toByteArray
+    } finally root.close()
+    if (bytes.length <= maxIpcBytes || rows.length <= 1) Seq((bytes, rows.length))
+    else {
+      val (lo, hi) = rows.splitAt(rows.length / 2)
+      serializeRows(lo, schema, arrowSchema, allocator, maxIpcBytes) ++
+        serializeRows(hi, schema, arrowSchema, allocator, maxIpcBytes)
+    }
+  }
+
+  /** a5+a6: DataFrame → per-partition stream of bounded IPC messages. */
+  def serialize(df: DataFrame, maxRows: Int,
+                maxIpcBytes: Long = Long.MaxValue): Dataset[IpcMessage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    val arrowSchemaJson = toArrowSchema(schema).toJson
+    df.mapPartitions { it =>
+      val arrowSchema = ArrowSchema.fromJSON(arrowSchemaJson)
+      val allocator = new RootAllocator()
+      val pid = TaskContext.getPartitionId().toLong
+      var ordinal = -1L
+      it.grouped(maxRows).flatMap { chunk =>
+        serializeRows(chunk.toIndexedSeq, schema, arrowSchema, allocator, maxIpcBytes)
+          .map { case (b, n) =>
+            ordinal += 1
+            IpcMessage((pid << 32) | ordinal, n.toLong, b.length.toLong, b)
+          }
+      }
+    }
+  }
+
+  /** Inverse of [[serialize]]: IPC messages → rows, per partition. */
+  def deserialize(spark: SparkSession, messages: Dataset[IpcMessage],
+                  schema: StructType): DataFrame = {
+    val rdd = messages.rdd.mapPartitions { it =>
+      val allocator = new RootAllocator()
+      it.flatMap { msg =>
+        val reader = new ArrowStreamReader(new ByteArrayInputStream(msg.bytes), allocator)
+        val rows = try {
+          val root = reader.getVectorSchemaRoot
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (reader.loadNextBatch()) {
+            val vecs = root.getFieldVectors.asScala
+            var i = 0
+            while (i < root.getRowCount) {
+              out += Row.fromSeq(schema.fields.indices.map(c =>
+                readValue(vecs(c), i, schema.fields(c).dataType)))
+              i += 1
+            }
+          }
+          out.toSeq
+        } finally reader.close()
+        rows
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
