@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ipc.IpcQueries
 import graft.operators.{Dedup, Multimodal, Relational, SeqColumn, Similarity, TextOps}
 import graft.sources.JsonConvert
+import graft.streaming.{PipelineQueries, StreamPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -29,6 +30,9 @@ object SparkEntry {
     "a4_seq_column" -> (SeqColumn.a4SeqColumn _),
     "a5_batch_resize" -> (IpcQueries.a5BatchResize _),
     "a6_ipc_serialize" -> (IpcQueries.a6IpcSerialize _),
+    "a7_publisher" -> (PipelineQueries.a7Publisher _),
+    "a8_stream_pipeline" -> (StreamPipeline.a8StreamPipeline _),
+    "a9_metrics" -> (PipelineQueries.a9Metrics _),
     // B-series: relational core
     "b1_scan_filter_project" -> (Relational.b1ScanFilterProject _),
     "b2_agg_pricing" -> (Relational.b2AggPricing _),
@@ -86,6 +90,18 @@ object SparkEntry {
     "a6_ipc_serialize" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "a7_publisher" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a8_stream_pipeline" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a9_metrics" ->
+      """SELECT 'batches_serialized' AS metric, CAST(ceil(count(*) / 128.0) AS BIGINT) AS value FROM documents
+        |UNION ALL SELECT 'messages_published', CAST(ceil(count(*) / 128.0) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'rows_converted', count(*) FROM documents
+        |UNION ALL SELECT 'rows_published', count(*) FROM documents
+        |ORDER BY metric""".stripMargin,
     "b1_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount > 0.07

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ipc.{ArrowIpc, IpcMessage}
+
+/** Verify-gate entry points for publish + metrics (SURVEY §2 a7, a9). */
+object PipelineQueries {
+
+  /** a7: publish round-trip — documents → IPC messages → FilePublisher
+    * (one standalone .arrow file per message, N partitions publishing
+    * concurrently) → read the files back → rows. Identity oracle proves
+    * no message was lost, duplicated, or corrupted by the publish path. */
+  def a7Publisher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val schema = docs.schema
+    val outDir = Files.createTempDirectory("graft-publish-").toString
+    Publish.run(ArrowIpc.serialize(docs, maxRows = 256), () => new FilePublisher(outDir))
+    val files = spark.read.format("binaryFile").load(s"$outDir/*.arrow")
+      .select(col("content")).as[Array[Byte]]
+      .map(b => IpcMessage(0L, 0L, b.length.toLong, b))
+    ArrowIpc.deserialize(spark, files, schema).orderBy("doc_id")
+  }
+
+  /** a9: per-stage pipeline metrics via accumulators — rows converted,
+    * batches serialized, messages/rows published (bolson's convert/publish
+    * metrics). The single sorted partition makes batch counts reproducible
+    * for the oracle; production metrics work identically at any
+    * parallelism, they just stop being closed-form. */
+  def a9Metrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .repartition(1).sortWithinPartitions("doc_id")
+    CollectingPublisher.clear()
+    val stats = Publish.run(ArrowIpc.serialize(docs, maxRows = 128),
+      () => new CollectingPublisher)
+    Seq(
+      ("batches_serialized", stats.messages),
+      ("messages_published", stats.messages),
+      ("rows_converted", stats.rows),
+      ("rows_published", stats.rows))
+      .toDF("metric", "value").orderBy("metric")
+  }
+}

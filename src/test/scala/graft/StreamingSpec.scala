@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CollectingPublisher, Session, SessionEvent, StreamOps, StreamPipeline}
+
+/** Structured Streaming specs (SURVEY §2 a8, d1-d3). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("d1/a8: ND-JSON stream → parse → IPC → publish round-trips every event") {
+    val out = StreamPipeline.a8StreamPipeline(spark, sfDir)
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    assert(out.exceptAll(ev).count() == 0 && ev.exceptAll(out).count() == 0)
+    assert(CollectingPublisher.messages.nonEmpty, "publisher must have received IPC messages")
+  }
+
+  test("d2: watermark-windowed aggregation finalizes windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.windowedCounts(
+        stream.toDF().toDF("ts", "event_type"), watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("d2_sink").start()
+    try {
+      stream.addData(Seq((ts(1), "a"), (ts(2), "a"), (ts(30), "b")))
+      q.processAllAvailable()
+      // watermark still inside hour 0 → nothing finalized yet
+      assert(spark.table("d2_sink").count() == 0)
+      // an event 3 hours later pushes the watermark past hour 0's end
+      stream.addData(Seq((Timestamp.valueOf("2024-01-01 03:00:00"), "c")))
+      q.processAllAvailable()
+      val rows = spark.table("d2_sink")
+        .select("event_type", "n_events").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("d3: streaming sessionize closes a session once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val min = 60L * 1000 * 1000
+    val q = StreamOps.sessionize(stream.toDS(), gapMicros = 30 * min, watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("d3_sink").start()
+    try {
+      // user 1: three events within the gap
+      stream.addData(Seq(
+        SessionEvent(1L, 10 * min),
+        SessionEvent(1L, 15 * min),
+        SessionEvent(1L, 20 * min)))
+      q.processAllAvailable()
+      assert(spark.table("d3_sink").count() == 0, "session still open")
+      // far-future event advances the watermark beyond 20min + gap
+      stream.addData(Seq(SessionEvent(2L, 600 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(2L, 1200 * min)))
+      q.processAllAvailable()
+      val sessions = spark.table("d3_sink").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(sessions.toSeq == Seq(Session(1L, 3L, 10 * min, 20 * min)))
+    } finally q.stop()
+  }
+
+  test("d3 streaming sessions agree with c13 batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent].collect().toSeq
+    val stream = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(stream.toDS(), gapMicros = 30L * 60 * 1000 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("d3_batch_cmp").start()
+    val maxUs = ev.map(_.ts_us).max
+    try {
+      stream.addData(ev)
+      q.processAllAvailable()
+      // flush: advance watermark far beyond every open session's timeout
+      stream.addData(Seq(SessionEvent(-1L, maxUs + 100L * 60 * 60 * 1000 * 1000)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(-1L, maxUs + 200L * 60 * 60 * 1000 * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("d3_batch_cmp")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "n_events", "start_us", "end_us")
+      val batch = graft.operators.Relational.c13Sessionize(spark, sfDir)
+        .select("user_id", "n_events", "start_us", "end_us")
+      assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+        "streaming and batch sessionization must produce identical sessions")
+    } finally q.stop()
+  }
+}
