@@ -1,26 +1,60 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ipc.ArrowIpc
+import graft.streaming.StreamPipeline
+
+/** Per-round benchmark main (SURVEY §2 a10, §6): times every registered
+  * query at the given scale factor plus the bolson-comparable convert
+  * micro-benchmark (ND-JSON → Arrow IPC MB/s — the reference's
+  * convert-stage metric, src/bolson/bench.cpp / convert/metrics.cpp).
+  * Prints exactly one JSON line. */
 object Bench {
+
+  /** Force full computation of every output column — `count()` would let
+    * Catalyst prune the very work being measured. */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    // JIT/classloading + parquet footer warmup outside the measurement
+    run(SparkEntry.queries("b1_scan_filter_project")(spark, sfDir))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // a10 convert micro-bench: MB of ND-JSON converted to IPC per second.
+    // Lines are materialized (cached + counted) first so only the convert
+    // stage is under the clock, mirroring bolson's convert bench; the ×8
+    // replication lifts the corpus above the fixed job-overhead floor.
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    val schema = ev.schema
+    val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+      .withColumn("r", explode(sequence(lit(1), lit(8)))).drop("r")
+      .repartition(32).cache()
+    val jsonBytes = lines.agg(sum(octet_length(col("value")))).head.getLong(0)
+    val t0 = System.nanoTime()
+    run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
+    val convertSec = (System.nanoTime() - t0) / 1e9
+    lines.unpersist()
+    val convertMbps = jsonBytes / 1e6 / convertSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f}""")
     spark.stop()
   }
 }

@@ -33,6 +33,7 @@ object SparkEntry {
     "a7_publisher" -> (PipelineQueries.a7Publisher _),
     "a8_stream_pipeline" -> (StreamPipeline.a8StreamPipeline _),
     "a9_metrics" -> (PipelineQueries.a9Metrics _),
+    "a10_convert_bench" -> (PipelineQueries.a10ConvertBench _),
     // B-series: relational core
     "b1_scan_filter_project" -> (Relational.b1ScanFilterProject _),
     "b2_agg_pricing" -> (Relational.b2AggPricing _),
@@ -94,6 +95,9 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "a8_stream_pipeline" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a10_convert_bench" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a9_metrics" ->

@@ -69,32 +69,39 @@ object ArrowIpc {
   private def micros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
-  private def writeValue(vec: FieldVector, idx: Int, v: Any): Unit = v match {
-    case null => vec match {
-      case x: BaseFixedWidthVector => x.setNull(idx)
-      case x: BaseVariableWidthVector => x.setNull(idx)
-      case x: ListVector => x.setNull(idx)
-    }
-    case _ => vec match {
-      case x: BigIntVector => x.setSafe(idx, v.asInstanceOf[Long])
-      case x: IntVector => x.setSafe(idx, v.asInstanceOf[Int])
-      case x: Float8Vector => x.setSafe(idx, v.asInstanceOf[Double])
-      case x: Float4Vector => x.setSafe(idx, v.asInstanceOf[Float])
-      case x: BitVector => x.setSafe(idx, if (v.asInstanceOf[Boolean]) 1 else 0)
-      case x: VarCharVector => x.setSafe(idx, v.asInstanceOf[String].getBytes(UTF_8))
-      case x: VarBinaryVector => x.setSafe(idx, v.asInstanceOf[Array[Byte]])
-      case x: TimeStampMicroTZVector => x.setSafe(idx, micros(v.asInstanceOf[java.sql.Timestamp]))
-      case x: ListVector =>
+  /** Specialized per-column writer, resolved once per batch — keeps the
+    * per-value hot loop free of type dispatch and (for primitives) boxing. */
+  private def columnWriter(vec: FieldVector): (Row, Int, Int) => Unit = vec match {
+    case x: BigIntVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getLong(c))
+    case x: IntVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getInt(c))
+    case x: Float8Vector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getDouble(c))
+    case x: Float4Vector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getFloat(c))
+    case x: BitVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
+    case x: VarCharVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getString(c).getBytes(UTF_8))
+    case x: VarBinaryVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getAs[Array[Byte]](c))
+    case x: TimeStampMicroTZVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, micros(r.getAs[java.sql.Timestamp](c)))
+    case x: ListVector => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i)
+      else {
         val w = x.getWriter
-        w.setPosition(idx)
+        w.setPosition(i)
         w.startList()
-        v.asInstanceOf[scala.collection.Seq[Any]].foreach {
+        r.getSeq[Any](c).foreach {
           case l: Long => w.bigInt().writeBigInt(l)
           case d: Double => w.float8().writeFloat8(d)
           case other => throw new IllegalArgumentException(s"list element: $other")
         }
         w.endList()
-    }
+      }
+    case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
   }
 
   private def readValue(vec: FieldVector, idx: Int, dt: DataType): Any =
@@ -130,13 +137,17 @@ object ArrowIpc {
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     val bytes = try {
       val vecs = root.getFieldVectors.asScala
+      val writers = vecs.map(columnWriter).toArray
       root.allocateNew()
-      rows.zipWithIndex.foreach { case (row, i) =>
+      var i = 0
+      while (i < rows.length) {
+        val row = rows(i)
         var c = 0
-        while (c < schema.length) {
-          writeValue(vecs(c), i, row.get(c))
+        while (c < writers.length) {
+          writers(c)(row, c, i)
           c += 1
         }
+        i += 1
       }
       root.setRowCount(rows.length)
       val out = new ByteArrayOutputStream()

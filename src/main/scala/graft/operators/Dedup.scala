@@ -39,14 +39,29 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Jaccard between two distinct-element arrays, via
-    * |A∩B| / (|A| + |B| - |A∩B|) so both engines compute the identical
-    * integer operands before the single double division. */
-  private def jaccard(sa: Column, sb: Column): Column = {
-    val ni = size(array_intersect(sa, sb)).cast("bigint")
-    round(ni.cast("double") /
-      (size(sa).cast("bigint") + size(sb).cast("bigint") - ni), 6)
+  /** Distinct word n-shingles as rows (doc_id, shingle) — the hot-path
+    * shape: explode an index sequence and build each shingle with
+    * element_at, which stays fully codegen'd (the array-of-shingles
+    * formulation above routes through interpreted higher-order functions:
+    * measured 10× slower). Row shape also keeps shuffles narrow at scale —
+    * no fat array columns move. */
+  private[graft] def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val parts = (0 until n).flatMap(j =>
+      Seq(element_at(col("t"), col("i") + (j + 1)), lit(" "))).dropRight(1)
+    docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("i"))
+      .select(col("doc_id"), concat(parts: _*).as("shingle"))
+      .distinct()
   }
+
+  /** Exact Jaccard from integer set sizes: |A∩B| / (|A| + |B| - |A∩B|) —
+    * identical integer operands in both engines before the single double
+    * division. */
+  private def jaccardCol(ni: Column, na: Column, nb: Column): Column =
+    round(ni.cast("double") / (na + nb - ni), 6)
 
   /** c2: MinHash + LSH near-duplicate pairs.
     *
@@ -59,14 +74,12 @@ object Dedup {
   def c2DedupMinhash(spark: SparkSession, dir: String,
                      k: Int = 8, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleRows(Tables.documents(spark, dir))
 
-    val mh = sh.select(
-      col("doc_id") +: (0 until k).map(i =>
-        array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s))))
-          .as(s"mh$i")): _*)
+    // k minhashes in one codegen'd hash-aggregate over the shingle rows
+    val mhCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
 
     val bandKeys = mh.select(col("doc_id"), posexplode(array(
       (0 until bands).map { j =>
@@ -80,10 +93,19 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+    // exact verify on candidates only: |A∩B| via a shingle equi-join
+    // (bucket-collided pairs always share their min shingle, so the inner
+    // join never drops a candidate)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccardCol(col("ni"), col("na"), col("nb")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -141,15 +163,21 @@ object Dedup {
     * reproduce it; production candidate pairs come from c2/c3 banding and
     * reuse the same jaccard column expression. */
   def c4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("g"))
-      .filter(size(col("g")) > 0)
-    g.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-      .join(g.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb")),
-        "doc_a")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("n_common"),
-        jaccard(col("ga"), col("gb")).as("jaccard"))
+    val ex = shingleRows(Tables.documents(spark, dir))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(sizes.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("n").as("nb")), "doc_a")
+    // shared grams of (d, d+1) via self-equi-join on (shifted id, gram);
+    // left join + coalesce keeps zero-overlap pairs (the oracle does too)
+    val inter = ex.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(ex.select((col("doc_id") - 1).as("doc_a"), col("shingle")),
+        Seq("doc_a", "shingle"))
+      .groupBy("doc_a").agg(count(lit(1)).as("ni"))
+    pairs.join(inter, Seq("doc_a"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("ni").as("n_common"),
+        jaccardCol(col("ni"), col("na"), col("nb")).as("jaccard"))
       .orderBy("doc_a")
   }
 }

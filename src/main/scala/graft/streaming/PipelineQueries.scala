@@ -27,6 +27,21 @@ object PipelineQueries {
     ArrowIpc.deserialize(spark, files, schema).orderBy("doc_id")
   }
 
+  /** a10: the batch shape of the convert pipeline Bench times — ND-JSON →
+    * schema-driven parse → Arrow IPC → rows. Identity oracle pins the exact
+    * code path whose MB/s the benchmark reports (bolson's convert-stage
+    * metric, reference: src/bolson/bench.cpp convert bench). */
+  def a10ConvertBench(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    val schema = ev.schema
+    val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+    val parsed = StreamPipeline.convert(lines, schema)
+    ArrowIpc.deserialize(spark, ArrowIpc.serialize(parsed, maxRows = 4096), schema)
+      .orderBy("event_id")
+  }
+
   /** a9: per-stage pipeline metrics via accumulators — rows converted,
     * batches serialized, messages/rows published (bolson's convert/publish
     * metrics). The single sorted partition makes batch counts reproducible
