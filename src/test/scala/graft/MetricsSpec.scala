@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.metrics.LatencyListener
+import graft.streaming.{CollectingPublisher, StreamPipeline}
+
+/** a9 latency-tracking spec: the listener must observe every micro-batch
+  * of a pipeline run with sane durations. */
+class MetricsSpec extends SparkSpec {
+
+  test("LatencyListener captures per-batch latency for the stream pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val listener = new LatencyListener()
+    spark.streams.addListener(listener)
+    try {
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"), col("user_id"), col("value"))
+      val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("j"))
+        .as[String].collect().toSeq
+      val stream = MemoryStream[String]
+      CollectingPublisher.clear()
+      val q = StreamPipeline.publishStream(stream.toDF(), ev.schema, 4096,
+        () => new CollectingPublisher).start()
+      try {
+        lines.grouped(math.max(1, lines.length / 3 + 1)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.samples.map(_.inputRows).sum < lines.length &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val s = listener.samples.filter(_.inputRows > 0)
+      assert(s.map(_.inputRows).sum == lines.length, "every row metered")
+      assert(s.forall(b => b.triggerMs >= b.addBatchMs && b.triggerMs >= 0))
+      val sum = listener.summary
+      assert(sum("rows_total") >= lines.length.toDouble)
+      assert(sum("trigger_ms_max") >= sum("trigger_ms_avg"))
+    } finally spark.streams.removeListener(listener)
+  }
+}
