@@ -76,9 +76,12 @@ object Dedup {
     val rowsPerBand = k / bands
     val sh = shingleRows(Tables.documents(spark, dir))
 
-    // k minhashes in one codegen'd hash-aggregate over the shingle rows
+    // k minhashes + the set size in ONE codegen'd hash-aggregate over the
+    // shingle rows (a separate sizes pass would recompute the scan+shingle
+    // subtree)
     val mhCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")) :+
+      count(lit(1)).as("ns")
     val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
 
     val bandKeys = mh.select(col("doc_id"), posexplode(array(
@@ -96,7 +99,7 @@ object Dedup {
     // exact verify on candidates only: |A∩B| via a shingle equi-join
     // (bucket-collided pairs always share their min shingle, so the inner
     // join never drops a candidate)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val sizes = mh.select(col("doc_id"), col("ns"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

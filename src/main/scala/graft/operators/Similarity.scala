@@ -5,14 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (SURVEY §2 c5, c6, c11).
   *
   * Brute-force top-k is the correctness baseline: broadcast the (small)
-  * query set, score candidates in a single codegen'd pass (zip_with +
-  * aggregate — no UDF), keep top-k per query with a window. At cluster
-  * scale the candidate side streams from parquet splits; only k rows per
-  * query per partition survive the partial top-k.
+  * query set, score candidates in a single codegen'd pass (the native
+  * CosineSimilarity expression — no UDF, no interpreted HOFs), keep top-k
+  * per query with a window. At cluster scale the candidate side streams
+  * from parquet splits; only k rows per query per partition survive the
+  * partial top-k.
   *
   * The scale path (c6, c11) buckets vectors with an axis-aligned-hyperplane
   * LSH (sign pattern of the leading coordinates): scoring happens only
@@ -24,16 +26,14 @@ import graft.Tables
 object Similarity {
 
   /** Elementwise ops in double precision (embeddings are float32 on disk;
-    * scoring in f64 keeps accumulation order-stable and engine-portable). */
-  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+    * scoring in f64 keeps accumulation order-stable and engine-portable).
+    * Cast (not transform) — a native codegen'd conversion. */
+  private def toDouble(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd expression (graft.functions) — the
+    * aggregate∘zip_with formulation is interpreted and was the dominant
+    * ANN cost; accumulation order is identical, results bit-equal. */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
   /** Sign-pattern LSH bucket over the first `planes` coordinates — a
     * deterministic axis-aligned random-hyperplane family (the testdata

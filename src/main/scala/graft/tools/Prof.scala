@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, functions => F}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
@@ -17,41 +16,35 @@ object Prof {
       println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     val docs = Tables.documents(spark, dir)
-    time("docs count warm")(docs.count())
-    time("docs count warm2")(docs.count())
+    time("warmup")(docs.count())
 
-    // current impl
-    val shA = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-    time("A slice+concat_ws x1")(shA.select(explode(col("sh"))).count())
-    time("A slice+concat_ws x2")(shA.select(explode(col("sh"))).count())
-
-    // element_at variant
-    def shinglesB(text: Column): Column = {
-      val toks = split(lower(text), " ")
-      val n = size(toks)
-      when(n >= 3,
-        array_distinct(transform(sequence(lit(0), n - 3), i =>
-          concat(element_at(toks, i + 1), lit(" "),
-            element_at(toks, i + 2), lit(" "), element_at(toks, i + 3)))))
-        .otherwise(array().cast("array<string>"))
-    }
-    val shB = docs.select(col("doc_id"), shinglesB(col("text")).as("sh"))
-    time("B element_at x1")(shB.select(explode(col("sh"))).count())
-    time("B element_at x2")(shB.select(explode(col("sh"))).count())
-
-    // explode positions then build shingle from exploded index (no HOF)
+    // c2 stage decomposition
     val toks = split(lower(col("text")), " ")
-    val shC = docs.select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), col("t"), explode(sequence(lit(0), greatest(size(col("t")) - 3, lit(-1)))).as("i"))
-      .select(col("doc_id"), concat(element_at(col("t"), col("i") + 1), lit(" "),
-        element_at(col("t"), col("i") + 2), lit(" "), element_at(col("t"), col("i") + 3)).as("shingle"))
+    val parts = (0 until 3).flatMap(j =>
+      Seq(element_at(col("t"), col("i") + (j + 1)), lit(" "))).dropRight(1)
+    val sh = docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 3)).as("i"))
+      .select(col("doc_id"), concat(parts: _*).as("shingle"))
       .distinct()
-    time("C explode-index x1")(shC.count())
-    time("C explode-index x2")(shC.count())
-
-    time("minhash force (A)")(shA.select(
-      (0 until 8).map(i => array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i")): _*)
-      .agg(F.max(col("mh0"))).count())
+    time("sh rows")(sh.count())
+    val mhCols = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")) :+ count(lit(1)).as("ns")
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    time("mh agg")(mh.count())
+    val bandKeys = mh.select(col("doc_id"), posexplode(array(
+      (0 until 4).map { j =>
+        md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
+      }: _*))).toDF("doc_id", "band", "key")
+    val pairs = bandKeys.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bandKeys.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    time("pairs")(pairs.count())
+    time("c2 full")(Dedup.c2DedupMinhash(spark, dir).count())
+    time("c2 full again")(Dedup.c2DedupMinhash(spark, dir).count())
     spark.stop()
   }
 }
