@@ -39,16 +39,33 @@ object JsonConvert {
   }
 
   /** Parse a JSON string column against an explicit schema, erroring on
-    * malformed records like bolson's UnexpectedFieldBehavior::Error. */
+    * malformed records (FAILFAST). Extra fields are silently ignored —
+    * for bolson's full UnexpectedFieldBehavior::Error semantics use
+    * [[parseJsonStrict]]. */
   def parseJson(c: Column, schema: StructType): Column =
     from_json(c, schema, Map("mode" -> "FAILFAST"))
 
-  /** a1: schema-driven parse of the events.props JSON payload column. */
+  /** Strict parse: additionally errors when the JSON object carries any
+    * field outside the schema — bolson's UnexpectedFieldBehavior::Error
+    * (reference: src/bolson/parse/arrow.cpp:90-92). Key extraction uses
+    * from_json to map<string,string> (Spark stringifies non-string values
+    * in that position), so the check is codegen-adjacent and needs no UDF;
+    * assert_true raises task-side exactly like a malformed record does. */
+  def parseJsonStrict(c: Column, schema: StructType): Column = {
+    val keys = map_keys(from_json(c, MapType(StringType, StringType)))
+    val unexpected = filter(keys, k => !k.isin(schema.fieldNames.toSeq: _*))
+    val check = assert_true(size(unexpected) <= 0,
+      concat(lit("unexpected JSON field(s): "), concat_ws(",", unexpected)))
+    when(check.isNull, parseJson(c, schema))
+  }
+
+  /** a1: schema-driven parse of the events.props JSON payload column, in
+    * full strict mode (malformed AND unexpected-field errors). */
   def a1JsonParse(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(StructField("k", LongType)))
     Tables.events(spark, dir)
       .select(col("event_id"),
-        parseJson(col("props"), schema).getField("k").as("k"))
+        parseJsonStrict(col("props"), schema).getField("k").as("k"))
       .orderBy("event_id")
   }
 

@@ -38,4 +38,15 @@ class JsonConvertSpec extends SparkSpec {
       JsonConvert.parseJson(col("json"), JsonConvert.Schemas.battery).as("rec"))
     assertThrows[SparkException](parsed.collect())
   }
+
+  test("strict mode errors on unexpected fields (UnexpectedFieldBehavior::Error)") {
+    val ok = Seq("""{"voltage": [1, 2]}""").toDF("json")
+      .select(JsonConvert.parseJsonStrict(col("json"), JsonConvert.Schemas.battery).as("rec"))
+    assert(ok.select(size(col("rec.voltage"))).head.getInt(0) == 2)
+    val extra = Seq("""{"voltage": [1], "rogue": 7}""").toDF("json")
+      .select(JsonConvert.parseJsonStrict(col("json"), JsonConvert.Schemas.battery).as("rec"))
+    val e = intercept[Exception](extra.collect())
+    assert(e.getMessage.contains("rogue") ||
+      Option(e.getCause).exists(_.getMessage.contains("rogue")))
+  }
 }
