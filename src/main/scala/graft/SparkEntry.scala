@@ -76,9 +76,14 @@ object SparkEntry {
     "a3_json_trip" ->
       """SELECT o_orderkey AS vin,
         |  strftime(o_orderdate, '%Y-%m-%d') AS trip_date,
+        |  CAST(o_custkey % 24 AS BIGINT) AS timezone,
         |  o_totalprice > 1000.0 AS hypermiling,
         |  CAST(floor(o_totalprice) AS BIGINT) AS odometer,
-        |  CAST(o_orderkey % 60 + o_custkey % 60 + CAST(floor(o_totalprice) AS BIGINT) % 60 AS BIGINT) AS sum_sec_in_band,
+        |  CAST(CAST(floor(o_totalprice) AS BIGINT) % 120 AS BIGINT) AS avgspeed,
+        |  o_orderkey % 2 = 0 AS orientation,
+        |  CAST(list_sum(list_transform(range(0,12), i -> (o_orderkey + i) % 60)) AS BIGINT) AS sum_sec_in_band,
+        |  CAST(list_sum(list_transform(range(0,24), i -> (o_custkey + i) % 100)) AS BIGINT) AS sum_miles_in_time_range,
+        |  CAST(list_sum(list_transform(range(0,13), i -> (CAST(floor(o_totalprice) AS BIGINT) + i) % 30)) AS BIGINT) AS sum_small_speed_var,
         |  CAST(o_custkey % 10 + CAST(floor(o_totalprice) AS BIGINT) % 100 AS BIGINT) AS events_total
         |FROM orders ORDER BY vin""".stripMargin,
     "a4_seq_column" ->

@@ -16,6 +16,14 @@ case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                          first_byte: Int, last_byte: Int, n_frames: Long)
 
+/** Output of the (stubbed) resize — a real implementation holds the
+  * re-encoded image; the stub carries a deterministic w×h byte crop. */
+case class ResizedMedia(doc_id: Long, media_type: String,
+                        width: Int, height: Int, payload: Array[Byte])
+
+/** One sampled frame of a video payload. */
+case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
 /** Multimodal-column plumbing (SURVEY §2 c12).
   *
   * The Spark-side shape is real: a typed `Dataset[MediaRecord]` with a
@@ -59,5 +67,38 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** STUB resize — a real image pipeline decodes, scales to w×h, and
+    * re-encodes; the stub deterministically crops/cycles the payload to
+    * exactly w·h bytes so downstream schema/partitioning is exercised
+    * with realistic per-record output sizing. */
+  def resize(records: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val n = width * height
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = r.payload(i % r.payload.length); i += 1 }
+      ResizedMedia(r.doc_id, r.media_type, width, height, out)
+    })
+  }
+
+  /** STUB frame sampling — a real implementation demuxes the container and
+    * keeps every `everyNth` frame; the stub treats the payload as
+    * fixed-size frames of `frameBytes` and keeps every `everyNth` chunk.
+    * Video records only; one output row per sampled frame (the explode
+    * shape a 100 TB video pipeline shuffles by). */
+  def frameSample(records: Dataset[MediaRecord], frameBytes: Int,
+                  everyNth: Int): Dataset[MediaFrame] = {
+    import records.sparkSession.implicits._
+    records.filter(_.media_type == "video").mapPartitions(_.flatMap { r =>
+      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames by everyNth).iterator.map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaFrame(r.doc_id, f.toLong, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    })
   }
 }

@@ -25,17 +25,33 @@ object JsonConvert {
     val battery: StructType = StructType(Seq(
       StructField("voltage", ArrayType(LongType, containsNull = false), nullable = false)))
 
-    /** trip_report (representative subset of the 19-field schema):
-      * utf8 timestamp, u64 scalars, bool flags, u64 lists — reference:
-      * doc/src/schemas.md "Trip report", parse/opae/trip.cpp. */
-    val trip: StructType = StructType(Seq(
-      StructField("timestamp", StringType, nullable = false),
-      StructField("vin", LongType, nullable = false),
-      StructField("odometer", LongType, nullable = false),
-      StructField("hypermiling", BooleanType, nullable = false),
-      StructField("sec_in_band", ArrayType(LongType, containsNull = false), nullable = false),
-      StructField("accel_decel", LongType, nullable = false),
-      StructField("speed_changes", LongType, nullable = false)))
+    /** trip_report — the full 19-field schema from doc/src/schemas.md
+      * "Trip report" (parse/opae/trip.cpp). Arrow's fixed-size lists map
+      * to ArrayType (Spark has no fixed-length array type); the declared
+      * lengths live in `tripListLengths` and are validated by spec. */
+    val tripListLengths: Map[String, Int] = Map(
+      "sec_in_band" -> 12, "miles_in_time_range" -> 24,
+      "const_speed_miles_in_band" -> 12, "vary_speed_miles_in_band" -> 12,
+      "sec_decel" -> 10, "sec_accel" -> 10, "braking" -> 6, "accel" -> 6,
+      "small_speed_var" -> 13, "large_speed_var" -> 13)
+
+    val trip: StructType = {
+      def u64(name: String) = StructField(name, LongType, nullable = false)
+      def u64list(name: String) =
+        StructField(name, ArrayType(LongType, containsNull = false), nullable = false)
+      StructType(Seq(
+        StructField("timestamp", StringType, nullable = false),
+        u64("timezone"), u64("vin"), u64("odometer"),
+        StructField("hypermiling", BooleanType, nullable = false),
+        u64("avgspeed"),
+        u64list("sec_in_band"), u64list("miles_in_time_range"),
+        u64list("const_speed_miles_in_band"), u64list("vary_speed_miles_in_band"),
+        u64list("sec_decel"), u64list("sec_accel"),
+        u64list("braking"), u64list("accel"),
+        StructField("orientation", BooleanType, nullable = false),
+        u64list("small_speed_var"), u64list("large_speed_var"),
+        u64("accel_decel"), u64("speed_changes")))
+    }
   }
 
   /** Parse a JSON string column against an explicit schema, erroring on
@@ -94,27 +110,49 @@ object JsonConvert {
       .orderBy("l_orderkey")
   }
 
-  /** a3: trip_report conversion round-trip over orders — nested lists,
-    * bools, and utf8 fields through the same from_json path. */
+  /** a3: trip_report conversion round-trip over orders — the full 19-field
+    * schema (fixed-length u64 lists, bools, utf8) generated
+    * deterministically, serialized to ND-JSON, parsed back strictly, and
+    * reduced. Every field rides through the parse; the oracle recomputes
+    * the reductions relationally. */
   def a3JsonTrip(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val odo = floor(col("o_totalprice")).cast("bigint")
+    def u64s(n: Int, base: Column, step: Int, mod: Int): Column =
+      array((0 until n).map(i => (base + i * step) % mod): _*)
     val jsonLines = o.select(col("o_orderkey"), to_json(struct(
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("timestamp"),
+      (col("o_custkey") % 24).as("timezone"),
       col("o_orderkey").as("vin"),
       odo.as("odometer"),
       (col("o_totalprice") > 1000.0).as("hypermiling"),
-      array(col("o_orderkey") % 60, col("o_custkey") % 60, odo % 60).as("sec_in_band"),
+      (odo % 120).as("avgspeed"),
+      u64s(12, col("o_orderkey"), 1, 60).as("sec_in_band"),
+      u64s(24, col("o_custkey"), 1, 100).as("miles_in_time_range"),
+      u64s(12, odo, 1, 50).as("const_speed_miles_in_band"),
+      u64s(12, odo, 2, 50).as("vary_speed_miles_in_band"),
+      u64s(10, col("o_orderkey") * 2, 1, 60).as("sec_decel"),
+      u64s(10, col("o_orderkey") * 3, 1, 60).as("sec_accel"),
+      u64s(6, col("o_custkey"), 1, 10).as("braking"),
+      u64s(6, col("o_custkey"), 2, 10).as("accel"),
+      (col("o_orderkey") % 2 === 0).as("orientation"),
+      u64s(13, odo, 1, 30).as("small_speed_var"),
+      u64s(13, odo, 3, 30).as("large_speed_var"),
       (col("o_custkey") % 10).as("accel_decel"),
       (odo % 100).as("speed_changes"))).as("json"))
     jsonLines
-      .select(col("o_orderkey"), parseJson(col("json"), Schemas.trip).as("rec"))
+      .select(col("o_orderkey"), parseJsonStrict(col("json"), Schemas.trip).as("rec"))
       .select(
         col("rec.vin").as("vin"),
         col("rec.timestamp").as("trip_date"),
+        col("rec.timezone").as("timezone"),
         col("rec.hypermiling").as("hypermiling"),
         col("rec.odometer").as("odometer"),
+        col("rec.avgspeed").as("avgspeed"),
+        col("rec.orientation").as("orientation"),
         aggregate(col("rec.sec_in_band"), lit(0L), (acc, x) => acc + x).as("sum_sec_in_band"),
+        aggregate(col("rec.miles_in_time_range"), lit(0L), (acc, x) => acc + x).as("sum_miles_in_time_range"),
+        aggregate(col("rec.small_speed_var"), lit(0L), (acc, x) => acc + x).as("sum_small_speed_var"),
         (col("rec.accel_decel") + col("rec.speed_changes")).as("events_total"))
       .orderBy("vin")
   }

@@ -96,6 +96,50 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c12 resize/frame-sample stubs keep schema and sizing contracts") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val resized = Multimodal.resize(media, 16, 8).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r => assert(r.payload.length == 16 * 8) }
+    val frames = Multimodal.frameSample(media, frameBytes = 50, everyNth = 2).collect()
+    assert(frames.nonEmpty)
+    val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
+    assert(frames.map(_.doc_id).toSet == videoIds, "all and only video docs sampled")
+    frames.foreach { f =>
+      assert(f.frame_idx % 2 == 0 && f.frame_bytes.length <= 50)
+    }
+  }
+
+  test("a3 trip lists honor the reference's fixed lengths") {
+    import org.apache.spark.sql.functions.{col => c}
+    val o = Tables.orders(spark, sfDir).limit(50)
+    val odo = floor(c("o_totalprice")).cast("bigint")
+    val json = o.select(to_json(struct(
+      date_format(c("o_orderdate"), "yyyy-MM-dd").as("timestamp"),
+      (c("o_custkey") % 24).as("timezone"),
+      c("o_orderkey").as("vin"), odo.as("odometer"),
+      (c("o_totalprice") > 1000.0).as("hypermiling"),
+      (odo % 120).as("avgspeed"),
+      array((0 until 12).map(i => (c("o_orderkey") + i) % 60): _*).as("sec_in_band"),
+      array((0 until 24).map(i => (c("o_custkey") + i) % 100): _*).as("miles_in_time_range"),
+      array((0 until 12).map(i => (odo + i) % 50): _*).as("const_speed_miles_in_band"),
+      array((0 until 12).map(i => (odo + i * 2) % 50): _*).as("vary_speed_miles_in_band"),
+      array((0 until 10).map(i => (c("o_orderkey") * 2 + i) % 60): _*).as("sec_decel"),
+      array((0 until 10).map(i => (c("o_orderkey") * 3 + i) % 60): _*).as("sec_accel"),
+      array((0 until 6).map(i => (c("o_custkey") + i) % 10): _*).as("braking"),
+      array((0 until 6).map(i => (c("o_custkey") + i * 2) % 10): _*).as("accel"),
+      (c("o_orderkey") % 2 === 0).as("orientation"),
+      array((0 until 13).map(i => (odo + i) % 30): _*).as("small_speed_var"),
+      array((0 until 13).map(i => (odo + i * 3) % 30): _*).as("large_speed_var"),
+      (c("o_custkey") % 10).as("accel_decel"),
+      (odo % 100).as("speed_changes"))).as("json"))
+    val rec = json.select(
+      graft.sources.JsonConvert.parseJsonStrict(c("json"), graft.sources.JsonConvert.Schemas.trip).as("r"))
+    graft.sources.JsonConvert.Schemas.tripListLengths.foreach { case (field, len) =>
+      assert(rec.filter(size(c(s"r.$field")) =!= len).count() == 0, s"$field length $len")
+    }
+  }
+
   test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
     val ev = Tables.events(spark, sfDir)
     val sessions = Relational.c13Sessionize(spark, sfDir)
