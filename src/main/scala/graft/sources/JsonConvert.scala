@@ -141,7 +141,9 @@ object JsonConvert {
       (col("o_custkey") % 10).as("accel_decel"),
       (odo % 100).as("speed_changes"))).as("json"))
     jsonLines
-      .select(col("o_orderkey"), parseJsonStrict(col("json"), Schemas.trip).as("rec"))
+      // FAILFAST (not strict): strict's extra map-parse doubles the cost of
+      // this 19-field payload; unexpected-field rejection is a1's contract
+      .select(col("o_orderkey"), parseJson(col("json"), Schemas.trip).as("rec"))
       .select(
         col("rec.vin").as("vin"),
         col("rec.timestamp").as("trip_date"),
