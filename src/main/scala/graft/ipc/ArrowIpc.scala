@@ -66,42 +66,50 @@ object ArrowIpc {
   def toArrowSchema(schema: StructType): ArrowSchema =
     new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
 
-  private def micros(ts: java.sql.Timestamp): Long =
-    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
-
-  /** Specialized per-column writer, resolved once per batch — keeps the
-    * per-value hot loop free of type dispatch and (for primitives) boxing. */
-  private def columnWriter(vec: FieldVector): (Row, Int, Int) => Unit = vec match {
-    case x: BigIntVector => (r, c, i) =>
+  /** Specialized per-column InternalRow writer, resolved once per batch.
+    * Operating on InternalRow (via queryExecution.toRdd) skips the
+    * Catalyst→external-Row conversion entirely: strings flow
+    * UTF8String→Arrow bytes with no java.lang.String, timestamps are
+    * already epoch-micros longs (the Arrow unit), arrays copy primitively. */
+  private def internalWriter(vec: FieldVector, dt: DataType)
+      : (org.apache.spark.sql.catalyst.InternalRow, Int, Int) => Unit = (vec, dt) match {
+    case (x: BigIntVector, LongType) => (r, c, i) =>
       if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getLong(c))
-    case x: IntVector => (r, c, i) =>
+    case (x: TimeStampMicroTZVector, TimestampType) => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getLong(c))
+    case (x: IntVector, IntegerType) => (r, c, i) =>
       if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getInt(c))
-    case x: Float8Vector => (r, c, i) =>
+    case (x: Float8Vector, DoubleType) => (r, c, i) =>
       if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getDouble(c))
-    case x: Float4Vector => (r, c, i) =>
+    case (x: Float4Vector, FloatType) => (r, c, i) =>
       if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getFloat(c))
-    case x: BitVector => (r, c, i) =>
+    case (x: BitVector, BooleanType) => (r, c, i) =>
       if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
-    case x: VarCharVector => (r, c, i) =>
-      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getString(c).getBytes(UTF_8))
-    case x: VarBinaryVector => (r, c, i) =>
-      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getAs[Array[Byte]](c))
-    case x: TimeStampMicroTZVector => (r, c, i) =>
-      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, micros(r.getAs[java.sql.Timestamp](c)))
-    case x: ListVector => (r, c, i) =>
+    case (x: VarCharVector, StringType) => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getUTF8String(c).getBytes)
+    case (x: VarBinaryVector, BinaryType) => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i) else x.setSafe(i, r.getBinary(c))
+    case (x: ListVector, ArrayType(LongType, _)) => (r, c, i) =>
       if (r.isNullAt(c)) x.setNull(i)
       else {
+        val arr = r.getArray(c)
         val w = x.getWriter
-        w.setPosition(i)
-        w.startList()
-        r.getSeq[Any](c).foreach {
-          case l: Long => w.bigInt().writeBigInt(l)
-          case d: Double => w.float8().writeFloat8(d)
-          case other => throw new IllegalArgumentException(s"list element: $other")
-        }
+        w.setPosition(i); w.startList()
+        var j = 0
+        while (j < arr.numElements()) { w.bigInt().writeBigInt(arr.getLong(j)); j += 1 }
         w.endList()
       }
-    case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
+    case (x: ListVector, ArrayType(DoubleType, _)) => (r, c, i) =>
+      if (r.isNullAt(c)) x.setNull(i)
+      else {
+        val arr = r.getArray(c)
+        val w = x.getWriter
+        w.setPosition(i); w.startList()
+        var j = 0
+        while (j < arr.numElements()) { w.float8().writeFloat8(arr.getDouble(j)); j += 1 }
+        w.endList()
+      }
+    case (v, t) => throw new IllegalArgumentException(s"unsupported for IPC: $t / ${v.getClass}")
   }
 
   private def readValue(vec: FieldVector, idx: Int, dt: DataType): Any =
@@ -128,61 +136,68 @@ object ArrowIpc {
       case other => throw new IllegalArgumentException(s"unsupported type for IPC: $other")
     }
 
-  /** Serialize `rows` (already bounded by maxRows) to one IPC stream
-    * message; recursively halve if the payload exceeds maxIpcBytes —
+  /** One IPC stream payload from a (possibly sliced) root; recursively
+    * halve via zero-copy slices if the payload exceeds maxIpcBytes —
     * bolson's max_ipc enforcement (serializer.cpp), done per split. */
-  private def serializeRows(rows: IndexedSeq[Row], schema: StructType,
-                            arrowSchema: ArrowSchema, allocator: RootAllocator,
+  private def serializeRoot(root: VectorSchemaRoot,
                             maxIpcBytes: Long): Seq[(Array[Byte], Int)] = {
-    val root = VectorSchemaRoot.create(arrowSchema, allocator)
-    val bytes = try {
-      val vecs = root.getFieldVectors.asScala
-      val writers = vecs.map(columnWriter).toArray
-      root.allocateNew()
-      var i = 0
-      while (i < rows.length) {
-        val row = rows(i)
-        var c = 0
-        while (c < writers.length) {
-          writers(c)(row, c, i)
-          c += 1
-        }
-        i += 1
-      }
-      root.setRowCount(rows.length)
-      val out = new ByteArrayOutputStream()
-      val writer = new ArrowStreamWriter(root, null, out)
-      writer.start(); writer.writeBatch(); writer.end(); writer.close()
-      out.toByteArray
-    } finally root.close()
-    if (bytes.length <= maxIpcBytes || rows.length <= 1) Seq((bytes, rows.length))
+    val out = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    val bytes = out.toByteArray
+    val n = root.getRowCount
+    if (bytes.length <= maxIpcBytes || n <= 1) Seq((bytes, n))
     else {
-      val (lo, hi) = rows.splitAt(rows.length / 2)
-      serializeRows(lo, schema, arrowSchema, allocator, maxIpcBytes) ++
-        serializeRows(hi, schema, arrowSchema, allocator, maxIpcBytes)
+      val lo = root.slice(0, n / 2)
+      val hi = root.slice(n / 2, n - n / 2)
+      try serializeRoot(lo, maxIpcBytes) ++ serializeRoot(hi, maxIpcBytes)
+      finally { lo.close(); hi.close() }
     }
   }
 
-  /** a5+a6: DataFrame → per-partition stream of bounded IPC messages. */
+  /** a5+a6: DataFrame → per-partition stream of bounded IPC messages.
+    * Streams InternalRows (queryExecution.toRdd — no external-Row
+    * conversion) straight into Arrow vectors; a batch is cut at maxRows. */
   def serialize(df: DataFrame, maxRows: Int,
                 maxIpcBytes: Long = Long.MaxValue): Dataset[IpcMessage] = {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
     val arrowSchemaJson = toArrowSchema(schema).toJson
-    df.mapPartitions { it =>
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
       val arrowSchema = ArrowSchema.fromJSON(arrowSchemaJson)
       val allocator = new RootAllocator()
       val pid = TaskContext.getPartitionId().toLong
       var ordinal = -1L
-      it.grouped(maxRows).flatMap { chunk =>
-        serializeRows(chunk.toIndexedSeq, schema, arrowSchema, allocator, maxIpcBytes)
-          .map { case (b, n) =>
-            ordinal += 1
-            IpcMessage((pid << 32) | ordinal, n.toLong, b.length.toLong, b)
-          }
+      new Iterator[IpcMessage] {
+        private var pending: List[IpcMessage] = Nil
+        override def hasNext: Boolean = pending.nonEmpty || it.hasNext
+        override def next(): IpcMessage = pending match {
+          case head :: tail => pending = tail; head
+          case Nil =>
+            val root = VectorSchemaRoot.create(arrowSchema, allocator)
+            try {
+              val writers = root.getFieldVectors.asScala.zip(schema.fields)
+                .map { case (v, f) => internalWriter(v, f.dataType) }.toArray
+              root.allocateNew()
+              var i = 0
+              while (i < maxRows && it.hasNext) {
+                val row = it.next() // reused buffer: consumed immediately
+                var c = 0
+                while (c < writers.length) { writers(c)(row, c, i); c += 1 }
+                i += 1
+              }
+              root.setRowCount(i)
+              pending = serializeRoot(root, maxIpcBytes).map { case (b, n) =>
+                ordinal += 1
+                IpcMessage((pid << 32) | ordinal, n.toLong, b.length.toLong, b)
+              }.toList
+            } finally root.close()
+            next()
+        }
       }
     }
+    spark.createDataset(rdd)
   }
 
   /** Inverse of [[serialize]]: IPC messages → rows, per partition. */
