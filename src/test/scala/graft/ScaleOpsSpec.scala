@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+/** Scale-utility specs: salted aggregation equivalence and shuffle-free
+  * bucketed joins (SURVEY §4). */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("saltedAgg equals the direct aggregation on a skewed key") {
+    // events.user_id is naturally repeated; treat it as the hot key
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("user_id")
+      .agg(sum("value").as("sum_value"), count(lit(1)).as("count"),
+        max("value").as("max_value"))
+    val salted = ScaleOps.saltedAgg(ev, Seq("user_id"), salts = 7,
+      ("sum", "value"), ("count", "value"), ("max", "value"))
+      .withColumnRenamed("sum_value", "sum_value")
+    val joined = direct.as("d").join(salted.as("s"), "user_id")
+      .filter(abs(col("d.sum_value") - col("s.sum_value")) > 1e-9 ||
+        col("d.count") =!= col("s.count") ||
+        col("d.max_value") =!= col("s.max_value"))
+    assert(joined.count() == 0)
+    assert(direct.count() == salted.count())
+  }
+
+  test("co-bucketed tables join without any shuffle exchange") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(
+        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice"),
+        "li_bucketed", "l_orderkey", buckets = 8)
+      ScaleOps.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+        "o_bucketed", "o_orderkey", buckets = 8)
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val n = joined.count()
+      val expect = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
