@@ -48,7 +48,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+                f"SELECT * FROM '{out_dir}/{name}.parquet'").fetchdf()
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
