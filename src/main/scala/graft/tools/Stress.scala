@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.ipc.ArrowIpc
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.StreamPipeline
+
+/** Scaling-cliff probe (dev aid): replicates the sf0.1 tables ×N with
+  * shifted ids and times the shuffle-heavy operators — wall time should
+  * grow ~linearly with N for the banded/bucketed operators (candidate
+  * pairs grow ~N when near-dups are per-replica... replicated corpora
+  * inflate exact-dup clusters, so c2's pair count is a worst case here,
+  * not a bug). Uses replication only for timing, never for correctness. */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+
+    def rep(df: DataFrame, idCol: String): DataFrame = {
+      val span = 10000000L
+      df.withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+        .withColumn(idCol, col(idCol) + col("__r") * span)
+        .drop("__r")
+    }
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
+
+    // write replicated tables once so scans are realistic (not recomputed explodes)
+    val base = "/tmp/graft_stress"
+    rep(Tables.documents(spark, dir), "doc_id")
+      // de-dup texts per replica so candidate pairs don't explode quadratically
+      .withColumn("text", concat(col("text"), lit(" r"), (col("doc_id") / 10000000L).cast("long").cast("string")))
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    rep(Tables.embeddings(spark, dir), "vec_id")
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    rep(Tables.events(spark, dir), "event_id")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    println(s"[stress] replicated x$n at $base")
+
+    time("c2 minhash")(Dedup.c2DedupMinhash(spark, base).count())
+    time("c3 simhash")(Dedup.c3DedupSimhash(spark, base).count())
+    time("c6 ann lsh")(Similarity.c6AnnLsh(spark, base).count())
+    time("c11 near-dup")(Similarity.c11EmbedNearDup(spark, base).count())
+    val ev = Tables.events(spark, base).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+    time("convert json->ipc")(
+      ArrowIpc.serialize(StreamPipeline.convert(lines, ev.schema), maxRows = 4096)
+        .toDF().count())
+    spark.stop()
+  }
+}
