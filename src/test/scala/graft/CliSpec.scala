@@ -1,0 +1,53 @@
+package graft
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.ipc.{ArrowIpc, IpcMessage}
+
+/** End-to-end CLI spec: `graft stream` drains a TCP ND-JSON feed into
+  * bounded Arrow IPC files with a contiguous seq column — the bolson
+  * stream-mode contract. */
+class CliSpec extends SparkSpec {
+
+  test("stream subcommand: socket → IPC files with contiguous seq") {
+    import spark.implicits._
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val outDir = Files.createTempDirectory("graft-cli-").toString
+    val n = 500
+
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val w = new PrintWriter(sock.getOutputStream, true)
+      (0 until n).foreach(i => w.println(s"""{"id": $i, "v": ${i * 2}}"""))
+      w.flush()
+      Thread.sleep(5000)
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    Main.main(Array("stream",
+      "--host", "127.0.0.1", "--port", port.toString,
+      "--out", outDir,
+      "--schema-ddl", "id BIGINT, v BIGINT",
+      "--max-rows", "64", "--seq-col",
+      "--idle-timeout-ms", "4000"))
+
+    val schema = StructType.fromDDL("id BIGINT, v BIGINT, seq BIGINT")
+    val msgs = SparkSpec.session.read.format("binaryFile").load(s"$outDir/*.arrow")
+      .select(col("content")).as[Array[Byte]]
+      .map(b => IpcMessage(0L, 0L, b.length.toLong, b))
+    val rows = ArrowIpc.deserialize(SparkSpec.session, msgs, schema)
+      .orderBy("seq").collect()
+    assert(rows.length == n, s"published ${rows.length} of $n rows")
+    assert(rows.map(_.getAs[Long]("seq")).toSeq == (0L until n).toSeq,
+      "seq contiguous across micro-batches")
+    rows.foreach(r => assert(r.getAs[Long]("v") == r.getAs[Long]("id") * 2))
+  }
+}
