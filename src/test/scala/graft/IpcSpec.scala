@@ -34,6 +34,14 @@ class IpcSpec extends SparkSpec {
     assert(msgs.map(_.n_rows).sum == docs.count())
   }
 
+  test("byte-capped (sliced) batches round-trip content exactly") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+    val msgs = ArrowIpc.serialize(docs.repartition(3), maxRows = 1000, maxIpcBytes = 4 * 1024)
+    val back = ArrowIpc.deserialize(spark, msgs, docs.schema)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0,
+      "zero-copy root slices must preserve every value")
+  }
+
   test("list<long> columns (battery voltage shape) round-trip") {
     import spark.implicits._
     val df = Seq(
