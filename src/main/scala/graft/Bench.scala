@@ -63,7 +63,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry a -1 sentinel in `queries`; exclude from total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f}""")
     spark.stop()
   }

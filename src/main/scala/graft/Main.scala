@@ -65,17 +65,17 @@ object Main {
     @volatile var lastProgress = System.currentTimeMillis()
     val query = StreamPipeline.convert(lines, schema).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val df = batch.toDF()
         val withSeq =
           if (!seqCol) df
-          else {
-            val s = SeqColumn.withSeq(df, df.columns.take(1).toSeq)
-              .withColumn("seq", col("seq") + seqOffset)
-            s
-          }
+          else SeqColumn.withSeqInArrivalOrder(df)
+            .withColumn("seq", col("seq") + seqOffset)
+        // epoch = micro-batch id: batch ids restart per serialize() call,
+        // so files would overwrite across micro-batches without it
         val stats = graft.streaming.Publish.run(
-          ArrowIpc.serialize(withSeq, maxRows, maxIpc), () => new FilePublisher(out))
+          ArrowIpc.serialize(withSeq, maxRows, maxIpc),
+          () => new FilePublisher(out, epoch = batchId))
         seqOffset += stats.rows
         if (stats.rows > 0) lastProgress = System.currentTimeMillis()
         ()

@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      // cast in the builder: CosineSimilarity reads raw double slots, so
+      // un-cast inputs (e.g. a float32 embedding column) would be garbage
+      (children: Seq[Expression]) => CosineSimilarity(
+        castToDoubleArray(children.head), castToDoubleArray(children(1)))))
   }
+
+  private def castToDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(DoubleType))
 }

@@ -160,6 +160,8 @@ object ArrowIpc {
     * conversion) straight into Arrow vectors; a batch is cut at maxRows. */
   def serialize(df: DataFrame, maxRows: Int,
                 maxIpcBytes: Long = Long.MaxValue): Dataset[IpcMessage] = {
+    require(maxRows > 0, s"maxRows must be positive (got $maxRows)")
+    require(maxIpcBytes > 0, s"maxIpcBytes must be positive (got $maxIpcBytes)")
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema

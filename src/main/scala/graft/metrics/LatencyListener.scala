@@ -19,7 +19,8 @@ case class BatchLatency(batchId: Long, inputRows: Long,
   * for any graft streaming pipeline. Attach with
   * `spark.streams.addListener(listener)`; samples accumulate driver-side
   * (O(batches), bounded by retention). */
-class LatencyListener(retain: Int = 1024) extends StreamingQueryListener {
+class LatencyListener(retain: Int = 1024,
+                      queryName: Option[String] = None) extends StreamingQueryListener {
   private val buf = new ConcurrentLinkedQueue[BatchLatency]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
@@ -27,6 +28,9 @@ class LatencyListener(retain: Int = 1024) extends StreamingQueryListener {
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    // listeners are session-global: without a name filter, concurrent
+    // queries' batches would pollute this pipeline's samples
+    if (queryName.exists(n => p.name == null || p.name != n)) return
     val addBatch = Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)
     val trigger = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
     buf.add(BatchLatency(p.batchId, p.numInputRows, addBatch, trigger,

@@ -54,8 +54,11 @@ object Multimodal {
     * iterator, with no change to the surrounding plan. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val b = r.payload
+    // empty payloads decode to sentinel boundary bytes instead of crashing
     MediaFeatures(r.doc_id, r.media_type, b.length.toLong,
-      b.head & 0xFF, b.last & 0xFF, b.length / 100 + 1)
+      if (b.isEmpty) -1 else b.head & 0xFF,
+      if (b.isEmpty) -1 else b.last & 0xFF,
+      b.length / 100 + 1)
   }
 
   /** c12: decode/feature-extract over the media table — mapPartitions so a
@@ -78,8 +81,10 @@ object Multimodal {
     records.mapPartitions(_.map { r =>
       val n = width * height
       val out = new Array[Byte](n)
-      var i = 0
-      while (i < n) { out(i) = r.payload(i % r.payload.length); i += 1 }
+      if (r.payload.nonEmpty) {
+        var i = 0
+        while (i < n) { out(i) = r.payload(i % r.payload.length); i += 1 }
+      }
       ResizedMedia(r.doc_id, r.media_type, width, height, out)
     })
   }

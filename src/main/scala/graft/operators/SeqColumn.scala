@@ -30,6 +30,18 @@ object SeqColumn {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Seq in ARRIVAL order: contiguous ids following the existing partition
+    * order with no repartition or sort — bolson's --arrow-seq-col contract
+    * (records tagged in the order received). Use for streaming
+    * micro-batches where the source preserves arrival order per partition
+    * (e.g. the socket source's single partition). */
+  def withSeqInArrivalOrder(df: DataFrame, seqName: String = "seq"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(seqName, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** a4: seq column over documents in doc_id order. */
   def a4SeqColumn(spark: SparkSession, dir: String): DataFrame =
     withSeq(Tables.documents(spark, dir), Seq("doc_id"))

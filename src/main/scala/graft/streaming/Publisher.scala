@@ -22,16 +22,19 @@ trait Publisher extends Serializable {
   def close(): Unit
 }
 
-/** Filesystem publisher: one file per IPC message, named by batch_id (which
-  * is partition-unique by construction). Stands in for any message broker;
-  * the files are standalone Arrow IPC streams readable by any Arrow
-  * consumer. */
-class FilePublisher(dir: String) extends Publisher {
+/** Filesystem publisher: one file per IPC message, named by batch_id
+  * (partition-unique within one serialize run) plus an optional caller
+  * epoch — REQUIRED when publishing repeatedly into the same directory
+  * (e.g. one epoch per micro-batch), because batch ids restart at
+  * (pid<<32)|0 for every serialize() call and files would overwrite.
+  * Stands in for any message broker; the files are standalone Arrow IPC
+  * streams readable by any Arrow consumer. */
+class FilePublisher(dir: String, epoch: Long = 0L) extends Publisher {
   override def open(partitionId: Int): Unit = {
     Files.createDirectories(Paths.get(dir)); ()
   }
   override def publish(m: IpcMessage): Unit = {
-    Files.write(Paths.get(dir, f"msg-${m.batch_id}%016x.arrow"), m.bytes); ()
+    Files.write(Paths.get(dir, f"msg-$epoch%08x-${m.batch_id}%016x.arrow"), m.bytes); ()
   }
   override def close(): Unit = ()
 }

@@ -61,11 +61,18 @@ object StreamOps {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { us =>
               cur match {
-                case Some(s) if us - s.end_us <= gapMicros =>
-                  cur = Some(s.copy(end_us = math.max(s.end_us, us), n = s.n + 1))
-                case Some(s) =>
+                // merge when within gap of EITHER session edge — a late
+                // (within-watermark) out-of-order event can precede the
+                // open session's start and must extend it downward, or
+                // batch c13 and streaming d3 would disagree
+                case Some(s) if us >= s.start_us - gapMicros && us <= s.end_us + gapMicros =>
+                  cur = Some(SessionState(math.min(s.start_us, us),
+                    math.max(s.end_us, us), s.n + 1))
+                case Some(s) if us > s.end_us + gapMicros =>
                   closed += Session(user, s.n, s.start_us, s.end_us)
                   cur = Some(SessionState(us, us, 1))
+                case Some(_) => // older than start-gap: its own closed session
+                  closed += Session(user, 1, us, us)
                 case None =>
                   cur = Some(SessionState(us, us, 1))
               }

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d3: a late within-watermark event extends the open session downward") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val min = 60L * 1000 * 1000
+    val q = StreamOps.sessionize(stream.toDS(), gapMicros = 30 * min, watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("d3_late").start()
+    try {
+      stream.addData(Seq(SessionEvent(1L, 20 * min), SessionEvent(1L, 25 * min)))
+      q.processAllAvailable()
+      // late but within watermark (25-10=15 <= 18): must merge and lower start
+      stream.addData(Seq(SessionEvent(1L, 18 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(2L, 600 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(2L, 1200 * min)))
+      q.processAllAvailable()
+      val s = spark.table("d3_late").as[Session].collect().filter(_.user_id == 1L)
+      assert(s.toSeq == Seq(Session(1L, 3L, 18 * min, 25 * min)),
+        s"late event must extend session start downward, got ${s.toSeq}")
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
