@@ -112,6 +112,10 @@ object ArrowIpc {
     case (v, t) => throw new IllegalArgumentException(s"unsupported for IPC: $t / ${v.getClass}")
   }
 
+  /** Arrow vector value → Catalyst internal representation (UTF8String,
+    * epoch-micros long, GenericArrayData) — the read twin of
+    * [[internalWriter]], feeding internalCreateDataFrame with no external
+    * Row objects anywhere on the IPC path. */
   private def readValue(vec: FieldVector, idx: Int, dt: DataType): Any =
     if (vec.isNull(idx)) null
     else dt match {
@@ -120,19 +124,27 @@ object ArrowIpc {
       case DoubleType => vec.asInstanceOf[Float8Vector].get(idx)
       case FloatType => vec.asInstanceOf[Float4Vector].get(idx)
       case BooleanType => vec.asInstanceOf[BitVector].get(idx) == 1
-      case StringType => new String(vec.asInstanceOf[VarCharVector].get(idx), UTF_8)
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          vec.asInstanceOf[VarCharVector].get(idx))
       case BinaryType => vec.asInstanceOf[VarBinaryVector].get(idx)
-      case TimestampType =>
-        val us = vec.asInstanceOf[TimeStampMicroTZVector].get(idx)
-        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-        ts
+      case TimestampType => vec.asInstanceOf[TimeStampMicroTZVector].get(idx)
       case ArrayType(et, _) =>
-        vec.asInstanceOf[ListVector].getObject(idx).asScala.map {
-          case l: java.lang.Long => l.longValue()
-          case d: java.lang.Double => d.doubleValue()
-          case other => other
-        }.toSeq
+        val lv = vec.asInstanceOf[ListVector]
+        val data = lv.getDataVector
+        val start = lv.getOffsetBuffer.getInt(idx * 4L)
+        val end = lv.getOffsetBuffer.getInt((idx + 1) * 4L)
+        val out = new Array[Any](end - start)
+        var j = start
+        while (j < end) {
+          out(j - start) = et match {
+            case LongType => data.asInstanceOf[BigIntVector].get(j)
+            case DoubleType => data.asInstanceOf[Float8Vector].get(j)
+            case other => throw new IllegalArgumentException(s"list element type: $other")
+          }
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case other => throw new IllegalArgumentException(s"unsupported type for IPC: $other")
     }
 
@@ -202,7 +214,9 @@ object ArrowIpc {
     spark.createDataset(rdd)
   }
 
-  /** Inverse of [[serialize]]: IPC messages → rows, per partition. */
+  /** Inverse of [[serialize]]: IPC messages → rows, per partition —
+    * emitting InternalRows straight into internalCreateDataFrame (no
+    * external-Row materialization, mirroring the serialize path). */
   def deserialize(spark: SparkSession, messages: Dataset[IpcMessage],
                   schema: StructType): DataFrame = {
     val rdd = messages.rdd.mapPartitions { it =>
@@ -211,13 +225,19 @@ object ArrowIpc {
         val reader = new ArrowStreamReader(new ByteArrayInputStream(msg.bytes), allocator)
         val rows = try {
           val root = reader.getVectorSchemaRoot
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.catalyst.InternalRow]
           while (reader.loadNextBatch()) {
             val vecs = root.getFieldVectors.asScala
             var i = 0
             while (i < root.getRowCount) {
-              out += Row.fromSeq(schema.fields.indices.map(c =>
-                readValue(vecs(c), i, schema.fields(c).dataType)))
+              val values = new Array[Any](schema.length)
+              var c = 0
+              while (c < schema.length) {
+                values(c) = readValue(vecs(c), i, schema.fields(c).dataType)
+                c += 1
+              }
+              out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
               i += 1
             }
           }
@@ -226,6 +246,6 @@ object ArrowIpc {
         rows
       }
     }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 }
