@@ -61,6 +61,7 @@ object SparkEntry {
     "c11_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.c11EmbedNearDup(s, d)),
     "c12_multimodal" -> (Multimodal.c12Multimodal _),
     "c13_sessionize" -> ((s: SparkSession, d: String) => Relational.c13Sessionize(s, d)),
+    "c14_train_split" -> (TextOps.c14TrainSplit _),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -309,6 +310,12 @@ object SparkEntry {
         |  ord(substr(text, 1, 1)) AS first_byte,
         |  ord(substr(text, CAST(strlen(text) AS INT), 1)) AS last_byte,
         |  CAST(strlen(text) // 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c14_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c13_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -74,4 +74,19 @@ object TextOps {
         substring(md5(col("text")), 1, 8).as("fp_bucket"),
         col("n_chars"))
       .orderBy("doc_id")
+
+  /** c14: deterministic train/val/test split by content hash — the
+    * reproducible way to split a training corpus at any scale: the split
+    * is a pure function of the text (stable under re-partitioning,
+    * re-runs, and incremental ingest; duplicate texts land in the same
+    * split so they can't leak across train/test). Thresholds on the first
+    * md5 byte: <0xcc train (~80%), <0xe6 val (~10%), else test. */
+  def c14TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("text")), 1, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
 }
