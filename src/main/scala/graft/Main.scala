@@ -18,7 +18,8 @@ import graft.streaming.{FilePublisher, StreamPipeline}
   * Usage:
   *   graft.Main stream --host H --port P --out DIR
   *     [--schema battery|trip] [--schema-ddl "col TYPE, ..."]
-  *     [--max-rows N] [--max-ipc BYTES] [--seq-col] [--idle-timeout-ms T]
+  *     [--max-rows N] [--max-ipc BYTES] [--codec none|lz4|zstd]
+  *     [--seq-col] [--idle-timeout-ms T]
   *   graft.Main bench     (delegates to graft.Bench)
   *   graft.Main verify SF_DIR OUT_DIR   (delegates to graft.Verify)
   */
@@ -44,6 +45,7 @@ object Main {
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val maxRows = opt(args, "--max-rows").map(_.toInt).getOrElse(4096)
     val maxIpc = opt(args, "--max-ipc").map(_.toLong).getOrElse(5L * 1024 * 1024)
+    val codec = opt(args, "--codec").getOrElse("none")
     val seqCol = args.contains("--seq-col")
     val idleMs = opt(args, "--idle-timeout-ms").map(_.toLong)
     val schema: StructType = (opt(args, "--schema"), opt(args, "--schema-ddl")) match {
@@ -74,7 +76,7 @@ object Main {
         // epoch = micro-batch id: batch ids restart per serialize() call,
         // so files would overwrite across micro-batches without it
         val stats = graft.streaming.Publish.run(
-          ArrowIpc.serialize(withSeq, maxRows, maxIpc),
+          ArrowIpc.serialize(withSeq, maxRows, maxIpc, codec),
           () => new FilePublisher(out, epoch = batchId))
         seqOffset += stats.rows
         if (stats.rows > 0) lastProgress = System.currentTimeMillis()

@@ -148,13 +148,33 @@ object ArrowIpc {
       case other => throw new IllegalArgumentException(s"unsupported type for IPC: $other")
     }
 
+  /** IPC body compression codec by name ("none" | "lz4" | "zstd") — a
+    * network-bound publish path at 100 TB wants the wire format
+    * compressed; any Arrow consumer decompresses transparently. */
+  private def codecType(codec: String)
+      : Option[org.apache.arrow.vector.compression.CompressionUtil.CodecType] = {
+    import org.apache.arrow.vector.compression.CompressionUtil.CodecType
+    codec match {
+      case "none" => None
+      case "lz4" => Some(CodecType.LZ4_FRAME)
+      case "zstd" => Some(CodecType.ZSTD)
+      case other => throw new IllegalArgumentException(s"unknown IPC codec: $other")
+    }
+  }
+
   /** One IPC stream payload from a (possibly sliced) root; recursively
     * halve via zero-copy slices if the payload exceeds maxIpcBytes —
     * bolson's max_ipc enforcement (serializer.cpp), done per split. */
-  private def serializeRoot(root: VectorSchemaRoot,
-                            maxIpcBytes: Long): Seq[(Array[Byte], Int)] = {
+  private def serializeRoot(root: VectorSchemaRoot, maxIpcBytes: Long,
+                            codec: String): Seq[(Array[Byte], Int)] = {
     val out = new ByteArrayOutputStream()
-    val writer = new ArrowStreamWriter(root, null, out)
+    val writer = codecType(codec) match {
+      case None => new ArrowStreamWriter(root, null, out)
+      case Some(ct) => new ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(out),
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, ct)
+    }
     writer.start(); writer.writeBatch(); writer.end(); writer.close()
     val bytes = out.toByteArray
     val n = root.getRowCount
@@ -162,7 +182,7 @@ object ArrowIpc {
     else {
       val lo = root.slice(0, n / 2)
       val hi = root.slice(n / 2, n - n / 2)
-      try serializeRoot(lo, maxIpcBytes) ++ serializeRoot(hi, maxIpcBytes)
+      try serializeRoot(lo, maxIpcBytes, codec) ++ serializeRoot(hi, maxIpcBytes, codec)
       finally { lo.close(); hi.close() }
     }
   }
@@ -171,9 +191,11 @@ object ArrowIpc {
     * Streams InternalRows (queryExecution.toRdd — no external-Row
     * conversion) straight into Arrow vectors; a batch is cut at maxRows. */
   def serialize(df: DataFrame, maxRows: Int,
-                maxIpcBytes: Long = Long.MaxValue): Dataset[IpcMessage] = {
+                maxIpcBytes: Long = Long.MaxValue,
+                codec: String = "none"): Dataset[IpcMessage] = {
     require(maxRows > 0, s"maxRows must be positive (got $maxRows)")
     require(maxIpcBytes > 0, s"maxIpcBytes must be positive (got $maxIpcBytes)")
+    codecType(codec) // validate eagerly, not inside tasks
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
@@ -202,7 +224,7 @@ object ArrowIpc {
                 i += 1
               }
               root.setRowCount(i)
-              pending = serializeRoot(root, maxIpcBytes).map { case (b, n) =>
+              pending = serializeRoot(root, maxIpcBytes, codec).map { case (b, n) =>
                 ordinal += 1
                 IpcMessage((pid << 32) | ordinal, n.toLong, b.length.toLong, b)
               }.toList
@@ -222,7 +244,8 @@ object ArrowIpc {
     val rdd = messages.rdd.mapPartitions { it =>
       val allocator = new RootAllocator()
       it.flatMap { msg =>
-        val reader = new ArrowStreamReader(new ByteArrayInputStream(msg.bytes), allocator)
+        val reader = new ArrowStreamReader(new ByteArrayInputStream(msg.bytes), allocator,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
         val rows = try {
           val root = reader.getVectorSchemaRoot
           val out = scala.collection.mutable.ArrayBuffer

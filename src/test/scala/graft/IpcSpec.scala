@@ -42,6 +42,19 @@ class IpcSpec extends SparkSpec {
       "zero-copy root slices must preserve every value")
   }
 
+  test("zstd/lz4-compressed IPC round-trips and shrinks the payload") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    for (codec <- Seq("zstd", "lz4")) {
+      val plain = ArrowIpc.serialize(docs.repartition(1), maxRows = 100000).collect()
+      val packed = ArrowIpc.serialize(docs.repartition(1), maxRows = 100000, codec = codec).collect()
+      assert(packed.map(_.n_bytes).sum < plain.map(_.n_bytes).sum,
+        s"$codec must shrink text payloads")
+      val back = ArrowIpc.deserialize(spark,
+        ArrowIpc.serialize(docs, maxRows = 128, codec = codec), docs.schema)
+      assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    }
+  }
+
   test("list<long> columns (battery voltage shape) round-trip") {
     import spark.implicits._
     val df = Seq(
