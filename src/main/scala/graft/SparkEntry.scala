@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ipc.IpcQueries
 import graft.operators.{Dedup, Multimodal, Relational, SeqColumn, Similarity, TextOps}
-import graft.sources.JsonConvert
+import graft.sources.{FormatConvert, JsonConvert}
 import graft.streaming.{PipelineQueries, StreamPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -34,6 +34,8 @@ object SparkEntry {
     "a8_stream_pipeline" -> (StreamPipeline.a8StreamPipeline _),
     "a9_metrics" -> (PipelineQueries.a9Metrics _),
     "a10_convert_bench" -> (PipelineQueries.a10ConvertBench _),
+    "a11_csv_convert" -> (FormatConvert.a11CsvConvert _),
+    "a12_orc_roundtrip" -> (FormatConvert.a12OrcRoundtrip _),
     // B-series: relational core
     "b1_scan_filter_project" -> (Relational.b1ScanFilterProject _),
     "b2_agg_pricing" -> (Relational.b2AggPricing _),
@@ -106,6 +108,12 @@ object SparkEntry {
     "a10_convert_bench" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "a11_csv_convert" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a12_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "a9_metrics" ->
       """SELECT 'batches_serialized' AS metric, CAST(ceil(count(*) / 128.0) AS BIGINT) AS value FROM documents
         |UNION ALL SELECT 'messages_published', CAST(ceil(count(*) / 128.0) AS BIGINT) FROM documents
