@@ -74,6 +74,10 @@ object Dedup {
   def c2DedupMinhash(spark: SparkSession, dir: String,
                      k: Int = 8, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
+    // the shingle subtree feeds three consumers (minhash agg + both sides
+    // of the verify join); recomputation is accepted — localCheckpoint was
+    // measured slower here and breaks on re-execution (stale accumulators),
+    // and at 100 TB the explicit answer is persisting the shingle table
     val sh = shingleRows(Tables.documents(spark, dir))
 
     // k minhashes + the set size in ONE codegen'd hash-aggregate over the
