@@ -35,6 +35,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("win.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** d4 (extension): watermarked stream-stream inner join — match each
+    * event with events of a second stream for the same user within
+    * `within` after it. Both sides carry watermarks plus a range condition,
+    * so state for either side is bounded by watermark + interval (the only
+    * stream-stream join shape that is safe at unbounded scale). */
+  def streamJoin(left: DataFrame, right: DataFrame,
+                 watermark: String = "10 minutes",
+                 within: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("rts") >= col("ts") && col("rts") <= col("ts") + expr(s"INTERVAL $within"))
+  }
+
   /** d3: streaming sessionization — per-user state carries the open
     * session; a >gap silence (enforced by event-time timeout against the
     * watermark) closes and emits it. State is O(open sessions), the

@@ -69,6 +69,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d4: watermarked stream-stream join matches pairs within the interval only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.streamJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("r_user_id", "rts"))
+    val q = joined.select(col("user_id"), col("ts"), col("rts"))
+      .writeStream.outputMode("append").format("memory").queryName("d4_sink").start()
+    try {
+      clicks.addData(Seq((1L, ts(0)), (2L, ts(5))))
+      buys.addData(Seq((1L, ts(10)), (1L, ts(45)), (2L, ts(50))))
+      q.processAllAvailable()
+      val rows = spark.table("d4_sink").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("rts").toString))
+      // user1 click@0 matches buy@10 (within 30m) but not buy@45;
+      // user2 click@5 vs buy@50 is outside the interval
+      assert(rows.toSet == Set((1L, ts(10).toString)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("d3: a late within-watermark event extends the open session downward") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
