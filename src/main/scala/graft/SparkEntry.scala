@@ -49,6 +49,7 @@ object SparkEntry {
     "b10_time_window" -> (Relational.b10TimeWindow _),
     "b11_grouping_sets" -> (Relational.b11GroupingSets _),
     "b12_quantiles" -> (Relational.b12Quantiles _),
+    "b13_pivot" -> (Relational.b13Pivot _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -64,6 +65,7 @@ object SparkEntry {
     "c12_multimodal" -> (Multimodal.c12Multimodal _),
     "c13_sessionize" -> ((s: SparkSession, d: String) => Relational.c13Sessionize(s, d)),
     "c14_train_split" -> (TextOps.c14TrainSplit _),
+    "c15_embed_centroid" -> (Similarity.c15EmbedCentroid _),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -319,6 +321,21 @@ object SparkEntry {
         |  ord(substr(text, CAST(strlen(text) AS INT), 1)) AS last_byte,
         |  CAST(strlen(text) // 100 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "b13_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS seg,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin,
+    "c15_embed_centroid" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  CAST(sum(v) AS BIGINT) AS sum_v4, count(*) AS n
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "c14_train_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'

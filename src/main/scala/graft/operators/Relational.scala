@@ -164,6 +164,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** b13: pivot — event counts and value sums per user-segment × event
+    * type, the wide-table reporting shape (Spark plans it as a single
+    * aggregate with pivot expressions; the oracle spells the same thing as
+    * CASE-gated aggregates, which is also the portable SQL form). */
+  def b13Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("seg", (col("user_id") % 10).cast("bigint"))
+      .groupBy("seg")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("seg") +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("seg")
+  }
+
   /** c13: batch sessionization — a new session starts after a >30 min gap
     * per user. One shuffle on user_id serves both window passes and the
     * final groupBy (same partitioning, Catalyst reuses the exchange). Gap

@@ -85,6 +85,24 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** c15: per-label centroids — the IVF building block (c6's scale path
+    * swaps sign buckets for nearest-centroid ids with the same join
+    * shape). One row per (label, dim): posexplode + two-level shuffle on a
+    * 2-int key. Sums run in decimal so the result is independent of
+    * partial-aggregation order (double sums are not) and matches any
+    * engine bit-for-bit. */
+  def c15EmbedCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        // fixed-point 1e-4 units as integers: float sums are partial-agg
+        // order-dependent and decimal casts of floats round differently
+        // across engines at the last digit; integer sums are exact
+        round(col("col").cast("double") * 10000).cast("bigint").as("v"))
+      .groupBy("label", "pos")
+      .agg(sum(col("v")).as("sum_v4"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the
