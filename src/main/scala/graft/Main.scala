@@ -46,6 +46,7 @@ object Main {
     val maxRows = opt(args, "--max-rows").map(_.toInt).getOrElse(4096)
     val maxIpc = opt(args, "--max-ipc").map(_.toLong).getOrElse(5L * 1024 * 1024)
     val codec = opt(args, "--codec").getOrElse("none")
+    ArrowIpc.validateCodec(codec) // fail at CLI parse, not first micro-batch
     val seqCol = args.contains("--seq-col")
     val idleMs = opt(args, "--idle-timeout-ms").map(_.toLong)
     val schema: StructType = (opt(args, "--schema"), opt(args, "--schema-ddl")) match {

@@ -96,7 +96,11 @@ object ArrowIpc {
         val w = x.getWriter
         w.setPosition(i); w.startList()
         var j = 0
-        while (j < arr.numElements()) { w.bigInt().writeBigInt(arr.getLong(j)); j += 1 }
+        while (j < arr.numElements()) {
+          if (arr.isNullAt(j)) w.bigInt().writeNull()
+          else w.bigInt().writeBigInt(arr.getLong(j))
+          j += 1
+        }
         w.endList()
       }
     case (x: ListVector, ArrayType(DoubleType, _)) => (r, c, i) =>
@@ -106,47 +110,53 @@ object ArrowIpc {
         val w = x.getWriter
         w.setPosition(i); w.startList()
         var j = 0
-        while (j < arr.numElements()) { w.float8().writeFloat8(arr.getDouble(j)); j += 1 }
+        while (j < arr.numElements()) {
+          if (arr.isNullAt(j)) w.float8().writeNull()
+          else w.float8().writeFloat8(arr.getDouble(j))
+          j += 1
+        }
         w.endList()
       }
     case (v, t) => throw new IllegalArgumentException(s"unsupported for IPC: $t / ${v.getClass}")
   }
 
-  /** Arrow vector value → Catalyst internal representation (UTF8String,
-    * epoch-micros long, GenericArrayData) — the read twin of
-    * [[internalWriter]], feeding internalCreateDataFrame with no external
-    * Row objects anywhere on the IPC path. */
-  private def readValue(vec: FieldVector, idx: Int, dt: DataType): Any =
-    if (vec.isNull(idx)) null
-    else dt match {
-      case LongType => vec.asInstanceOf[BigIntVector].get(idx)
-      case IntegerType => vec.asInstanceOf[IntVector].get(idx)
-      case DoubleType => vec.asInstanceOf[Float8Vector].get(idx)
-      case FloatType => vec.asInstanceOf[Float4Vector].get(idx)
-      case BooleanType => vec.asInstanceOf[BitVector].get(idx) == 1
+  /** Per-column Arrow→Catalyst reader, resolved once per batch (the read
+    * twin of [[internalWriter]]): UTF8String from bytes, raw epoch-micros,
+    * GenericArrayData with null-element support — no external Row objects
+    * and no per-cell type dispatch anywhere on the IPC path. */
+  private def internalReader(vec: FieldVector, dt: DataType): Int => Any = {
+    val body: Int => Any = dt match {
+      case LongType => val x = vec.asInstanceOf[BigIntVector]; i => x.get(i)
+      case IntegerType => val x = vec.asInstanceOf[IntVector]; i => x.get(i)
+      case DoubleType => val x = vec.asInstanceOf[Float8Vector]; i => x.get(i)
+      case FloatType => val x = vec.asInstanceOf[Float4Vector]; i => x.get(i)
+      case BooleanType => val x = vec.asInstanceOf[BitVector]; i => x.get(i) == 1
       case StringType =>
-        org.apache.spark.unsafe.types.UTF8String.fromBytes(
-          vec.asInstanceOf[VarCharVector].get(idx))
-      case BinaryType => vec.asInstanceOf[VarBinaryVector].get(idx)
-      case TimestampType => vec.asInstanceOf[TimeStampMicroTZVector].get(idx)
+        val x = vec.asInstanceOf[VarCharVector]
+        i => org.apache.spark.unsafe.types.UTF8String.fromBytes(x.get(i))
+      case BinaryType => val x = vec.asInstanceOf[VarBinaryVector]; i => x.get(i)
+      case TimestampType => val x = vec.asInstanceOf[TimeStampMicroTZVector]; i => x.get(i)
       case ArrayType(et, _) =>
         val lv = vec.asInstanceOf[ListVector]
-        val data = lv.getDataVector
-        val start = lv.getOffsetBuffer.getInt(idx * 4L)
-        val end = lv.getOffsetBuffer.getInt((idx + 1) * 4L)
-        val out = new Array[Any](end - start)
-        var j = start
-        while (j < end) {
-          out(j - start) = et match {
-            case LongType => data.asInstanceOf[BigIntVector].get(j)
-            case DoubleType => data.asInstanceOf[Float8Vector].get(j)
-            case other => throw new IllegalArgumentException(s"list element type: $other")
-          }
-          j += 1
+        val elem: Int => Any = et match {
+          case LongType => val d = lv.getDataVector.asInstanceOf[BigIntVector]
+            j => if (d.isNull(j)) null else d.get(j)
+          case DoubleType => val d = lv.getDataVector.asInstanceOf[Float8Vector]
+            j => if (d.isNull(j)) null else d.get(j)
+          case other => throw new IllegalArgumentException(s"list element type: $other")
         }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        i => {
+          val start = lv.getOffsetBuffer.getInt(i * 4L)
+          val end = lv.getOffsetBuffer.getInt((i + 1) * 4L)
+          val out = new Array[Any](end - start)
+          var j = start
+          while (j < end) { out(j - start) = elem(j); j += 1 }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        }
       case other => throw new IllegalArgumentException(s"unsupported type for IPC: $other")
     }
+    i => if (vec.isNull(i)) null else body(i)
+  }
 
   /** IPC body compression codec by name ("none" | "lz4" | "zstd") — a
     * network-bound publish path at 100 TB wants the wire format
@@ -161,6 +171,9 @@ object ArrowIpc {
       case other => throw new IllegalArgumentException(s"unknown IPC codec: $other")
     }
   }
+
+  /** Validate a codec name without serializing (CLI-time check). */
+  def validateCodec(codec: String): Unit = { codecType(codec); () }
 
   /** One IPC stream payload from a (possibly sliced) root; recursively
     * halve via zero-copy slices if the payload exceeds maxIpcBytes —
@@ -252,14 +265,13 @@ object ArrowIpc {
             .empty[org.apache.spark.sql.catalyst.InternalRow]
           while (reader.loadNextBatch()) {
             val vecs = root.getFieldVectors.asScala
+            val readers = vecs.zip(schema.fields)
+              .map { case (v, f) => internalReader(v, f.dataType) }.toArray
             var i = 0
             while (i < root.getRowCount) {
               val values = new Array[Any](schema.length)
               var c = 0
-              while (c < schema.length) {
-                values(c) = readValue(vecs(c), i, schema.fields(c).dataType)
-                c += 1
-              }
+              while (c < schema.length) { values(c) = readers(c)(i); c += 1 }
               out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
               i += 1
             }

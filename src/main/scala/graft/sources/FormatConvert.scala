@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +33,9 @@ object FormatConvert {
     * Identity oracle. */
   def a12OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tmp = Files.createTempDirectory("graft-orc-").toString
+    // fixed path (not a fresh createTempDirectory): repeated verify/bench
+    // runs overwrite one copy instead of leaking a dataset per invocation
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
     docs.write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp).orderBy("doc_id")
   }

@@ -42,12 +42,15 @@ object StreamOps {
     * stream-stream join shape that is safe at unbounded scale). */
   def streamJoin(left: DataFrame, right: DataFrame,
                  watermark: String = "10 minutes",
-                 within: String = "30 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-    val r = right.withWatermark("rts", watermark)
+                 within: String = "30 minutes",
+                 leftKey: String = "user_id", leftTs: String = "ts",
+                 rightKey: String = "r_user_id", rightTs: String = "rts"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
     l.join(r,
-      col("user_id") === col("r_user_id") &&
-        col("rts") >= col("ts") && col("rts") <= col("ts") + expr(s"INTERVAL $within"))
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
   }
 
   /** d3: streaming sessionization — per-user state carries the open

@@ -30,8 +30,11 @@ class IpcPropertySpec extends SparkSpec {
     s <- Gen.option(Gen.oneOf(Gen.alphaNumStr,
       Gen.const(""), Gen.const("uniçødé ☃")))
     bin <- Gen.option(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
-    al <- Gen.option(Gen.listOf(Gen.long).map(_.toSeq))
-    ad <- Gen.option(Gen.listOf(Gen.chooseNum(-1e9, 1e9)).map(_.toSeq))
+    al <- Gen.option(Gen.listOf(Gen.frequency(
+      (1, Gen.const(null: Any)), (4, Gen.long.map(x => x: Any)))).map(_.toSeq))
+    ad <- Gen.option(Gen.listOf(Gen.frequency(
+      (1, Gen.const(null: Any)),
+      (4, Gen.chooseNum(-1e9, 1e9).map(x => x: Any)))).map(_.toSeq))
   } yield Row(l.orNull, i.orNull, d.orNull, f.orNull, b.orNull,
     s.orNull, bin.orNull, al.orNull, ad.orNull)
 

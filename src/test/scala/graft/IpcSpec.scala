@@ -44,8 +44,8 @@ class IpcSpec extends SparkSpec {
 
   test("zstd/lz4-compressed IPC round-trips and shrinks the payload") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val plain = ArrowIpc.serialize(docs.repartition(1), maxRows = 100000).collect()
     for (codec <- Seq("zstd", "lz4")) {
-      val plain = ArrowIpc.serialize(docs.repartition(1), maxRows = 100000).collect()
       val packed = ArrowIpc.serialize(docs.repartition(1), maxRows = 100000, codec = codec).collect()
       assert(packed.map(_.n_bytes).sum < plain.map(_.n_bytes).sum,
         s"$codec must shrink text payloads")
