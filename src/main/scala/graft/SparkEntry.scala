@@ -242,8 +242,28 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fingerprint,
         |  substr(md5(text), 1, 8) AS fp_bucket, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // c3_dedup_simhash: rows-only (no engine-portable 64-bit hash exists;
-    // semantics covered by OperatorsSpec).
+    "c3_dedup_simhash" -> {
+      // 32-bit md5-hex simhash: bit i of a token = high bit of md5 hex
+      // digit i ('>= 8' is lexicographically exact on hex), so every bit
+      // is engine-portable
+      val votes = (0 until 32).map(i =>
+        s"sum(CASE WHEN substr(h, ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n    ")
+      val hash = (0 until 32).map(i =>
+        s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val segs = (0 until 4).map(j =>
+        s"CAST((simhash // ${1L << (8 * j)}) % 256 AS BIGINT) AS seg$j").mkString(",\n  ")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, md5(t) AS h FROM (
+         |    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents)),
+         |v AS (SELECT doc_id,
+         |    $votes
+         |  FROM tok GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM v)
+         |SELECT doc_id, simhash,
+         |  $segs
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "c2_dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle

@@ -135,17 +135,32 @@ object Dedup {
     votes.select(col("doc_id"), hash.as("simhash"))
   }
 
-  /** c3: SimHash fingerprint + 4×16-bit band segments (hamming≤3 pairs are
+  /** c3: SimHash fingerprint + 4×8-bit band segments (hamming≤3 pairs are
     * found by equi-joining any segment: 4 segments guarantee a ≤3-bit
-    * difference leaves at least one segment intact). Per-doc output — the
-    * pair join is exercised in the spec; rows-only oracle (no portable
-    * 64-bit hash exists across engines). */
-  def c3DedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashOf(Tables.documents(spark, dir))
+    * difference leaves at least one segment intact).
+    *
+    * This gate variant is a 32-bit simhash whose per-token bits are the
+    * high bit of each md5 hex digit (`substr(md5(tok), i, 1) >= '8'` —
+    * lexicographically exact for hex, so DuckDB reproduces every bit and
+    * the query is fully oracled). The 64-bit xxhash64 variant in
+    * [[simhashOf]]/[[simhashPairs]] is the cheaper production path. */
+  def c3DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val voteCols = (0 until 32).map(i =>
+      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$i"))
+    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val hash = (0 until 32)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), hash.as("simhash"))
       .select(col("doc_id") +: col("simhash") +:
         (0 until 4).map(j =>
-          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as(s"seg$j")): _*)
+          shiftright(col("simhash"), j * 8).bitwiseAND(0xFFL).as(s"seg$j")): _*)
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs for a (doc_id, text) frame: segment-banded
     * candidates, exact hamming via bit_count(xor) — used by the spec. */
