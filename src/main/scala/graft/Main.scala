@@ -69,18 +69,24 @@ object Main {
     val query = StreamPipeline.convert(lines, schema).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val df = batch.toDF()
-        val withSeq =
-          if (!seqCol) df
-          else SeqColumn.withSeqInArrivalOrder(df)
-            .withColumn("seq", col("seq") + seqOffset)
-        // epoch = micro-batch id: batch ids restart per serialize() call,
-        // so files would overwrite across micro-batches without it
-        val stats = graft.streaming.Publish.run(
-          ArrowIpc.serialize(withSeq, maxRows, maxIpc, codec),
-          () => new FilePublisher(out, epoch = batchId))
-        seqOffset += stats.rows
-        if (stats.rows > 0) lastProgress = System.currentTimeMillis()
+        val df = batch.toDF().persist()
+        try {
+          val withSeq =
+            if (!seqCol) df
+            else SeqColumn.withSeqInArrivalOrder(df)
+              .withColumn("seq", col("seq") + seqOffset)
+          // epoch = micro-batch id: batch ids restart per serialize() call,
+          // so files would overwrite across micro-batches without it
+          val stats = graft.streaming.Publish.run(
+            ArrowIpc.serialize(withSeq, maxRows, maxIpc, codec),
+            () => new FilePublisher(out, epoch = batchId))
+          // advance the offset by an EXACT job-result count, not the
+          // publish accumulator: retried/speculative tasks re-add to
+          // accumulators and would silently break seq contiguity (count()
+          // on the cached batch is cheap and retry-safe)
+          if (seqCol) seqOffset += df.count()
+          if (stats.rows > 0) lastProgress = System.currentTimeMillis()
+        } finally df.unpersist()
         ()
       }
       .start()

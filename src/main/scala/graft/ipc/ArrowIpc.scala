@@ -175,6 +175,18 @@ object ArrowIpc {
   /** Validate a codec name without serializing (CLI-time check). */
   def validateCodec(codec: String): Unit = { codecType(codec); () }
 
+  /** A RootAllocator closed at task completion: every root/reader on the
+    * IPC paths is closed inline, but routing the allocator itself through
+    * the task lifecycle makes Arrow's leak accounting actually run — a
+    * missed buffer close fails loudly (IllegalStateException at task end)
+    * instead of leaking silently into an allocator abandoned to GC. */
+  private def taskScopedAllocator(): RootAllocator = {
+    val allocator = new RootAllocator()
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => allocator.close()))
+    allocator
+  }
+
   /** One IPC stream payload from a (possibly sliced) root; recursively
     * halve via zero-copy slices if the payload exceeds maxIpcBytes —
     * bolson's max_ipc enforcement (serializer.cpp), done per split. */
@@ -215,7 +227,7 @@ object ArrowIpc {
     val arrowSchemaJson = toArrowSchema(schema).toJson
     val rdd = df.queryExecution.toRdd.mapPartitions { it =>
       val arrowSchema = ArrowSchema.fromJSON(arrowSchemaJson)
-      val allocator = new RootAllocator()
+      val allocator = taskScopedAllocator()
       val pid = TaskContext.getPartitionId().toLong
       var ordinal = -1L
       new Iterator[IpcMessage] {
@@ -255,7 +267,7 @@ object ArrowIpc {
   def deserialize(spark: SparkSession, messages: Dataset[IpcMessage],
                   schema: StructType): DataFrame = {
     val rdd = messages.rdd.mapPartitions { it =>
-      val allocator = new RootAllocator()
+      val allocator = taskScopedAllocator()
       it.flatMap { msg =>
         val reader = new ArrowStreamReader(new ByteArrayInputStream(msg.bytes), allocator,
           org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)

@@ -14,6 +14,8 @@ object ScaleOps {
     * a hot key's rows spread over `salts` reducers, then merge partials by
     * key. The salt never reaches the result — only the shuffle layout
     * changes. Supported merges: sum/count/min/max (algebraic aggregates).
+    * `("count", c)` counts non-null values of `c` (SQL count(c)) into a
+    * column named `count_c`; use `("count", "*")` for count(*) → `count`.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 aggs: (String, String)*): DataFrame = {
@@ -25,12 +27,17 @@ object ScaleOps {
       .agg(mergeAggMap(aggs).head, mergeAggMap(aggs).tail: _*)
   }
 
+  // "*" can't appear inside an attribute name (col() would star-expand it)
+  private def pname(fn: String, c: String): String =
+    s"__p_${fn}_" + (if (c == "*") "all" else c)
+
   private def firstAggMap(aggs: Seq[(String, String)]): Seq[Column] =
     aggs.map { case (fn, c) =>
-      val name = s"__p_${fn}_$c"
+      val name = pname(fn, c)
       fn match {
         case "sum" => sum(col(c)).as(name)
-        case "count" => count(lit(1)).as(name)
+        case "count" if c == "*" => count(lit(1)).as(name)
+        case "count" => count(col(c)).as(name)
         case "min" => min(col(c)).as(name)
         case "max" => max(col(c)).as(name)
         case other => throw new IllegalArgumentException(s"non-algebraic agg: $other")
@@ -39,12 +46,13 @@ object ScaleOps {
 
   private def mergeAggMap(aggs: Seq[(String, String)]): Seq[Column] =
     aggs.map { case (fn, c) =>
-      val pname = s"__p_${fn}_$c"
+      val p = col(pname(fn, c))
       fn match {
-        case "sum" => sum(col(pname)).as(s"sum_$c")
-        case "count" => sum(col(pname)).as("count")
-        case "min" => min(col(pname)).as(s"min_$c")
-        case "max" => max(col(pname)).as(s"max_$c")
+        case "sum" => sum(p).as(s"sum_$c")
+        case "count" if c == "*" => sum(p).as("count")
+        case "count" => sum(p).as(s"count_$c")
+        case "min" => min(p).as(s"min_$c")
+        case "max" => max(p).as(s"max_$c")
         case other => throw new IllegalArgumentException(s"non-algebraic agg: $other")
       }
     }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,7 +17,13 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val schema = docs.schema
-    val outDir = Files.createTempDirectory("graft-publish-").toString
+    // fixed tmp path, cleared on entry (same approach as a12OrcRoundtrip):
+    // a fresh createTempDirectory per invocation would leak one .arrow
+    // dataset per verify/bench run
+    val outFile = new java.io.File(sys.props("java.io.tmpdir"), "graft-a7-publish")
+    if (outFile.exists()) outFile.listFiles().foreach(_.delete())
+    outFile.mkdirs()
+    val outDir = outFile.toString
     Publish.run(ArrowIpc.serialize(docs, maxRows = 256), () => new FilePublisher(outDir))
     val files = spark.read.format("binaryFile").load(s"$outDir/*.arrow")
       .select(col("content")).as[Array[Byte]]

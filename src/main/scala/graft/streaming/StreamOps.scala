@@ -18,8 +18,14 @@ case class SessionEvent(user_id: Long, ts_us: Long)
 /** One closed session. */
 case class Session(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
-/** Open-session state carried between micro-batches. */
+/** One open session inside the per-user state. */
 case class SessionState(start_us: Long, end_us: Long, n: Long)
+
+/** Per-user state: ALL sessions the watermark has not yet sealed. More
+  * than one stays open when late (within-watermark) events arrive out of
+  * order — each could still merge with a future event, so none may emit
+  * early. Bounded by the watermark delay: O(delay / gap) entries. */
+case class SessionsState(sessions: List[SessionState])
 
 object StreamOps {
 
@@ -53,10 +59,30 @@ object StreamOps {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
   }
 
-  /** d3: streaming sessionization — per-user state carries the open
-    * session; a >gap silence (enforced by event-time timeout against the
-    * watermark) closes and emits it. State is O(open sessions), the
-    * streaming twin of c13's window+groupBy. */
+  /** Gap-merge a set of sessions (single events arrive as n=1 sessions):
+    * sort by start, fold, coalescing any session that starts within `gap`
+    * of the running session's end — exactly c13's batch semantics. Late
+    * events can bridge two formerly-separate sessions; the fold handles
+    * that because the bridging n=1 session extends the left session's end
+    * until the right one falls within gap. */
+  private def gapMerge(ss: Seq[SessionState], gap: Long): List[SessionState] =
+    ss.sortBy(s => (s.start_us, s.end_us))
+      .foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start_us <= h.end_us + gap =>
+            SessionState(h.start_us, math.max(h.end_us, s.end_us), h.n + s.n) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
+  /** d3: streaming sessionization, the streaming twin of c13's batch
+    * window+groupBy. Per-user state holds EVERY session the watermark has
+    * not sealed (late within-watermark events can open sessions before the
+    * newest one, and two such events must merge with each other, not emit
+    * as singletons). A session emits only once the watermark passes its
+    * end + gap — at that point no admissible event (ts >= watermark) can
+    * merge into it, so batch and streaming results agree for all events
+    * the watermark admits. */
   def sessionize(events: Dataset[SessionEvent], gapMicros: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -65,42 +91,28 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, s.n, s.start_us, s.end_us))
-          } else {
-            val sorted = rows.map(_._2).toSeq.sorted
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { us =>
-              cur match {
-                // merge when within gap of EITHER session edge — a late
-                // (within-watermark) out-of-order event can precede the
-                // open session's start and must extend it downward, or
-                // batch c13 and streaming d3 would disagree
-                case Some(s) if us >= s.start_us - gapMicros && us <= s.end_us + gapMicros =>
-                  cur = Some(SessionState(math.min(s.start_us, us),
-                    math.max(s.end_us, us), s.n + 1))
-                case Some(s) if us > s.end_us + gapMicros =>
-                  closed += Session(user, s.n, s.start_us, s.end_us)
-                  cur = Some(SessionState(us, us, 1))
-                case Some(_) => // older than start-gap: its own closed session
-                  closed += Session(user, 1, us, us)
-                case None =>
-                  cur = Some(SessionState(us, us, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end_us / 1000 + gapMicros / 1000)
-            }
-            closed.result().iterator
+         state: GroupState[SessionsState]) =>
+          val gapMs = gapMicros / 1000
+          val wmMs = state.getCurrentWatermarkMs()
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) existing // timeout delivers no rows
+            else gapMerge(existing ++ rows.map(r => SessionState(r._2, r._2, 1L)), gapMicros)
+          // sealed: no admissible future event (ts_ms >= wmMs) can be
+          // within gap of this session's end
+          val (closed, open) = merged.partition(_.end_us / 1000 + gapMs < wmMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            val earliestSeal = open.map(_.end_us / 1000 + gapMs).min
+            // the timeout timestamp must sit strictly beyond the watermark
+            state.setTimeoutTimestamp(math.max(earliestSeal, wmMs + 1))
           }
+          closed.sortBy(_.start_us)
+            .map(s => Session(user, s.n, s.start_us, s.end_us)).iterator
       }
   }
 }

@@ -13,13 +13,14 @@ class ScaleOpsSpec extends SparkSpec {
     val ev = Tables.events(spark, sfDir)
     val direct = ev.groupBy("user_id")
       .agg(sum("value").as("sum_value"), count(lit(1)).as("count"),
+        count(col("event_type")).as("count_event_type"),
         max("value").as("max_value"))
     val salted = ScaleOps.saltedAgg(ev, Seq("user_id"), salts = 7,
-      ("sum", "value"), ("count", "value"), ("max", "value"))
-      .withColumnRenamed("sum_value", "sum_value")
+      ("sum", "value"), ("count", "*"), ("count", "event_type"), ("max", "value"))
     val joined = direct.as("d").join(salted.as("s"), "user_id")
       .filter(abs(col("d.sum_value") - col("s.sum_value")) > 1e-9 ||
         col("d.count") =!= col("s.count") ||
+        col("d.count_event_type") =!= col("s.count_event_type") ||
         col("d.max_value") =!= col("s.max_value"))
     assert(joined.count() == 0)
     assert(direct.count() == salted.count())

@@ -114,6 +114,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d3: two late events older than open-start-minus-gap merge into ONE session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val min = 60L * 1000 * 1000
+    // gap 5 min, watermark delay 60 min: events at 10 and 12 arrive after
+    // the session [40,42] opened — both admissible, both older than
+    // 40-5=35. They are within gap of EACH OTHER, so batch c13 makes them
+    // one session [10,12] n=2; emitting each as a singleton is the bug.
+    val q = StreamOps.sessionize(stream.toDS(), gapMicros = 5 * min, watermarkDelay = "60 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("d3_late_pair").start()
+    try {
+      stream.addData(Seq(SessionEvent(1L, 40 * min), SessionEvent(1L, 42 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(1L, 10 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(1L, 12 * min)))
+      q.processAllAvailable()
+      // flush: advance the watermark far past every session's end + gap
+      stream.addData(Seq(SessionEvent(2L, 600 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(2L, 1200 * min)))
+      q.processAllAvailable()
+      val s = spark.table("d3_late_pair").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start_us)
+      assert(s.toSeq == Seq(
+        Session(1L, 2L, 10 * min, 12 * min),
+        Session(1L, 2L, 40 * min, 42 * min)),
+        s"late events within gap of each other must merge, got ${s.toSeq}")
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
