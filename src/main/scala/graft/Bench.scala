@@ -69,7 +69,10 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries carry a -1 sentinel in `queries`; exclude from total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f}""")
     spark.stop()
+    // printed AFTER spark.stop() and flushed: the one JSON line is the
+    // last thing on stdout, with nothing able to interleave
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f}""")
+    System.out.flush()
   }
 }
