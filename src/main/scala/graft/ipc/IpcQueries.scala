@@ -38,6 +38,6 @@ object IpcQueries {
     ArrowIpc.deserialize(spark, messages, schema)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
+      .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 }

@@ -16,6 +16,18 @@ import graft.Tables
   * accumulated. Every query ends in a deterministic ORDER BY.
   */
 object Relational {
+
+  /** Deterministic total order for the oracle gate WITHOUT a range sort.
+    * `orderBy` plans RangePartitioning, which SAMPLES its child to pick
+    * bounds — executing the whole subtree twice. For conversion queries
+    * whose subtree (JSON gen/parse, IPC round-trip) is the expensive part,
+    * that doubles the query: a3 measured 10.6s with orderBy vs ~4s with a
+    * single-partition sort. The gate compares ≤600k narrow rows, where a
+    * one-task sort is trivial; production pipelines omit the gate sort
+    * entirely (order is the oracle's concern, not the operator's). */
+  def gateOrder(cols: String*)(df: DataFrame): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+
   private val dec12_2 = DecimalType(12, 2)
   private val dec4_2 = DecimalType(4, 2)
 

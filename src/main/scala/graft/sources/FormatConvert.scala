@@ -25,7 +25,7 @@ object FormatConvert {
     lines.select(from_csv(col("line"),
         schema, Map("mode" -> "FAILFAST")).as("rec"))
       .select("rec.*")
-      .orderBy("event_id")
+      .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 
   /** a12: ORC round-trip — documents through Spark's native ORC
@@ -37,6 +37,7 @@ object FormatConvert {
     // runs overwrite one copy instead of leaking a dataset per invocation
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
     docs.write.mode("overwrite").orc(tmp)
-    spark.read.orc(tmp).orderBy("doc_id")
+    spark.read.orc(tmp)
+      .transform(graft.operators.Relational.gateOrder("doc_id"))
   }
 }

@@ -82,7 +82,7 @@ object JsonConvert {
     Tables.events(spark, dir)
       .select(col("event_id"),
         parseJsonStrict(col("props"), schema).getField("k").as("k"))
-      .orderBy("event_id")
+      .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 
   /** a2: battery_status conversion round-trip. JSON lines in the reference
@@ -107,7 +107,7 @@ object JsonConvert {
         size(col("rec.voltage")).cast("bigint").as("n_readings"),
         aggregate(col("rec.voltage"), lit(0L), (acc, x) => acc + x).as("sum_voltage"),
         array_max(col("rec.voltage")).as("max_voltage"))
-      .orderBy("l_orderkey")
+      .transform(graft.operators.Relational.gateOrder("l_orderkey"))
   }
 
   /** a3: trip_report conversion round-trip over orders — the full 19-field
@@ -156,6 +156,6 @@ object JsonConvert {
         aggregate(col("rec.miles_in_time_range"), lit(0L), (acc, x) => acc + x).as("sum_miles_in_time_range"),
         aggregate(col("rec.small_speed_var"), lit(0L), (acc, x) => acc + x).as("sum_small_speed_var"),
         (col("rec.accel_decel") + col("rec.speed_changes")).as("events_total"))
-      .orderBy("vin")
+      .transform(graft.operators.Relational.gateOrder("vin"))
   }
 }

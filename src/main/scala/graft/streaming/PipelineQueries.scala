@@ -28,7 +28,8 @@ object PipelineQueries {
     val files = spark.read.format("binaryFile").load(s"$outDir/*.arrow")
       .select(col("content")).as[Array[Byte]]
       .map(b => IpcMessage(0L, 0L, b.length.toLong, b))
-    ArrowIpc.deserialize(spark, files, schema).orderBy("doc_id")
+    ArrowIpc.deserialize(spark, files, schema)
+      .transform(graft.operators.Relational.gateOrder("doc_id"))
   }
 
   /** a10: the batch shape of the convert pipeline Bench times — ND-JSON →
@@ -43,7 +44,7 @@ object PipelineQueries {
     val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
     val parsed = StreamPipeline.convert(lines, schema)
     ArrowIpc.deserialize(spark, ArrowIpc.serialize(parsed, maxRows = 4096), schema)
-      .orderBy("event_id")
+      .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 
   /** a9: per-stage pipeline metrics via accumulators — rows converted,

@@ -62,7 +62,15 @@ object StreamPipeline {
         query.processAllAvailable()
       }
     } finally query.stop()
-    ArrowIpc.deserialize(spark, spark.createDataset(CollectingPublisher.messages), schema)
+    // drop the references the harness no longer needs: the terminated
+    // query (StreamingQueryManager retains it, pinning the MemoryStream's
+    // buffered corpus) and the publisher's message buffer (createDataset
+    // has already copied it into the plan's LocalRelation) — without
+    // these, repeated runs bloat the driver heap by a corpus each
+    spark.streams.resetTerminated()
+    val published = spark.createDataset(CollectingPublisher.messages)
+    CollectingPublisher.clear()
+    ArrowIpc.deserialize(spark, published, schema)
   }
 
   /** a8: the pipeline as an oracle-checkable query — events rows → ND-JSON
@@ -77,6 +85,7 @@ object StreamPipeline {
     val schema = ev.schema
     val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("j"))
       .as[String].collect().toSeq
-    runMemoryPipeline(spark, lines, schema).orderBy("event_id")
+    runMemoryPipeline(spark, lines, schema)
+      .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 }
