@@ -50,6 +50,9 @@ object SparkEntry {
     "b11_grouping_sets" -> (Relational.b11GroupingSets _),
     "b12_quantiles" -> (Relational.b12Quantiles _),
     "b13_pivot" -> (Relational.b13Pivot _),
+    "b14_asof_join" -> (Relational.b14AsofJoin _),
+    "b15_range_join" -> ((s: SparkSession, d: String) => Relational.b15RangeJoin(s, d)),
+    "b16_approx_distinct" -> (Relational.b16ApproxDistinct _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -66,6 +69,9 @@ object SparkEntry {
     "c13_sessionize" -> ((s: SparkSession, d: String) => Relational.c13Sessionize(s, d)),
     "c14_train_split" -> (TextOps.c14TrainSplit _),
     "c15_embed_centroid" -> (Similarity.c15EmbedCentroid _),
+    "c16_tfidf" -> (TextOps.c16Tfidf _),
+    "c17_stratified_sample" -> (TextOps.c17StratifiedSample _),
+    "c18_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.c18AnnIvf(s, d)),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -362,6 +368,65 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "b14_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id AS click_id, c.user_id, c.ts_us AS click_ts_us,
+        |        p.event_id AS purchase_id, p.ts_us AS purchase_ts_us,
+        |        row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
+        |SELECT click_id, user_id, click_ts_us, purchase_id, purchase_ts_us
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "b15_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, c.click_ts_us, p.purchase_id, p.purchase_ts_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.purchase_ts_us >= c.click_ts_us
+        | AND p.purchase_ts_us <= c.click_ts_us + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "b16_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_nd, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c16_tfidf" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |        round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df, 6) AS score_r
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term ASC) AS rn FROM s)
+        |SELECT doc_id, term AS top_term, tf, df, score_r FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "c17_stratified_sample" ->
+      """SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(text), 1, 2) < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
+    "c18_ann_ivf" ->
+      """WITH x AS (SELECT label, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cb AS (SELECT label AS cell, list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
+        |       GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, cell,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, cell ASC) AS arn
+        |      FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, cell FROM a WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asg WHERE vec_id < 5),
+        |cand AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM asg WHERE vec_id >= 5),
+        |s AS (SELECT query_id, neighbor_id, cell, list_cosine_similarity(qv, cv) AS cosine
+        |      FROM q JOIN cand USING (cell)),
+        |r AS (SELECT query_id, neighbor_id, cell, cosine,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id, cell, round(cosine, 6) AS cosine_r
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "c13_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |x AS (SELECT user_id, event_id, us,

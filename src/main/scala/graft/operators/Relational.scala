@@ -192,6 +192,92 @@ object Relational {
       .orderBy("seg")
   }
 
+  /** Generic as-of join: for every left row, the latest right row with the
+    * same key and time ≤ the left row's time. Spark has no native as-of
+    * join; the scalable shape is NOT a range join or a per-row subquery but
+    * a tagged UNION + ONE window pass over (key, time) — a single shuffle
+    * on the key, O(n log n) per partition, no candidate blow-up at any
+    * scale (the shape kdb-style and Flink temporal joins use internally).
+    * Right rows sort before left rows at equal times (`__tag`), so a
+    * same-timestamp right row is visible to the left row (≤, not <); ties
+    * among right rows resolve to the largest `valueCol`. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
+               valueCol: String, asofName: String, asofTime: String): DataFrame = {
+    val l = left.select(col(key), col(timeCol), lit(1).as("__tag"),
+      lit(null).cast("bigint").as("__v"), lit(null).cast("bigint").as("__vt"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val r = right.select(col(key), col(timeCol), lit(0).as("__tag"),
+      col(valueCol).cast("bigint").as("__v"), col(timeCol).as("__vt"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val w = Window.partitionBy(key)
+      .orderBy(col(timeCol), col("__tag"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(asofName, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn(asofTime, last(col("__vt"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__row.*"), col(asofName), col(asofTime))
+  }
+
+  /** b14: as-of join — each click event paired with the same user's most
+    * recent purchase at or before it (NULL when none). */
+  def b14AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    asofJoin(clicks, purchases, key = "user_id", timeCol = "ts_us",
+      valueCol = "event_id", asofName = "purchase_id", asofTime = "purchase_ts_us")
+      .select(col("click_id"), col("user_id"), col("ts_us").as("click_ts_us"),
+        col("purchase_id"), col("purchase_ts_us"))
+      .orderBy("click_id")
+  }
+
+  /** b15: interval (range) join — the batch twin of streaming d4: every
+    * (click, purchase) pair of the same user with the purchase inside
+    * [click, click + 30 min]. The equality key carries the shuffle (a hash
+    * join with the range as a post-filter); AQE splits skewed users. A
+    * pure range predicate with no equi-key would plan a nested-loop — the
+    * 100 TB answer there is bucketing time into interval-length buckets
+    * and equi-joining on (key, bucket). */
+  def b15RangeJoin(spark: SparkSession, dir: String,
+                   withinUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_ts_us"))
+    clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts_us") >= col("click_ts_us") &&
+          col("purchase_ts_us") <= col("click_ts_us") + withinUs)
+      .select(col("click_id"), col("user_id"), col("click_ts_us"),
+        col("purchase_id"), col("purchase_ts_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** b16: approximate distinct counting — HLL++ next to the exact count.
+    * At 100 TB approx_count_distinct is the only affordable per-group
+    * cardinality (fixed-size sketch, map-side mergeable, no second shuffle
+    * for distinct); the exact count here exists to *audit* it. The output
+    * pins the audit: `approx_ok` asserts the sketch landed within 5% (the
+    * oracle expects literal true); the sketch value itself stays out of
+    * the output because no other engine reproduces HLL++ bit-for-bit. */
+  def b16ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_nd"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_nd"))
+      .select(col("event_type"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+          col("exact_nd").cast("double") * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
   /** c13: batch sessionization — a new session starts after a >30 min gap
     * per user. One shuffle on user_id serves both window passes and the
     * final groupBy (same partitioning, Catalyst reuses the exchange). Gap

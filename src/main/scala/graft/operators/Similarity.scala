@@ -103,6 +103,56 @@ object Similarity {
       .agg(sum(col("v")).as("sum_v4"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** c18: IVF (inverted-file) ANN — the learned-bucket upgrade of c6 that
+    * c15 builds toward. Centroids = c15's per-label fixed-point means
+    * (deterministic, so every engine derives the identical codebook);
+    * every vector is assigned to its nearest centroid by cosine (a
+    * broadcast of the tiny codebook — |labels| rows — against the vector
+    * table, one codegen'd pass); queries then score candidates only inside
+    * their own cell (nprobe=1). Same equi-join shape as c6 with learned
+    * cells instead of sign patterns: at 100 TB each query touches n/cells
+    * candidates, and the assignment pass is a cheap map-side cross with a
+    * broadcast codebook. Recall vs the c5 exact baseline is spec-checked. */
+  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // codebook: c15's fixed-point sums → per-label mean vectors, ordered
+    // by dim via sort_array over (pos, value) structs
+    val centroids = broadcast(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          round(col("col").cast("double") * 10000).cast("bigint").as("v4"))
+        .groupBy("label", "pos")
+        .agg(sum(col("v4")).as("sum_v4"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("sum_v4").cast("double") / 10000.0 / col("n")).as("cv"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
+        .select(col("label").as("cell"), col("arr.cv").as("centroid")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
+    val assigned = e.crossJoin(centroids)
+      // assignment ranks the ROUNDED score: when two centroids are nearly
+      // equidistant, a last-ulp disagreement between engines must not flip
+      // the argmax (ties at 6 decimals break deterministically on cell)
+      .withColumn("ccos", round(cosine(col("v"), col("centroid")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val candidates = assigned.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates.join(broadcast(queries), "cell")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the

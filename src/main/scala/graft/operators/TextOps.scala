@@ -89,4 +89,49 @@ object TextOps {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
   }
+
+  /** c16: TF-IDF top term per document. Three shuffles, all narrow:
+    * (doc, term) counts → per-term document frequency → score + one
+    * window pass per doc. The corpus size joins in via a broadcast of a
+    * 1-row aggregate (never a collect). The score is the division-free-
+    * until-the-end form tf·N/df — a single double division of exact
+    * integers, rounded to 6 places, so both engines agree bit-for-bit
+    * (float log-idf would not; monotonic in idf, so the top term is the
+    * same one classic TF-IDF picks for a fixed tf). */
+  def c16Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_r"), asc("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_r",
+        round((col("tf") * col("n_docs")).cast("double") / col("df"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("tf"), col("df"), col("score_r"))
+      .orderBy("doc_id")
+  }
+
+  /** c17: stratified deterministic sampling — per-stratum (language) rates
+    * applied via a content-hash bucket, the scale-safe sampler: a pure
+    * function of the text (stable under re-partitioning, re-runs, and
+    * incremental ingest — rows never flicker in and out of the sample),
+    * no RNG state, no sample() nondeterminism. en keeps ~25% (md5 prefix
+    * < '40'), every other language ~50% (< '80'). */
+  def c17StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("text")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .withColumn("rate_cap", when(col("lang") === "en", "40").otherwise("80"))
+      .filter(col("bucket") < col("rate_cap"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
 }

@@ -59,6 +59,18 @@ object StreamOps {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
   }
 
+  /** d5: streaming exact dedup — the streaming twin of batch c1.
+    * dropDuplicatesWithinWatermark keeps a key's dedup state only until
+    * the watermark passes it, so state is bounded by the watermark window
+    * (plain dropDuplicates on a stream grows state forever — unusable at
+    * scale). Duplicates arriving within the window are suppressed; a
+    * re-emission later than the watermark delay is treated as new (the
+    * documented at-least-once trade-off of every windowed deduper). */
+  def streamDedup(events: DataFrame, idCols: Seq[String], tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Gap-merge a set of sessions (single events arrive as n=1 sessions):
     * sort by start, fold, coalescing any session that starts within `gap`
     * of the running session's end — exactly c13's batch semantics. Late

@@ -75,6 +75,26 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c18 IVF ANN: scores match brute force; recall@5 is reported and sane") {
+    val brute = Similarity.c5AnnBrute(spark, sfDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val bruteAll = Similarity.c5AnnBrute(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine_r"))
+      .toMap
+    val ivf = Similarity.c18AnnIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty, "IVF must return neighbors")
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteAll.contains(key), s"$key not in brute-force universe")
+      assert(math.abs(bruteAll(key) - r.getAs[Double]("cosine_r")) < 1e-9,
+        "cell restriction must not change the score")
+    }
+    val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.length
+    info(f"c18 IVF recall@5 vs exact: $recall%.2f (nprobe=1)")
+    assert(recall > 0.0, "nprobe=1 IVF should still find some true neighbors")
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>

@@ -51,4 +51,37 @@ class OperatorsSpec extends SparkSpec {
     val df = TextOps.c10Fingerprint(spark, sfDir)
     assert(df.select("fingerprint").distinct().count() == df.count())
   }
+
+  test("c16 tf-idf top term: one row per doc, score consistent with tf·N/df") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val rows = TextOps.c16Tfidf(spark, sfDir).collect()
+    assert(rows.length == n, "exactly one top term per document")
+    rows.foreach { r =>
+      val expect = BigDecimal(r.getAs[Long]("tf") * n / r.getAs[Long]("df").toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("score_r") - expect) < 1e-9)
+    }
+  }
+
+  test("c17 stratified sample: deterministic, and en is sampled ~half the others' rate") {
+    val s1 = TextOps.c17StratifiedSample(spark, sfDir).collect()
+    val s2 = TextOps.c17StratifiedSample(spark, sfDir).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq, "re-runs identical")
+    assert(s1.forall { r =>
+      val cap = if (r.getString(1) == "en") "40" else "80"
+      r.getString(2) < cap
+    })
+    // rates land near 25% / 50% (md5 is uniform; generous tolerance at sf0.001)
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val enRate = kept.getOrElse("en", 0).toDouble / docs("en")
+    assert(enRate > 0.10 && enRate < 0.40, s"en rate $enRate")
+    val otherKept = kept.filter(_._1 != "en").values.sum
+    val otherTotal = docs.filter(_._1 != "en").values.sum
+    val otherRate = otherKept.toDouble / otherTotal
+    assert(otherRate > 0.35 && otherRate < 0.65, s"other rate $otherRate")
+  }
 }

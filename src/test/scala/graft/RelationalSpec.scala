@@ -66,4 +66,59 @@ class RelationalSpec extends SparkSpec {
       val m = r.getAs[Double]("median_qty"); m >= 1.0 && m <= 50.0
     })
   }
+
+  test("b14 as-of join equals the naive greatest-purchase-at-or-before join") {
+    import spark.implicits._
+    val got = Relational.b14AsofJoin(spark, sfDir)
+      .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toMap
+    // naive reference: per click, max-ts (then max-id) purchase with ts <= click ts
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+    val purchases = ev.filter(_.getString(3) == "purchase")
+      .groupBy(_.getLong(1)).view.mapValues(_.sortBy(r => (r.getLong(2), r.getLong(0)))).toMap
+    val clicks = ev.filter(_.getString(3) == "click")
+    assert(clicks.length == got.size)
+    clicks.foreach { c =>
+      val expect = purchases.getOrElse(c.getLong(1), Array.empty[org.apache.spark.sql.Row])
+        .filter(_.getLong(2) <= c.getLong(2)).lastOption.map(_.getLong(0))
+      assert(got(c.getLong(0)) == expect, s"click ${c.getLong(0)}")
+    }
+  }
+
+  test("b14 as-of join plans exactly one shuffle (no range-join blow-up)") {
+    val plan = Relational.b14AsofJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("NestedLoop"), s"as-of must not nested-loop:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected a single key shuffle, got $shuffles:\n$plan")
+  }
+
+  test("b15 range join pairs all satisfy the interval predicate, and none are missed") {
+    val within = 30L * 60 * 1000 * 1000
+    val rows = Relational.b15RangeJoin(spark, sfDir).collect()
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("purchase_ts_us") - r.getAs[Long]("click_ts_us")
+      d >= 0 && d <= within
+    })
+    val naive = {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type")).collect()
+      val byUser = ev.groupBy(_.getLong(1))
+      byUser.values.map { g =>
+        val c = g.filter(_.getString(3) == "click")
+        val p = g.filter(_.getString(3) == "purchase")
+        c.map(ci => p.count(pi =>
+          pi.getLong(2) >= ci.getLong(2) && pi.getLong(2) <= ci.getLong(2) + within)).sum
+      }.sum
+    }
+    assert(rows.length == naive)
+  }
+
+  test("b16 HLL++ estimate lands within the audited 5% bound for every group") {
+    val rows = Relational.b16ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+  }
 }

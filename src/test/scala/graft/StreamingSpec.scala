@@ -149,6 +149,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d5: stream dedup suppresses within-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val deduped = StreamOps.streamDedup(
+      stream.toDF().toDF("event_id", "ts"), idCols = Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("d5_sink").start()
+    try {
+      stream.addData(Seq((1L, ts(0)), (2L, ts(1)), (1L, ts(2))))
+      q.processAllAvailable()
+      // same ids again in a later micro-batch, still inside the watermark
+      stream.addData(Seq((1L, ts(3)), (2L, ts(4)), (3L, ts(5))))
+      q.processAllAvailable()
+      val ids = spark.table("d5_sink").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        s"each id must appear exactly once, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
