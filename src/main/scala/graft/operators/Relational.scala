@@ -271,8 +271,12 @@ object Relational {
   def b16ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
+      // rsd 0.02 (not tighter): Spark's distinct-agg rewrite keys the
+      // partial HLL by (group, user_id), so the buffer is allocated per
+      // distinct PAIR — rsd 0.01's 4×-larger registers measurably slowed
+      // the whole query while 0.02 still leaves 2.5σ inside the 5% audit
       .agg(count_distinct(col("user_id")).as("exact_nd"),
-        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_nd"))
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_nd"))
       .select(col("event_type"), col("exact_nd"),
         (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
           col("exact_nd").cast("double") * 0.05).as("approx_ok"))
