@@ -36,4 +36,22 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Per-JVM scratch directory under java.io.tmpdir, cleared on each call.
+    * The PID suffix keeps concurrent JVMs (driver bench + verify) from
+    * racing on one shared path; within a JVM repeated runs reuse (and
+    * clear) the same dir instead of leaking one dataset per invocation. */
+  def scratchDir(name: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-$name-${ProcessHandle.current().pid()}")
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    else if (f.exists()) f.delete() // a regular file squatting on the path
+    f.mkdirs()
+    f
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete()
+  }
 }

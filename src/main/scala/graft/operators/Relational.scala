@@ -203,6 +203,11 @@ object Relational {
     * among right rows resolve to the largest `valueCol`. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
                valueCol: String, asofName: String, asofTime: String): DataFrame = {
+    // the bigint cast below would silently turn a non-numeric valueCol into
+    // all-null as-of values (and tie-breaks would rank on nulls) — fail loudly
+    val vt = right.schema(valueCol).dataType
+    require(vt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"asofJoin valueCol '$valueCol' must be numeric, got ${vt.simpleString}")
     val l = left.select(col(key), col(timeCol), lit(1).as("__tag"),
       lit(null).cast("bigint").as("__v"), lit(null).cast("bigint").as("__vt"),
       struct(left.columns.map(col): _*).as("__row"))
@@ -242,8 +247,11 @@ object Relational {
     * pure range predicate with no equi-key would plan a nested-loop — the
     * 100 TB answer there is bucketing time into interval-length buckets
     * and equi-joining on (key, bucket). */
-  def b15RangeJoin(spark: SparkSession, dir: String,
-                   withinUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+  def b15RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // fixed 30-minute window, matching the constant baked into the DuckDB
+    // oracle — a parameter here could drift from the oracle and masquerade
+    // as an engine bug
+    val withinUs = 30L * 60 * 1000 * 1000
     val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")

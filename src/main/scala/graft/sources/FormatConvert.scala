@@ -33,9 +33,9 @@ object FormatConvert {
     * Identity oracle. */
   def a12OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // fixed path (not a fresh createTempDirectory): repeated verify/bench
-    // runs overwrite one copy instead of leaking a dataset per invocation
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    // per-JVM scratch path: repeated runs overwrite one copy instead of
+    // leaking a dataset per invocation; PID suffix avoids cross-JVM races
+    val tmp = graft.GraftSession.scratchDir("orc-roundtrip").toString
     docs.write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp)
       .transform(graft.operators.Relational.gateOrder("doc_id"))

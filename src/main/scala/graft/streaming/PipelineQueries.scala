@@ -17,13 +17,10 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val schema = docs.schema
-    // fixed tmp path, cleared on entry (same approach as a12OrcRoundtrip):
-    // a fresh createTempDirectory per invocation would leak one .arrow
-    // dataset per verify/bench run
-    val outFile = new java.io.File(sys.props("java.io.tmpdir"), "graft-a7-publish")
-    if (outFile.exists()) outFile.listFiles().foreach(_.delete())
-    outFile.mkdirs()
-    val outDir = outFile.toString
+    // per-JVM scratch dir, cleared on entry: PID suffix prevents two JVMs
+    // (bench + verify) racing on one path; within a JVM repeated runs reuse
+    // it instead of leaking one .arrow dataset per run
+    val outDir = graft.GraftSession.scratchDir("a7-publish").toString
     Publish.run(ArrowIpc.serialize(docs, maxRows = 256), () => new FilePublisher(outDir))
     val files = spark.read.format("binaryFile").load(s"$outDir/*.arrow")
       .select(col("content")).as[Array[Byte]]

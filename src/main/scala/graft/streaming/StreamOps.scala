@@ -107,19 +107,22 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[SessionsState]) =>
-          val gapMs = gapMicros / 1000
           val wmMs = state.getCurrentWatermarkMs()
           val existing = state.getOption.map(_.sessions).getOrElse(Nil)
           val merged =
             if (state.hasTimedOut) existing // timeout delivers no rows
             else gapMerge(existing ++ rows.map(r => SessionState(r._2, r._2, 1L)), gapMicros)
-          // sealed: no admissible future event (ts_ms >= wmMs) can be
-          // within gap of this session's end
-          val (closed, open) = merged.partition(_.end_us / 1000 + gapMs < wmMs)
+          // sealed: no admissible future event (ts_us >= wmMs*1000) can be
+          // within gap of this session's end. Compared in MICROS — an
+          // ms-truncated compare could seal up to ~1 ms early and split a
+          // boundary session that batch c13 would merge (sub-ms gaps/ts).
+          val (closed, open) = merged.partition(_.end_us + gapMicros < wmMs * 1000L)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionsState(open))
-            val earliestSeal = open.map(_.end_us / 1000 + gapMs).min
+            // earliest ms watermark at which a session seals:
+            // wmMs*1000 > end_us + gap  ⇔  wmMs ≥ (end_us+gap)/1000 + 1
+            val earliestSeal = open.map(s => (s.end_us + gapMicros) / 1000 + 1).min
             // the timeout timestamp must sit strictly beyond the watermark
             state.setTimeoutTimestamp(math.max(earliestSeal, wmMs + 1))
           }
