@@ -16,22 +16,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // The driver contract wants one parquet FILE at outDir/<name>.parquet;
-    // Spark writes a directory, so write to a scratch dir and move the
-    // single (coalesce(1)) part file into place.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Output layout: the driver's compare reads the Spark-written DIRECTORY
+    // at outDir/<name> (the exact layout the round-0 stub produced — see git
+    // 6b425ff). We additionally copy the single part file to
+    // outDir/<name>.parquet so file-based readers (tools/check.py) work too.
+    // One computation, two layouts.
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
       try {
-        val tmp = s"$outDir/.tmp_$name"
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
+        val dir = s"$outDir/$name"
+        SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        val part = new java.io.File(dir).listFiles()
           .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file written for $name"))
-        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+        Files.copy(part.toPath, Paths.get(s"$outDir/$name.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        new java.io.File(tmp).listFiles().foreach(_.delete())
-        Files.deleteIfExists(Paths.get(tmp))
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +53,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val nFail = failed.size
+    val nOk = names.size - nFail
+    println(s"[verify] SUMMARY: $nOk/${names.size} queries dumped, $nFail failed" +
+      (if (nFail > 0) s" -> ${failed.toArray.mkString(",")}" else ""))
     spark.stop()
+    if (nFail > 0 || nOk == 0) sys.exit(1)
   }
 }
