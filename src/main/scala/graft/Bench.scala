@@ -26,15 +26,19 @@ object Bench {
     // JIT/classloading + parquet footer warmup outside the measurement
     run(SparkEntry.queries("b1_scan_filter_project")(spark, sfDir))
 
-    // each query runs twice: the first run pays one-time codegen/JIT (cut
-    // plan compilation out of the steady-state number a long-lived cluster
-    // job sees), the second is reported
+    // each query: one warmup run (one-time codegen/JIT — cut plan
+    // compilation out of the steady-state number a long-lived cluster job
+    // sees), then min of 3 timed runs — single-shot numbers on a shared box
+    // swing >3× on GC/eviction luck (r3: two 4× noise outliers), and
+    // regression tracking across rounds needs reproducible numbers
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         run(fn(spark, sfDir))
-        val t0 = System.nanoTime()
-        run(fn(spark, sfDir))
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
@@ -62,8 +66,32 @@ object Bench {
       run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
       (System.nanoTime() - t0) / 1e9
     }.min
-    lines.unpersist()
     val convertMbps = jsonBytes / 1e6 / convertSec
+
+    // publish micro-bench (≙ bolson `bench pulsar`, src/bolson/bench.cpp):
+    // messages are pre-materialized (persist + count) so only the publish
+    // op is under the clock; per-message FilePublisher vs the batching
+    // envelope publisher quantifies what producer batching buys at
+    // production message rates. Best-of-3, like convert.
+    val msgs = ArrowIpc.serialize(StreamPipeline.convert(lines, schema),
+      maxRows = 256).persist()
+    val nMsgs = msgs.count()
+    lines.unpersist()
+    def timePublish(mk: Long => graft.streaming.Publisher): Double =
+      (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        graft.streaming.Publish.run(msgs, () => mk(i.toLong))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val pubDir = GraftSession.scratchDir("bench-publish").toString
+    val perMsgSec = timePublish(e => new graft.streaming.FilePublisher(pubDir, e))
+    GraftSession.scratchDir("bench-publish") // clear between modes
+    val batchedSec = timePublish(e => new graft.streaming.BatchingFilePublisher(
+      pubDir, graft.streaming.BatchingOptions(
+        maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
+    msgs.unpersist()
+    val pubMsgsPerS = nMsgs / perMsgSec
+    val pubBatchedMsgsPerS = nMsgs / batchedSec
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -72,7 +100,7 @@ object Bench {
     spark.stop()
     // printed AFTER spark.stop() and flushed: the one JSON line is the
     // last thing on stdout, with nothing able to interleave
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs}""")
     System.out.flush()
   }
 }

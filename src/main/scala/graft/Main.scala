@@ -20,6 +20,8 @@ import graft.streaming.{FilePublisher, StreamPipeline}
   *     [--schema battery|trip] [--schema-ddl "col TYPE, ..."]
   *     [--max-rows N] [--max-ipc BYTES] [--codec none|lz4|zstd]
   *     [--seq-col] [--idle-timeout-ms T]
+  *     [--batch] [--batch-max-messages N] [--batch-max-bytes B]
+  *     [--batch-max-delay MS]   (≙ bolson --pulsar-batch*)
   *   graft.Main bench     (delegates to graft.Bench)
   *   graft.Main verify SF_DIR OUT_DIR   (delegates to graft.Verify)
   */
@@ -49,6 +51,17 @@ object Main {
     ArrowIpc.validateCodec(codec) // fail at CLI parse, not first micro-batch
     val seqCol = args.contains("--seq-col")
     val idleMs = opt(args, "--idle-timeout-ms").map(_.toLong)
+    // producer batching ≙ bolson --pulsar-batch / --pulsar-batch-max-*
+    // (reference: src/bolson/publish/publisher.cpp:265-276): one envelope
+    // file per flush instead of one file per message
+    val batching = args.contains("--batch")
+    val batchOpts = graft.streaming.BatchingOptions(
+      maxMessages = opt(args, "--batch-max-messages").map(_.toInt).getOrElse(1000),
+      maxBytes = opt(args, "--batch-max-bytes").map(_.toLong).getOrElse(128L * 1024),
+      maxDelayMs = opt(args, "--batch-max-delay").map(_.toLong).getOrElse(10L))
+    def mkPublisher(batchId: Long): graft.streaming.Publisher =
+      if (batching) new graft.streaming.BatchingFilePublisher(out, batchOpts, epoch = batchId)
+      else new FilePublisher(out, epoch = batchId)
     val schema: StructType = (opt(args, "--schema"), opt(args, "--schema-ddl")) match {
       case (Some("battery"), _) => JsonConvert.Schemas.battery
       case (Some("trip"), _) => JsonConvert.Schemas.trip
@@ -79,7 +92,7 @@ object Main {
           // so files would overwrite across micro-batches without it
           val stats = graft.streaming.Publish.run(
             ArrowIpc.serialize(withSeq, maxRows, maxIpc, codec),
-            () => new FilePublisher(out, epoch = batchId))
+            () => mkPublisher(batchId))
           // advance the offset by an EXACT job-result count, not the
           // publish accumulator: retried/speculative tasks re-add to
           // accumulators and would silently break seq contiguity (count()

@@ -16,6 +16,13 @@ import graft.Tables
   */
 object JsonConvert {
 
+  /** Collision-resistant scratch-suffix for a data-dir path: first 8 hex
+    * chars of its MD5. (String.hashCode collisions between two dirs in one
+    * JVM would silently alias their memoized corpora.) */
+  private[graft] def pathKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** Preset schemas mirroring bolson's fixed-schema parsers. */
   object Schemas {
     /** battery_status: {"voltage": [u64, ...]} — reference:
@@ -85,12 +92,12 @@ object JsonConvert {
       .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 
-  /** a2: battery_status conversion round-trip. JSON lines in the reference
-    * wire format are built from lineitem (voltage readings = per-order
-    * quantities in linenumber order), parsed back with the preset schema,
-    * then reduced — exercising construct, parse, and list aggregation. The
-    * oracle computes the same reduction relationally, so any parse
-    * infidelity hash-mismatches. */
+  /** a2: battery_status conversion — read the pre-materialized wire-format
+    * corpus (see [[batteryJsonCorpusPath]]; construction happens once,
+    * outside the measured query), parse with the preset schema, then
+    * reduce: read → parse → reduce, mirroring a3. The oracle computes the
+    * same reduction relationally, so any parse infidelity
+    * hash-mismatches. */
   def a2JsonBattery(spark: SparkSession, dir: String): DataFrame = {
     // key rides alongside the battery payload (bolson correlates batches by
     // position/seq; a key column is the relational equivalent)
@@ -112,8 +119,7 @@ object JsonConvert {
   private val batteryCorpus = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def batteryJsonCorpusPath(spark: SparkSession, dir: String): String =
     batteryCorpus.computeIfAbsent(dir, d => {
-      val p = graft.GraftSession.scratchDir(
-        s"a2-corpus-${Integer.toHexString(d.hashCode)}").toString
+      val p = graft.GraftSession.scratchDir(s"a2-corpus-${pathKey(d)}").toString
       Tables.lineitem(spark, d)
         .groupBy(col("l_orderkey"))
         .agg(transform(
@@ -178,8 +184,7 @@ object JsonConvert {
   private val tripCorpus = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def tripJsonCorpusPath(spark: SparkSession, dir: String): String =
     tripCorpus.computeIfAbsent(dir, d => {
-      val p = graft.GraftSession.scratchDir(
-        s"a3-corpus-${Integer.toHexString(d.hashCode)}").toString
+      val p = graft.GraftSession.scratchDir(s"a3-corpus-${pathKey(d)}").toString
       tripJsonLines(Tables.orders(spark, d))
         .select("json").write.mode("overwrite").text(p)
       p

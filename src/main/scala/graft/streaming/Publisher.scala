@@ -39,6 +39,104 @@ class FilePublisher(dir: String, epoch: Long = 0L) extends Publisher {
   override def close(): Unit = ()
 }
 
+/** Producer-side batching options — bolson's Pulsar batching producer
+  * (reference: src/bolson/publish/publisher.h:49-59 BatchingOptions,
+  * publisher.cpp:63-68, CLI flags --pulsar-batch-max-messages/-bytes/-delay
+  * at publisher.cpp:265-276). A batch is delivered when ANY limit trips:
+  * message count, cumulative payload bytes, or age of the oldest buffered
+  * message. */
+case class BatchingOptions(maxMessages: Int = 1000,
+                           maxBytes: Long = 128L * 1024,
+                           maxDelayMs: Long = 10L)
+
+/** Decorator adding producer batching to any [[Publisher]]: buffers
+  * published messages and hands them to `deliver` as one batch per flush —
+  * one broker/filesystem op per BATCH instead of per message, which is the
+  * point of bolson's batching producer at production message rates.
+  *
+  * The delay limit is checked on each publish and on close (a synchronous
+  * per-partition producer has no timer thread; bolson delegates that to the
+  * Pulsar client's internal one). `clock` is injectable for deterministic
+  * specs. Close flushes the remainder, so no message is ever dropped. */
+class BatchingPublisher(deliver: Seq[IpcMessage] => Unit,
+                        opts: BatchingOptions = BatchingOptions(),
+                        clock: () => Long = () => System.currentTimeMillis())
+    extends Publisher {
+  private val buf = scala.collection.mutable.ArrayBuffer[IpcMessage]()
+  private var bufBytes = 0L
+  private var oldestTs = 0L
+
+  override def open(partitionId: Int): Unit = ()
+
+  override def publish(m: IpcMessage): Unit = {
+    // a single message larger than maxBytes still ships (alone) — size
+    // limits bound the BATCH envelope, they never drop a message
+    if (buf.nonEmpty && bufBytes + m.bytes.length > opts.maxBytes) flushNow()
+    if (buf.isEmpty) oldestTs = clock()
+    buf += m
+    bufBytes += m.bytes.length
+    if (buf.size >= opts.maxMessages || bufBytes >= opts.maxBytes ||
+        clock() - oldestTs >= opts.maxDelayMs) flushNow()
+  }
+
+  override def close(): Unit = if (buf.nonEmpty) flushNow()
+
+  private def flushNow(): Unit = {
+    deliver(buf.toSeq)
+    buf.clear()
+    bufBytes = 0L
+  }
+}
+
+/** Framed batch-envelope codec for filesystem batch delivery: one file per
+  * flush, holding each message's standalone Arrow IPC stream length-prefixed
+  * — the filesystem stand-in for a broker's batch envelope. */
+object BatchEnvelope {
+  val Magic = 0x47425045 // "GBPE"
+
+  def encode(msgs: Seq[IpcMessage]): Array[Byte] = {
+    val size = 8 + msgs.map(8 + _.bytes.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(Magic).putInt(msgs.size)
+    msgs.foreach { m => bb.putLong(m.bytes.length.toLong); bb.put(m.bytes) }
+    bb.array()
+  }
+
+  def decode(bytes: Array[Byte]): Seq[IpcMessage] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == Magic, "not a graft batch envelope")
+    val n = bb.getInt()
+    (0 until n).map { i =>
+      val len = bb.getLong().toInt
+      val payload = new Array[Byte](len)
+      bb.get(payload)
+      IpcMessage(i.toLong, 0L, len.toLong, payload)
+    }
+  }
+}
+
+/** Batching filesystem publisher: one envelope FILE per flush (vs
+  * [[FilePublisher]]'s one file per message) — at production message rates
+  * this is the difference between one fs/broker op per message and one per
+  * batch. Files are named by partition + flush sequence + epoch, so
+  * concurrent partitions and repeated micro-batches never collide. */
+class BatchingFilePublisher(dir: String, opts: BatchingOptions = BatchingOptions(),
+                            epoch: Long = 0L) extends Publisher {
+  private var pid = 0
+  private var seq = 0
+  private val inner = new BatchingPublisher(batch => {
+    Files.write(Paths.get(dir, f"batch-$epoch%08x-$pid%05d-$seq%08d.arrowbag"),
+      BatchEnvelope.encode(batch))
+    seq += 1
+  }, opts)
+  override def open(partitionId: Int): Unit = {
+    pid = partitionId
+    Files.createDirectories(Paths.get(dir)); ()
+  }
+  override def publish(m: IpcMessage): Unit = inner.publish(m)
+  override def close(): Unit = inner.close()
+}
+
 /** Test/local publisher collecting into a JVM-wide buffer. Local-mode only
   * (executors share the driver JVM); clusters use FilePublisher or a real
   * broker client. */

@@ -32,13 +32,16 @@ object StreamPipeline {
 
   /** Build the production streaming pipeline against any line source
     * (socket/Kafka/files): conversion → IPC → publisher, via foreachBatch.
+    * The publisher factory receives the micro-batch id (epoch) so sinks
+    * that name outputs by batch_id stay collision-free across batches
+    * (batch ids restart per serialize run — see [[FilePublisher]]).
     * Returns the query-ready writer so callers own trigger/checkpoint. */
   def publishStream(lines: DataFrame, schema: StructType, maxRows: Int,
-                    mkPublisher: () => Publisher) =
+                    mkPublisher: Long => Publisher) =
     convert(lines, schema).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Publish.run(ArrowIpc.serialize(batch.toDF(), maxRows), mkPublisher); ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        Publish.run(ArrowIpc.serialize(batch.toDF(), maxRows), () => mkPublisher(epoch)); ()
       }
 
   /** Harness: run the full pipeline over in-memory ND-JSON lines in
@@ -54,7 +57,7 @@ object StreamPipeline {
     val stream = MemoryStream[String]
     CollectingPublisher.clear()
     val query = publishStream(stream.toDF(), schema, maxRows,
-      () => new CollectingPublisher).start()
+      _ => new CollectingPublisher).start()
     try {
       val chunkSize = math.max(1, (jsonLines.length + chunks - 1) / chunks)
       jsonLines.grouped(chunkSize).foreach { chunk =>
@@ -73,19 +76,56 @@ object StreamPipeline {
     ArrowIpc.deserialize(spark, published, schema)
   }
 
-  /** a8: the pipeline as an oracle-checkable query — events rows → ND-JSON
-    * (micros timestamps: the IPC unit) → streaming parse → IPC → publish →
-    * deserialize. Identity oracle: any row lost, reordered into loss, or
+  /** Per-JVM memoized events ND-JSON corpus (micros timestamps: the IPC
+    * unit) — the wire-format input a8 streams from files, materialized once
+    * per data dir exactly like the a2/a3 corpora (generating input is
+    * harness work; production ND-JSON arrives from storage or the wire). */
+  private val eventsCorpus =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def eventsJsonCorpusPath(spark: SparkSession, dir: String): String =
+    eventsCorpus.computeIfAbsent(dir, d => {
+      val p = graft.GraftSession.scratchDir(
+        s"a8-corpus-${JsonConvert.pathKey(d)}").toString
+      val ev = eventsProjection(spark, d)
+      ev.select(to_json(struct(ev.columns.map(col): _*)).as("json"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+
+  private def eventsProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+
+  /** a8: the full pipeline as an oracle-checkable query, with no
+    * driver-side buffering anywhere — ND-JSON corpus on disk → file-source
+    * `readStream` (several micro-batches via maxFilesPerTrigger) →
+    * schema-driven parse → Arrow IPC → [[FilePublisher]] (per-partition
+    * producers, one .arrow file per message) → read the published files
+    * back → deserialize. Mirrors bolson's drain-then-shutdown stream loop
+    * (reference: src/bolson/stream.cpp:117-190) where no stage ever holds
+    * the corpus centrally. Identity oracle: any row lost, duplicated, or
     * mangled anywhere in the pipeline hash-mismatches. */
   def a8StreamPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir).select(
-      col("event_id"), unix_micros(col("ts")).as("ts_us"),
-      col("user_id"), col("event_type"), col("value"))
-    val schema = ev.schema
-    val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("j"))
-      .as[String].collect().toSeq
-    runMemoryPipeline(spark, lines, schema)
+    val schema = eventsProjection(spark, dir).schema
+    val corpus = eventsJsonCorpusPath(spark, dir)
+    val outDir = graft.GraftSession.scratchDir("a8-publish").toString
+    val ckpt = graft.GraftSession.scratchDir("a8-ckpt").toString
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", "8")
+      .text(corpus)
+    val query = publishStream(lines, schema, maxRows = 4096,
+      epoch => new FilePublisher(outDir, epoch))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    query.awaitTermination()
+    spark.streams.resetTerminated()
+    val files = spark.read.format("binaryFile").load(s"$outDir/*.arrow")
+      .select(col("content")).as[Array[Byte]]
+      .map(b => graft.ipc.IpcMessage(0L, 0L, b.length.toLong, b))
+    ArrowIpc.deserialize(spark, files, schema)
       .transform(graft.operators.Relational.gateOrder("event_id"))
   }
 }

@@ -23,7 +23,7 @@ class MetricsSpec extends SparkSpec {
       val stream = MemoryStream[String]
       CollectingPublisher.clear()
       val q = StreamPipeline.publishStream(stream.toDF(), ev.schema, 4096,
-        () => new CollectingPublisher).start()
+        _ => new CollectingPublisher).start()
       try {
         lines.grouped(math.max(1, lines.length / 3 + 1)).foreach { chunk =>
           stream.addData(chunk)
