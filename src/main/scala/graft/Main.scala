@@ -19,9 +19,12 @@ import graft.streaming.{FilePublisher, StreamPipeline}
   *   graft.Main stream --host H --port P --out DIR
   *     [--schema battery|trip] [--schema-ddl "col TYPE, ..."]
   *     [--max-rows N] [--max-ipc BYTES] [--codec none|lz4|zstd]
-  *     [--seq-col] [--idle-timeout-ms T]
+  *     [--seq-col] [--idle-timeout-ms T] [--no-strict]
   *     [--batch] [--batch-max-messages N] [--batch-max-bytes B]
   *     [--batch-max-delay MS]   (≙ bolson --pulsar-batch*)
+  *     [--latency FILE] [--metrics FILE]   (≙ bolson -l / --metrics:
+  *       per-batch latency samples / per-stage totals, dumped as JSON on
+  *       shutdown — reference: src/bolson/cli.cpp:62-66,92-94, latency.h)
   *   graft.Main bench     (delegates to graft.Bench)
   *   graft.Main verify SF_DIR OUT_DIR   (delegates to graft.Verify)
   */
@@ -62,6 +65,8 @@ object Main {
     def mkPublisher(batchId: Long): graft.streaming.Publisher =
       if (batching) new graft.streaming.BatchingFilePublisher(out, batchOpts, epoch = batchId)
       else new FilePublisher(out, epoch = batchId)
+    val latencyFile = opt(args, "--latency")
+    val metricsFile = opt(args, "--metrics")
     val schema: StructType = (opt(args, "--schema"), opt(args, "--schema-ddl")) match {
       case (Some("battery"), _) => JsonConvert.Schemas.battery
       case (Some("trip"), _) => JsonConvert.Schemas.trip
@@ -70,6 +75,13 @@ object Main {
     }
 
     val spark = GraftSession.get()
+    // per-batch latency tracking (bolson --latency, src/bolson/latency.h):
+    // attached whenever either dump file is requested
+    val latencyListener = new graft.metrics.LatencyListener()
+    if (latencyFile.isDefined || metricsFile.isDefined)
+      spark.streams.addListener(latencyListener)
+    // per-stage publish totals across all micro-batches (bolson --metrics)
+    var totMsgs = 0L; var totRows = 0L; var totBytes = 0L
     val lines = spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
@@ -79,7 +91,11 @@ object Main {
     // sort (per-partition counts + offsets).
     var seqOffset = 0L
     @volatile var lastProgress = System.currentTimeMillis()
-    val query = StreamPipeline.convert(lines, schema).writeStream
+    // bolson parses with UnexpectedFieldBehavior::Error unconditionally
+    // (parse/arrow.cpp:89); strict is therefore the CLI default, with
+    // --no-strict opting into the cheaper relaxed parse
+    val strict = !args.contains("--no-strict")
+    val query = StreamPipeline.convert(lines, schema, strict).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val df = batch.toDF().persist()
@@ -98,6 +114,7 @@ object Main {
           // accumulators and would silently break seq contiguity (count()
           // on the cached batch is cheap and retry-safe)
           if (seqCol) seqOffset += df.count()
+          totMsgs += stats.messages; totRows += stats.rows; totBytes += stats.bytes
           if (stats.rows > 0) lastProgress = System.currentTimeMillis()
         } finally df.unpersist()
         ()
@@ -113,6 +130,28 @@ object Main {
         query.stop()
       case None => query.awaitTermination()
     }
+
+    // shutdown dumps (bolson writes its latency/metrics files after the
+    // stream drains, src/bolson/stream.cpp + cli.cpp:62-66,92-94)
+    latencyFile.foreach { f =>
+      val rows = latencyListener.samples.map(s =>
+        s"""{"batch_id":${s.batchId},"input_rows":${s.inputRows},""" +
+        s""""add_batch_ms":${s.addBatchMs},"trigger_ms":${s.triggerMs},""" +
+        f""""rows_per_sec":${s.rowsPerSec}%.1f}""")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        rows.mkString("[", ",", "]")); ()
+    }
+    metricsFile.foreach { f =>
+      val lat = latencyListener.summary
+      val latJson = lat.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        s"""{"messages_published":$totMsgs,"rows_published":$totRows,""" +
+        s""""bytes_published":$totBytes""" +
+        (if (latJson.nonEmpty) s",$latJson" else "") + "}"); ()
+    }
+    if (latencyFile.isDefined || metricsFile.isDefined)
+      spark.streams.removeListener(latencyListener)
     // no spark.stop(): the session may be shared (getOrCreate); CLI exit
     // tears it down with the JVM
   }

@@ -82,6 +82,25 @@ object JsonConvert {
     when(check.isNull, parseJson(c, schema))
   }
 
+  /** Scan-side companion of [[parseJsonStrict]] for paths that parse via
+    * the native JSON scan (which cannot error on unexpected fields): runs
+    * the same map_keys check over the raw lines and returns an
+    * ALWAYS-EMPTY frame in the schema's shape — union it below the scan
+    * and the guard executes with the query, throwing on the first line
+    * with a field outside the schema, while contributing zero rows
+    * otherwise. */
+  private[graft] def strictFieldGuard(lines: DataFrame,
+                                      schema: StructType): DataFrame = {
+    val keys = map_keys(from_json(col("value"), MapType(StringType, StringType)))
+    val unexpected = filter(keys, k => !k.isin(schema.fieldNames.toSeq: _*))
+    lines
+      .select(assert_true(size(unexpected) <= 0,
+        concat(lit("unexpected JSON field(s) in: "), col("value"))).as("ok"))
+      .filter(col("ok").isNotNull) // vacuous: assert_true is NULL when it passes
+      .select(schema.fieldNames.map(f =>
+        lit(null).cast(schema(f).dataType).as(f)): _*)
+  }
+
   /** a1: schema-driven parse of the events.props JSON payload column, in
     * full strict mode (malformed AND unexpected-field errors). */
   def a1JsonParse(spark: SparkSession, dir: String): DataFrame = {
@@ -104,7 +123,10 @@ object JsonConvert {
     val corpus = spark.read.parquet(batteryJsonCorpusPath(spark, dir))
     corpus
       .select(col("l_orderkey"),
-        parseJson(col("json"), Schemas.battery).as("rec"))
+        // full bolson semantics: malformed AND unexpected-field errors
+        // (parse/arrow.cpp:89 sets UnexpectedFieldBehavior::Error
+        // unconditionally, so strict is the preset default, not an option)
+        parseJsonStrict(col("json"), Schemas.battery).as("rec"))
       .select(col("l_orderkey"),
         size(col("rec.voltage")).cast("bigint").as("n_readings"),
         aggregate(col("rec.voltage"), lit(0L), (acc, x) => acc + x).as("sum_voltage"),
@@ -203,9 +225,18 @@ object JsonConvert {
     // scan-based ND-JSON read (JsonScan): one native parse per line straight
     // into columns — the exact converter shape of the reference (text stream
     // in, columnar batch out), and ~2× faster than from_json + struct
-    // extraction, which evaluates through the interpreted-fallback path
-    spark.read.schema(Schemas.trip).option("mode", "FAILFAST")
-      .json(tripJsonCorpusPath(spark, dir))
+    // extraction, which evaluates through the interpreted-fallback path.
+    // Full bolson parity needs the unexpected-field error too
+    // (parse/arrow.cpp:89): the scan can't check that, so a second pass
+    // guards the raw lines with the same map_keys check parseJsonStrict
+    // uses. assert_true returns NULL when the check passes, so the guard
+    // aggregate is zero rows of output and the scan stays the hot path.
+    val corpus = tripJsonCorpusPath(spark, dir)
+    val parsed = spark.read.schema(Schemas.trip).option("mode", "FAILFAST")
+      .json(corpus)
+    parsed.unionByName(
+      strictFieldGuard(spark.read.text(corpus), Schemas.trip),
+      allowMissingColumns = false)
       .select(
         col("vin"),
         col("timestamp").as("trip_date"),

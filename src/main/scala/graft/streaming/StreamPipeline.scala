@@ -24,11 +24,16 @@ import graft.sources.JsonConvert
 object StreamPipeline {
 
   /** The conversion stage shared by every entry point: parse a line-stream
-    * against an explicit schema (FAILFAST ≙ bolson's unexpected-field
-    * error), keeping the plan codegen-friendly. */
-  def convert(lines: DataFrame, schema: StructType): DataFrame =
-    lines.select(JsonConvert.parseJson(col("value"), schema).as("rec"))
+    * against an explicit schema, FAILFAST on malformed records. With
+    * `strict` the parse also errors on unexpected fields — bolson's
+    * UnexpectedFieldBehavior::Error (parse/arrow.cpp:89), at the cost of a
+    * second (map-typed) parse; the relaxed default fits trusted/self-
+    * generated corpora where the check is provably vacuous. */
+  def convert(lines: DataFrame, schema: StructType, strict: Boolean = false): DataFrame = {
+    val parse = if (strict) JsonConvert.parseJsonStrict _ else JsonConvert.parseJson _
+    lines.select(parse(col("value"), schema).as("rec"))
       .select("rec.*")
+  }
 
   /** Build the production streaming pipeline against any line source
     * (socket/Kafka/files): conversion → IPC → publisher, via foreachBatch.

@@ -32,12 +32,15 @@ class CliSpec extends SparkSpec {
     feeder.setDaemon(true)
     feeder.start()
 
+    val latFile = s"$outDir/latency.json"
+    val metFile = s"$outDir/metrics.json"
     Main.main(Array("stream",
       "--host", "127.0.0.1", "--port", port.toString,
       "--out", outDir,
       "--schema-ddl", "id BIGINT, v BIGINT",
       "--max-rows", "64", "--seq-col",
-      "--idle-timeout-ms", "4000"))
+      "--idle-timeout-ms", "4000",
+      "--latency", latFile, "--metrics", metFile))
 
     val schema = StructType.fromDDL("id BIGINT, v BIGINT, seq BIGINT")
     val msgs = SparkSpec.session.read.format("binaryFile").load(s"$outDir/*.arrow")
@@ -49,5 +52,17 @@ class CliSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("seq")).toSeq == (0L until n).toSeq,
       "seq contiguous across micro-batches")
     rows.foreach(r => assert(r.getAs[Long]("v") == r.getAs[Long]("id") * 2))
+
+    // --latency / --metrics shutdown dumps (bolson cli.cpp:62-66,92-94):
+    // per-batch samples with our rows accounted for, and per-stage totals
+    val lat = Files.readString(java.nio.file.Paths.get(latFile))
+    assert(lat.startsWith("[") && lat.contains("\"batch_id\""),
+      s"latency dump has per-batch samples: $lat")
+    val sampleRows = "\"input_rows\":(\\d+)".r
+      .findAllMatchIn(lat).map(_.group(1).toLong).sum
+    assert(sampleRows >= n, s"latency samples account for all $n rows: $lat")
+    val met = Files.readString(java.nio.file.Paths.get(metFile))
+    assert(met.contains(s"\"rows_published\":$n"), s"metrics totals: $met")
+    assert(met.contains("\"messages_published\""), s"metrics totals: $met")
   }
 }

@@ -72,6 +72,30 @@ class JsonConvertSpec extends SparkSpec {
     assertThrows[SparkException](parsed.collect())
   }
 
+  test("a2 battery preset errors on an extra field (strict is the preset default)") {
+    // the registered a2 path parses with parseJsonStrict: an extra field in
+    // the wire format must fail exactly like bolson (parse/arrow.cpp:89)
+    val extra = Seq("""{"voltage": [1, 2], "intruder": true}""").toDF("json")
+      .select(JsonConvert.parseJsonStrict(
+        col("json"), JsonConvert.Schemas.battery).as("rec"))
+    val e = intercept[Exception](extra.collect())
+    assert(e.getMessage.contains("intruder") ||
+      Option(e.getCause).exists(_.getMessage.contains("intruder")))
+  }
+
+  test("a3 trip scan guard errors on an extra field, passes clean lines") {
+    val clean = JsonConvert.tripJsonLines(Tables.orders(spark, sfDir))
+      .limit(5).select(col("json").as("value"))
+    assert(JsonConvert.strictFieldGuard(clean, JsonConvert.Schemas.trip)
+      .count() == 0, "guard contributes zero rows on clean input")
+    val dirty = clean.select(
+      concat(expr("rtrim('}', value)"), lit(""","sneaky":1}""")).as("value"))
+    val e = intercept[Exception](
+      JsonConvert.strictFieldGuard(dirty, JsonConvert.Schemas.trip).count())
+    assert(e.getMessage.contains("sneaky") ||
+      Option(e.getCause).exists(_.getMessage.contains("sneaky")))
+  }
+
   test("strict mode errors on unexpected fields (UnexpectedFieldBehavior::Error)") {
     val ok = Seq("""{"voltage": [1, 2]}""").toDF("json")
       .select(JsonConvert.parseJsonStrict(col("json"), JsonConvert.Schemas.battery).as("rec"))
