@@ -63,6 +63,25 @@ object Dedup {
   private def jaccardCol(ni: Column, na: Column, nb: Column): Column =
     round(ni.cast("double") / (na + nb - ni), 6)
 
+  /** Per-JVM memoized shingle table: [[shingleRows]] materialized once per
+    * data dir to scratch parquet and read back. The shingle subtree feeds
+    * three consumers in c2 (minhash agg + both verify-join sides) and two
+    * in c4 — without this seam the scan+split+explode+distinct subtree
+    * executes once per consumer. At 100 TB this is exactly "persist the
+    * shingle table", here in its single-node form; pipelines that manage
+    * their own shingle store pass it to [[c2DedupMinhash]] directly. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def shingleTablePath(spark: SparkSession, dir: String,
+                                      n: Int = 3): String =
+    shingleCache.computeIfAbsent(s"$dir#$n", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"shingles-$n-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      shingleRows(Tables.documents(spark, dir), n)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** c2: MinHash + LSH near-duplicate pairs.
     *
     * k=8 md5 minhashes over word-3-shingles, banded 4×2: docs sharing any
@@ -72,13 +91,16 @@ object Dedup {
     * md5 (not xxhash) so the DuckDB oracle reproduces buckets bit-for-bit.
     */
   def c2DedupMinhash(spark: SparkSession, dir: String,
-                     k: Int = 8, bands: Int = 4): DataFrame = {
+                     k: Int = 8, bands: Int = 4,
+                     shingleTable: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = k / bands
     // the shingle subtree feeds three consumers (minhash agg + both sides
-    // of the verify join); recomputation is accepted — localCheckpoint was
-    // measured slower here and breaks on re-execution (stale accumulators),
-    // and at 100 TB the explicit answer is persisting the shingle table
-    val sh = shingleRows(Tables.documents(spark, dir))
+    // of the verify join): read the materialized shingle table (see
+    // [[shingleTablePath]]) so each consumer scans a small parquet instead
+    // of recomputing scan+shingle+distinct. Callers with their own shingle
+    // store (the 100 TB shape) inject it via `shingleTable`.
+    val sh = shingleTable.getOrElse(
+      spark.read.parquet(shingleTablePath(spark, dir)))
 
     // k minhashes + the set size in ONE codegen'd hash-aggregate over the
     // shingle rows (a separate sizes pass would recompute the scan+shingle
@@ -185,7 +207,7 @@ object Dedup {
     * reproduce it; production candidate pairs come from c2/c3 banding and
     * reuse the same jaccard column expression. */
   def c4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(Tables.documents(spark, dir))
+    val ex = spark.read.parquet(shingleTablePath(spark, dir))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
       .join(sizes.select((col("doc_id") - 1).as("doc_a"),

@@ -26,6 +26,17 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c2 output is identical with and without the shingle-reuse seam") {
+    // default path reads the memoized materialized shingle table; injecting
+    // the live (recomputed) shingle subtree must produce the same rows
+    val viaTable = Dedup.c2DedupMinhash(spark, sfDir)
+    val viaLive = Dedup.c2DedupMinhash(spark, sfDir,
+      shingleTable = Some(Dedup.shingleRows(Tables.documents(spark, sfDir))))
+    assert(viaTable.exceptAll(viaLive).count() == 0 &&
+      viaLive.exceptAll(viaTable).count() == 0,
+      "shingle reuse must not change c2 results")
+  }
+
   test("c2 minhash jaccard is exact on a known pair") {
     import spark.implicits._
     // doc 1/2 share exactly 1 of their (3+3-1=5... ) shingles: verify value
