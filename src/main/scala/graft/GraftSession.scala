@@ -40,15 +40,26 @@ object GraftSession {
   /** Per-JVM scratch directory under java.io.tmpdir, cleared on each call.
     * The PID suffix keeps concurrent JVMs (driver bench + verify) from
     * racing on one shared path; within a JVM repeated runs reuse (and
-    * clear) the same dir instead of leaking one dataset per invocation. */
+    * clear) the same dir instead of leaking one dataset per invocation.
+    * Every dir is registered for removal on JVM exit, so repeated
+    * bench/verify JVMs don't accumulate scratch datasets in /tmp. */
   def scratchDir(name: String): java.io.File = {
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-$name-${ProcessHandle.current().pid()}")
     if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
     else if (f.exists()) f.delete() // a regular file squatting on the path
     f.mkdirs()
+    registerCleanup(f)
     f
   }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(f: java.io.File): Unit =
+    if (cleanupRegistered.add(f.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(f)))
+      ()
+    }
 
   private def deleteRecursive(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursive)

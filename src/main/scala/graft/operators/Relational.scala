@@ -203,11 +203,16 @@ object Relational {
     * among right rows resolve to the largest `valueCol`. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
                valueCol: String, asofName: String, asofTime: String): DataFrame = {
-    // the bigint cast below would silently turn a non-numeric valueCol into
-    // all-null as-of values (and tie-breaks would rank on nulls) — fail loudly
+    // the bigint cast below would silently corrupt a non-integral valueCol:
+    // non-numerics go all-null, double/decimal get truncated (both the
+    // returned value and the tie-break ranking) — fail loudly instead
     val vt = right.schema(valueCol).dataType
-    require(vt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"asofJoin valueCol '$valueCol' must be numeric, got ${vt.simpleString}")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(vt),
+      s"asofJoin valueCol '$valueCol' must be integral (byte/short/int/long), " +
+        s"got ${vt.simpleString}")
     val l = left.select(col(key), col(timeCol), lit(1).as("__tag"),
       lit(null).cast("bigint").as("__v"), lit(null).cast("bigint").as("__vt"),
       struct(left.columns.map(col): _*).as("__row"))
@@ -267,6 +272,32 @@ object Relational {
       .select(col("click_id"), col("user_id"), col("click_ts_us"),
         col("purchase_id"), col("purchase_ts_us"))
       .orderBy("click_id", "purchase_id")
+  }
+
+  /** Keyless interval join at scale (the b15 note made real): joins every
+    * left row to the right rows with `rightTime` in
+    * [`leftTime`, `leftTime` + windowUs], with NO equality key — the case
+    * where a naive range predicate plans a BroadcastNestedLoopJoin
+    * (O(n·m) compares, one broadcast side: dead at 100 TB). Bucketing time
+    * into window-length buckets turns it into a hash equi-join: a right
+    * row at time s lives in bucket ⌊s/W⌋; a left row at time t can only
+    * match buckets ⌊t/W⌋ and ⌊t/W⌋+1, so the left side explodes to those
+    * two bucket keys (2× one side, vs n× the other in a nested loop) and
+    * the exact range predicate post-filters the bucket collisions. The
+    * shuffle is hash(bucket) — time-local rows co-locate, and skew in one
+    * time bucket is AQE-splittable like any hot hash key.
+    * Column names must be disjoint (pre-alias as for any join). */
+  def keylessRangeJoin(left: DataFrame, right: DataFrame,
+                       leftTime: String, rightTime: String,
+                       windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    val b = floor(col(leftTime) / windowUs)
+    val lb = left.withColumn("__bucket", explode(array(b, b + 1)))
+    val rb = right.withColumn("__bucket", floor(col(rightTime) / windowUs))
+    lb.join(rb, "__bucket")
+      .filter(col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + windowUs)
+      .drop("__bucket")
   }
 
   /** b16: approximate distinct counting — HLL++ next to the exact count.

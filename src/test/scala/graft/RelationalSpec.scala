@@ -94,6 +94,15 @@ class RelationalSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected a single key shuffle, got $shuffles:\n$plan")
   }
 
+  test("asofJoin rejects non-integral valueCols instead of silently truncating") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 1.75)).toDF("k", "t", "price")
+    val e = intercept[IllegalArgumentException](
+      Relational.asofJoin(l, r, "k", "t", "price", "asof_price", "asof_t"))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("b15 range join pairs all satisfy the interval predicate, and none are missed") {
     val within = 30L * 60 * 1000 * 1000
     val rows = Relational.b15RangeJoin(spark, sfDir).collect()

@@ -26,6 +26,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(direct.count() == salted.count())
   }
 
+  test("keylessRangeJoin matches the nested-loop result and plans no nested loop") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+      .limit(200)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("purchase_ts"))
+    val windowUs = 60L * 1000 * 1000 // 1 minute: keeps the pair count sane
+    val bucketed = Relational.keylessRangeJoin(clicks, buys,
+      "click_ts", "purchase_ts", windowUs)
+    // no equality key anywhere: the reference result is the nested loop
+    val naive = clicks.join(buys,
+      col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + windowUs)
+    assert(bucketed.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(bucketed).count() == 0,
+      "bucketed keyless range join must equal the nested-loop result")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"keyless range join must be an equi-join on the time bucket:\n$plan")
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "sanity: the naive predicate really does plan a nested loop")
+  }
+
   test("co-bucketed tables join without any shuffle exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
