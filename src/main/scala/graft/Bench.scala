@@ -18,6 +18,55 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Socket ingest micro-bench (≙ bolson `bench client`): a feeder thread
+    * streams the pre-materialized events ND-JSON corpus through a local TCP
+    * socket; the socket source + convert stage drain it. Returns
+    * (MB/s, rows/s) over the wall time from query start to full drain —
+    * the wire-in path `graft.Main stream` runs in production. */
+  private def benchIngest(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): (Double, Double) = {
+    val corpus = StreamPipeline.eventsJsonCorpusPath(spark, sfDir)
+    val files = new java.io.File(corpus).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val totalBytes = files.map(_.length).sum.toDouble
+    val expected = Tables.events(spark, sfDir).count()
+    val ev0 = Tables.events(spark, sfDir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    val server = new java.net.ServerSocket(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+      files.foreach(f => java.nio.file.Files.copy(f.toPath, out))
+      out.flush()
+      Thread.sleep(120000) // keep the connection open until the bench stops
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val t0 = System.nanoTime()
+    val lines = spark.readStream.format("socket")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString).load()
+    val q = StreamPipeline.convert(lines, ev0.schema).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) => rows.addAndGet(b.count()); () }
+      .start()
+    while (rows.get() < expected && (System.nanoTime() - t0) < 120e9) {
+      q.processAllAvailable()
+      Thread.sleep(10)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    server.close()
+    spark.streams.resetTerminated()
+    require(rows.get() == expected,
+      s"ingest bench drained ${rows.get()} of $expected rows")
+    (totalBytes / 1e6 / sec, expected / sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -93,6 +142,12 @@ object Bench {
     val pubMsgsPerS = nMsgs / perMsgSec
     val pubBatchedMsgsPerS = nMsgs / batchedSec
 
+    // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
+    // TCP receive throughput): a local feeder thread blasts the events
+    // ND-JSON corpus through a socket; the socket source + full convert
+    // stage drain it. Measures the wire-in path the stream CLI runs.
+    val ingest = benchIngest(spark, sfDir)
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // failed queries carry a -1 sentinel in `queries`; exclude from total
@@ -100,7 +155,7 @@ object Bench {
     spark.stop()
     // printed AFTER spark.stop() and flushed: the one JSON line is the
     // last thing on stdout, with nothing able to interleave
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}""")
     System.out.flush()
   }
 }
