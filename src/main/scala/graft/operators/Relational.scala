@@ -13,7 +13,14 @@ import graft.Tables
   * join selection, and partial aggregation. Numeric aggregates are computed
   * in decimal so results are bit-exact across engines (the DuckDB oracle
   * compares value hashes); raw doubles are only passed through, never
-  * accumulated. Every query ends in a deterministic ORDER BY.
+  * accumulated. The FINAL value of a decimal aggregate is cast to double on
+  * both sides: emitting a decimal-typed column hash-fails the driver gate
+  * whenever a value has a trailing zero digit (Spark parquet keeps the
+  * decimal scale — `101951.00` — while DuckDB's result surfaces as float64
+  * `101951.0`), and the exact-decimal→double conversion is the identical
+  * nearest double in both engines. Timestamps are emitted as integer
+  * epoch-micros for the same reason (Spark writes timestamp[ns] parquet,
+  * DuckDB yields [us]). Every query ends in a deterministic ORDER BY.
   */
 object Relational {
 
@@ -53,8 +60,8 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity").cast("bigint")).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(discPrice).cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec12_2)).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
         max(col("l_quantity").cast("bigint")).as("max_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -71,7 +78,7 @@ object Relational {
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(discPrice).cast(DecimalType(38, 4)).as("revenue"),
+      .agg(sum(discPrice).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
@@ -136,7 +143,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_large"),
-        sum(col("value").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(dec12_2)).cast("double").as("sum_value"))
       .filter(col("n_events") > 10)
       .orderBy("event_type")
 
@@ -144,10 +151,10 @@ object Relational {
     * the batch shape of Structured Streaming's window(ts, '1 hour'). */
   def b10TimeWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_value"))
-      .orderBy("hour", "event_type")
+        sum(col("value").cast(dec12_2)).cast("double").as("sum_value"))
+      .orderBy("hour_us", "event_type")
 
   /** b11: hierarchical aggregates via ROLLUP (region → nation → total). */
   def b11GroupingSets(spark: SparkSession, dir: String): DataFrame = {
@@ -158,7 +165,7 @@ object Relational {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        sum(col("c_acctbal").cast(dec12_2)).cast(DecimalType(38, 2)).as("sum_acctbal"))
+        sum(col("c_acctbal").cast(dec12_2)).cast("double").as("sum_acctbal"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         col("n_cust"), col("sum_acctbal"))

@@ -23,8 +23,8 @@ class RelationalSpec extends SparkSpec {
 
   test("b3 revenue per nation covers all customer nations and sorts by revenue") {
     val rows = Relational.b3JoinMultiway(spark, sfDir).collect()
-    val revs = rows.map(_.getDecimal(1))
-    assert(revs.zip(revs.tail).forall { case (a, b) => a.compareTo(b) >= 0 })
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
   test("b4 top-k returns exactly k in descending order") {
