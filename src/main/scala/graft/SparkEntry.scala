@@ -72,6 +72,9 @@ object SparkEntry {
     "c16_tfidf" -> (TextOps.c16Tfidf _),
     "c17_stratified_sample" -> (TextOps.c17StratifiedSample _),
     "c18_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.c18AnnIvf(s, d)),
+    "c19_dedup_cluster" -> (Dedup.c19DedupCluster _),
+    "c20_pii_scrub" -> (TextOps.c20PiiScrub _),
+    "c21_repetition_ratio" -> (TextOps.c21RepetitionRatio _),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -427,6 +430,66 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, cell, round(cosine, 6) AS cosine_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "c19_dedup_cluster" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |shl AS (SELECT doc_id, count(*) AS ns, list(shingle) AS sl FROM sh GROUP BY doc_id),
+        |mh AS (SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        |  FROM sh GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM mh
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mh
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mh
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mh),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jp AS (SELECT p.doc_a, p.doc_b FROM pr p
+        |       JOIN shl za ON za.doc_id = p.doc_a
+        |       JOIN shl zb ON zb.doc_id = p.doc_b
+        |       WHERE round(CAST(len(list_filter(za.sl, x -> list_contains(zb.sl, x))) AS DOUBLE)
+        |             / (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))), 6) >= 0.5),
+        |ed AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |       UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (SELECT u, v FROM ed
+        |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+        |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
+        |  least(COALESCE(l.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "c20_pii_scrub" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS full_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(full_text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(full_text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS scrub_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "c21_repetition_ratio" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |tot AS (SELECT doc_id, len(tk) - 2 AS n_grams FROM tok WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |dc AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |  CAST(dc.n_distinct AS BIGINT) AS n_distinct,
+        |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) AS dup_ratio,
+        |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) > 0.2 AS flagged
+        |FROM tot t JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c13_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |x AS (SELECT user_id, event_id, us,

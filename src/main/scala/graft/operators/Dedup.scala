@@ -202,6 +202,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the last mile of near-dup dedup: LSH emits
+    * PAIRS, but dropping duplicates needs CLUSTERS (one canonical doc per
+    * component). Each iteration is two narrow shuffles (neighbor-min
+    * groupBy + label join) moving O(edges) rows of two bigints; the
+    * iteration count is the component diameter, and near-dup components
+    * are band-bucket cliques of diameter ~1-2, so 2-3 iterations converge.
+    * `maxIter` bounds adversarial chains; the published scale-up for
+    * high-diameter graphs is the large-star/small-star alternation
+    * (Kiveris et al., MapReduce connected components), which swaps into
+    * this seam without changing the contract. Labels persist per iteration
+    * (lineage stays flat) and the superseded generation unpersists; the
+    * per-iteration convergence count is an aggregate over O(nodes) rows —
+    * the only driver-visible values are that single count per iteration.
+    *
+    * Input columns `u`, `v`; output (node, cluster_id = min node id
+    * reachable). */
+  private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    var iter = 0
+    var done = labels.isEmpty
+    while (!done && iter < maxIter) {
+      val nbrMin = und.join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy("u").agg(min("lbl").as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("node"), col("nbr_lbl")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val changed = next.select(col("node"), col("lbl").as("new_lbl"))
+        .join(labels, "node")
+        .filter(col("new_lbl") < col("lbl")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
+  /** c19: near-duplicate CLUSTERS — c2's MinHash/LSH pairs at
+    * jaccard ≥ 0.5 (threshold applied to the 6-dp-rounded value, so both
+    * engines agree on membership) fed through [[connectedComponents]];
+    * every document gets a cluster_id (its own id when it has no
+    * near-dups) and `is_canonical` marks the one row per cluster a dedup
+    * pipeline keeps. */
+  def c19DedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = c2DedupMinhash(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** c4: token-3-gram Jaccard over adjacent-id candidate pairs. The pair
     * generator here is deliberately trivial (id, id+1) so the oracle can
     * reproduce it; production candidate pairs come from c2/c3 banding and

@@ -119,6 +119,76 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by the scrubber and its spec. Deliberately plain
+    * character-class regexes — identical semantics under Java regex (Spark)
+    * and RE2 (DuckDB), no lookarounds or backrefs. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val Ipv4Re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** Redacts emails → `<EMAIL>`, then phones → `<PHONE>`, then IPv4 →
+    * `<IP>` (order matters: the generic IP pattern must not see digits the
+    * earlier patterns own). Pure codegen'd string expressions. */
+  private[graft] def piiScrubbed(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+
+  /** c20: PII scrubbing — per-doc match counts for email/phone/IPv4
+    * patterns plus the md5 of the redacted text (the hash pins the exact
+    * redacted bytes without shipping the body through the gate). The test
+    * corpus carries no PII, so each doc is suffixed with a deterministic
+    * synthetic contact line (a pure function of doc_id, reproduced
+    * verbatim by the oracle) — the regexes run against real surrounding
+    * text and provably find exactly the planted values. */
+  def c20PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val full = concat(
+      col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(full, lit(EmailRe)).cast("bigint").as("n_emails"),
+        regexp_count(full, lit(PhoneRe)).cast("bigint").as("n_phones"),
+        regexp_count(full, lit(Ipv4Re)).cast("bigint").as("n_ips"),
+        md5(piiScrubbed(full)).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition scoring over a (doc_id, text) frame and its distinct-
+    * shingle table: duplicate 3-gram fraction (1 − distinct/total), the
+    * Gopher-style repetitious-text quality signal. The ratio is one double
+    * division of exact integers, rounded to 6 dp; the flag thresholds the
+    * ROUNDED value so row membership can't flip on a last-ulp
+    * disagreement. Docs under 3 tokens have no 3-grams and are excluded
+    * (in both engines). */
+  private[graft] def repetitionRatio(docs: DataFrame, sh: DataFrame): DataFrame = {
+    val distinctCnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    docs
+      .select(col("doc_id"),
+        (size(words(lower(col("text")))) - 2).cast("bigint").as("n_grams"))
+      .filter(col("n_grams") >= 1)
+      .join(distinctCnt, "doc_id")
+      .withColumn("dup_ratio",
+        round(lit(1) - col("n_distinct").cast("double") / col("n_grams"), 6))
+      .withColumn("flagged", col("dup_ratio") > 0.2)
+      .select("doc_id", "n_grams", "n_distinct", "dup_ratio", "flagged")
+      .orderBy("doc_id")
+  }
+
+  /** c21: repetition ratio over the documents table, reusing the memoized
+    * distinct-shingle table c2/c4 already materialize (one scan serves all
+    * three operators). */
+  def c21RepetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    repetitionRatio(
+      Tables.documents(spark, dir),
+      spark.read.parquet(Dedup.shingleTablePath(spark, dir)))
+
   /** c17: stratified deterministic sampling — per-stratum (language) rates
     * applied via a content-hash bucket, the scale-safe sampler: a pure
     * function of the text (stable under re-partitioning, re-runs, and

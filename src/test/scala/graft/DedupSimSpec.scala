@@ -171,6 +171,37 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c19 connected components: min-label propagation finds exact components") {
+    import spark.implicits._
+    // path 1-2-3 (diameter 2, needs >1 iteration), pair 10-11, singleton 99
+    // absent (nodes not in edges don't appear in the output)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("c19 dedup clusters: pairs land in one cluster, canonicals are minima") {
+    val out = Dedup.c19DedupCluster(spark, sfDir).collect()
+    val cluster = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cluster.size == Tables.documents(spark, sfDir).count(),
+      "every document gets a cluster row")
+    // every ≥0.5-jaccard pair must share a cluster
+    val pairs = Dedup.c2DedupMinhash(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).collect()
+    assert(pairs.nonEmpty, "corpus has near-dup pairs to cluster")
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the min member; is_canonical marks exactly that member
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("is_canonical") ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+    }
+  }
+
   test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
     val ev = Tables.events(spark, sfDir)
     val sessions = Relational.c13Sessionize(spark, sfDir)

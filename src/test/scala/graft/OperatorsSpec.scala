@@ -64,6 +64,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c20 pii scrub: redacts a known PII string exactly, in pattern order") {
+    import spark.implicits._
+    val df = Seq("mail bob.smith+x@corp.example.org call +1-555-0042 host 192.168.1.7 done")
+      .toDF("s")
+      .select(TextOps.piiScrubbed(col("s")).as("scrubbed"))
+    assert(df.collect().head.getString(0) ==
+      "mail <EMAIL> call <PHONE> host <IP> done")
+  }
+
+  test("c20 pii scrub over documents: exactly one planted hit per pattern") {
+    val rows = TextOps.c20PiiScrub(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L, "one planted email")
+      assert(r.getAs[Long]("n_phones") == 1L, "one planted phone")
+      assert(r.getAs[Long]("n_ips") == 1L, "one planted ip")
+    }
+  }
+
+  test("c21 repetition ratio: exact on a handmade repetitive doc") {
+    import spark.implicits._
+    // "a b a b a b": 4 3-grams total, 2 distinct → dup_ratio 0.5, flagged
+    val docs = Seq((1L, "a b a b a b"), (2L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val got = TextOps.repetitionRatio(docs, Dedup.shingleRows(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("dup_ratio"), r.getAs[Boolean]("flagged"))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, true)))
+    assert(got(2L) == ((2L, 2L, 0.0, false)))
+  }
+
   test("c17 stratified sample: deterministic, and en is sampled ~half the others' rate") {
     val s1 = TextOps.c17StratifiedSample(spark, sfDir).collect()
     val s2 = TextOps.c17StratifiedSample(spark, sfDir).collect()
