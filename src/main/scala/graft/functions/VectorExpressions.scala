@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // un-cast inputs (e.g. a float32 embedding column) would be garbage
       (children: Seq[Expression]) => CosineSimilarity(
         castToDoubleArray(children.head), castToDoubleArray(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 
   private def castToDoubleArray(e: Expression): Expression =

@@ -140,9 +140,18 @@ object Dedup {
 
   /** 64-bit SimHash over a (doc_id, text) frame: each distinct lowercase
     * token votes ±1 on every bit of its xxhash64; the sign of each bit's
-    * vote total becomes that simhash bit. One explode + one groupBy —
-    * O(tokens) work, single shuffle on doc_id. */
-  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    * vote total becomes that simhash bit. Computed by the native codegen'd
+    * [[graft.functions.SimHash64]] expression — one projection, no explode
+    * shuffle, no wide aggregate (and the same expression serves streams,
+    * where the explode+groupBy shape would be a second stateful operator). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+
+  /** The pre-expression explode+groupBy formulation of [[simhashOf]] —
+    * kept as the independent re-derivation the parity spec checks the
+    * native expression against, bit for bit. */
+  private[graft] def simhashOfExploded(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))

@@ -27,6 +27,18 @@ case class SessionState(start_us: Long, end_us: Long, n: Long)
   * early. Bounded by the watermark delay: O(delay / gap) entries. */
 case class SessionsState(sessions: List[SessionState])
 
+/** One per-bucket verdict of the d6 near-dup filter (4 per doc, one per
+  * simhash segment). dup_of = Long.MaxValue ⇔ no prior near-dup in this
+  * bucket. */
+case class BucketVerdict(doc_id: Long, ts_us: Long, dup_of: Long)
+
+/** One remembered document in a d6 bucket's state. */
+case class SeenDoc(simhash: Long, doc_id: Long, ts_us: Long)
+
+/** Per-bucket d6 state: the admissible docs this bucket has seen, bounded
+  * by the watermark horizon. */
+case class BucketState(entries: List[SeenDoc])
+
 object StreamOps {
 
   /** d2: tumbling event-time window with late-data watermark. In append
@@ -70,6 +82,92 @@ object StreamOps {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stage 1 of d6: per-segment-bucket near-dup verdicts. Each doc's
+    * 64-bit simhash (the native codegen'd expression — per-row, so it
+    * needs NO stateful aggregate, unlike the batch explode+groupBy shape)
+    * splits into 4×16-bit segments; a hamming≤3 pair shares at least one
+    * intact segment, so routing every doc to its 4 segment buckets and
+    * comparing only within a bucket finds every such pair while state and
+    * shuffle stay O(docs·4) — the streaming form of c3's banding, never
+    * all-pairs. In-batch rows process in (ts_us, doc_id) order so results
+    * don't depend on micro-batch partition arrival. Bucket entries older
+    * than the watermark evict — a doc re-emitted later than the delay is
+    * treated as new, the same at-least-once trade-off d5 documents. */
+  private[graft] def nearDupVerdicts(docs: DataFrame, watermarkDelay: String,
+                                     maxHamming: Int): Dataset[BucketVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("ts_us"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      // bucket key packs (segment index, segment value) into one long
+      // keep the watermark-tagged `ts` column through the stateful op —
+      // dropping it here fails the streaming checker (event-time timeout
+      // needs a watermarked column in scope)
+      .select(col("doc_id"), col("ts_us"), col("simhash"), col("ts"),
+        explode(array((0 until 4).map(j =>
+          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL) +
+            lit(j.toLong << 16)): _*)).as("bucket"))
+      .as[(Long, Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._5)
+      .flatMapGroupsWithState[BucketState, BucketVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[BucketState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = List.newBuilder[BucketVerdict]
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(r => (r._2, r._1)).foreach {
+              case (docId, tsUs, simhash, _, _) =>
+                val matches = entries.filter(e => e.doc_id != docId &&
+                  java.lang.Long.bitCount(e.simhash ^ simhash) <= maxHamming)
+                val dupOf =
+                  if (matches.isEmpty) Long.MaxValue else matches.map(_.doc_id).min
+                out += BucketVerdict(docId, tsUs, dupOf)
+                entries = SeenDoc(simhash, docId, tsUs) :: entries
+            }
+          }
+          val kept = entries.filter(_.ts_us >= wmMs * 1000L)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(BucketState(kept))
+            // final cleanup fires once the watermark passes every entry
+            val lastAliveMs = kept.map(_.ts_us).max / 1000L + 1
+            state.setTimeoutTimestamp(math.max(lastAliveMs, wmMs + 1))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** d6: streaming near-duplicate detection — the streaming twin of c3's
+    * SimHash banding. Two chained stateful operators (supported in append
+    * mode): the bucket stage emits 4 verdicts per doc, then a watermarked
+    * event-time aggregate folds them into one row per doc
+    * (min dup_of across buckets), emitting once the watermark passes the
+    * doc's timestamp. Output: (doc_id, ts_us, is_dup, dup_of — null when
+    * clean); a dedup pipeline drops is_dup rows.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: the checker conservatively flags ANY aggregate after
+    * flatMapGroupsWithState because it cannot reason about what event
+    * times the state function emits. This topology cannot produce a late
+    * row: every verdict carries its doc's original event time, is emitted
+    * in the batch the doc arrives (timeouts emit nothing), and both
+    * stages share the global watermark — a row admitted upstream
+    * (ts ≥ watermark) is by construction not late downstream. */
+  def streamNearDup(docs: DataFrame, watermarkDelay: String = "10 minutes",
+                    maxHamming: Int = 3): DataFrame =
+    nearDupVerdicts(docs, watermarkDelay, maxHamming).toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(min(col("dup_of")).as("min_dup"))
+      .select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("min_dup") =!= Long.MaxValue).as("is_dup"),
+        when(col("min_dup") =!= Long.MaxValue, col("min_dup")).as("dup_of"))
 
   /** Gap-merge a set of sessions (single events arrive as n=1 sessions):
     * sort by start, fold, coalescing any session that starts within `gap`

@@ -49,6 +49,17 @@ class DedupSimSpec extends SparkSpec {
     assert(sets(1L) == sets(3L))
   }
 
+  test("native simhash64 expression matches the explode+groupBy derivation bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(docsDf(Seq( // edge shapes: double space, single token, case
+        (9001L, "a  b"), (9002L, "solo"), (9003L, "MiXeD CaSe MiXeD"))))
+    val viaExpr = Dedup.simhashOf(docs)
+    val viaExplode = Dedup.simhashOfExploded(docs)
+    assert(viaExpr.exceptAll(viaExplode).count() == 0 &&
+      viaExplode.exceptAll(viaExpr).count() == 0,
+      "expression and aggregate formulations must agree exactly")
+  }
+
   test("c3 simhash: identical texts hash identically; banding finds them") {
     val docs = docsDf(Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -170,6 +170,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d6: streaming near-dup flags an identical later doc, in and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60L * 1000 * 1000
+    val stream = MemoryStream[(Long, String, Long)]
+    // see streamNearDup scaladoc: the FMGWS→agg chain trips the
+    // conservative global-watermark checker though no late row is possible
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkKey, "false")
+    val q = StreamOps.streamNearDup(
+        stream.toDF().toDF("doc_id", "text", "ts_us"), watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("d6_sink").start()
+    try {
+      // doc 1 and doc 2 identical (hamming 0) IN THE SAME BATCH;
+      // doc 3 unrelated
+      // start at t=100min: a doc exactly AT the initial watermark (0) would
+      // be boundary-dropped by the downstream stateful aggregate
+      stream.addData(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta", 100 * min),
+        (2L, "alpha beta gamma delta epsilon zeta", 101 * min),
+        (3L, "totally different words here entirely now", 102 * min)))
+      q.processAllAvailable()
+      // doc 4: identical again, a LATER micro-batch (state path)
+      stream.addData(Seq((4L, "alpha beta gamma delta epsilon zeta", 103 * min)))
+      q.processAllAvailable()
+      // flush both stateful stages
+      stream.addData(Seq((98L, "flush one", 600 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq((99L, "flush two", 1200 * min)))
+      q.processAllAvailable()
+      val got = spark.table("d6_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("is_dup"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong))).toMap
+      assert(got(1L) == ((false, None)), s"first copy is clean, got ${got(1L)}")
+      assert(got(2L) == ((true, Some(1L))), s"in-batch dup, got ${got(2L)}")
+      assert(got(3L) == ((false, None)), s"unrelated doc clean, got ${got(3L)}")
+      assert(got(4L) == ((true, Some(1L))), s"cross-batch dup vs state, got ${got(4L)}")
+    } finally {
+      q.stop()
+      spark.conf.unset(checkKey)
+    }
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
