@@ -54,6 +54,33 @@ class ScaleOpsSpec extends SparkSpec {
       "sanity: the naive predicate really does plan a nested loop")
   }
 
+  test("new c-series operators keep scale-safe plan shapes") {
+    import graft.operators.{Dedup, TextOps}
+    // c19: candidate generation + clustering must never plan a cross join
+    val c19 = Dedup.c19DedupCluster(spark, sfDir)
+    val p19 = c19.queryExecution.executedPlan.toString
+    assert(!p19.contains("CartesianProduct") && !p19.contains("BroadcastNestedLoopJoin"),
+      s"c19 must stay equi-join only:\n$p19")
+    // c20/c21: single-scan shapes, whole-stage codegen'd projections
+    // (run first: AQE only materializes codegen spans in the final plan)
+    val c20 = TextOps.c20PiiScrub(spark, sfDir)
+    c20.collect()
+    val p20 = c20.queryExecution.executedPlan.toString
+    // whole-stage codegen renders as a "*(n) " stage prefix in plan strings
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p20).nonEmpty,
+      s"c20's projection must be inside whole-stage codegen:\n$p20")
+    assert(!p20.contains("Exchange hashpartitioning"),
+      s"c20 is per-row — no shuffle before the gate sort:\n$p20")
+    val p21 = TextOps.c21RepetitionRatio(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"c21 joins on doc_id only:\n$p21")
+    // native simhash: one codegen'd projection, no explode/aggregate
+    val pSim = Dedup.simhashOf(Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!pSim.contains("Generate explode") && !pSim.contains("HashAggregate"),
+      s"native simhash must not explode or aggregate:\n$pSim")
+  }
+
   test("co-bucketed tables join without any shuffle exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
