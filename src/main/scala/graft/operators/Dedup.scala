@@ -238,21 +238,24 @@ object Dedup {
       .persist()
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node")).persist()
+    var cached = labels // the persisted frame backing `labels`
     var iter = 0
     var done = labels.isEmpty
     while (!done && iter < maxIter) {
       val nbrMin = und.join(labels.select(col("node").as("v"), col("lbl")), "v")
         .groupBy("u").agg(min("lbl").as("nbr_lbl"))
-      val next = labels
+      // carry old and new labels in ONE persisted frame: the convergence
+      // count then filters it directly instead of re-joining next⋈labels
+      // (one fewer shuffle join per iteration)
+      val step = labels
         .join(nbrMin.select(col("u").as("node"), col("nbr_lbl")), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
-      val changed = next.select(col("node"), col("lbl").as("new_lbl"))
-        .join(labels, "node")
-        .filter(col("new_lbl") < col("lbl")).count()
-      labels.unpersist()
-      labels = next
+      val changed = step.filter(col("lbl") < col("old_lbl")).count()
+      cached.unpersist()
+      cached = step
+      labels = step.select(col("node"), col("lbl"))
       done = changed == 0
       iter += 1
     }
