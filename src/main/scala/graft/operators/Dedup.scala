@@ -175,8 +175,21 @@ object Dedup {
     * lexicographically exact for hex, so DuckDB reproduces every bit and
     * the query is fully oracled). The 64-bit xxhash64 variant in
     * [[simhashOf]]/[[simhashPairs]] is the cheaper production path. */
-  def c3DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def c3DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash32md5(col("text")).as("simhash"))
+      .select(col("doc_id") +: col("simhash") +:
+        (0 until 4).map(j =>
+          shiftright(col("simhash"), j * 8).bitwiseAND(0xFFL).as(s"seg$j")): _*)
+      .orderBy("doc_id")
+
+  /** The pre-expression explode + 32-conditional-sum formulation of c3's
+    * simhash — the independent re-derivation the parity spec checks
+    * [[graft.functions.SimHash32Md5]] against (the DuckDB oracle is a
+    * second independent check of the same bits). */
+  private[graft] def simhash32Exploded(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .withColumn("h", md5(col("tok")))
@@ -187,10 +200,6 @@ object Dedup {
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), hash.as("simhash"))
-      .select(col("doc_id") +: col("simhash") +:
-        (0 until 4).map(j =>
-          shiftright(col("simhash"), j * 8).bitwiseAND(0xFFL).as(s"seg$j")): _*)
-      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs for a (doc_id, text) frame: segment-banded

@@ -60,6 +60,18 @@ class DedupSimSpec extends SparkSpec {
       "expression and aggregate formulations must agree exactly")
   }
 
+  test("native simhash32md5 expression matches the explode+groupBy derivation bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(docsDf(Seq(
+        (9001L, "a  b"), (9002L, "solo"), (9003L, "MiXeD CaSe MiXeD"))))
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash32md5(col("text")).as("simhash"))
+    val viaExplode = Dedup.simhash32Exploded(docs)
+    assert(viaExpr.exceptAll(viaExplode).count() == 0 &&
+      viaExplode.exceptAll(viaExpr).count() == 0,
+      "expression and aggregate formulations must agree exactly")
+  }
+
   test("c3 simhash: identical texts hash identically; banding finds them") {
     val docs = docsDf(Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
