@@ -66,20 +66,27 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** b3: multiway join — revenue per nation. Dimension tables (nation,
-    * customer at this scale) broadcast; the lineitem⋈orders fact-fact join
-    * shuffles on orderkey with AQE skew handling. */
+  /** b3: multiway join — revenue per nation. Eager aggregation: lineitem
+    * revenue pre-aggregates per orderkey BELOW the fact-fact join (exact —
+    * decimal addition reorders losslessly, so the final per-nation sums
+    * are bit-identical), shrinking the join's shuffle from one row per
+    * lineitem to one per order (~4× fewer, and narrow). Catalyst doesn't
+    * push aggregates through joins itself; at 100 TB this is the
+    * difference between shuffling the fact table and shuffling its
+    * per-key summary. Dimensions broadcast; AQE handles skew. */
   def b3JoinMultiway(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(discPrice).as("o_rev"), count(lit(1)).as("o_items"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = broadcast(Tables.nation(spark, dir))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(discPrice).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("o_rev")).cast("double").as("revenue"),
+        sum(col("o_items")).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
 

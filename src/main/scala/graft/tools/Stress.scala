@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
 import graft.ipc.ArrowIpc
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextOps}
 import graft.streaming.StreamPipeline
 
 /** Scaling-cliff probe (dev aid): replicates the sf0.1 tables ×N with
@@ -46,6 +46,9 @@ object Stress {
 
     time("c2 minhash")(Dedup.c2DedupMinhash(spark, base).count())
     time("c3 simhash")(Dedup.c3DedupSimhash(spark, base).count())
+    time("c19 cluster")(Dedup.c19DedupCluster(spark, base).count())
+    time("c20 pii scrub")(TextOps.c20PiiScrub(spark, base).count())
+    time("c21 repetition")(TextOps.c21RepetitionRatio(spark, base).count())
     time("c6 ann lsh")(Similarity.c6AnnLsh(spark, base).count())
     time("c11 near-dup")(Similarity.c11EmbedNearDup(spark, base).count())
     val ev = Tables.events(spark, base).select(
