@@ -214,6 +214,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("d6 streaming near-dup agrees with batch simhashPairs on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60L * 1000 * 1000
+    // feed the documents table with ts = doc_id minutes: "earlier doc" in
+    // the stream ⇔ smaller doc_id, so the batch expectation is exactly:
+    // doc b is flagged iff some pair (a, b) with a < b exists, and
+    // dup_of(b) = min such a
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val batchPairs = graft.operators.Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expectDup = batchPairs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    // +100 min offset: ts=0 sits exactly on the initial watermark and drops
+    val input = docs.collect().map(r => (r.getLong(0), r.getString(1), (r.getLong(0) + 100) * min))
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkKey, "false")
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.streamNearDup(
+        stream.toDF().toDF("doc_id", "text", "ts_us"), watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("d6_corpus").start()
+    try {
+      stream.addData(input.toSeq)
+      q.processAllAvailable()
+      val maxTs = input.map(_._3).max
+      stream.addData(Seq((-1L, "flush one", maxTs + 600 * min)))
+      q.processAllAvailable()
+      stream.addData(Seq((-2L, "flush two", maxTs + 1200 * min)))
+      q.processAllAvailable()
+      val got = spark.table("d6_corpus").filter(col("doc_id") >= 0).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+      assert(got.size == input.length, "one verdict per doc")
+      val mismatches = got.filter { case (id, dupOf) => dupOf != expectDup.get(id) }
+      assert(mismatches.isEmpty,
+        s"stream vs batch disagreement on ${mismatches.take(5)}")
+      assert(expectDup.nonEmpty, "corpus has near-dups to exercise the path")
+    } finally {
+      q.stop()
+      spark.conf.unset(checkKey)
+    }
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
