@@ -39,9 +39,30 @@ object Main {
     case Some("bench") => Bench.main(args.drop(1))
     case Some("verify") => Verify.main(args.drop(1))
     case Some("stream") => stream(args.drop(1))
+    case Some("dedup") => dedup(args.drop(1))
     case _ =>
-      System.err.println("usage: graft.Main stream|bench|verify ...")
+      System.err.println("usage: graft.Main stream|bench|verify|dedup ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main dedup --in DATA_DIR --out OUT_DIR [--mode
+    * exact|minhash|simhash] [--threshold J] [--max-hamming H]` — writes the
+    * surviving (canonical) documents as parquet and prints one JSON stats
+    * line. The batch flow a training-data pipeline runs before tokenizing. */
+  private def dedup(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val mode = opt(args, "--mode").getOrElse("minhash")
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
+    val maxHamming = opt(args, "--max-hamming").map(_.toInt).getOrElse(3)
+    val spark = GraftSession.get()
+    val survivors = graft.operators.Dedup.dedupDocuments(
+      spark, in, mode, threshold, maxHamming)
+    survivors.write.mode("overwrite").parquet(out)
+    val total = Tables.documents(spark, in).count()
+    val kept = spark.read.parquet(out).count()
+    println(s"""{"mode":"$mode","docs":$total,"survivors":$kept,""" +
+      s""""dropped":${total - kept},"out":"$out"}""")
   }
 
   private def stream(args: Array[String]): Unit = {

@@ -292,6 +292,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** End-to-end document dedup: returns the SURVIVORS — one canonical doc
+    * (minimum doc_id) per duplicate cluster, all columns preserved — the
+    * operation a training-data pipeline actually runs. Modes:
+    *  - "exact":   duplicates = identical text (md5 group, c1's shape);
+    *  - "minhash": near-dups = c2's MinHash/LSH pairs at `threshold`
+    *               jaccard, clustered by [[connectedComponents]];
+    *  - "simhash": near-dups = 64-bit simhash banding at `maxHamming`
+    *               ([[simhashPairs]]), clustered the same way.
+    * Every shuffle is an equi-join/groupBy on keys or band buckets —
+    * nothing here is O(n²) at any corpus size. */
+  def dedupDocuments(spark: SparkSession, dir: String, mode: String = "minhash",
+                     threshold: Double = 0.5, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    mode match {
+      case "exact" =>
+        val keep = docs.groupBy(md5(col("text")).as("k"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        docs.join(keep, Seq("doc_id"), "left_semi")
+      case "minhash" | "simhash" =>
+        val pairs =
+          if (mode == "minhash")
+            c2DedupMinhash(spark, dir).filter(col("jaccard") >= threshold)
+              .select(col("doc_a").as("u"), col("doc_b").as("v"))
+          else
+            simhashPairs(docs.select("doc_id", "text"), maxHamming)
+              .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        // non-canonical cluster members are the drop set
+        val drop = connectedComponents(pairs)
+          .filter(col("cluster_id") =!= col("node"))
+          .select(col("node").as("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+      case other =>
+        throw new IllegalArgumentException(
+          s"dedup mode must be exact|minhash|simhash, got '$other'")
+    }
+  }
+
   /** c4: token-3-gram Jaccard over adjacent-id candidate pairs. The pair
     * generator here is deliberately trivial (id, id+1) so the oracle can
     * reproduce it; production candidate pairs come from c2/c3 banding and

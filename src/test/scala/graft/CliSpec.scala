@@ -65,4 +65,26 @@ class CliSpec extends SparkSpec {
     assert(met.contains(s"\"rows_published\":$n"), s"metrics totals: $met")
     assert(met.contains("\"messages_published\""), s"metrics totals: $met")
   }
+
+  test("dedup subcommand: exact and minhash modes write canonical survivors") {
+    val outExact = Files.createTempDirectory("graft-dedup-e-").toString
+    Main.main(Array("dedup", "--in", sfDir, "--out", outExact, "--mode", "exact"))
+    val distinctTexts = Tables.documents(spark, sfDir)
+      .select("text").distinct().count()
+    assert(spark.read.parquet(outExact).count() == distinctTexts,
+      "exact mode keeps one doc per distinct text")
+
+    val outMh = Files.createTempDirectory("graft-dedup-m-").toString
+    Main.main(Array("dedup", "--in", sfDir, "--out", outMh, "--mode", "minhash"))
+    val survivors = spark.read.parquet(outMh)
+    // survivors = canonical docs of c19's clustering at the same threshold
+    val canonicals = graft.operators.Dedup.c19DedupCluster(spark, sfDir)
+      .filter(col("is_canonical")).count()
+    assert(survivors.count() == canonicals,
+      "minhash mode keeps exactly the cluster canonicals")
+    // and survivors are pairwise non-near-dup at the threshold: every
+    // dropped doc had a smaller-id near-dup partner
+    assert(survivors.count() < Tables.documents(spark, sfDir).count(),
+      "corpus contains near-dups, so some docs must drop")
+  }
 }
