@@ -75,6 +75,7 @@ object SparkEntry {
     "c19_dedup_cluster" -> (Dedup.c19DedupCluster _),
     "c20_pii_scrub" -> (TextOps.c20PiiScrub _),
     "c21_repetition_ratio" -> (TextOps.c21RepetitionRatio _),
+    "c22_embed_quantize" -> (Similarity.c22EmbedQuantize _),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -490,6 +491,16 @@ object SparkEntry {
         |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) AS dup_ratio,
         |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) > 0.2 AS flagged
         |FROM tot t JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c22_embed_quantize" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |a AS (SELECT max(abs(v)) AS scale FROM x),
+        |q AS (SELECT vec_id, v, least(greatest(round(v * 127 / a.scale), -127), 127) AS qv, a.scale AS scale
+        |      FROM x CROSS JOIN a)
+        |SELECT vec_id, count(*) AS n_dims,
+        |  CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+        |  round(max(abs(v - qv * scale / 127)), 6) AS max_abs_err_r
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "c13_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |x AS (SELECT user_id, event_id, us,

@@ -113,7 +113,8 @@ object Similarity {
     * cells instead of sign patterns: at 100 TB each query touches n/cells
     * candidates, and the assignment pass is a cheap map-side cross with a
     * broadcast codebook. Recall vs the c5 exact baseline is spec-checked. */
-  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
+                nprobe: Int = 1): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     // codebook: c15's fixed-point sums → per-label mean vectors, ordered
@@ -137,11 +138,12 @@ object Similarity {
       // the argmax (ties at 6 decimals break deterministically on cell)
       .withColumn("ccos", round(cosine(col("v"), col("centroid")), 6))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
-    val queries = assigned.filter(col("vec_id") < 5)
+    // candidates live in exactly ONE cell (their nearest); queries probe
+    // their top-`nprobe` cells — recall rises with nprobe while each
+    // (query, candidate) pair still appears at most once
+    val queries = assigned.filter(col("vec_id") < 5 && col("arn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
-    val candidates = assigned.filter(col("vec_id") >= 5)
+    val candidates = assigned.filter(col("vec_id") >= 5 && col("arn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     candidates.join(broadcast(queries), "cell")
@@ -151,6 +153,31 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** c22: int8 scalar quantization of the embedding table — the storage
+    * path for 100 TB-scale vector corpora (4× smaller than float32, and
+    * int8 dot products are the SIMD-friendly ANN inner loop). Symmetric
+    * quantization against the global max |v| (one broadcast 1-row
+    * aggregate, never a collect): q = clamp(round(v·127/A), ±127). The
+    * output audits the codec per vector: dimension count, saturated dims,
+    * and the max absolute reconstruction error — max (unlike a mean) is
+    * aggregation-order independent in doubles, so both engines agree
+    * bit-for-bit. */
+  def c22EmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
+    val a = x.agg(max(abs(col("v"))).as("scale"))
+    x.crossJoin(broadcast(a))
+      .withColumn("qv",
+        least(greatest(round(col("v") * 127 / col("scale"), 0), lit(-127.0)), lit(127.0)))
+      .withColumn("err", abs(col("v") - col("qv") * col("scale") / 127))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(when(abs(col("qv")) === 127, 1L).otherwise(0L)).as("n_saturated"),
+        round(max(col("err")), 6).as("max_abs_err_r"))
+      .orderBy("vec_id")
   }
 
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs

@@ -129,6 +129,36 @@ class DedupSimSpec extends SparkSpec {
     assert(recall > 0.0, "nprobe=1 IVF should still find some true neighbors")
   }
 
+  test("c18 IVF nprobe=2 recall >= nprobe=1, scores stay exact, no duplicate pairs") {
+    val brute5 = Similarity.c5AnnBrute(spark, sfDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.c18AnnIvf(spark, sfDir, k = 5, nprobe = nprobe).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      assert(got.distinct.length == got.length, s"nprobe=$nprobe emits duplicate pairs")
+      brute5.count(got.toSet.contains).toDouble / brute5.length
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    info(f"c18 recall@5: nprobe=1 $r1%.2f, nprobe=2 $r2%.2f")
+    assert(r2 >= r1, "probing more cells must not lose neighbors")
+  }
+
+  test("c22 quantization: reconstruction error bounded by half a quantization step") {
+    val e = Tables.embeddings(spark, sfDir)
+    val scale = e.select(posexplode(col("embedding")))
+      .agg(max(abs(col("col").cast("double")))).collect().head.getDouble(0)
+    val halfStep = scale / 127 / 2
+    val rows = Similarity.c22EmbedQuantize(spark, sfDir).collect()
+    assert(rows.length == e.count(), "one audit row per vector")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("max_abs_err_r") <= halfStep + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")}: err ${r.getAs[Double]("max_abs_err_r")} > $halfStep")
+      assert(r.getAs[Long]("n_saturated") >= 0 &&
+        r.getAs[Long]("n_saturated") <= r.getAs[Long]("n_dims"))
+    }
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>
