@@ -76,6 +76,8 @@ object SparkEntry {
     "c20_pii_scrub" -> (TextOps.c20PiiScrub _),
     "c21_repetition_ratio" -> (TextOps.c21RepetitionRatio _),
     "c22_embed_quantize" -> (Similarity.c22EmbedQuantize _),
+    "c23_seq_pack" -> ((s: SparkSession, d: String) => TextOps.c23SeqPack(s, d)),
+    "c24_decontam" -> (TextOps.c24Decontam _),
   )
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
@@ -491,6 +493,31 @@ object SparkEntry {
         |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) AS dup_ratio,
         |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) > 0.2 AS flagged
         |FROM tot t JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c23_seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id // 100 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "c24_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-6)) AS u(i)),
+        |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_shared
+        |         FROM sh s JOIN bs USING (shingle)
+        |         WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "c22_embed_quantize" ->
       """WITH x AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
         |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),

@@ -189,6 +189,53 @@ object TextOps {
       Tables.documents(spark, dir),
       spark.read.parquet(Dedup.shingleTablePath(spark, dir)))
 
+  /** c23: sequence packing — assign documents to fixed-token-budget packs,
+    * the step every LLM data pipeline runs between dedup and tokenizer
+    * sharding. Greedy contiguous packing per SHARD (shard = doc_id/100):
+    * a per-shard window cumsum of token counts, pack = completed budget
+    * units before the doc. Sharding is what makes this distributed — pack
+    * ids are a pure function of (shard, in-shard prefix sum), each shard
+    * packs independently in parallel, and a global window (the naive
+    * formulation) would single-partition 100 TB. All integer arithmetic →
+    * engine-exact. */
+  def c23SeqPack(spark: SparkSession, dir: String,
+                 budget: Long = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") / 100).cast("bigint").as("shard"),
+        size(words(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budget).cast("bigint"))
+      .select("doc_id", "shard", "n_tokens", "cum_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
+  /** c24: benchmark decontamination — flag training docs sharing any
+    * 8-token shingle with a benchmark/eval set (here: doc_id % 50 == 0 as
+    * the deterministic stand-in). The industry-standard n-gram overlap
+    * check; the join is an equi-join on the shingle string (at 100 TB:
+    * on md5(shingle) — 16-byte keys), so candidate work is
+    * O(matching shingles), never all-pairs. Docs under 8 tokens carry no
+    * shingles and report 0 hits. */
+  def c24Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, dir, n = 8))
+    val benchShingles = sh8.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle")).distinct()
+    val hits = sh8.filter(col("doc_id") % 50 =!= 0)
+      .join(benchShingles, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
   /** c17: stratified deterministic sampling — per-stratum (language) rates
     * applied via a content-hash bucket, the scale-safe sampler: a pure
     * function of the text (stable under re-partitioning, re-runs, and

@@ -95,6 +95,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 0.0, false)))
   }
 
+  test("c23 seq packing: pack ids are exactly the per-shard prefix-sum buckets") {
+    val budget = 256L
+    val rows = TextOps.c23SeqPack(spark, sfDir, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("pack_id")))
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (id, _, n, gotCum, gotPack) =>
+        assert(gotPack == cum / budget, s"doc $id pack")
+        cum += n
+        assert(gotCum == cum, s"doc $id cumsum")
+      }
+    }
+    // pack ids never decrease within a shard
+    rows.groupBy(_._2).foreach { case (_, sr) =>
+      val packs = sr.sortBy(_._1).map(_._5)
+      assert(packs.zip(packs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("c24 decontam: n_shared equals a direct 8-gram overlap recomputation") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh8(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ", -1)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val benchShingles = texts.filter(_._1 % 50 == 0).values.flatMap(sh8).toSet
+    val got = TextOps.c24Decontam(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(got.keySet == texts.keySet.filter(_ % 50 != 0), "benchmark docs excluded")
+    got.foreach { case (id, (n, c)) =>
+      val expect = sh8(texts(id)).count(benchShingles.contains).toLong
+      assert(n == expect, s"doc $id shared count")
+      assert(c == (expect > 0))
+    }
+    assert(got.values.exists(_._2), "corpus near-dups should produce contamination hits")
+  }
+
   test("c17 stratified sample: deterministic, and en is sampled ~half the others' rate") {
     val s1 = TextOps.c17StratifiedSample(spark, sfDir).collect()
     val s2 = TextOps.c17StratifiedSample(spark, sfDir).collect()
