@@ -75,8 +75,37 @@ def main():
                         break
             if len(bad) >= 3:
                 break
+        # REPRESENTATION check, harsher than value equality: the driver
+        # hashes rendered values, so a Spark decimal128 '101951.00' vs a
+        # DuckDB float64 '101951.0' (equal values) still hash-fails — as do
+        # timestamp[ns] vs [us] dtypes. Compare pandas dtypes + repr(),
+        # reading the Spark side the way a hasher would (pyarrow-backed).
+        rep = None
+        if not bad:
+            try:
+                import pandas as pd
+                g2 = pd.read_parquet(f"{out_dir}/{name}.parquet")[gcols]
+                if list(g2.dtypes.astype(str)) != list(want.dtypes.astype(str)):
+                    rep = (f"dtypes spark={dict(g2.dtypes.astype(str))} "
+                           f"duck={dict(want.dtypes.astype(str))}")
+                else:
+                    for i, (gr, wr) in enumerate(zip(
+                            g2.itertuples(index=False),
+                            want.itertuples(index=False))):
+                        for c, (gv, wv) in zip(gcols, zip(gr, wr)):
+                            if repr(gv) != repr(wv):
+                                rep = f"row {i} {c}: {gv!r} != {wv!r}"
+                                break
+                        if rep:
+                            break
+            except Exception as e:  # pandas missing: value check stands
+                rep = None
         if bad:
             print(f"FAIL {name}: {len(bad)}+ value diffs, first: {bad}")
+            n_fail += 1
+        elif rep:
+            print(f"FAIL {name}: values equal but representations differ "
+                  f"(driver hash would mismatch): {rep}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
