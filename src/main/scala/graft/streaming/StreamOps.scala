@@ -39,6 +39,13 @@ case class SeenDoc(simhash: Long, doc_id: Long, ts_us: Long)
   * by the watermark horizon. */
 case class BucketState(entries: List[SeenDoc])
 
+/** One packed document emitted by d7 (streaming twin of batch c23). */
+case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+                     cum_tokens: Long, pack_id: Long)
+
+/** Per-shard d7 state: the running token count. */
+case class ShardPackState(cum_tokens: Long)
+
 object StreamOps {
 
   /** d2: tumbling event-time window with late-data watermark. In append
@@ -168,6 +175,36 @@ object StreamOps {
       .select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
         (col("min_dup") =!= Long.MaxValue).as("is_dup"),
         when(col("min_dup") =!= Long.MaxValue, col("min_dup")).as("dup_of"))
+
+  /** d7: streaming sequence packing — the streaming twin of batch c23.
+    * Docs arrive continuously; each shard's running token count lives in
+    * tiny per-shard state (one long — state size is O(shards), constant
+    * per shard, never evicted and never needing a watermark), and every
+    * doc is assigned its pack the moment it arrives: pack = completed
+    * budget units before it. In-batch rows process in doc_id order, so a
+    * replay of the batch corpus produces byte-identical packs to c23
+    * (spec-checked). Input columns: doc_id, text. */
+  def streamSeqPack(docs: DataFrame, budget: Long = 256): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), (col("doc_id") / 100).cast("bigint").as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[ShardPackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[ShardPackState]) =>
+          var cum = state.getOption.map(_.cum_tokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (docId, _, n) =>
+            val pack = cum / budget
+            cum += n
+            PackedDoc(docId, shard, n, cum, pack)
+          }
+          state.update(ShardPackState(cum))
+          out.iterator
+      }
+  }
 
   /** Gap-merge a set of sessions (single events arrive as n=1 sessions):
     * sort by start, fold, coalescing any session that starts within `gap`

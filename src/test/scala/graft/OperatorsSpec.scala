@@ -6,6 +6,15 @@ import graft.operators.{Dedup, SeqColumn, Similarity, TextOps}
 
 class OperatorsSpec extends SparkSpec {
 
+  test("driver contract: every registered query carries an oracle, and vice versa") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((queries -- oracles).isEmpty,
+      s"queries without oracle (driver records only a weak rows check): ${queries -- oracles}")
+    assert((oracles -- queries).isEmpty,
+      s"orphan oracles: ${oracles -- queries}")
+  }
+
   test("a4 seq is contiguous 0..n-1 and follows doc_id order") {
     val rows = SeqColumn.a4SeqColumn(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("seq")).toSeq == (0L until rows.length).toSeq)

@@ -296,6 +296,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("d7 streaming packing equals c23 batch packing row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamSeqPack(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("d7_sink").start()
+    try {
+      // split mid-shard: cross-batch state must carry the running count
+      val (a, b) = docs.sortBy(_._1).splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d7_sink")
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "pack_id")
+      val batch = graft.operators.TextOps.c23SeqPack(spark, sfDir)
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "pack_id")
+      assert(streamed.count() == docs.length)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "streaming packs must equal batch packs exactly")
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
