@@ -53,6 +53,7 @@ object SparkEntry {
     "b14_asof_join" -> (Relational.b14AsofJoin _),
     "b15_range_join" -> ((s: SparkSession, d: String) => Relational.b15RangeJoin(s, d)),
     "b16_approx_distinct" -> (Relational.b16ApproxDistinct _),
+    "b17_approx_quantiles" -> (Relational.b17ApproxQuantiles _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -396,6 +397,12 @@ object SparkEntry {
     "b16_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_nd, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b17_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS n, true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "c16_tfidf" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

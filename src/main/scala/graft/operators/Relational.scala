@@ -335,6 +335,27 @@ object Relational {
           col("exact_nd").cast("double") * 0.05).as("approx_ok"))
       .orderBy("event_type")
 
+  /** b17: approximate quantiles with an exact audit — b16's pattern
+    * applied to percentiles. At 100 TB the sort-based exact `percentile`
+    * (b12) shuffles whole groups; `approx_percentile`'s KLL-style sketch
+    * is single-pass, fixed-size, and map-side mergeable — the only
+    * affordable shape. The sketch value itself is engine-specific, so the
+    * output pins the AUDIT (sketch within 5% of exact, oracle expects
+    * literal true) next to the exact values the oracle reproduces. */
+  def b17ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("a9"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"), col("n"),
+        (abs(col("am") - col("median_qty")) <= col("median_qty") * 0.05 &&
+          abs(col("a9") - col("p90_qty")) <= col("p90_qty") * 0.05).as("approx_ok"))
+      .orderBy("l_returnflag")
+
   /** c13: batch sessionization — a new session starts after a >30 min gap
     * per user. One shuffle on user_id serves both window passes and the
     * final groupBy (same partitioning, Catalyst reuses the exchange). Gap
