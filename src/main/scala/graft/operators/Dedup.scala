@@ -264,7 +264,17 @@ object Dedup {
       val changed = step.filter(col("lbl") < col("old_lbl")).count()
       cached.unpersist()
       cached = step
-      labels = step.select(col("node"), col("lbl"))
+      // REBASE the next generation's lineage on the (materialized) cache:
+      // building iteration N+1's plan on top of iteration N's nests the
+      // logical plan linearly — by ~iteration 15 the tree is deep enough
+      // that Spark's own plan stringification overflows the stack (chain-
+      // shaped components legitimately need that many iterations). The
+      // InternalRow round-trip reads the cached blocks and gives the next
+      // iteration a constant-depth LogicalRDD base.
+      val flat = step.select(col("node"), col("lbl"))
+      labels = org.apache.spark.sql.graftbridge.ColumnBridge
+        .internalCreateDataFrame(flat.sparkSession,
+          flat.queryExecution.toRdd, flat.schema)
       done = changed == 0
       iter += 1
     }

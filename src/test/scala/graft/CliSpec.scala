@@ -86,5 +86,13 @@ class CliSpec extends SparkSpec {
     // dropped doc had a smaller-id near-dup partner
     assert(survivors.count() < Tables.documents(spark, sfDir).count(),
       "corpus contains near-dups, so some docs must drop")
+
+    val outSh = Files.createTempDirectory("graft-dedup-s-").toString
+    Main.main(Array("dedup", "--in", sfDir, "--out", outSh,
+      "--mode", "simhash", "--max-hamming", "3"))
+    val shSurvivors = spark.read.parquet(outSh).count()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(shSurvivors > 0 && shSurvivors < total,
+      s"simhash mode drops near-dups and keeps the rest ($shSurvivors of $total)")
   }
 }
