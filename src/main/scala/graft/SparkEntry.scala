@@ -54,6 +54,7 @@ object SparkEntry {
     "b15_range_join" -> ((s: SparkSession, d: String) => Relational.b15RangeJoin(s, d)),
     "b16_approx_distinct" -> (Relational.b16ApproxDistinct _),
     "b17_approx_quantiles" -> (Relational.b17ApproxQuantiles _),
+    "b18_outer_join" -> (Relational.b18OuterJoin _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -397,6 +398,15 @@ object SparkEntry {
     "b16_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_nd, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b18_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 100),
+        |u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT COALESCE(c.c_custkey, u.user_id) AS entity_id,
+        |  c.c_custkey IS NOT NULL AS has_customer,
+        |  u.user_id IS NOT NULL AS has_events,
+        |  COALESCE(u.n_events, 0) AS n_events
+        |FROM c FULL JOIN u ON c.c_custkey = u.user_id
+        |ORDER BY entity_id""".stripMargin,
     "b17_approx_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

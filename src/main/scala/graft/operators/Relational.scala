@@ -335,6 +335,25 @@ object Relational {
           col("exact_nd").cast("double") * 0.05).as("approx_ok"))
       .orderBy("event_type")
 
+  /** b18: full outer join — the reconciliation shape (which entities exist
+    * on which side) that left/semi/anti (b7) don't cover. Planned as a
+    * SortMergeJoin/ShuffledHashJoin on the key; neither side can broadcast
+    * a full outer, so the shuffle IS the plan at any scale. The filtered
+    * customer range makes all three row classes non-empty: matched,
+    * customer-only, and events-only. */
+  def b18OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") >= 100)
+      .select(col("c_custkey"), col("c_name"))
+    val u = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    c.join(u, col("c_custkey") === col("user_id"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("user_id")).as("entity_id"),
+        col("c_custkey").isNotNull.as("has_customer"),
+        col("user_id").isNotNull.as("has_events"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("entity_id")
+  }
+
   /** b17: approximate quantiles with an exact audit — b16's pattern
     * applied to percentiles. At 100 TB the sort-based exact `percentile`
     * (b12) shuffles whole groups; `approx_percentile`'s KLL-style sketch
