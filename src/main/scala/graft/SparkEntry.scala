@@ -79,6 +79,7 @@ object SparkEntry {
     "c21_repetition_ratio" -> (TextOps.c21RepetitionRatio _),
     "c22_embed_quantize" -> (Similarity.c22EmbedQuantize _),
     "c23_seq_pack" -> ((s: SparkSession, d: String) => TextOps.c23SeqPack(s, d)),
+    "c25_mixture_resample" -> (TextOps.c25MixtureResample _),
     "c24_decontam" -> (TextOps.c24Decontam _),
   )
 
@@ -510,6 +511,18 @@ object SparkEntry {
         |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) AS dup_ratio,
         |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) > 0.2 AS flagged
         |FROM tot t JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c25_mixture_resample" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS n_min FROM counts),
+        |rates AS (SELECT lang, n_lang,
+        |    CASE WHEN floor(sqrt(CAST(m.n_min AS DOUBLE) / n_lang) * 65536) >= 65536 THEN 'g'
+        |         ELSE lpad(lower(hex(CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / n_lang) * 65536) AS BIGINT))), 4, '0')
+        |    END AS cutoff_hex
+        |  FROM counts CROSS JOIN m)
+        |SELECT d.doc_id, d.lang, r.n_lang, substr(md5(d.text), 1, 4) AS bucket
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE substr(md5(d.text), 1, 4) < r.cutoff_hex
+        |ORDER BY d.doc_id""".stripMargin,
     "c23_seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id // 100 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

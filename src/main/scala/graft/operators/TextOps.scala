@@ -236,6 +236,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** c25: mixture resampling — flatten the language distribution by
+    * accepting each doc with per-language probability
+    * √(n_min/n_lang) (temperature-0.5 flattening: over-represented
+    * languages downsample toward the rarest, the standard pre-training
+    * mixture rebalance). The acceptance test is the same deterministic
+    * content-hash machinery as c17 (stable under re-partitioning, re-runs,
+    * incremental ingest): the first 4 md5 hex digits, read as a 16-bit
+    * integer, must fall under ⌊rate·65536⌋ — computed as a hex-string
+    * cutoff so both engines compare strings, never parse hex. Language
+    * counts arrive via a broadcast tiny aggregate, never a collect. */
+  def c25MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("cutoff",
+        floor(sqrt(col("n_min").cast("double") / col("n_lang")) * 65536).cast("bigint"))
+      // rate 1.0 (the rarest language itself) → cutoff 65536 → 5 hex
+      // digits, which lpad-4 would TRUNCATE to '1000' (≈6% acceptance!);
+      // accept-all is any string lexicographically above 'ffff'
+      .withColumn("cutoff_hex",
+        when(col("cutoff") >= 65536, lit("g"))
+          .otherwise(lpad(lower(hex(col("cutoff"))), 4, "0")))
+      .select("lang", "n_lang", "cutoff_hex")
+    docs.join(broadcast(rates), "lang")
+      .filter(substring(md5(col("text")), 1, 4) < col("cutoff_hex"))
+      .select(col("doc_id"), col("lang"), col("n_lang"),
+        substring(md5(col("text")), 1, 4).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** c17: stratified deterministic sampling — per-stratum (language) rates
     * applied via a content-hash bucket, the scale-safe sampler: a pure
     * function of the text (stable under re-partitioning, re-runs, and

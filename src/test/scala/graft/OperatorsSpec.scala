@@ -146,6 +146,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._2), "corpus near-dups should produce contamination hits")
   }
 
+  test("c25 mixture resample: rarest language keeps ~everything, head flattens toward it") {
+    val before = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.c25MixtureResample(spark, sfDir).collect()
+    val after = kept.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val nMin = before.values.min
+    before.foreach { case (lang, n) =>
+      val rate = after.getOrElse(lang, 0L).toDouble / n
+      val want = math.sqrt(nMin.toDouble / n)
+      // md5 buckets are uniform; generous tolerance at small SF
+      assert(math.abs(rate - want) < 0.25, f"$lang: kept $rate%.2f want ~$want%.2f")
+    }
+    // deterministic: same rows on a re-run
+    val again = TextOps.c25MixtureResample(spark, sfDir).collect()
+    assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("c17 stratified sample: deterministic, and en is sampled ~half the others' rate") {
     val s1 = TextOps.c17StratifiedSample(spark, sfDir).collect()
     val s2 = TextOps.c17StratifiedSample(spark, sfDir).collect()
