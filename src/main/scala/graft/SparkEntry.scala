@@ -36,6 +36,7 @@ object SparkEntry {
     "a10_convert_bench" -> (PipelineQueries.a10ConvertBench _),
     "a11_csv_convert" -> (FormatConvert.a11CsvConvert _),
     "a12_orc_roundtrip" -> (FormatConvert.a12OrcRoundtrip _),
+    "a13_permissive_parse" -> (JsonConvert.a13PermissiveParse _),
     // B-series: relational core
     "b1_scan_filter_project" -> (Relational.b1ScanFilterProject _),
     "b2_agg_pricing" -> (Relational.b2AggPricing _),
@@ -131,6 +132,12 @@ object SparkEntry {
     "a12_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a13_permissive_parse" ->
+      """SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_good
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "a9_metrics" ->
       """SELECT 'batches_serialized' AS metric, CAST(ceil(count(*) / 128.0) AS BIGINT) AS value FROM documents
         |UNION ALL SELECT 'messages_published', CAST(ceil(count(*) / 128.0) AS BIGINT) FROM documents

@@ -68,6 +68,38 @@ object JsonConvert {
   def parseJson(c: Column, schema: StructType): Column =
     from_json(c, schema, Map("mode" -> "FAILFAST"))
 
+  /** a13: PERMISSIVE conversion with corrupt-record accounting — the
+    * production counterpart of bolson's fail-on-first-error mode: one bad
+    * line must not kill a 100 TB ingest, it must be COUNTED and routed
+    * aside. Every 100th line of the events corpus is deterministically
+    * mangled (closing brace dropped); the PERMISSIVE parse lands those in
+    * the corrupt-record column and the query reports per-bucket good vs
+    * corrupt counts. The oracle knows which lines were planted, so the
+    * parse's corrupt classification is pinned exactly — a salvaged or
+    * over-rejected line hash-mismatches. */
+  def a13PermissiveParse(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    val line = to_json(struct(ev.columns.map(col): _*))
+    val corrupted = ev.select(col("event_id"),
+      when(col("event_id") % 100 === 0,
+        substring(line, lit(1), length(line) - 1) // drop '}': unambiguously malformed
+      ).otherwise(line).as("line"))
+    val parseSchema = ev.schema.add("_corrupt", StringType)
+    corrupted
+      .select(col("event_id"),
+        from_json(col("line"), parseSchema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("rec"))
+      .select(col("event_id"), col("rec._corrupt").isNotNull.as("is_corrupt"))
+      .groupBy((col("event_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("is_corrupt"), 0L).otherwise(1L)).as("n_good"))
+      .orderBy("bucket")
+  }
+
   /** Strict parse: additionally errors when the JSON object carries any
     * field outside the schema — bolson's UnexpectedFieldBehavior::Error
     * (reference: src/bolson/parse/arrow.cpp:90-92). Key extraction uses
