@@ -84,6 +84,20 @@ object SparkEntry {
     "c24_decontam" -> (TextOps.c24Decontam _),
   )
 
+  /** DuckDB rendering of the c6/c11 LSH bucket: the SAME seeded plane
+    * matrix the Spark expression uses (VectorFunctions.lshPlanes),
+    * inlined as integer literals at SQL-build time, dotted against the
+    * fixed-point (1e-4, half-away-from-zero) embedding — all products and
+    * sums are integer-valued doubles ≤ 2^53, so the bucket is exact in
+    * both engines regardless of summation order. */
+  private def lshBucketSql: String = {
+    val planes = graft.functions.VectorFunctions.lshPlanes(6, 64)
+    planes.map { p =>
+      val lit = p.mkString("[", ",", "]") + "::DOUBLE[]"
+      s"CAST(CAST(list_dot_product(f, $lit) >= 0 AS INT) AS VARCHAR)"
+    }.mkString("concat(", ",\n           ", ")")
+  }
+
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
   def oracleSql: Map[String, String] = Map(
     "a1_json_parse" ->
@@ -324,14 +338,12 @@ object SparkEntry {
         |FROM gr a JOIN gr b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "c6_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    concat(CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[2] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[3] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[4] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[5] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[6] >= 0 AS INT) AS VARCHAR)) AS bucket
+      (s"""WITH f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
         |  FROM embeddings),
+        |e AS (SELECT vec_id, v, $lshBucketSql AS bucket FROM f0),""".stripMargin +
+      """
+        |
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e WHERE vec_id >= 5),
         |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
@@ -340,21 +352,19 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine_r
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "c11_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    concat(CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[2] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[3] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[4] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[5] >= 0 AS INT) AS VARCHAR),
-        |           CAST(CAST(embedding[6] >= 0 AS INT) AS VARCHAR)) AS bucket
-        |  FROM embeddings)
+      (s"""WITH f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, v, $lshBucketSql AS bucket FROM f0)""".stripMargin +
+      """
+        |
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine_r
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |ORDER BY vec_a, vec_b""".stripMargin),
     "c12_multimodal" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

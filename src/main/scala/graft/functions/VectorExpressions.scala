@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -63,6 +63,95 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd random-hyperplane LSH bucket (SURVEY §2 c6/c11): one char per
+  * plane, '1' iff the vector's dot product with that plane is ≥ 0. The
+  * embedding is first quantized to fixed-point 1e-4 integers (half away
+  * from zero — the rounding both Spark's `round` and DuckDB's `round`
+  * use) and the planes carry integer entries, so every dot product is
+  * exact integer arithmetic: the bucket is bit-reproducible in any engine
+  * regardless of summation order, which is what lets the DuckDB oracle
+  * recompute it from inlined plane literals. Replaces the round-5
+  * axis-aligned sign bucket — a degenerate plane family whose recall
+  * collapses on anisotropic embeddings. */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fixed = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      // half away from zero via an EXACT fraction compare (ax - floor(ax)
+      // is exact in IEEE doubles): floor(x + 0.5) would round the addition
+      // first and disagree with C round() / DuckDB on values one ulp below
+      // a half-integer
+      val x = v.getDouble(d) * 10000.0
+      val ax = math.abs(x)
+      val fl = math.floor(ax)
+      val r = fl.toLong + (if (ax - fl >= 0.5) 1L else 0L)
+      fixed(d) = if (x < 0) -r else r
+      d += 1
+    }
+    val chars = new Array[Byte](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var acc = 0L
+      val m = math.min(n, p.length)
+      var i = 0
+      while (i < m) { acc += fixed(i) * p(i); i += 1 }
+      chars(j) = if (acc >= 0L) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(chars)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "long[][]")
+      val n = ctx.freshName("n")
+      val fixed = ctx.freshName("fixed")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val pj = ctx.freshName("pj")
+      val out = ctx.freshName("out")
+      val ax = ctx.freshName("ax")
+      val fl = ctx.freshName("fl")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $fixed = new long[$n];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = $a.getDouble($d) * 10000.0;
+         |  double $ax = Math.abs($x);
+         |  double $fl = Math.floor($ax);
+         |  long $r = (long) $fl + (($ax - $fl >= 0.5) ? 1L : 0L);
+         |  $fixed[$d] = $x < 0 ? -$r : $r;
+         |}
+         |byte[] $out = new byte[$p.length];
+         |for (int $j = 0; $j < $p.length; $j++) {
+         |  long[] $pj = $p[$j];
+         |  long $acc = 0L;
+         |  int $m = Math.min($n, $pj.length);
+         |  for (int $i = 0; $i < $m; $i++) { $acc += $fixed[$i] * $pj[$i]; }
+         |  $out[$j] = (byte) ($acc >= 0L ? '1' : '0');
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   /** Cosine similarity of two `array<double>` columns (float arrays: cast
@@ -71,6 +160,29 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Seeded deterministic LSH planes: entry (j, d) is the sum of the first
+    * four bytes of md5("<seed>:plane:<j>:<d>") minus 510 — an Irwin–Hall
+    * sum of four uniforms, i.e. a symmetric integer approximation of a
+    * Gaussian in [-510, 510]. Every coordinate of every plane is non-zero
+    * with overwhelming probability and all directions are equally likely,
+    * unlike the axis-aligned family this replaces. Deterministic: any
+    * engine (or the DuckDB oracle at SQL-build time) regenerates the
+    * identical matrix from the seed. */
+  def lshPlanes(nPlanes: Int, dim: Int, seed: String = "graft"): Array[Array[Long]] =
+    Array.tabulate(nPlanes) { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { d =>
+        val h = md.digest(s"$seed:plane:$j:$d".getBytes("UTF-8"))
+        ((h(0) & 0xff) + (h(1) & 0xff) + (h(2) & 0xff) + (h(3) & 0xff) - 510).toLong
+      }
+    }
+
+  /** Random-hyperplane LSH bucket of an embedding column (see
+    * [[HyperplaneBucket]]). */
+  def hyperplaneBucket(emb: Column, planes: Array[Array[Long]]): Column =
+    ColumnBridge.column(HyperplaneBucket(
+      ColumnBridge.expression(emb.cast("array<double>")), planes))
 }
 
 /** SparkSessionExtensions hook registering graft's native functions for

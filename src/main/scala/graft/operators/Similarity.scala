@@ -16,12 +16,13 @@ import graft.functions.VectorFunctions
   * from parquet splits; only k rows per query per partition survive the
   * partial top-k.
   *
-  * The scale path (c6, c11) buckets vectors with an axis-aligned-hyperplane
-  * LSH (sign pattern of the leading coordinates): scoring happens only
-  * inside a bucket, turning the O(n·q) scan into an equi-join on the bucket
-  * key. More planes → smaller buckets → cheaper + lower recall; an IVF
-  * variant would swap the sign pattern for a learned-centroid id with the
-  * same join shape.
+  * The scale path (c6, c11) buckets vectors with seeded random-hyperplane
+  * LSH (sign pattern of dot products against deterministic
+  * Gaussian-approximate planes — VectorFunctions.lshPlanes): scoring
+  * happens only inside a bucket, turning the O(n·q) scan into an equi-join
+  * on the bucket key. More planes → smaller buckets → cheaper + lower
+  * recall; the IVF variant (c18) swaps the sign pattern for a
+  * learned-centroid id with the same join shape.
   */
 object Similarity {
 
@@ -35,13 +36,19 @@ object Similarity {
     * ANN cost; accumulation order is identical, results bit-equal. */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
-  /** Sign-pattern LSH bucket over the first `planes` coordinates — a
-    * deterministic axis-aligned random-hyperplane family (the testdata
-    * embeddings are already isotropic; seeded Gaussian planes would replace
-    * element_at with a dot product, same plan shape). */
+  /** Embedding dimensionality of the testdata corpus; planes are generated
+    * for this width (extra dims would simply be ignored by the dot). */
+  private[graft] val EmbeddingDim = 64
+
+  /** Seeded random-hyperplane LSH bucket: sign pattern of `planes` exact
+    * integer dot products against deterministic Gaussian-approximate
+    * hyperplanes (VectorFunctions.lshPlanes — full-dimensional, seeded,
+    * regenerable by any engine). One codegen'd projection per row; the
+    * round-5 axis-aligned variant read only the leading coordinates and
+    * its recall collapses on anisotropic embeddings. */
   private[graft] def signBucket(emb: Column, planes: Int): Column =
-    concat_ws("", (0 until planes).map(j =>
-      (element_at(emb, j + 1) >= 0).cast("int").cast("string")): _*)
+    VectorFunctions.hyperplaneBucket(
+      emb, VectorFunctions.lshPlanes(planes, EmbeddingDim))
 
   /** c5: brute-force cosine top-k. Query vectors: vec_id < 5 (broadcast);
     * candidates: the rest. */

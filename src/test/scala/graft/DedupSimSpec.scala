@@ -109,6 +109,33 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c6 seeded hyperplanes: deterministic, full-dimensional, recall@5 vs c5") {
+    import graft.functions.VectorFunctions
+    // deterministic: same seed regenerates the identical matrix
+    val p1 = VectorFunctions.lshPlanes(6, 64)
+    val p2 = VectorFunctions.lshPlanes(6, 64)
+    assert(p1.length == 6 && p1.forall(_.length == 64))
+    assert(p1.zip(p2).forall { case (a, b) => a.sameElements(b) })
+    // a different seed gives a different family
+    val p3 = VectorFunctions.lshPlanes(6, 64, seed = "other")
+    assert(p1.zip(p3).exists { case (a, b) => !a.sameElements(b) })
+    // genuinely full-dimensional (not the axis-aligned special case): every
+    // plane touches (nearly) every coordinate, entries span both signs
+    p1.foreach { p =>
+      assert(p.count(_ != 0L) >= 60, "plane should have almost no zero entries")
+      assert(p.exists(_ > 0) && p.exists(_ < 0), "entries must span both signs")
+    }
+    // recall@5 against the exact baseline at the production bucket count —
+    // the quantity the plane family exists to protect
+    val brute5 = Similarity.c5AnnBrute(spark, sfDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val got = Similarity.c6AnnLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute5.count(got.contains).toDouble / brute5.length
+    info(f"c6 LSH recall@5 vs exact: $recall%.2f (6 planes = 64 buckets)")
+    assert(recall > 0.0, "seeded-hyperplane LSH should find true neighbors")
+  }
+
   test("c18 IVF ANN: scores match brute force; recall@5 is reported and sane") {
     val brute = Similarity.c5AnnBrute(spark, sfDir, k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
