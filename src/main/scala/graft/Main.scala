@@ -55,6 +55,10 @@ object Main {
     val mode = opt(args, "--mode").getOrElse("minhash")
     val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
     val maxHamming = opt(args, "--max-hamming").map(_.toInt).getOrElse(3)
+    // 4-segment banding only guarantees recall for hamming <= 3
+    // (pigeonhole): a larger H would silently miss pairs, so refuse it
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"--max-hamming must be 0..3 (4x16-bit segment banding), got $maxHamming")
     val spark = GraftSession.get()
     val survivors = graft.operators.Dedup.dedupDocuments(
       spark, in, mode, threshold, maxHamming)
@@ -119,7 +123,10 @@ object Main {
     val query = StreamPipeline.convert(lines, schema, strict).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val df = batch.toDF().persist()
+        // persist exists ONLY for the retry-safe df.count() that keeps seq
+        // contiguity; without --seq-col the batch is consumed exactly once
+        // and caching it would be a pure memory tax
+        val df = if (seqCol) batch.toDF().persist() else batch.toDF()
         try {
           val withSeq =
             if (!seqCol) df
@@ -137,7 +144,7 @@ object Main {
           if (seqCol) seqOffset += df.count()
           totMsgs += stats.messages; totRows += stats.rows; totBytes += stats.bytes
           if (stats.rows > 0) lastProgress = System.currentTimeMillis()
-        } finally df.unpersist()
+        } finally if (seqCol) { df.unpersist(); () }
         ()
       }
       .start()

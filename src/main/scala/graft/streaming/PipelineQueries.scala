@@ -53,9 +53,10 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .repartition(1).sortWithinPartitions("doc_id")
-    CollectingPublisher.clear()
+    // the query reads ONLY the accumulator stats — a collecting publisher
+    // here would buffer every IPC payload driver-side for no reader
     val stats = Publish.run(ArrowIpc.serialize(docs, maxRows = 128),
-      () => new CollectingPublisher)
+      () => new NoopPublisher)
     Seq(
       ("batches_serialized", stats.messages),
       ("messages_published", stats.messages),

@@ -137,6 +137,16 @@ class BatchingFilePublisher(dir: String, opts: BatchingOptions = BatchingOptions
   override def close(): Unit = inner.close()
 }
 
+/** Publisher that accepts and drops every message — for harnesses whose
+  * observable output is the accumulator stats from [[Publish.run]] (e.g.
+  * a9): buffering payload bytes anywhere would hold the corpus's IPC bytes
+  * on the heap for no reader. */
+class NoopPublisher extends Publisher {
+  override def open(partitionId: Int): Unit = ()
+  override def publish(m: IpcMessage): Unit = ()
+  override def close(): Unit = ()
+}
+
 /** Test/local publisher collecting into a JVM-wide buffer. Local-mode only
   * (executors share the driver JVM); clusters use FilePublisher or a real
   * broker client. */
