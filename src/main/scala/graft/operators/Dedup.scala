@@ -203,8 +203,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs for a (doc_id, text) frame: segment-banded
-    * candidates, exact hamming via bit_count(xor) — used by the spec. */
+    * candidates, exact hamming via bit_count(xor) — used by the spec.
+    *
+    * RECALL BOUND: 4 × 16-bit segments guarantee (pigeonhole) that every
+    * pair at hamming ≤ 3 shares an intact segment; at `maxHamming` ≥ 4 the
+    * differing bits can straddle all four segments and such pairs are
+    * silently missed. Callers wanting a larger radius must raise the
+    * segment count to maxHamming + 1 (same join shape), not just the
+    * threshold — the CLI rejects H ≥ 4 for exactly this reason. */
   private[graft] def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
     val seg = simhashOf(docs).select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -98,8 +98,13 @@ def main():
                                 break
                         if rep:
                             break
-            except Exception as e:  # pandas missing: value check stands
+            except ImportError:  # pandas missing: value check stands
                 rep = None
+            except Exception as e:
+                # any OTHER failure is itself a representation problem
+                # (wrong columns, unreadable parquet, dtype compare crash)
+                # — surface it instead of letting a regression pass unseen
+                rep = f"representation check errored: {e!r}"
         if bad:
             print(f"FAIL {name}: {len(bad)}+ value diffs, first: {bad}")
             n_fail += 1
