@@ -236,10 +236,11 @@ object Dedup {
     * groupBy + label join) moving O(edges) rows of two bigints; the
     * iteration count is the component diameter, and near-dup components
     * are band-bucket cliques of diameter ~1-2, so 2-3 iterations converge.
-    * `maxIter` bounds adversarial chains; the published scale-up for
-    * high-diameter graphs is the large-star/small-star alternation
-    * (Kiveris et al., MapReduce connected components), which swaps into
-    * this seam without changing the contract. Labels persist per iteration
+    * `maxIter` bounds adversarial chains (exceeding it now THROWS rather
+    * than returning under-merged labels); high-diameter graphs use the
+    * implemented large-star/small-star alternation
+    * ([[connectedComponentsAlternating]], O(log n) rounds, same contract,
+    * parity-spec'd). Labels persist per iteration
     * (lineage stays flat) and the superseded generation unpersists; the
     * per-iteration convergence count is an aggregate over O(nodes) rows —
     * the only driver-visible values are that single count per iteration.
@@ -287,9 +288,112 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
-    // the result depends only on the (persisted, materialized) final labels
+    // loud failure beats silently returning partially-propagated labels:
+    // an unconverged result would under-merge clusters and KEEP duplicate
+    // documents downstream (dedupDocuments has no oracle to catch it).
+    // High-diameter graphs belong on connectedComponentsAlternating.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations " +
+          "(component diameter exceeds maxIter); use " +
+          "connectedComponentsAlternating for high-diameter graphs")
+    // checkpoint the result OUT of the cache: returning a frame backed by
+    // the persisted blocks would leak one cached DataFrame per call for
+    // the JVM lifetime (ADVICE r5) — a parquet round-trip of (bigint,
+    // bigint) rows severs all lineage so every generation unpersists now
+    val out = checkpointLabels(
+      labels.select(col("node"), col("lbl").as("cluster_id")))
+    cached.unpersist()
     und.unpersist()
-    labels.select(col("node"), col("lbl").as("cluster_id"))
+    out
+  }
+
+  private val ccScratchSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Materialize (node, cluster_id) labels to scratch parquet and read
+    * them back: a LogicalRelation with zero lineage into the iteration
+    * caches, so the caller holds no reference that pins them. Narrow
+    * two-bigint rows — the standard checkpoint for iterative algorithms
+    * (at 100 TB this is n×16 bytes, dwarfed by the edge shuffles). */
+  private def checkpointLabels(labels: DataFrame): DataFrame = {
+    val dir = new java.io.File(
+      graft.GraftSession.scratchDir(s"cc-${ccScratchSeq.incrementAndGet()}"),
+      "labels").toString
+    labels.write.mode("overwrite").parquet(dir)
+    labels.sparkSession.read.parquet(dir)
+  }
+
+  /** Connected components by the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the high-diameter-safe twin of [[connectedComponents]]: min-label
+    * propagation needs DIAMETER iterations (a 10k-node chain of near-dups
+    * would need 10k rounds), the alternation converges in O(log n) rounds
+    * on any graph. Per round it costs ~3× the shuffles of a min-label
+    * iteration (two star joins + dedup + convergence anti-join, all on
+    * (bigint, bigint) rows), so near-dup CLIQUES (diameter 2-3) stay on
+    * min-label and arbitrary/adversarial graphs come here — same contract,
+    * same output (parity-spec'd).
+    *
+    * Each round normalizes edges hi→lo, then:
+    *  - LARGE-STAR: every node links its strictly-larger neighbors to the
+    *    minimum of its neighborhood (incl. itself) — halves long chains;
+    *  - SMALL-STAR: every node links itself and its smaller neighbors to
+    *    their minimum — forms stars.
+    * The fixed point is a star per component centered at its minimum node;
+    * the edge list IS then the (node, cluster_id) mapping. Lineage is
+    * rebased per round and the superseded generation unpersisted, exactly
+    * like the min-label loop.
+    *
+    * Returns (labels, rounds) — rounds is asserted O(log n) by the
+    * adversarial chain spec. */
+  private[graft] def connectedComponentsAlternating(
+      edges: DataFrame, maxIter: Int = 40): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    def rebase(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .internalCreateDataFrame(spark, df.queryExecution.toRdd, df.schema)
+    var e = edges.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().persist()
+    var eCount = e.count() // materialize: the upstream pair pipeline runs ONCE
+    var iter = 0
+    var converged = eCount == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetrized neighborhood
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = und.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR on the (already hi→lo) large-star output
+      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = rebase(ss).persist()
+      val nextCount = next.count()
+      // fixed point = identical edge SET (both sides deduped): equal
+      // counts + empty anti-join
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e.unpersist()
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating: not converged after $maxIter rounds")
+    // stars: children as u → root as v; roots appear only on the v side
+    val labels = e.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("node"), col("v").as("cluster_id")).distinct())
+    val out = checkpointLabels(labels)
+    e.unpersist()
+    (out, iter)
   }
 
   /** c19: near-duplicate CLUSTERS — c2's MinHash/LSH pairs at
@@ -316,11 +420,15 @@ object Dedup {
     * operation a training-data pipeline actually runs. Modes:
     *  - "exact":   duplicates = identical text (md5 group, c1's shape);
     *  - "minhash": near-dups = c2's MinHash/LSH pairs at `threshold`
-    *               jaccard, clustered by [[connectedComponents]];
+    *               jaccard, clustered by [[connectedComponentsAlternating]];
     *  - "simhash": near-dups = 64-bit simhash banding at `maxHamming`
     *               ([[simhashPairs]]), clustered the same way.
-    * Every shuffle is an equi-join/groupBy on keys or band buckets —
-    * nothing here is O(n²) at any corpus size. */
+    * Clustering uses the large-star/small-star alternation, NOT min-label:
+    * this path has no oracle behind it and a real corpus can contain
+    * high-diameter near-dup chains (doc1~doc2~...~docN) that min-label
+    * would need diameter iterations to merge. Every shuffle is an
+    * equi-join/groupBy on keys or band buckets — nothing here is O(n²) at
+    * any corpus size. */
   def dedupDocuments(spark: SparkSession, dir: String, mode: String = "minhash",
                      threshold: Double = 0.5, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -338,7 +446,7 @@ object Dedup {
             simhashPairs(docs.select("doc_id", "text"), maxHamming)
               .select(col("doc_a").as("u"), col("doc_b").as("v"))
         // non-canonical cluster members are the drop set
-        val drop = connectedComponents(pairs)
+        val drop = connectedComponentsAlternating(pairs)._1
           .filter(col("cluster_id") =!= col("node"))
           .select(col("node").as("doc_id"))
         docs.join(drop, Seq("doc_id"), "left_anti")

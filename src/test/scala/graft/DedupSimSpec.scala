@@ -261,6 +261,46 @@ class DedupSimSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("alternating CC: 10k-node adversarial chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is min-label's worst case (needs diameter = n-1
+    // iterations); large-star/small-star must do it in ~log2(n) rounds
+    val n = 10000L
+    val edges = spark.range(1, n).select(
+      col("id").as("u"), (col("id") - 1).as("v"))
+    val (labels, rounds) = Dedup.connectedComponentsAlternating(edges)
+    info(s"chain of $n nodes converged in $rounds rounds")
+    assert(rounds <= 25, s"expected O(log n) rounds, got $rounds")
+    val got = labels.collect()
+    assert(got.length == n)
+    assert(got.forall(_.getAs[Long]("cluster_id") == 0L),
+      "every chain node must label to the minimum (0)")
+  }
+
+  test("alternating CC ≡ min-label CC on the c19 near-dup pair graph") {
+    val pairs = Dedup.c2DedupMinhash(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val minLabel = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    val (alt, rounds) = Dedup.connectedComponentsAlternating(pairs)
+    val altMap = alt.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    info(s"c19 corpus: ${minLabel.size} nodes, alternation took $rounds rounds")
+    assert(minLabel.nonEmpty, "corpus must produce near-dup components")
+    assert(altMap == minLabel, "the two algorithms must agree exactly")
+  }
+
+  test("min-label CC throws (not silent partial labels) when maxIter is exceeded") {
+    import spark.implicits._
+    // diameter-4 path but maxIter=2: propagation cannot finish
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("c19 dedup clusters: pairs land in one cluster, canonicals are minima") {
     val out = Dedup.c19DedupCluster(spark, sfDir).collect()
     val cluster = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
