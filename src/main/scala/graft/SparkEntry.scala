@@ -365,14 +365,47 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin),
+    // every feature is recomputed from the closed-form payload-generation
+    // formulas (Multimodal.pgmPayload/wavPayload/videoPayload): the Spark
+    // side decodes REAL PGM/WAV binary, so one mis-parsed header byte or
+    // sample hash-fails here
     "c12_multimodal" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  ord(substr(text, 1, 1)) AS first_byte,
-        |  ord(substr(text, CAST(strlen(text) AS INT), 1)) AS last_byte,
-        |  CAST(strlen(text) // 100 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+        |img AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    list_transform(range(0, (8 + doc_id % 9) * (8 + doc_id % 7)),
+        |                   i -> (doc_id * 31 + i * 7) % 256) AS l
+        |  FROM d WHERE m = 0),
+        |aud AS (
+        |  SELECT doc_id, 64 + doc_id % 129 AS n,
+        |    list_transform(range(0, 64 + doc_id % 129),
+        |                   i -> ((doc_id * 131 + i * 17) % 65536) - 32768) AS l
+        |  FROM d WHERE m = 1),
+        |vid AS (
+        |  SELECT doc_id, 100 + doc_id % 201 AS n,
+        |    list_transform(range(0, 100 + doc_id % 201),
+        |                   i -> (doc_id * 7 + i * 13) % 256) AS l
+        |  FROM d WHERE m = 2)
+        |SELECT doc_id, 'image' AS media_type,
+        |  CAST(9 + strlen(CAST(w AS VARCHAR)) + strlen(CAST(h AS VARCHAR)) + w * h AS BIGINT) AS n_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_units,
+        |  CAST(list_min(l) AS BIGINT) AS v_min, CAST(list_max(l) AS BIGINT) AS v_max,
+        |  CAST(list_sum(l) AS BIGINT) AS v_sum
+        |FROM img
+        |UNION ALL
+        |SELECT doc_id, 'audio', CAST(44 + 2 * n AS BIGINT),
+        |  CAST(8000 AS BIGINT), CAST(16 AS BIGINT), CAST(n AS BIGINT),
+        |  CAST(list_min(l) AS BIGINT), CAST(list_max(l) AS BIGINT),
+        |  CAST(list_sum(l) AS BIGINT)
+        |FROM aud
+        |UNION ALL
+        |SELECT doc_id, 'video', CAST(n AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST((n + 99) // 100 AS BIGINT),
+        |  CAST(list_min(l) AS BIGINT), CAST(list_max(l) AS BIGINT),
+        |  CAST(list_sum(l) AS BIGINT)
+        |FROM vid
+        |ORDER BY doc_id""".stripMargin,
     "b13_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS seg,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -7,67 +7,230 @@ import graft.Tables
 
 /** A multimodal record: opaque media bytes + typed metadata. At scale the
   * payload column holds real image/audio/video bytes (parquet binary with
-  * dictionary encoding off); here it is derived deterministically from the
-  * documents table because the container ships no codecs (SURVEY §2 c12). */
+  * dictionary encoding off); here the bytes are REAL codec-free formats —
+  * PGM images and WAV/PCM audio — generated deterministically per doc_id,
+  * so decode is a genuine binary parse and the oracle can recompute every
+  * decoded feature from the generation formula (SURVEY §2 c12). */
 case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Output of the (stubbed) decoder — the schema a real image/audio decode
-  * would produce: byte size, boundary bytes, and a frame count. */
+/** Decoded per-record features. Per-type meaning of the generic slots:
+  *  - image (PGM):  width, height = pixel dims; n_units = pixels;
+  *                  v_* over pixel values 0..255
+  *  - audio (WAV):  width = sample rate, height = bits/sample;
+  *                  n_units = samples; v_* over signed 16-bit samples
+  *  - video (stub): width = height = 0; n_units = 100-byte frames;
+  *                  v_* over raw payload bytes (no codec in container) */
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-                         first_byte: Int, last_byte: Int, n_frames: Long)
+                         width: Long, height: Long, n_units: Long,
+                         v_min: Long, v_max: Long, v_sum: Long)
 
-/** Output of the (stubbed) resize — a real implementation holds the
-  * re-encoded image; the stub carries a deterministic w×h byte crop. */
+/** Output of resize — a real implementation holds the re-encoded image;
+  * the stub carries a deterministic w×h byte crop. */
 case class ResizedMedia(doc_id: Long, media_type: String,
                         width: Int, height: Int, payload: Array[Byte])
 
 /** One sampled frame of a video payload. */
 case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
 
-/** Multimodal-column plumbing (SURVEY §2 c12).
+/** Multimodal-column pipeline (SURVEY §2 c12).
   *
   * The Spark-side shape is real: a typed `Dataset[MediaRecord]` with a
   * binary payload column, batch-iterated per partition exactly where a
   * Pandas-UDF / JNI decoder would sit, producing a typed features frame.
-  * Only `decodeStub` is fake — it reads deterministic byte features so the
-  * pipeline is testable and oracle-checkable without codecs. Swapping in a
-  * real decoder changes one function, not the plan.
+  * Image and audio decode are REAL binary parsers for codec-free formats
+  * (PGM P5, WAV RIFF/PCM — both decodable in pure JVM); only video remains
+  * a clearly-marked stub because the container ships no video codecs.
+  * Swapping in a real JPEG/MP4 decoder changes one function, not the plan.
   */
 object Multimodal {
 
-  /** Media table derived from documents: payload = UTF-8 text bytes,
-    * media_type assigned round-robin. Per-partition parallelism comes from
-    * the parquet splits — payload bytes never move through a shuffle. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
+  // ---- deterministic payload generation (closed-form in doc_id, so the
+  // ---- DuckDB oracle recomputes decoded features without parsing binary)
+
+  private[graft] def imageDims(docId: Long): (Int, Int) =
+    ((8 + docId % 9).toInt, (8 + docId % 7).toInt)
+
+  private[graft] def pgmPayload(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) {
+      out(header.length + i) = ((docId * 31 + i * 7) % 256).toByte
+      i += 1
+    }
+    out
   }
 
-  /** STUB decoder — deterministic byte features standing in for a real
-    * image/audio decode (no codec libraries in this container). A real
-    * implementation decodes `r.payload` here, inside the partition
-    * iterator, with no change to the surrounding plan. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val b = r.payload
-    // empty payloads decode to sentinel boundary bytes instead of crashing
-    MediaFeatures(r.doc_id, r.media_type, b.length.toLong,
-      if (b.isEmpty) -1 else b.head & 0xFF,
-      if (b.isEmpty) -1 else b.last & 0xFF,
-      b.length / 100 + 1)
+  private[graft] val WavSampleRate = 8000
+  private[graft] val WavBits = 16
+
+  private[graft] def audioSampleCount(docId: Long): Int = (64 + docId % 129).toInt
+
+  private[graft] def wavPayload(docId: Long): Array[Byte] = {
+    val n = audioSampleCount(docId)
+    val dataBytes = 2 * n
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavSampleRate)
+      .putInt(WavSampleRate * WavBits / 8) // byte rate
+      .putShort((WavBits / 8).toShort)     // block align
+      .putShort(WavBits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId * 131 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private[graft] def videoLength(docId: Long): Int = (100 + docId % 201).toInt
+
+  private[graft] def videoPayload(docId: Long): Array[Byte] = {
+    val n = videoLength(docId)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = ((docId * 7 + i * 13) % 256).toByte; i += 1 }
+    out
+  }
+
+  /** Media table: one record per document, media_type round-robin on
+    * doc_id, payload = a real PGM / WAV / (stub) raw byte stream. Payload
+    * bytes are generated inside the partition and never move through a
+    * shuffle; at scale this is a parquet binary column scan. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image", pgmPayload(id))
+          case 1 => MediaRecord(id, "audio", wavPayload(id))
+          case _ => MediaRecord(id, "video", videoPayload(id))
+        }
+      })
+  }
+
+  /** REAL PGM (P5) decoder: parses the header (magic, dims, maxval) and
+    * computes pixel statistics from the raster — pure JVM, no codec
+    * library. Malformed input throws (the FAILFAST analogue). */
+  private[graft] def decodePgm(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    // header = ASCII tokens: "P5" <w> <h> <maxval> then ONE whitespace byte
+    var pos = 0
+    def token(): String = {
+      while (pos < payload.length && payload(pos).toChar.isWhitespace) pos += 1
+      val start = pos
+      while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+      new String(payload, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P5", s"doc $docId: not a P5 PGM")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"doc $docId: unsupported maxval $maxval")
+    pos += 1 // the single whitespace after maxval
+    require(payload.length - pos == w * h,
+      s"doc $docId: raster is ${payload.length - pos} bytes, expected ${w * h}")
+    var mn = 255L; var mx = 0L; var sum = 0L
+    var i = pos
+    while (i < payload.length) {
+      val v = (payload(i) & 0xFF).toLong
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      i += 1
+    }
+    MediaFeatures(docId, "image", payload.length.toLong, w.toLong, h.toLong,
+      (w * h).toLong, mn, mx, sum)
+  }
+
+  /** REAL WAV (RIFF/PCM) decoder: validates RIFF/WAVE magic, walks the
+    * chunk list to fmt + data, and computes signed-sample statistics —
+    * pure JVM, no codec library. Malformed input throws. */
+  private[graft] def decodeWav(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc $docId: missing RIFF magic")
+    bb.getInt // riff size
+    require(fourcc() == "WAVE", s"doc $docId: not a WAVE stream")
+    var sampleRate = 0; var bits = 0; var channels = 0
+    var mn = Long.MaxValue; var mx = Long.MinValue; var sum = 0L; var n = 0L
+    var sawData = false
+    while (bb.remaining() >= 8) {
+      val id = fourcc(); val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort
+          require(fmt == 1, s"doc $docId: non-PCM format $fmt")
+          channels = bb.getShort.toInt
+          sampleRate = bb.getInt
+          bb.getInt // byte rate
+          bb.getShort // block align
+          bits = bb.getShort.toInt
+          require(bits == 16, s"doc $docId: unsupported bit depth $bits")
+          bb.position(bb.position() + (size - 16))
+        case "data" =>
+          require(sampleRate > 0, s"doc $docId: data chunk before fmt")
+          sawData = true
+          var i = 0
+          while (i < size / 2) {
+            val v = bb.getShort.toLong
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sum += v; n += 1
+            i += 1
+          }
+        case _ => bb.position(bb.position() + size) // skip unknown chunk
+      }
+    }
+    require(sawData && n > 0, s"doc $docId: no data chunk")
+    MediaFeatures(docId, "audio", payload.length.toLong, sampleRate.toLong,
+      bits.toLong, n, mn, mx, sum)
+  }
+
+  /** STUB video "decode" — byte-level features only: the container ships
+    * no video codec, so frames are modeled as fixed 100-byte chunks and
+    * v_* are raw byte statistics. A real demuxer replaces exactly this
+    * function. */
+  private[graft] def decodeVideoStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    var mn = 255L; var mx = 0L; var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val v = (payload(i) & 0xFF).toLong
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      i += 1
+    }
+    MediaFeatures(docId, "video", payload.length.toLong, 0L, 0L,
+      ((payload.length + 99) / 100).toLong, mn, mx, sum)
+  }
+
+  /** Dispatch decode by declared media type. */
+  private[graft] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
+    case "image" => decodePgm(r.doc_id, r.payload)
+    case "audio" => decodeWav(r.doc_id, r.payload)
+    case _       => decodeVideoStub(r.doc_id, r.payload)
   }
 
   /** c12: decode/feature-extract over the media table — mapPartitions so a
     * real decoder could amortize per-batch setup (codec contexts, GPU
-    * handles) across the partition. */
+    * handles) across the partition. Image and audio rows go through REAL
+    * binary parsers (PGM/WAV); the oracle recomputes every feature from
+    * the closed-form generation formulas, so a decoder that mis-parses a
+    * single header byte or sample hash-fails the gate. */
   def c12Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decode))
       .toDF()
       .orderBy("doc_id")
   }

@@ -194,16 +194,73 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
-  test("c12 multimodal features round-trip the payload bytes") {
-    val docs = Tables.documents(spark, sfDir)
-      .select("doc_id", "n_chars").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("c12 PGM decoder: hand-computed fixture + malformed input rejection") {
+    // 2x2 P5, pixels 10, 200, 0, 255 — every feature computed by hand
+    val pgm = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 200.toByte, 0, 255.toByte)
+    val f = Multimodal.decodePgm(7L, pgm)
+    assert(f.width == 2 && f.height == 2 && f.n_units == 4)
+    assert(f.n_bytes == pgm.length.toLong)
+    assert(f.v_min == 0 && f.v_max == 255 && f.v_sum == 10 + 200 + 0 + 255)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgm(7L, "P6\n2 2\n255\n".getBytes ++ Array[Byte](1, 2, 3, 4))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decodePgm(7L, "P5\n2 2\n255\n".getBytes ++ Array[Byte](1, 2))
+    }
+  }
+
+  test("c12 WAV decoder: hand-computed fixture + malformed input rejection") {
+    // 3 samples: -32768, 0, 32767
+    val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(42).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(6)
+      .putShort(Short.MinValue).putShort(0).putShort(Short.MaxValue)
+    val f = Multimodal.decodeWav(9L, bb.array())
+    assert(f.width == 8000 && f.height == 16 && f.n_units == 3)
+    assert(f.v_min == -32768 && f.v_max == 32767 && f.v_sum == -1)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(9L, "JUNK".getBytes ++ new Array[Byte](46))
+    }
+  }
+
+  test("c12 decode recovers the generation formulas exactly (real binary parse)") {
+    for (id <- Seq(0L, 3L, 12L)) { // image ids
+      val f = Multimodal.decodePgm(id, Multimodal.pgmPayload(id))
+      val (w, h) = Multimodal.imageDims(id)
+      val px = (0 until w * h).map(i => (id * 31 + i * 7) % 256)
+      assert(f.width == w && f.height == h && f.n_units == w * h)
+      assert(f.v_min == px.min && f.v_max == px.max && f.v_sum == px.sum)
+    }
+    for (id <- Seq(1L, 4L, 13L)) { // audio ids
+      val f = Multimodal.decodeWav(id, Multimodal.wavPayload(id))
+      val n = Multimodal.audioSampleCount(id)
+      val s = (0 until n).map(i => ((id * 131 + i * 17) % 65536) - 32768)
+      assert(f.width == 8000 && f.height == 16 && f.n_units == n)
+      assert(f.v_min == s.min && f.v_max == s.max && f.v_sum == s.sum)
+      assert(f.n_bytes == 44 + 2L * n)
+    }
+  }
+
+  test("c12 multimodal features decode from real PGM/WAV payloads") {
     val feats = Multimodal.c12Multimodal(spark, sfDir).collect()
-    assert(feats.length == docs.size)
+    assert(feats.length == Tables.documents(spark, sfDir).count())
     feats.foreach { r =>
-      assert(r.getAs[Long]("n_bytes") == docs(r.getAs[Long]("doc_id")),
-        "ascii corpus: byte length == char length")
-      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("media_type") match {
+        case "image" =>
+          val (w, h) = Multimodal.imageDims(id)
+          assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+          assert(r.getAs[Long]("v_min") >= 0 && r.getAs[Long]("v_max") <= 255)
+        case "audio" =>
+          assert(r.getAs[Long]("width") == 8000 && r.getAs[Long]("height") == 16)
+          assert(r.getAs[Long]("n_units") == Multimodal.audioSampleCount(id))
+        case "video" =>
+          assert(r.getAs[Long]("n_bytes") == Multimodal.videoLength(id))
+        case other => fail(s"unexpected media_type $other")
+      }
     }
   }
 
