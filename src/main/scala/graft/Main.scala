@@ -103,8 +103,17 @@ object Main {
     // per-batch latency tracking (bolson --latency, src/bolson/latency.h):
     // attached whenever either dump file is requested
     val latencyListener = new graft.metrics.LatencyListener()
-    if (latencyFile.isDefined || metricsFile.isDefined)
-      spark.streams.addListener(latencyListener)
+    val wantDumps = latencyFile.isDefined || metricsFile.isDefined
+    if (wantDumps) spark.streams.addListener(latencyListener)
+    // per-stage time decomposition (parse / serialize / publish — bolson
+    // latency.h:30-40): accumulators summed task-side, per-batch deltas
+    // snapshotted driver-side after each foreachBatch action completes
+    val stageTimers =
+      if (wantDumps) Some(graft.metrics.StageTimers(spark.sparkContext)) else None
+    case class StageSample(batchId: Long, parseMs: Double,
+                           serializeMs: Double, publishMs: Double)
+    val stageSamples = scala.collection.mutable.ArrayBuffer[StageSample]()
+    var lastParse = 0.0; var lastSer = 0.0; var lastPub = 0.0
     // per-stage publish totals across all micro-batches (bolson --metrics)
     var totMsgs = 0L; var totRows = 0L; var totBytes = 0L
     val lines = spark.readStream.format("socket")
@@ -135,8 +144,16 @@ object Main {
           // epoch = micro-batch id: batch ids restart per serialize() call,
           // so files would overwrite across micro-batches without it
           val stats = graft.streaming.Publish.run(
-            ArrowIpc.serialize(withSeq, maxRows, maxIpc, codec),
-            () => mkPublisher(batchId))
+            ArrowIpc.serialize(withSeq, maxRows, maxIpc, codec, stageTimers),
+            () => mkPublisher(batchId), stageTimers)
+          stageTimers.foreach { st =>
+            // accumulators are totals; the per-batch sample is the delta
+            // since the previous micro-batch (foreachBatch runs serially
+            // on the driver, so this bookkeeping needs no locking)
+            val (p, s, u) = (st.parseMs, st.serializeMs, st.publishMs)
+            stageSamples += StageSample(batchId, p - lastParse, s - lastSer, u - lastPub)
+            lastParse = p; lastSer = s; lastPub = u
+          }
           // advance the offset by an EXACT job-result count, not the
           // publish accumulator: retried/speculative tasks re-add to
           // accumulators and would silently break seq contiguity (count()
@@ -162,10 +179,18 @@ object Main {
     // shutdown dumps (bolson writes its latency/metrics files after the
     // stream drains, src/bolson/stream.cpp + cli.cpp:62-66,92-94)
     latencyFile.foreach { f =>
-      val rows = latencyListener.samples.map(s =>
+      // per-batch samples, joined with the per-stage deltas by batch id —
+      // the Spark rendering of bolson's per-seq-range latency dump
+      val stageById = stageSamples.map(s => s.batchId -> s).toMap
+      val rows = latencyListener.samples.map { s =>
+        val st = stageById.get(s.batchId)
         s"""{"batch_id":${s.batchId},"input_rows":${s.inputRows},""" +
         s""""add_batch_ms":${s.addBatchMs},"trigger_ms":${s.triggerMs},""" +
-        f""""rows_per_sec":${s.rowsPerSec}%.1f}""")
+        f""""rows_per_sec":${s.rowsPerSec}%.1f""" +
+        st.map(x =>
+          f""","parse_ms":${x.parseMs}%.1f,"serialize_ms":${x.serializeMs}%.1f""" +
+          f""","publish_ms":${x.publishMs}%.1f""").getOrElse("") + "}"
+      }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
         rows.mkString("[", ",", "]")); ()
     }
@@ -173,9 +198,13 @@ object Main {
       val lat = latencyListener.summary
       val latJson = lat.toSeq.sortBy(_._1)
         .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
+      val stageJson = stageTimers.map(st =>
+        f""","parse_ms_total":${st.parseMs}%.1f""" +
+        f""","serialize_ms_total":${st.serializeMs}%.1f""" +
+        f""","publish_ms_total":${st.publishMs}%.1f""").getOrElse("")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
         s"""{"messages_published":$totMsgs,"rows_published":$totRows,""" +
-        s""""bytes_published":$totBytes""" +
+        s""""bytes_published":$totBytes""" + stageJson +
         (if (latJson.nonEmpty) s",$latJson" else "") + "}"); ()
     }
     if (latencyFile.isDefined || metricsFile.isDefined)

@@ -212,12 +212,30 @@ object ArrowIpc {
     }
   }
 
+  /** Iterator wrapper accumulating time spent pulling from upstream (the
+    * scan + parse feeding the serializer) — the "parse" stage of the
+    * latency decomposition. Zero-cost when disabled (one branch per call). */
+  private final class PullTimed[T](it: Iterator[T], enabled: Boolean)
+      extends Iterator[T] {
+    var ns = 0L
+    override def hasNext: Boolean =
+      if (!enabled) it.hasNext
+      else { val t = System.nanoTime(); val r = it.hasNext; ns += System.nanoTime() - t; r }
+    override def next(): T =
+      if (!enabled) it.next()
+      else { val t = System.nanoTime(); val r = it.next(); ns += System.nanoTime() - t; r }
+  }
+
   /** a5+a6: DataFrame → per-partition stream of bounded IPC messages.
     * Streams InternalRows (queryExecution.toRdd — no external-Row
-    * conversion) straight into Arrow vectors; a batch is cut at maxRows. */
+    * conversion) straight into Arrow vectors; a batch is cut at maxRows.
+    * With `timers`, task-side nanos split into parse (upstream pull) and
+    * serialize (Arrow write + IPC encode) accumulators — bolson's
+    * per-stage latency stamps (latency.h). */
   def serialize(df: DataFrame, maxRows: Int,
                 maxIpcBytes: Long = Long.MaxValue,
-                codec: String = "none"): Dataset[IpcMessage] = {
+                codec: String = "none",
+                timers: Option[graft.metrics.StageTimers] = None): Dataset[IpcMessage] = {
     require(maxRows > 0, s"maxRows must be positive (got $maxRows)")
     require(maxIpcBytes > 0, s"maxIpcBytes must be positive (got $maxIpcBytes)")
     codecType(codec) // validate eagerly, not inside tasks
@@ -225,7 +243,9 @@ object ArrowIpc {
     import spark.implicits._
     val schema = df.schema
     val arrowSchemaJson = toArrowSchema(schema).toJson
-    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+    val rdd = df.queryExecution.toRdd.mapPartitions { it0 =>
+      val timed = timers.isDefined
+      val it = new PullTimed(it0, timed)
       val arrowSchema = ArrowSchema.fromJSON(arrowSchemaJson)
       val allocator = taskScopedAllocator()
       val pid = TaskContext.getPartitionId().toLong
@@ -236,6 +256,8 @@ object ArrowIpc {
         override def next(): IpcMessage = pending match {
           case head :: tail => pending = tail; head
           case Nil =>
+            val t0 = if (timed) System.nanoTime() else 0L
+            val pullBefore = it.ns
             val root = VectorSchemaRoot.create(arrowSchema, allocator)
             try {
               val writers = root.getFieldVectors.asScala.zip(schema.fields)
@@ -254,6 +276,11 @@ object ArrowIpc {
                 IpcMessage((pid << 32) | ordinal, n.toLong, b.length.toLong, b)
               }.toList
             } finally root.close()
+            if (timed) {
+              val pull = it.ns - pullBefore
+              timers.get.parseNs.add(pull)
+              timers.get.serializeNs.add(System.nanoTime() - t0 - pull)
+            }
             next()
         }
       }

@@ -137,6 +137,40 @@ class BatchingFilePublisher(dir: String, opts: BatchingOptions = BatchingOptions
   override def close(): Unit = inner.close()
 }
 
+/** Failure injection for broker-semantics specs: delegates to `inner` but
+  * throws on the JVM-wide nth publish call, exactly once. Encodes the
+  * delivery contract a real broker client (Pulsar/Kafka producer) brings:
+  *  - a failed send fails the partition task → the micro-batch job → the
+  *    streaming query; restarting from the checkpoint REPLAYS the batch —
+  *    at-least-once delivery, bolson's effective guarantee (its Pulsar
+  *    send error aborts the pipeline, publisher.cpp error path);
+  *  - re-publishes are idempotent at the sink when message naming is
+  *    (epoch = micro-batch id, batch_id): the replayed batch overwrites
+  *    the partial first attempt instead of duplicating it — the
+  *    filesystem analogue of a broker's producer-idempotence keyed on
+  *    (producer, sequence).
+  * The failure arming is JVM-wide (companion AtomicLong) because the
+  * publisher instance is constructed per partition task — local-mode
+  * specs share the JVM, exactly like CollectingPublisher. */
+object FailNthPublisher {
+  private val remaining = new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** Arm: the nth publish call (1-based, JVM-wide) will throw, once. */
+  def armFailure(nth: Long): Unit = remaining.set(nth)
+  def disarm(): Unit = remaining.set(-1L)
+  private[streaming] def shouldFail(): Boolean =
+    remaining.decrementAndGet() == 0L
+}
+
+class FailNthPublisher(inner: Publisher) extends Publisher {
+  override def open(partitionId: Int): Unit = inner.open(partitionId)
+  override def publish(m: IpcMessage): Unit = {
+    if (FailNthPublisher.shouldFail())
+      throw new java.io.IOException("injected publish failure (broker send error)")
+    inner.publish(m)
+  }
+  override def close(): Unit = inner.close()
+}
+
 /** Publisher that accepts and drops every message — for harnesses whose
   * observable output is the accumulator stats from [[Publish.run]] (e.g.
   * a9): buffering payload bytes anywhere would hold the corpus's IPC bytes
@@ -174,19 +208,33 @@ object Publish {
 
   /** Drain a message stream to a publisher, one instance per partition.
     * An action (not a transformation): runs the upstream plan once and
-    * returns the publish counters. */
-  def run(messages: Dataset[IpcMessage], mkPublisher: () => Publisher): PublishStats = {
+    * returns the publish counters. With `timers`, publish-call nanos
+    * (including the close-side flush) land in the publish-stage
+    * accumulator — the last stamp of bolson's latency decomposition. */
+  def run(messages: Dataset[IpcMessage], mkPublisher: () => Publisher,
+          timers: Option[graft.metrics.StageTimers] = None): PublishStats = {
     val sc = messages.sparkSession.sparkContext
     val nMsgs = sc.longAccumulator("graft.messages_published")
     val nRows = sc.longAccumulator("graft.rows_published")
     val nBytes = sc.longAccumulator("graft.bytes_published")
     messages.foreachPartition { (it: Iterator[IpcMessage]) =>
+      val timed = timers.isDefined
       val p = mkPublisher()
       p.open(TaskContext.getPartitionId())
       try it.foreach { m =>
-        p.publish(m)
+        if (timed) {
+          val t = System.nanoTime()
+          p.publish(m)
+          timers.get.publishNs.add(System.nanoTime() - t)
+        } else p.publish(m)
         nMsgs.add(1); nRows.add(m.n_rows); nBytes.add(m.n_bytes)
-      } finally p.close()
+      } finally {
+        if (timed) {
+          val t = System.nanoTime()
+          p.close()
+          timers.get.publishNs.add(System.nanoTime() - t)
+        } else p.close()
+      }
     }
     PublishStats(nMsgs.value, nRows.value, nBytes.value)
   }

@@ -64,6 +64,27 @@ class CliSpec extends SparkSpec {
     val met = Files.readString(java.nio.file.Paths.get(metFile))
     assert(met.contains(s"\"rows_published\":$n"), s"metrics totals: $met")
     assert(met.contains("\"messages_published\""), s"metrics totals: $met")
+
+    // per-stage decomposition (bolson latency.h parity): every stage was
+    // actually timed (non-zero totals) and the per-batch stage sums stay
+    // within the measured batch execution time — the socket source feeds
+    // single-partition batches, so stage core-ms cannot exceed wall-ms by
+    // more than bookkeeping slop
+    def metric(name: String): Double =
+      s""""$name":([0-9.]+)""".r.findFirstMatchIn(met).map(_.group(1).toDouble)
+        .getOrElse(fail(s"$name missing from metrics dump: $met"))
+    val parseTot = metric("parse_ms_total")
+    val serTot = metric("serialize_ms_total")
+    val pubTot = metric("publish_ms_total")
+    assert(parseTot > 0 && serTot > 0 && pubTot > 0,
+      s"all stages timed: parse=$parseTot serialize=$serTot publish=$pubTot")
+    val addBatchTotal = "\"add_batch_ms\":(\\d+)".r
+      .findAllMatchIn(lat).map(_.group(1).toDouble).sum
+    assert(parseTot + serTot + pubTot <= addBatchTotal * 1.5 + 100,
+      s"stage sums (${parseTot + serTot + pubTot} ms) should be bounded by " +
+        s"batch execution time ($addBatchTotal ms)")
+    assert(lat.contains("\"parse_ms\"") && lat.contains("\"serialize_ms\"") &&
+      lat.contains("\"publish_ms\""), s"per-batch stage fields present: $lat")
   }
 
   test("dedup subcommand: exact and minhash modes write canonical survivors") {
