@@ -82,6 +82,7 @@ object SparkEntry {
     "c23_seq_pack" -> ((s: SparkSession, d: String) => TextOps.c23SeqPack(s, d)),
     "c25_mixture_resample" -> (TextOps.c25MixtureResample _),
     "c24_decontam" -> (TextOps.c24Decontam _),
+    "c26_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.c26PassageDedup(s, d)),
   )
 
   /** DuckDB rendering of the c6/c11 LSH bucket: the SAME seeded plane
@@ -325,6 +326,19 @@ object SparkEntry {
         |JOIN shl za ON za.doc_id = p.doc_a
         |JOIN shl zb ON zb.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "c26_passage_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, i AS pidx,
+        |        array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS passage
+        |      FROM tok, UNNEST(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS u(i)),
+        |own AS (SELECT md5(passage) AS h, min(doc_id) AS owner FROM p GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.pidx, p.passage, o.owner
+        |      FROM p JOIN own o ON md5(p.passage) = o.h)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN owner <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(string_agg(CASE WHEN owner = doc_id THEN passage END, ' ' ORDER BY pidx)) AS kept_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "c4_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |gx AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram

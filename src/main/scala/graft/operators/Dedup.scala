@@ -456,6 +456,46 @@ object Dedup {
     }
   }
 
+  /** c26: passage-level dedup (the CCNet/C4 paragraph-dedup technique,
+    * applied to fixed 10-token passages because this corpus has no line
+    * structure): every passage is owned by the minimum doc_id that
+    * contains it; other occurrences are dropped and the doc is
+    * reconstructed from its kept passages. Per doc: passage counts,
+    * kept/dropped, and the md5 of the reconstructed text (NULL when every
+    * passage was owned elsewhere, i.e. the doc is fully redundant).
+    *
+    * Scale shape: explode to (doc, pos, token) → groupBy (doc, passage
+    * idx) to build passages → ownership is ONE groupBy on md5(passage)
+    * (16-byte keys, never passage bodies at the reduce side after
+    * map-side partial min) → equi-join back → per-doc aggregate. No
+    * all-pairs anywhere; at 100 TB the passage-hash shuffle dominates and
+    * is O(total tokens / passage size). */
+  def c26PassageDedup(spark: SparkSession, dir: String,
+                      passageTokens: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), floor(col("pos") / passageTokens).as("pidx"),
+        col("pos"), col("col").as("tok"))
+    val passages = toks.groupBy("doc_id", "pidx")
+      .agg(array_join(
+        sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"),
+        " ").as("passage"))
+    val owners = passages.groupBy(md5(col("passage")).as("h"))
+      .agg(min("doc_id").as("owner"))
+    passages.withColumn("h", md5(col("passage"))).join(owners, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L)).as("n_dropped"),
+        collect_list(when(col("owner") === col("doc_id"),
+          struct(col("pidx"), col("passage")))).as("kept_arr"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"), col("n_dropped"),
+        when(size(col("kept_arr")) > 0,
+          md5(array_join(sort_array(col("kept_arr")).getField("passage"), " ")))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** c4: token-3-gram Jaccard over adjacent-id candidate pairs. The pair
     * generator here is deliberately trivial (id, id+1) so the oracle can
     * reproduce it; production candidate pairs come from c2/c3 banding and

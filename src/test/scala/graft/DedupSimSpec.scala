@@ -358,6 +358,38 @@ class DedupSimSpec extends SparkSpec {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  test("c26 passage dedup: counts reconcile, untouched docs reconstruct to their own text") {
+    import spark.implicits._
+    val out = Dedup.c26PassageDedup(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("text_md5"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_md5"), r.getAs[Int]("n_tok"))).toMap
+    assert(out.length == docs.size, "one row per document")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (textMd5, nTok) = docs(id)
+      val nP = r.getAs[Long]("n_passages")
+      assert(nP == (nTok + 9) / 10, s"doc $id: ceil(tokens/10) passages")
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == nP,
+        s"doc $id: kept + dropped = total")
+      if (r.getAs[Long]("n_dropped") == 0)
+        // no passage owned elsewhere ⇒ reconstruction IS the original text
+        assert(r.getAs[String]("kept_md5") == textMd5,
+          s"doc $id: untouched doc must reconstruct byte-identically")
+      if (r.getAs[Long]("n_kept") == 0)
+        assert(r.getAs[String]("kept_md5") == null,
+          s"doc $id: fully-redundant doc reconstructs to NULL")
+    }
+    // the corpus contains exact duplicates, so some doc must be fully
+    // redundant (every passage owned by its smaller twin)
+    assert(out.exists(_.getAs[Long]("n_kept") == 0),
+      "exact-dup corpus must produce at least one fully-dropped doc")
+    assert(out.exists(r => r.getAs[Long]("n_dropped") == 0 && r.getAs[Long]("n_kept") > 0),
+      "most docs keep all their passages")
+  }
+
   test("c19 dedup clusters: pairs land in one cluster, canonicals are minima") {
     val out = Dedup.c19DedupCluster(spark, sfDir).collect()
     val cluster = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
