@@ -56,6 +56,7 @@ object SparkEntry {
     "b16_approx_distinct" -> (Relational.b16ApproxDistinct _),
     "b17_approx_quantiles" -> (Relational.b17ApproxQuantiles _),
     "b18_outer_join" -> (Relational.b18OuterJoin _),
+    "b19_correlated" -> (Relational.b19Correlated _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -83,7 +84,58 @@ object SparkEntry {
     "c25_mixture_resample" -> (TextOps.c25MixtureResample _),
     "c24_decontam" -> (TextOps.c24Decontam _),
     "c26_passage_dedup" -> ((s: SparkSession, d: String) => Dedup.c26PassageDedup(s, d)),
+    "c27_bloom_decontam" -> ((s: SparkSession, d: String) => TextOps.c27BloomDecontam(s, d)),
+    "c28_random_projection" -> ((s: SparkSession, d: String) => Similarity.c28RandomProjection(s, d)),
+    "c29_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.c29HardNegatives(s, d)),
+    "c30_cluster_split" -> (Dedup.c30ClusterSplit _),
   )
+
+  /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
+    * the Spark expression uses (seed "graft:rp"), inlined as a VALUES
+    * relation of integer-entry DOUBLE lists — every dot product against
+    * the fixed-point embedding is integer-valued ≤ 2^53, hence exact in
+    * both engines regardless of summation order. */
+  private def rpPlanesValues: String = {
+    val planes = graft.functions.VectorFunctions.lshPlanes(16, 64, seed = "graft:rp")
+    planes.zipWithIndex.map { case (p, j) =>
+      s"($j, ${p.mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n       ")
+  }
+
+  /** DuckDB rendering of the c2→connected-components pipeline shared by
+    * the c19 and c30 oracles: word-3-shingles → 8 md5 minhashes → 4×2
+    * band buckets → candidate pairs → exact-Jaccard verify (≥0.5) →
+    * transitive closure via a recursive CTE → per-node min label `lbl`.
+    * Callers append their own final SELECT (and further CTEs after a
+    * comma). */
+  private def clusterCte: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+      |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+      |shl AS (SELECT doc_id, count(*) AS ns, list(shingle) AS sl FROM sh GROUP BY doc_id),
+      |mh AS (SELECT doc_id,
+      |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+      |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+      |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+      |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+      |  FROM sh GROUP BY doc_id),
+      |bd AS (
+      |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mh),
+      |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |       FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |jp AS (SELECT p.doc_a, p.doc_b FROM pr p
+      |       JOIN shl za ON za.doc_id = p.doc_a
+      |       JOIN shl zb ON zb.doc_id = p.doc_b
+      |       WHERE round(CAST(len(list_filter(za.sl, x -> list_contains(zb.sl, x))) AS DOUBLE)
+      |             / (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))), 6) >= 0.5),
+      |ed AS (SELECT doc_a AS u, doc_b AS v FROM jp
+      |       UNION ALL SELECT doc_b, doc_a FROM jp),
+      |reach AS (SELECT u, v FROM ed
+      |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+      |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)""".stripMargin
 
   /** DuckDB rendering of the c6/c11 LSH bucket: the SAME seeded plane
     * matrix the Spark expression uses (VectorFunctions.lshPlanes),
@@ -251,6 +303,19 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
         |           FROM s)
         |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine_r
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "c29_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS c_label
+        |           FROM embeddings WHERE vec_id >= 5),
+        |     s AS (SELECT query_id, neighbor_id, CAST(c_label AS BIGINT) AS neg_label,
+        |             list_cosine_similarity(qv, cv) AS cosine
+        |           FROM q CROSS JOIN c WHERE c_label <> q_label),
+        |     r AS (SELECT query_id, neighbor_id, neg_label, cosine,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |           FROM s)
+        |SELECT query_id, rnk, neighbor_id, neg_label, round(cosine, 6) AS cosine_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "c7_text_quality" ->
       """SELECT doc_id, n_chars,
@@ -472,6 +537,18 @@ object SparkEntry {
         |  COALESCE(u.n_events, 0) AS n_events
         |FROM c FULL JOIN u ON c.c_custkey = u.user_id
         |ORDER BY entity_id""".stripMargin,
+    "b19_correlated" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part)
+        |SELECT p_partkey, p_brand, cents
+        |FROM parts p
+        |WHERE cents * 10 * (SELECT count(*) FROM parts p2
+        |                    WHERE p2.p_brand = p.p_brand)
+        |    > 12 * (SELECT sum(cents) FROM parts p3
+        |            WHERE p3.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "b17_approx_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -516,38 +593,26 @@ object SparkEntry {
         |SELECT query_id, rnk, neighbor_id, cell, round(cosine, 6) AS cosine_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "c19_dedup_cluster" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
-        |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
-        |shl AS (SELECT doc_id, count(*) AS ns, list(shingle) AS sl FROM sh GROUP BY doc_id),
-        |mh AS (SELECT doc_id,
-        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-        |  FROM sh GROUP BY doc_id),
-        |bd AS (
-        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM mh
-        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mh
-        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mh
-        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mh),
-        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |       FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        |jp AS (SELECT p.doc_a, p.doc_b FROM pr p
-        |       JOIN shl za ON za.doc_id = p.doc_a
-        |       JOIN shl zb ON zb.doc_id = p.doc_b
-        |       WHERE round(CAST(len(list_filter(za.sl, x -> list_contains(zb.sl, x))) AS DOUBLE)
-        |             / (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))), 6) >= 0.5),
-        |ed AS (SELECT doc_a AS u, doc_b AS v FROM jp
-        |       UNION ALL SELECT doc_b, doc_a FROM jp),
-        |reach AS (SELECT u, v FROM ed
-        |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
-        |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+      s"""$clusterCte
         |SELECT d.doc_id,
         |  CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
         |  least(COALESCE(l.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // c30 shares c19's connected-components CTE: split is a pure function
+    // of the CLUSTER CANONICAL's text hash (c14's split formula), so
+    // near-dups co-travel across train/val/test by construction.
+    "c30_cluster_split" ->
+      s"""$clusterCte,
+        |cl AS (SELECT d.doc_id,
+        |         CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+        |       FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+        |SELECT cl.doc_id, cl.cluster_id,
+        |  CASE WHEN substring(md5(cd.text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(cd.text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cl JOIN documents cd ON cd.doc_id = cl.cluster_id
+        |ORDER BY cl.doc_id""".stripMargin,
     "c20_pii_scrub" ->
       """WITH f AS (SELECT doc_id,
         |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
@@ -612,6 +677,30 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    // c27 = c24's bloom-prefiltered twin: the bloom pass only DISCARDS
+    // rows the exact verify join would discard anyway (no false
+    // negatives), so the correct output is identical — same oracle.
+    "c27_bloom_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-6)) AS u(i)),
+        |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_shared
+        |         FROM sh s JOIN bs USING (shingle)
+        |         WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "c28_random_projection" ->
+      s"""WITH f AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(p.plane AS BIGINT) AS plane,
+        |  CAST(list_dot_product(f, p.pv) AS BIGINT) AS proj
+        |FROM f, (VALUES $rpPlanesValues) AS p(plane, pv)
+        |ORDER BY vec_id, plane""".stripMargin,
     "c22_embed_quantize" ->
       """WITH x AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
         |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),

@@ -152,6 +152,93 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** Codegen'd random projection (Johnson–Lindenstrauss reduction, SURVEY §2
+  * c28): the full integer dot-product vector against every plane — the
+  * vector-valued generalization of [[HyperplaneBucket]], which keeps only
+  * the signs. Shares the fixed-point 1e-4 quantization contract, so every
+  * output coordinate is an exact integer reproducible in any engine
+  * (the DuckDB oracle recomputes them from inlined plane literals). With
+  * integer plane entries that are Irwin–Hall sums of four uniforms
+  * (≈ Gaussian, variance σ² ≈ 4·255²/12 per coordinate), proj/σ is a
+  * standard JL projection: pairwise angles are preserved in expectation
+  * with distortion O(1/√planes). */
+case class HyperplaneProject(child: Expression, planes: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_project"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fixed = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      val x = v.getDouble(d) * 10000.0
+      val ax = math.abs(x)
+      val fl = math.floor(ax)
+      val r = fl.toLong + (if (ax - fl >= 0.5) 1L else 0L)
+      fixed(d) = if (x < 0) -r else r
+      d += 1
+    }
+    val out = new Array[Long](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var acc = 0L
+      val m = math.min(n, p.length)
+      var i = 0
+      while (i < m) { acc += fixed(i) * p(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "long[][]")
+      val n = ctx.freshName("n")
+      val fixed = ctx.freshName("fixed")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val pj = ctx.freshName("pj")
+      val out = ctx.freshName("out")
+      val ax = ctx.freshName("ax")
+      val fl = ctx.freshName("fl")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $fixed = new long[$n];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = $a.getDouble($d) * 10000.0;
+         |  double $ax = Math.abs($x);
+         |  double $fl = Math.floor($ax);
+         |  long $r = (long) $fl + (($ax - $fl >= 0.5) ? 1L : 0L);
+         |  $fixed[$d] = $x < 0 ? -$r : $r;
+         |}
+         |long[] $out = new long[$p.length];
+         |for (int $j = 0; $j < $p.length; $j++) {
+         |  long[] $pj = $p[$j];
+         |  long $acc = 0L;
+         |  int $m = Math.min($n, $pj.length);
+         |  for (int $i = 0; $i < $m; $i++) { $acc += $fixed[$i] * $pj[$i]; }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProject =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   /** Cosine similarity of two `array<double>` columns (float arrays: cast
@@ -182,6 +269,12 @@ object VectorFunctions {
     * [[HyperplaneBucket]]). */
   def hyperplaneBucket(emb: Column, planes: Array[Array[Long]]): Column =
     ColumnBridge.column(HyperplaneBucket(
+      ColumnBridge.expression(emb.cast("array<double>")), planes))
+
+  /** Full integer projection of an embedding onto `planes` (see
+    * [[HyperplaneProject]]). */
+  def hyperplaneProject(emb: Column, planes: Array[Array[Long]]): Column =
+    ColumnBridge.column(HyperplaneProject(
       ColumnBridge.expression(emb.cast("array<double>")), planes))
 }
 

@@ -415,6 +415,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** c30: leakage-safe train/val/test split — c14's content-hash split
+    * keyed by the near-dup CLUSTER's canonical text instead of each doc's
+    * own. c14 hashes per-doc, so two near-duplicates (one word apart)
+    * hash independently and can land in train AND test — the eval-set
+    * leakage near-dup dedup exists to prevent. Here every doc inherits
+    * the split of its c19 cluster canonical: near-dups co-travel by
+    * construction, and singleton docs (their own canonical) get exactly
+    * c14's split. One extra equi-join on cluster_id beyond c19; the
+    * cluster pass dominates at any scale. */
+  def c30ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = c19DedupCluster(spark, dir).select("doc_id", "cluster_id")
+    val canon = Tables.documents(spark, dir)
+      .select(col("doc_id").as("cluster_id"), md5(col("text")).as("canon_md5"))
+    val bucket = substring(col("canon_md5"), 1, 2)
+    clusters.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end document dedup: returns the SURVIVORS — one canonical doc
     * (minimum doc_id) per duplicate cluster, all columns preserved — the
     * operation a training-data pipeline actually runs. Modes:

@@ -375,6 +375,31 @@ object Relational {
           abs(col("a9") - col("p90_qty")) <= col("p90_qty") * 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** b19: correlated scalar subqueries — "parts priced >20% above their
+    * brand's average" written as the user writes it (two correlated
+    * aggregating subqueries), relying on Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery) to plan ONE aggregate per subquery
+    * plus equi-joins on p_brand — never a per-row re-scan, which is what
+    * a naive engine (or a LATERAL rendering) would do at 100 TB. The
+    * avg comparison is rewritten to integer cross-multiplication
+    * (cents·10·n > 12·sum_cents) so both engines compare exact BIGINTs —
+    * a double `avg` threshold is partial-aggregation-order dependent. */
+  def b19Correlated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_b19_part")
+    spark.sql(
+      """WITH parts AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM graft_b19_part)
+        |SELECT p_partkey, p_brand, cents
+        |FROM parts p
+        |WHERE cents * 10 * (SELECT count(*) FROM parts p2
+        |                    WHERE p2.p_brand = p.p_brand)
+        |    > 12 * (SELECT sum(cents) FROM parts p3
+        |            WHERE p3.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   /** c13: batch sessionization — a new session starts after a >30 min gap
     * per user. One shuffle on user_id serves both window passes and the
     * final groupBy (same partitioning, Catalyst reuses the exchange). Gap

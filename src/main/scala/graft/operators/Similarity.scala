@@ -92,6 +92,57 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** c28: random-projection dimensionality reduction (Johnson–Lindenstrauss)
+    * — project each embedding onto `nPlanes` seeded integer hyperplanes in
+    * one codegen'd pass ([[graft.functions.HyperplaneProject]], the
+    * vector-valued sibling of c6's sign bucket). At 100 TB this is the 4×+
+    * storage/compute reducer applied BEFORE clustering or brute-force
+    * scoring: distances in the projected space preserve full-space angles
+    * with distortion O(1/√planes). Output is long format (vec_id, plane,
+    * proj) — narrow rows, engine-exact integers (fixed-point embedding ·
+    * integer plane), which is what makes the DuckDB oracle reproduce every
+    * coordinate bit-for-bit from inlined plane literals. */
+  def c28RandomProjection(spark: SparkSession, dir: String,
+                          nPlanes: Int = 16): DataFrame = {
+    val planes = VectorFunctions.lshPlanes(nPlanes, EmbeddingDim, seed = "graft:rp")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(VectorFunctions.hyperplaneProject(col("embedding"), planes))
+          .as(Seq("plane", "proj")))
+      .select(col("vec_id"), col("plane").cast("bigint").as("plane"), col("proj"))
+      .orderBy("vec_id", "plane")
+  }
+
+  /** c29: hard-negative mining — per query, the top-k most-similar
+    * candidates with a DIFFERENT label: the contrastive-training
+    * counterpart of c5 (the "hard negatives" a retrieval/embedding
+    * trainer pairs with each anchor). Same plan shape as c5 — broadcast
+    * query set, one codegen'd cosine pass, partial top-k per partition —
+    * the label inequality is a pre-score filter, so mismatched-label rows
+    * never reach the window. At 100 TB the candidate side streams from
+    * splits exactly like c5; swap the crossJoin for c6's bucket join when
+    * approximate negatives suffice. */
+  def c29HardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = broadcast(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"),
+          col("label").as("q_label")))
+    val candidates = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("cv"),
+        col("label").as("c_label"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates.crossJoin(queries)
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("c_label").cast("bigint").as("neg_label"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** c15: per-label centroids — the IVF building block (c6's scale path
     * swaps sign buckets for nearest-centroid ids with the same join
     * shape). One row per (label, dim): posexplode + two-level shuffle on a

@@ -236,6 +236,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** c27: bloom-prefiltered decontamination — c24's 100 TB shape. c24's
+    * equi-join shuffles EVERY training shingle to meet the eval set; here a
+    * [[graft.functions.BloomMightContain]] filter (built once over the
+    * eval-set shingles by distributed treeAggregate, ~fixed-size, shipped
+    * with the stage) discards non-matching shingles INSIDE the scan stage,
+    * so only the ~fpp false positives plus true matches ever reach the
+    * exact-verify join. The verify join removes the false positives, making
+    * the output provably identical to c24 (bloom filters have no false
+    * negatives) — same oracle. Eval sets are bounded (benchmarks, not
+    * corpora), so `expectedItems` is sized from the eval side. */
+  def c27BloomDecontam(spark: SparkSession, dir: String,
+                       fpp: Double = 0.01): DataFrame = {
+    val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, dir, n = 8))
+    val evalShingles = sh8.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle")).distinct()
+    val filterBytes = graft.functions.BloomFunctions.buildFilter(
+      evalShingles, "shingle", expectedItems = 1L << 16, fpp = fpp)
+    val candidates = sh8.filter(col("doc_id") % 50 =!= 0)
+      .filter(graft.functions.BloomFunctions.mightContain(
+        col("shingle"), filterBytes))
+    val hits = candidates.join(broadcast(evalShingles), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
   /** c25: mixture resampling — flatten the language distribution by
     * accepting each doc with per-language probability
     * √(n_min/n_lang) (temperature-0.5 flattening: over-represented

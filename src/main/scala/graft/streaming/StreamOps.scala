@@ -206,6 +206,28 @@ object StreamOps {
       }
   }
 
+  /** d8: streaming decontamination — the streaming twin of batch c27.
+    * Each arriving doc explodes into its distinct 8-token shingles
+    * (per-doc `array_distinct`, so the explode is stateless — no global
+    * distinct aggregation, which a stream could not run in append mode),
+    * a bloom filter of the eval-set shingles (built ONCE from the static
+    * side, shipped with the stage) discards non-matches inside the same
+    * stage, and the survivors verify against the static eval shingle
+    * table with a stream-static inner join — stateless in Spark (only
+    * stream-STREAM joins hold state), so the operator needs no watermark
+    * and holds zero state regardless of stream length. Emits one
+    * (doc_id, shingle) hit per contaminated shingle; callers aggregate
+    * downstream (or feed a windowed agg) — batch c24/c27's n_shared is
+    * exactly count(*) per doc_id over this output (spec-checked). */
+  def streamDecontam(docs: DataFrame, evalShingles: DataFrame,
+                     filterBytes: Array[Byte]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 8)).as("shingle"))
+      .filter(graft.functions.BloomFunctions.mightContain(col("shingle"), filterBytes))
+      .join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id"), col("shingle"))
+
   /** Gap-merge a set of sessions (single events arrive as n=1 sessions):
     * sort by start, fold, coalescing any session that starts within `gap`
     * of the running session's end — exactly c13's batch semantics. Late

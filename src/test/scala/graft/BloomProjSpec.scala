@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BloomFunctions, VectorFunctions}
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
+
+/** Specs for the bloom-prefilter expression (c27/d8), the random
+  * projection (c28), and the correlated-subquery query (b19). */
+class BloomProjSpec extends SparkSpec {
+
+  test("bloom filter has no false negatives and a bounded false-positive rate") {
+    import spark.implicits._
+    val items = (0 until 2000).map(i => s"item-$i")
+    val bytes = BloomFunctions.buildFilter(items.toDF("s"), "s",
+      expectedItems = 4096, fpp = 0.01)
+    val hits = items.toDF("s")
+      .filter(BloomFunctions.mightContain(col("s"), bytes)).count()
+    assert(hits == 2000, "every inserted item must test positive (no false negatives)")
+    val fp = (0 until 20000).map(i => s"other-$i").toDF("s")
+      .filter(BloomFunctions.mightContain(col("s"), bytes)).count()
+    assert(fp < 1000, s"false-positive count out of bounds: $fp / 20000")
+  }
+
+  test("c27 output is identical to c24 — the bloom prefilter is lossless") {
+    val exact = TextOps.c24Decontam(spark, sfDir).collect().toSeq
+    val bloom = TextOps.c27BloomDecontam(spark, sfDir).collect().toSeq
+    assert(bloom == exact)
+  }
+
+  test("c27's bloom pass prunes most candidate shingles before the verify join") {
+    val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, sfDir, n = 8))
+    val evalShingles = sh8.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle")).distinct()
+    val bytes = BloomFunctions.buildFilter(evalShingles, "shingle", 1L << 16, 0.01)
+    val candidates = sh8.filter(col("doc_id") % 50 =!= 0)
+    val total = candidates.count()
+    val passed = candidates
+      .filter(BloomFunctions.mightContain(col("shingle"), bytes)).count()
+    val trueHits = candidates.join(evalShingles, "shingle").count()
+    assert(passed >= trueHits, "prefilter may never drop a true match")
+    assert(passed < total / 2,
+      s"prefilter should prune most shingles: passed $passed of $total")
+  }
+
+  test("c28 projection matches a direct fixed-point computation bit-for-bit") {
+    val planes = VectorFunctions.lshPlanes(16, 64, seed = "graft:rp")
+    val emb = Tables.embeddings(spark, sfDir).limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def fixed(x: Double): Long = {
+      val ax = math.abs(x * 10000.0)
+      val fl = math.floor(ax)
+      val r = fl.toLong + (if (ax - fl >= 0.5) 1L else 0L)
+      if (x < 0) -r else r
+    }
+    val got = Similarity.c28RandomProjection(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    emb.foreach { case (vecId, v) =>
+      planes.zipWithIndex.foreach { case (p, j) =>
+        val expect = v.indices.map(d => fixed(v(d)) * p(d)).sum
+        assert(got((vecId, j.toLong)) == expect,
+          s"vec $vecId plane $j: got ${got((vecId, j.toLong))}, want $expect")
+      }
+    }
+  }
+
+  test("c28 is a JL embedding: cosine distortion is bounded and shrinks as O(1/sqrt(planes))") {
+    // The JL guarantee is DISTORTION, not top-k recall — on this corpus
+    // the true neighbors are ~2.5 sigma outliers of an isotropic cloud
+    // (max cosine ~0.33), so any low-dim projection's recall is noise;
+    // what must hold is |projected cosine − full cosine| ~ 1/sqrt(planes):
+    // RMS error at 16 planes is theory ~sqrt((1−cos²)/16) ≈ 0.25, and
+    // quadrupling the planes must halve it.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def projections(nPlanes: Int): Map[Long, Array[Double]] =
+      Similarity.c28RandomProjection(spark, sfDir, nPlanes = nPlanes).collect()
+        .groupBy(_.getLong(0))
+        .map { case (v, rs) => v -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toDouble).toArray }
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val pairs = for (q <- 0L until 5L; c <- 5L until 105L) yield (q, c)
+    def rms(proj: Map[Long, Array[Double]]): Double = {
+      val errs = pairs.map { case (q, c) =>
+        val e = cos(proj(q), proj(c)) - cos(emb(q), emb(c))
+        e * e
+      }
+      math.sqrt(errs.sum / errs.size)
+    }
+    val rms16 = rms(projections(16))
+    val rms64 = rms(projections(64))
+    info(f"c28 cosine RMS distortion: 16 planes $rms16%.3f, 64 planes $rms64%.3f")
+    assert(rms16 < 0.4, s"16-plane distortion out of JL range: $rms16")
+    assert(rms64 < rms16 * 0.75,
+      s"quadrupling planes must shrink distortion ~2x: $rms16 -> $rms64")
+  }
+
+  test("c29 hard negatives: labels always differ and scores are the true top-k among mismatches") {
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val byId = e.map(t => t._1 -> t).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.c29HardNegatives(spark, sfDir).collect()
+    assert(got.length == 25, "5 queries x top-5")
+    got.foreach { r =>
+      val (_, qv, qLabel) = byId(r.getAs[Long]("query_id"))
+      val (_, cv, cLabel) = byId(r.getAs[Long]("neighbor_id"))
+      assert(cLabel != qLabel, "a hard negative must have a different label")
+      assert(r.getAs[Long]("neg_label") == cLabel.toLong)
+      assert(math.abs(r.getAs[Double]("cosine_r") - cos(qv, cv)) < 1e-6)
+    }
+    // ground-truth top-5 among label-mismatched candidates, per query
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val (_, qv, qLabel) = byId(q)
+      val expect = e.filter(t => t._1 >= 5 && t._3 != qLabel)
+        .map(t => (t._1, cos(qv, t._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val gotIds = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(gotIds == expect, s"query $q: $gotIds != $expect")
+    }
+  }
+
+  test("c30 cluster split: near-dups co-travel, singletons match c14") {
+    val split = Dedup.c30ClusterSplit(spark, sfDir)
+    // one split per cluster, by construction of the canonical join
+    val multi = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(multi == 0, "every cluster must land in exactly one split")
+    // verified near-dup pairs (c19's edge set) never straddle splits
+    val pairs = Dedup.c2DedupMinhash(spark, sfDir).filter(col("jaccard") >= 0.5)
+    val a = split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = split.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val straddle = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(straddle == 0, "near-dup pairs must share a split (no leakage)")
+    assert(pairs.count() > 0, "corpus must contain verified near-dup pairs")
+    // singleton clusters (own canonical) inherit exactly c14's split
+    val singletons = split.filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id", "split")
+    val c14 = TextOps.c14TrainSplit(spark, sfDir)
+    val diff = singletons.join(c14.withColumnRenamed("split", "c14_split"), "doc_id")
+      .filter(col("split") =!= col("c14_split")).count()
+    assert(diff == 0, "singleton docs must split exactly like c14")
+    // all three splits are populated on this corpus
+    assert(split.select("split").distinct().count() == 3)
+  }
+
+  test("b19 equals its window-function reformulation and plans no cartesian") {
+    val got = Relational.b19Correlated(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "correlated subqueries must decorrelate to aggregate + equi-join")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+    val ref = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("bigint").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cents").over(w))
+      .filter(col("cents") * 10 * col("n") > col("s") * 12)
+      .select("p_partkey", "p_brand", "cents")
+      .orderBy("p_partkey").collect().toSeq
+    assert(got.collect().toSeq == ref)
+  }
+}

@@ -320,6 +320,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d8 streaming decontamination hits aggregate to c24's batch n_shared") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sh8 = spark.read.parquet(
+      graft.operators.Dedup.shingleTablePath(spark, sfDir, n = 8))
+    val evalShingles = sh8.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle")).distinct()
+    val bytes = graft.functions.BloomFunctions.buildFilter(
+      evalShingles, "shingle", 1L << 16, 0.01)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamDecontam(
+      stream.toDF().toDF("doc_id", "text"), evalShingles, bytes)
+      .writeStream.outputMode("append").format("memory").queryName("d8_sink").start()
+    try {
+      // two batches: the operator is stateless, so the split is arbitrary
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d8_sink")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val batch = graft.operators.TextOps.c24Decontam(spark, sfDir)
+        .filter(col("contaminated")).select("doc_id", "n_shared")
+      assert(batch.count() > 0, "corpus must contain contaminated docs")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "streaming hit counts must equal batch n_shared for contaminated docs")
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
