@@ -396,17 +396,36 @@ object Dedup {
     (out, iter)
   }
 
+  /** Per-JVM memoized cluster-label table: c2's verified pairs (jaccard
+    * ≥ 0.5) fed through [[connectedComponents]], materialized once per
+    * data dir to scratch parquet — the cluster assignment feeds c19, c30
+    * and any downstream consumer; without the seam each of them re-runs
+    * the whole minhash→pairs→iterative-CC pipeline. The single-node form
+    * of "persist the cluster table", exactly like [[shingleTablePath]]. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def clusterTablePath(spark: SparkSession, dir: String): String =
+    clusterCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"clusters-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val pairs = c2DedupMinhash(spark, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      connectedComponents(pairs)
+        .select(col("node"), col("cluster_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** c19: near-duplicate CLUSTERS — c2's MinHash/LSH pairs at
     * jaccard ≥ 0.5 (threshold applied to the 6-dp-rounded value, so both
     * engines agree on membership) fed through [[connectedComponents]];
     * every document gets a cluster_id (its own id when it has no
     * near-dups) and `is_canonical` marks the one row per cluster a dedup
-    * pipeline keeps. */
+    * pipeline keeps. Labels come from the memoized [[clusterTablePath]]
+    * (one CC pass serves c19 + c30). */
   def c19DedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = c2DedupMinhash(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val comp = connectedComponents(pairs)
+    val comp = spark.read.parquet(clusterTablePath(spark, dir))
       .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

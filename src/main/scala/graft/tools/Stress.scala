@@ -51,6 +51,9 @@ object Stress {
     time("c21 repetition")(TextOps.c21RepetitionRatio(spark, base).count())
     time("c6 ann lsh")(Similarity.c6AnnLsh(spark, base).count())
     time("c11 near-dup")(Similarity.c11EmbedNearDup(spark, base).count())
+    time("c27 bloom decontam")(TextOps.c27BloomDecontam(spark, base).count())
+    time("c28 random projection")(Similarity.c28RandomProjection(spark, base).count())
+    time("c30 cluster split")(Dedup.c30ClusterSplit(spark, base).count())
     val ev = Tables.events(spark, base).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
