@@ -40,8 +40,9 @@ object Main {
     case Some("verify") => Verify.main(args.drop(1))
     case Some("stream") => stream(args.drop(1))
     case Some("dedup") => dedup(args.drop(1))
+    case Some("decontam") => decontam(args.drop(1))
     case _ =>
-      System.err.println("usage: graft.Main stream|bench|verify|dedup ...")
+      System.err.println("usage: graft.Main stream|bench|verify|dedup|decontam ...")
       sys.exit(2)
   }
 
@@ -67,6 +68,30 @@ object Main {
     val kept = spark.read.parquet(out).count()
     println(s"""{"mode":"$mode","docs":$total,"survivors":$kept,""" +
       s""""dropped":${total - kept},"out":"$out"}""")
+  }
+
+  /** Benchmark decontamination against a held-out eval set: flags (and
+    * optionally drops) every training doc sharing an 8-token shingle with
+    * any eval doc. `--eval` is a parquet of (doc_id, text); `--in` is a
+    * data dir with a documents table. Bloom-prefiltered (c27's path). */
+  private def decontam(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val eval = opt(args, "--eval").getOrElse(sys.error("--eval required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val fpp = opt(args, "--bloom-fpp").map(_.toDouble).getOrElse(0.01)
+    val drop = args.contains("--drop")
+    val spark = GraftSession.get()
+    val docs = Tables.documents(spark, in).select("doc_id", "text")
+    val evalDocs = spark.read.parquet(eval).select("doc_id", "text")
+    val flagged = graft.operators.TextOps.decontaminate(docs, evalDocs, fpp)
+    val result =
+      if (drop) docs.join(flagged.filter(!col("contaminated")), Seq("doc_id"), "left_semi")
+      else flagged
+    result.write.mode("overwrite").parquet(out)
+    val total = docs.count()
+    val contaminated = flagged.filter(col("contaminated")).count()
+    println(s"""{"docs":$total,"contaminated":$contaminated,""" +
+      s""""dropped":${if (drop) contaminated else 0},"out":"$out"}""")
   }
 
   private def stream(args: Array[String]): Unit = {

@@ -267,6 +267,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Generic decontamination entry point (the production form of c24/c27):
+    * flag every doc in `docs` sharing any 8-token shingle with `evalDocs`
+    * — both arbitrary DataFrames with (doc_id, text). The eval side is
+    * counted once (it is bounded by definition: benchmarks, not corpora)
+    * to size the bloom filter, then the corpus side is prefiltered by the
+    * codegen'd BloomMightContain INSIDE the scan stage and exact-verified
+    * by an equi-join on the survivors — identical output to the plain
+    * join, ~fpp of the shuffle. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    fpp: Double = 0.01): DataFrame = {
+    val evalSh = Dedup.shingleRows(evalDocs.select(col("doc_id"), col("text")), n = 8)
+      .select(col("shingle")).distinct()
+    val expected = math.max(1024L, evalSh.count())
+    val bytes = graft.functions.BloomFunctions.buildFilter(
+      evalSh, "shingle", expectedItems = expected, fpp = fpp)
+    val hits = Dedup.shingleRows(docs.select(col("doc_id"), col("text")), n = 8)
+      .filter(graft.functions.BloomFunctions.mightContain(col("shingle"), bytes))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   /** c25: mixture resampling — flatten the language distribution by
     * accepting each doc with per-language probability
     * √(n_min/n_lang) (temperature-0.5 flattening: over-represented

@@ -116,4 +116,39 @@ class CliSpec extends SparkSpec {
     assert(shSurvivors > 0 && shSurvivors < total,
       s"simhash mode drops near-dups and keeps the rest ($shSurvivors of $total)")
   }
+
+  test("decontam subcommand: flags and drops docs overlapping an eval parquet") {
+    // eval set = the c24 convention (doc_id % 50 == 0), written as a
+    // standalone parquet the way a real benchmark set arrives
+    val evalDir = Files.createTempDirectory("graft-eval-").toString + "/eval.parquet"
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 50 === 0)
+      .select("doc_id", "text").write.parquet(evalDir)
+
+    val outFlag = Files.createTempDirectory("graft-decontam-f-").toString
+    Main.main(Array("decontam", "--in", sfDir, "--eval", evalDir, "--out", outFlag))
+    val flagged = spark.read.parquet(outFlag)
+    // the eval docs themselves are in --in and trivially 100% contaminated;
+    // restricted to the disjoint training docs, flags must equal c24's
+    val c24 = graft.operators.TextOps.c24Decontam(spark, sfDir)
+      .select("doc_id", "n_shared", "contaminated")
+    val train = flagged.filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id", "n_shared", "contaminated")
+    assert(train.exceptAll(c24).count() == 0 && c24.exceptAll(train).count() == 0,
+      "CLI flags on non-eval docs must equal c24's oracle-checked output")
+    // every eval doc long enough to carry an 8-shingle must self-flag
+    val longEval = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0)
+      .filter(size(split(lower(col("text")), " ")) >= 8)
+      .select("doc_id")
+    assert(flagged.join(longEval, "doc_id").filter(!col("contaminated")).count() == 0,
+      "every shingle-bearing eval doc present in the corpus must flag as contaminated")
+
+    val outDrop = Files.createTempDirectory("graft-decontam-d-").toString
+    Main.main(Array("decontam", "--in", sfDir, "--eval", evalDir,
+      "--out", outDrop, "--drop"))
+    val kept = spark.read.parquet(outDrop)
+    val expectKeep = flagged.filter(!col("contaminated")).count()
+    assert(kept.count() == expectKeep, "--drop keeps exactly the clean docs")
+    assert(kept.columns.contains("text"), "--drop emits full documents")
+  }
 }
