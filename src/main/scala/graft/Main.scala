@@ -41,8 +41,9 @@ object Main {
     case Some("stream") => stream(args.drop(1))
     case Some("dedup") => dedup(args.drop(1))
     case Some("decontam") => decontam(args.drop(1))
+    case Some("curate") => curate(args.drop(1))
     case _ =>
-      System.err.println("usage: graft.Main stream|bench|verify|dedup|decontam ...")
+      System.err.println("usage: graft.Main stream|bench|verify|dedup|decontam|curate ...")
       sys.exit(2)
   }
 
@@ -92,6 +93,56 @@ object Main {
     val contaminated = flagged.filter(col("contaminated")).count()
     println(s"""{"docs":$total,"contaminated":$contaminated,""" +
       s""""dropped":${if (drop) contaminated else 0},"out":"$out"}""")
+  }
+
+  /** End-to-end corpus curation — the pipeline a training-data team runs,
+    * each stage one of the oracled/spec'd operators, composed by doc_id
+    * semi-joins (so each stage stays independently verifiable):
+    *   1. quality gate (c7's keep rule),
+    *   2. near-dup dedup to cluster canonicals (minhash + CC),
+    *   3. optional eval-set decontamination (c27's bloom path, --eval),
+    *   4. leakage-safe split assignment (c30 — near-dups co-travel).
+    * Emits the curated parquet (full doc columns + split) and a one-line
+    * JSON of per-stage counts. */
+  private def curate(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val eval = opt(args, "--eval")
+    val fpp = opt(args, "--bloom-fpp").map(_.toDouble).getOrElse(0.01)
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
+    val spark = GraftSession.get()
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, in)
+    val total = docs.count()
+
+    val quality = TextOps.c7TextQuality(spark, in)
+      .filter(col("keep")).select("doc_id")
+    val afterQuality = docs.join(quality, Seq("doc_id"), "left_semi")
+    val nQuality = afterQuality.count()
+
+    val canonicals = Dedup.dedupDocuments(spark, in, "minhash", threshold)
+      .select("doc_id")
+    val afterDedup = afterQuality.join(canonicals, Seq("doc_id"), "left_semi")
+    val nDedup = afterDedup.count()
+
+    val afterDecontam = eval match {
+      case Some(evalPath) =>
+        val evalDocs = spark.read.parquet(evalPath).select("doc_id", "text")
+        val clean = TextOps.decontaminate(
+            afterDedup.select("doc_id", "text"), evalDocs, fpp)
+          .filter(!col("contaminated")).select("doc_id")
+        afterDedup.join(clean, Seq("doc_id"), "left_semi")
+      case None => afterDedup
+    }
+    val nClean = afterDecontam.count()
+
+    val splits = Dedup.c30ClusterSplit(spark, in).select("doc_id", "split")
+    afterDecontam.join(splits, "doc_id")
+      .write.mode("overwrite").parquet(out)
+    val nOut = spark.read.parquet(out).count()
+    println(s"""{"docs":$total,"after_quality":$nQuality,""" +
+      s""""after_dedup":$nDedup,"after_decontam":$nClean,""" +
+      s""""curated":$nOut,"out":"$out"}""")
   }
 
   private def stream(args: Array[String]): Unit = {

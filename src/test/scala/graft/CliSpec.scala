@@ -151,4 +151,38 @@ class CliSpec extends SparkSpec {
     assert(kept.count() == expectKeep, "--drop keeps exactly the clean docs")
     assert(kept.columns.contains("text"), "--drop emits full documents")
   }
+
+  test("curate subcommand: stages compose to exactly the component operators' intersection") {
+    val evalDir = Files.createTempDirectory("graft-ceval-").toString + "/eval.parquet"
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 50 === 0)
+      .select("doc_id", "text").write.parquet(evalDir)
+    val out = Files.createTempDirectory("graft-curate-").toString
+    Main.main(Array("curate", "--in", sfDir, "--eval", evalDir, "--out", out))
+    val curated = spark.read.parquet(out)
+
+    // expected id set: quality ∩ dedup-canonicals ∩ decontaminated
+    val quality = graft.operators.TextOps.c7TextQuality(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val canon = graft.operators.Dedup.dedupDocuments(spark, sfDir, "minhash")
+      .select("doc_id")
+    val docs = Tables.documents(spark, sfDir)
+    val clean = graft.operators.TextOps.decontaminate(
+        docs.select("doc_id", "text"),
+        spark.read.parquet(evalDir).select("doc_id", "text"))
+      .filter(!col("contaminated")).select("doc_id")
+    val expected = quality.intersect(canon).intersect(clean)
+    val got = curated.select("doc_id")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "curated ids must equal the intersection of the verified stages")
+    assert(curated.count() > 0 && curated.count() < docs.count(),
+      "curation must keep some docs and drop some docs")
+    // every curated doc carries its cluster-canonical split
+    val c30 = graft.operators.Dedup.c30ClusterSplit(spark, sfDir)
+      .select(col("doc_id"), col("split").as("expect_split"))
+    assert(curated.join(c30, "doc_id")
+      .filter(col("split") =!= col("expect_split")).count() == 0)
+    assert(curated.columns.toSet.contains("text") &&
+      curated.columns.toSet.contains("split"))
+  }
 }
