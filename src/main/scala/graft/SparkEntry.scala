@@ -88,6 +88,7 @@ object SparkEntry {
     "c28_random_projection" -> ((s: SparkSession, d: String) => Similarity.c28RandomProjection(s, d)),
     "c29_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.c29HardNegatives(s, d)),
     "c30_cluster_split" -> (Dedup.c30ClusterSplit _),
+    "c31_kmeans_step" -> (Similarity.c31KmeansStep _),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -592,6 +593,26 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, cell, round(cosine, 6) AS cosine_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // c31 = c18's codebook + assignment CTEs, then the Lloyd update as
+    // exact integer numerator/denominator pairs per (cell, pos).
+    "c31_kmeans_step" ->
+      """WITH xv AS (SELECT vec_id, label, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cb AS (SELECT label AS cell, list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM xv GROUP BY label, pos)
+        |       GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, cell ASC) AS arn
+        |      FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, cell FROM a WHERE arn = 1)
+        |SELECT CAST(asg.cell AS BIGINT) AS cell, CAST(xv.pos AS BIGINT) AS pos,
+        |  count(*) AS n_members, CAST(sum(xv.v4) AS BIGINT) AS sum_v4
+        |FROM xv JOIN asg USING (vec_id)
+        |GROUP BY asg.cell, xv.pos
+        |ORDER BY cell, pos""".stripMargin,
     "c19_dedup_cluster" ->
       s"""$clusterCte
         |SELECT d.doc_id,

@@ -171,13 +171,11 @@ object Similarity {
     * cells instead of sign patterns: at 100 TB each query touches n/cells
     * candidates, and the assignment pass is a cheap map-side cross with a
     * broadcast codebook. Recall vs the c5 exact baseline is spec-checked. */
-  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
-                nprobe: Int = 1): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // codebook: c15's fixed-point sums → per-label mean vectors, ordered
-    // by dim via sort_array over (pos, value) structs
-    val centroids = broadcast(
+  /** Label-initialized codebook (c15's fixed-point sums → per-label mean
+    * vectors, ordered by dim via sort_array over (pos, value) structs) —
+    * shared by c18 (search) and c31 (the Lloyd training step). */
+  private def labelCodebook(spark: SparkSession, dir: String): DataFrame =
+    broadcast(
       Tables.embeddings(spark, dir)
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), col("pos"),
@@ -189,13 +187,24 @@ object Similarity {
         .groupBy("label")
         .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
         .select(col("label").as("cell"), col("arr.cv").as("centroid")))
+
+  /** Nearest-cell assignment against a broadcast codebook: one codegen'd
+    * cosine pass per (vector, cell), argmax on the 6-dp-ROUNDED score —
+    * when two centroids are nearly equidistant, a last-ulp disagreement
+    * between engines must not flip the argmax (ties break
+    * deterministically on cell). */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
-    val assigned = e.crossJoin(centroids)
-      // assignment ranks the ROUNDED score: when two centroids are nearly
-      // equidistant, a last-ulp disagreement between engines must not flip
-      // the argmax (ties at 6 decimals break deterministically on cell)
+    e.crossJoin(centroids)
       .withColumn("ccos", round(cosine(col("v"), col("centroid")), 6))
       .withColumn("arn", row_number().over(wAssign))
+  }
+
+  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
+                nprobe: Int = 1): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val assigned = assignCells(e, labelCodebook(spark, dir))
     // candidates live in exactly ONE cell (their nearest); queries probe
     // their top-`nprobe` cells — recall rises with nprobe while each
     // (query, candidate) pair still appears at most once
@@ -211,6 +220,35 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** c31: one exact Lloyd (k-means) iteration — the IVF codebook TRAINING
+    * step that closes the loop on c15 (initial centroids) → c31 (refine)
+    * → c18 (search). Assignment is [[assignCells]] against the broadcast
+    * label-initialized codebook (one codegen'd pass over the corpus);
+    * the update emits each cell's new centroid as exact fixed-point
+    * numerator/denominator pairs (cell, pos, n_members, sum_v4) — all
+    * BIGINTs, so the result is engine-exact and the update aggregation is
+    * map-side combinable integer sums on a (cell, pos) key. Iterating =
+    * feed sum_v4/n back as the next codebook (checkpointing each round,
+    * the c19 CC seam); at 100 TB each round is one broadcast-assign pass
+    * plus one narrow integer groupBy — no distance matrix, no all-pairs. */
+  def c31KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val assigned = assignCells(e, labelCodebook(spark, dir))
+      .filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+    val fixed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        round(col("col").cast("double") * 10000).cast("bigint").as("v4"))
+    fixed.join(assigned, "vec_id")
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n_members"), sum(col("v4")).as("sum_v4"))
+      .select(col("cell").cast("bigint").as("cell"),
+        col("pos").cast("bigint").as("pos"),
+        col("n_members"), col("sum_v4"))
+      .orderBy("cell", "pos")
   }
 
   /** c22: int8 scalar quantization of the embedding table — the storage

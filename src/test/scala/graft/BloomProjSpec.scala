@@ -152,6 +152,46 @@ class BloomProjSpec extends SparkSpec {
     assert(split.select("split").distinct().count() == 3)
   }
 
+  test("c31 kmeans step: exact parity with a direct Lloyd-iteration re-derivation") {
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def fx(x: Double): Long = math.round(x * 10000.0)
+    // label-initialized centroids: mean of fixed-point coords per label
+    val centroids = e.groupBy(_._3).map { case (label, vs) =>
+      val dim = vs.head._2.length
+      label -> Array.tabulate(dim)(d => vs.map(v => fx(v._2(d))).sum.toDouble / 10000.0 / vs.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // assignment: argmax of the 6-dp-rounded cosine, ties break on cell
+    val assigned = e.map { case (id, v, _) =>
+      val best = centroids.toSeq.map { case (c, cv) => (c, r6(cos(v, cv))) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+      (id, v, best)
+    }
+    val expect = assigned.groupBy(_._3).flatMap { case (cell, vs) =>
+      val dim = vs.head._2.length
+      (0 until dim).map(p =>
+        (cell.toLong, p.toLong) -> (vs.size.toLong, vs.map(v => fx(v._2(p))).sum))
+    }
+    val got = Similarity.c31KmeansStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"cell/pos $k: got ${got(k)}, want $v")
+    }
+    // the step must do real work: membership after one iteration differs
+    // from the label partition for at least one cell on this corpus
+    val labelCounts = e.groupBy(_._3).map { case (l, vs) => l.toLong -> vs.size.toLong }
+    val memberCounts = got.collect { case ((cell, 0L), (n, _)) => cell -> n }
+    assert(memberCounts != labelCounts,
+      "Lloyd assignment should move at least one vector off its label cell")
+  }
+
   test("b19 equals its window-function reformulation and plans no cartesian") {
     val got = Relational.b19Correlated(spark, sfDir)
     val plan = got.queryExecution.executedPlan.toString
