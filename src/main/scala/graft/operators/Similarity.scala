@@ -174,7 +174,7 @@ object Similarity {
   /** Label-initialized codebook (c15's fixed-point sums → per-label mean
     * vectors, ordered by dim via sort_array over (pos, value) structs) —
     * shared by c18 (search) and c31 (the Lloyd training step). */
-  private def labelCodebook(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def labelCodebook(spark: SparkSession, dir: String): DataFrame =
     broadcast(
       Tables.embeddings(spark, dir)
         .select(col("label"), posexplode(col("embedding")))
@@ -193,7 +193,7 @@ object Similarity {
     * when two centroids are nearly equidistant, a last-ulp disagreement
     * between engines must not flip the argmax (ties break
     * deterministically on cell). */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
     e.crossJoin(centroids)
       .withColumn("ccos", round(cosine(col("v"), col("centroid")), 6))
@@ -249,6 +249,49 @@ object Similarity {
         col("pos").cast("bigint").as("pos"),
         col("n_members"), col("sum_v4"))
       .orderBy("cell", "pos")
+  }
+
+  /** Iterated Lloyd refinement over [[c31KmeansStep]]'s machinery: each
+    * round is one broadcast-assign pass + one integer-sum update, the new
+    * codebook is CHECKPOINTED to scratch parquet and read back (constant
+    * plan depth across rounds — the c19 connected-components seam), and
+    * the fixed-point table is materialized once and reused every round.
+    * Cells that lose all members drop out (standard Lloyd behavior).
+    * Returns the final (cell, centroid) codebook, broadcast-ready for
+    * [[c18AnnIvf]]-style search or [[graft.streaming.StreamOps
+    * .streamAssignCells]] routing. Cosine is scale-invariant in the
+    * centroid, so assigning against the raw mean equals spherical
+    * k-means assignment. */
+  def trainCodebook(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val fixedPath = graft.GraftSession.scratchDir(
+      s"kmeans-fixed-${graft.sources.JsonConvert.pathKey(dir)}").toString
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        round(col("col").cast("double") * 10000).cast("bigint").as("v4"))
+      .write.mode("overwrite").parquet(fixedPath)
+    val fixed = spark.read.parquet(fixedPath)
+    var cb = labelCodebook(spark, dir)
+    for (r <- 1 to rounds) {
+      val assigned = assignCells(e, cb)
+        .filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+      val cbPath = graft.GraftSession.scratchDir(
+        s"kmeans-cb-$r-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      fixed.join(assigned, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"))
+        .select(col("cell"), col("pos"),
+          (col("sum_v4").cast("double") / 10000.0 / col("n")).as("cv"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
+        .select(col("cell"), col("arr.cv").as("centroid"))
+        .write.mode("overwrite").parquet(cbPath)
+      cb = broadcast(spark.read.parquet(cbPath))
+    }
+    cb
   }
 
   /** c22: int8 scalar quantization of the embedding table — the storage

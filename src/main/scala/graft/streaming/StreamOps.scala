@@ -228,6 +228,33 @@ object StreamOps {
       .join(broadcast(evalShingles), "shingle")
       .select(col("doc_id"), col("shingle"))
 
+  /** d9: streaming IVF cell assignment — route arriving vectors to their
+    * nearest codebook cell (the ingestion half of a live vector index;
+    * batch twin: the assignment inside c18/c31). The codebook is a
+    * BOUNDED MODEL ARTIFACT (k rows — the caller collects it once, e.g.
+    * `trainCodebook(...).collect()`, exactly as a real system ships a
+    * trained codebook to ingest nodes) and is inlined as plan literals:
+    * a stream cannot run the batch argmax's per-vector window, so the
+    * argmax becomes a codegen'd array_max over k (cosine, cell) structs —
+    * one pass, stateless, no watermark. Tie-break matches batch exactly:
+    * 6-dp-rounded score, LOWEST cell wins (negated cell in the struct so
+    * array_max's lexicographic order prefers it). */
+  def streamAssignCells(vecs: DataFrame,
+                        codebook: Seq[(Long, Array[Double])]): DataFrame = {
+    require(codebook.nonEmpty, "codebook must be non-empty")
+    val v = col("embedding").cast("array<double>")
+    val scored = codebook.sortBy(_._1).map { case (cell, cv) =>
+      struct(
+        round(graft.functions.VectorFunctions.cosine(v, typedLit(cv.toSeq)), 6)
+          .as("ccos"),
+        lit(-cell).as("negcell"))
+    }
+    val best = array_max(array(scored: _*))
+    vecs.select(col("vec_id"),
+      (-best.getField("negcell")).as("cell"),
+      best.getField("ccos").as("cell_cos"))
+  }
+
   /** Gap-merge a set of sessions (single events arrive as n=1 sessions):
     * sort by start, fold, coalescing any session that starts within `gap`
     * of the running session's end — exactly c13's batch semantics. Late

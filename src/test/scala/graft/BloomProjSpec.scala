@@ -192,6 +192,26 @@ class BloomProjSpec extends SparkSpec {
       "Lloyd assignment should move at least one vector off its label cell")
   }
 
+  test("trainCodebook round 1 equals c31's sums; more rounds keep a valid shrinking-or-stable codebook") {
+    val step = Similarity.c31KmeansStep(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    // expected round-1 centroids from c31's exact numerators/denominators
+    val expect = step.map { case (cell, rows) =>
+      cell -> rows.sortBy(_.getLong(1))
+        .map(r => r.getLong(3).toDouble / 10000.0 / r.getLong(2)).toArray
+    }
+    val cb1 = Similarity.trainCodebook(spark, sfDir, rounds = 1).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Double](1).toArray).toMap
+    assert(cb1.keySet == expect.keySet)
+    cb1.foreach { case (cell, cv) =>
+      assert(cv.toSeq == expect(cell).toSeq, s"cell $cell centroid mismatch")
+    }
+    val cb3 = Similarity.trainCodebook(spark, sfDir, rounds = 3).collect()
+    assert(cb3.nonEmpty && cb3.length <= cb1.size,
+      "cells may only die, never appear")
+    assert(cb3.forall(_.getSeq[Double](1).forall(v => !v.isNaN && !v.isInfinite)))
+  }
+
   test("b19 equals its window-function reformulation and plans no cartesian") {
     val got = Relational.b19Correlated(spark, sfDir)
     val plan = got.queryExecution.executedPlan.toString

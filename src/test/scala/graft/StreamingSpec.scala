@@ -352,6 +352,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d9 streaming cell assignment equals the batch argmax, ties included") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cb = graft.operators.Similarity.labelCodebook(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toArray)).toSeq
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamAssignCells(
+      stream.toDF().toDF("vec_id", "embedding"), cb)
+      .writeStream.outputMode("append").format("memory").queryName("d9_sink").start()
+    try {
+      val (a, b) = vecs.splitAt(vecs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d9_sink").select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val batch = graft.operators.Similarity
+        .assignCells(e, graft.operators.Similarity.labelCodebook(spark, sfDir))
+        .filter(col("arn") === 1)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell").toLong).toMap
+      assert(streamed.size == vecs.size)
+      assert(streamed == batch, "stream routing must equal the batch argmax")
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
