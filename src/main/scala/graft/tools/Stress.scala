@@ -54,6 +54,7 @@ object Stress {
     time("c27 bloom decontam")(TextOps.c27BloomDecontam(spark, base).count())
     time("c28 random projection")(Similarity.c28RandomProjection(spark, base).count())
     time("c30 cluster split")(Dedup.c30ClusterSplit(spark, base).count())
+    time("c31 kmeans step")(Similarity.c31KmeansStep(spark, base).count())
     val ev = Tables.events(spark, base).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
