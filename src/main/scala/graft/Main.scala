@@ -82,15 +82,22 @@ object Main {
     val fpp = opt(args, "--bloom-fpp").map(_.toDouble).getOrElse(0.01)
     val drop = args.contains("--drop")
     val spark = GraftSession.get()
-    val docs = Tables.documents(spark, in).select("doc_id", "text")
+    val docsFull = Tables.documents(spark, in)
+    val docs = docsFull.select("doc_id", "text")
     val evalDocs = spark.read.parquet(eval).select("doc_id", "text")
+    // persisted: the flag pipeline (bloom build + verify join) feeds both
+    // the write and the contaminated count — one execution, not two
     val flagged = graft.operators.TextOps.decontaminate(docs, evalDocs, fpp)
+      .persist()
     val result =
-      if (drop) docs.join(flagged.filter(!col("contaminated")), Seq("doc_id"), "left_semi")
+      // --drop emits FULL documents (all corpus columns), matching dedup
+      if (drop) docsFull.join(flagged.filter(!col("contaminated")),
+        Seq("doc_id"), "left_semi")
       else flagged
     result.write.mode("overwrite").parquet(out)
     val total = docs.count()
     val contaminated = flagged.filter(col("contaminated")).count()
+    flagged.unpersist()
     println(s"""{"docs":$total,"contaminated":$contaminated,""" +
       s""""dropped":${if (drop) contaminated else 0},"out":"$out"}""")
   }
@@ -115,17 +122,21 @@ object Main {
     val docs = Tables.documents(spark, in)
     val total = docs.count()
 
+    // each stage frame is persisted: its plan embeds the previous stages'
+    // pipelines, and it feeds both the next stage and its own count —
+    // without the persist the heavy dedup/decontam subtrees execute 2-3x
     val quality = TextOps.c7TextQuality(spark, in)
       .filter(col("keep")).select("doc_id")
-    val afterQuality = docs.join(quality, Seq("doc_id"), "left_semi")
+    val afterQuality = docs.join(quality, Seq("doc_id"), "left_semi").persist()
     val nQuality = afterQuality.count()
 
     val canonicals = Dedup.dedupDocuments(spark, in, "minhash", threshold)
       .select("doc_id")
     val afterDedup = afterQuality.join(canonicals, Seq("doc_id"), "left_semi")
+      .persist()
     val nDedup = afterDedup.count()
 
-    val afterDecontam = eval match {
+    val afterDecontam = (eval match {
       case Some(evalPath) =>
         val evalDocs = spark.read.parquet(evalPath).select("doc_id", "text")
         val clean = TextOps.decontaminate(
@@ -133,13 +144,18 @@ object Main {
           .filter(!col("contaminated")).select("doc_id")
         afterDedup.join(clean, Seq("doc_id"), "left_semi")
       case None => afterDedup
-    }
+    }).persist()
     val nClean = afterDecontam.count()
 
-    val splits = Dedup.c30ClusterSplit(spark, in).select("doc_id", "split")
+    // split at the SAME threshold the dedup stage clustered at — the
+    // memoized cluster table is (dir, threshold)-keyed, so this reuses
+    // the exact clustering the canonicals came from
+    val splits = Dedup.c30ClusterSplit(spark, in, threshold)
+      .select("doc_id", "split")
     afterDecontam.join(splits, "doc_id")
       .write.mode("overwrite").parquet(out)
     val nOut = spark.read.parquet(out).count()
+    Seq(afterQuality, afterDedup, afterDecontam).foreach(_.unpersist())
     println(s"""{"docs":$total,"after_quality":$nQuality,""" +
       s""""after_dedup":$nDedup,"after_decontam":$nClean,""" +
       s""""curated":$nOut,"out":"$out"}""")

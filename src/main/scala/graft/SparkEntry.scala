@@ -87,7 +87,7 @@ object SparkEntry {
     "c27_bloom_decontam" -> ((s: SparkSession, d: String) => TextOps.c27BloomDecontam(s, d)),
     "c28_random_projection" -> ((s: SparkSession, d: String) => Similarity.c28RandomProjection(s, d)),
     "c29_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.c29HardNegatives(s, d)),
-    "c30_cluster_split" -> (Dedup.c30ClusterSplit _),
+    "c30_cluster_split" -> ((s: SparkSession, d: String) => Dedup.c30ClusterSplit(s, d)),
     "c31_kmeans_step" -> (Similarity.c31KmeansStep _),
   )
 

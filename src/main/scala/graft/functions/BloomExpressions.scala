@@ -24,14 +24,20 @@ import org.apache.spark.util.sketch.BloomFilter
   * c24/c27 contract). Insertion and probe both hash the UTF-8 bytes of
   * the string, so the two sides agree by construction.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+                             filterBytes: scala.collection.immutable.ArraySeq[Byte])
     extends UnaryExpression {
+  // filterBytes is an ArraySeq (value equality), not Array (reference
+  // equality): case-class equals/hashCode drive Catalyst canonicalization
+  // and subexpression elimination, and a raw array would make two
+  // identical filter expressions compare unequal — each carrying its own
+  // multi-hundred-KB copy through the plan
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_might_contain"
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes.toArray))
 
   override def nullSafeEval(input: Any): Any =
     filter.mightContainBinary(
@@ -76,5 +82,6 @@ object BloomFunctions {
     * negatives; false positives bounded by the build fpp). */
   def mightContain(c: Column, filterBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContain(
-      ColumnBridge.expression(c.cast("string")), filterBytes))
+      ColumnBridge.expression(c.cast("string")),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(filterBytes)))
 }

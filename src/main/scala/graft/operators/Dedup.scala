@@ -396,22 +396,26 @@ object Dedup {
     (out, iter)
   }
 
-  /** Per-JVM memoized cluster-label table: c2's verified pairs (jaccard
-    * ≥ 0.5) fed through [[connectedComponents]], materialized once per
-    * data dir to scratch parquet — the cluster assignment feeds c19, c30
-    * and any downstream consumer; without the seam each of them re-runs
-    * the whole minhash→pairs→iterative-CC pipeline. The single-node form
-    * of "persist the cluster table", exactly like [[shingleTablePath]]. */
+  /** Per-JVM memoized cluster-label table, keyed by (dir, threshold):
+    * c2's verified pairs at jaccard ≥ threshold fed through
+    * [[connectedComponentsAlternating]] (O(log n) rounds on any diameter;
+    * labels = component minimum, parity-spec'd identical to min-label),
+    * materialized once to scratch parquet — the cluster assignment feeds
+    * c19, c30 AND dedupDocuments' minhash mode; without the seam each
+    * consumer re-runs the whole minhash→pairs→iterative-CC pipeline. The
+    * single-node form of "persist the cluster table", exactly like
+    * [[shingleTablePath]]. */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def clusterTablePath(spark: SparkSession, dir: String): String =
-    clusterCache.computeIfAbsent(dir, _ => {
+  private[graft] def clusterTablePath(spark: SparkSession, dir: String,
+                                      threshold: Double = 0.5): String =
+    clusterCache.computeIfAbsent(s"$dir#$threshold", _ => {
       val p = graft.GraftSession.scratchDir(
-        s"clusters-${graft.sources.JsonConvert.pathKey(dir)}").toString
+        s"clusters-$threshold-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val pairs = c2DedupMinhash(spark, dir)
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= threshold)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      connectedComponents(pairs)
+      connectedComponentsAlternating(pairs)._1
         .select(col("node"), col("cluster_id"))
         .write.mode("overwrite").parquet(p)
       p
@@ -423,7 +427,7 @@ object Dedup {
     * every document gets a cluster_id (its own id when it has no
     * near-dups) and `is_canonical` marks the one row per cluster a dedup
     * pipeline keeps. Labels come from the memoized [[clusterTablePath]]
-    * (one CC pass serves c19 + c30). */
+    * (ONE CC pass serves c19, c30 and dedupDocuments' minhash mode). */
   def c19DedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val comp = spark.read.parquet(clusterTablePath(spark, dir))
       .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
@@ -443,8 +447,13 @@ object Dedup {
     * construction, and singleton docs (their own canonical) get exactly
     * c14's split. One extra equi-join on cluster_id beyond c19; the
     * cluster pass dominates at any scale. */
-  def c30ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = c19DedupCluster(spark, dir).select("doc_id", "cluster_id")
+  def c30ClusterSplit(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val comp = spark.read.parquet(clusterTablePath(spark, dir, threshold))
+      .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
+    val clusters = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("cluster_id"))
     val canon = Tables.documents(spark, dir)
       .select(col("doc_id").as("cluster_id"), md5(col("text")).as("canon_md5"))
     val bucket = substring(col("canon_md5"), 1, 2)
@@ -477,15 +486,17 @@ object Dedup {
         val keep = docs.groupBy(md5(col("text")).as("k"))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         docs.join(keep, Seq("doc_id"), "left_semi")
-      case "minhash" | "simhash" =>
-        val pairs =
-          if (mode == "minhash")
-            c2DedupMinhash(spark, dir).filter(col("jaccard") >= threshold)
-              .select(col("doc_a").as("u"), col("doc_b").as("v"))
-          else
-            simhashPairs(docs.select("doc_id", "text"), maxHamming)
-              .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        // non-canonical cluster members are the drop set
+      case "minhash" =>
+        // non-canonical cluster members are the drop set; labels come from
+        // the memoized (dir, threshold)-keyed cluster table — shared with
+        // c19/c30, so a curate run clusters exactly once
+        val drop = spark.read.parquet(clusterTablePath(spark, dir, threshold))
+          .filter(col("cluster_id") =!= col("node"))
+          .select(col("node").as("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+      case "simhash" =>
+        val pairs = simhashPairs(docs.select("doc_id", "text"), maxHamming)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
         val drop = connectedComponentsAlternating(pairs)._1
           .filter(col("cluster_id") =!= col("node"))
           .select(col("node").as("doc_id"))

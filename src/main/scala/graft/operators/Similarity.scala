@@ -26,6 +26,9 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Monotone id distinguishing [[trainCodebook]] invocations' scratch. */
+  private val trainRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Elementwise ops in double precision (embeddings are float32 on disk;
     * scoring in f64 keeps accumulation order-stable and engine-portable).
     * Cast (not transform) — a native codegen'd conversion. */
@@ -264,10 +267,14 @@ object Similarity {
     * k-means assignment. */
   def trainCodebook(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // per-call run id: scratchDir CLEARS an existing path, so a reused
+    // name would silently invalidate the lazy DataFrame a PREVIOUS call
+    // returned (it reads these files on every action)
+    val runId = trainRuns.incrementAndGet()
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val fixedPath = graft.GraftSession.scratchDir(
-      s"kmeans-fixed-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      s"kmeans-fixed-$runId-${graft.sources.JsonConvert.pathKey(dir)}").toString
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"),
@@ -279,7 +286,7 @@ object Similarity {
       val assigned = assignCells(e, cb)
         .filter(col("arn") === 1).select(col("vec_id"), col("cell"))
       val cbPath = graft.GraftSession.scratchDir(
-        s"kmeans-cb-$r-${graft.sources.JsonConvert.pathKey(dir)}").toString
+        s"kmeans-cb-$runId-$r-${graft.sources.JsonConvert.pathKey(dir)}").toString
       fixed.join(assigned, "vec_id")
         .groupBy("cell", "pos")
         .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"))

@@ -249,10 +249,17 @@ object TextOps {
   def c27BloomDecontam(spark: SparkSession, dir: String,
                        fpp: Double = 0.01): DataFrame = {
     val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, dir, n = 8))
+    // NOT persisted: the subtree is a cheap scan of the memoized shingle
+    // parquet, and c27 is called repeatedly by Verify/Bench — per-call
+    // persists without an unpersist hook would accumulate for the JVM
     val evalShingles = sh8.filter(col("doc_id") % 50 === 0)
       .select(col("shingle")).distinct()
+    // size the filter from the eval side (bounded by definition) — a
+    // hardcoded capacity would saturate on a large eval set, silently
+    // degrading fpp toward 1 and defeating the prefilter
+    val expected = math.max(1024L, evalShingles.count())
     val filterBytes = graft.functions.BloomFunctions.buildFilter(
-      evalShingles, "shingle", expectedItems = 1L << 16, fpp = fpp)
+      evalShingles, "shingle", expectedItems = expected, fpp = fpp)
     val candidates = sh8.filter(col("doc_id") % 50 =!= 0)
       .filter(graft.functions.BloomFunctions.mightContain(
         col("shingle"), filterBytes))
@@ -277,8 +284,12 @@ object TextOps {
     * join, ~fpp of the shuffle. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,
                     fpp: Double = 0.01): DataFrame = {
+    // persisted: this subtree (scan+explode+distinct over the eval set)
+    // feeds THREE consumers — the sizing count, the treeAggregate filter
+    // build, and the broadcast verify join. Bounded by the eval set's
+    // size, so the pin is small and lives for the JVM (LRU-evictable).
     val evalSh = Dedup.shingleRows(evalDocs.select(col("doc_id"), col("text")), n = 8)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().persist()
     val expected = math.max(1024L, evalSh.count())
     val bytes = graft.functions.BloomFunctions.buildFilter(
       evalSh, "shingle", expectedItems = expected, fpp = fpp)
