@@ -295,6 +295,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    // graft_lsh_bucket(emb, nPlanes[, dim[, seed]]) — c6/c11's seeded
+    // sign bucket; defaults match the Column API (dim 64, seed "graft")
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => HyperplaneBucket(
+        castToDoubleArray(children.head),
+        VectorFunctions.lshPlanes(
+          foldableInt(children, 1, "nPlanes"),
+          if (children.length > 2) foldableInt(children, 2, "dim") else 64,
+          if (children.length > 3) foldableString(children, 3, "seed") else "graft"))))
+    // graft_lsh_project(emb, nPlanes[, dim[, seed]]) — c28's JL
+    // projection; default seed matches c28 ("graft:rp")
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_project"),
+      new ExpressionInfo(classOf[HyperplaneProject].getName, "graft_lsh_project"),
+      (children: Seq[Expression]) => HyperplaneProject(
+        castToDoubleArray(children.head),
+        VectorFunctions.lshPlanes(
+          foldableInt(children, 1, "nPlanes"),
+          if (children.length > 2) foldableInt(children, 2, "dim") else 64,
+          if (children.length > 3) foldableString(children, 3, "seed") else "graft:rp"))))
+  }
+
+  private def foldableInt(children: Seq[Expression], i: Int, name: String): Int = {
+    val e = children(i)
+    require(e.foldable, s"$name must be a literal, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def foldableString(children: Seq[Expression], i: Int, name: String): String = {
+    val e = children(i)
+    require(e.foldable, s"$name must be a literal, got $e")
+    e.eval().toString
   }
 
   private def castToDoubleArray(e: Expression): Expression =

@@ -212,6 +212,19 @@ class BloomProjSpec extends SparkSpec {
     assert(cb3.forall(_.getSeq[Double](1).forall(v => !v.isNaN && !v.isInfinite)))
   }
 
+  test("trainCodebook results stay consumable after a later call (scratch isolation)") {
+    // regression: scratch paths carry a per-call run id — without it the
+    // second call clears and rewrites the parquet backing the FIRST
+    // call's lazy DataFrame, so consuming it afterwards read the other
+    // run's data (or threw mid-clear)
+    val first = Similarity.trainCodebook(spark, sfDir, rounds = 1)
+    val before = first.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val second = Similarity.trainCodebook(spark, sfDir, rounds = 2)
+    assert(second.count() > 0)
+    val after = first.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(after == before, "earlier result must be unaffected by the later call")
+  }
+
   test("b19 equals its window-function reformulation and plans no cartesian") {
     val got = Relational.b19Correlated(spark, sfDir)
     val plan = got.queryExecution.executedPlan.toString

@@ -35,6 +35,25 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("graft_lsh_bucket / graft_lsh_project SQL forms equal the Column API") {
+    Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("ve_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_lsh_bucket(embedding, 6) AS bucket,
+        |  graft_lsh_project(embedding, 16) AS proj
+        |FROM ve_sql ORDER BY vec_id""".stripMargin).collect()
+    val viaApi = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"),
+        VectorFunctions.hyperplaneBucket(col("embedding"),
+          VectorFunctions.lshPlanes(6, 64)).as("bucket"),
+        VectorFunctions.hyperplaneProject(col("embedding"),
+          VectorFunctions.lshPlanes(16, 64, seed = "graft:rp")).as("proj"))
+      .orderBy("vec_id").collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getString(1) == a.getString(1), s"bucket mismatch vec ${s.getLong(0)}")
+      assert(s.getSeq[Long](2) == a.getSeq[Long](2), s"proj mismatch vec ${s.getLong(0)}")
+    }
+  }
+
   test("c5 results are unchanged by the native expression (vs collected ground truth)") {
     val e = Tables.embeddings(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
