@@ -53,13 +53,18 @@ object GraftSession {
     f
   }
 
+  // ONE shutdown hook draining a registry — a hook THREAD per path would
+  // accumulate for the JVM lifetime under per-call-unique scratch names
+  // (checkpointLabels, trainCodebook runs)
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupRegistered.forEach(p => deleteRecursive(new java.io.File(p)))))
+    ()
+  }
   private def registerCleanup(f: java.io.File): Unit =
-    if (cleanupRegistered.add(f.getAbsolutePath)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(f)))
-      ()
-    }
+    if (cleanupRegistered.add(f.getAbsolutePath)) cleanupHook
 
   private def deleteRecursive(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursive)

@@ -245,6 +245,12 @@ object Main {
             val (p, s, u) = (st.parseMs, st.serializeMs, st.publishMs)
             stageSamples += StageSample(batchId, p - lastParse, s - lastSer, u - lastPub)
             lastParse = p; lastSer = s; lastPub = u
+            // same retention cap as LatencyListener: the latency dump
+            // joins against at most its newest 1024 samples, and an
+            // unbounded buffer would grow the driver heap for the life
+            // of a long-running stream
+            if (stageSamples.length > 1024)
+              stageSamples.remove(0, stageSamples.length - 1024)
           }
           // advance the offset by an EXACT job-result count, not the
           // publish accumulator: retried/speculative tasks re-add to

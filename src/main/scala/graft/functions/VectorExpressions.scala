@@ -82,6 +82,11 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Long]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // loud, not lossy: silently bucketing on a PREFIX of the vector would
+    // give plausible-but-wrong buckets (and the DuckDB oracle's
+    // list_dot_product errors on unequal lengths — the engines must agree)
+    require(n == planes(0).length,
+      s"graft_lsh_bucket: vector has $n dims, planes expect ${planes(0).length}")
     val fixed = new Array[Long](n)
     var d = 0
     while (d < n) {
@@ -101,9 +106,8 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Long]])
     while (j < planes.length) {
       val p = planes(j)
       var acc = 0L
-      val m = math.min(n, p.length)
       var i = 0
-      while (i < m) { acc += fixed(i) * p(i); i += 1 }
+      while (i < n) { acc += fixed(i) * p(i); i += 1 }
       chars(j) = if (acc >= 0L) '1' else '0'
       j += 1
     }
@@ -128,6 +132,9 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Long]])
       val r = ctx.freshName("r")
       s"""
          |int $n = $a.numElements();
+         |if ($n != ${planes(0).length})
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_bucket: vector has " + $n + " dims, planes expect ${planes(0).length}");
          |long[] $fixed = new long[$n];
          |for (int $d = 0; $d < $n; $d++) {
          |  double $x = $a.getDouble($d) * 10000.0;
@@ -140,8 +147,7 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Long]])
          |for (int $j = 0; $j < $p.length; $j++) {
          |  long[] $pj = $p[$j];
          |  long $acc = 0L;
-         |  int $m = Math.min($n, $pj.length);
-         |  for (int $i = 0; $i < $m; $i++) { $acc += $fixed[$i] * $pj[$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $fixed[$i] * $pj[$i]; }
          |  $out[$j] = (byte) ($acc >= 0L ? '1' : '0');
          |}
          |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
@@ -173,6 +179,10 @@ case class HyperplaneProject(child: Expression, planes: Array[Array[Long]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // same loud dim check as HyperplaneBucket: a prefix projection would
+    // be silently wrong, and the oracle's list_dot_product would error
+    require(n == planes(0).length,
+      s"graft_lsh_project: vector has $n dims, planes expect ${planes(0).length}")
     val fixed = new Array[Long](n)
     var d = 0
     while (d < n) {
@@ -188,9 +198,8 @@ case class HyperplaneProject(child: Expression, planes: Array[Array[Long]])
     while (j < planes.length) {
       val p = planes(j)
       var acc = 0L
-      val m = math.min(n, p.length)
       var i = 0
-      while (i < m) { acc += fixed(i) * p(i); i += 1 }
+      while (i < n) { acc += fixed(i) * p(i); i += 1 }
       out(j) = acc
       j += 1
     }
@@ -215,6 +224,9 @@ case class HyperplaneProject(child: Expression, planes: Array[Array[Long]])
       val r = ctx.freshName("r")
       s"""
          |int $n = $a.numElements();
+         |if ($n != ${planes(0).length})
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_project: vector has " + $n + " dims, planes expect ${planes(0).length}");
          |long[] $fixed = new long[$n];
          |for (int $d = 0; $d < $n; $d++) {
          |  double $x = $a.getDouble($d) * 10000.0;
@@ -227,8 +239,7 @@ case class HyperplaneProject(child: Expression, planes: Array[Array[Long]])
          |for (int $j = 0; $j < $p.length; $j++) {
          |  long[] $pj = $p[$j];
          |  long $acc = 0L;
-         |  int $m = Math.min($n, $pj.length);
-         |  for (int $i = 0; $i < $m; $i++) { $acc += $fixed[$i] * $pj[$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $fixed[$i] * $pj[$i]; }
          |  $out[$j] = $acc;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);

@@ -258,6 +258,10 @@ object Dedup {
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node")).persist()
     var cached = labels // the persisted frame backing `labels`
+    // unpersist in finally: the non-convergence throw below invites the
+    // caller to retry with the alternation — leaking the O(edges) cached
+    // blocks on exactly that path would re-open the r5 cache leak
+    try {
     var iter = 0
     var done = labels.isEmpty
     while (!done && iter < maxIter) {
@@ -274,17 +278,7 @@ object Dedup {
       val changed = step.filter(col("lbl") < col("old_lbl")).count()
       cached.unpersist()
       cached = step
-      // REBASE the next generation's lineage on the (materialized) cache:
-      // building iteration N+1's plan on top of iteration N's nests the
-      // logical plan linearly — by ~iteration 15 the tree is deep enough
-      // that Spark's own plan stringification overflows the stack (chain-
-      // shaped components legitimately need that many iterations). The
-      // InternalRow round-trip reads the cached blocks and gives the next
-      // iteration a constant-depth LogicalRDD base.
-      val flat = step.select(col("node"), col("lbl"))
-      labels = org.apache.spark.sql.graftbridge.ColumnBridge
-        .internalCreateDataFrame(flat.sparkSession,
-          flat.queryExecution.toRdd, flat.schema)
+      labels = rebase(step.select(col("node"), col("lbl")))
       done = changed == 0
       iter += 1
     }
@@ -301,12 +295,23 @@ object Dedup {
     // the persisted blocks would leak one cached DataFrame per call for
     // the JVM lifetime (ADVICE r5) — a parquet round-trip of (bigint,
     // bigint) rows severs all lineage so every generation unpersists now
-    val out = checkpointLabels(
+    checkpointLabels(
       labels.select(col("node"), col("lbl").as("cluster_id")))
-    cached.unpersist()
-    und.unpersist()
-    out
+    } finally {
+      cached.unpersist()
+      und.unpersist()
+    }
   }
+
+  /** Rebase a frame's lineage on its (materialized) cached blocks: an
+    * InternalRow round-trip through internalCreateDataFrame gives the
+    * next iteration a constant-depth LogicalRDD base. Building iteration
+    * N+1's plan on iteration N's nests the logical plan linearly — by
+    * ~iteration 15 the tree is deep enough that Spark's own plan
+    * stringification overflows the stack. Shared by both CC loops. */
+  private def rebase(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .internalCreateDataFrame(df.sparkSession, df.queryExecution.toRdd, df.schema)
 
   private val ccScratchSeq = new java.util.concurrent.atomic.AtomicInteger()
 
@@ -314,7 +319,11 @@ object Dedup {
     * them back: a LogicalRelation with zero lineage into the iteration
     * caches, so the caller holds no reference that pins them. Narrow
     * two-bigint rows — the standard checkpoint for iterative algorithms
-    * (at 100 TB this is n×16 bytes, dwarfed by the edge shuffles). */
+    * (at 100 TB this is n×16 bytes, dwarfed by the edge shuffles).
+    * Each call gets a fresh dir (the returned frame READS it lazily, so
+    * an earlier call's dir can never be reclaimed while its result may
+    * still be consumed); dirs are tiny and all removed at JVM exit by
+    * the single scratch cleanup hook. */
   private def checkpointLabels(labels: DataFrame): DataFrame = {
     val dir = new java.io.File(
       graft.GraftSession.scratchDir(s"cc-${ccScratchSeq.incrementAndGet()}"),
@@ -348,15 +357,12 @@ object Dedup {
     * adversarial chain spec. */
   private[graft] def connectedComponentsAlternating(
       edges: DataFrame, maxIter: Int = 40): (DataFrame, Int) = {
-    val spark = edges.sparkSession
-    def rebase(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.ColumnBridge
-        .internalCreateDataFrame(spark, df.queryExecution.toRdd, df.schema)
     var e = edges.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().persist()
     var eCount = e.count() // materialize: the upstream pair pipeline runs ONCE
+    try {
     var iter = 0
     var converged = eCount == 0L
     while (!converged && iter < maxIter) {
@@ -391,9 +397,8 @@ object Dedup {
     // stars: children as u → root as v; roots appear only on the v side
     val labels = e.select(col("u").as("node"), col("v").as("cluster_id"))
       .union(e.select(col("v").as("node"), col("v").as("cluster_id")).distinct())
-    val out = checkpointLabels(labels)
-    e.unpersist()
-    (out, iter)
+    (checkpointLabels(labels), iter)
+    } finally e.unpersist()
   }
 
   /** Per-JVM memoized cluster-label table, keyed by (dir, threshold):

@@ -133,10 +133,13 @@ object Multimodal {
     val w = token().toInt
     val h = token().toInt
     val maxval = token().toInt
+    require(w > 0 && h > 0, s"doc $docId: bad dimensions ${w}x$h")
     require(maxval == 255, s"doc $docId: unsupported maxval $maxval")
     pos += 1 // the single whitespace after maxval
-    require(payload.length - pos == w * h,
-      s"doc $docId: raster is ${payload.length - pos} bytes, expected ${w * h}")
+    // Long arithmetic: an adversarial 65536x65536 header overflows Int
+    // w*h to 0 and would otherwise ACCEPT an empty raster
+    require(payload.length.toLong - pos == w.toLong * h,
+      s"doc $docId: raster is ${payload.length - pos} bytes, expected ${w.toLong * h}")
     var mn = 255L; var mx = 0L; var sum = 0L
     var i = pos
     while (i < payload.length) {
@@ -166,8 +169,14 @@ object Multimodal {
     var sawData = false
     while (bb.remaining() >= 8) {
       val id = fourcc(); val size = bb.getInt
+      // a negative (or over-long) declared size would move position
+      // BACKWARDS and re-parse the same header forever — throw instead
+      // of hanging the task
+      require(size >= 0 && size <= bb.remaining(),
+        s"doc $docId: chunk '$id' declares $size bytes, ${bb.remaining()} remain")
       id match {
         case "fmt " =>
+          require(size >= 16, s"doc $docId: fmt chunk too short ($size)")
           val fmt = bb.getShort
           require(fmt == 1, s"doc $docId: non-PCM format $fmt")
           channels = bb.getShort.toInt

@@ -208,6 +208,10 @@ class DedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // truncated raster
       Multimodal.decodePgm(7L, "P5\n2 2\n255\n".getBytes ++ Array[Byte](1, 2))
     }
+    intercept[IllegalArgumentException] { // 65536*65536 overflows Int w*h
+      // to 0 — an empty raster must NOT be accepted with garbage features
+      Multimodal.decodePgm(7L, "P5\n65536 65536\n255\n".getBytes)
+    }
   }
 
   test("c12 WAV decoder: hand-computed fixture + malformed input rejection") {
@@ -223,6 +227,20 @@ class DedupSimSpec extends SparkSpec {
     assert(f.v_min == -32768 && f.v_max == 32767 && f.v_sum == -1)
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav(9L, "JUNK".getBytes ++ new Array[Byte](46))
+    }
+    intercept[IllegalArgumentException] {
+      // a negative chunk size used to rewind the buffer to the chunk
+      // header it just read — an INFINITE LOOP, not an error; must throw
+      val evil = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      evil.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+        .put("JUNK".getBytes).putInt(-8)
+      Multimodal.decodeWav(9L, evil.array())
+    }
+    intercept[IllegalArgumentException] { // fmt chunk shorter than 16 bytes
+      val evil = java.nio.ByteBuffer.allocate(22).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      evil.put("RIFF".getBytes).putInt(14).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(2).putShort(1)
+      Multimodal.decodeWav(9L, evil.array())
     }
   }
 
