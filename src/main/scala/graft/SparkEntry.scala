@@ -89,6 +89,7 @@ object SparkEntry {
     "c29_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.c29HardNegatives(s, d)),
     "c30_cluster_split" -> ((s: SparkSession, d: String) => Dedup.c30ClusterSplit(s, d)),
     "c31_kmeans_step" -> (Similarity.c31KmeansStep _),
+    "c32_corpus_stats" -> (TextOps.c32CorpusStats _),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -341,6 +342,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c32_corpus_stats" ->
+      """WITH t AS (SELECT lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM t GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "c10_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint,
         |  substr(md5(text), 1, 8) AS fp_bucket, n_chars

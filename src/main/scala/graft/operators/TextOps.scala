@@ -274,6 +274,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** c32: corpus statistics — the "dataset card" aggregates every curated
+    * release ships: per (lang, source) document counts, token/char
+    * totals, and length extrema. One partial-aggregated groupBy over a
+    * low-cardinality key; all outputs are exact BIGINTs of exact inputs,
+    * so the numbers are reproducible anywhere. At 100 TB this is the
+    * cheapest query in the suite — a single map-side-combinable pass. */
+  def c32CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(words(col("text"))).cast("bigint").as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang", "source")
+
   /** Generic decontamination entry point (the production form of c24/c27):
     * flag every doc in `docs` sharing any 8-token shingle with `evalDocs`
     * — both arbitrary DataFrames with (doc_id, text). The eval side is

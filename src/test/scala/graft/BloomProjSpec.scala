@@ -225,6 +225,21 @@ class BloomProjSpec extends SparkSpec {
     assert(after == before, "earlier result must be unaffected by the later call")
   }
 
+  test("c32 corpus stats equal a direct recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source", "n_chars", "text").collect()
+    val expect = docs.groupBy(r => (r.getString(0), r.getString(1))).map { case (k, rs) =>
+      // split(" ", -1): Spark's split keeps trailing empties (limit -1)
+      val toks = rs.map(_.getString(3).split(" ", -1).length.toLong)
+      k -> ((rs.length.toLong, toks.sum, rs.map(_.getLong(2)).sum, toks.min, toks.max))
+    }
+    val got = TextOps.c32CorpusStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
   test("b19 equals its window-function reformulation and plans no cartesian") {
     val got = Relational.b19Correlated(spark, sfDir)
     val plan = got.queryExecution.executedPlan.toString
