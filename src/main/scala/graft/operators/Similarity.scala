@@ -176,10 +176,19 @@ object Similarity {
     * broadcast codebook. Recall vs the c5 exact baseline is spec-checked. */
   /** Label-initialized codebook (c15's fixed-point sums → per-label mean
     * vectors, ordered by dim via sort_array over (pos, value) structs) —
-    * shared by c18 (search) and c31 (the Lloyd training step). */
-  private[graft] def labelCodebook(spark: SparkSession, dir: String): DataFrame =
-    broadcast(
-      Tables.embeddings(spark, dir)
+    * shared by c18 (search), c31 (the Lloyd training step) and
+    * [[trainCodebook]]'s round 0. Memoized to scratch parquet per data dir
+    * (the [[graft.operators.Dedup.shingleTablePath]] seam): the codebook
+    * feeds BOTH assignment sides of an IVF search plus every training
+    * round, and without the seam each consumer re-runs the corpus-wide
+    * fixed-point aggregation. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def labelCodebookPath(spark: SparkSession, dir: String): String =
+    codebookCache.computeIfAbsent(dir, d => {
+      val p = graft.GraftSession.scratchDir(
+        s"label-cb-${graft.sources.JsonConvert.pathKey(d)}").toString
+      Tables.embeddings(spark, d)
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), col("pos"),
           round(col("col").cast("double") * 10000).cast("bigint").as("v4"))
@@ -189,31 +198,61 @@ object Similarity {
           (col("sum_v4").cast("double") / 10000.0 / col("n")).as("cv"))
         .groupBy("label")
         .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
-        .select(col("label").as("cell"), col("arr.cv").as("centroid")))
+        .select(col("label").as("cell"), col("arr.cv").as("centroid"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+  private[graft] def labelCodebook(spark: SparkSession, dir: String): DataFrame =
+    broadcast(spark.read.parquet(labelCodebookPath(spark, dir)))
 
-  /** Nearest-cell assignment against a broadcast codebook: one codegen'd
-    * cosine pass per (vector, cell), argmax on the 6-dp-ROUNDED score —
-    * when two centroids are nearly equidistant, a last-ulp disagreement
-    * between engines must not flip the argmax (ties break
-    * deterministically on cell). */
-  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
-    e.crossJoin(centroids)
-      .withColumn("ccos", round(cosine(col("v"), col("centroid")), 6))
-      .withColumn("arn", row_number().over(wAssign))
+  /** Nearest-cell assignment against a broadcast codebook — STATELESS: the
+    * codebook is folded to a single array-of-(cell, centroid) row, cross
+    * joined (broadcast, no exchange) onto the vector table, and the
+    * argmax/top-nprobe is a per-row `array_sort` over k (rounded-cosine,
+    * −cell) structs — the batch twin of d9's codegen'd struct-argmax
+    * ([[graft.streaming.StreamOps.streamAssignCells]]). No shuffle: the
+    * previous formulation ranked with a `row_number` window partitioned on
+    * vec_id, an n×k exchange that at 100 TB inflates the corpus k-fold
+    * through the wire for a value each row can compute locally.
+    * Scores are 6-dp-ROUNDED before comparison — when two centroids are
+    * nearly equidistant, a last-ulp disagreement between engines must not
+    * flip the argmax — and ties break deterministically on LOWEST cell
+    * (−cell in the struct, so lexicographic descending order prefers it;
+    * exactly the window's `ORDER BY ccos DESC, cell ASC`).
+    * Emits `maxProbe` rows per vector: (vec_id, v, cell, ccos, arn). */
+  private[graft] def assignCells(e: DataFrame, centroids: DataFrame,
+                                 maxProbe: Int = Int.MaxValue): DataFrame = {
+    val cbArr = broadcast(centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("centroid")))).as("cb")))
+    val scored = reverse(array_sort(transform(col("cb"), c =>
+      struct(round(cosine(col("v"), c.getField("centroid")), 6).as("ccos"),
+        (-c.getField("cell")).as("negcell")))))
+    val top = if (maxProbe == Int.MaxValue) scored else slice(scored, 1, maxProbe)
+    e.crossJoin(cbArr)
+      .select(col("vec_id"), col("v"), posexplode(top).as(Seq("i", "s")))
+      .select(col("vec_id"), col("v"),
+        (-col("s.negcell")).as("cell"),
+        col("s.ccos").as("ccos"),
+        (col("i") + 1).as("arn"))
   }
 
-  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
-                nprobe: Int = 1): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val assigned = assignCells(e, labelCodebook(spark, dir))
+  /** IVF search against a given broadcast (cell, centroid) codebook.
+    * Assignment runs ONCE per side: the query side assigns only the
+    * filtered (pushdown) query rows to their top-`nprobe` cells, the
+    * candidate side assigns the corpus to its single nearest cell — so the
+    * full corpus is scanned exactly once for assignment (the r6 plan
+    * computed one shared assignment frame and, unpersisted, executed the
+    * n×k pass twice). */
+  private def ivfSearch(e: DataFrame, codebook: DataFrame,
+                        k: Int, nprobe: Int): DataFrame = {
     // candidates live in exactly ONE cell (their nearest); queries probe
     // their top-`nprobe` cells — recall rises with nprobe while each
     // (query, candidate) pair still appears at most once
-    val queries = assigned.filter(col("vec_id") < 5 && col("arn") <= nprobe)
+    val queries = assignCells(
+      e.filter(col("vec_id") < 5), codebook, maxProbe = nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
-    val candidates = assigned.filter(col("vec_id") >= 5 && col("arn") === 1)
+    val candidates = assignCells(
+      e.filter(col("vec_id") >= 5), codebook, maxProbe = 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     candidates.join(broadcast(queries), "cell")
@@ -223,6 +262,25 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy("query_id", "rnk")
+  }
+
+  def c18AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
+                nprobe: Int = 1): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    ivfSearch(e, labelCodebook(spark, dir), k, nprobe)
+  }
+
+  /** c18 searching a Lloyd-REFINED codebook ([[trainCodebook]]) instead of
+    * the label-initialized one — the production IVF shape (train offline,
+    * ship the artifact, search). Same plan as [[c18AnnIvf]]; recall vs the
+    * c5 exact baseline is spec-checked to at least match the label
+    * codebook at equal nprobe. */
+  def c18AnnIvfTrained(spark: SparkSession, dir: String, k: Int = 5,
+                       nprobe: Int = 1, rounds: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    ivfSearch(e, trainCodebook(spark, dir, rounds), k, nprobe)
   }
 
   /** c31: one exact Lloyd (k-means) iteration — the IVF codebook TRAINING
@@ -239,8 +297,8 @@ object Similarity {
   def c31KmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val assigned = assignCells(e, labelCodebook(spark, dir))
-      .filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+    val assigned = assignCells(e, labelCodebook(spark, dir), maxProbe = 1)
+      .select(col("vec_id"), col("cell"))
     val fixed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"),
@@ -283,8 +341,8 @@ object Similarity {
     val fixed = spark.read.parquet(fixedPath)
     var cb = labelCodebook(spark, dir)
     for (r <- 1 to rounds) {
-      val assigned = assignCells(e, cb)
-        .filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+      val assigned = assignCells(e, cb, maxProbe = 1)
+        .select(col("vec_id"), col("cell"))
       val cbPath = graft.GraftSession.scratchDir(
         s"kmeans-cb-$runId-$r-${graft.sources.JsonConvert.pathKey(dir)}").toString
       fixed.join(assigned, "vec_id")

@@ -171,6 +171,45 @@ class DedupSimSpec extends SparkSpec {
     assert(r2 >= r1, "probing more cells must not lose neighbors")
   }
 
+  test("cell assignment is stateless: no shuffle on vec_id anywhere in the plan") {
+    // the r6 formulation ranked cells with a row_number window partitioned
+    // on vec_id — an n×k exchange; the struct-argmax must plan ZERO hash
+    // repartitionings (the only exchanges left are the broadcast codebook
+    // fold's SinglePartition agg and the BroadcastExchange itself)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = Similarity.assignCells(
+      e, Similarity.labelCodebook(spark, sfDir), maxProbe = 1)
+    val planStr = assigned.queryExecution.executedPlan.toString
+    assert(!planStr.contains("hashpartitioning"),
+      s"assignment subtree must not shuffle:\n$planStr")
+    assert(assigned.count() == Tables.embeddings(spark, sfDir).count(),
+      "maxProbe=1 emits exactly one cell per vector")
+  }
+
+  test("c18 trained codebook: scores stay exact; recall@5 >= label codebook at equal nprobe") {
+    val brute5 = Similarity.c5AnnBrute(spark, sfDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val bruteAll = Similarity.c5AnnBrute(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine_r"))
+      .toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      rows.foreach { r =>
+        val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(bruteAll.contains(key), s"$key not in brute-force universe")
+        assert(math.abs(bruteAll(key) - r.getAs[Double]("cosine_r")) < 1e-9,
+          "cell restriction must not change the score")
+      }
+      val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      brute5.count(got.contains).toDouble / brute5.length
+    }
+    val label = recallOf(Similarity.c18AnnIvf(spark, sfDir, k = 5, nprobe = 1).collect())
+    val trained = recallOf(Similarity.c18AnnIvfTrained(spark, sfDir, k = 5, nprobe = 1, rounds = 3).collect())
+    info(f"c18 recall@5 nprobe=1: label codebook $label%.2f, trained(3) $trained%.2f")
+    assert(trained >= label,
+      f"Lloyd refinement must not lose recall: trained $trained%.2f < label $label%.2f")
+  }
+
   test("c22 quantization: reconstruction error bounded by half a quantization step") {
     val e = Tables.embeddings(spark, sfDir)
     val scale = e.select(posexplode(col("embedding")))
