@@ -457,9 +457,9 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin),
     // every feature is recomputed from the closed-form payload-generation
-    // formulas (Multimodal.pgmPayload/wavPayload/videoPayload): the Spark
-    // side decodes REAL PGM/WAV binary, so one mis-parsed header byte or
-    // sample hash-fails here
+    // formulas (Multimodal.pgmPayload/wavPayload/y4mPayload): the Spark
+    // side decodes REAL PGM/WAV/Y4M binary, so one mis-parsed header byte,
+    // sample, or frame boundary hash-fails here
     "c12_multimodal" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
         |img AS (
@@ -472,10 +472,15 @@ object SparkEntry {
         |    list_transform(range(0, 64 + doc_id % 129),
         |                   i -> ((doc_id * 131 + i * 17) % 65536) - 32768) AS l
         |  FROM d WHERE m = 1),
+        |-- Y4M: w x h 4:2:0 luma+chroma planes (w*h*3/2 bytes/frame), ASCII
+        |-- stream header + 6-byte FRAME marker per frame
         |vid AS (
-        |  SELECT doc_id, 100 + doc_id % 201 AS n,
-        |    list_transform(range(0, 100 + doc_id % 201),
-        |                   i -> (doc_id * 7 + i * 13) % 256) AS l
+        |  SELECT doc_id, 8 + 2 * (doc_id % 5) AS w, 8 + 2 * (doc_id % 4) AS h,
+        |    3 + doc_id % 6 AS frames,
+        |    (8 + 2 * (doc_id % 5)) * (8 + 2 * (doc_id % 4)) * 3 // 2 AS fs,
+        |    flatten(list_transform(range(0, 3 + doc_id % 6), f ->
+        |      list_transform(range(0, (8 + 2 * (doc_id % 5)) * (8 + 2 * (doc_id % 4)) * 3 // 2),
+        |                     i -> (doc_id * 7 + f * 101 + i * 13) % 256))) AS l
         |  FROM d WHERE m = 2)
         |SELECT doc_id, 'image' AS media_type,
         |  CAST(9 + strlen(CAST(w AS VARCHAR)) + strlen(CAST(h AS VARCHAR)) + w * h AS BIGINT) AS n_bytes,
@@ -491,8 +496,10 @@ object SparkEntry {
         |  CAST(list_sum(l) AS BIGINT)
         |FROM aud
         |UNION ALL
-        |SELECT doc_id, 'video', CAST(n AS BIGINT),
-        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST((n + 99) // 100 AS BIGINT),
+        |SELECT doc_id, 'video',
+        |  CAST(strlen('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H' || CAST(h AS VARCHAR)
+        |         || ' F25:1 Ip A1:1 C420jpeg') + 1 + frames * (6 + fs) AS BIGINT),
+        |  CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(frames AS BIGINT),
         |  CAST(list_min(l) AS BIGINT), CAST(list_max(l) AS BIGINT),
         |  CAST(list_sum(l) AS BIGINT)
         |FROM vid

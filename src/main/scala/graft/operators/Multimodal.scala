@@ -8,7 +8,7 @@ import graft.Tables
 /** A multimodal record: opaque media bytes + typed metadata. At scale the
   * payload column holds real image/audio/video bytes (parquet binary with
   * dictionary encoding off); here the bytes are REAL codec-free formats —
-  * PGM images and WAV/PCM audio — generated deterministically per doc_id,
+  * PGM images, WAV/PCM audio, Y4M video — generated deterministically per doc_id,
   * so decode is a genuine binary parse and the oracle can recompute every
   * decoded feature from the generation formula (SURVEY §2 c12). */
 case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
@@ -18,8 +18,8 @@ case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
   *                  v_* over pixel values 0..255
   *  - audio (WAV):  width = sample rate, height = bits/sample;
   *                  n_units = samples; v_* over signed 16-bit samples
-  *  - video (stub): width = height = 0; n_units = 100-byte frames;
-  *                  v_* over raw payload bytes (no codec in container) */
+  *  - video (Y4M):  width, height = luma dims; n_units = frames;
+  *                  v_* over raw 4:2:0 plane bytes of every frame */
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                          width: Long, height: Long, n_units: Long,
                          v_min: Long, v_max: Long, v_sum: Long)
@@ -37,9 +37,9 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
   * The Spark-side shape is real: a typed `Dataset[MediaRecord]` with a
   * binary payload column, batch-iterated per partition exactly where a
   * Pandas-UDF / JNI decoder would sit, producing a typed features frame.
-  * Image and audio decode are REAL binary parsers for codec-free formats
-  * (PGM P5, WAV RIFF/PCM — both decodable in pure JVM); only video remains
-  * a clearly-marked stub because the container ships no video codecs.
+  * All three modalities decode through REAL binary parsers for codec-free
+  * formats (PGM P5 images, WAV RIFF/PCM audio, Y4M/YUV4MPEG2 video — all
+  * decodable in pure JVM; Y4M frames are uncompressed by definition).
   * Swapping in a real JPEG/MP4 decoder changes one function, not the plan.
   */
 object Multimodal {
@@ -91,13 +91,39 @@ object Multimodal {
     bb.array()
   }
 
-  private[graft] def videoLength(docId: Long): Int = (100 + docId % 201).toInt
+  /** Y4M (YUV4MPEG2) video: the codec-free container — plain-ASCII stream
+    * header, then per frame an ASCII `FRAME` marker and raw uncompressed
+    * 4:2:0 planes (Y w×h, then U and V at w/2×h/2). Even dims only
+    * (4:2:0 subsampling). */
+  private[graft] def videoDims(docId: Long): (Int, Int) =
+    ((8 + 2 * (docId % 5)).toInt, (8 + 2 * (docId % 4)).toInt)
 
-  private[graft] def videoPayload(docId: Long): Array[Byte] = {
-    val n = videoLength(docId)
-    val out = new Array[Byte](n)
-    var i = 0
-    while (i < n) { out(i) = ((docId * 7 + i * 13) % 256).toByte; i += 1 }
+  private[graft] def videoFrameCount(docId: Long): Int = (3 + docId % 6).toInt
+
+  /** Raster bytes per 4:2:0 frame: full-res luma + two quarter-res chroma. */
+  private[graft] def y4mFrameSize(w: Int, h: Int): Int = w * h + 2 * (w / 2) * (h / 2)
+
+  private[graft] def y4mPayload(docId: Long): Array[Byte] = {
+    val (w, h) = videoDims(docId)
+    val frames = videoFrameCount(docId)
+    val fs = y4mFrameSize(w, h)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + frames * (marker.length + fs))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(marker, 0, out, pos, marker.length)
+      pos += marker.length
+      var i = 0
+      while (i < fs) {
+        out(pos + i) = ((docId * 7 + f * 101 + i * 13) % 256).toByte
+        i += 1
+      }
+      pos += fs
+      f += 1
+    }
     out
   }
 
@@ -112,7 +138,7 @@ object Multimodal {
         (id % 3) match {
           case 0 => MediaRecord(id, "image", pgmPayload(id))
           case 1 => MediaRecord(id, "audio", wavPayload(id))
-          case _ => MediaRecord(id, "video", videoPayload(id))
+          case _ => MediaRecord(id, "video", y4mPayload(id))
         }
       })
   }
@@ -205,29 +231,77 @@ object Multimodal {
       bits.toLong, n, mn, mx, sum)
   }
 
-  /** STUB video "decode" — byte-level features only: the container ships
-    * no video codec, so frames are modeled as fixed 100-byte chunks and
-    * v_* are raw byte statistics. A real demuxer replaces exactly this
-    * function. */
-  private[graft] def decodeVideoStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
-    var mn = 255L; var mx = 0L; var sum = 0L
-    var i = 0
-    while (i < payload.length) {
-      val v = (payload(i) & 0xFF).toLong
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-      sum += v
-      i += 1
+  /** Parsed Y4M stream geometry: luma dims, raster bytes per frame, and the
+    * byte offset of the first FRAME marker. Shared by the feature decoder
+    * and [[frameSample]]'s demuxer. Malformed headers throw. */
+  private[graft] def y4mGeometry(docId: Long,
+                                 payload: Array[Byte]): (Int, Int, Int, Int) = {
+    var pos = 0
+    while (pos < payload.length && payload(pos) != '\n') pos += 1
+    require(pos < payload.length, s"doc $docId: unterminated Y4M stream header")
+    val header = new String(payload, 0, pos, "US-ASCII")
+    pos += 1
+    val tokens = header.split(' ')
+    require(tokens.nonEmpty && tokens(0) == "YUV4MPEG2",
+      s"doc $docId: not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var chroma = "C420jpeg" // the Y4M default is 4:2:0
+    tokens.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'C' => chroma = t.drop(1)
+        case _   => () // F/I/A/X parameters don't affect the raster layout
+      }
     }
-    MediaFeatures(docId, "video", payload.length.toLong, 0L, 0L,
-      ((payload.length + 99) / 100).toLong, mn, mx, sum)
+    require(w > 0 && h > 0, s"doc $docId: bad dimensions ${w}x$h")
+    require(chroma.startsWith("420"), s"doc $docId: unsupported chroma C$chroma")
+    require(w % 2 == 0 && h % 2 == 0,
+      s"doc $docId: 4:2:0 subsampling needs even dims, got ${w}x$h")
+    // Long arithmetic: adversarial dims must not overflow Int (PGM lesson)
+    val fs = w.toLong * h + 2 * (w.toLong / 2) * (h.toLong / 2)
+    require(fs <= payload.length, s"doc $docId: one frame ($fs bytes) exceeds payload")
+    (w, h, fs.toInt, pos)
+  }
+
+  /** REAL Y4M (YUV4MPEG2) decoder: parses the stream header, walks the
+    * FRAME-marker/raster sequence, and computes plane-byte statistics over
+    * every frame — pure JVM, no codec library (Y4M frames are uncompressed
+    * by definition). Malformed or truncated input throws. */
+  private[graft] def decodeY4m(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val (w, h, fs, start) = y4mGeometry(docId, payload)
+    var pos = start
+    var frames = 0L
+    var mn = 255L; var mx = 0L; var sum = 0L
+    while (pos < payload.length) {
+      var eol = pos
+      while (eol < payload.length && payload(eol) != '\n') eol += 1
+      val marker = new String(payload, pos, eol - pos, "US-ASCII")
+      require(eol < payload.length && (marker == "FRAME" || marker.startsWith("FRAME ")),
+        s"doc $docId: expected FRAME marker at byte $pos")
+      pos = eol + 1
+      require(payload.length - pos >= fs,
+        s"doc $docId: frame $frames truncated (${payload.length - pos} of $fs bytes)")
+      var i = 0
+      while (i < fs) {
+        val v = (payload(pos + i) & 0xFF).toLong
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        i += 1
+      }
+      pos += fs
+      frames += 1
+    }
+    require(frames > 0, s"doc $docId: no frames")
+    MediaFeatures(docId, "video", payload.length.toLong, w.toLong, h.toLong,
+      frames, mn, mx, sum)
   }
 
   /** Dispatch decode by declared media type. */
   private[graft] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
     case "image" => decodePgm(r.doc_id, r.payload)
     case "audio" => decodeWav(r.doc_id, r.payload)
-    case _       => decodeVideoStub(r.doc_id, r.payload)
+    case _       => decodeY4m(r.doc_id, r.payload)
   }
 
   /** c12: decode/feature-extract over the media table — mapPartitions so a
@@ -261,21 +335,29 @@ object Multimodal {
     })
   }
 
-  /** STUB frame sampling — a real implementation demuxes the container and
-    * keeps every `everyNth` frame; the stub treats the payload as
-    * fixed-size frames of `frameBytes` and keeps every `everyNth` chunk.
+  /** REAL frame sampling — demuxes the Y4M container on true frame
+    * boundaries (stream header, then FRAME marker + fixed-size 4:2:0
+    * raster per frame) and keeps every `everyNth` frame's raw planes.
     * Video records only; one output row per sampled frame (the explode
     * shape a 100 TB video pipeline shuffles by). */
-  def frameSample(records: Dataset[MediaRecord], frameBytes: Int,
+  def frameSample(records: Dataset[MediaRecord],
                   everyNth: Int): Dataset[MediaFrame] = {
     import records.sparkSession.implicits._
     records.filter(_.media_type == "video").mapPartitions(_.flatMap { r =>
-      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
-      (0 until nFrames by everyNth).iterator.map { f =>
-        val from = f * frameBytes
-        val until = math.min(from + frameBytes, r.payload.length)
-        MediaFrame(r.doc_id, f.toLong, java.util.Arrays.copyOfRange(r.payload, from, until))
-      }
+      val (_, _, fs, start) = y4mGeometry(r.doc_id, r.payload)
+      Iterator.from(0)
+        .scanLeft(start) { (pos, _) =>
+          var eol = pos
+          while (eol < r.payload.length && r.payload(eol) != '\n') eol += 1
+          eol + 1 + fs
+        }
+        .drop(1) // scanLeft emits the seed
+        .takeWhile(_ <= r.payload.length)
+        .zipWithIndex
+        .collect { case (end, f) if f % everyNth == 0 =>
+          MediaFrame(r.doc_id, f.toLong,
+            java.util.Arrays.copyOfRange(r.payload, end - fs, end))
+        }
     })
   }
 }

@@ -299,6 +299,45 @@ class DedupSimSpec extends SparkSpec {
       assert(f.v_min == s.min && f.v_max == s.max && f.v_sum == s.sum)
       assert(f.n_bytes == 44 + 2L * n)
     }
+    for (id <- Seq(2L, 5L, 14L)) { // video ids
+      val f = Multimodal.decodeY4m(id, Multimodal.y4mPayload(id))
+      val (w, h) = Multimodal.videoDims(id)
+      val frames = Multimodal.videoFrameCount(id)
+      val fs = Multimodal.y4mFrameSize(w, h)
+      val bytes = for (fr <- 0 until frames; i <- 0 until fs)
+        yield (id * 7 + fr * 101 + i * 13) % 256
+      assert(f.width == w && f.height == h && f.n_units == frames)
+      assert(f.v_min == bytes.min && f.v_max == bytes.max && f.v_sum == bytes.sum)
+      assert(f.n_bytes == Multimodal.y4mPayload(id).length)
+    }
+  }
+
+  test("Y4M decoder rejects malformed streams instead of mis-parsing") {
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.decodeY4m(9L, "JUNK W8 H8\nFRAME\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // odd dims under 4:2:0
+      Multimodal.decodeY4m(9L,
+        ("YUV4MPEG2 W9 H8 C420jpeg\nFRAME\n" + "x" * 108).getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      val good = Multimodal.y4mPayload(2L)
+      Multimodal.decodeY4m(2L, java.util.Arrays.copyOf(good, good.length - 1))
+    }
+    intercept[IllegalArgumentException] { // garbage where FRAME marker belongs
+      val good = Multimodal.y4mPayload(2L)
+      val evil = good.clone()
+      val headerEnd = good.indexOf('\n'.toByte) + 1
+      evil(headerEnd) = 'X'.toByte
+      Multimodal.decodeY4m(2L, evil)
+    }
+    // frame parameters after the marker are legal Y4M and must parse
+    val (w, h) = Multimodal.videoDims(2L)
+    val fs = Multimodal.y4mFrameSize(w, h)
+    val withParams = (s"YUV4MPEG2 W$w H$h C420jpeg\nFRAME Xtag\n"
+      .getBytes("US-ASCII") ++ Array.fill(fs)(7.toByte))
+    val f = Multimodal.decodeY4m(2L, withParams)
+    assert(f.n_units == 1 && f.v_min == 7 && f.v_max == 7)
   }
 
   test("c12 multimodal features decode from real PGM/WAV payloads") {
@@ -315,23 +354,39 @@ class DedupSimSpec extends SparkSpec {
           assert(r.getAs[Long]("width") == 8000 && r.getAs[Long]("height") == 16)
           assert(r.getAs[Long]("n_units") == Multimodal.audioSampleCount(id))
         case "video" =>
-          assert(r.getAs[Long]("n_bytes") == Multimodal.videoLength(id))
+          val (w, h) = Multimodal.videoDims(id)
+          assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+          assert(r.getAs[Long]("n_units") == Multimodal.videoFrameCount(id))
         case other => fail(s"unexpected media_type $other")
       }
     }
   }
 
-  test("c12 resize/frame-sample stubs keep schema and sizing contracts") {
+  test("c12 resize stub and real Y4M frame sampling keep their contracts") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val resized = Multimodal.resize(media, 16, 8).collect()
     assert(resized.nonEmpty)
     resized.foreach { r => assert(r.payload.length == 16 * 8) }
-    val frames = Multimodal.frameSample(media, frameBytes = 50, everyNth = 2).collect()
+    val frames = Multimodal.frameSample(media, everyNth = 2).collect()
     assert(frames.nonEmpty)
     val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
     assert(frames.map(_.doc_id).toSet == videoIds, "all and only video docs sampled")
     frames.foreach { f =>
-      assert(f.frame_idx % 2 == 0 && f.frame_bytes.length <= 50)
+      val (w, h) = Multimodal.videoDims(f.doc_id)
+      val fs = Multimodal.y4mFrameSize(w, h)
+      assert(f.frame_idx % 2 == 0, "only every 2nd frame kept")
+      assert(f.frame_bytes.length == fs, "a sampled frame is one full 4:2:0 raster")
+      // the sampled raster must be the REAL frame: recompute from formula
+      (0 until fs).foreach { i =>
+        assert((f.frame_bytes(i) & 0xFF) ==
+          (f.doc_id * 7 + f.frame_idx * 101 + i * 13) % 256,
+          s"doc ${f.doc_id} frame ${f.frame_idx} byte $i mismatches")
+      }
+    }
+    // every video doc yields ceil(frames/2) sampled frames
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.foreach { case (id, fr) =>
+      assert(fr.length == (Multimodal.videoFrameCount(id) + 1) / 2)
     }
   }
 
