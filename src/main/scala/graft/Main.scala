@@ -130,7 +130,20 @@ object Main {
     val afterQuality = docs.join(quality, Seq("doc_id"), "left_semi").persist()
     val nQuality = afterQuality.count()
 
-    val canonicals = Dedup.dedupDocuments(spark, in, "minhash", threshold)
+    // canonical = min doc_id per near-dup cluster AMONG QUALITY SURVIVORS,
+    // not over the full corpus: a full-corpus canonical that itself failed
+    // the quality gate would take its whole cluster down with it (every
+    // member semi-joins against a doc that no longer exists). Labels come
+    // from the same memoized (dir, threshold)-keyed cluster table as
+    // c19/c30, so a curate run still clusters exactly once; docs without
+    // near-dups are their own singleton cluster (coalesce, c19's rule).
+    val lbl = spark.read.parquet(Dedup.clusterTablePath(spark, in, threshold))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val canonicals = afterQuality.select("doc_id")
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val afterDedup = afterQuality.join(canonicals, Seq("doc_id"), "left_semi")
       .persist()

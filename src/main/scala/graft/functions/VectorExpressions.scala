@@ -267,7 +267,12 @@ object VectorFunctions {
     * unlike the axis-aligned family this replaces. Deterministic: any
     * engine (or the DuckDB oracle at SQL-build time) regenerates the
     * identical matrix from the seed. */
-  def lshPlanes(nPlanes: Int, dim: Int, seed: String = "graft"): Array[Array[Long]] =
+  def lshPlanes(nPlanes: Int, dim: Int, seed: String = "graft"): Array[Array[Long]] = {
+    // validate here (not just at the SQL-builder seam): nPlanes <= 0 would
+    // build an empty matrix and the downstream planes(0) dim check would
+    // surface as a bare ArrayIndexOutOfBoundsException at eval time
+    require(nPlanes >= 1, s"nPlanes must be >= 1, got $nPlanes")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     Array.tabulate(nPlanes) { j =>
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(dim) { d =>
@@ -275,6 +280,7 @@ object VectorFunctions {
         ((h(0) & 0xff) + (h(1) & 0xff) + (h(2) & 0xff) + (h(3) & 0xff) - 510).toLong
       }
     }
+  }
 
   /** Random-hyperplane LSH bucket of an embedding column (see
     * [[HyperplaneBucket]]). */

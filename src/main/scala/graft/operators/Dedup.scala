@@ -275,7 +275,12 @@ object Dedup {
         .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
-      val changed = step.filter(col("lbl") < col("old_lbl")).count()
+      // a throw from the materializing count would otherwise leak the
+      // just-persisted generation: the finally below only covers `cached`,
+      // which still points at the PREVIOUS one
+      val changed =
+        try step.filter(col("lbl") < col("old_lbl")).count()
+        catch { case t: Throwable => step.unpersist(); throw t }
       cached.unpersist()
       cached = step
       labels = rebase(step.select(col("node"), col("lbl")))
@@ -381,14 +386,19 @@ object Dedup {
         .union(mins2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
       val next = rebase(ss).persist()
-      val nextCount = next.count()
-      // fixed point = identical edge SET (both sides deduped): equal
-      // counts + empty anti-join
-      converged = nextCount == eCount &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // a throw from the materializing count/anti-join would otherwise
+      // leak the just-persisted generation: the finally below only covers
+      // `e`, which still points at the PREVIOUS one
+      try {
+        val nextCount = next.count()
+        // fixed point = identical edge SET (both sides deduped): equal
+        // counts + empty anti-join
+        converged = nextCount == eCount &&
+          next.join(e, Seq("u", "v"), "left_anti").isEmpty
+        eCount = nextCount
+      } catch { case t: Throwable => next.unpersist(); throw t }
       e.unpersist()
       e = next
-      eCount = nextCount
       iter += 1
     }
     if (!converged)

@@ -202,8 +202,11 @@ object Similarity {
         .write.mode("overwrite").parquet(p)
       p
     })
+  // no broadcast hint here: the codebook is only ever consumed through
+  // assignCells' single-row array fold, which broadcasts the folded row —
+  // a hint on the agg INPUT would just be dropped (with a warning)
   private[graft] def labelCodebook(spark: SparkSession, dir: String): DataFrame =
-    broadcast(spark.read.parquet(labelCodebookPath(spark, dir)))
+    spark.read.parquet(labelCodebookPath(spark, dir))
 
   /** Nearest-cell assignment against a broadcast codebook — STATELESS: the
     * codebook is folded to a single array-of-(cell, centroid) row, cross
@@ -354,7 +357,7 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
         .select(col("cell"), col("arr.cv").as("centroid"))
         .write.mode("overwrite").parquet(cbPath)
-      cb = broadcast(spark.read.parquet(cbPath))
+      cb = spark.read.parquet(cbPath)
     }
     cb
   }

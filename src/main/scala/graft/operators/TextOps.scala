@@ -15,6 +15,9 @@ import graft.Tables
   */
 object TextOps {
 
+  /** Monotone id distinguishing [[decontaminate]] invocations' scratch. */
+  private val decontamRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Small fixed stopword profile used by quality scoring and language id. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
@@ -302,12 +305,22 @@ object TextOps {
     * join, ~fpp of the shuffle. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,
                     fpp: Double = 0.01): DataFrame = {
-    // persisted: this subtree (scan+explode+distinct over the eval set)
+    // the eval-shingle subtree (scan+explode+distinct over the eval set)
     // feeds THREE consumers — the sizing count, the treeAggregate filter
-    // build, and the broadcast verify join. Bounded by the eval set's
-    // size, so the pin is small and lives for the JVM (LRU-evictable).
-    val evalSh = Dedup.shingleRows(evalDocs.select(col("doc_id"), col("text")), n = 8)
-      .select(col("shingle")).distinct().persist()
+    // build, and the broadcast verify join. Materialized to scratch
+    // parquet rather than persist(): the returned frame is lazy and
+    // re-reads the subtree on every action, so a cache pin has no sound
+    // unpersist point and repeated library calls would accumulate one pin
+    // each for the JVM lifetime (MEMORY_AND_DISK spill is not
+    // LRU-reclaimed from disk). Unique run id: scratchDir CLEARS an
+    // existing path, and a reused name would silently invalidate the lazy
+    // frame a previous call returned. Bounded by the eval set's size.
+    val runId = decontamRuns.incrementAndGet()
+    val evalPath = graft.GraftSession.scratchDir(s"decontam-eval-$runId").toString
+    Dedup.shingleRows(evalDocs.select(col("doc_id"), col("text")), n = 8)
+      .select(col("shingle")).distinct()
+      .write.mode("overwrite").parquet(evalPath)
+    val evalSh = docs.sparkSession.read.parquet(evalPath)
     val expected = math.max(1024L, evalSh.count())
     val bytes = graft.functions.BloomFunctions.buildFilter(
       evalSh, "shingle", expectedItems = expected, fpp = fpp)

@@ -160,21 +160,39 @@ class CliSpec extends SparkSpec {
     Main.main(Array("curate", "--in", sfDir, "--eval", evalDir, "--out", out))
     val curated = spark.read.parquet(out)
 
-    // expected id set: quality ∩ dedup-canonicals ∩ decontaminated
+    // expected id set: (min quality-surviving doc per near-dup cluster)
+    // ∩ decontaminated — canonicals are promoted AMONG quality survivors,
+    // so a cluster whose full-corpus canonical fails the quality gate
+    // still contributes its best surviving member instead of vanishing
     val quality = graft.operators.TextOps.c7TextQuality(spark, sfDir)
       .filter(col("keep")).select("doc_id")
-    val canon = graft.operators.Dedup.dedupDocuments(spark, sfDir, "minhash")
+    val lbl = spark.read.parquet(
+        graft.operators.Dedup.clusterTablePath(spark, sfDir))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val canon = quality.join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val docs = Tables.documents(spark, sfDir)
     val clean = graft.operators.TextOps.decontaminate(
         docs.select("doc_id", "text"),
         spark.read.parquet(evalDir).select("doc_id", "text"))
       .filter(!col("contaminated")).select("doc_id")
-    val expected = quality.intersect(canon).intersect(clean)
+    val expected = canon.intersect(clean)
     val got = curated.select("doc_id")
     assert(got.exceptAll(expected).count() == 0 &&
       expected.exceptAll(got).count() == 0,
       "curated ids must equal the intersection of the verified stages")
+    // the over-drop regression: the old full-corpus-canonical semi-join
+    // can only ever keep a subset of the survivor-promoted canonicals
+    val fullCorpusCanon = graft.operators.Dedup
+      .dedupDocuments(spark, sfDir, "minhash").select("doc_id")
+    val oldExpected = quality.intersect(fullCorpusCanon).intersect(clean)
+    assert(oldExpected.exceptAll(got).count() == 0,
+      "survivor-promoted curation must keep every doc the old rule kept")
+    info(s"curate: kept ${got.count()} docs " +
+      s"(full-corpus-canonical rule would keep ${oldExpected.count()})")
     assert(curated.count() > 0 && curated.count() < docs.count(),
       "curation must keep some docs and drop some docs")
     // every curated doc carries its cluster-canonical split
