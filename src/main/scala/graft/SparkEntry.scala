@@ -90,6 +90,7 @@ object SparkEntry {
     "c30_cluster_split" -> ((s: SparkSession, d: String) => Dedup.c30ClusterSplit(s, d)),
     "c31_kmeans_step" -> (Similarity.c31KmeansStep _),
     "c32_corpus_stats" -> (TextOps.c32CorpusStats _),
+    "c33_hard_negatives_lsh" -> ((s: SparkSession, d: String) => Similarity.c33HardNegativesLsh(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -443,6 +444,24 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, round(cosine, 6) AS cosine_r
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // c33 = c6's bucket equi-join with c29's label-mismatch filter: the
+    // keyed (non-broadcast) hard-negative form
+    "c33_hard_negatives_lsh" ->
+      (s"""WITH f0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, v, $lshBucketSql AS bucket FROM f0),""".stripMargin +
+      """
+        |
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label, bucket FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, label AS c_label, bucket FROM e WHERE vec_id >= 5),
+        |s AS (SELECT query_id, neighbor_id, c_label, list_cosine_similarity(qv, cv) AS cosine
+        |      FROM q JOIN c USING (bucket) WHERE c_label <> q_label),
+        |r AS (SELECT query_id, neighbor_id, c_label, cosine,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id, CAST(c_label AS BIGINT) AS neg_label, round(cosine, 6) AS cosine_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "c11_embed_neardup" ->
       (s"""WITH f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -146,6 +146,40 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** c33: hard-negative mining at scale — c29's contract through c6's
+    * bucket equi-join: anchors and candidates meet on the seeded
+    * hyperplane bucket key instead of a crossJoin, so the anchor set no
+    * longer needs to broadcast (c29's crossJoin is only valid while the
+    * query side fits in a broadcast). Negatives become approximate —
+    * only bucket-colliding candidates are scored — which is the standard
+    * trade for mining against a large anchor set: at 100 TB this is a
+    * shuffle equi-join on the bucket key, never all-pairs. */
+  def c33HardNegativesLsh(spark: SparkSession, dir: String,
+                          k: Int = 5, planes: Int = 6): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"),
+        signBucket(col("embedding"), planes).as("bucket"))
+    // NO broadcast hint on the anchor side — the whole point of the keyed
+    // form is that both sides can be corpus-sized; the optimizer still
+    // picks a broadcast hash join when one side happens to be small
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("q_label"), col("bucket"))
+    val candidates = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("label").as("c_label"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates.join(queries, "bucket")
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("c_label").cast("bigint").as("neg_label"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** c15: per-label centroids — the IVF building block (c6's scale path
     * swaps sign buckets for nearest-centroid ids with the same join
     * shape). One row per (label, dim): posexplode + two-level shuffle on a

@@ -210,6 +210,42 @@ class DedupSimSpec extends SparkSpec {
       f"Lloyd refinement must not lose recall: trained $trained%.2f < label $label%.2f")
   }
 
+  test("c33 bucketed hard negatives: equi-join plan, subset of exact mining's universe") {
+    // plan: the keyed form must join on the bucket key — never a
+    // cartesian/broadcast-nested-loop (those are the shapes that require
+    // the anchor side to broadcast)
+    val approx = Similarity.c33HardNegativesLsh(spark, sfDir)
+    val planStr = approx.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoop"),
+      s"bucketed mining must plan an equi-join:\n$planStr")
+    val rows = approx.collect()
+    assert(rows.nonEmpty, "bucket collisions must yield negatives")
+    // semantics: labels always differ, scores identical to the exact
+    // miner's for any (query, neighbor) both produce, ranks consistent
+    val exact = Similarity.c29HardNegatives(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        (r.getAs[Long]("neg_label"), r.getAs[Double]("cosine_r"))).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exact.contains(key),
+        s"$key not in the exact miner's mismatched-label universe")
+      val (lbl, cos) = exact(key)
+      assert(r.getAs[Long]("neg_label") == lbl)
+      assert(math.abs(r.getAs[Double]("cosine_r") - cos) < 1e-9,
+        "bucketing must not change the score")
+    }
+    // overlap vs the exact top-k: report it; bucketing only PRUNES
+    // candidates, so every approximate negative the exact top-5 also
+    // contains must carry the same neighbor
+    val exactTop = Similarity.c29HardNegatives(spark, sfDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val overlap = exactTop.count(got.contains).toDouble / exactTop.length
+    info(f"c33 approximate-negative overlap with exact top-5: $overlap%.2f")
+    assert(overlap > 0.0, "bucketed mining should recover some exact negatives")
+  }
+
   test("c22 quantization: reconstruction error bounded by half a quantization step") {
     val e = Tables.embeddings(spark, sfDir)
     val scale = e.select(posexplode(col("embedding")))
