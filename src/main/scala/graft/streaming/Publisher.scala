@@ -137,6 +137,87 @@ class BatchingFilePublisher(dir: String, opts: BatchingOptions = BatchingOptions
   override def close(): Unit = inner.close()
 }
 
+/** Minimal broker-client SPI — the two-trait surface a real client jar
+  * provides, mirroring pulsar::Client / pulsar::Producer (reference:
+  * src/bolson/publish/publisher.cpp:55-77 client + producer creation,
+  * send at :72-77; publisher.h:64-68 url/topic/max message size). A
+  * Pulsar adapter is `client.newProducer().topic(t).create()` /
+  * `producer.send(...)` / `producer.flush(); producer.close()` behind
+  * these methods; a Kafka adapter is `new KafkaProducer(...)` /
+  * `send(new ProducerRecord(topic, key, payload))` / `flush(); close()`.
+  * Nothing else in graft changes — [[BrokerPublisher]] is the
+  * compile-checked proof. `send` throws on a broker error, which is what
+  * propagates at-least-once + checkpoint-replay semantics up through the
+  * Publisher seam (BrokerSemanticsSpec). */
+trait BrokerClient extends Serializable {
+  def createProducer(topic: String): BrokerProducer
+  def close(): Unit
+}
+
+trait BrokerProducer {
+  /** Synchronous send; throws on broker error. `key` is the message's
+    * idempotence key — (epoch, batch_id) — the analogue of a broker
+    * producer's (producer, sequence) dedup key. */
+  def send(key: String, payload: Array[Byte]): Unit
+  def flush(): Unit
+  def close(): Unit
+}
+
+/** The drop-in [[Publisher]] over any [[BrokerClient]] — open ≙ create
+  * client + producer, publish ≙ send, close ≙ flush + close producer +
+  * close client, exactly bolson's producer lifecycle
+  * (publisher.cpp:55-77). Wiring a real broker = implementing the two
+  * SPI traits over the vendor jar and passing the factory here; the
+  * delivery-semantics contract is spec'd against [[InMemoryBroker]]. */
+class BrokerPublisher(mkClient: () => BrokerClient, topic: String,
+                      epoch: Long = 0L) extends Publisher {
+  private var client: BrokerClient = _
+  private var producer: BrokerProducer = _
+  override def open(partitionId: Int): Unit = {
+    client = mkClient()
+    producer = client.createProducer(topic)
+  }
+  override def publish(m: IpcMessage): Unit =
+    producer.send(f"$epoch%08x-${m.batch_id}%016x", m.bytes)
+  override def close(): Unit = {
+    if (producer != null) { producer.flush(); producer.close() }
+    if (client != null) client.close()
+  }
+}
+
+/** In-repo broker stub: a JVM-wide (topic, key) → payload store. Keyed
+  * storage is the point — a checkpoint-replayed micro-batch re-sends the
+  * same (epoch, batch_id) keys and OVERWRITES the partial first attempt
+  * instead of duplicating it, modeling broker producer-idempotence the
+  * same way FilePublisher's keyed file names do. Local-mode only
+  * (executors share the driver JVM), like CollectingPublisher. */
+object InMemoryBroker {
+  private val topics = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]]()
+  def clear(): Unit = topics.clear()
+  def messages(topic: String): Map[String, Array[Byte]] = {
+    val t = topics.get(topic)
+    if (t == null) Map.empty else t.asScala.toMap
+  }
+  private[streaming] def put(topic: String, key: String,
+                             payload: Array[Byte]): Unit = {
+    topics.computeIfAbsent(topic,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]())
+      .put(key, payload); ()
+  }
+}
+
+class InMemoryBrokerClient extends BrokerClient {
+  override def createProducer(topic: String): BrokerProducer =
+    new BrokerProducer {
+      override def send(key: String, payload: Array[Byte]): Unit =
+        InMemoryBroker.put(topic, key, payload)
+      override def flush(): Unit = ()
+      override def close(): Unit = ()
+    }
+  override def close(): Unit = ()
+}
+
 /** Failure injection for broker-semantics specs: delegates to `inner` but
   * throws on the JVM-wide nth publish call, exactly once. Encodes the
   * delivery contract a real broker client (Pulsar/Kafka producer) brings:

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.ipc.{ArrowIpc, IpcMessage}
-import graft.streaming.{FailNthPublisher, FilePublisher, Publish, StreamPipeline}
+import graft.streaming.{BrokerPublisher, FailNthPublisher, FilePublisher,
+  InMemoryBroker, InMemoryBrokerClient, Publish, StreamPipeline}
 
 /** Broker delivery semantics behind the Publisher seam (no broker exists
   * in this sandbox, so the CONTRACT is spec'd instead): a failed publish
@@ -81,5 +82,63 @@ class BrokerSemanticsSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until n).toSeq,
         "no row lost, none duplicated after the retry")
     } finally FailNthPublisher.disarm()
+  }
+
+  test("BrokerPublisher over the broker SPI: same retry contract against the in-repo stub") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = StructType.fromDDL("id BIGINT, v BIGINT")
+    val topic = "graft-spec-topic"
+    val ckpt = Files.createTempDirectory("graft-broker2-ckpt-").toString
+    val n = 300
+    val lines = (0 until n).map(i => s"""{"id": $i, "v": ${i * 3}}""")
+
+    val stream = MemoryStream[String]
+    def startQuery() =
+      StreamPipeline.convert(stream.toDF(), schema).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+          // the compile-checked drop-in: Publisher → BrokerPublisher →
+          // BrokerClient SPI; a Pulsar/Kafka adapter swaps the factory
+          Publish.run(ArrowIpc.serialize(batch.toDF(), maxRows = 64),
+            () => new FailNthPublisher(
+              new BrokerPublisher(() => new InMemoryBrokerClient, topic, epoch)))
+          ()
+        }
+        .start()
+
+    InMemoryBroker.clear()
+    FailNthPublisher.armFailure(3)
+    try {
+      stream.addData(lines)
+      val q1 = startQuery()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      spark.streams.resetTerminated()
+      val partial = InMemoryBroker.messages(topic).size
+      assert(partial >= 1 && partial < n / 64 + 1,
+        s"expected a PARTIAL first attempt at the broker, got $partial messages")
+
+      // checkpoint restart replays the batch; (epoch, batch_id) send keys
+      // make the replay idempotent at the broker (producer-idempotence)
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      spark.streams.resetTerminated()
+
+      val delivered = InMemoryBroker.messages(topic)
+      val msgs = delivered.values.toSeq.map(b => IpcMessage(0L, 0L, b.length.toLong, b))
+      val rows = ArrowIpc.deserialize(spark, msgs.toDS(), schema)
+        .orderBy("id").collect()
+      assert(rows.length == n,
+        s"replay must deliver every row exactly once at the broker, got ${rows.length}")
+      assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until n).toSeq,
+        "no row lost, none duplicated after the retry")
+    } finally {
+      FailNthPublisher.disarm()
+      InMemoryBroker.clear()
+    }
   }
 }
