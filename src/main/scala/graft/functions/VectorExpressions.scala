@@ -250,6 +250,160 @@ case class HyperplaneProject(child: Expression, planes: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** Codegen'd IVF cell assignment (SURVEY §2 c18/c31): given a vector and
+  * the codebook as an array of (cell, centroid) structs, return the
+  * top-`maxProbe` cells ordered by (6-dp-rounded cosine DESC, cell ASC) —
+  * the stateless struct-argmax of the batch assignment, fused into one
+  * native loop. Replaces the `transform` → `array_sort` → `slice` HOF
+  * chain, which runs interpreted per row (closure dispatch + Round's
+  * BigDecimal per cell + a full sort of k structs); here the k cosines
+  * and the top-maxProbe insertion happen in a single generated loop
+  * inside whole-stage codegen. Semantics are EXACTLY the HOF chain's:
+  * scores rounded via BigDecimal HALF_UP at scale 6 (what Spark's
+  * `round` does for doubles), comparison by `Double.compare` (the total
+  * order `array_sort` uses), ties to the LOWEST cell. Output:
+  * array<struct<cell, ccos>> in rank order. */
+case class NearestCells(left: Expression, right: Expression, maxProbe: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+
+  private lazy val cellDt: DataType = right.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      fields(0).dataType match {
+        case t @ (IntegerType | LongType) => t
+        case other => throw new IllegalArgumentException(
+          s"graft_nearest_cells: cell field must be int/bigint, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft_nearest_cells: codebook must be array<struct<cell, centroid>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", cellDt, nullable = false),
+      StructField("ccos", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(vec: Any, cb: Any): Any = {
+    val v = vec.asInstanceOf[ArrayData]
+    val cells = cb.asInstanceOf[ArrayData]
+    val k = cells.numElements()
+    val keep = math.min(maxProbe.toLong, k.toLong).toInt
+    val topCos = new Array[Double](keep)
+    val topCell = new Array[Long](keep)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val row = cells.getStruct(j, 2)
+      val cell = if (cellDt == LongType) row.getLong(0) else row.getInt(0).toLong
+      val cv = row.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = cv.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val c = NearestCells.round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      var p = filled
+      while (p > 0 && {
+        val cmp = java.lang.Double.compare(c, topCos(p - 1))
+        cmp > 0 || (cmp == 0 && cell < topCell(p - 1))
+      }) p -= 1
+      if (p < keep) {
+        var q = math.min(filled, keep - 1)
+        while (q > p) { topCos(q) = topCos(q - 1); topCell(q) = topCell(q - 1); q -= 1 }
+        topCos(p) = c; topCell(p) = cell
+        if (filled < keep) filled += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      val cellVal: Any =
+        if (cellDt == LongType) topCell(r) else topCell(r).toInt
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cellVal, topCos(r)))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cellIsLong = cellDt == LongType
+      val getCell = if (cellIsLong) "getLong(0)" else "getInt(0)"
+      val k = ctx.freshName("k"); val keep = ctx.freshName("keep")
+      val topCos = ctx.freshName("topCos"); val topCell = ctx.freshName("topCell")
+      val filled = ctx.freshName("filled"); val j = ctx.freshName("j")
+      val row = ctx.freshName("row"); val cell = ctx.freshName("cell")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val c = ctx.freshName("c"); val p = ctx.freshName("p")
+      val q = ctx.freshName("q"); val cmp = ctx.freshName("cmp")
+      val out = ctx.freshName("out"); val r = ctx.freshName("r")
+      s"""
+         |int $k = $b.numElements();
+         |int $keep = (int) Math.min((long) $maxProbe, (long) $k);
+         |double[] $topCos = new double[$keep];
+         |long[] $topCell = new long[$keep];
+         |int $filled = 0;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $b.getStruct($j, 2);
+         |  long $cell = (long) $row.$getCell;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
+         |  int $n = Math.min($a.numElements(), $cv.numElements());
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $cv.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $c = graft.functions.NearestCells.round6(
+         |    $dot / (Math.sqrt($na) * Math.sqrt($nb)));
+         |  int $p = $filled;
+         |  while ($p > 0) {
+         |    int $cmp = Double.compare($c, $topCos[$p - 1]);
+         |    if ($cmp > 0 || ($cmp == 0 && $cell < $topCell[$p - 1])) $p--; else break;
+         |  }
+         |  if ($p < $keep) {
+         |    for (int $q = Math.min($filled, $keep - 1); $q > $p; $q--) {
+         |      $topCos[$q] = $topCos[$q - 1]; $topCell[$q] = $topCell[$q - 1];
+         |    }
+         |    $topCos[$p] = $c; $topCell[$p] = $cell;
+         |    if ($filled < $keep) $filled++;
+         |  }
+         |}
+         |Object[] $out = new Object[$filled];
+         |for (int $r = 0; $r < $filled; $r++) {
+         |  $out[$r] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{${if (cellIsLong) s"java.lang.Long.valueOf($topCell[$r])"
+              else s"java.lang.Integer.valueOf((int) $topCell[$r])"},
+         |      java.lang.Double.valueOf($topCos[$r])});
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCells {
+  /** Spark's `round(x, 6)` for doubles: BigDecimal.valueOf (i.e. the
+    * Double.toString representation) + HALF_UP at scale 6. Non-finite
+    * values pass through (they cannot round, and BigDecimal.valueOf
+    * would throw). */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   /** Cosine similarity of two `array<double>` columns (float arrays: cast
@@ -293,6 +447,14 @@ object VectorFunctions {
   def hyperplaneProject(emb: Column, planes: Array[Array[Long]]): Column =
     ColumnBridge.column(HyperplaneProject(
       ColumnBridge.expression(emb.cast("array<double>")), planes))
+
+  /** Top-`maxProbe` codebook cells of a vector by rounded cosine (see
+    * [[NearestCells]]); `codebook` is an array<struct<cell, centroid>>
+    * column. */
+  def nearestCells(vec: Column, codebook: Column, maxProbe: Int): Column =
+    ColumnBridge.column(NearestCells(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      ColumnBridge.expression(codebook), maxProbe))
 }
 
 /** SparkSessionExtensions hook registering graft's native functions for

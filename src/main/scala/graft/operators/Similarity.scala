@@ -245,8 +245,9 @@ object Similarity {
   /** Nearest-cell assignment against a broadcast codebook — STATELESS: the
     * codebook is folded to a single array-of-(cell, centroid) row, cross
     * joined (broadcast, no exchange) onto the vector table, and the
-    * argmax/top-nprobe is a per-row `array_sort` over k (rounded-cosine,
-    * −cell) structs — the batch twin of d9's codegen'd struct-argmax
+    * argmax/top-nprobe is the native codegen'd
+    * [[graft.functions.NearestCells]] loop per row — the batch twin of
+    * d9's codegen'd struct-argmax
     * ([[graft.streaming.StreamOps.streamAssignCells]]). No shuffle: the
     * previous formulation ranked with a `row_number` window partitioned on
     * vec_id, an n×k exchange that at 100 TB inflates the corpus k-fold
@@ -261,14 +262,17 @@ object Similarity {
                                  maxProbe: Int = Int.MaxValue): DataFrame = {
     val cbArr = broadcast(centroids.agg(
       sort_array(collect_list(struct(col("cell"), col("centroid")))).as("cb")))
-    val scored = reverse(array_sort(transform(col("cb"), c =>
-      struct(round(cosine(col("v"), c.getField("centroid")), 6).as("ccos"),
-        (-c.getField("cell")).as("negcell")))))
-    val top = if (maxProbe == Int.MaxValue) scored else slice(scored, 1, maxProbe)
+    // native codegen'd top-maxProbe selection (NearestCells): k cosines +
+    // the rank insertion fused into one generated loop — the HOF chain
+    // (transform → array_sort → slice) computes the same thing but runs
+    // interpreted per row with a BigDecimal-per-cell Round and a full
+    // k-struct sort
+    val top = graft.functions.VectorFunctions.nearestCells(
+      col("v"), col("cb"), maxProbe)
     e.crossJoin(cbArr)
       .select(col("vec_id"), col("v"), posexplode(top).as(Seq("i", "s")))
       .select(col("vec_id"), col("v"),
-        (-col("s.negcell")).as("cell"),
+        col("s.cell").as("cell"),
         col("s.ccos").as("ccos"),
         (col("i") + 1).as("arn"))
   }

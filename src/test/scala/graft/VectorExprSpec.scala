@@ -21,6 +21,55 @@ class VectorExprSpec extends SparkSpec {
     assert(got == hof, "bit-identical to the interpreted formulation")
   }
 
+  test("nearest-cells expression equals the HOF sort/slice derivation at every maxProbe") {
+    // corpus vectors against the real label codebook: the native fused
+    // loop must reproduce the interpreted transform→array_sort→slice
+    // chain row-for-row — rounding (BigDecimal HALF_UP at 6), total
+    // order (Double.compare), and tie-break (lowest cell) included
+    val cb = graft.operators.Similarity.labelCodebook(spark, sfDir)
+    val cbArr = broadcast(cb.agg(
+      sort_array(collect_list(struct(col("cell"), col("centroid")))).as("cb")))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(cbArr)
+    for (maxProbe <- Seq(1, 2, Int.MaxValue)) {
+      val native = e.select(col("vec_id"),
+        posexplode(VectorFunctions.nearestCells(col("v"), col("cb"), maxProbe))
+          .as(Seq("i", "s")))
+        .select(col("vec_id"), col("i"), col("s.cell"), col("s.ccos"))
+      val scored = reverse(array_sort(transform(col("cb"), c =>
+        struct(round(VectorFunctions.cosine(col("v"), c.getField("centroid")), 6).as("ccos"),
+          (-c.getField("cell")).as("negcell")))))
+      val top = if (maxProbe == Int.MaxValue) scored else slice(scored, 1, maxProbe)
+      val hof = e.select(col("vec_id"), posexplode(top).as(Seq("i", "s")))
+        .select(col("vec_id"), col("i"),
+          (-col("s.negcell")).as("cell"), col("s.ccos"))
+      assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0,
+        s"maxProbe=$maxProbe: native selection must equal the HOF derivation")
+    }
+  }
+
+  test("nearest-cells generated code compiles (no interpreted fallback)") {
+    // codegenStringSeq COMPILES each whole-stage subtree (a Janino error
+    // throws here); the assignment projection must sit inside a codegen
+    // stage that references the fused loop, otherwise Spark silently
+    // fell back to interpreted eval and the expression's point is lost
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = graft.operators.Similarity.assignCells(
+      e, graft.operators.Similarity.labelCodebook(spark, sfDir), maxProbe = 1)
+    assigned.collect() // materialize so AQE has settled on the final plan
+    val plan = assigned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+    assert(subtrees.nonEmpty, "assignment must plan whole-stage codegen subtrees")
+    assert(subtrees.exists(_._2.contains("graft.functions.NearestCells.round6")),
+      "the fused nearest-cells loop must appear in generated code")
+  }
+
   test("cosine handles float input arrays via cast and null inputs") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
