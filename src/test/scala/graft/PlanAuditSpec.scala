@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Plan-shape audits for the r7 IVF changes: these print the formatted
+  * plans (for the round's plan review) and assert the load-bearing
+  * properties — pushdown reaching the scans, no vec_id exchange, the
+  * final top-k being the only shuffle. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("c18 plan: query-side filter pushed to scan, no vec_id exchange, one top-k window") {
+    val df = Similarity.c18AnnIvf(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    // the vector scans must carry the vec_id pushdown (query side reads
+    // only vec_id<5 row groups; candidate side vec_id>=5)
+    assert(s.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]") ||
+      s.contains("LessThan(vec_id,5)"), s"query-side pushdown missing:\n$s")
+    assert(s.contains("GreaterThanOrEqual(vec_id,5)"), s"candidate-side pushdown missing:\n$s")
+    // assignment must not shuffle on vec_id (the r6 n×k exchange)
+    assert(!s.contains("hashpartitioning(vec_id"), s"vec_id exchange crept back:\n$s")
+    // exactly one hash exchange total: the final per-query top-k window
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange (the query_id top-k window), got $hashExchanges:\n$s")
+  }
+}
