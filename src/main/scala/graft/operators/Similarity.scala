@@ -353,6 +353,39 @@ object Similarity {
       .orderBy("cell", "pos")
   }
 
+  /** Deterministic k-cell codebook init for corpora without labels (or
+    * with the production cell count ~√n rather than |labels|): seeds are
+    * the k vectors with the smallest md5(vec_id) — a content-independent
+    * uniform draw that any engine reproduces, no RNG state, no collect.
+    * The seed selection is a TakeOrdered (per-partition top-k, driver
+    * merge of k rows — never a full sort), and the k-row cell-numbering
+    * window is over those k rows only. Feed to [[trainCodebook]] for
+    * Lloyd refinement, then [[ivfSearch]]-style search. */
+  def initCodebook(spark: SparkSession, dir: String, cells: Int): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val seeds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("centroid"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(cells)
+    val w = Window.orderBy("h", "vec_id") // k rows — a driver-sized window
+    seeds.withColumn("cell", row_number().over(w) - 1)
+      .select(col("cell"), col("centroid"))
+  }
+
+  /** IVF over a generic-k trained codebook: [[initCodebook]] seeds →
+    * `rounds` Lloyd iterations → cell-equi-join search. The shape every
+    * stage keeps at 100 TB: assignment is the stateless codegen'd
+    * struct-argmax, training rounds are broadcast-assign + integer
+    * groupBy, search touches ~n·nprobe/cells candidates per query. */
+  def annIvfGeneric(spark: SparkSession, dir: String, cells: Int,
+                    k: Int = 5, nprobe: Int = 1, rounds: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    ivfSearch(e,
+      trainCodebook(spark, dir, rounds, initCodebook(spark, dir, cells)),
+      k, nprobe)
+  }
+
   /** Iterated Lloyd refinement over [[c31KmeansStep]]'s machinery: each
     * round is one broadcast-assign pass + one integer-sum update, the new
     * codebook is CHECKPOINTED to scratch parquet and read back (constant
@@ -364,7 +397,14 @@ object Similarity {
     * .streamAssignCells]] routing. Cosine is scale-invariant in the
     * centroid, so assigning against the raw mean equals spherical
     * k-means assignment. */
-  def trainCodebook(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+  def trainCodebook(spark: SparkSession, dir: String, rounds: Int): DataFrame =
+    trainCodebook(spark, dir, rounds, labelCodebook(spark, dir))
+
+  /** [[trainCodebook]] from an arbitrary initial (cell, centroid) codebook
+    * — [[initCodebook]] for the generic-k path, [[labelCodebook]] for the
+    * label-celled gate path. */
+  def trainCodebook(spark: SparkSession, dir: String, rounds: Int,
+                    init: DataFrame): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // per-call run id: scratchDir CLEARS an existing path, so a reused
     // name would silently invalidate the lazy DataFrame a PREVIOUS call
@@ -380,7 +420,7 @@ object Similarity {
         round(col("col").cast("double") * 10000).cast("bigint").as("v4"))
       .write.mode("overwrite").parquet(fixedPath)
     val fixed = spark.read.parquet(fixedPath)
-    var cb = labelCodebook(spark, dir)
+    var cb = init
     for (r <- 1 to rounds) {
       val assigned = assignCells(e, cb, maxProbe = 1)
         .select(col("vec_id"), col("cell"))

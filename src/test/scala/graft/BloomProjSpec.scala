@@ -212,6 +212,41 @@ class BloomProjSpec extends SparkSpec {
     assert(cb3.forall(_.getSeq[Double](1).forall(v => !v.isNaN && !v.isInfinite)))
   }
 
+  test("generic-k IVF: deterministic init, exact scores, recall grows with nprobe") {
+    val brute5 = Similarity.c5AnnBrute(spark, sfDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val bruteAll = Similarity.c5AnnBrute(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine_r"))
+      .toMap
+    val init = Similarity.initCodebook(spark, sfDir, cells = 16)
+    assert(init.count() == 16 &&
+      init.select("cell").distinct().count() == 16,
+      "init must emit 16 distinct cells")
+    def run(nprobe: Int) = Similarity.annIvfGeneric(
+      spark, sfDir, cells = 16, k = 5, nprobe = nprobe, rounds = 2).collect()
+    val r1 = run(1)
+    assert(r1.nonEmpty)
+    // deterministic end-to-end: init is content-hash seeded, Lloyd is
+    // exact — a re-run (fresh scratch) must reproduce every row
+    assert(r1.map(_.toString).toSeq == run(1).map(_.toString).toSeq,
+      "generic-k IVF must be deterministic across runs")
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      rows.foreach { r =>
+        val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(bruteAll.contains(key), s"$key not in brute-force universe")
+        assert(math.abs(bruteAll(key) - r.getAs[Double]("cosine_r")) < 1e-9,
+          "cell restriction must not change the score")
+      }
+      val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      brute5.count(got.contains).toDouble / brute5.length
+    }
+    val rec1 = recallOf(r1)
+    val rec4 = recallOf(run(4))
+    info(f"generic-k (16 cells, 2 rounds) recall@5: nprobe=1 $rec1%.2f, nprobe=4 $rec4%.2f")
+    assert(rec4 >= rec1, "probing more cells must not lose neighbors")
+    assert(r1.map(_.getAs[Int]("cell")).distinct.length <= 16)
+  }
+
   test("trainCodebook results stay consumable after a later call (scratch isolation)") {
     // regression: scratch paths carry a per-call run id — without it the
     // second call clears and rewrites the parquet backing the FIRST
