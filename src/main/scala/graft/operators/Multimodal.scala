@@ -24,8 +24,9 @@ case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                          width: Long, height: Long, n_units: Long,
                          v_min: Long, v_max: Long, v_sum: Long)
 
-/** Output of resize — a real implementation holds the re-encoded image;
-  * the stub carries a deterministic w×h byte crop. */
+/** Output of resize — the re-encoded container (PGM/WAV/Y4M) after a
+  * nearest-neighbor resample to width×height (audio: width·height
+  * samples). */
 case class ResizedMedia(doc_id: Long, media_type: String,
                         width: Int, height: Int, payload: Array[Byte])
 
@@ -39,8 +40,10 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
   * Pandas-UDF / JNI decoder would sit, producing a typed features frame.
   * All three modalities decode through REAL binary parsers for codec-free
   * formats (PGM P5 images, WAV RIFF/PCM audio, Y4M/YUV4MPEG2 video — all
-  * decodable in pure JVM; Y4M frames are uncompressed by definition).
-  * Swapping in a real JPEG/MP4 decoder changes one function, not the plan.
+  * decodable in pure JVM; Y4M frames are uncompressed by definition), and
+  * resize/frame-sample run the full decode → transform → re-encode loop
+  * on real rasters. Swapping in a real JPEG/MP4 decoder changes one
+  * function, not the plan.
   */
 object Multimodal {
 
@@ -143,10 +146,10 @@ object Multimodal {
       })
   }
 
-  /** REAL PGM (P5) decoder: parses the header (magic, dims, maxval) and
-    * computes pixel statistics from the raster — pure JVM, no codec
-    * library. Malformed input throws (the FAILFAST analogue). */
-  private[graft] def decodePgm(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  /** Parsed PGM geometry: dims and the byte offset of the raster. Shared
+    * by the feature decoder and [[resize]]. Malformed headers throw. */
+  private[graft] def pgmGeometry(docId: Long,
+                                 payload: Array[Byte]): (Int, Int, Int) = {
     // header = ASCII tokens: "P5" <w> <h> <maxval> then ONE whitespace byte
     var pos = 0
     def token(): String = {
@@ -166,6 +169,14 @@ object Multimodal {
     // w*h to 0 and would otherwise ACCEPT an empty raster
     require(payload.length.toLong - pos == w.toLong * h,
       s"doc $docId: raster is ${payload.length - pos} bytes, expected ${w.toLong * h}")
+    (w, h, pos)
+  }
+
+  /** REAL PGM (P5) decoder: parses the header (magic, dims, maxval) and
+    * computes pixel statistics from the raster — pure JVM, no codec
+    * library. Malformed input throws (the FAILFAST analogue). */
+  private[graft] def decodePgm(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val (w, h, pos) = pgmGeometry(docId, payload)
     var mn = 255L; var mx = 0L; var sum = 0L
     var i = pos
     while (i < payload.length) {
@@ -318,18 +329,128 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** STUB resize — a real image pipeline decodes, scales to w×h, and
-    * re-encodes; the stub deterministically crops/cycles the payload to
-    * exactly w·h bytes so downstream schema/partitioning is exercised
-    * with realistic per-record output sizing. */
+  /** Floor mapping of output index `i` onto an input grid of `inN`
+    * elements when emitting `outN` — the nearest-neighbor sampler shared
+    * by all three resize paths. */
+  private def nnIdx(i: Int, outN: Int, inN: Int): Int =
+    (i.toLong * inN / outN).toInt
+
+  /** Nearest-neighbor plane scale: `src` is a w0×h0 byte raster starting
+    * at `off`; returns the W×H resample. */
+  private def scalePlane(src: Array[Byte], off: Int, w0: Int, h0: Int,
+                         W: Int, H: Int): Array[Byte] = {
+    val out = new Array[Byte](W * H)
+    var y = 0
+    while (y < H) {
+      val sy = nnIdx(y, H, h0)
+      var x = 0
+      while (x < W) {
+        out(y * W + x) = src(off + sy * w0 + nnIdx(x, W, w0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a WAV/PCM payload to (sampleRate, samples) — the raster access
+    * [[resize]] needs; validation mirrors [[decodeWav]]. */
+  private[graft] def wavSamples(docId: Long,
+                                payload: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc $docId: missing RIFF magic")
+    bb.getInt
+    require(fourcc() == "WAVE", s"doc $docId: not a WAVE stream")
+    var sampleRate = 0
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = fourcc(); val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"doc $docId: chunk '$id' declares $size bytes, ${bb.remaining()} remain")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"doc $docId: fmt chunk too short ($size)")
+          require(bb.getShort == 1, s"doc $docId: non-PCM")
+          bb.getShort // channels
+          sampleRate = bb.getInt
+          bb.getInt; bb.getShort
+          require(bb.getShort == 16, s"doc $docId: unsupported bit depth")
+          bb.position(bb.position() + (size - 16))
+        case "data" =>
+          require(sampleRate > 0, s"doc $docId: data chunk before fmt")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+        case _ => bb.position(bb.position() + size)
+      }
+    }
+    require(samples != null && samples.length > 0, s"doc $docId: no data chunk")
+    (sampleRate, samples)
+  }
+
+  /** REAL resize — decode, nearest-neighbor resample, re-encode, per
+    * modality (all three containers are raw rasters/samples, so the full
+    * decode→scale→encode loop is pure JVM):
+    *  - image: PGM raster scaled to width×height, re-encoded as PGM;
+    *  - audio: the 1-D analogue — PCM resampled to width·height samples
+    *    (same rate header), re-encoded as WAV;
+    *  - video: every frame's luma plane scaled to width×height and chroma
+    *    planes to the matching 4:2:0 quarter size (even targets only),
+    *    re-encoded as Y4M.
+    * Outputs stay VALID containers — the decoders above accept them,
+    * which is how the spec verifies this round-trips. A JPEG/MP4 pipeline
+    * swaps the codec calls, not the plan. */
   def resize(records: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
+    require(width >= 1 && height >= 1, s"bad target ${width}x$height")
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
-      val n = width * height
-      val out = new Array[Byte](n)
-      if (r.payload.nonEmpty) {
-        var i = 0
-        while (i < n) { out(i) = r.payload(i % r.payload.length); i += 1 }
+      val out = r.media_type match {
+        case "image" =>
+          val (w0, h0, off) = pgmGeometry(r.doc_id, r.payload)
+          val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+          header ++ scalePlane(r.payload, off, w0, h0, width, height)
+        case "audio" =>
+          val (rate, s0) = wavSamples(r.doc_id, r.payload)
+          val n = width * height
+          val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(rate)
+            .putInt(rate * 2).putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(2 * n)
+          var i = 0
+          while (i < n) { bb.putShort(s0(nnIdx(i, n, s0.length))); i += 1 }
+          bb.array()
+        case _ =>
+          require(width % 2 == 0 && height % 2 == 0,
+            s"doc ${r.doc_id}: 4:2:0 video resize needs even targets, got ${width}x$height")
+          val (w0, h0, fs, start) = y4mGeometry(r.doc_id, r.payload)
+          val (cw0, ch0) = (w0 / 2, h0 / 2)
+          val (cw, ch) = (width / 2, height / 2)
+          val header =
+            s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+          val marker = "FRAME\n".getBytes("US-ASCII")
+          val outBuf = new java.io.ByteArrayOutputStream()
+          outBuf.write(header)
+          var pos = start
+          while (pos < r.payload.length) {
+            var eol = pos
+            while (eol < r.payload.length && r.payload(eol) != '\n') eol += 1
+            require(eol < r.payload.length, s"doc ${r.doc_id}: bad FRAME marker")
+            pos = eol + 1
+            require(r.payload.length - pos >= fs, s"doc ${r.doc_id}: truncated frame")
+            outBuf.write(marker)
+            outBuf.write(scalePlane(r.payload, pos, w0, h0, width, height))
+            outBuf.write(scalePlane(r.payload, pos + w0 * h0, cw0, ch0, cw, ch))
+            outBuf.write(scalePlane(r.payload, pos + w0 * h0 + cw0 * ch0, cw0, ch0, cw, ch))
+            pos += fs
+          }
+          outBuf.toByteArray
       }
       ResizedMedia(r.doc_id, r.media_type, width, height, out)
     })

@@ -398,11 +398,37 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
-  test("c12 resize stub and real Y4M frame sampling keep their contracts") {
+  test("c12 real resize re-encodes valid containers; Y4M frame sampling keeps its contract") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val resized = Multimodal.resize(media, 16, 8).collect()
     assert(resized.nonEmpty)
-    resized.foreach { r => assert(r.payload.length == 16 * 8) }
+    // every output is a VALID container of the target geometry — the
+    // decoders (which validate magic/dims/boundaries) are the verifier
+    resized.foreach { r =>
+      r.media_type match {
+        case "image" =>
+          val f = Multimodal.decodePgm(r.doc_id, r.payload)
+          assert(f.width == 16 && f.height == 8 && f.n_units == 128)
+          // spot-check nearest-neighbor: corner pixels map to source corners
+          val (w0, h0) = Multimodal.imageDims(r.doc_id)
+          val src = Multimodal.pgmPayload(r.doc_id)
+          val (_, _, off) = Multimodal.pgmGeometry(r.doc_id, src)
+          val outOff = r.payload.length - 128
+          assert(r.payload(outOff) == src(off), "top-left pixel preserved")
+          assert(r.payload(outOff + 7 * 16 + 15) ==
+            src(off + (7 * h0 / 8) * w0 + (15 * w0 / 16)), "bottom-right maps by floor rule")
+        case "audio" =>
+          val f = Multimodal.decodeWav(r.doc_id, r.payload)
+          assert(f.n_units == 128 && f.width == 8000 && f.height == 16,
+            "resampled WAV keeps rate/depth, carries 16*8 samples")
+        case "video" =>
+          val f = Multimodal.decodeY4m(r.doc_id, r.payload)
+          assert(f.width == 16 && f.height == 8)
+          assert(f.n_units == Multimodal.videoFrameCount(r.doc_id),
+            "resize preserves the frame count")
+        case other => fail(s"unexpected media_type $other")
+      }
+    }
     val frames = Multimodal.frameSample(media, everyNth = 2).collect()
     assert(frames.nonEmpty)
     val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
