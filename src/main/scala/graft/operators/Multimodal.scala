@@ -131,7 +131,7 @@ object Multimodal {
   }
 
   /** Media table: one record per document, media_type round-robin on
-    * doc_id, payload = a real PGM / WAV / (stub) raw byte stream. Payload
+    * doc_id, payload = a real PGM / WAV / Y4M byte stream. Payload
     * bytes are generated inside the partition and never move through a
     * shuffle; at scale this is a parquet binary column scan. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
