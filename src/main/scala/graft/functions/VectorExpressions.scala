@@ -267,6 +267,10 @@ case class NearestCells(left: Expression, right: Expression, maxProbe: Int)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 
+  // fail at plan build, not as a NegativeArraySizeException per row in
+  // the executor (same rationale as lshPlanes' nPlanes guard)
+  require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
+
   private lazy val cellDt: DataType = right.dataType match {
     case ArrayType(StructType(fields), _) if fields.length == 2 =>
       fields(0).dataType match {

@@ -211,6 +211,7 @@ object Multimodal {
       // of hanging the task
       require(size >= 0 && size <= bb.remaining(),
         s"doc $docId: chunk '$id' declares $size bytes, ${bb.remaining()} remain")
+      val chunkStart = bb.position()
       id match {
         case "fmt " =>
           require(size >= 16, s"doc $docId: fmt chunk too short ($size)")
@@ -222,7 +223,6 @@ object Multimodal {
           bb.getShort // block align
           bits = bb.getShort.toInt
           require(bits == 16, s"doc $docId: unsupported bit depth $bits")
-          bb.position(bb.position() + (size - 16))
         case "data" =>
           require(sampleRate > 0, s"doc $docId: data chunk before fmt")
           sawData = true
@@ -234,8 +234,13 @@ object Multimodal {
             sum += v; n += 1
             i += 1
           }
-        case _ => bb.position(bb.position() + size) // skip unknown chunk
+        case _ => () // unknown chunk: skipped by the repositioning below
       }
+      // reposition to the chunk end + RIFF pad byte (odd-sized chunks are
+      // padded to even; consuming size/2 shorts of an odd data chunk, or
+      // skipping an odd chunk without its pad, desyncs every later
+      // header). A final odd chunk may legally end at EOF without its pad.
+      bb.position(math.min(chunkStart.toLong + size + (size & 1), bb.limit().toLong).toInt)
     }
     require(sawData && n > 0, s"doc $docId: no data chunk")
     MediaFeatures(docId, "audio", payload.length.toLong, sampleRate.toLong,
@@ -255,7 +260,9 @@ object Multimodal {
     val tokens = header.split(' ')
     require(tokens.nonEmpty && tokens(0) == "YUV4MPEG2",
       s"doc $docId: not a YUV4MPEG2 stream")
-    var w = -1; var h = -1; var chroma = "C420jpeg" // the Y4M default is 4:2:0
+    // stored WITHOUT the 'C' prefix, like the parsed tokens below — the
+    // Y4M default when no C parameter appears is 4:2:0
+    var w = -1; var h = -1; var chroma = "420jpeg"
     tokens.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
       t.charAt(0) match {
         case 'W' => w = t.drop(1).toInt
@@ -370,6 +377,7 @@ object Multimodal {
       val id = fourcc(); val size = bb.getInt
       require(size >= 0 && size <= bb.remaining(),
         s"doc $docId: chunk '$id' declares $size bytes, ${bb.remaining()} remain")
+      val chunkStart = bb.position()
       id match {
         case "fmt " =>
           require(size >= 16, s"doc $docId: fmt chunk too short ($size)")
@@ -378,14 +386,15 @@ object Multimodal {
           sampleRate = bb.getInt
           bb.getInt; bb.getShort
           require(bb.getShort == 16, s"doc $docId: unsupported bit depth")
-          bb.position(bb.position() + (size - 16))
         case "data" =>
           require(sampleRate > 0, s"doc $docId: data chunk before fmt")
           samples = new Array[Short](size / 2)
           var i = 0
           while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
-        case _ => bb.position(bb.position() + size)
+        case _ => ()
       }
+      // chunk end + RIFF pad byte, exactly like decodeWav
+      bb.position(math.min(chunkStart.toLong + size + (size & 1), bb.limit().toLong).toInt)
     }
     require(samples != null && samples.length > 0, s"doc $docId: no data chunk")
     (sampleRate, samples)
@@ -405,6 +414,11 @@ object Multimodal {
     * swaps the codec calls, not the plan. */
   def resize(records: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
     require(width >= 1 && height >= 1, s"bad target ${width}x$height")
+    // width*height must not overflow Int (the PGM lesson): 65536×65536
+    // wraps to 0 and would emit a "valid-looking" container with an empty
+    // raster under an enormous header
+    require(width.toLong * height <= Int.MaxValue / 4,
+      s"resize target ${width}x$height overflows the raster size")
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
       val out = r.media_type match {
@@ -463,22 +477,33 @@ object Multimodal {
     * shape a 100 TB video pipeline shuffles by). */
   def frameSample(records: Dataset[MediaRecord],
                   everyNth: Int): Dataset[MediaFrame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     import records.sparkSession.implicits._
     records.filter(_.media_type == "video").mapPartitions(_.flatMap { r =>
       val (_, _, fs, start) = y4mGeometry(r.doc_id, r.payload)
-      Iterator.from(0)
-        .scanLeft(start) { (pos, _) =>
-          var eol = pos
-          while (eol < r.payload.length && r.payload(eol) != '\n') eol += 1
-          eol + 1 + fs
-        }
-        .drop(1) // scanLeft emits the seed
-        .takeWhile(_ <= r.payload.length)
-        .zipWithIndex
-        .collect { case (end, f) if f % everyNth == 0 =>
-          MediaFrame(r.doc_id, f.toLong,
-            java.util.Arrays.copyOfRange(r.payload, end - fs, end))
-        }
+      // same marker/truncation validation as decodeY4m: a corrupted
+      // marker or short final frame must throw, not silently emit frames
+      // at shifted offsets (rasters legitimately contain '\n' bytes)
+      val frames = scala.collection.mutable.ArrayBuffer[MediaFrame]()
+      var pos = start
+      var f = 0
+      while (pos < r.payload.length) {
+        var eol = pos
+        while (eol < r.payload.length && r.payload(eol) != '\n') eol += 1
+        val marker = new String(r.payload, pos, eol - pos, "US-ASCII")
+        require(eol < r.payload.length &&
+          (marker == "FRAME" || marker.startsWith("FRAME ")),
+          s"doc ${r.doc_id}: expected FRAME marker at byte $pos")
+        pos = eol + 1
+        require(r.payload.length - pos >= fs,
+          s"doc ${r.doc_id}: frame $f truncated (${r.payload.length - pos} of $fs bytes)")
+        if (f % everyNth == 0)
+          frames += MediaFrame(r.doc_id, f.toLong,
+            java.util.Arrays.copyOfRange(r.payload, pos, pos + fs))
+        pos += fs
+        f += 1
+      }
+      frames.iterator
     })
   }
 }

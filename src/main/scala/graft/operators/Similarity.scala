@@ -255,8 +255,9 @@ object Similarity {
     * Scores are 6-dp-ROUNDED before comparison — when two centroids are
     * nearly equidistant, a last-ulp disagreement between engines must not
     * flip the argmax — and ties break deterministically on LOWEST cell
-    * (−cell in the struct, so lexicographic descending order prefers it;
-    * exactly the window's `ORDER BY ccos DESC, cell ASC`).
+    * (NearestCells' comparator: Double.compare on the rounded score, then
+    * cell ascending; exactly the window's `ORDER BY ccos DESC, cell ASC`
+    * and d9's −cell struct ordering).
     * Emits `maxProbe` rows per vector: (vec_id, v, cell, ccos, arn). */
   private[graft] def assignCells(e: DataFrame, centroids: DataFrame,
                                  maxProbe: Int = Int.MaxValue): DataFrame = {

@@ -179,10 +179,12 @@ class BrokerPublisher(mkClient: () => BrokerClient, topic: String,
   }
   override def publish(m: IpcMessage): Unit =
     producer.send(f"$epoch%08x-${m.batch_id}%016x", m.bytes)
-  override def close(): Unit = {
-    if (producer != null) { producer.flush(); producer.close() }
-    if (client != null) client.close()
-  }
+  override def close(): Unit =
+    // flush/close may throw (broker error — the retry path): the client
+    // must still close or a real adapter leaks one connection per failed
+    // micro-batch attempt across checkpoint replays
+    try if (producer != null) { producer.flush(); producer.close() }
+    finally if (client != null) client.close()
 }
 
 /** In-repo broker stub: a JVM-wide (topic, key) → payload store. Keyed

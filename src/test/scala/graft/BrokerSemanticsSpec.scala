@@ -141,4 +141,23 @@ class BrokerSemanticsSpec extends SparkSpec {
       InMemoryBroker.clear()
     }
   }
+
+  test("BrokerPublisher closes the client even when the producer flush throws") {
+    val clientClosed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val client = new graft.streaming.BrokerClient {
+      override def createProducer(topic: String): graft.streaming.BrokerProducer =
+        new graft.streaming.BrokerProducer {
+          override def send(key: String, payload: Array[Byte]): Unit = ()
+          override def flush(): Unit =
+            throw new java.io.IOException("broker down at flush")
+          override def close(): Unit = ()
+        }
+      override def close(): Unit = clientClosed.set(true)
+    }
+    val p = new graft.streaming.BrokerPublisher(() => client, "t")
+    p.open(0)
+    intercept[java.io.IOException] { p.close() }
+    assert(clientClosed.get(),
+      "a flush failure must not leak the broker client connection")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+import graft.operators.{Dedup, MediaRecord, Multimodal, Relational, Similarity}
 
 /** Specs for the near-dup / similarity / multimodal / sessionize operators
   * (SURVEY §2 c2-c4, c6, c11-c13). */
@@ -374,6 +374,63 @@ class DedupSimSpec extends SparkSpec {
       .getBytes("US-ASCII") ++ Array.fill(fs)(7.toByte))
     val f = Multimodal.decodeY4m(2L, withParams)
     assert(f.n_units == 1 && f.v_min == 7 && f.v_max == 7)
+    // a header WITHOUT a C parameter is legal Y4M (defaults to 4:2:0)
+    val noChroma = (s"YUV4MPEG2 W$w H$h F25:1\nFRAME\n"
+      .getBytes("US-ASCII") ++ Array.fill(fs)(9.toByte))
+    val g = Multimodal.decodeY4m(2L, noChroma)
+    assert(g.width == w && g.n_units == 1 && g.v_max == 9)
+  }
+
+  test("WAV chunk walk honors RIFF pad bytes on odd-sized chunks") {
+    // an odd-sized unknown chunk (padded to even, per RIFF) before fmt:
+    // without the pad skip, every subsequent chunk header desyncs
+    val tail = Multimodal.wavPayload(1L).drop(12) // fmt+data chunks
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + tail.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + 8 + 4 + tail.length).put("WAVE".getBytes)
+    bb.put("LIST".getBytes).putInt(3).put(Array[Byte](1, 2, 3, 0)) // 3 + pad
+    bb.put(tail)
+    val withOdd = bb.array()
+    val f = Multimodal.decodeWav(1L, withOdd)
+    assert(f.n_units == Multimodal.audioSampleCount(1L),
+      "odd chunk + pad must not desync the data chunk")
+    val (rate, samples) = Multimodal.wavSamples(1L, withOdd)
+    assert(rate == 8000 && samples.length == Multimodal.audioSampleCount(1L))
+  }
+
+  test("frameSample validates markers and truncation like decodeY4m") {
+    import spark.implicits._
+    def ds(payload: Array[Byte]) =
+      Seq(MediaRecord(2L, "video", payload)).toDS()
+    val good = Multimodal.y4mPayload(2L)
+    // corrupted FRAME marker must throw, not emit shifted frames
+    val evil = good.clone()
+    evil(good.indexOf('\n'.toByte) + 1) = 'X'.toByte
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.frameSample(ds(evil), everyNth = 1).collect()
+    }
+    assert(e1.getMessage.contains("FRAME marker") ||
+      String.valueOf(e1.getCause).contains("FRAME marker"))
+    // truncated final frame must throw, not silently drop it
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.frameSample(
+        ds(java.util.Arrays.copyOf(good, good.length - 1)), everyNth = 1).collect()
+    }
+    assert(e2.getMessage.contains("truncated") ||
+      String.valueOf(e2.getCause).contains("truncated"))
+  }
+
+  test("resize rejects overflow targets; nearest-cells rejects maxProbe < 1") {
+    import spark.implicits._
+    val one = Seq(MediaRecord(0L, "image", Multimodal.pgmPayload(0L))).toDS()
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(one, 65536, 65536)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.nearestCells(
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("cb"), 0)
+    }
   }
 
   test("c12 multimodal features decode from real PGM/WAV payloads") {
