@@ -49,6 +49,34 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("nearest-cells tie-break: lowest cell wins on exact AND rounded-score ties") {
+    import spark.implicits._
+    // cells 7 and 3 share one centroid (exact tie); cells 9 and 1 differ
+    // only past the 6th decimal (unrounded scores differ, ROUNDED scores
+    // tie) — both ties must resolve to the LOWER cell id, matching the
+    // old window's ORDER BY ccos DESC, cell ASC and d9's -cell struct
+    val v = Seq(1.0, 0.0)
+    val tieA = Seq(1.0, 1.0)
+    // cos(v, (1, 2e-8)) and cos(v, (1, 1e-8)) both round to 1.0 at 6dp
+    val df = Seq((0L, v)).toDF("vec_id", "v")
+      .crossJoin(Seq(Seq(
+        (7, tieA), (3, tieA), (9, Seq(1.0, 2e-8)), (1, Seq(1.0, 1e-8))))
+        .toDF("cb"))
+      .select(col("vec_id"),
+        posexplode(VectorFunctions.nearestCells(col("v"), col("cb"), 4))
+          .as(Seq("i", "s")))
+      .select(col("i"), col("s.cell"), col("s.ccos"))
+      .collect()
+    val order = df.sortBy(_.getAs[Int]("i")).map(r =>
+      (r.getAs[Int]("cell"), r.getAs[Double]("ccos"))).toSeq
+    // rounded scores: cells 1 and 9 -> 1.0 (rounded tie), cells 3 and 7
+    // -> cos(45deg) ~ 0.707107; within each tie the lower cell ranks first
+    assert(order.map(_._1) == Seq(1, 9, 3, 7),
+      s"tie-break must prefer the lowest cell: got $order")
+    assert(order(0)._2 == 1.0 && order(1)._2 == 1.0)
+    assert(order(2)._2 == order(3)._2)
+  }
+
   test("nearest-cells generated code compiles (no interpreted fallback)") {
     // codegenStringSeq COMPILES each whole-stage subtree (a Janino error
     // throws here); the assignment projection must sit inside a codegen
