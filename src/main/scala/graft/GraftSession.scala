@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // the codegen CLASS cache defaults to 100 entries — a long-lived
+      // JVM serving many distinct plans (a production executor, or Bench's
+      // 65-query pass-interleaved suite) evicts and Janino-recompiles
+      // constantly; size it to hold the whole working set (static conf,
+      // must be set before the first session)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
