@@ -377,7 +377,13 @@ object Similarity {
     * `rounds` Lloyd iterations → cell-equi-join search. The shape every
     * stage keeps at 100 TB: assignment is the stateless codegen'd
     * struct-argmax, training rounds are broadcast-assign + integer
-    * groupBy, search touches ~n·nprobe/cells candidates per query. */
+    * groupBy, search touches ~n·nprobe/cells candidates per query.
+    * Assignment work is O(cells) per row — fine up to ~10^4-10^5 cells
+    * (a few ms/row of fused float math); beyond that the standard move is
+    * a coarse quantizer (assign to √cells super-cells with this same
+    * argmax, then refine within the super-cell's sub-codebook — two
+    * stateless passes of O(√cells) each), which composes from these
+    * pieces without new machinery. */
   def annIvfGeneric(spark: SparkSession, dir: String, cells: Int,
                     k: Int = 5, nprobe: Int = 1, rounds: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
