@@ -379,11 +379,9 @@ object Similarity {
     * struct-argmax, training rounds are broadcast-assign + integer
     * groupBy, search touches ~n·nprobe/cells candidates per query.
     * Assignment work is O(cells) per row — fine up to ~10^4-10^5 cells
-    * (a few ms/row of fused float math); beyond that the standard move is
-    * a coarse quantizer (assign to √cells super-cells with this same
-    * argmax, then refine within the super-cell's sub-codebook — two
-    * stateless passes of O(√cells) each), which composes from these
-    * pieces without new machinery. */
+    * (a few ms/row of fused float math); beyond that
+    * [[assignCellsTwoLevel]] is the O(√cells)-per-row coarse-quantized
+    * form (two stateless argmax passes, still zero shuffles). */
   def annIvfGeneric(spark: SparkSession, dir: String, cells: Int,
                     k: Int = 5, nprobe: Int = 1, rounds: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -391,6 +389,47 @@ object Similarity {
     ivfSearch(e,
       trainCodebook(spark, dir, rounds, initCodebook(spark, dir, cells)),
       k, nprobe)
+  }
+
+  /** Two-level (coarse-quantized) cell assignment — the O(√k)-per-row
+    * form of [[assignCells]] for very large codebooks: each row first
+    * picks its nearest COARSE super-cell, then its nearest fine cell
+    * WITHIN that super-cell's sub-codebook. Work per row drops from
+    * O(|fine|) to O(|coarse| + |fine|/|coarse|) (minimized at
+    * |coarse| = √|fine|); both passes are the same stateless codegen'd
+    * [[graft.functions.NearestCells]] argmax against broadcast
+    * artifacts — still ZERO shuffles. Approximate by construction: a row
+    * whose true nearest fine cell lives under a different super-cell
+    * mis-assigns (the standard hierarchical-quantization trade;
+    * agreement vs flat assignment is spec-measured). Coarse cells that
+    * attract no fine centroids are excluded from routing so every row
+    * lands in a real sub-codebook. */
+  def assignCellsTwoLevel(e: DataFrame, fine: DataFrame,
+                          coarse: DataFrame): DataFrame = {
+    // route each FINE centroid to its coarse super-cell (k-row job)
+    val fineRouted = assignCells(
+      fine.select(col("cell").as("vec_id"), toDouble(col("centroid")).as("v")),
+      coarse, maxProbe = 1)
+      .select(col("vec_id").as("fine_cell"), col("cell").as("super_cell"))
+    // sub-codebook per super-cell, broadcast (same order of bytes as the
+    // flat codebook — one (cell, centroid) entry per fine cell)
+    val subCbs = broadcast(fineRouted
+      .join(fine.select(col("cell").as("fine_cell"), col("centroid")), "fine_cell")
+      .groupBy("super_cell")
+      .agg(sort_array(collect_list(
+        struct(col("fine_cell").as("cell"), col("centroid")))).as("cb")))
+    // only coarse cells that own fine cells participate in row routing —
+    // otherwise a row could land in a super-cell with no sub-codebook
+    val coarseEff = coarse.join(
+      fineRouted.select(col("super_cell").as("cell")).distinct(),
+      Seq("cell"), "left_semi")
+    val top = graft.functions.VectorFunctions.nearestCells(col("v"), col("cb"), 1)
+    assignCells(e, coarseEff, maxProbe = 1)
+      .select(col("vec_id"), col("v"), col("cell").as("super_cell"))
+      .join(subCbs, "super_cell")
+      .select(col("vec_id"), col("v"), posexplode(top).as(Seq("i", "s")))
+      .select(col("vec_id"), col("v"),
+        col("s.cell").as("cell"), col("s.ccos").as("ccos"))
   }
 
   /** Iterated Lloyd refinement over [[c31KmeansStep]]'s machinery: each

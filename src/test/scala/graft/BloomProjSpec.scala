@@ -247,6 +247,44 @@ class BloomProjSpec extends SparkSpec {
     assert(r1.map(_.getAs[Int]("cell")).distinct.length <= 16)
   }
 
+  test("two-level assignment: shuffle-free plan, high agreement with flat argmax") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fine = Similarity.trainCodebook(spark, sfDir, rounds = 1,
+      Similarity.initCodebook(spark, sfDir, cells = 16))
+    // a TRAINED coarse quantizer (standard IVF practice): Lloyd adapts the
+    // super-cells to the data geometry so fine cells nest under them
+    val coarse = Similarity.trainCodebook(spark, sfDir, rounds = 2,
+      Similarity.initCodebook(spark, sfDir, cells = 4))
+    val twoLevel = Similarity.assignCellsTwoLevel(e, fine, coarse)
+    val tl0 = twoLevel.collect()
+    // stateless end-to-end FOR THE ROW PATH: both argmax passes + the
+    // sub-codebook join ride broadcasts. The only exchanges allowed are
+    // k-row codebook preparation INSIDE broadcast subtrees.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def rowSideShuffles(p: SparkPlan): Int = p match {
+      case _: BroadcastExchangeExec => 0
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        rowSideShuffles(a.executedPlan)
+      case s: ShuffleExchangeExec => 1 + s.children.map(rowSideShuffles).sum
+      case other => other.children.map(rowSideShuffles).sum
+    }
+    val nShuffles = rowSideShuffles(twoLevel.queryExecution.executedPlan)
+    assert(nShuffles == 0,
+      s"two-level assignment must not shuffle vector rows, found $nShuffles exchanges")
+    val tl = tl0
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val flat = Similarity.assignCells(e, fine, maxProbe = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(tl.size == flat.size, "every vector must land in exactly one cell")
+    val agree = tl.count { case (id, c) => flat(id) == c }.toDouble / tl.size
+    info(f"two-level vs flat assignment agreement: $agree%.2f (16 fine / 4 coarse cells)")
+    // hierarchical quantization is approximate, but on a trained codebook
+    // most rows' nearest fine cell lives under their coarse cell
+    assert(agree >= 0.5, f"agreement $agree%.2f collapsed — routing is broken")
+  }
+
   test("trainCodebook results stay consumable after a later call (scratch isolation)") {
     // regression: scratch paths carry a per-call run id — without it the
     // second call clears and rewrites the parquet backing the FIRST
