@@ -91,6 +91,10 @@ object SparkEntry {
     "c31_kmeans_step" -> (Similarity.c31KmeansStep _),
     "c32_corpus_stats" -> (TextOps.c32CorpusStats _),
     "c33_hard_negatives_lsh" -> ((s: SparkSession, d: String) => Similarity.c33HardNegativesLsh(s, d)),
+    "c34_vocab_topk" -> ((s: SparkSession, d: String) => TextOps.c34VocabTopk(s, d)),
+    "c35_quality_filter" -> (TextOps.c35QualityFilter _),
+    "c36_pq_quantize" -> ((s: SparkSession, d: String) => Similarity.c36PqQuantize(s, d)),
+    "c37_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.c37IncrementalDedup(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -404,6 +408,68 @@ object SparkEntry {
         |JOIN shl za ON za.doc_id = p.doc_a
         |JOIN shl zb ON zb.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // c37 = c2's minhash/band CTEs with the two sides split: incoming
+    // (%7==3 plus a +1e6-rekeyed recrawl slice) vs existing (%7!=3);
+    // exact via md5 equality, near via band collision + verified jaccard.
+    "c37_incremental_dedup" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+        |            UNION ALL
+        |            SELECT doc_id + 1000000, text FROM documents
+        |            WHERE doc_id % 11 = 5 AND doc_id % 7 <> 3),
+        |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+        |exact AS (SELECT i.doc_id, min(e.doc_id) AS exact_of
+        |          FROM inc i JOIN ex e ON md5(i.text) = md5(e.text)
+        |          GROUP BY i.doc_id),
+        |shi AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM inc),
+        |             UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |she AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM ex),
+        |             UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |mhi AS (SELECT doc_id, count(*) AS ns,
+        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        |  FROM shi GROUP BY doc_id),
+        |mhe AS (SELECT doc_id, count(*) AS ns,
+        |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        |  FROM she GROUP BY doc_id),
+        |bdi AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM mhi
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mhi
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mhi
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mhi),
+        |bde AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM mhe
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mhe
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mhe
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mhe),
+        |pr AS (SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ex_id
+        |       FROM bdi a JOIN bde b ON a.band = b.band AND a.key = b.key),
+        |iv AS (SELECT p.in_id, p.ex_id, count(*) AS ni
+        |       FROM pr p
+        |       JOIN shi ON shi.doc_id = p.in_id
+        |       JOIN she ON she.doc_id = p.ex_id AND she.shingle = shi.shingle
+        |       GROUP BY p.in_id, p.ex_id),
+        |near AS (SELECT iv.in_id AS doc_id, min(iv.ex_id) AS near_of
+        |         FROM iv
+        |         JOIN mhi ON mhi.doc_id = iv.in_id
+        |         JOIN mhe ON mhe.doc_id = iv.ex_id
+        |         WHERE round(CAST(iv.ni AS DOUBLE) / (mhi.ns + mhe.ns - iv.ni), 6) >= 0.7
+        |         GROUP BY iv.in_id)
+        |SELECT i.doc_id,
+        |  CASE WHEN x.exact_of IS NOT NULL THEN 'exact_dup'
+        |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS status,
+        |  COALESCE(x.exact_of, n.near_of) AS dup_of
+        |FROM inc i
+        |LEFT JOIN exact x ON x.doc_id = i.doc_id
+        |LEFT JOIN near n ON n.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "c26_passage_dedup" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |p AS (SELECT doc_id, i AS pidx,
@@ -603,6 +669,30 @@ object SparkEntry {
         |      FROM tf JOIN dfx USING (term) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term ASC) AS rn FROM s)
         |SELECT doc_id, term AS top_term, tf, df, score_r FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "c34_vocab_topk" ->
+      """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY tf DESC, term ASC
+        |LIMIT 100""".stripMargin,
+    "c35_quality_filter" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+        |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         count(*) AS n_types, CAST(max(c) AS BIGINT) AS max_tc
+        |       FROM tc GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_words, n_types, max_tc,
+        |        round(CAST(n_types AS DOUBLE) / n_words, 6) AS ttr,
+        |        round(CAST(max_tc AS DOUBLE) / n_words, 6) AS top_share,
+        |        n_words >= 10 AND n_words <= 1000 AS rule_len
+        |      FROM st)
+        |SELECT doc_id, n_words, n_types, max_tc, ttr, top_share, rule_len,
+        |  ttr >= 0.2 AS rule_ttr,
+        |  top_share <= 0.2 AS rule_top_share,
+        |  rule_len AND ttr >= 0.2 AND top_share <= 0.2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "c17_stratified_sample" ->
       """SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket
         |FROM documents
@@ -630,6 +720,29 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, cell, round(cosine, 6) AS cosine_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // c36 = c18's codebook CTE sliced into 4 16-dim subspaces; per
+    // (vec_id, subspace) argmax over rounded subspace cosine, ties to the
+    // lowest cell — the same contract NearestCells implements natively.
+    "c36_pq_quantize" ->
+      """WITH x AS (SELECT label, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cb AS (SELECT label AS cell, pos // 16 AS sub,
+        |         list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
+        |       GROUP BY label, pos // 16),
+        |ev AS (SELECT vec_id, pos // 16 AS sub, list(val ORDER BY pos) AS sv
+        |       FROM (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        |             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+        |       GROUP BY vec_id, pos // 16),
+        |a AS (SELECT vec_id, ev.sub AS sub, cell,
+        |        round(list_cosine_similarity(sv, centroid), 6) AS score,
+        |        row_number() OVER (PARTITION BY vec_id, ev.sub
+        |          ORDER BY round(list_cosine_similarity(sv, centroid), 6) DESC, cell ASC) AS rn
+        |      FROM ev JOIN cb ON cb.sub = ev.sub)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(cell AS BIGINT) AS code,
+        |  score AS score_r
+        |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
     // c31 = c18's codebook + assignment CTEs, then the Lloyd update as
     // exact integer numerator/denominator pairs per (cell, pos).
     "c31_kmeans_step" ->

@@ -90,10 +90,30 @@ object Dedup {
     * and two hash joins to re-attach shingle sets — nothing is O(n²).
     * md5 (not xxhash) so the DuckDB oracle reproduces buckets bit-for-bit.
     */
+  /** k md5 minhashes + the shingle-set size in ONE codegen'd
+    * hash-aggregate over (doc_id, shingle) rows (a separate sizes pass
+    * would recompute the shingle subtree). Shared by c2 and c37. */
+  private def minhashAgg(sh: DataFrame, k: Int): DataFrame = {
+    val cols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")) :+
+      count(lit(1)).as("ns")
+    sh.groupBy("doc_id").agg(cols.head, cols.tail: _*)
+  }
+
+  /** LSH band keys (doc_id, band, key) from a [[minhashAgg]] frame:
+    * `bands` buckets of k/bands consecutive minhashes each. */
+  private def bandKeysOf(mh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    mh.select(col("doc_id"), posexplode(array(
+      (0 until bands).map { j =>
+        val cols = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
+        md5(concat_ws("|", cols: _*))
+      }: _*))).toDF("doc_id", "band", "key")
+  }
+
   def c2DedupMinhash(spark: SparkSession, dir: String,
                      k: Int = 8, bands: Int = 4,
                      shingleTable: Option[DataFrame] = None): DataFrame = {
-    val rowsPerBand = k / bands
     // the shingle subtree feeds three consumers (minhash agg + both sides
     // of the verify join): read the materialized shingle table (see
     // [[shingleTablePath]]) so each consumer scans a small parquet instead
@@ -102,19 +122,8 @@ object Dedup {
     val sh = shingleTable.getOrElse(
       spark.read.parquet(shingleTablePath(spark, dir)))
 
-    // k minhashes + the set size in ONE codegen'd hash-aggregate over the
-    // shingle rows (a separate sizes pass would recompute the scan+shingle
-    // subtree)
-    val mhCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")) :+
-      count(lit(1)).as("ns")
-    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-
-    val bandKeys = mh.select(col("doc_id"), posexplode(array(
-      (0 until bands).map { j =>
-        val cols = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
-        md5(concat_ws("|", cols: _*))
-      }: _*))).toDF("doc_id", "band", "key")
+    val mh = minhashAgg(sh, k)
+    val bandKeys = bandKeysOf(mh, k, bands)
 
     val pairs = bandKeys.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       .join(bandKeys.select(col("band"), col("key"), col("doc_id").as("doc_b")),
@@ -136,6 +145,86 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccardCol(col("ni"), col("na"), col("nb")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental dedup of an incoming batch against an existing corpus —
+    * the form a production pipeline actually runs: the corpus is already
+    * deduplicated, and each new crawl/delivery must be checked AGAINST it
+    * (never re-deduplicating the whole corpus). Each incoming doc gets a
+    * status: `exact_dup` (byte-identical text exists, via an md5 equi-join
+    * — the shuffle carries 32-byte keys, not bodies), `near_dup` (a banded
+    * MinHash candidate in the existing corpus verifies at
+    * jaccard ≥ threshold — c2's machinery with the two sides split), or
+    * `new`; plus `dup_of`, the smallest matching existing doc_id (null for
+    * new docs). At 100 TB the existing side's shingles/minhashes/band keys
+    * are precomputed artifacts of the corpus store — inject them via
+    * `existingShingles` — and only the (small) incoming batch is shingled
+    * per run; every join is an equi-join on a hash key, so per-batch cost
+    * scales with the batch, not the corpus. Thresholding uses the ROUNDED
+    * jaccard (c2's 6-dp contract) so verdicts can't flip on a last-ulp
+    * disagreement. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+                       threshold: Double = 0.7, k: Int = 8, bands: Int = 4,
+                       existingShingles: Option[DataFrame] = None): DataFrame = {
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id")), "h")
+      .groupBy("doc_id").agg(min(col("ex_id")).as("exact_of"))
+    val shIn = shingleRows(incoming.select(col("doc_id"), col("text")))
+    val shEx = existingShingles.getOrElse(
+      shingleRows(existing.select(col("doc_id"), col("text"))))
+    val mhIn = minhashAgg(shIn, k)
+    val mhEx = minhashAgg(shEx, k)
+    val pairs = bandKeysOf(mhIn, k, bands)
+      .select(col("band"), col("key"), col("doc_id").as("in_id"))
+      .join(bandKeysOf(mhEx, k, bands)
+        .select(col("band"), col("key"), col("doc_id").as("ex_id")),
+        Seq("band", "key"))
+      .select("in_id", "ex_id").distinct()
+    val inter = pairs
+      .join(shIn.select(col("doc_id").as("in_id"), col("shingle")), "in_id")
+      .join(shEx.select(col("doc_id").as("ex_id"), col("shingle")),
+        Seq("ex_id", "shingle"))
+      .groupBy("in_id", "ex_id").agg(count(lit(1)).as("ni"))
+    val near = inter
+      .join(mhIn.select(col("doc_id").as("in_id"), col("ns").as("na")), "in_id")
+      .join(mhEx.select(col("doc_id").as("ex_id"), col("ns").as("nb")), "ex_id")
+      .filter(jaccardCol(col("ni"), col("na"), col("nb")) >= threshold)
+      .groupBy("in_id").agg(min(col("ex_id")).as("near_of"))
+      .withColumnRenamed("in_id", "doc_id")
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** c37: [[incrementalDedup]] over a deterministic batch split of the
+    * documents table: the existing corpus is doc_id % 7 != 3; the incoming
+    * batch is the % 7 == 3 slice (genuinely new docs plus their near-dups)
+    * UNION a "recrawl" slice — existing docs with doc_id % 11 == 5
+    * re-keyed as doc_id + 1,000,000, byte-identical replays of corpus
+    * content (the way recrawls actually arrive) — so all three statuses
+    * are exercised non-trivially and the oracle reproduces the exact
+    * batch. */
+  def c37IncrementalDedup(spark: SparkSession, dir: String,
+                          threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val existing = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // existing-side shingles come from the memoized corpus shingle table
+    // (the precomputed-artifact path the generic entry point is built
+    // for) — only the incoming batch is shingled per run
+    val shEx = spark.read.parquet(shingleTablePath(spark, dir))
+      .filter(col("doc_id") % 7 =!= 3)
+    incrementalDedup(incoming, existing, threshold, existingShingles = Some(shEx))
   }
 
   /** 64-bit SimHash over a (doc_id, text) frame: each distinct lowercase

@@ -511,6 +511,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** c36: product quantization — the OTHER standard embedding-compression
+    * codec next to c22's scalar int8 (PQ is what IVF-PQ indexes ship at
+    * billion-vector scale: M sub-codebooks of k entries each turn a
+    * 64-float vector into M small codes, 64× smaller at M=4/k≤256).
+    * The vector is split into M contiguous subspaces; each slice is
+    * assigned to its nearest sub-centroid by the SAME codegen'd
+    * [[graft.functions.NearestCells]] argmax c18/c31 use — the sub-
+    * codebooks are broadcast single-row array folds of the label
+    * codebook's slices, so the whole quantization is one stateless
+    * projection over the corpus: zero row shuffles, O(M·k·dim/M) =
+    * O(k·dim) work per vector. Scores are 6-dp-rounded with ties to the
+    * lowest cell (identical to c18's contract), making the codes — and
+    * hence the whole output — engine-exact. Emits one row per
+    * (vec_id, subspace): the code and its rounded subspace cosine. */
+  def c36PqQuantize(spark: SparkSession, dir: String, m: Int = 4): DataFrame = {
+    val cb = labelCodebook(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    // one broadcast single-row fold per subspace: array of
+    // (cell, centroid-slice), sorted for a deterministic fold order
+    val folded = (0 until m).map { j =>
+      broadcast(cb
+        .select(col("cell"), slice(col("centroid"), j * subDim + 1, subDim).as("sc"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("sc")))).as(s"cb$j")))
+    }
+    val joined = folded.foldLeft(e)((acc, f) => acc.crossJoin(f))
+    val codes = array((0 until m).map { j =>
+      element_at(graft.functions.VectorFunctions.nearestCells(
+        slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
+    }: _*)
+    joined
+      .select(col("vec_id"), posexplode(codes).as(Seq("j", "s")))
+      .select(col("vec_id"),
+        col("j").cast("bigint").as("subspace"),
+        col("s.cell").cast("bigint").as("code"),
+        col("s.ccos").as("score_r"))
+      .orderBy("vec_id", "subspace")
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the

@@ -365,6 +365,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** c34: corpus vocabulary — the tokenizer-training precursor every LLM
+    * data pipeline runs over the final corpus: term frequency (total
+    * occurrences) and document frequency per lowercase whitespace token,
+    * cut to the top-k by frequency with a total deterministic order
+    * (tf desc, term asc). One map-side-combinable groupBy on the term and
+    * a TakeOrderedAndProject for the cut — no global sort, no window: at
+    * 100 TB the shuffle carries one row per DISTINCT term (vocabulary-
+    * sized, not corpus-sized) and each executor ships only its local
+    * top-k to the driver-side merge. */
+  def c34VocabTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(k)
+
+  /** c35: composite quality-filter battery (the Gopher-style rule stack) —
+    * per-document lexical-diversity signals c7 does not cover: type count,
+    * type-token ratio, and the top-token share (the single most frequent
+    * token's fraction of the doc), each thresholded into a named rule
+    * verdict and combined into one keep/drop decision. Two shuffles, both
+    * narrow keys: (doc_id, term) counts then a per-doc aggregate — the
+    * same shape at any scale, never a per-doc HOF loop (an
+    * `aggregate`-over-array formulation would run interpreted and
+    * quadratic per row). Ratios are one double division of exact integers
+    * rounded to 6 dp, and every rule thresholds the ROUNDED value so row
+    * verdicts cannot flip on a last-ulp engine disagreement. */
+  def c35QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    tc.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("max_tc"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_words"), 6))
+      .withColumn("top_share",
+        round(col("max_tc").cast("double") / col("n_words"), 6))
+      .withColumn("rule_len", col("n_words") >= 10 && col("n_words") <= 1000)
+      .withColumn("rule_ttr", col("ttr") >= 0.2)
+      .withColumn("rule_top_share", col("top_share") <= 0.2)
+      .withColumn("keep",
+        col("rule_len") && col("rule_ttr") && col("rule_top_share"))
+      .orderBy("doc_id")
+  }
+
   /** c17: stratified deterministic sampling — per-stratum (language) rates
     * applied via a content-hash bucket, the scale-safe sampler: a pure
     * function of the text (stable under re-partitioning, re-runs, and

@@ -206,6 +206,22 @@ object StreamOps {
       }
   }
 
+  /** d10: streaming vocabulary — running per-term counts over a document
+    * stream (twin of c34's batch vocab, and the one COMPLETE-mode surface
+    * in the inventory: term counting's result set is vocabulary-sized —
+    * distinct term types, not corpus rows — so the running aggregate
+    * re-emits the full bounded vocabulary each trigger, exactly how a
+    * live tokenizer-stats view consumes it; the top-k cut is a sort on
+    * the sink table, spec-checked ≡ c34's cut). State is O(vocabulary):
+    * one count per distinct term. Document frequency (c34's df) is
+    * deliberately absent — a streaming per-term distinct would hold
+    * (doc_id, term)-sized state; df belongs to batch c34 over the landed
+    * corpus. */
+  def streamVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+
   /** d8: streaming decontamination — the streaming twin of batch c27.
     * Each arriving doc explodes into its distinct 8-token shingles
     * (per-doc `array_distinct`, so the explode is stateless — no global

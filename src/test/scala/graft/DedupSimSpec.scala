@@ -261,6 +261,117 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c37 incremental dedup: all three statuses on a synthetic batch") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearText = (1 to 29).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val existing = docsDf(Seq(1L -> base, 2L -> "zz yy xx ww vv uu tt ss rr qq"))
+    val incoming = docsDf(Seq(
+      10L -> base,                                  // byte-identical -> exact_dup
+      11L -> nearText,                              // 25/31 shingles shared -> near_dup
+      12L -> "totally unrelated fresh content here new words only"))
+    val got = Dedup.incrementalDedup(incoming, existing).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), if (r.isNullAt(2)) -1L else r.getAs[Long]("dup_of")))
+      .toMap
+    assert(got(10L) == ("exact_dup", 1L))
+    assert(got(11L) == ("near_dup", 1L))
+    assert(got(12L) == ("new", -1L))
+  }
+
+  test("c37 verdicts re-verify against raw text: exact matches, jaccard bounds, id domains") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.toLowerCase.split(" ")
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val existingTexts = docs.filter(_._1 % 7 != 3)
+    val rows = Dedup.c37IncrementalDedup(spark, sfDir).collect()
+    val expectedIncoming = docs.keySet.filter(_ % 7 == 3) ++
+      docs.keySet.filter(id => id % 11 == 5 && id % 7 != 3).map(_ + 1000000L)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expectedIncoming)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = if (id >= 1000000L) docs(id - 1000000L) else docs(id)
+      r.getAs[String]("status") match {
+        case "exact_dup" =>
+          val src = r.getAs[Long]("dup_of")
+          assert(existingTexts(src) == text, s"$id: dup_of $src text differs")
+        case "near_dup" =>
+          val src = r.getAs[Long]("dup_of")
+          val a = shingleSet(text); val b = shingleSet(existingTexts(src))
+          val ni = (a & b).size
+          val j = ni.toDouble / (a.size + b.size - ni)
+          assert(j >= 0.7 - 1e-9, s"$id vs $src: jaccard $j below threshold")
+          assert(existingTexts(src) != text, s"$id: identical text must be exact_dup")
+        case "new" =>
+          assert(r.isNullAt(2), s"$id: new rows carry no dup_of")
+          assert(!existingTexts.values.exists(_ == text),
+            s"$id: text exists in corpus but labeled new")
+      }
+      if (!r.isNullAt(2)) {
+        val src = r.getAs[Long]("dup_of")
+        assert(src < 1000000L && src % 7 != 3, s"$id: dup_of $src not an existing id")
+      }
+    }
+    // every recrawl row is a byte-identical replay -> must be exact_dup of its source
+    rows.filter(_.getAs[Long]("doc_id") >= 1000000L).foreach { r =>
+      assert(r.getAs[String]("status") == "exact_dup")
+      assert(r.getAs[Long]("dup_of") == r.getAs[Long]("doc_id") - 1000000L)
+    }
+  }
+
+  test("c36 PQ codes re-derive from sliced label centroids; quantization plan is shuffle-free") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def roundFx(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 10000).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getAs[Int]("label")))
+    val dim = e.head._2.length
+    val m = 4; val sd = dim / m
+    // c15's fixed-point per-label centroids, independently re-derived
+    val cent: Map[Int, Array[Double]] = e.groupBy(_._3).map { case (l, vs) =>
+      l -> (0 until dim).map { p =>
+        vs.map(v => roundFx(v._2(p))).sum.toDouble / 10000.0 / vs.length
+      }.toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labels = cent.keys.toSeq.sorted
+    val expected = e.flatMap { case (id, v, _) =>
+      (0 until m).map { j =>
+        val slice = v.slice(j * sd, (j + 1) * sd)
+        val best = labels.map { l =>
+          (round6(cos(slice, cent(l).slice(j * sd, (j + 1) * sd))), l)
+        }.reduceLeft { (a, b) =>
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c > 0 || (c == 0 && b._2 < a._2)) b else a
+        }
+        (id, j.toLong) -> (best._2.toLong, best._1)
+      }
+    }.toMap
+    val df = Similarity.c36PqQuantize(spark, sfDir)
+    val got = df.collect()
+    assert(got.length == e.length * m, "one row per (vector, subspace)")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("vec_id"), r.getAs[Long]("subspace"))
+      val (code, score) = expected(key)
+      assert(r.getAs[Long]("code") == code, s"$key code")
+      assert(r.getAs[Double]("score_r") == score, s"$key score")
+    }
+    // the quantization itself is one stateless projection: the only
+    // exchanges are the broadcast codebook folds and the final range sort
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("hashpartitioning"),
+      s"PQ assignment must not shuffle rows:\n$planStr")
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>

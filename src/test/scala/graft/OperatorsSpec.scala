@@ -183,4 +183,38 @@ class OperatorsSpec extends SparkSpec {
     val otherRate = otherKept.toDouble / otherTotal
     assert(otherRate > 0.35 && otherRate < 0.65, s"other rate $otherRate")
   }
+
+  test("c34 vocab top-k is the exact frequency-ordered cut with true tf and df") {
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split(" ").toSeq)
+    val tf = texts.flatMap(_._2).groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val df = texts.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, a) => t -> a.map(_._2).distinct.length.toLong }
+    val expected = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+    val got = TextOps.c34VocabTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected)
+    got.foreach { case (t, _, d) => assert(d == df(t), s"df($t)") }
+  }
+
+  test("c35 quality battery recomputes from raw text; keep = AND of the rules") {
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split(" ").toSeq)
+      .toMap
+    val rows = TextOps.c35QualityFilter(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val ts = texts(r.getAs[Long]("doc_id"))
+      val counts = ts.groupBy(identity).map(_._2.length)
+      assert(r.getAs[Long]("n_words") == ts.length)
+      assert(r.getAs[Long]("n_types") == counts.size)
+      assert(r.getAs[Long]("max_tc") == counts.max)
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("rule_len") && r.getAs[Boolean]("rule_ttr") &&
+          r.getAs[Boolean]("rule_top_share")))
+    }
+    // the battery must discriminate on this corpus, not rubber-stamp it
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
 }

@@ -320,6 +320,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d10 streaming vocabulary equals batch term counts; top-k view matches c34") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamVocab(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("d10_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d10_sink").as[(String, Long)].collect().toMap
+      val batch = Tables.documents(spark, sfDir)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("term").count().as[(String, Long)].collect().toMap
+      assert(streamed == batch, "running counts must equal the batch aggregation")
+      val topk = streamed.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+      val c34 = graft.operators.TextOps.c34VocabTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"))).toSeq
+      assert(topk == c34, "top-k view on the sink must equal c34's cut")
+    } finally q.stop()
+  }
+
   test("d8 streaming decontamination hits aggregate to c24's batch n_shared") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
