@@ -42,9 +42,64 @@ object Main {
     case Some("dedup") => dedup(args.drop(1))
     case Some("decontam") => decontam(args.drop(1))
     case Some("curate") => curate(args.drop(1))
+    case Some("vocab") => vocab(args.drop(1))
+    case Some("ingest") => ingest(args.drop(1))
     case _ =>
-      System.err.println("usage: graft.Main stream|bench|verify|dedup|decontam|curate ...")
+      System.err.println(
+        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|ingest ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main vocab --in DATA_DIR --out OUT_DIR [--k N]` — c34's
+    * corpus vocabulary (term + document frequency, deterministic top-k
+    * cut), written as parquet plus one JSON stats line. The
+    * tokenizer-training precursor over a curated corpus. */
+  private def vocab(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val k = opt(args, "--k").map(_.toInt).getOrElse(100)
+    val spark = GraftSession.get()
+    val v = graft.operators.TextOps.c34VocabTopk(spark, in, k).persist()
+    try {
+      v.write.mode("overwrite").parquet(out)
+      val n = v.count()
+      val top = v.head()
+      println(s"""{"terms":$n,"top_term":"${top.getString(0)}",""" +
+        s""""top_tf":${top.getLong(1)},"out":"$out"}""")
+    } finally v.unpersist()
+  }
+
+  /** `graft.Main ingest --existing DATA_DIR --incoming PARQUET --out OUT
+    *   [--threshold J] [--new-only]` — incremental dedup of an incoming
+    * batch against the existing corpus (c37's generic entry point):
+    * writes per-doc statuses (exact_dup/near_dup/new + dup_of) — or, with
+    * `--new-only`, just the genuinely new incoming docs with their full
+    * columns — and prints one JSON counts line. */
+  private def ingest(args: Array[String]): Unit = {
+    val ex = opt(args, "--existing").getOrElse(sys.error("--existing required"))
+    val inc = opt(args, "--incoming").getOrElse(sys.error("--incoming required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.7)
+    val newOnly = args.contains("--new-only")
+    val spark = GraftSession.get()
+    val incoming = spark.read.parquet(inc)
+    // persisted: the status pipeline feeds the write plus three counts
+    val statuses = graft.operators.Dedup.incrementalDedup(
+      incoming.select(col("doc_id"), col("text")),
+      Tables.documents(spark, ex).select(col("doc_id"), col("text")),
+      threshold).persist()
+    try {
+      val result =
+        if (newOnly) incoming.join(statuses.filter(col("status") === "new"),
+          Seq("doc_id"), "left_semi")
+        else statuses
+      result.write.mode("overwrite").parquet(out)
+      val nExact = statuses.filter(col("status") === "exact_dup").count()
+      val nNear = statuses.filter(col("status") === "near_dup").count()
+      val nNew = statuses.filter(col("status") === "new").count()
+      println(s"""{"incoming":${nExact + nNear + nNew},"exact_dup":$nExact,""" +
+        s""""near_dup":$nNear,"new":$nNew,"out":"$out"}""")
+    } finally statuses.unpersist()
   }
 
   /** `graft.Main dedup --in DATA_DIR --out OUT_DIR [--mode

@@ -95,6 +95,7 @@ object SparkEntry {
     "c35_quality_filter" -> (TextOps.c35QualityFilter _),
     "c36_pq_quantize" -> ((s: SparkSession, d: String) => Similarity.c36PqQuantize(s, d)),
     "c37_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.c37IncrementalDedup(s, d)),
+    "c38_pq_search" -> ((s: SparkSession, d: String) => Similarity.c38PqSearch(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -743,6 +744,40 @@ object SparkEntry {
         |SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(cell AS BIGINT) AS code,
         |  score AS score_r
         |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+    // c38 = c36's code-assignment CTEs + reconstruction (concatenated
+    // sub-centroids per candidate) + c5's top-k shape against the
+    // full-precision query.
+    "c38_pq_search" ->
+      """WITH x AS (SELECT label, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cb AS (SELECT label AS cell, pos // 16 AS sub,
+        |         list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
+        |       GROUP BY label, pos // 16),
+        |ev AS (SELECT vec_id, pos // 16 AS sub, list(val ORDER BY pos) AS sv
+        |       FROM (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        |             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+        |       WHERE vec_id >= 5
+        |       GROUP BY vec_id, pos // 16),
+        |a AS (SELECT vec_id, ev.sub AS sub, cell,
+        |        row_number() OVER (PARTITION BY vec_id, ev.sub
+        |          ORDER BY round(list_cosine_similarity(sv, centroid), 6) DESC, cell ASC) AS rn
+        |      FROM ev JOIN cb ON cb.sub = ev.sub),
+        |recon AS (SELECT a.vec_id, flatten(list(cb.centroid ORDER BY a.sub)) AS rv
+        |          FROM a JOIN cb ON cb.sub = a.sub AND cb.cell = a.cell
+        |          WHERE a.rn = 1 GROUP BY a.vec_id),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, rv) AS adc
+        |      FROM recon CROSS JOIN q),
+        |r AS (SELECT query_id, neighbor_id, adc,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id, round(adc, 6) AS adc_r
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // c31 = c18's codebook + assignment CTEs, then the Lloyd update as
     // exact integer numerator/denominator pairs per (cell, pos).
     "c31_kmeans_step" ->

@@ -525,22 +525,36 @@ object Similarity {
     * lowest cell (identical to c18's contract), making the codes — and
     * hence the whole output — engine-exact. Emits one row per
     * (vec_id, subspace): the code and its rounded subspace cosine. */
-  def c36PqQuantize(spark: SparkSession, dir: String, m: Int = 4): DataFrame = {
-    val cb = labelCodebook(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val dim = Tables.embeddings(spark, dir)
-      .select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val subDim = dim / m
-    // one broadcast single-row fold per subspace: array of
-    // (cell, centroid-slice), sorted for a deterministic fold order
+  /** Embedding width of the corpus — one bounded metadata probe (a
+    * 1-row limit job, the same class of scalar action as the bloom
+    * filter's sizing count). */
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
+
+  /** crossJoins `e` with one broadcast single-row fold PER SUBSPACE —
+    * column `cb`j holds the codebook's j-th contiguous `subDim`-wide
+    * slices as a sorted array of (cell, sc) structs. Broadcast 1-row
+    * frames, so the joins plan as BroadcastNestedLoop over a single row:
+    * no row of `e` ever moves. Shared by c36 (quantize) and c38 (ADC
+    * search). */
+  private def withSubCodebookFolds(e: DataFrame, cb: DataFrame,
+                                   m: Int, subDim: Int): DataFrame = {
     val folded = (0 until m).map { j =>
       broadcast(cb
         .select(col("cell"), slice(col("centroid"), j * subDim + 1, subDim).as("sc"))
         .agg(sort_array(collect_list(struct(col("cell"), col("sc")))).as(s"cb$j")))
     }
-    val joined = folded.foldLeft(e)((acc, f) => acc.crossJoin(f))
+    folded.foldLeft(e)((acc, f) => acc.crossJoin(f))
+  }
+
+  def c36PqQuantize(spark: SparkSession, dir: String, m: Int = 4): DataFrame = {
+    val cb = labelCodebook(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = embeddingDim(spark, dir)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    val joined = withSubCodebookFolds(e, cb, m, subDim)
     val codes = array((0 until m).map { j =>
       element_at(graft.functions.VectorFunctions.nearestCells(
         slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
@@ -552,6 +566,53 @@ object Similarity {
         col("s.cell").cast("bigint").as("code"),
         col("s.ccos").as("score_r"))
       .orderBy("vec_id", "subspace")
+  }
+
+  /** c38: PQ (asymmetric-distance) search — top-k by cosine between the
+    * FULL-precision query and each candidate's PQ RECONSTRUCTION (the
+    * concatenation of its M nearest sub-centroids). This is the scoring
+    * half of an IVF-PQ index: at billion scale the scan stores only the M
+    * codes per vector (16× less than c22's int8, 64× less than float32)
+    * and scores against the broadcast sub-codebooks — candidates' floats
+    * never leave storage. Here quantization + reconstruction + scoring
+    * fuse into one stateless candidate-side projection (the same
+    * [[withSubCodebookFolds]] broadcast as c36 — codes via NearestCells,
+    * slice lookup via a 10-entry array filter), so the only exchange in
+    * the plan is the per-query top-k window c5 itself needs. Compose with
+    * c18's cell restriction (both pieces exist) for the full IVF-PQ
+    * pipeline; unrestricted ADC is kept here so recall measures the CODEC
+    * alone. Ties (candidates sharing all M codes score identically by
+    * construction) break on neighbor_id ascending in both engines. */
+  def c38PqSearch(spark: SparkSession, dir: String,
+                  k: Int = 5, m: Int = 4): DataFrame = {
+    val cb = labelCodebook(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = embeddingDim(spark, dir)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    val coded = withSubCodebookFolds(e.filter(col("vec_id") >= 5), cb, m, subDim)
+      .select(Seq(col("vec_id")) ++ (0 until m).map(j => col(s"cb$j")) ++
+        (0 until m).map { j =>
+          element_at(graft.functions.VectorFunctions.nearestCells(
+            slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
+            .getField("cell").as(s"code$j")
+        }: _*)
+    val candidates = coded.select(col("vec_id").as("neighbor_id"),
+      flatten(array((0 until m).map { j =>
+        element_at(filter(col(s"cb$j"),
+          s => s.getField("cell") === col(s"code$j")), 1).getField("sc")
+      }: _*)).as("rv"))
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    candidates.crossJoin(queries)
+      .withColumn("adc", cosine(col("qv"), col("rv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_r"))
+      .orderBy("query_id", "rnk")
   }
 
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs

@@ -117,6 +117,45 @@ class CliSpec extends SparkSpec {
       s"simhash mode drops near-dups and keeps the rest ($shSurvivors of $total)")
   }
 
+  test("vocab subcommand: writes c34's exact top-k cut") {
+    val out = Files.createTempDirectory("graft-vocab-").toString
+    Main.main(Array("vocab", "--in", sfDir, "--out", out, "--k", "10"))
+    val got = spark.read.parquet(out).orderBy(col("tf").desc, col("term"))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("tf")))
+    val want = graft.operators.TextOps.c34VocabTopk(spark, sfDir, k = 10)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("tf")))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 10)
+  }
+
+  test("ingest subcommand: statuses match c37's operator; --new-only keeps full columns") {
+    // incoming = a replay of 3 existing docs (exact dups) + 1 fresh doc
+    val docs = Tables.documents(spark, sfDir)
+    val incDir = Files.createTempDirectory("graft-ingest-in-").toString
+    import spark.implicits._
+    val fresh = Seq((9000000L, "entirely fresh ingest content never seen before ok"))
+      .toDF("doc_id", "text")
+    docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionAll(fresh)
+      .write.mode("overwrite").parquet(incDir)
+    val out = Files.createTempDirectory("graft-ingest-out-").toString
+    Main.main(Array("ingest", "--existing", sfDir, "--incoming", incDir,
+      "--out", out))
+    val statuses = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses.size == 4)
+    (0L until 3L).foreach(i => assert(statuses(i + 5000000L) == "exact_dup"))
+    assert(statuses(9000000L) == "new")
+
+    val outNew = Files.createTempDirectory("graft-ingest-new-").toString
+    Main.main(Array("ingest", "--existing", sfDir, "--incoming", incDir,
+      "--out", outNew, "--new-only"))
+    val kept = spark.read.parquet(outNew)
+    assert(kept.columns.toSet == Set("doc_id", "text"), "full incoming columns")
+    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(9000000L))
+  }
+
   test("decontam subcommand: flags and drops docs overlapping an eval parquet") {
     // eval set = the c24 convention (doc_id % 50 == 0), written as a
     // standalone parquet the way a real benchmark set arrives

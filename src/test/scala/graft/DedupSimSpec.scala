@@ -372,6 +372,69 @@ class DedupSimSpec extends SparkSpec {
       s"PQ assignment must not shuffle rows:\n$planStr")
   }
 
+  test("c38 ADC search re-derives from PQ reconstructions; recall vs c5 reported") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def roundFx(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 10000).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getAs[Int]("label")))
+    val dim = e.head._2.length; val m = 4; val sd = dim / m
+    val cent: Map[Int, Array[Double]] = e.groupBy(_._3).map { case (l, vs) =>
+      l -> (0 until dim).map { p =>
+        vs.map(v => roundFx(v._2(p))).sum.toDouble / 10000.0 / vs.length
+      }.toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labels = cent.keys.toSeq.sorted
+    // PQ reconstruction per candidate: concat of its nearest sub-centroids
+    val recon: Map[Long, Array[Double]] = e.filter(_._1 >= 5).map { case (id, v, _) =>
+      id -> (0 until m).flatMap { j =>
+        val slice = v.slice(j * sd, (j + 1) * sd)
+        val best = labels.map { l =>
+          (round6(cos(slice, cent(l).slice(j * sd, (j + 1) * sd))), l)
+        }.reduceLeft { (a, b) =>
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c > 0 || (c == 0 && b._2 < a._2)) b else a
+        }
+        cent(best._2).slice(j * sd, (j + 1) * sd)
+      }.toArray
+    }.toMap
+    val queries = e.filter(_._1 < 5).map(q => q._1 -> q._2).toMap
+    val expected = queries.flatMap { case (qid, qv) =>
+      recon.toSeq.map { case (nid, rv) => (nid, cos(qv, rv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, s), i) => (qid, i + 1L) -> (nid, round6(s)) }
+    }
+    val got = Similarity.c38PqSearch(spark, sfDir).collect()
+    assert(got.length == queries.size * 5)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"))
+      val (nid, s) = expected(key)
+      assert(r.getAs[Long]("neighbor_id") == nid, s"$key neighbor")
+      assert(r.getAs[Double]("adc_r") == s, s"$key score")
+    }
+    // codec quality: the reconstruction must point in its vector's
+    // direction (this is what PQ stores). Recall vs c5 is REPORTED, not
+    // asserted — the synthetic embeddings are isotropic noise (same-label
+    // and cross-label mean cosine are both ~0), so exact-neighbor overlap
+    // is noise-level for ANY codec on this corpus by construction.
+    val reconCos = e.filter(_._1 >= 5).map { case (id, v, _) => cos(v, recon(id)) }
+    assert(reconCos.min > 0.1, f"worst reconstruction cosine ${reconCos.min}%.3f")
+    assert(reconCos.sum / reconCos.length > 0.3,
+      f"mean reconstruction cosine ${reconCos.sum / reconCos.length}%.3f")
+    val brute = Similarity.c5AnnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.count(r =>
+      brute((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))).toDouble / brute.size
+    info(f"c38 ADC recall@5 vs c5: $recall%.2f (noise-level corpus; reported only)")
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>
