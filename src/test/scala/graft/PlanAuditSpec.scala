@@ -30,4 +30,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected ONE hash exchange (the query_id top-k window), got $hashExchanges:\n$s")
   }
+
+  private def executedPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("c34 plan: top-k is TakeOrderedAndProject, never a global sort") {
+    val s = executedPlanOf(graft.operators.TextOps.c34VocabTopk(spark, sfDir))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$s")
+    // a Sort node would mean the full vocabulary is globally sorted just
+    // to take k rows — TakeOrdered keeps a k-row heap per partition
+    assert(!s.contains("Sort ["), s"global sort crept in:\n$s")
+  }
+
+  test("c37 plan: every join is an equi-join — no cartesian, no nested loop") {
+    val s = executedPlanOf(graft.operators.Dedup.c37IncrementalDedup(spark, sfDir))
+    assert(!s.contains("CartesianProduct"), s"cartesian in incremental dedup:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested loop in incremental dedup:\n$s")
+  }
+
+  test("c38 plan: candidate quantize+reconstruct+score is shuffle-free before the top-k window") {
+    val s = executedPlanOf(Similarity.c38PqSearch(spark, sfDir))
+    // candidate-side pushdown reaches the scan
+    assert(s.contains("GreaterThanOrEqual(vec_id,5)"), s"candidate pushdown missing:\n$s")
+    // the ONLY hash exchange is the per-query top-k window — quantization,
+    // reconstruction and ADC scoring all live in one stateless projection
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange (the query_id top-k window), got $hashExchanges:\n$s")
+  }
 }
