@@ -583,6 +583,28 @@ object Similarity {
     * pipeline; unrestricted ADC is kept here so recall measures the CODEC
     * alone. Ties (candidates sharing all M codes score identically by
     * construction) break on neighbor_id ascending in both engines. */
+  /** Appends each row's PQ reconstruction (`rv` — its M nearest
+    * sub-centroids concatenated) to `e`, preserving every column of `e`
+    * except the raw vector `v`. Quantize + centroid lookup + concat all
+    * happen in one stateless projection over [[withSubCodebookFolds]]'
+    * broadcasts. Shared by c38 (brute ADC) and [[ivfPqSearch]]. */
+  private def pqReconstruct(e: DataFrame, cb: DataFrame,
+                            m: Int, subDim: Int): DataFrame = {
+    val keep = e.columns.filterNot(_ == "v").map(col).toSeq
+    withSubCodebookFolds(e, cb, m, subDim)
+      .select(keep ++ (0 until m).map(j => col(s"cb$j")) ++
+        (0 until m).map { j =>
+          element_at(graft.functions.VectorFunctions.nearestCells(
+            slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
+            .getField("cell").as(s"code$j")
+        }: _*)
+      .select(keep :+
+        flatten(array((0 until m).map { j =>
+          element_at(filter(col(s"cb$j"),
+            s => s.getField("cell") === col(s"code$j")), 1).getField("sc")
+        }: _*)).as("rv"): _*)
+  }
+
   def c38PqSearch(spark: SparkSession, dir: String,
                   k: Int = 5, m: Int = 4): DataFrame = {
     val cb = labelCodebook(spark, dir)
@@ -591,18 +613,8 @@ object Similarity {
     val dim = embeddingDim(spark, dir)
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val subDim = dim / m
-    val coded = withSubCodebookFolds(e.filter(col("vec_id") >= 5), cb, m, subDim)
-      .select(Seq(col("vec_id")) ++ (0 until m).map(j => col(s"cb$j")) ++
-        (0 until m).map { j =>
-          element_at(graft.functions.VectorFunctions.nearestCells(
-            slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
-            .getField("cell").as(s"code$j")
-        }: _*)
-    val candidates = coded.select(col("vec_id").as("neighbor_id"),
-      flatten(array((0 until m).map { j =>
-        element_at(filter(col(s"cb$j"),
-          s => s.getField("cell") === col(s"code$j")), 1).getField("sc")
-      }: _*)).as("rv"))
+    val candidates = pqReconstruct(e.filter(col("vec_id") >= 5), cb, m, subDim)
+      .select(col("vec_id").as("neighbor_id"), col("rv"))
     val queries = broadcast(e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
     val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
@@ -611,6 +623,42 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_r"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Full IVF-PQ search — c18's cell restriction composed with c38's ADC
+    * scoring, THE billion-scale serving shape: candidates are pruned to
+    * the query's top-`nprobe` IVF cells, then scored from their PQ
+    * reconstructions only. At scale the candidate scan reads
+    * (cell, M codes) per vector — full-precision floats exist only on the
+    * (tiny) query side — and each query touches ~nprobe/cells of the
+    * corpus. One pass assigns the candidate's cell (NearestCells argmax)
+    * AND its PQ codes and reconstruction, all in the same stateless
+    * projection; the search itself is a cell equi-join. With `nprobe` ≥
+    * the cell count the cell restriction admits everything and the result
+    * is EXACTLY [[c38PqSearch]] (spec-pinned). */
+  def ivfPqSearch(spark: SparkSession, dir: String, k: Int = 5,
+                  nprobe: Int = 1, m: Int = 4): DataFrame = {
+    val cb = labelCodebook(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = embeddingDim(spark, dir)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    val candidates = pqReconstruct(
+      assignCells(e.filter(col("vec_id") >= 5), cb, maxProbe = 1)
+        .select(col("vec_id"), col("v"), col("cell")),
+      cb, m, subDim)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("rv"))
+    val queries = assignCells(e.filter(col("vec_id") < 5), cb, maxProbe = nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    candidates.join(broadcast(queries), "cell")
+      .withColumn("adc", cosine(col("qv"), col("rv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
         round(col("adc"), 6).as("adc_r"))
       .orderBy("query_id", "rnk")
   }

@@ -435,6 +435,38 @@ class DedupSimSpec extends SparkSpec {
     info(f"c38 ADC recall@5 vs c5: $recall%.2f (noise-level corpus; reported only)")
   }
 
+  test("ivfPqSearch: nprobe=all cells is exactly c38's brute ADC; nprobe=1 prunes to the query cell") {
+    val nCells = Similarity.labelCodebook(spark, sfDir).count().toInt
+    val full = Similarity.ivfPqSearch(spark, sfDir, nprobe = nCells)
+      .select("query_id", "rnk", "neighbor_id", "adc_r")
+    val brute = Similarity.c38PqSearch(spark, sfDir)
+    assert(full.exceptAll(brute).count() == 0 && brute.exceptAll(full).count() == 0,
+      "with every cell probed, IVF-PQ must equal the unrestricted ADC search")
+
+    val pruned = Similarity.ivfPqSearch(spark, sfDir, nprobe = 1).collect()
+    assert(pruned.length == 25, "5 queries x top-5 inside the probed cell")
+    // every returned neighbor must live in the cell its query probed —
+    // re-derive both assignments independently
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cells = Similarity.assignCells(e, Similarity.labelCodebook(spark, sfDir), maxProbe = 1)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    pruned.foreach { r =>
+      assert(cells(r.getAs[Long]("neighbor_id")) == cells(r.getAs[Long]("query_id")),
+        s"neighbor outside the probed cell: $r")
+    }
+    // scores are the SAME ADC scores the unrestricted search assigns
+    val bruteScores = Similarity.c38PqSearch(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("adc_r"))
+      .toMap
+    pruned.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteScores(key) == r.getAs[Double]("adc_r"),
+        s"cell restriction changed an ADC score: $key")
+    }
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>
