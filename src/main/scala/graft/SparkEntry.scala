@@ -57,6 +57,7 @@ object SparkEntry {
     "b17_approx_quantiles" -> (Relational.b17ApproxQuantiles _),
     "b18_outer_join" -> (Relational.b18OuterJoin _),
     "b19_correlated" -> (Relational.b19Correlated _),
+    "b20_unpivot" -> (Relational.b20Unpivot _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -642,6 +643,17 @@ object SparkEntry {
         |  COALESCE(u.n_events, 0) AS n_events
         |FROM c FULL JOIN u ON c.c_custkey = u.user_id
         |ORDER BY entity_id""".stripMargin,
+    "b20_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c2,
+        |  round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "b19_correlated" ->
       """WITH parts AS (
         |  SELECT p_partkey, p_brand,

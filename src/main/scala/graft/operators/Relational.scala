@@ -400,6 +400,29 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** b20: unpivot (melt) — the wide→long reshape (b13's pivot inverted),
+    * here folding lineitem's four measure columns into (measure, value)
+    * rows and profiling each measure in one pass. Unpivot plans as an
+    * Expand node (each input row emits one row per measure INSIDE the
+    * scan stage — no join, no union of four scans), then a partial-
+    * aggregated groupBy on the 4-value measure key: map-side combine
+    * collapses everything before the one tiny exchange, the same cost
+    * profile at any scale. Sums run in fixed-point cents (round(v·100) as
+    * BIGINT — double sums are partial-agg-order dependent, integer sums
+    * are exact in any engine); min/max are order-independent and emit as
+    * 6-dp doubles. */
+  def b20Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val measures = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables.lineitem(spark, dir)
+      .unpivot(Array(col("l_orderkey")), measures.map(col), "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("bigint")).as("sum_c2"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+      .orderBy("measure")
+  }
+
   /** c13: batch sessionization — a new session starts after a >30 min gap
     * per user. One shuffle on user_id serves both window passes and the
     * final groupBy (same partitioning, Catalyst reuses the exchange). Gap

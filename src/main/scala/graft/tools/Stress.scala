@@ -55,6 +55,12 @@ object Stress {
     time("c28 random projection")(Similarity.c28RandomProjection(spark, base).count())
     time("c30 cluster split")(Dedup.c30ClusterSplit(spark, base).count())
     time("c31 kmeans step")(Similarity.c31KmeansStep(spark, base).count())
+    time("c34 vocab")(TextOps.c34VocabTopk(spark, base).count())
+    time("c35 quality filter")(TextOps.c35QualityFilter(spark, base).count())
+    time("c36 pq quantize")(Similarity.c36PqQuantize(spark, base).count())
+    time("c37 incremental dedup")(Dedup.c37IncrementalDedup(spark, base).count())
+    time("c38 pq search")(Similarity.c38PqSearch(spark, base).count())
+    time("ivfpq nprobe=2")(Similarity.ivfPqSearch(spark, base, nprobe = 2).count())
     val ev = Tables.events(spark, base).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))

@@ -130,4 +130,30 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("approx_ok")))
   }
+
+  test("b20 unpivot profiles every measure exactly; plan is Expand, not a union of scans") {
+    val df = Relational.b20Unpivot(spark, sfDir)
+    val rows = df.collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+    def cents(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 100).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val got = rows.map(r => r.getAs[String]("measure") -> r).toMap
+    assert(got.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    Seq(("l_quantity", 0), ("l_extendedprice", 1), ("l_discount", 2), ("l_tax", 3))
+      .foreach { case (m, i) =>
+        val vals = li.map(_.getDouble(i))
+        val r = got(m)
+        assert(r.getAs[Long]("n") == vals.length, s"$m n")
+        assert(r.getAs[Long]("sum_c2") == vals.map(cents).sum, s"$m sum")
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        assert(r.getAs[Double]("min_v") == r6(vals.min), s"$m min")
+        assert(r.getAs[Double]("max_v") == r6(vals.max), s"$m max")
+      }
+    // melt must plan as one Expand over one scan — not four unioned scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    assert(!plan.contains("Union"), s"unpivot must not union scans:\n$plan")
+  }
 }
