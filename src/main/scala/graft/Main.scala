@@ -63,9 +63,14 @@ object Main {
     try {
       v.write.mode("overwrite").parquet(out)
       val n = v.count()
-      val top = v.head()
-      println(s"""{"terms":$n,"top_term":"${top.getString(0)}",""" +
-        s""""top_tf":${top.getLong(1)},"out":"$out"}""")
+      // the top term is corpus-controlled text: JSON-escape it (every
+      // other interpolated value on these stats lines is operator-set)
+      val top = v.take(1).headOption.map { r =>
+        val t = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$t"""" -> r.getLong(1)
+      }.getOrElse("null" -> 0L)
+      println(s"""{"terms":$n,"top_term":${top._1},""" +
+        s""""top_tf":${top._2},"out":"$out"}""")
     } finally v.unpersist()
   }
 
@@ -83,11 +88,17 @@ object Main {
     val newOnly = args.contains("--new-only")
     val spark = GraftSession.get()
     val incoming = spark.read.parquet(inc)
-    // persisted: the status pipeline feeds the write plus three counts
+    // persisted: the status pipeline feeds the write plus three counts.
+    // The existing side is exactly the documents table, so its shingles
+    // come from the memoized corpus shingle table (computed once per JVM
+    // per dir) — without this the corpus-wide shingle subtree would
+    // recompute on every ingest run
     val statuses = graft.operators.Dedup.incrementalDedup(
       incoming.select(col("doc_id"), col("text")),
       Tables.documents(spark, ex).select(col("doc_id"), col("text")),
-      threshold).persist()
+      threshold,
+      existingShingles = Some(spark.read.parquet(
+        graft.operators.Dedup.shingleTablePath(spark, ex)))).persist()
     try {
       val result =
         if (newOnly) incoming.join(statuses.filter(col("status") === "new"),

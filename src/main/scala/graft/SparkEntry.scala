@@ -411,12 +411,12 @@ object SparkEntry {
         |JOIN shl zb ON zb.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
     // c37 = c2's minhash/band CTEs with the two sides split: incoming
-    // (%7==3 plus a +1e6-rekeyed recrawl slice) vs existing (%7!=3);
+    // (%7==3 plus a +1e12-rekeyed recrawl slice) vs existing (%7!=3);
     // exact via md5 equality, near via band collision + verified jaccard.
     "c37_incremental_dedup" ->
       """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
         |            UNION ALL
-        |            SELECT doc_id + 1000000, text FROM documents
+        |            SELECT doc_id + 1000000000000, text FROM documents
         |            WHERE doc_id % 11 = 5 AND doc_id % 7 <> 3),
         |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
         |exact AS (SELECT i.doc_id, min(e.doc_id) AS exact_of

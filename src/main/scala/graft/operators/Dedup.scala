@@ -82,14 +82,6 @@ object Dedup {
       p
     })
 
-  /** c2: MinHash + LSH near-duplicate pairs.
-    *
-    * k=8 md5 minhashes over word-3-shingles, banded 4×2: docs sharing any
-    * band bucket become candidates, then candidates are verified with exact
-    * shingle-set Jaccard. The only shuffles are the band-bucket equi-join
-    * and two hash joins to re-attach shingle sets — nothing is O(n²).
-    * md5 (not xxhash) so the DuckDB oracle reproduces buckets bit-for-bit.
-    */
   /** k md5 minhashes + the shingle-set size in ONE codegen'd
     * hash-aggregate over (doc_id, shingle) rows (a separate sizes pass
     * would recompute the shingle subtree). Shared by c2 and c37. */
@@ -111,6 +103,14 @@ object Dedup {
       }: _*))).toDF("doc_id", "band", "key")
   }
 
+  /** c2: MinHash + LSH near-duplicate pairs.
+    *
+    * k=8 md5 minhashes over word-3-shingles, banded 4×2: docs sharing any
+    * band bucket become candidates, then candidates are verified with exact
+    * shingle-set Jaccard. The only shuffles are the band-bucket equi-join
+    * and two hash joins to re-attach shingle sets — nothing is O(n²).
+    * md5 (not xxhash) so the DuckDB oracle reproduces buckets bit-for-bit.
+    */
   def c2DedupMinhash(spark: SparkSession, dir: String,
                      k: Int = 8, bands: Int = 4,
                      shingleTable: Option[DataFrame] = None): DataFrame = {
@@ -215,10 +215,13 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val existing = docs.filter(col("doc_id") % 7 =!= 3)
       .select(col("doc_id"), col("text"))
+    // recrawl ids sit 1e12 above the corpus id space so a rekeyed replay
+    // can never collide with a genuine incoming doc_id (corpus ids are
+    // row counts — far below 1e12 at any real scale factor)
     val incoming = docs.filter(col("doc_id") % 7 === 3)
       .select(col("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
     // existing-side shingles come from the memoized corpus shingle table
     // (the precomputed-artifact path the generic entry point is built
     // for) — only the incoming batch is shingled per run

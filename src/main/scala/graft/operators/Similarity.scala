@@ -511,20 +511,6 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** c36: product quantization — the OTHER standard embedding-compression
-    * codec next to c22's scalar int8 (PQ is what IVF-PQ indexes ship at
-    * billion-vector scale: M sub-codebooks of k entries each turn a
-    * 64-float vector into M small codes, 64× smaller at M=4/k≤256).
-    * The vector is split into M contiguous subspaces; each slice is
-    * assigned to its nearest sub-centroid by the SAME codegen'd
-    * [[graft.functions.NearestCells]] argmax c18/c31 use — the sub-
-    * codebooks are broadcast single-row array folds of the label
-    * codebook's slices, so the whole quantization is one stateless
-    * projection over the corpus: zero row shuffles, O(M·k·dim/M) =
-    * O(k·dim) work per vector. Scores are 6-dp-rounded with ties to the
-    * lowest cell (identical to c18's contract), making the codes — and
-    * hence the whole output — engine-exact. Emits one row per
-    * (vec_id, subspace): the code and its rounded subspace cosine. */
   /** Embedding width of the corpus — one bounded metadata probe (a
     * 1-row limit job, the same class of scalar action as the bloom
     * filter's sizing count). */
@@ -547,6 +533,20 @@ object Similarity {
     folded.foldLeft(e)((acc, f) => acc.crossJoin(f))
   }
 
+  /** c36: product quantization — the OTHER standard embedding-compression
+    * codec next to c22's scalar int8 (PQ is what IVF-PQ indexes ship at
+    * billion-vector scale: M sub-codebooks of k entries each turn a
+    * 64-float vector into M small codes, 64× smaller at M=4/k≤256).
+    * The vector is split into M contiguous subspaces; each slice is
+    * assigned to its nearest sub-centroid by the SAME codegen'd
+    * [[graft.functions.NearestCells]] argmax c18/c31 use — the sub-
+    * codebooks are broadcast single-row array folds of the label
+    * codebook's slices, so the whole quantization is one stateless
+    * projection over the corpus: zero row shuffles, O(M·k·dim/M) =
+    * O(k·dim) work per vector. Scores are 6-dp-rounded with ties to the
+    * lowest cell (identical to c18's contract), making the codes — and
+    * hence the whole output — engine-exact. Emits one row per
+    * (vec_id, subspace): the code and its rounded subspace cosine. */
   def c36PqQuantize(spark: SparkSession, dir: String, m: Int = 4): DataFrame = {
     val cb = labelCodebook(spark, dir)
     val e = Tables.embeddings(spark, dir)
@@ -568,21 +568,6 @@ object Similarity {
       .orderBy("vec_id", "subspace")
   }
 
-  /** c38: PQ (asymmetric-distance) search — top-k by cosine between the
-    * FULL-precision query and each candidate's PQ RECONSTRUCTION (the
-    * concatenation of its M nearest sub-centroids). This is the scoring
-    * half of an IVF-PQ index: at billion scale the scan stores only the M
-    * codes per vector (16× less than c22's int8, 64× less than float32)
-    * and scores against the broadcast sub-codebooks — candidates' floats
-    * never leave storage. Here quantization + reconstruction + scoring
-    * fuse into one stateless candidate-side projection (the same
-    * [[withSubCodebookFolds]] broadcast as c36 — codes via NearestCells,
-    * slice lookup via a 10-entry array filter), so the only exchange in
-    * the plan is the per-query top-k window c5 itself needs. Compose with
-    * c18's cell restriction (both pieces exist) for the full IVF-PQ
-    * pipeline; unrestricted ADC is kept here so recall measures the CODEC
-    * alone. Ties (candidates sharing all M codes score identically by
-    * construction) break on neighbor_id ascending in both engines. */
   /** Appends each row's PQ reconstruction (`rv` — its M nearest
     * sub-centroids concatenated) to `e`, preserving every column of `e`
     * except the raw vector `v`. Quantize + centroid lookup + concat all
@@ -605,6 +590,21 @@ object Similarity {
         }: _*)).as("rv"): _*)
   }
 
+  /** c38: PQ (asymmetric-distance) search — top-k by cosine between the
+    * FULL-precision query and each candidate's PQ RECONSTRUCTION (the
+    * concatenation of its M nearest sub-centroids). This is the scoring
+    * half of an IVF-PQ index: at billion scale the scan stores only the M
+    * codes per vector (16× less than c22's int8, 64× less than float32)
+    * and scores against the broadcast sub-codebooks — candidates' floats
+    * never leave storage. Here quantization + reconstruction + scoring
+    * fuse into one stateless candidate-side projection (the same
+    * [[withSubCodebookFolds]] broadcast as c36 — codes via NearestCells,
+    * slice lookup via a 10-entry array filter), so the only exchange in
+    * the plan is the per-query top-k window c5 itself needs. Compose with
+    * c18's cell restriction (both pieces exist) for the full IVF-PQ
+    * pipeline; unrestricted ADC is kept here so recall measures the CODEC
+    * alone. Ties (candidates sharing all M codes score identically by
+    * construction) break on neighbor_id ascending in both engines. */
   def c38PqSearch(spark: SparkSession, dir: String,
                   k: Int = 5, m: Int = 4): DataFrame = {
     val cb = labelCodebook(spark, dir)

@@ -21,7 +21,9 @@ object TextOps {
   /** Small fixed stopword profile used by quality scoring and language id. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  private def words(c: Column): Column = split(c, " ")
+  /** Whitespace tokenization — THE tokenizer every text operator (and
+    * d10's streaming twin) shares, so batch/stream parity can't drift. */
+  private[graft] def words(c: Column): Column = split(c, " ")
 
   private def stopwordHits(c: Column): Column =
     size(filter(words(c), w => w.isin(EnStopwords: _*))).cast("bigint")

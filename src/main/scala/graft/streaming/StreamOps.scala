@@ -219,7 +219,7 @@ object StreamOps {
     * corpus. */
   def streamVocab(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
 
   /** d8: streaming decontamination — the streaming twin of batch c27.

@@ -289,11 +289,11 @@ class DedupSimSpec extends SparkSpec {
     val existingTexts = docs.filter(_._1 % 7 != 3)
     val rows = Dedup.c37IncrementalDedup(spark, sfDir).collect()
     val expectedIncoming = docs.keySet.filter(_ % 7 == 3) ++
-      docs.keySet.filter(id => id % 11 == 5 && id % 7 != 3).map(_ + 1000000L)
+      docs.keySet.filter(id => id % 11 == 5 && id % 7 != 3).map(_ + 1000000000000L)
     assert(rows.map(_.getAs[Long]("doc_id")).toSet == expectedIncoming)
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val text = if (id >= 1000000L) docs(id - 1000000L) else docs(id)
+      val text = if (id >= 1000000000000L) docs(id - 1000000000000L) else docs(id)
       r.getAs[String]("status") match {
         case "exact_dup" =>
           val src = r.getAs[Long]("dup_of")
@@ -312,13 +312,13 @@ class DedupSimSpec extends SparkSpec {
       }
       if (!r.isNullAt(2)) {
         val src = r.getAs[Long]("dup_of")
-        assert(src < 1000000L && src % 7 != 3, s"$id: dup_of $src not an existing id")
+        assert(src < 1000000000000L && src % 7 != 3, s"$id: dup_of $src not an existing id")
       }
     }
     // every recrawl row is a byte-identical replay -> must be exact_dup of its source
-    rows.filter(_.getAs[Long]("doc_id") >= 1000000L).foreach { r =>
+    rows.filter(_.getAs[Long]("doc_id") >= 1000000000000L).foreach { r =>
       assert(r.getAs[String]("status") == "exact_dup")
-      assert(r.getAs[Long]("dup_of") == r.getAs[Long]("doc_id") - 1000000L)
+      assert(r.getAs[Long]("dup_of") == r.getAs[Long]("doc_id") - 1000000000000L)
     }
   }
 
