@@ -85,7 +85,7 @@ object Dedup {
   /** k md5 minhashes + the shingle-set size in ONE codegen'd
     * hash-aggregate over (doc_id, shingle) rows (a separate sizes pass
     * would recompute the shingle subtree). Shared by c2 and c37. */
-  private def minhashAgg(sh: DataFrame, k: Int): DataFrame = {
+  private[graft] def minhashAgg(sh: DataFrame, k: Int): DataFrame = {
     val cols = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")) :+
       count(lit(1)).as("ns")
@@ -94,7 +94,7 @@ object Dedup {
 
   /** LSH band keys (doc_id, band, key) from a [[minhashAgg]] frame:
     * `bands` buckets of k/bands consecutive minhashes each. */
-  private def bandKeysOf(mh: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandKeysOf(mh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     mh.select(col("doc_id"), posexplode(array(
       (0 until bands).map { j =>

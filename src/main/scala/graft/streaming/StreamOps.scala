@@ -222,6 +222,62 @@ object StreamOps {
       .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
 
+  /** d11: streaming ingest routing — classify an arriving doc stream
+    * against a STATIC existing corpus (the zero-state streaming twin of
+    * c37, and the inventory's stream-static-join surface). The batch
+    * side's artifacts are computed once: an md5 table for exact matches
+    * and a (band, key → ex_id, shingle set) table for near-dup
+    * candidates. The STREAM side needs no aggregation at all — a doc's
+    * shingle set, its k min-hashes and its band keys are all row-local
+    * array expressions (c2's groupBy formulation exists because batch
+    * shingles arrive as rows; a stream row carries its whole document) —
+    * so every match is a stream-static equi-join, stateless in Spark,
+    * and the jaccard verify is a row-local `array_intersect` against the
+    * candidate's attached shingle set. Like d8, the operator emits HIT
+    * rows — (doc_id, kind exact|near, ex_id, jaccard_r), possibly one
+    * per colliding band — and callers fold statuses downstream; the
+    * parity spec derives c37's exact statuses AND dup_of from this
+    * sink. Zero state, no watermark, any stream length. */
+  def streamIngest(docs: DataFrame, existing: DataFrame,
+                   threshold: Double = 0.7,
+                   k: Int = 8, bands: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = k / bands
+    // static artifacts (bounded by the corpus, joined stream-static)
+    val exTable = existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id"))
+    val shEx = Dedup.shingleRows(existing)
+    val setsEx = shEx.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("ex_sl"), count(lit(1)).as("ex_ns"))
+    val bandEx = Dedup.bandKeysOf(Dedup.minhashAgg(shEx, k), k, bands)
+      .join(setsEx, "doc_id")
+      .select(col("band"), col("key"), col("doc_id").as("ex_id"),
+        col("ex_sl"), col("ex_ns"))
+    // stream side: everything row-local
+    val s = Dedup.shingles(col("text"), 3)
+    val mh = (0 until k).map(i =>
+      array_min(transform(s, x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
+    val bandArr = array((0 until bands).map { j =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
+      md5(concat_ws("|", cols: _*))
+    }: _*)
+    val exact = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exTable, "h")
+      .select(col("doc_id"), lit("exact").as("kind"), col("ex_id"),
+        lit(1.0).as("jaccard_r"))
+    val near = docs
+      .select(Seq(col("doc_id"), s.as("sl")) ++ mh: _*)
+      .filter(size(col("sl")) >= 1)
+      .select(col("doc_id"), col("sl"), posexplode(bandArr).as(Seq("band", "key")))
+      .join(bandEx, Seq("band", "key"))
+      .withColumn("ni", size(array_intersect(col("sl"), col("ex_sl"))))
+      .withColumn("jaccard_r",
+        round(col("ni").cast("double") / (size(col("sl")) + col("ex_ns") - col("ni")), 6))
+      .filter(col("jaccard_r") >= threshold)
+      .select(col("doc_id"), lit("near").as("kind"), col("ex_id"), col("jaccard_r"))
+    exact.unionByName(near)
+  }
+
   /** d8: streaming decontamination — the streaming twin of batch c27.
     * Each arriving doc explodes into its distinct 8-token shingles
     * (per-doc `array_distinct`, so the explode is stateless — no global

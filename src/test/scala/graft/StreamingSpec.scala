@@ -344,6 +344,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    // c37's split: existing %7!=3; incoming = %7==3 plus the rekeyed recrawls
+    val existingRows = docs.filter(_._1 % 7 != 3)
+    val incoming = docs.filter(_._1 % 7 == 3) ++
+      docs.filter(d => d._1 % 11 == 5 && d._1 % 7 != 3)
+        .map(d => (d._1 + 1000000000000L, d._2))
+    val existing = existingRows.toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamIngest(
+      stream.toDF().toDF("doc_id", "text"), existing)
+      .writeStream.outputMode("append").format("memory").queryName("d11_sink").start()
+    try {
+      val (a, b) = incoming.splitAt(incoming.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val hits = spark.table("d11_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"), r.getAs[Long]("ex_id")))
+      val byDoc = hits.groupBy(_._1)
+      val statuses = incoming.map { case (id, _) =>
+        val h = byDoc.getOrElse(id, Array.empty)
+        val exact = h.filter(_._2 == "exact")
+        val near = h.filter(_._2 == "near")
+        val (st, of) =
+          if (exact.nonEmpty) ("exact_dup", exact.map(_._3).min)
+          else if (near.nonEmpty) ("near_dup", near.map(_._3).min)
+          else ("new", -1L)
+        id -> ((st, of))
+      }.toMap
+      val batch = graft.operators.Dedup.c37IncrementalDedup(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("status"),
+            if (r.isNullAt(2)) -1L else r.getAs[Long]("dup_of"))))
+        .toMap
+      assert(statuses == batch,
+        "streaming hit fold must equal c37's statuses and dup_of exactly")
+    } finally q.stop()
+  }
+
   test("d8 streaming decontamination hits aggregate to c24's batch n_shared") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
