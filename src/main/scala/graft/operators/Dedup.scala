@@ -19,6 +19,9 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Monotone id distinguishing [[incrementalDedup]] invocations' scratch. */
+  private val ingestRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** c1: exact dedup — canonical (minimum) doc_id per distinct text, with
     * the duplicate count. */
   def c1DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -84,7 +87,8 @@ object Dedup {
 
   /** k md5 minhashes + the shingle-set size in ONE codegen'd
     * hash-aggregate over (doc_id, shingle) rows (a separate sizes pass
-    * would recompute the shingle subtree). Shared by c2 and c37. */
+    * would recompute the shingle subtree). Shared by c2, c37 and d11's
+    * static side. */
   private[graft] def minhashAgg(sh: DataFrame, k: Int): DataFrame = {
     val cols = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")) :+
@@ -169,7 +173,15 @@ object Dedup {
     val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id")), "h")
       .groupBy("doc_id").agg(min(col("ex_id")).as("exact_of"))
-    val shIn = shingleRows(incoming.select(col("doc_id"), col("text")))
+    // the incoming-side shingle subtree feeds two consumers (minhash agg +
+    // the verify join): materialize it to per-call scratch parquet — the
+    // decontaminate() seam — so the batch is shingled once per run, not
+    // once per consumer. Bounded by the incoming batch's size.
+    val runId = ingestRuns.incrementAndGet()
+    val shInPath = graft.GraftSession.scratchDir(s"ingest-shingles-$runId").toString
+    shingleRows(incoming.select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(shInPath)
+    val shIn = incoming.sparkSession.read.parquet(shInPath)
     val shEx = existingShingles.getOrElse(
       shingleRows(existing.select(col("doc_id"), col("text"))))
     val mhIn = minhashAgg(shIn, k)
