@@ -252,10 +252,12 @@ object StreamOps {
       .join(setsEx, "doc_id")
       .select(col("band"), col("key"), col("doc_id").as("ex_id"),
         col("ex_sl"), col("ex_ns"))
-    // stream side: everything row-local
-    val s = Dedup.shingles(col("text"), 3)
+    // stream side: everything row-local. The shingle array is staged in
+    // its own projection so the (interpreted-HOF) shingling runs once per
+    // row — referencing the expression from each minhash column would
+    // re-evaluate it k+1 times
     val mh = (0 until k).map(i =>
-      array_min(transform(s, x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
+      array_min(transform(col("sl"), x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
     val bandArr = array((0 until bands).map { j =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
       md5(concat_ws("|", cols: _*))
@@ -266,8 +268,9 @@ object StreamOps {
       .select(col("doc_id"), lit("exact").as("kind"), col("ex_id"),
         lit(1.0).as("jaccard_r"))
     val near = docs
-      .select(Seq(col("doc_id"), s.as("sl")) ++ mh: _*)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sl"))
       .filter(size(col("sl")) >= 1)
+      .select(Seq(col("doc_id"), col("sl")) ++ mh: _*)
       .select(col("doc_id"), col("sl"), posexplode(bandArr).as(Seq("band", "key")))
       .join(bandEx, Seq("band", "key"))
       .withColumn("ni", size(array_intersect(col("sl"), col("ex_sl"))))
