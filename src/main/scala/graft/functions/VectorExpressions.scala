@@ -489,6 +489,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableInt(children, 1, "nPlanes"),
           if (children.length > 2) foldableInt(children, 2, "dim") else 64,
           if (children.length > 3) foldableString(children, 3, "seed") else "graft"))))
+    // graft_nearest_cells(vec, codebook, maxProbe) — the c18/c31/c36
+    // assignment argmax; codebook is an array<struct<cell, centroid>>
+    // (fold one with sort_array(collect_list(struct(cell, centroid))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (children: Seq[Expression]) => NearestCells(
+        castToDoubleArray(children.head), children(1),
+        foldableInt(children, 2, "maxProbe"))))
     // graft_lsh_project(emb, nPlanes[, dim[, seed]]) — c28's JL
     // projection; default seed matches c28 ("graft:rp")
     ext.injectFunction((

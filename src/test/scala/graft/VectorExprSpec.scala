@@ -131,6 +131,21 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_nearest_cells SQL form equals the Column API, maxProbe must be a literal") {
+    val viaSql = spark.sql(
+      """SELECT graft_nearest_cells(
+        |  array(1.0d, 0.0d),
+        |  array(struct(0 AS cell, array(1.0d, 0.0d) AS centroid),
+        |        struct(1 AS cell, array(0.0d, 1.0d) AS centroid)),
+        |  2) AS top""".stripMargin).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.map(r => (r.getInt(0), r.getDouble(1))) ==
+      Seq((0, 1.0), (1, 0.0)), s"got $viaSql")
+    val err = intercept[Exception](spark.sql(
+      """SELECT graft_nearest_cells(array(1.0d), array(struct(0 AS cell,
+        |  array(1.0d) AS centroid)), cast(rand() * 2 AS INT))""".stripMargin).collect())
+    assert(err.getMessage.contains("maxProbe"), err.getMessage)
+  }
+
   test("c5 results are unchanged by the native expression (vs collected ground truth)") {
     val e = Tables.embeddings(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
