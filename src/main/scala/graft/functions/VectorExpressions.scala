@@ -273,6 +273,14 @@ case class NearestCells(left: Expression, right: Expression, maxProbe: Int)
 
   private lazy val cellDt: DataType = right.dataType match {
     case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      // centroids are read with getDouble: any other element type would be
+      // reinterpreted as garbage (float32) or crash (decimal) per row —
+      // reject at plan build with a clear message instead
+      fields(1).dataType match {
+        case ArrayType(DoubleType, _) =>
+        case other => throw new IllegalArgumentException(
+          s"graft_nearest_cells: centroid field must be array<double>, got $other")
+      }
       fields(0).dataType match {
         case t @ (IntegerType | LongType) => t
         case other => throw new IllegalArgumentException(
@@ -496,7 +504,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (children: Seq[Expression]) => NearestCells(
-        castToDoubleArray(children.head), children(1),
+        castToDoubleArray(children.head),
+        castCentroidsToDouble(children(1)),
         foldableInt(children, 2, "maxProbe"))))
     // graft_lsh_project(emb, nPlanes[, dim[, seed]]) — c28's JL
     // projection; default seed matches c28 ("graft:rp")
@@ -526,4 +535,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def castToDoubleArray(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.ArrayType(DoubleType))
+
+  /** Upcasts a codebook's centroid field to array<double> (keeping the
+    * cell field's type), so the documented SQL recipe — folding float32
+    * embedding slices with collect_list — just works. NearestCells reads
+    * centroids with getDouble and would otherwise reject (or, uncast,
+    * misread) non-double centroids. Shapes that aren't
+    * array<struct<_, _>> pass through for NearestCells' own clear error. */
+  private def castCentroidsToDouble(e: Expression): Expression = {
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    e.dataType match {
+      case ArrayType(StructType(fields), n) if fields.length == 2 =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, ArrayType(StructType(Seq(
+            fields(0),
+            StructField(fields(1).name, ArrayType(DoubleType), fields(1).nullable))), n))
+      case _ => e
+    }
+  }
 }

@@ -169,19 +169,28 @@ object Dedup {
     * disagreement. */
   def incrementalDedup(incoming: DataFrame, existing: DataFrame,
                        threshold: Double = 0.7, k: Int = 8, bands: Int = 4,
-                       existingShingles: Option[DataFrame] = None): DataFrame = {
+                       existingShingles: Option[DataFrame] = None,
+                       incomingShingles: Option[DataFrame] = None): DataFrame = {
     val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id")), "h")
       .groupBy("doc_id").agg(min(col("ex_id")).as("exact_of"))
     // the incoming-side shingle subtree feeds two consumers (minhash agg +
     // the verify join): materialize it to per-call scratch parquet — the
     // decontaminate() seam — so the batch is shingled once per run, not
-    // once per consumer. Bounded by the incoming batch's size.
-    val runId = ingestRuns.incrementAndGet()
-    val shInPath = graft.GraftSession.scratchDir(s"ingest-shingles-$runId").toString
-    shingleRows(incoming.select(col("doc_id"), col("text")))
-      .write.mode("overwrite").parquet(shInPath)
-    val shIn = incoming.sparkSession.read.parquet(shInPath)
+    // once per consumer. Per-call run ids are deliberate (a reused name
+    // would invalidate the lazy frame a previous call returned); each
+    // dataset is bounded by its incoming batch and cleared at JVM exit.
+    // Long-lived services running many batches per JVM should manage the
+    // shingle store themselves and inject it via `incomingShingles`
+    // (which also keeps plan construction lazy — the scratch write is an
+    // eager job).
+    val shIn = incomingShingles.getOrElse {
+      val runId = ingestRuns.incrementAndGet()
+      val shInPath = graft.GraftSession.scratchDir(s"ingest-shingles-$runId").toString
+      shingleRows(incoming.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(shInPath)
+      incoming.sparkSession.read.parquet(shInPath)
+    }
     val shEx = existingShingles.getOrElse(
       shingleRows(existing.select(col("doc_id"), col("text"))))
     val mhIn = minhashAgg(shIn, k)

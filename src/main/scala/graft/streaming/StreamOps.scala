@@ -225,9 +225,10 @@ object StreamOps {
   /** d11: streaming ingest routing — classify an arriving doc stream
     * against a STATIC existing corpus (the zero-state streaming twin of
     * c37, and the inventory's stream-static-join surface). The batch
-    * side's artifacts are computed once: an md5 table for exact matches
-    * and a (band, key → ex_id, shingle set) table for near-dup
-    * candidates. The STREAM side needs no aggregation at all — a doc's
+    * side's artifacts arrive as [[IngestStatics]] — built once by
+    * [[ingestStatics]] and persisted by the caller (d8's
+    * precomputed-eval-shingles pattern). The STREAM side needs no
+    * aggregation at all — a doc's
     * shingle set, its k min-hashes and its band keys are all row-local
     * array expressions (c2's groupBy formulation exists because batch
     * shingles arrive as rows; a stream row carries its whole document) —
@@ -238,12 +239,21 @@ object StreamOps {
     * per colliding band — and callers fold statuses downstream; the
     * parity spec derives c37's exact statuses AND dup_of from this
     * sink. Zero state, no watermark, any stream length. */
-  def streamIngest(docs: DataFrame, existing: DataFrame,
-                   threshold: Double = 0.7,
-                   k: Int = 8, bands: Int = 4): DataFrame = {
+  /** The static-side artifacts [[streamIngest]] joins against: an md5
+    * table for exact matches and a (band, key → ex_id, shingle set,
+    * size) table for near-dup candidates. Build these ONCE per corpus
+    * and persist them (or write to the corpus store and read back) —
+    * a stream-static join re-executes the static subtree every
+    * micro-batch, so an unpersisted corpus pipeline would re-shingle
+    * the whole corpus per trigger. */
+  case class IngestStatics(exact: DataFrame, bands: DataFrame)
+
+  /** Builds [[IngestStatics]] from an existing (doc_id, text) corpus —
+    * the streaming counterpart of [[graft.operators.Dedup.incrementalDedup]]'s
+    * `existingShingles` injection point. */
+  def ingestStatics(existing: DataFrame, k: Int = 8,
+                    bands: Int = 4): IngestStatics = {
     import graft.operators.Dedup
-    val rowsPerBand = k / bands
-    // static artifacts (bounded by the corpus, joined stream-static)
     val exTable = existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id"))
     val shEx = Dedup.shingleRows(existing)
     val setsEx = shEx.groupBy("doc_id")
@@ -252,6 +262,16 @@ object StreamOps {
       .join(setsEx, "doc_id")
       .select(col("band"), col("key"), col("doc_id").as("ex_id"),
         col("ex_sl"), col("ex_ns"))
+    IngestStatics(exTable, bandEx)
+  }
+
+  def streamIngest(docs: DataFrame, statics: IngestStatics,
+                   threshold: Double = 0.7,
+                   k: Int = 8, bands: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = k / bands
+    val exTable = statics.exact
+    val bandEx = statics.bands
     // stream side: everything row-local. The shingle array is staged in
     // its own projection so the (interpreted-HOF) shingling runs once per
     // row — referencing the expression from each minhash column would

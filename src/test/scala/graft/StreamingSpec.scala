@@ -355,9 +355,13 @@ class StreamingSpec extends SparkSpec {
       docs.filter(d => d._1 % 11 == 5 && d._1 % 7 != 3)
         .map(d => (d._1 + 1000000000000L, d._2))
     val existing = existingRows.toDF("doc_id", "text")
+    // statics built once and persisted — the contract callers follow so
+    // the corpus subtree isn't re-executed per micro-batch
+    val statics = graft.streaming.StreamOps.ingestStatics(existing)
+    statics.exact.persist(); statics.bands.persist()
     val stream = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamOps.streamIngest(
-      stream.toDF().toDF("doc_id", "text"), existing)
+      stream.toDF().toDF("doc_id", "text"), statics)
       .writeStream.outputMode("append").format("memory").queryName("d11_sink").start()
     try {
       val (a, b) = incoming.splitAt(incoming.length / 2)
@@ -383,7 +387,10 @@ class StreamingSpec extends SparkSpec {
         .toMap
       assert(statuses == batch,
         "streaming hit fold must equal c37's statuses and dup_of exactly")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      statics.exact.unpersist(); statics.bands.unpersist()
+    }
   }
 
   test("d8 streaming decontamination hits aggregate to c24's batch n_shared") {
