@@ -486,6 +486,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32_md5"),
+      new ExpressionInfo(classOf[SimHash32Md5].getName, "graft_simhash32_md5"),
+      (children: Seq[Expression]) => SimHash32Md5(children.head)))
     // graft_lsh_bucket(emb, nPlanes[, dim[, seed]]) — c6/c11's seeded
     // sign bucket; defaults match the Column API (dim 64, seed "graft")
     ext.injectFunction((

@@ -72,6 +72,23 @@ class DedupSimSpec extends SparkSpec {
       "expression and aggregate formulations must agree exactly")
   }
 
+  test("graft_simhash64 / graft_simhash32_md5 SQL forms equal the Column API") {
+    Tables.documents(spark, sfDir).limit(50).createOrReplaceTempView("ds_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash64(text) AS h64,
+        |  graft_simhash32_md5(text) AS h32
+        |FROM ds_sql ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("h64"),
+        graft.functions.TextFunctions.simhash32md5(col("text")).as("h32"))
+      .orderBy("doc_id").collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getLong(1) == a.getLong(1), s"h64 mismatch doc ${s.getLong(0)}")
+      assert(s.getLong(2) == a.getLong(2), s"h32 mismatch doc ${s.getLong(0)}")
+    }
+  }
+
   test("c3 simhash: identical texts hash identically; banding finds them") {
     val docs = docsDf(Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
