@@ -97,6 +97,9 @@ object SparkEntry {
     "c36_pq_quantize" -> ((s: SparkSession, d: String) => Similarity.c36PqQuantize(s, d)),
     "c37_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.c37IncrementalDedup(s, d)),
     "c38_pq_search" -> ((s: SparkSession, d: String) => Similarity.c38PqSearch(s, d)),
+    "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
+    "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
+    "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -941,5 +944,43 @@ object SparkEntry {
         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    // c39: DuckDB list slice [a:b] is 1-based inclusive-inclusive and
+    // clamps at the list end — matching Spark's slice(arr, start, len)
+    // with b = start + len - 1; `//` is DuckDB's integer division
+    // (plain `/` yields DOUBLE)
+    "c39_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks) - 1) // 24)) AS chunk_id
+        |      FROM t),
+        |c AS (SELECT doc_id, chunk_id,
+        |        toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS chunk
+        |      FROM s)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "c40_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |        md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+        |      FROM documents),
+        |s AS (SELECT doc_id, h, substr(h, 1, 1) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS pos, h
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "c41_freq_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |vocab AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+        |t AS (SELECT count(*) AS total_tokens FROM tok),
+        |d AS (SELECT doc_id, count(*) AS n_tokens, sum(ctf) AS sum_ctf
+        |      FROM tok JOIN vocab USING (term) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum_ctf AS BIGINT) AS sum_ctf,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r,
+        |  round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) >= 0.033 AS keep
+        |FROM d, t ORDER BY doc_id""".stripMargin,
   )
 }

@@ -430,4 +430,91 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
   }
+
+  /** c39: fixed-window document chunking with overlap — the context-window
+    * splitter every RAG index and long-document training pipeline runs:
+    * each doc becomes ⌈n/stride⌉-ish chunks of `chunkSize` tokens starting
+    * every `stride` tokens (overlap = chunkSize − stride). One stateless
+    * projection + explode per doc — no shuffle at all (ordering excluded:
+    * the gate's orderBy is presentation only), embarrassingly parallel
+    * over document splits at any scale. The token array is staged behind
+    * its own projection alias so the split runs once per row, and each
+    * chunk slice likewise feeds its text and length columns from one
+    * evaluation. Chunk starts are 0, stride, 2·stride, … while < n_tokens
+    * (so the final, possibly short, tail chunk is kept — no token is
+    * dropped); chunk_id = start/stride. */
+  def c39Chunk(spark: SparkSession, dir: String,
+               chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(stride)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("bigint").as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** c40: deterministic training-order shuffle + sharding — the writer
+    * side of a training run: every doc gets a content-derived shard and a
+    * dense position within that shard, reproducible across re-runs,
+    * re-partitionings, and engines (no RNG state — the order IS the md5
+    * of the content, the same stable-hash machinery as c14/c17). Shards
+    * are the first `prefixLen` md5 hex chars (16^prefixLen shards), so a
+    * production run sizes shards for its reducers/output files by turning
+    * the prefix knob (4 hex chars = 65k shards at 100 TB ≈ 1.5 GB each) —
+    * the per-shard position sort is a window over ONE SHARD, never a
+    * global single-reducer sort. The hash is salted with doc_id so
+    * replayed/duplicate texts still get distinct positions. */
+  def c40ShuffleShard(spark: SparkSession, dir: String,
+                      prefixLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1, 8], got $prefixLen")
+    val h = md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, prefixLen))
+      .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("h"))
+      .orderBy("shard", "pos")
+  }
+
+  /** c41: corpus-frequency scoring — the perplexity-proxy quality filter
+    * (the CCNet-style stage): score each doc by the mean UNIGRAM
+    * PROBABILITY of its tokens (mean corpus frequency / total corpus
+    * tokens). Gibberish/boilerplate is rare-token-heavy and scores low;
+    * natural prose rides the head of the distribution. Normalizing by the
+    * corpus total makes the score — and the keep threshold — invariant to
+    * corpus size, so one cutoff serves every scale factor. Two narrow
+    * shuffles — a vocabulary-sized term count (map-side combinable) and a
+    * per-doc sum — joined on the term key; at 100 TB the join ships one
+    * row per (doc, token) against a vocabulary-sized build side (hash
+    * equi-join; broadcast when the vocab is bounded), and the corpus
+    * total arrives via a broadcast 1-row aggregate, never a collect.
+    * All-integer sums with one left-associated double division chain at
+    * the end (identical IEEE ops in both engines), and the keep verdict
+    * thresholds the ROUNDED value, so engines agree at the boundary. */
+  def c41FreqScore(spark: SparkSession, dir: String,
+                   minMeanProb: Double = 0.033): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val total = tok.agg(count(lit(1)).as("total_tokens"))
+    tok.join(vocab, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
+      .crossJoin(broadcast(total))
+      .withColumn("mean_prob_r",
+        round(col("sum_ctf").cast("double") / col("n_tokens") / col("total_tokens"), 6))
+      .withColumn("keep", col("mean_prob_r") >= minMeanProb)
+      .orderBy("doc_id")
+  }
 }

@@ -217,4 +217,87 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("keep")))
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("c39 chunking: chunk starts/sizes/text recompute from raw tokens; no-overlap config partitions exactly") {
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).toSeq)
+      .toMap
+    val byDoc = TextOps.c39Chunk(spark, sfDir).collect() // chunkSize 32, stride 24
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == texts.keySet, "every doc must chunk, even empty ones")
+    byDoc.foreach { case (id, rs) =>
+      val toks = texts(id); val n = toks.length
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L to (n - 1) / 24).toSeq, s"chunk ids of doc $id")
+      sorted.foreach { r =>
+        val s = r.getAs[Long]("chunk_id").toInt * 24
+        val expect = toks.slice(s, math.min(s + 32, n))
+        assert(r.getAs[String]("chunk_text") == expect.mkString(" "), s"doc $id chunk $s")
+        assert(r.getAs[Long]("chunk_tokens") == expect.length)
+      }
+    }
+    // stride == chunkSize → chunks partition the token stream: re-joining
+    // them with the separator reconstructs every doc byte-for-byte
+    TextOps.c39Chunk(spark, sfDir, chunkSize = 24, stride = 24).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .foreach { case (id, rs) =>
+        val joined = rs.sortBy(_.getAs[Long]("chunk_id"))
+          .map(_.getAs[String]("chunk_text")).mkString(" ")
+        assert(joined == texts(id).mkString(" "), s"doc $id reconstruction")
+      }
+    // the corpus must actually exercise multi-chunk docs and short tails
+    assert(byDoc.values.exists(_.length > 1))
+    assert(byDoc.values.flatten.exists(_.getAs[Long]("chunk_tokens") < 32))
+  }
+
+  test("c40 shuffle-shard: positions dense per shard in hash order; prefix knob scales the shard count") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = TextOps.c40ShuffleShard(spark, sfDir).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("shard") == r.getAs[String]("h").substring(0, 1))
+    }
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (sh, rs) =>
+      assert(sh.matches("[0-9a-f]"), s"shard $sh")
+      val sorted = rs.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq == (0L until rs.length).toSeq,
+        s"positions in shard $sh must be dense from 0")
+      val hs = sorted.map(r => (r.getAs[String]("h"), r.getAs[Long]("doc_id")))
+      assert(hs.zip(hs.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) },
+        s"shard $sh order must be (h, doc_id)")
+    }
+    // 2-char prefix → finer shards, still dense and hash-prefixed
+    val fine = TextOps.c40ShuffleShard(spark, sfDir, prefixLen = 2).collect()
+    assert(fine.map(_.getAs[String]("shard")).distinct.length > 16)
+    fine.groupBy(_.getAs[String]("shard")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until rs.length).toSeq,
+        s"fine shard $sh")
+    }
+  }
+
+  test("c41 frequency score recomputes from raw text; keep thresholds the rounded scale-free score") {
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split(" ", -1).toSeq)
+      .toMap
+    val ctf = texts.values.flatten.groupBy(identity).map { case (t, a) => t -> a.size.toLong }
+    val total = texts.values.map(_.length).sum
+    val rows = TextOps.c41FreqScore(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val ts = texts(r.getAs[Long]("doc_id"))
+      val sum = ts.map(ctf).sum
+      assert(r.getAs[Long]("n_tokens") == ts.length)
+      assert(r.getAs[Long]("sum_ctf") == sum)
+      assert(r.getAs[Long]("total_tokens") == total)
+      val mean = BigDecimal(sum.toDouble / ts.length / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("mean_prob_r") == mean, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Double]("mean_prob_r") >= 0.033))
+    }
+    // the cutoff must discriminate on this corpus, not rubber-stamp it
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
 }
