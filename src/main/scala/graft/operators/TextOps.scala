@@ -399,10 +399,20 @@ object TextOps {
     val tc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-    tc.groupBy("doc_id")
+    qualityVerdicts(tc.groupBy("doc_id")
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_types"),
-        max(col("c")).as("max_tc"))
+        max(col("c")).as("max_tc")))
+      .orderBy("doc_id")
+  }
+
+  /** The c35 rule battery over a (doc_id, n_words, n_types, max_tc) frame
+    * — THE verdict logic both the batch operator and d12's streaming twin
+    * apply, shared (like [[words]]) so batch/stream thresholds can't
+    * drift. Ratios are one double division of exact integers rounded to
+    * 6 dp; every rule thresholds the ROUNDED value. */
+  private[graft] def qualityVerdicts(counts: DataFrame): DataFrame =
+    counts
       .withColumn("ttr",
         round(col("n_types").cast("double") / col("n_words"), 6))
       .withColumn("top_share",
@@ -412,8 +422,6 @@ object TextOps {
       .withColumn("rule_top_share", col("top_share") <= 0.2)
       .withColumn("keep",
         col("rule_len") && col("rule_ttr") && col("rule_top_share"))
-      .orderBy("doc_id")
-  }
 
   /** c17: stratified deterministic sampling — per-stratum (language) rates
     * applied via a content-hash bucket, the scale-safe sampler: a pure

@@ -222,6 +222,45 @@ object StreamOps {
       .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
 
+  /** d12: streaming quality filter — the ZERO-STATE twin of c35's Gopher
+    * rule battery for filtering docs at ingest time. c35's batch shape is
+    * two groupBy passes because batch tokens arrive as exploded rows; a
+    * stream row carries its whole document, so the same three counts
+    * (n_words, n_types, max token count) are row-local array math over
+    * the SORTED token array: type boundaries are the positions where a
+    * token differs from its predecessor, and per-type counts are the
+    * gaps between consecutive boundaries (run lengths). That trades
+    * c35's map-side-combinable shuffle for O(n log n) interpreted HOF
+    * work per row — right for a doc-at-a-time stream, wrong for a
+    * 100 TB batch scan, which is why both forms exist. The verdict logic
+    * itself is [[graft.operators.TextOps.qualityVerdicts]], shared with
+    * c35 so thresholds can't drift; a parity spec pins stream ≡ batch
+    * row-for-row. Stateless: no watermark, no aggregation state, any
+    * stream length. */
+  def streamQuality(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"),
+        sort_array(graft.operators.TextOps.words(lower(col("text")))).as("sorted"))
+      // run starts: position 0 plus every position whose token differs
+      // from its predecessor (1-based element_at over the 0-based index)
+      .select(col("doc_id"), col("sorted"),
+        filter(sequence(lit(0), size(col("sorted")) - 1),
+          i => (i === lit(0)) ||
+            (element_at(col("sorted"), i + 1) =!= element_at(col("sorted"), i)))
+          .as("starts"))
+      .select(col("doc_id"),
+        size(col("sorted")).cast("bigint").as("n_words"),
+        size(col("starts")).cast("bigint").as("n_types"),
+        // run lengths = next start (or n) minus this start; the max is
+        // c35's max term count
+        array_max(zip_with(
+          col("starts"),
+          concat(slice(col("starts"), lit(2), size(col("starts"))),
+            array(size(col("sorted")))),
+          (a, b) => b - a)).cast("bigint").as("max_tc"))
+    graft.operators.TextOps.qualityVerdicts(counts)
+  }
+
   /** d11: streaming ingest routing — classify an arriving doc stream
     * against a STATIC existing corpus (the zero-state streaming twin of
     * c37, and the inventory's stream-static-join surface). The batch

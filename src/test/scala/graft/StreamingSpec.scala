@@ -344,6 +344,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d12 streaming quality verdicts equal c35 batch row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq ++
+      Seq((9001L, "a  b"), (9002L, "solo"), (9003L, "MiXeD CaSe MiXeD")) // edge shapes
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamQuality(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("d12_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val cols = Seq("doc_id", "n_words", "n_types", "max_tc",
+        "ttr", "top_share", "rule_len", "rule_ttr", "rule_top_share", "keep")
+      val streamed = spark.table("d12_sink")
+        .select(cols.map(col): _*).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      // batch twin over the same doc set (corpus + edge docs)
+      val tc = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val batch = graft.operators.TextOps.qualityVerdicts(
+        tc.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_types"),
+            max(col("c")).as("max_tc")))
+        .select(cols.map(col): _*).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, row) =>
+        assert(row == batch(id), s"doc $id stream vs batch verdict")
+      }
+      // the stream must see both verdicts on this corpus
+      assert(streamed.values.exists(_.last == true))
+      assert(streamed.values.exists(_.last == false))
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
