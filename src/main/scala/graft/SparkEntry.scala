@@ -973,7 +973,7 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),
         |vocab AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
-        |t AS (SELECT count(*) AS total_tokens FROM tok),
+        |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS total_tokens FROM vocab),
         |d AS (SELECT doc_id, count(*) AS n_tokens, sum(ctf) AS sum_ctf
         |      FROM tok JOIN vocab USING (term) GROUP BY doc_id)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -515,7 +515,9 @@ object TextOps {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
     val vocab = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
-    val total = tok.agg(count(lit(1)).as("total_tokens"))
+    // corpus total = Σ ctf over the VOCABULARY (already aggregated) — not
+    // a third corpus-wide explode
+    val total = vocab.agg(sum(col("ctf")).as("total_tokens"))
     tok.join(vocab, "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))

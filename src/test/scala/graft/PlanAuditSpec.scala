@@ -64,4 +64,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected ONE hash exchange (the query_id top-k window), got $hashExchanges:\n$s")
   }
+
+  test("c39 plan: chunking is shuffle-free — the only exchange is the presentation sort") {
+    val s = executedPlanOf(graft.operators.TextOps.c39Chunk(spark, sfDir))
+    assert(!s.contains("hashpartitioning("),
+      s"chunking must not hash-shuffle (stateless projection + explode):\n$s")
+    // only text/doc_id leave the scan — chunking must not drag the
+    // documents table's other columns through the explode
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning missing at the scan:\n$s")
+  }
+
+  test("c40 plan: one shard exchange; the position sort is per-shard, never global") {
+    val s = executedPlanOf(graft.operators.TextOps.c40ShuffleShard(spark, sfDir))
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange (shard key), got $hashExchanges:\n$s")
+    assert(s.contains("hashpartitioning(shard"),
+      s"window must partition on the shard key:\n$s")
+  }
+
+  test("c41 plan: the total-tokens scalar reuses the vocabulary exchange, not a third corpus scan") {
+    // logically the total aggregate re-derives the vocab subtree (Catalyst
+    // keeps duplicate subtrees), but deriving it FROM the vocab aggregate
+    // makes its exchange byte-identical to the join's build side — so the
+    // physical plan must REUSE that exchange and the corpus is exploded
+    // only twice at execution (vocab build + join side)
+    val s = executedPlanOf(graft.operators.TextOps.c41FreqScore(spark, sfDir))
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+      s"vocabulary exchange not reused for the corpus total:\n$s")
+  }
 }
