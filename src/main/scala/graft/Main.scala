@@ -44,10 +44,55 @@ object Main {
     case Some("curate") => curate(args.drop(1))
     case Some("vocab") => vocab(args.drop(1))
     case Some("ingest") => ingest(args.drop(1))
+    case Some("chunk") => chunk(args.drop(1))
+    case Some("shard") => shard(args.drop(1))
     case _ =>
       System.err.println(
-        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|ingest ...")
+        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|ingest|chunk|shard ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main chunk --in PARQUET --out OUT [--size N] [--stride N]` —
+    * c39's context-window splitter over an arbitrary (doc_id, text)
+    * parquet (typically `curate`'s output): fixed-size token chunks every
+    * `stride` tokens, short tail kept. Writes (doc_id, chunk_id,
+    * chunk_tokens, chunk_text) parquet plus one JSON stats line. */
+  private def chunk(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val size = opt(args, "--size").map(_.toInt).getOrElse(32)
+    val stride = opt(args, "--stride").map(_.toInt).getOrElse(24)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in).select("doc_id", "text")
+    graft.operators.TextOps.chunkDocs(docs, size, stride)
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)), sum(col("chunk_tokens"))).head()
+    println(s"""{"docs":${docs.count()},"chunks":${stats.getLong(0)},""" +
+      s""""chunk_tokens":${stats.getLong(1)},"size":$size,""" +
+      s""""stride":$stride,"out":"$out"}""")
+  }
+
+  /** `graft.Main shard --in PARQUET --out OUT [--prefix-len N]` — c40's
+    * deterministic training-order shuffle: content-hash shard + dense
+    * in-shard position for every doc, written PARTITIONED BY shard (one
+    * directory per output shard — the layout a training loader consumes,
+    * and the write path that keeps each shard's file reducer-local).
+    * Reproducible across re-runs and engines: no RNG state anywhere. */
+  private def shard(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val prefixLen = opt(args, "--prefix-len").map(_.toInt).getOrElse(1)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    val sharded = graft.operators.TextOps.shuffleShard(
+      docs.select("doc_id", "text"), prefixLen)
+      .join(docs, "doc_id") // carry every input column into the shards
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val written = spark.read.parquet(out)
+    val nShards = written.select("shard").distinct().count()
+    println(s"""{"docs":${written.count()},"shards":$nShards,""" +
+      s""""prefix_len":$prefixLen,"out":"$out"}""")
   }
 
   /** `graft.Main vocab --in DATA_DIR --out OUT_DIR [--k N]` — c34's

@@ -452,11 +452,19 @@ object TextOps {
     * (so the final, possibly short, tail chunk is kept — no token is
     * dropped); chunk_id = start/stride. */
   def c39Chunk(spark: SparkSession, dir: String,
-               chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+               chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocs(Tables.documents(spark, dir), chunkSize, stride)
+      .orderBy("doc_id", "chunk_id")
+
+  /** [[c39Chunk]] over an arbitrary (doc_id, text) frame — the library
+    * entry point a pipeline calls on its own curated corpus (the CLI's
+    * `chunk` subcommand). Unordered: callers sort or shard downstream. */
+  def chunkDocs(docs: DataFrame,
+                chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), words(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
@@ -466,7 +474,6 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast("bigint").as("chunk_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** c40: deterministic training-order shuffle + sharding — the writer
@@ -481,18 +488,24 @@ object TextOps {
     * global single-reducer sort. The hash is salted with doc_id so
     * replayed/duplicate texts still get distinct positions. */
   def c40ShuffleShard(spark: SparkSession, dir: String,
-                      prefixLen: Int = 1): DataFrame = {
+                      prefixLen: Int = 1): DataFrame =
+    shuffleShard(Tables.documents(spark, dir), prefixLen)
+      .orderBy("shard", "pos")
+
+  /** [[c40ShuffleShard]] over an arbitrary (doc_id, text) frame — the
+    * library entry point for sharding a curated corpus (the CLI's `shard`
+    * subcommand). Unordered: a writer partitions the output by `shard`. */
+  def shuffleShard(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(prefixLen >= 1 && prefixLen <= 8,
       s"prefixLen must be in [1, 8], got $prefixLen")
     val h = md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", substring(col("h"), 1, prefixLen))
       .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
       .select(col("doc_id"), col("shard"), col("pos"), col("h"))
-      .orderBy("shard", "pos")
   }
 
   /** c41: corpus-frequency scoring — the perplexity-proxy quality filter

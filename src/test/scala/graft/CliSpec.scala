@@ -128,6 +128,48 @@ class CliSpec extends SparkSpec {
     assert(got.length == 10)
   }
 
+  test("chunk subcommand: chunks an arbitrary parquet exactly like the operator") {
+    val inDir = Files.createTempDirectory("graft-chunk-in-").toString
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .write.mode("overwrite").parquet(inDir)
+    val out = Files.createTempDirectory("graft-chunk-out-").toString
+    Main.main(Array("chunk", "--in", inDir, "--out", out,
+      "--size", "16", "--stride", "12"))
+    val got = spark.read.parquet(out)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    val want = graft.operators.TextOps.chunkDocs(
+        Tables.documents(spark, sfDir), chunkSize = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length > Tables.documents(spark, sfDir).count())
+  }
+
+  test("shard subcommand: partitioned-by-shard layout, dense positions, full columns carried") {
+    val inDir = Files.createTempDirectory("graft-shard-in-").toString
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").parquet(inDir)
+    val out = Files.createTempDirectory("graft-shard-out-").toString
+    Main.main(Array("shard", "--in", inDir, "--out", out))
+    // physical layout: one directory per shard (what a loader consumes)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.matches("shard=[0-9a-f]")))
+    val written = spark.read.parquet(out)
+    assert(written.count() == Tables.documents(spark, sfDir).count())
+    // every input column survives the shuffle, plus (shard, pos, h)
+    val cols = written.columns.toSet
+    assert(Set("doc_id", "text", "lang", "source", "n_chars",
+      "shard", "pos", "h").subsetOf(cols), cols.toString)
+    written.collect().groupBy(_.getAs[String]("shard")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until rs.length).toSeq,
+        s"dense positions in shard $sh")
+    }
+  }
+
   test("ingest subcommand: statuses match c37's operator; --new-only keeps full columns") {
     // incoming = a replay of 3 existing docs (exact dups) + 1 fresh doc
     val docs = Tables.documents(spark, sfDir)
