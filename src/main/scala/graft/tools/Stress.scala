@@ -60,6 +60,9 @@ object Stress {
     time("c36 pq quantize")(Similarity.c36PqQuantize(spark, base).count())
     time("c37 incremental dedup")(Dedup.c37IncrementalDedup(spark, base).count())
     time("c38 pq search")(Similarity.c38PqSearch(spark, base).count())
+    time("c39 chunk")(TextOps.c39Chunk(spark, base).count())
+    time("c40 shuffle shard")(TextOps.c40ShuffleShard(spark, base).count())
+    time("c41 freq score")(TextOps.c41FreqScore(spark, base).count())
     time("ivfpq nprobe=2")(Similarity.ivfPqSearch(spark, base, nprobe = 2).count())
     val ev = Tables.events(spark, base).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
