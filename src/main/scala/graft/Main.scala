@@ -67,7 +67,8 @@ object Main {
     graft.operators.TextOps.chunkDocs(docs, size, stride)
       .write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
-    val stats = written.agg(count(lit(1)), sum(col("chunk_tokens"))).head()
+    val stats = written
+      .agg(count(lit(1)), coalesce(sum(col("chunk_tokens")), lit(0L))).head()
     println(s"""{"docs":${docs.count()},"chunks":${stats.getLong(0)},""" +
       s""""chunk_tokens":${stats.getLong(1)},"size":$size,""" +
       s""""stride":$stride,"out":"$out"}""")
