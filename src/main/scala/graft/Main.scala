@@ -86,14 +86,20 @@ object Main {
     val prefixLen = opt(args, "--prefix-len").map(_.toInt).getOrElse(1)
     val spark = GraftSession.get()
     val docs = spark.read.parquet(in)
-    val sharded = graft.operators.TextOps.shuffleShard(
-      docs.select("doc_id", "text"), prefixLen)
-      .join(docs, "doc_id") // carry every input column into the shards
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
-    val written = spark.read.parquet(out)
-    val nShards = written.select("shard").distinct().count()
-    println(s"""{"docs":${written.count()},"shards":$nShards,""" +
-      s""""prefix_len":$prefixLen,"out":"$out"}""")
+    // shuffleShard appends (h, shard, pos) in place — every input column
+    // rides the one shard exchange, no join-back
+    val sharded = graft.operators.TextOps.shuffleShard(docs, prefixLen)
+      .persist() // feeds the write AND the stats counts below
+    try {
+      sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+      // stats from the pre-write frame: a read-back would re-infer the
+      // partition column's type and can coerce digit-only hex shards to
+      // numbers (merging '07' and '7')
+      val stats = sharded
+        .agg(count(lit(1)), count_distinct(col("shard"))).head()
+      println(s"""{"docs":${stats.getLong(0)},"shards":${stats.getLong(1)},""" +
+        s""""prefix_len":$prefixLen,"out":"$out"}""")
+    } finally sharded.unpersist()
   }
 
   /** `graft.Main vocab --in DATA_DIR --out OUT_DIR [--k N]` — c34's

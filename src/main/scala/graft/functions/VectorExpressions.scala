@@ -480,49 +480,74 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       // cast in the builder: CosineSimilarity reads raw double slots, so
       // un-cast inputs (e.g. a float32 embedding column) would be garbage
-      (children: Seq[Expression]) => CosineSimilarity(
-        castToDoubleArray(children.head), castToDoubleArray(children(1)))))
+      (children: Seq[Expression]) => {
+        arity(children, "graft_cosine", 2, 2)
+        CosineSimilarity(
+          castToDoubleArray(children.head), castToDoubleArray(children(1)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, "graft_simhash64", 1, 1)
+        SimHash64(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash32_md5"),
       new ExpressionInfo(classOf[SimHash32Md5].getName, "graft_simhash32_md5"),
-      (children: Seq[Expression]) => SimHash32Md5(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, "graft_simhash32_md5", 1, 1)
+        SimHash32Md5(children.head)
+      }))
     // graft_lsh_bucket(emb, nPlanes[, dim[, seed]]) — c6/c11's seeded
     // sign bucket; defaults match the Column API (dim 64, seed "graft")
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_lsh_bucket"),
-      (children: Seq[Expression]) => HyperplaneBucket(
-        castToDoubleArray(children.head),
-        VectorFunctions.lshPlanes(
-          foldableInt(children, 1, "nPlanes"),
-          if (children.length > 2) foldableInt(children, 2, "dim") else 64,
-          if (children.length > 3) foldableString(children, 3, "seed") else "graft"))))
+      (children: Seq[Expression]) => {
+        arity(children, "graft_lsh_bucket", 2, 4)
+        HyperplaneBucket(
+          castToDoubleArray(children.head),
+          VectorFunctions.lshPlanes(
+            foldableInt(children, 1, "nPlanes"),
+            if (children.length > 2) foldableInt(children, 2, "dim") else 64,
+            if (children.length > 3) foldableString(children, 3, "seed") else "graft"))
+      }))
     // graft_nearest_cells(vec, codebook, maxProbe) — the c18/c31/c36
     // assignment argmax; codebook is an array<struct<cell, centroid>>
     // (fold one with sort_array(collect_list(struct(cell, centroid))))
     ext.injectFunction((
       FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
-      (children: Seq[Expression]) => NearestCells(
-        castToDoubleArray(children.head),
-        castCentroidsToDouble(children(1)),
-        foldableInt(children, 2, "maxProbe"))))
+      (children: Seq[Expression]) => {
+        arity(children, "graft_nearest_cells", 3, 3)
+        NearestCells(
+          castToDoubleArray(children.head),
+          castCentroidsToDouble(children(1)),
+          foldableInt(children, 2, "maxProbe"))
+      }))
     // graft_lsh_project(emb, nPlanes[, dim[, seed]]) — c28's JL
     // projection; default seed matches c28 ("graft:rp")
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_project"),
       new ExpressionInfo(classOf[HyperplaneProject].getName, "graft_lsh_project"),
-      (children: Seq[Expression]) => HyperplaneProject(
-        castToDoubleArray(children.head),
-        VectorFunctions.lshPlanes(
-          foldableInt(children, 1, "nPlanes"),
-          if (children.length > 2) foldableInt(children, 2, "dim") else 64,
-          if (children.length > 3) foldableString(children, 3, "seed") else "graft:rp"))))
+      (children: Seq[Expression]) => {
+        arity(children, "graft_lsh_project", 2, 4)
+        HyperplaneProject(
+          castToDoubleArray(children.head),
+          VectorFunctions.lshPlanes(
+            foldableInt(children, 1, "nPlanes"),
+            if (children.length > 2) foldableInt(children, 2, "dim") else 64,
+            if (children.length > 3) foldableString(children, 3, "seed") else "graft:rp"))
+      }))
   }
+
+  /** Wrong-argument-count errors at analysis, not a silent head-take. */
+  private def arity(children: Seq[Expression], fn: String,
+                    min: Int, max: Int): Unit =
+    require(children.length >= min && children.length <= max,
+      if (min == max) s"$fn expects $min argument(s), got ${children.length}"
+      else s"$fn expects $min to $max arguments, got ${children.length}")
 
   private def foldableInt(children: Seq[Expression], i: Int, name: String): Int = {
     val e = children(i)

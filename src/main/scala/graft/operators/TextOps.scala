@@ -490,22 +490,31 @@ object TextOps {
   def c40ShuffleShard(spark: SparkSession, dir: String,
                       prefixLen: Int = 1): DataFrame =
     shuffleShard(Tables.documents(spark, dir), prefixLen)
+      .select("doc_id", "shard", "pos", "h")
       .orderBy("shard", "pos")
 
-  /** [[c40ShuffleShard]] over an arbitrary (doc_id, text) frame — the
-    * library entry point for sharding a curated corpus (the CLI's `shard`
-    * subcommand). Unordered: a writer partitions the output by `shard`. */
+  /** [[c40ShuffleShard]] over an arbitrary frame with (doc_id, text) —
+    * the library entry point for sharding a curated corpus (the CLI's
+    * `shard` subcommand). APPENDS (h, shard, pos) to the input frame in
+    * place — every input column rides along through the one shard-key
+    * exchange, no join-back (a join on doc_id would fan out duplicate
+    * ids and pay a second corpus shuffle just to reattach columns).
+    * Duplicate doc_ids are legal: each row still gets its own dense
+    * position. Unordered: a writer partitions the output by `shard`. */
   def shuffleShard(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(prefixLen >= 1 && prefixLen <= 8,
       s"prefixLen must be in [1, 8], got $prefixLen")
-    val h = md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+    val reserved = docs.columns.toSet.intersect(Set("h", "shard", "pos"))
+    require(reserved.isEmpty,
+      s"input already has column(s) ${reserved.mkString(", ")} — rename " +
+        "them first (shuffleShard appends h, shard and pos)")
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     docs
-      .select(col("doc_id"), h.as("h"))
+      .withColumn("h",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
       .withColumn("shard", substring(col("h"), 1, prefixLen))
       .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
-      .select(col("doc_id"), col("shard"), col("pos"), col("h"))
   }
 
   /** c41: corpus-frequency scoring — the perplexity-proxy quality filter

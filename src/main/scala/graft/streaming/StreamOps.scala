@@ -239,6 +239,10 @@ object StreamOps {
     * stream length. */
   def streamQuality(docs: DataFrame): DataFrame = {
     val counts = docs
+      // batch c35 tokenizes via explode, which emits ZERO rows for a
+      // null text — drop nulls here too or they'd surface as all-null
+      // verdict rows and break the row-for-row parity
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         sort_array(graft.operators.TextOps.words(lower(col("text")))).as("sorted"))
       // run starts: position 0 plus every position whose token differs

@@ -87,6 +87,10 @@ class DedupSimSpec extends SparkSpec {
       assert(s.getLong(1) == a.getLong(1), s"h64 mismatch doc ${s.getLong(0)}")
       assert(s.getLong(2) == a.getLong(2), s"h32 mismatch doc ${s.getLong(0)}")
     }
+    // wrong arity is an analysis-time error, never a silent head-take
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_simhash32_md5('a', 42)").collect())
+    assert(err.getMessage.contains("expects 1 argument"), err.getMessage)
   }
 
   test("c3 simhash: identical texts hash identically; banding finds them") {

@@ -277,6 +277,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShard appends in place: all columns carried, dup doc_ids legal, reserved names rejected") {
+    import spark.implicits._
+    // duplicate doc_ids (a never-deduped re-ingest) must each keep a row
+    // with their own dense position — no join-back fan-out
+    val dups = Seq((1L, "alpha beta", "en"), (1L, "alpha beta", "en"),
+      (2L, "gamma delta", "de")).toDF("doc_id", "text", "lang")
+    val out = TextOps.shuffleShard(dups).collect()
+    assert(out.length == 3, "every input row keeps exactly one output row")
+    assert(out.forall(_.getAs[String]("lang") != null), "input columns carried")
+    out.groupBy(_.getAs[String]("shard")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until rs.length).toSeq,
+        s"dense positions in shard $sh despite duplicate ids")
+    }
+    // reserved output names are a clear error, not a silent overwrite
+    val clash = Seq((1L, "x", "oops")).toDF("doc_id", "text", "pos")
+    val err = intercept[IllegalArgumentException](TextOps.shuffleShard(clash))
+    assert(err.getMessage.contains("pos"), err.getMessage)
+  }
+
   test("c41 frequency score recomputes from raw text; keep thresholds the rounded scale-free score") {
     val texts = Tables.documents(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split(" ", -1).toSeq)

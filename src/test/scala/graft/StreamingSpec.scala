@@ -349,7 +349,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect().toSeq ++
-      Seq((9001L, "a  b"), (9002L, "solo"), (9003L, "MiXeD CaSe MiXeD")) // edge shapes
+      Seq((9001L, "a  b"), (9002L, "solo"), (9003L, "MiXeD CaSe MiXeD"),
+        (9004L, null)) // edge shapes; null text drops in BOTH forms
     val stream = MemoryStream[(Long, String)]
     val q = StreamOps.streamQuality(stream.toDF().toDF("doc_id", "text"))
       .writeStream.outputMode("append").format("memory").queryName("d12_sink").start()
@@ -374,6 +375,7 @@ class StreamingSpec extends SparkSpec {
         .select(cols.map(col): _*).collect()
         .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
       assert(streamed.keySet == batch.keySet)
+      assert(!streamed.contains(9004L), "null text must not emit a verdict row")
       streamed.foreach { case (id, row) =>
         assert(row == batch(id), s"doc $id stream vs batch verdict")
       }
