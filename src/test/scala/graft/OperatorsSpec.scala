@@ -277,6 +277,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs properties hold for random (chunkSize, stride, doc) combos") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val genDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", "Zz9"))
+      .map(_.mkString(" "))
+    for (trial <- 0 until 10) {
+      val chunkSize = sample(Gen.chooseNum(1, 40), trial * 31L + 1)
+      val stride = sample(Gen.chooseNum(1, chunkSize), trial * 31L + 2)
+      val docs = (0 until 25)
+        .map(i => (i.toLong, sample(genDoc, trial * 1000L + i)))
+      val rows = graft.operators.TextOps.chunkDocs(
+          docs.toDF("doc_id", "text"), chunkSize, stride)
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq
+        val chunks = rows(id).sortBy(_.getAs[Long]("chunk_id"))
+        // ids are 0..⌊(n−1)/stride⌋ with no gaps
+        assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq ==
+          (0L to (toks.length - 1) / stride).toSeq,
+          s"trial $trial size=$chunkSize stride=$stride doc $id ids")
+        // every chunk is exactly the slice it claims; every token covered
+        var covered = 0
+        chunks.foreach { r =>
+          val s = r.getAs[Long]("chunk_id").toInt * stride
+          val expect = toks.slice(s, math.min(s + chunkSize, toks.length))
+          assert(r.getAs[String]("chunk_text") == expect.mkString(" "),
+            s"trial $trial size=$chunkSize stride=$stride doc $id chunk $s")
+          assert(r.getAs[Long]("chunk_tokens") == expect.length)
+          covered = math.max(covered, s + expect.length)
+        }
+        assert(covered == toks.length,
+          s"trial $trial size=$chunkSize stride=$stride doc $id coverage")
+      }
+    }
+  }
+
   test("shuffleShard appends in place: all columns carried, dup doc_ids legal, reserved names rejected") {
     import spark.implicits._
     // duplicate doc_ids (a never-deduped re-ingest) must each keep a row
