@@ -100,6 +100,7 @@ object SparkEntry {
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
     "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
+    "c42_banded_sample" -> ((s: SparkSession, d: String) => TextOps.c42BandedSample(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -982,5 +983,26 @@ object SparkEntry {
         |  round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r,
         |  round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) >= 0.033 AS keep
         |FROM d, t ORDER BY doc_id""".stripMargin,
+    "c42_banded_sample" ->
+      """WITH tok AS (SELECT doc_id, substr(md5(text), 1, 2) AS bucket,
+        |        unnest(string_split(lower(text), ' ')) AS term
+        |      FROM documents),
+        |vocab AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+        |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS total_tokens FROM vocab),
+        |d AS (SELECT doc_id, bucket, count(*) AS n_tokens, sum(ctf) AS sum_ctf
+        |      FROM tok JOIN vocab USING (term) GROUP BY doc_id, bucket),
+        |s AS (SELECT doc_id, bucket,
+        |        round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r
+        |      FROM d, t),
+        |b AS (SELECT doc_id, bucket, mean_prob_r,
+        |        CASE WHEN mean_prob_r >= 0.0335 THEN 'head'
+        |             WHEN mean_prob_r >= 0.0330 THEN 'middle'
+        |             ELSE 'tail' END AS band
+        |      FROM s)
+        |SELECT doc_id, band, bucket, mean_prob_r
+        |FROM b
+        |WHERE bucket < CASE band WHEN 'head' THEN 'g'
+        |                         WHEN 'middle' THEN '80' ELSE '1a' END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -533,20 +533,62 @@ object TextOps {
     * the end (identical IEEE ops in both engines), and the keep verdict
     * thresholds the ROUNDED value, so engines agree at the boundary. */
   def c41FreqScore(spark: SparkSession, dir: String,
-                   minMeanProb: Double = 0.033): DataFrame = {
+                   minMeanProb: Double = 0.033): DataFrame =
+    freqScored(spark, dir)
+      .select("doc_id", "n_tokens", "sum_ctf", "total_tokens", "mean_prob_r")
+      .withColumn("keep", col("mean_prob_r") >= minMeanProb)
+      .orderBy("doc_id")
+
+  /** The c41 scoring subtree, shared with c42: per-doc token counts,
+    * corpus-frequency sums and the 6-dp-rounded mean unigram probability,
+    * plus the doc's content-hash bucket (a second functionally-dependent
+    * group key — carried through the aggregation so c42 can sample
+    * without joining text back in). */
+  private[graft] def freqScored(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("bucket"),
+        explode(words(lower(col("text")))).as("term"))
     val vocab = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
     // corpus total = Σ ctf over the VOCABULARY (already aggregated) — not
     // a third corpus-wide explode
     val total = vocab.agg(sum(col("ctf")).as("total_tokens"))
     tok.join(vocab, "term")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
       .crossJoin(broadcast(total))
       .withColumn("mean_prob_r",
         round(col("sum_ctf").cast("double") / col("n_tokens") / col("total_tokens"), 6))
-      .withColumn("keep", col("mean_prob_r") >= minMeanProb)
+  }
+
+  /** c42: banded quality sampling — the CCNet-shaped stage downstream of
+    * c41: docs are bucketed into head/middle/tail quality bands by FIXED
+    * score cutoffs (CCNet computes its perplexity cutoffs offline on a
+    * held-out sample and ships them as constants; c41's scale-free score
+    * makes the same constants portable across corpus sizes), then each
+    * band keeps a different deterministic content-hash fraction — head
+    * everything, middle ~50%, tail ~10% — so the output mixture skews
+    * toward quality without discarding the tail outright. The sampler is
+    * c17's machinery (pure function of the text: stable under re-runs,
+    * re-partitioning and incremental ingest); the band caps are hex-string
+    * cutoffs compared as strings (c25's rule — 'g' is keep-all, since
+    * every 2-hex bucket sorts below it). One extra stateless projection
+    * + filter over the shared [[freqScored]] subtree: no new shuffles. */
+  def c42BandedSample(spark: SparkSession, dir: String,
+                      headCut: Double = 0.0335,
+                      tailCut: Double = 0.0330): DataFrame = {
+    require(headCut >= tailCut,
+      s"headCut must be >= tailCut, got $headCut < $tailCut")
+    freqScored(spark, dir)
+      .withColumn("band",
+        when(col("mean_prob_r") >= headCut, "head")
+          .when(col("mean_prob_r") >= tailCut, "middle")
+          .otherwise("tail"))
+      .withColumn("cap",
+        when(col("band") === "head", "g")
+          .when(col("band") === "middle", "80")
+          .otherwise("1a"))
+      .filter(col("bucket") < col("cap"))
+      .select(col("doc_id"), col("band"), col("bucket"), col("mean_prob_r"))
       .orderBy("doc_id")
   }
 }

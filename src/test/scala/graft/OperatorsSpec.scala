@@ -277,6 +277,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c42 banded sampling recomputes from c41 scores; per-band rates differ and head keeps all") {
+    val scores = TextOps.c41FreqScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_prob_r")).toMap
+    val buckets = Tables.documents(spark, sfDir).collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getAs[String]("text").getBytes("UTF-8"))
+        r.getAs[Long]("doc_id") -> md.take(1).map("%02x".format(_)).mkString
+      }.toMap
+    def bandOf(s: Double) =
+      if (s >= 0.0335) "head" else if (s >= 0.0330) "middle" else "tail"
+    val rows = TextOps.c42BandedSample(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("band") == bandOf(scores(id)), s"band of doc $id")
+      assert(r.getAs[String]("bucket") == buckets(id), s"bucket of doc $id")
+    }
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+    // membership: exactly the docs whose bucket clears their band's cap
+    scores.foreach { case (id, s) =>
+      val cap = bandOf(s) match {
+        case "head" => "g"; case "middle" => "80"; case _ => "1a"
+      }
+      assert(kept.contains(id) == (buckets(id) < cap), s"membership of doc $id")
+    }
+    // the mixture must skew: head keeps everything, tail keeps a sliver
+    val byBand = rows.groupBy(_.getAs[String]("band")).view.mapValues(_.length)
+    val allHead = scores.values.count(_ >= 0.0335)
+    assert(byBand.getOrElse("head", 0) == allHead, "head band must keep all docs")
+    assert(byBand.getOrElse("middle", 0) > 0 && byBand.getOrElse("tail", 0) > 0,
+      "middle and tail must both survive sampling on this corpus")
+    assert(byBand("tail") < byBand("middle"), "tail rate must be the smallest")
+  }
+
   test("chunkDocs properties hold for random (chunkSize, stride, doc) combos") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
