@@ -237,6 +237,38 @@ object StreamOps {
     * c35 so thresholds can't drift; a parity spec pins stream ≡ batch
     * row-for-row. Stateless: no watermark, no aggregation state, any
     * stream length. */
+  /** d13: streaming corpus-frequency scoring — c41's perplexity-proxy
+    * score at INGEST time, against a STATIC bounded vocabulary artifact
+    * (the serving shape: batch c41 scores against the live full
+    * vocabulary, but a stream can't re-aggregate the corpus per row, so —
+    * exactly d9's codebook argument — the model ships as a bounded
+    * artifact: c34's top-k vocabulary cut plus the corpus token total,
+    * inlined as plan literals). Out-of-vocabulary terms score 0, the
+    * explicit approximation this trades for zero state (documented, and
+    * the parity spec pins stream ≡ a batch twin computed under the SAME
+    * artifact restriction). Everything is row-local array math over the
+    * staged token array — no aggregation, no watermark, any stream
+    * length. The score stays c41's scale-free mean unigram probability,
+    * so c41's cutoffs apply unchanged. */
+  def streamFreqScore(docs: DataFrame, vocab: Seq[(String, Long)],
+                      totalTokens: Long,
+                      minMeanProb: Double = 0.033): DataFrame = {
+    require(totalTokens >= 1, s"totalTokens must be >= 1, got $totalTokens")
+    val ctfMap = map(vocab.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    docs
+      .filter(col("text").isNotNull) // c41's explode drops null text too
+      .select(col("doc_id"),
+        graft.operators.TextOps.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        aggregate(
+          transform(col("toks"), t => coalesce(element_at(ctfMap, t), lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("sum_ctf"))
+      .withColumn("mean_prob_r",
+        round(col("sum_ctf").cast("double") / col("n_tokens") / lit(totalTokens), 6))
+      .withColumn("keep", col("mean_prob_r") >= minMeanProb)
+  }
+
   def streamQuality(docs: DataFrame): DataFrame = {
     val counts = docs
       // batch c35 tokenizes via explode, which emits ZERO rows for a

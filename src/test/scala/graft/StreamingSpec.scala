@@ -385,6 +385,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d13 streaming freq score equals the batch twin under the same vocab artifact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    // the shipped artifact: c34's top-k vocabulary cut + the corpus total
+    val vocab = TextOps.c34VocabTopk(spark, sfDir, k = 100).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"))).toSeq
+    val total = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")))
+      .count()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq ++
+      Seq((9001L, "zzzzz qqqqq xxxxx"), // pure OOV: scores exactly 0
+        (9002L, null)) // null text drops in both forms
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamFreqScore(
+        stream.toDF().toDF("doc_id", "text"), vocab, total)
+      .writeStream.outputMode("append").format("memory").queryName("d13_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d13_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      // batch twin: c41's shape restricted to the SAME bounded artifact
+      val vdf = broadcast(vocab.toDF("term", "ctf"))
+      val batch = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .join(vdf, Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("ctf"), lit(0L))).as("sum_ctf"))
+        .withColumn("mean_prob_r",
+          round(col("sum_ctf").cast("double") / col("n_tokens") / lit(total), 6))
+        .withColumn("keep", col("mean_prob_r") >= 0.033)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed.keySet == batch.keySet)
+      assert(!streamed.contains(9002L), "null text must not emit a score row")
+      streamed.foreach { case (id, row) =>
+        assert(row == batch(id), s"doc $id stream vs batch score")
+      }
+      val oov = streamed(9001L)
+      assert(oov(2) == 0L && oov(3) == 0.0 && oov(4) == false,
+        s"pure-OOV doc must score exactly 0: $oov")
+      // the bounded artifact must still discriminate on this corpus
+      assert(streamed.values.exists(_.last == true))
+      assert(streamed.values.exists(_.last == false))
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
