@@ -989,8 +989,9 @@ object SparkEntry {
         |      FROM documents),
         |vocab AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
         |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS total_tokens FROM vocab),
-        |d AS (SELECT doc_id, bucket, count(*) AS n_tokens, sum(ctf) AS sum_ctf
-        |      FROM tok JOIN vocab USING (term) GROUP BY doc_id, bucket),
+        |d AS (SELECT doc_id, min(bucket) AS bucket, count(*) AS n_tokens,
+        |        sum(ctf) AS sum_ctf
+        |      FROM tok JOIN vocab USING (term) GROUP BY doc_id),
         |s AS (SELECT doc_id, bucket,
         |        round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r
         |      FROM d, t),

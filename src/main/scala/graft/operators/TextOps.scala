@@ -541,9 +541,11 @@ object TextOps {
 
   /** The c41 scoring subtree, shared with c42: per-doc token counts,
     * corpus-frequency sums and the 6-dp-rounded mean unigram probability,
-    * plus the doc's content-hash bucket (a second functionally-dependent
-    * group key — carried through the aggregation so c42 can sample
-    * without joining text back in). */
+    * plus the doc's content-hash bucket — carried through the aggregation
+    * as a min() (NOT a second group key: doc_id stays the one grouping
+    * column, so a degenerate input with duplicate doc_ids still yields
+    * one row per id, exactly like the c41 oracle's GROUP BY doc_id) so
+    * c42 can sample without joining text back in. */
   private[graft] def freqScored(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("bucket"),
@@ -553,8 +555,9 @@ object TextOps {
     // a third corpus-wide explode
     val total = vocab.agg(sum(col("ctf")).as("total_tokens"))
     tok.join(vocab, "term")
-      .groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
+      .groupBy("doc_id")
+      .agg(min(col("bucket")).as("bucket"),
+        count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
       .crossJoin(broadcast(total))
       .withColumn("mean_prob_r",
         round(col("sum_ctf").cast("double") / col("n_tokens") / col("total_tokens"), 6))

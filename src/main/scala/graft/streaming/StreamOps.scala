@@ -222,21 +222,6 @@ object StreamOps {
       .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
 
-  /** d12: streaming quality filter — the ZERO-STATE twin of c35's Gopher
-    * rule battery for filtering docs at ingest time. c35's batch shape is
-    * two groupBy passes because batch tokens arrive as exploded rows; a
-    * stream row carries its whole document, so the same three counts
-    * (n_words, n_types, max token count) are row-local array math over
-    * the SORTED token array: type boundaries are the positions where a
-    * token differs from its predecessor, and per-type counts are the
-    * gaps between consecutive boundaries (run lengths). That trades
-    * c35's map-side-combinable shuffle for O(n log n) interpreted HOF
-    * work per row — right for a doc-at-a-time stream, wrong for a
-    * 100 TB batch scan, which is why both forms exist. The verdict logic
-    * itself is [[graft.operators.TextOps.qualityVerdicts]], shared with
-    * c35 so thresholds can't drift; a parity spec pins stream ≡ batch
-    * row-for-row. Stateless: no watermark, no aggregation state, any
-    * stream length. */
   /** d13: streaming corpus-frequency scoring — c41's perplexity-proxy
     * score at INGEST time, against a STATIC bounded vocabulary artifact
     * (the serving shape: batch c41 scores against the live full
@@ -254,6 +239,10 @@ object StreamOps {
                       totalTokens: Long,
                       minMeanProb: Double = 0.033): DataFrame = {
     require(totalTokens >= 1, s"totalTokens must be >= 1, got $totalTokens")
+    // an empty map() literal types as MAP<STRING,STRING>, which breaks the
+    // bigint element_at/coalesce below with an analysis error far from the
+    // caller — and an empty vocabulary artifact is a caller bug anyway
+    require(vocab.nonEmpty, "vocab artifact must contain at least one term")
     val ctfMap = map(vocab.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
     docs
       .filter(col("text").isNotNull) // c41's explode drops null text too
@@ -269,6 +258,21 @@ object StreamOps {
       .withColumn("keep", col("mean_prob_r") >= minMeanProb)
   }
 
+  /** d12: streaming quality filter — the ZERO-STATE twin of c35's Gopher
+    * rule battery for filtering docs at ingest time. c35's batch shape is
+    * two groupBy passes because batch tokens arrive as exploded rows; a
+    * stream row carries its whole document, so the same three counts
+    * (n_words, n_types, max token count) are row-local array math over
+    * the SORTED token array: type boundaries are the positions where a
+    * token differs from its predecessor, and per-type counts are the
+    * gaps between consecutive boundaries (run lengths). That trades
+    * c35's map-side-combinable shuffle for O(n log n) interpreted HOF
+    * work per row — right for a doc-at-a-time stream, wrong for a
+    * 100 TB batch scan, which is why both forms exist. The verdict logic
+    * itself is [[graft.operators.TextOps.qualityVerdicts]], shared with
+    * c35 so thresholds can't drift; a parity spec pins stream ≡ batch
+    * row-for-row. Stateless: no watermark, no aggregation state, any
+    * stream length. */
   def streamQuality(docs: DataFrame): DataFrame = {
     val counts = docs
       // batch c35 tokenizes via explode, which emits ZERO rows for a
