@@ -101,6 +101,8 @@ object SparkEntry {
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
     "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
     "c42_banded_sample" -> ((s: SparkSession, d: String) => TextOps.c42BandedSample(s, d)),
+    "c43_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.c43SemanticDedup(s, d)),
+    "c44_bpe_pairs" -> ((s: SparkSession, d: String) => TextOps.c44BpePairs(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1005,5 +1007,43 @@ object SparkEntry {
         |WHERE bucket < CASE band WHEN 'head' THEN 'g'
         |                         WHEN 'middle' THEN '80' ELSE '1a' END
         |ORDER BY doc_id""".stripMargin,
+    // c43 = c18's codebook + assignment CTEs, then intra-cell pairwise
+    // dominance: a vector drops iff some above-threshold cell-mate has
+    // strictly lower rounded centroid-similarity (ties to the lower
+    // vec_id) — SemDeDup's keep-the-far-member rule
+    "c43_semantic_dedup" ->
+      """WITH x AS (SELECT label, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cb AS (SELECT label AS cell, list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
+        |       GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, cell,
+        |        round(list_cosine_similarity(v, centroid), 6) AS ccos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, cell ASC) AS arn
+        |      FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, cell, ccos FROM a WHERE arn = 1),
+        |p AS (SELECT DISTINCT l.vec_id
+        |      FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+        |      WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
+        |        AND (r.ccos < l.ccos OR (r.ccos = l.ccos AND r.vec_id < l.vec_id)))
+        |SELECT g.vec_id, g.cell, g.ccos AS cent_r, p.vec_id IS NULL AS keep
+        |FROM asg g LEFT JOIN p ON g.vec_id = p.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+    // c44: word counts over the corpus, then adjacent char pairs of each
+    // DISTINCT word (1-based substr positions 1..len-1; range() is empty
+    // for shorter words) weighted by the word's count
+    "c44_bpe_pairs" ->
+      """WITH wc AS (SELECT w, count(*) AS wcnt
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |      GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+        |        substr(w, CAST(i AS INT) + 1, 1) AS b, wcnt
+        |      FROM wc, UNNEST(range(1, len(w))) AS u(i))
+        |SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt
+        |FROM p GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
   )
 }

@@ -663,6 +663,64 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Memoized nearest-cell assignment of the FULL corpus (maxProbe=1)
+    * against the label codebook, checkpointed to scratch parquet per data
+    * dir (the [[labelCodebookPath]] seam). c43 consumes the same
+    * assignment frame on three plan branches (both sides of the intra-cell
+    * self-join plus the verdict output); without the seam each branch
+    * re-runs the corpus-wide assignment pass. */
+  private val assignedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def assignedTablePath(spark: SparkSession, dir: String): String =
+    assignedCache.computeIfAbsent(dir, d => {
+      val p = graft.GraftSession.scratchDir(
+        s"cell-assign-${graft.sources.JsonConvert.pathKey(d)}").toString
+      assignCells(
+        Tables.embeddings(spark, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+        labelCodebook(spark, d), maxProbe = 1)
+        .select(col("vec_id"), col("v"), col("cell"), col("ccos"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c43: semantic dedup — the SemDeDup pipeline shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then hunt
+    * near-duplicates ONLY within a cluster, keeping per duplicate pair the
+    * member FARTHEST from its centroid (the paper's keep-low-similarity
+    * rule: centroids summarize their cluster, so the far member carries
+    * more marginal information). Assignment is the c18 machinery — a
+    * broadcast codebook and the stateless codegen'd argmax, memoized so
+    * the corpus is assigned once, not once per plan branch — and
+    * duplicate detection is an equi-join on the cell id, so all-pairs work
+    * is confined to one cell's members (the 100 TB contract: cell count
+    * scales with corpus size, pair work stays (n/cells)² per cell, and
+    * there is NO corpus-wide pairwise stage). The keep rule is pairwise
+    * dominance — a vector drops iff SOME above-threshold cell-mate has
+    * strictly lower rounded centroid-similarity (ties to the lower
+    * vec_id) — which needs no transitive grouping; feeding the pairs
+    * through c19's connected-components machinery upgrades it to
+    * group-level dedup when transitivity matters. Both the pair score and
+    * the centroid similarity compare 6-dp-ROUNDED (the engine-parity
+    * contract every similarity op here follows).
+    * Emits one verdict row per vector: (vec_id, cell, cent_r, keep). */
+  def c43SemanticDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35): DataFrame = {
+    val a = spark.read.parquet(assignedTablePath(spark, dir))
+    val rhs = a.select(col("cell"), col("vec_id").as("r_id"),
+      col("v").as("rv"), col("ccos").as("r_ccos"))
+    val dropped = a.join(rhs, "cell")
+      .filter(col("vec_id") =!= col("r_id"))
+      .filter(round(cosine(col("v"), col("rv")), 6) >= threshold)
+      .filter(col("r_ccos") < col("ccos") ||
+        (col("r_ccos") === col("ccos") && col("r_id") < col("vec_id")))
+      .select("vec_id").distinct()
+    a.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("ccos").as("cent_r"),
+        col("hit").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the

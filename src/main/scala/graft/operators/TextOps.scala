@@ -594,4 +594,34 @@ object TextOps {
       .select(col("doc_id"), col("band"), col("bucket"), col("mean_prob_r"))
       .orderBy("doc_id")
   }
+
+  /** c44: BPE pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016) as a corpus operator:
+    * count adjacent symbol pairs, weighted by word frequency; the top
+    * pair is the next merge. The classic distributed-BPE trick makes this
+    * 100 TB-safe: pair explosion runs over the DISTINCT-WORD table (the
+    * corpus's vocabulary — bounded and tiny next to the corpus), not over
+    * every token occurrence, so the heavy corpus pass is just the
+    * map-side-combinable word count c34 already does; chars-of-a-word is
+    * row-local array math and the pair aggregation keys on a 2-char pair
+    * (bounded domain → bounded state, map-side combinable). Single-char
+    * and empty words contribute no pairs (no pairs exist — same contract
+    * both engines derive naturally). Output is the top-`topK` merge
+    * candidates under a total order (count desc, then pair lexicographic)
+    * so the cut is deterministic. */
+  def c44BpePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(explode(words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    wc.filter(length(col("w")) >= 2)
+      .select(col("wcnt"), split(col("w"), "").as("cs"))
+      .select(col("wcnt"), explode(
+        transform(sequence(lit(1), size(col("cs")) - 1),
+          i => struct(element_at(col("cs"), i).as("a"),
+            element_at(col("cs"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("a"), asc("b"))
+      .limit(topK)
+  }
 }

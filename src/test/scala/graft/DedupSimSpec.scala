@@ -869,6 +869,64 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c43 semantic dedup re-derives from raw embeddings: assignment, dominance, keep set") {
+    import graft.functions.NearestCells.round6
+    val embs = Tables.embeddings(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray,
+        r.getAs[Int]("label"))
+    }
+    // label codebook: per-label fixed-point means (the c15 contract)
+    val centroids = embs.groupBy(_._3).map { case (label, rows) =>
+      val dim = rows.head._2.length
+      val sums = Array.fill(dim)(0L)
+      rows.foreach { case (_, v, _) =>
+        var i = 0
+        while (i < dim) {
+          sums(i) += java.math.BigDecimal.valueOf(v(i) * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          i += 1
+        }
+      }
+      label -> sums.map(s => s.toDouble / 10000.0 / rows.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // assignment: rounded centroid-cosine desc, ties to the lower cell
+    val assigned = embs.map { case (id, v, _) =>
+      val (score, cell) = centroids.toSeq
+        .map { case (c, cv) => (round6(cos(v, cv)), c) }
+        .minBy { case (s, c) => (-s, c) }
+      (id, v, cell, score)
+    }
+    // dominance: an above-threshold cell-mate with lower (ccos, vec_id)
+    val byCell = assigned.groupBy(_._3)
+    val expected = assigned.map { case (id, v, cell, ccos) =>
+      val dominated = byCell(cell).exists { case (rid, rv, _, rccos) =>
+        rid != id && round6(cos(v, rv)) >= 0.35 &&
+          (rccos < ccos || (rccos == ccos && rid < id))
+      }
+      id -> ((cell, ccos, !dominated))
+    }.toMap
+    val rows = Similarity.c43SemanticDedup(spark, sfDir).collect()
+    assert(rows.length == embs.length, "one verdict row per vector")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val (cell, ccos, keep) = expected(id)
+      assert(r.getAs[Int]("cell") == cell, s"cell of vec $id")
+      assert(r.getAs[Double]("cent_r") == ccos, s"cent_r of vec $id")
+      assert(r.getAs[Boolean]("keep") == keep, s"keep of vec $id")
+    }
+    // the threshold must discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
     val ev = Tables.events(spark, sfDir)
     val sessions = Relational.c13Sessionize(spark, sfDir)

@@ -393,4 +393,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("keep")))
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("c44 BPE pair stats re-derive from raw text; the top-k cut is a total order") {
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(_.getAs[String]("text"))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    // limit -1: Spark's split keeps trailing empty tokens, Java's default drops them
+    texts.foreach(_.toLowerCase.split(" ", -1).foreach(w =>
+      wc(w) = wc.getOrElse(w, 0L) + 1L))
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    wc.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val k = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+        pc(k) = pc.getOrElse(k, 0L) + c
+      }
+    }
+    val expected = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(50)
+    val rows = TextOps.c44BpePairs(spark, sfDir).collect()
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, ((a, b), n)) =>
+      assert(r.getAs[String]("a") == a && r.getAs[String]("b") == b &&
+        r.getAs[Long]("cnt") == n,
+        s"pair ${r.getAs[String]("a")},${r.getAs[String]("b")} vs ($a,$b,$n)")
+    }
+  }
 }

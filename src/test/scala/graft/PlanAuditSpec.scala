@@ -94,4 +94,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
       s"vocabulary exchange not reused for the corpus total:\n$s")
   }
+
+  test("c43 plan: assignment comes from the memoized table; pair hunt is a cell equi-join") {
+    val s = executedPlanOf(Similarity.c43SemanticDedup(spark, sfDir))
+    // the corpus-wide assignment pass must NOT re-run per plan branch —
+    // all three consumers read the scratch-parquet memo
+    assert(s.contains("cell-assign-"), s"assignment memo scan missing:\n$s")
+    // pairwise work is confined to a cell: an equi-join, never a product
+    assert(!s.contains("CartesianProduct"), s"cartesian in pair hunt:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested loop in pair hunt:\n$s")
+    // and no window anywhere — assignment was the codegen'd argmax at
+    // memo-build time, dominance is a join + distinct
+    assert(!s.contains("Window"), s"window crept into semantic dedup:\n$s")
+  }
+
+  test("c44 plan: pair counts aggregate partially and the cut is TakeOrderedAndProject") {
+    val s = executedPlanOf(graft.operators.TextOps.c44BpePairs(spark, sfDir))
+    // top-k must not globally sort the pair table
+    assert(s.contains("TakeOrderedAndProject"), s"top-k must plan as TakeOrdered:\n$s")
+    // both aggregations (word count, pair count) are two-phase hash
+    // aggregates — the corpus-heavy word count combines map-side
+    val partials = "partial_count|partial_sum".r.findAllIn(s).length
+    assert(partials >= 2, s"expected partial aggregation on both stages:\n$s")
+  }
 }
