@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -415,18 +415,65 @@ object StreamOps {
     * array_max's lexicographic order prefers it). */
   def streamAssignCells(vecs: DataFrame,
                         codebook: Seq[(Long, Array[Double])]): DataFrame = {
-    require(codebook.nonEmpty, "codebook must be non-empty")
     val v = col("embedding").cast("array<double>")
+    val best = bestCell(v, codebook)
+    vecs.select(col("vec_id"),
+      (-best.getField("negcell")).as("cell"),
+      best.getField("ccos").as("cell_cos"))
+  }
+
+  /** The d9 argmax as a reusable column: array_max over k
+    * (6-dp-rounded cosine, −cell) structs — row-local, codegen-friendly,
+    * tie-break identical to the batch NearestCells comparator (rounded
+    * score desc, LOWEST cell wins). Shared by d9 and d14. */
+  private def bestCell(v: Column,
+                       codebook: Seq[(Long, Array[Double])]): Column = {
+    require(codebook.nonEmpty, "codebook must be non-empty")
     val scored = codebook.sortBy(_._1).map { case (cell, cv) =>
       struct(
         round(graft.functions.VectorFunctions.cosine(v, typedLit(cv.toSeq)), 6)
           .as("ccos"),
         lit(-cell).as("negcell"))
     }
-    val best = array_max(array(scored: _*))
-    vecs.select(col("vec_id"),
-      (-best.getField("negcell")).as("cell"),
-      best.getField("ccos").as("cell_cos"))
+    array_max(array(scored: _*))
+  }
+
+  /** d14: streaming semantic-dedup routing — classify an arriving
+    * embedding stream against a STATIC corpus: the embedding twin of
+    * d11's text ingest routing, and c43's serving shape. The vector's
+    * cell is the [[bestCell]] struct-argmax over the BOUNDED codebook
+    * artifact (d9's argument: ship the trained codebook to ingest nodes
+    * as plan literals), and the duplicate hunt is a stream-static
+    * equi-join ON THE CELL ID against c43's memoized assignment table —
+    * so each arriving vector scores only against its own cell's members,
+    * never the corpus (the same confinement that makes c43 100 TB-safe).
+    * Stateless in Spark (only stream-stream joins hold state): no
+    * watermark, no aggregation state, any stream length. Emits HIT rows
+    * (vec_id, cell, cent_r, ex_id, cosine_r) — possibly several per
+    * arriving vector; callers fold statuses downstream (dup iff any
+    * hit), exactly d11's contract. A re-ingested corpus member does not
+    * match itself (ex_id ≠ vec_id). The static side must be a
+    * MATERIALIZED table (the assignment memo's scratch parquet
+    * qualifies) — a stream-static join re-executes the static subtree
+    * every micro-batch, so an unmaterialized corpus pipeline would
+    * re-assign the whole corpus per trigger. */
+  def streamSemanticRoute(vecs: DataFrame, corpus: DataFrame,
+                          codebook: Seq[(Long, Array[Double])],
+                          threshold: Double = 0.35): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val best = bestCell(v, codebook)
+    vecs
+      .select(col("vec_id"), v.as("v"),
+        (-best.getField("negcell")).as("cell"),
+        best.getField("ccos").as("cent_r"))
+      .join(corpus.select(col("vec_id").as("ex_id"), col("v").as("ev"),
+        col("cell")), "cell")
+      .filter(col("vec_id") =!= col("ex_id"))
+      .withColumn("cosine_r",
+        round(graft.operators.Similarity.cosine(col("v"), col("ev")), 6))
+      .filter(col("cosine_r") >= threshold)
+      .select(col("vec_id"), col("cell"), col("cent_r"), col("ex_id"),
+        col("cosine_r"))
   }
 
   /** Gap-merge a set of sessions (single events arrive as n=1 sessions):

@@ -545,6 +545,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d14 streaming semantic routing: hits re-derive brute-force; no self-match on re-ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.NearestCells.round6
+    val cb = graft.operators.Similarity.labelCodebook(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toArray)).toSeq
+    // static side: c43's memoized assignment table (spec'd by the c43
+    // re-derivation spec); collected here as the brute-force ground truth
+    val corpus = spark.read.parquet(
+      graft.operators.Similarity.assignedTablePath(spark, sfDir))
+    val members = corpus.collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Double](r.fieldIndex("v")).toArray,
+        r.getAs[Int]("cell").toLong)
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    // stream: every corpus vector re-ingested under its ORIGINAL id (must
+    // not match itself) plus 50 byte-identical copies under fresh ids
+    // (must hit their originals at cosine 1.0)
+    val streamRows = vecs ++ vecs.take(50).map { case (id, e) => (id + 100000L, e) }
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamSemanticRoute(
+      stream.toDF().toDF("vec_id", "embedding"), corpus, cb)
+      .writeStream.outputMode("append").format("memory").queryName("d14_sink").start()
+    try {
+      val (a, b) = streamRows.splitAt(streamRows.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val hits = spark.table("d14_sink").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("ex_id")) ->
+          ((r.getAs[Long]("cell"), r.getAs[Double]("cent_r"),
+            r.getAs[Double]("cosine_r")))).toMap
+      def cos(x: Array[Double], y: Array[Double]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) {
+          dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+        }
+        dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      // brute-force: stream-side argmax over the artifact, then score
+      // against the static cell's members only
+      val expected = streamRows.flatMap { case (id, emb) =>
+        val v = emb.map(_.toDouble).toArray
+        val (score, cell) = cb.map { case (c, cv) => (round6(cos(v, cv)), c) }
+          .minBy { case (s, c) => (-s, c) }
+        members.filter { case (exId, _, exCell) => exCell == cell && exId != id }
+          .flatMap { case (exId, ev, _) =>
+            val cr = round6(cos(v, ev))
+            if (cr >= 0.35) Some((id, exId) -> ((cell, score, cr))) else None
+          }
+      }.toMap
+      assert(hits == expected, "stream hits must equal the brute-force derivation")
+      // the fresh copies must rediscover their originals at cosine 1.0
+      vecs.take(50).foreach { case (id, _) =>
+        assert(hits.get((id + 100000L, id)).exists(_._3 == 1.0),
+          s"copy of vec $id must hit its original at 1.0")
+      }
+      // and nothing ever matches itself
+      assert(hits.keys.forall { case (a2, b2) => a2 != b2 })
+    } finally q.stop()
+  }
+
   test("d3 streaming sessions agree with c13 batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
