@@ -103,6 +103,8 @@ object SparkEntry {
     "c42_banded_sample" -> ((s: SparkSession, d: String) => TextOps.c42BandedSample(s, d)),
     "c43_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.c43SemanticDedup(s, d)),
     "c44_bpe_pairs" -> ((s: SparkSession, d: String) => TextOps.c44BpePairs(s, d)),
+    "c45_embed_moments" -> ((s: SparkSession, d: String) => Similarity.c45EmbedMoments(s, d)),
+    "c46_power_iter" -> ((s: SparkSession, d: String) => Similarity.c46PowerIter(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1045,5 +1047,37 @@ object SparkEntry {
         |SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt
         |FROM p GROUP BY a, b
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+    // c45: fixed-point integer sums per dim (engine-exact), derived
+    // doubles as single expression chains over those integers
+    "c45_embed_moments" ->
+      """WITH x AS (SELECT i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |g AS (SELECT pos, count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4,
+        |        CAST(sum(v4 * v4) AS BIGINT) AS sum_sq4,
+        |        min(v4) AS min_v4, max(v4) AS max_v4
+        |      FROM x GROUP BY pos)
+        |SELECT CAST(pos AS INT) AS pos, n, sum_v4, sum_sq4, min_v4, max_v4,
+        |  round(CAST(sum_v4 AS DOUBLE) / 10000.0 / n, 6) AS mean_r,
+        |  round(CAST(sum_sq4 AS DOUBLE) / 1e8 / n -
+        |    (CAST(sum_v4 AS DOUBLE) / 10000.0 / n) *
+        |    (CAST(sum_v4 AS DOUBLE) / 10000.0 / n), 6) AS var_r
+        |FROM g ORDER BY pos""".stripMargin,
+    // c46: per-row ⟨x,v0⟩ with the ±1 dim-parity start vector, then the
+    // per-dim contribution sum — every term an exact BIGINT; the
+    // normalizer is the order-independent max |component|
+    "c46_power_iter" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |sv AS (SELECT vec_id,
+        |         CAST(sum(CASE WHEN pos % 2 = 0 THEN v4 ELSE -v4 END) AS BIGINT) AS s
+        |       FROM x GROUP BY vec_id),
+        |nm AS (SELECT pos, CAST(sum(v4 * s) AS BIGINT) AS num
+        |       FROM x JOIN sv USING (vec_id) GROUP BY pos),
+        |mx AS (SELECT max(abs(num)) AS max_abs FROM nm)
+        |SELECT CAST(pos AS INT) AS pos, num,
+        |  round(CAST(num AS DOUBLE) / max_abs, 6) AS r
+        |FROM nm, mx ORDER BY pos""".stripMargin,
   )
 }

@@ -721,6 +721,64 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** c45: per-dimension embedding moments — the dataset card for an
+    * embedding column (c32's role for vectors): n, mean, variance, min,
+    * max per dimension, the inputs to whitening / normalization /
+    * drift monitoring. All aggregation runs on FIXED-POINT integers
+    * (c15's 1e-4 contract): integer sums are partial-aggregation-order
+    * independent and engine-exact, and the derived doubles (mean,
+    * variance via E[x²]−E[x]²) are single expression chains over those
+    * exact integers, identical in any IEEE engine, rounded to 6 dp.
+    * One posexplode + one map-side-combinable groupBy on a dim key whose
+    * domain is the embedding width — state is O(dim), never O(corpus). */
+  def c45EmbedMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(toDouble(col("embedding"))))
+      .select(col("pos"),
+        round(col("col") * 10000).cast("bigint").as("v4"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"),
+        sum(col("v4") * col("v4")).as("sum_sq4"),
+        min(col("v4")).as("min_v4"), max(col("v4")).as("max_v4"))
+      .select(col("pos"), col("n"), col("sum_v4"), col("sum_sq4"),
+        col("min_v4"), col("max_v4"),
+        round(col("sum_v4").cast("double") / 10000.0 / col("n"), 6).as("mean_r"),
+        round(col("sum_sq4").cast("double") / 1e8 / col("n") -
+          (col("sum_v4").cast("double") / 10000.0 / col("n")) *
+          (col("sum_v4").cast("double") / 10000.0 / col("n")), 6).as("var_r"))
+      .orderBy("pos")
+
+  /** c46: one power-iteration step — the distributed building block of
+    * PCA / spectral embedding analysis: given a fixed start direction
+    * v₀ (the ±1 dim-parity vector — trivially regenerable by any
+    * engine), compute X'Xv₀ in one pass: per row the scalar s=⟨x,v₀⟩,
+    * then each row contributes x·s to the output direction. On
+    * fixed-point integer coordinates every product and sum is an exact
+    * BIGINT (|x₄|≲4·10⁴, |s|≲64·4·10⁴, row terms ≲10¹¹, corpus sums
+    * well inside int64), so the unnormalized direction is engine-exact;
+    * iterating (feeding the result back, c31's trainCodebook shape)
+    * converges to the top principal direction. Normalization uses the
+    * MAX-|component| scalar — order-independent and exact, where an L2
+    * norm would sum 64 doubles in engine-dependent order — as a
+    * broadcast 1-row aggregate (c16's corpus-scalar seam, never a
+    * collect). Map-side combinable groupBy on the dim key: O(dim)
+    * state, one corpus pass, no shuffle wider than the dim domain. */
+  def c46PowerIter(spark: SparkSession, dir: String): DataFrame = {
+    val x4 = transform(toDouble(col("embedding")),
+      x => round(x * 10000).cast("bigint"))
+    val s = aggregate(
+      transform(x4, (x, i) => when(i % 2 === 0, x).otherwise(-x)),
+      lit(0L), (acc, x) => acc + x)
+    val num = Tables.embeddings(spark, dir)
+      .select(posexplode(transform(x4, x => x * s)))
+      .groupBy("pos").agg(sum(col("col")).as("num"))
+    val scale = num.agg(max(abs(col("num"))).as("max_abs"))
+    num.crossJoin(broadcast(scale))
+      .select(col("pos"), col("num"),
+        round(col("num").cast("double") / col("max_abs"), 6).as("r"))
+      .orderBy("pos")
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the

@@ -66,6 +66,8 @@ object Stress {
     time("c42 banded sample")(TextOps.c42BandedSample(spark, base).count())
     time("c43 semantic dedup")(Similarity.c43SemanticDedup(spark, base).count())
     time("c44 bpe pairs")(TextOps.c44BpePairs(spark, base).count())
+    time("c45 embed moments")(Similarity.c45EmbedMoments(spark, base).count())
+    time("c46 power iter")(Similarity.c46PowerIter(spark, base).count())
     time("ivfpq nprobe=2")(Similarity.ivfPqSearch(spark, base, nprobe = 2).count())
     val ev = Tables.events(spark, base).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),

@@ -927,6 +927,58 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("c45 embedding moments re-derive from raw embeddings in exact fixed point") {
+    val embs = Tables.embeddings(spark, sfDir).collect().map { r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }
+    def fx(x: Double): Long = java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dim = embs.head.length
+    val rows = Similarity.c45EmbedMoments(spark, sfDir).collect()
+    assert(rows.length == dim)
+    rows.zipWithIndex.foreach { case (r, pos) =>
+      val vs = embs.map(v => fx(v(pos)))
+      val n = vs.length.toLong
+      val sum = vs.sum
+      val sumSq = vs.map(v => v * v).sum
+      assert(r.getAs[Int]("pos") == pos)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_v4") == sum &&
+        r.getAs[Long]("sum_sq4") == sumSq, s"integer sums at dim $pos")
+      assert(r.getAs[Long]("min_v4") == vs.min && r.getAs[Long]("max_v4") == vs.max)
+      val mean = sum.toDouble / 10000.0 / n
+      assert(r.getAs[Double]("mean_r") ==
+        graft.functions.NearestCells.round6(mean), s"mean at dim $pos")
+      val varr = sumSq.toDouble / 1e8 / n - mean * mean
+      assert(r.getAs[Double]("var_r") ==
+        graft.functions.NearestCells.round6(varr), s"var at dim $pos")
+      assert(r.getAs[Double]("var_r") >= 0.0)
+    }
+  }
+
+  test("c46 power-iteration step re-derives exactly; max-normalized component hits 1") {
+    val embs = Tables.embeddings(spark, sfDir).collect().map { r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }
+    def fx(x: Double): Long = java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dim = embs.head.length
+    val x4 = embs.map(_.map(fx))
+    val s = x4.map(v => v.zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 0) x else -x }.sum)
+    val num = (0 until dim).map(p => x4.indices.map(i => x4(i)(p) * s(i)).sum)
+    val maxAbs = num.map(math.abs).max
+    val rows = Similarity.c46PowerIter(spark, sfDir).collect()
+    assert(rows.length == dim)
+    rows.zipWithIndex.foreach { case (r, pos) =>
+      assert(r.getAs[Int]("pos") == pos)
+      assert(r.getAs[Long]("num") == num(pos), s"exact numerator at dim $pos")
+      assert(r.getAs[Double]("r") ==
+        graft.functions.NearestCells.round6(num(pos).toDouble / maxAbs))
+    }
+    // the normalizer is the max |component|: exactly that component is ±1
+    assert(rows.map(r => math.abs(r.getAs[Double]("r"))).max == 1.0)
+  }
+
   test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
     val ev = Tables.events(spark, sfDir)
     val sessions = Relational.c13Sessionize(spark, sfDir)

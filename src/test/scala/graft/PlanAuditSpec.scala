@@ -117,4 +117,17 @@ class PlanAuditSpec extends SparkSpec {
     val partials = "partial_count|partial_sum".r.findAllIn(s).length
     assert(partials >= 2, s"expected partial aggregation on both stages:\n$s")
   }
+
+  test("c45/c46 plans: dim-keyed partial aggregation, no vec_id exchange, broadcast scalar") {
+    val s45 = executedPlanOf(Similarity.c45EmbedMoments(spark, sfDir))
+    // moments shuffle only on the dim key (domain = embedding width)
+    assert(!s45.contains("hashpartitioning(vec_id"), s"vec_id exchange in moments:\n$s45")
+    assert("partial_sum".r.findAllIn(s45).nonEmpty, s"moments must combine map-side:\n$s45")
+    val s46 = executedPlanOf(Similarity.c46PowerIter(spark, sfDir))
+    // ⟨x,v0⟩ is row-local (the oracle needs a vec_id join; the plan must not)
+    assert(!s46.contains("hashpartitioning(vec_id"), s"vec_id exchange in power iter:\n$s46")
+    // the max-|component| normalizer arrives as a broadcast 1-row scalar
+    assert(s46.contains("BroadcastExchange") || s46.contains("BroadcastNestedLoopJoin"),
+      s"normalizer must broadcast:\n$s46")
+  }
 }
