@@ -46,10 +46,48 @@ object Main {
     case Some("ingest") => ingest(args.drop(1))
     case Some("chunk") => chunk(args.drop(1))
     case Some("shard") => shard(args.drop(1))
+    case Some("semdedup") => semdedup(args.drop(1))
     case _ =>
       System.err.println(
-        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|ingest|chunk|shard ...")
+        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|ingest|chunk|shard|semdedup ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main semdedup --in EMB_PARQUET --out OUT [--threshold T]
+    * [--codebook CB_PARQUET]` — c43's semantic dedup over an arbitrary
+    * (vec_id, embedding[, label]) parquet: assign each vector to its
+    * nearest codebook cell, drop it iff an above-threshold cell-mate
+    * sits strictly closer to the centroid (SemDeDup's keep-the-far-
+    * member rule). The codebook is read from `--codebook` (cell,
+    * centroid — e.g. a trained artifact) or derived from the input's
+    * `label` column. Writes (vec_id, cell, cent_r, keep) parquet plus
+    * one JSON stats line. The assignment frame is persisted for the
+    * run — it feeds three plan branches (c43's memo argument). */
+  private def semdedup(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.35)
+    val spark = GraftSession.get()
+    val embs = spark.read.parquet(in)
+    val cb = opt(args, "--codebook").map(spark.read.parquet(_))
+      .getOrElse(Similarity.labelCodebookOf(embs))
+    val assigned = Similarity.assignCells(
+      embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      cb, maxProbe = 1)
+      .select(col("vec_id"), col("v"), col("cell"), col("ccos"))
+      .persist()
+    try {
+      Similarity.dominanceVerdicts(assigned, threshold)
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .agg(count(lit(1)),
+          coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))).head()
+      val total = stats.getLong(0)
+      val kept = stats.getLong(1)
+      println(s"""{"vectors":$total,"kept":$kept,"dropped":${total - kept},""" +
+        s""""threshold":$threshold,"out":"$out"}""")
+    } finally assigned.unpersist()
   }
 
   /** `graft.Main chunk --in PARQUET --out OUT [--size N] [--stride N]` —

@@ -222,17 +222,7 @@ object Similarity {
     codebookCache.computeIfAbsent(dir, d => {
       val p = graft.GraftSession.scratchDir(
         s"label-cb-${graft.sources.JsonConvert.pathKey(d)}").toString
-      Tables.embeddings(spark, d)
-        .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"),
-          round(col("col").cast("double") * 10000).cast("bigint").as("v4"))
-        .groupBy("label", "pos")
-        .agg(sum(col("v4")).as("sum_v4"), count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
-          (col("sum_v4").cast("double") / 10000.0 / col("n")).as("cv"))
-        .groupBy("label")
-        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
-        .select(col("label").as("cell"), col("arr.cv").as("centroid"))
+      labelCodebookOf(Tables.embeddings(spark, d))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -705,8 +695,16 @@ object Similarity {
     * contract every similarity op here follows).
     * Emits one verdict row per vector: (vec_id, cell, cent_r, keep). */
   def c43SemanticDedup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.35): DataFrame = {
-    val a = spark.read.parquet(assignedTablePath(spark, dir))
+                       threshold: Double = 0.35): DataFrame =
+    dominanceVerdicts(
+      spark.read.parquet(assignedTablePath(spark, dir)), threshold)
+
+  /** The c43 dominance pass over an already-assigned (vec_id, v, cell,
+    * ccos) frame. The frame feeds three plan branches — MATERIALIZE it
+    * (the c43 memo, a persist, or a checkpoint) or the assignment
+    * subtree executes three times. */
+  private[graft] def dominanceVerdicts(a: DataFrame,
+                                       threshold: Double): DataFrame = {
     val rhs = a.select(col("cell"), col("vec_id").as("r_id"),
       col("v").as("rv"), col("ccos").as("r_ccos"))
     val dropped = a.join(rhs, "cell")
@@ -720,6 +718,22 @@ object Similarity {
         col("hit").isNull.as("keep"))
       .orderBy("vec_id")
   }
+
+  /** Label-initialized codebook over an ARBITRARY (embedding, label)
+    * frame — the [[labelCodebookPath]] aggregation, generalized for the
+    * library/CLI surface (semdedup over any embeddings parquet). */
+  def labelCodebookOf(embs: DataFrame): DataFrame =
+    embs
+      .select(col("label"), posexplode(toDouble(col("embedding"))))
+      .select(col("label"), col("pos"),
+        round(col("col") * 10000).cast("bigint").as("v4"))
+      .groupBy("label", "pos")
+      .agg(sum(col("v4")).as("sum_v4"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sum_v4").cast("double") / 10000.0 / col("n")).as("cv"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
+      .select(col("label").as("cell"), col("arr.cv").as("centroid"))
 
   /** c45: per-dimension embedding moments — the dataset card for an
     * embedding column (c32's role for vectors): n, mean, variance, min,

@@ -148,6 +148,31 @@ class CliSpec extends SparkSpec {
     assert(got.length > Tables.documents(spark, sfDir).count())
   }
 
+  test("semdedup subcommand: verdicts over an arbitrary parquet equal c43's") {
+    val out = Files.createTempDirectory("graft-semdedup-").toString
+    Main.main(Array("semdedup",
+      "--in", s"$sfDir/embeddings.parquet", "--out", out))
+    val got = spark.read.parquet(out).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("cent_r"), r.getAs[Boolean]("keep")))
+    val want = graft.operators.Similarity.c43SemanticDedup(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("cent_r"), r.getAs[Boolean]("keep")))
+    assert(got.toSeq == want.toSeq)
+    // a trained-artifact codebook is accepted in place of the label one
+    val cbDir = Files.createTempDirectory("graft-semdedup-cb-").toString
+    graft.operators.Similarity.labelCodebook(spark, sfDir)
+      .write.mode("overwrite").parquet(cbDir)
+    val out2 = Files.createTempDirectory("graft-semdedup2-").toString
+    Main.main(Array("semdedup", "--in", s"$sfDir/embeddings.parquet",
+      "--out", out2, "--codebook", cbDir))
+    val got2 = spark.read.parquet(out2).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("cent_r"), r.getAs[Boolean]("keep")))
+    assert(got2.toSeq == want.toSeq)
+  }
+
   test("shard subcommand: partitioned-by-shard layout, dense positions, full columns carried") {
     val inDir = Files.createTempDirectory("graft-shard-in-").toString
     Tables.documents(spark, sfDir)
