@@ -422,6 +422,26 @@ object StreamOps {
       best.getField("ccos").as("cell_cos"))
   }
 
+  /** d15: streaming embedding moments — running per-dimension
+    * fixed-point sums over a vector stream (the streaming twin of c45,
+    * and like d10 a COMPLETE-mode surface: the result set is
+    * embedding-width-sized — one row per dimension, not per vector — so
+    * the running aggregate re-emits the full dim table each trigger,
+    * exactly how a live embedding-drift monitor consumes it). State is
+    * O(dim): five integers per dimension, nothing corpus-sized. All
+    * aggregation stays on c45's exact fixed-point integers — the
+    * derived doubles (mean/var) belong downstream of the sink, computed
+    * from the same exact integers c45 uses, so batch and stream can
+    * never drift. */
+  def streamEmbedMoments(vecs: DataFrame): DataFrame =
+    vecs
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .select(col("pos"), round(col("col") * 10000).cast("bigint").as("v4"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"),
+        sum(col("v4") * col("v4")).as("sum_sq4"),
+        min(col("v4")).as("min_v4"), max(col("v4")).as("max_v4"))
+
   /** The d9 argmax as a reusable column: array_max over k
     * (6-dp-rounded cosine, −cell) structs — row-local, codegen-friendly,
     * tie-break identical to the batch NearestCells comparator (rounded

@@ -545,6 +545,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d15 streaming embedding moments equal c45's exact integer sums after the last trigger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamEmbedMoments(
+      stream.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("d15_sink").start()
+    try {
+      val (a, b) = vecs.splitAt(vecs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d15_sink").collect()
+        .map(r => r.getAs[Int]("pos") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_v4"), r.getAs[Long]("sum_sq4"),
+            r.getAs[Long]("min_v4"), r.getAs[Long]("max_v4")))).toMap
+      val batch = graft.operators.Similarity.c45EmbedMoments(spark, sfDir)
+        .collect()
+        .map(r => r.getAs[Int]("pos") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_v4"), r.getAs[Long]("sum_sq4"),
+            r.getAs[Long]("min_v4"), r.getAs[Long]("max_v4")))).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch,
+        "running integer moments must equal the batch aggregation exactly")
+    } finally q.stop()
+  }
+
   test("d14 streaming semantic routing: hits re-derive brute-force; no self-match on re-ingest") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
