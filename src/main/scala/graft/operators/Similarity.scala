@@ -778,14 +778,21 @@ object Similarity {
     * collect). Map-side combinable groupBy on the dim key: O(dim)
     * state, one corpus pass, no shuffle wider than the dim domain. */
   def c46PowerIter(spark: SparkSession, dir: String): DataFrame = {
-    val x4 = transform(toDouble(col("embedding")),
-      x => round(x * 10000).cast("bigint"))
-    val s = aggregate(
-      transform(x4, (x, i) => when(i % 2 === 0, x).otherwise(-x)),
-      lit(0L), (acc, x) => acc + x)
+    // stage x4, then s, in their own projections: the HOFs run
+    // interpreted, and an expression referenced from inside a lambda is
+    // re-evaluated PER ELEMENT — unstaged, the s-chain (itself a full
+    // array pass) would run 64× per row (the d11 shingle-staging lesson;
+    // measured 4.4 s → ~0.4 s at sf0.1)
     val num = Tables.embeddings(spark, dir)
-      .select(posexplode(transform(x4, x => x * s)))
-      .groupBy("pos").agg(sum(col("col")).as("num"))
+      .select(transform(toDouble(col("embedding")),
+        x => round(x * 10000).cast("bigint")).as("x4"))
+      .select(col("x4"), aggregate(
+        transform(col("x4"), (x, i) => when(i % 2 === 0, x).otherwise(-x)),
+        lit(0L), (acc, x) => acc + x).as("s"))
+      // multiply AFTER the explode: scalar column math is codegen'd,
+      // where a third HOF pass would run interpreted per element
+      .select(col("s"), posexplode(col("x4")))
+      .groupBy("pos").agg(sum(col("col") * col("s")).as("num"))
     val scale = num.agg(max(abs(col("num"))).as("max_abs"))
     num.crossJoin(broadcast(scale))
       .select(col("pos"), col("num"),
