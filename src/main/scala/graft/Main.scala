@@ -57,8 +57,9 @@ object Main {
     * [--codebook CB_PARQUET]` — c43's semantic dedup over an arbitrary
     * (vec_id, embedding[, label]) parquet: assign each vector to its
     * nearest codebook cell, drop it iff an above-threshold cell-mate
-    * sits strictly closer to the centroid (SemDeDup's keep-the-far-
-    * member rule). The codebook is read from `--codebook` (cell,
+    * sits strictly FARTHER from the centroid — the far member survives
+    * (SemDeDup's keep-the-far-member rule: the centroid already
+    * summarizes the cluster core). The codebook is read from `--codebook` (cell,
     * centroid — e.g. a trained artifact) or derived from the input's
     * `label` column. Writes (vec_id, cell, cent_r, keep) parquet plus
     * one JSON stats line. The assignment frame is persisted for the
@@ -70,8 +71,14 @@ object Main {
     val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.35)
     val spark = GraftSession.get()
     val embs = spark.read.parquet(in)
-    val cb = opt(args, "--codebook").map(spark.read.parquet(_))
-      .getOrElse(Similarity.labelCodebookOf(embs))
+    val cb = opt(args, "--codebook").map(spark.read.parquet(_)).getOrElse {
+      // fail at the CLI seam, not as an unresolved-column AnalysisException
+      // deep inside the codebook aggregation (the d13 empty-artifact rule)
+      require(embs.columns.contains("label"),
+        s"input $in has no `label` column — pass a trained --codebook " +
+          "(cell, centroid) parquet instead")
+      Similarity.labelCodebookOf(embs)
+    }
     val assigned = Similarity.assignCells(
       embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       cb, maxProbe = 1)

@@ -1029,7 +1029,8 @@ object SparkEntry {
         |asg AS (SELECT vec_id, v, cell, ccos FROM a WHERE arn = 1),
         |p AS (SELECT DISTINCT l.vec_id
         |      FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id <> r.vec_id
-        |      WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
+        |      WHERE NOT isnan(round(list_cosine_similarity(l.v, r.v), 6))
+        |        AND round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
         |        AND (r.ccos < l.ccos OR (r.ccos = l.ccos AND r.vec_id < l.vec_id)))
         |SELECT g.vec_id, g.cell, g.ccos AS cent_r, p.vec_id IS NULL AS keep
         |FROM asg g LEFT JOIN p ON g.vec_id = p.vec_id
@@ -1054,12 +1055,12 @@ object SparkEntry {
         |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
         |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
         |g AS (SELECT pos, count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4,
-        |        CAST(sum(v4 * v4) AS BIGINT) AS sum_sq4,
-        |        min(v4) AS min_v4, max(v4) AS max_v4
+        |        sum(v4 * v4) AS sq, min(v4) AS min_v4, max(v4) AS max_v4
         |      FROM x GROUP BY pos)
-        |SELECT CAST(pos AS INT) AS pos, n, sum_v4, sum_sq4, min_v4, max_v4,
+        |SELECT CAST(pos AS INT) AS pos, n, sum_v4,
+        |  CAST(sq AS VARCHAR) AS sum_sq4, min_v4, max_v4,
         |  round(CAST(sum_v4 AS DOUBLE) / 10000.0 / n, 6) AS mean_r,
-        |  round(CAST(sum_sq4 AS DOUBLE) / 1e8 / n -
+        |  round(CAST(sq AS DOUBLE) / 1e8 / n -
         |    (CAST(sum_v4 AS DOUBLE) / 10000.0 / n) *
         |    (CAST(sum_v4 AS DOUBLE) / 10000.0 / n), 6) AS var_r
         |FROM g ORDER BY pos""".stripMargin,
@@ -1073,11 +1074,11 @@ object SparkEntry {
         |sv AS (SELECT vec_id,
         |         CAST(sum(CASE WHEN pos % 2 = 0 THEN v4 ELSE -v4 END) AS BIGINT) AS s
         |       FROM x GROUP BY vec_id),
-        |nm AS (SELECT pos, CAST(sum(v4 * s) AS BIGINT) AS num
+        |nm AS (SELECT pos, sum(v4 * s) AS num
         |       FROM x JOIN sv USING (vec_id) GROUP BY pos),
         |mx AS (SELECT max(abs(num)) AS max_abs FROM nm)
-        |SELECT CAST(pos AS INT) AS pos, num,
-        |  round(CAST(num AS DOUBLE) / max_abs, 6) AS r
+        |SELECT CAST(pos AS INT) AS pos, CAST(num AS VARCHAR) AS num,
+        |  round(CAST(num AS DOUBLE) / CAST(max_abs AS DOUBLE), 6) AS r
         |FROM nm, mx ORDER BY pos""".stripMargin,
   )
 }

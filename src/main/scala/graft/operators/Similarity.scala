@@ -702,14 +702,22 @@ object Similarity {
   /** The c43 dominance pass over an already-assigned (vec_id, v, cell,
     * ccos) frame. The frame feeds three plan branches — MATERIALIZE it
     * (the c43 memo, a persist, or a checkpoint) or the assignment
-    * subtree executes three times. */
+    * subtree executes three times.
+    * Zero-norm vectors (real pipelines carry them: padding, failed
+    * encodes) make cosine NaN, and Spark compares NaN as LARGER than
+    * everything — unguarded, `NaN >= threshold` is true and a zero
+    * vector would be dropped as a "duplicate" of its whole cell. The
+    * isnan guard keeps non-comparable pairs out of the hunt entirely:
+    * zero-norm vectors pass through keep=true (with NaN cent_r), and
+    * can never dominate a finite one. */
   private[graft] def dominanceVerdicts(a: DataFrame,
                                        threshold: Double): DataFrame = {
     val rhs = a.select(col("cell"), col("vec_id").as("r_id"),
       col("v").as("rv"), col("ccos").as("r_ccos"))
+    val pairCos = round(cosine(col("v"), col("rv")), 6)
     val dropped = a.join(rhs, "cell")
       .filter(col("vec_id") =!= col("r_id"))
-      .filter(round(cosine(col("v"), col("rv")), 6) >= threshold)
+      .filter(!isnan(pairCos) && pairCos >= threshold)
       .filter(col("r_ccos") < col("ccos") ||
         (col("r_ccos") === col("ccos") && col("r_id") < col("vec_id")))
       .select("vec_id").distinct()
@@ -745,16 +753,34 @@ object Similarity {
     * exact integers, identical in any IEEE engine, rounded to 6 dp.
     * One posexplode + one map-side-combinable groupBy on a dim key whose
     * domain is the embedding width — state is O(dim), never O(corpus). */
-  def c45EmbedMoments(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(posexplode(toDouble(col("embedding"))))
+  /** The fixed-point moment sums over an arbitrary embedding frame —
+    * shared by batch c45 and streaming d15 (the d12/c35
+    * shared-verdict-logic rule: twins must share their core so they
+    * cannot drift). sum_sq4 accumulates in DECIMAL(38,0): v4² terms
+    * reach 1.6×10⁹, so an int64 sum wraps near 5.7×10⁹ vectors — real
+    * corpus scale, and d15's running state only ever grows — and
+    * Spark's non-ANSI integer sum wraps SILENTLY; the decimal sum is
+    * exact to ~10²⁹ vectors and fails loudly (null) beyond. sum_v4
+    * stays BIGINT: |v4| ≤ 4×10⁴ wraps only past ~2×10¹⁴ vectors. */
+  private[graft] def fixedPointMoments(vecs: DataFrame): DataFrame =
+    vecs
+      .select(posexplode(col("embedding").cast("array<double>")))
       .select(col("pos"),
         round(col("col") * 10000).cast("bigint").as("v4"))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"),
-        sum(col("v4") * col("v4")).as("sum_sq4"),
+        sum((col("v4") * col("v4")).cast("decimal(38,0)")).as("sum_sq4"),
         min(col("v4")).as("min_v4"), max(col("v4")).as("max_v4"))
-      .select(col("pos"), col("n"), col("sum_v4"), col("sum_sq4"),
+
+  def c45EmbedMoments(spark: SparkSession, dir: String): DataFrame =
+    fixedPointMoments(Tables.embeddings(spark, dir))
+      // the exact square sum travels as a STRING of the decimal: a
+      // decimal column reaches pandas as object on one engine and
+      // float64 on the other (hash mismatch), and a double would lose
+      // exactness past 2^53; digits-as-text is exact at any scale and
+      // renders identically everywhere
+      .select(col("pos"), col("n"), col("sum_v4"),
+        col("sum_sq4").cast("string").as("sum_sq4"),
         col("min_v4"), col("max_v4"),
         round(col("sum_v4").cast("double") / 10000.0 / col("n"), 6).as("mean_r"),
         round(col("sum_sq4").cast("double") / 1e8 / col("n") -
@@ -767,9 +793,12 @@ object Similarity {
     * v₀ (the ±1 dim-parity vector — trivially regenerable by any
     * engine), compute X'Xv₀ in one pass: per row the scalar s=⟨x,v₀⟩,
     * then each row contributes x·s to the output direction. On
-    * fixed-point integer coordinates every product and sum is an exact
-    * BIGINT (|x₄|≲4·10⁴, |s|≲64·4·10⁴, row terms ≲10¹¹, corpus sums
-    * well inside int64), so the unnormalized direction is engine-exact;
+    * fixed-point integer coordinates every per-row product is an exact
+    * BIGINT (|x₄|≲4·10⁴, |s|≲64·4·10⁴, row terms ≲10¹¹); the per-dim
+    * SUM accumulates in DECIMAL(38,0) — 10¹¹-sized terms would wrap an
+    * int64 silently near 10⁸ rows, real corpus scale — keeping the
+    * unnormalized direction engine-exact to ~10²⁷ rows (and failing
+    * loudly, as null, beyond);
     * iterating (feeding the result back, c31's trainCodebook shape)
     * converges to the top principal direction. Normalization uses the
     * MAX-|component| scalar — order-independent and exact, where an L2
@@ -792,11 +821,16 @@ object Similarity {
       // multiply AFTER the explode: scalar column math is codegen'd,
       // where a third HOF pass would run interpreted per element
       .select(col("s"), posexplode(col("x4")))
-      .groupBy("pos").agg(sum(col("col") * col("s")).as("num"))
+      .groupBy("pos")
+      .agg(sum((col("col") * col("s")).cast("decimal(38,0)")).as("num"))
     val scale = num.agg(max(abs(col("num"))).as("max_abs"))
     num.crossJoin(broadcast(scale))
-      .select(col("pos"), col("num"),
-        round(col("num").cast("double") / col("max_abs"), 6).as("r"))
+      // num travels as digits-as-text (c45's sum_sq4 rule: exact at any
+      // scale, renders identically in every engine); r derives from the
+      // numeric decimal before the stringify
+      .select(col("pos"), col("num").cast("string").as("num"),
+        round(col("num").cast("double") / col("max_abs").cast("double"), 6)
+          .as("r"))
       .orderBy("pos")
   }
 

@@ -432,15 +432,13 @@ object StreamOps {
     * aggregation stays on c45's exact fixed-point integers — the
     * derived doubles (mean/var) belong downstream of the sink, computed
     * from the same exact integers c45 uses, so batch and stream can
-    * never drift. */
+    * never drift — enforced structurally: this IS c45's aggregation
+    * core ([[graft.operators.Similarity.fixedPointMoments]]), shared
+    * the way d12 shares c35's qualityVerdicts. The square sums run in
+    * DECIMAL(38,0) there — this monitor's state only ever grows, and
+    * an int64 square sum would wrap silently near 5.7×10⁹ vectors. */
   def streamEmbedMoments(vecs: DataFrame): DataFrame =
-    vecs
-      .select(posexplode(col("embedding").cast("array<double>")))
-      .select(col("pos"), round(col("col") * 10000).cast("bigint").as("v4"))
-      .groupBy("pos")
-      .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"),
-        sum(col("v4") * col("v4")).as("sum_sq4"),
-        min(col("v4")).as("min_v4"), max(col("v4")).as("max_v4"))
+    graft.operators.Similarity.fixedPointMoments(vecs)
 
   /** The d9 argmax as a reusable column: array_max over k
     * (6-dp-rounded cosine, −cell) structs — row-local, codegen-friendly,
@@ -491,7 +489,10 @@ object StreamOps {
       .filter(col("vec_id") =!= col("ex_id"))
       .withColumn("cosine_r",
         round(graft.operators.Similarity.cosine(col("v"), col("ev")), 6))
-      .filter(col("cosine_r") >= threshold)
+      // NaN (zero-norm vector on either side) compares LARGER than any
+      // threshold in Spark — guard it out or zero vectors "hit" the
+      // whole cell (c43's dominanceVerdicts rule, mirrored at ingest)
+      .filter(!isnan(col("cosine_r")) && col("cosine_r") >= threshold)
       .select(col("vec_id"), col("cell"), col("cent_r"), col("ex_id"),
         col("cosine_r"))
   }

@@ -927,6 +927,23 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("c43 dominance: zero-norm vectors pass through keep=true and never drop finite mates") {
+    import spark.implicits._
+    // one cell holding two identical finite vectors (a true dup pair)
+    // and one all-zero vector (NaN cosine against everything)
+    val assigned = Seq(
+      (1L, Seq(1.0, 0.0), 7, 0.9),
+      (2L, Seq(1.0, 0.0), 7, 0.8),
+      (3L, Seq(0.0, 0.0), 7, Double.NaN))
+      .toDF("vec_id", "v", "cell", "ccos")
+    val out = graft.operators.Similarity.dominanceVerdicts(assigned, 0.35)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    // vec 1 (closer to centroid) drops against vec 2; the zero vector is
+    // non-comparable: kept, and it never dominates the finite pair
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("c45 embedding moments re-derive from raw embeddings in exact fixed point") {
     val embs = Tables.embeddings(spark, sfDir).collect().map { r =>
       r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
@@ -943,7 +960,8 @@ class DedupSimSpec extends SparkSpec {
       val sumSq = vs.map(v => v * v).sum
       assert(r.getAs[Int]("pos") == pos)
       assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_v4") == sum &&
-        r.getAs[Long]("sum_sq4") == sumSq, s"integer sums at dim $pos")
+        r.getAs[String]("sum_sq4").toLong == sumSq,
+        s"integer sums at dim $pos")
       assert(r.getAs[Long]("min_v4") == vs.min && r.getAs[Long]("max_v4") == vs.max)
       val mean = sum.toDouble / 10000.0 / n
       assert(r.getAs[Double]("mean_r") ==
@@ -971,7 +989,8 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.length == dim)
     rows.zipWithIndex.foreach { case (r, pos) =>
       assert(r.getAs[Int]("pos") == pos)
-      assert(r.getAs[Long]("num") == num(pos), s"exact numerator at dim $pos")
+      assert(r.getAs[String]("num").toLong == num(pos),
+        s"exact numerator at dim $pos")
       assert(r.getAs[Double]("r") ==
         graft.functions.NearestCells.round6(num(pos).toDouble / maxAbs))
     }

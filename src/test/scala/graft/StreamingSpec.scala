@@ -562,12 +562,14 @@ class StreamingSpec extends SparkSpec {
       stream.addData(b); q.processAllAvailable()
       val streamed = spark.table("d15_sink").collect()
         .map(r => r.getAs[Int]("pos") ->
-          ((r.getAs[Long]("n"), r.getAs[Long]("sum_v4"), r.getAs[Long]("sum_sq4"),
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_v4"),
+            r.getAs[java.math.BigDecimal]("sum_sq4").longValueExact(),
             r.getAs[Long]("min_v4"), r.getAs[Long]("max_v4")))).toMap
       val batch = graft.operators.Similarity.c45EmbedMoments(spark, sfDir)
         .collect()
         .map(r => r.getAs[Int]("pos") ->
-          ((r.getAs[Long]("n"), r.getAs[Long]("sum_v4"), r.getAs[Long]("sum_sq4"),
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_v4"),
+            r.getAs[String]("sum_sq4").toLong,
             r.getAs[Long]("min_v4"), r.getAs[Long]("max_v4")))).toMap
       assert(streamed.size == batch.size)
       assert(streamed == batch,
