@@ -105,6 +105,7 @@ object SparkEntry {
     "c44_bpe_pairs" -> ((s: SparkSession, d: String) => TextOps.c44BpePairs(s, d)),
     "c45_embed_moments" -> ((s: SparkSession, d: String) => Similarity.c45EmbedMoments(s, d)),
     "c46_power_iter" -> ((s: SparkSession, d: String) => Similarity.c46PowerIter(s, d)),
+    "c47_whiten" -> ((s: SparkSession, d: String) => Similarity.c47Whiten(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1080,5 +1081,23 @@ object SparkEntry {
         |SELECT CAST(pos AS INT) AS pos, CAST(num AS VARCHAR) AS num,
         |  round(CAST(num AS DOUBLE) / CAST(max_abs AS DOUBLE), 6) AS r
         |FROM nm, mx ORDER BY pos""".stripMargin,
+    // c47: the c45 moment CTEs, then a per-(vec_id, pos) join applying
+    // (x - mean)/sd — Spark does the same math row-locally against a
+    // broadcast struct array, no corpus shuffle
+    "c47_whiten" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS xv,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |g AS (SELECT pos, count(*) AS n, sum(v4) AS sum_v4, sum(v4 * v4) AS sq
+        |      FROM x GROUP BY pos),
+        |m AS (SELECT pos, CAST(sum_v4 AS DOUBLE) / 10000.0 / n AS mean,
+        |        sqrt(CAST(sq AS DOUBLE) / 1e8 / n -
+        |          (CAST(sum_v4 AS DOUBLE) / 10000.0 / n) *
+        |          (CAST(sum_v4 AS DOUBLE) / 10000.0 / n)) AS sd
+        |      FROM g)
+        |SELECT vec_id, CAST(x.pos AS INT) AS pos,
+        |  round((xv - mean) / sd, 6) AS z_r
+        |FROM x JOIN m ON m.pos = x.pos
+        |ORDER BY vec_id, pos""".stripMargin,
   )
 }

@@ -834,6 +834,41 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** c47: embedding whitening — apply c45's per-dimension moments to
+    * z-normalize every vector ((x − mean)/σ per dim): the standard
+    * preprocessing before similarity/clustering when dimensions carry
+    * unequal scales, and the consumer that closes c45's loop (compute
+    * moments → whiten → feed c5/c18/c31). The moments fold to ONE
+    * broadcast row of (pos, mean, σ) structs (the assignCells codebook
+    * pattern), so normalization is row-local array math with ZERO
+    * corpus exchanges — the oracle must join per (vec_id, pos); the
+    * Spark plan provably never shuffles the corpus (plan spec; the only
+    * exchanges are the dim-keyed moment aggregate and the gate
+    * ordering). σ derives from c45's exact integer sums, so both
+    * engines compute bit-identical doubles; z is 6-dp-rounded. Emits
+    * the long form (vec_id, pos, z_r) — parquet-friendly, and exactly
+    * what a training loader or the moments monitor re-assembles.
+    * Degenerate dims (σ=0) would emit ±Inf/NaN — absent here; a
+    * production caller clamps σ with a floor. */
+  def c47Whiten(spark: SparkSession, dir: String): DataFrame = {
+    val mean = col("sum_v4").cast("double") / 10000.0 / col("n")
+    val m = fixedPointMoments(Tables.embeddings(spark, dir))
+      .select(col("pos"), mean.as("mean"),
+        sqrt(col("sum_sq4").cast("double") / 1e8 / col("n") - mean * mean)
+          .as("sd"))
+    val stats = broadcast(m.agg(
+      sort_array(collect_list(struct(col("pos"), col("mean"), col("sd"))))
+        .as("ms")))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(stats)
+      .select(col("vec_id"), posexplode(
+        zip_with(col("v"), col("ms"),
+          (x, s) => round((x - s.getField("mean")) / s.getField("sd"), 6))))
+      .select(col("vec_id"), col("pos"), col("col").as("z_r"))
+      .orderBy("vec_id", "pos")
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the

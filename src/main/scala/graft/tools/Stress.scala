@@ -68,6 +68,7 @@ object Stress {
     time("c44 bpe pairs")(TextOps.c44BpePairs(spark, base).count())
     time("c45 embed moments")(Similarity.c45EmbedMoments(spark, base).count())
     time("c46 power iter")(Similarity.c46PowerIter(spark, base).count())
+    time("c47 whiten")(Similarity.c47Whiten(spark, base).count())
     time("ivfpq nprobe=2")(Similarity.ivfPqSearch(spark, base, nprobe = 2).count())
     val ev = Tables.events(spark, base).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),

@@ -998,6 +998,45 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.map(r => math.abs(r.getAs[Double]("r"))).max == 1.0)
   }
 
+  test("c47 whitening re-derives exactly from c45's moments; z is standardized") {
+    import graft.functions.NearestCells.round6
+    val embs = Tables.embeddings(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    }
+    def fx(x: Double): Long = java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dim = embs.head._2.length
+    val n = embs.length
+    val stats = (0 until dim).map { p =>
+      val vs = embs.map { case (_, v) => fx(v(p)) }
+      val mean = vs.sum.toDouble / 10000.0 / n
+      val sd = math.sqrt(vs.map(x => x * x).sum.toDouble / 1e8 / n - mean * mean)
+      (mean, sd)
+    }
+    val expected = embs.flatMap { case (id, v) =>
+      (0 until dim).map { p =>
+        (id, p) -> round6((v(p) - stats(p)._1) / stats(p)._2)
+      }
+    }.toMap
+    val rows = Similarity.c47Whiten(spark, sfDir).collect()
+    assert(rows.length == n * dim)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("vec_id"), r.getAs[Int]("pos"))
+      assert(r.getAs[Double]("z_r") == expected(k), s"z at $k")
+    }
+    // semantic: each whitened dim is ~N(0,1) — mean ~0, unit variance
+    (0 until dim).foreach { p =>
+      val zs = embs.map { case (id, _) => expected((id, p)) }
+      val zm = zs.sum / n
+      val zv = zs.map(z => z * z).sum / n - zm * zm
+      // moments are computed from fixed-point 1e-4 coordinates while z
+      // uses the raw doubles, so the residual mean is O(1e-5), not 0
+      assert(math.abs(zm) < 1e-4, s"whitened mean at dim $p")
+      assert(math.abs(zv - 1.0) < 1e-2, s"whitened variance at dim $p")
+    }
+  }
+
   test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
     val ev = Tables.events(spark, sfDir)
     val sessions = Relational.c13Sessionize(spark, sfDir)

@@ -130,4 +130,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(s46.contains("BroadcastExchange") || s46.contains("BroadcastNestedLoopJoin"),
       s"normalizer must broadcast:\n$s46")
   }
+
+  test("c47 plan: normalization is row-local against a broadcast stats row — no corpus shuffle") {
+    val s = executedPlanOf(Similarity.c47Whiten(spark, sfDir))
+    // the oracle joins per (vec_id, pos); the plan must not — the only
+    // hash exchange is the dim-keyed moments aggregate
+    assert(!s.contains("hashpartitioning(vec_id"), s"corpus shuffle in whitening:\n$s")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
+      s"moments must arrive broadcast:\n$s")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange (the pos-keyed moments agg), got $hashExchanges:\n$s")
+  }
 }
