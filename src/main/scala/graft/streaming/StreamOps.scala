@@ -440,6 +440,25 @@ object StreamOps {
   def streamEmbedMoments(vecs: DataFrame): DataFrame =
     graft.operators.Similarity.fixedPointMoments(vecs)
 
+  /** d16: streaming whitening — c47 at ingest time, against a STATIC
+    * moments artifact (d13's argument: a stream cannot re-aggregate the
+    * corpus per row, so the per-dim (mean, σ) table — dim-sized,
+    * bounded — ships as plan literals, exactly as a serving system
+    * ships its normalization constants; the batch side computes them
+    * once with c45/fixedPointMoments). Row-local zip_with over the
+    * arriving vector: zero state, no watermark, any stream length.
+    * Emits c47's long form (vec_id, pos, z_r); a parity spec pins
+    * stream ≡ batch c47 row-for-row under the same artifact. */
+  def streamWhiten(vecs: DataFrame,
+                   moments: Seq[(Int, Double, Double)]): DataFrame = {
+    require(moments.nonEmpty, "moments artifact must be non-empty")
+    val ms = typedLit(moments.sortBy(_._1).map { case (_, m, s) => (m, s) })
+    vecs.select(col("vec_id"),
+      posexplode(zip_with(col("embedding").cast("array<double>"), ms,
+        (x, s) => round((x - s.getField("_1")) / s.getField("_2"), 6))))
+      .select(col("vec_id"), col("pos"), col("col").as("z_r"))
+  }
+
   /** The d9 argmax as a reusable column: array_max over k
     * (6-dp-rounded cosine, −cell) structs — row-local, codegen-friendly,
     * tie-break identical to the batch NearestCells comparator (rounded

@@ -577,6 +577,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d16 streaming whitening equals batch c47 under the same moments artifact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the shipped artifact: full-precision (mean, sd) from the exact
+    // integer sums — NOT the 6-dp-rounded card values
+    val moments = graft.operators.Similarity
+      .fixedPointMoments(Tables.embeddings(spark, sfDir)).collect()
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        val mean = r.getAs[Long]("sum_v4").toDouble / 10000.0 / n
+        val sd = math.sqrt(
+          r.getAs[java.math.BigDecimal]("sum_sq4").doubleValue() / 1e8 / n -
+            mean * mean)
+        (r.getAs[Int]("pos"), mean, sd)
+      }.toSeq
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamWhiten(
+      stream.toDF().toDF("vec_id", "embedding"), moments)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d16_sink").start()
+    try {
+      val (a, b) = vecs.splitAt(vecs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d16_sink").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos")) ->
+          r.getAs[Double]("z_r")).toMap
+      val batch = graft.operators.Similarity.c47Whiten(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos")) ->
+          r.getAs[Double]("z_r")).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch, "stream whitening must equal batch c47")
+    } finally q.stop()
+  }
+
   test("d14 streaming semantic routing: hits re-derive brute-force; no self-match on re-ingest") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
