@@ -71,7 +71,15 @@ object Main {
     val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.35)
     val spark = GraftSession.get()
     val embs = spark.read.parquet(in)
-    val cb = opt(args, "--codebook").map(spark.read.parquet(_)).getOrElse {
+    val cb = opt(args, "--codebook").map { p =>
+      val read = spark.read.parquet(p)
+      // same seam rule as the label check below: a mispointed artifact
+      // must fail here, not as an AnalysisException inside assignment
+      require(Seq("cell", "centroid").forall(read.columns.contains),
+        s"--codebook $p must have (cell, centroid) columns, " +
+          s"found ${read.columns.mkString("(", ", ", ")")}")
+      read
+    }.getOrElse {
       // fail at the CLI seam, not as an unresolved-column AnalysisException
       // deep inside the codebook aggregation (the d13 empty-artifact rule)
       require(embs.columns.contains("label"),

@@ -714,10 +714,14 @@ object Similarity {
                                        threshold: Double): DataFrame = {
     val rhs = a.select(col("cell"), col("vec_id").as("r_id"),
       col("v").as("rv"), col("ccos").as("r_ccos"))
-    val pairCos = round(cosine(col("v"), col("rv")), 6)
+    // nanvl folds the NaN guard into ONE reference to the O(dim) cosine
+    // (a two-conjunct filter would codegen the cosine loop twice on the
+    // quadratic pair hunt): NaN maps to -Inf, which no threshold admits
+    val pairCos = nanvl(round(cosine(col("v"), col("rv")), 6),
+      lit(Double.NegativeInfinity))
     val dropped = a.join(rhs, "cell")
       .filter(col("vec_id") =!= col("r_id"))
-      .filter(!isnan(pairCos) && pairCos >= threshold)
+      .filter(pairCos >= threshold)
       .filter(col("r_ccos") < col("ccos") ||
         (col("r_ccos") === col("ccos") && col("r_id") < col("vec_id")))
       .select("vec_id").distinct()
@@ -769,7 +773,10 @@ object Similarity {
         round(col("col") * 10000).cast("bigint").as("v4"))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"),
-        sum((col("v4") * col("v4")).cast("decimal(38,0)")).as("sum_sq4"),
+        // cast BEFORE multiplying: an int64 PRODUCT of huge rogue inputs
+        // (|x|~1e6 → v4²~1e20) would wrap silently and the decimal sum
+        // would faithfully accumulate the garbage term
+        sum(col("v4").cast("decimal(38,0)") * col("v4")).as("sum_sq4"),
         min(col("v4")).as("min_v4"), max(col("v4")).as("max_v4"))
 
   def c45EmbedMoments(spark: SparkSession, dir: String): DataFrame =
@@ -822,7 +829,9 @@ object Similarity {
       // where a third HOF pass would run interpreted per element
       .select(col("s"), posexplode(col("x4")))
       .groupBy("pos")
-      .agg(sum((col("col") * col("s")).cast("decimal(38,0)")).as("num"))
+      // decimal BEFORE the multiply (the fixedPointMoments rule): the
+      // per-term product must not wrap int64 on rogue-magnitude inputs
+      .agg(sum(col("col").cast("decimal(38,0)") * col("s")).as("num"))
     val scale = num.agg(max(abs(col("num"))).as("max_abs"))
     num.crossJoin(broadcast(scale))
       // num travels as digits-as-text (c45's sum_sq4 rule: exact at any
@@ -850,6 +859,12 @@ object Similarity {
     * what a training loader or the moments monitor re-assembles.
     * Degenerate dims (σ=0) would emit ±Inf/NaN — absent here; a
     * production caller clamps σ with a floor. */
+  /** The whitening formula, shared by batch c47 and streaming d16 (the
+    * twins-share-their-core rule): one change to the rounding scale or
+    * a future σ floor lands on both sides at once. */
+  private[graft] def zColumn(x: Column, mean: Column, sd: Column): Column =
+    round((x - mean) / sd, 6)
+
   def c47Whiten(spark: SparkSession, dir: String): DataFrame = {
     val mean = col("sum_v4").cast("double") / 10000.0 / col("n")
     val m = fixedPointMoments(Tables.embeddings(spark, dir))
@@ -864,7 +879,7 @@ object Similarity {
       .crossJoin(stats)
       .select(col("vec_id"), posexplode(
         zip_with(col("v"), col("ms"),
-          (x, s) => round((x - s.getField("mean")) / s.getField("sd"), 6))))
+          (x, s) => zColumn(x, s.getField("mean"), s.getField("sd")))))
       .select(col("vec_id"), col("pos"), col("col").as("z_r"))
       .orderBy("vec_id", "pos")
   }

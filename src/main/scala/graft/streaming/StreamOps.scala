@@ -451,11 +451,18 @@ object StreamOps {
     * stream ≡ batch c47 row-for-row under the same artifact. */
   def streamWhiten(vecs: DataFrame,
                    moments: Seq[(Int, Double, Double)]): DataFrame = {
-    require(moments.nonEmpty, "moments artifact must be non-empty")
-    val ms = typedLit(moments.sortBy(_._1).map { case (_, m, s) => (m, s) })
+    val sorted = moments.sortBy(_._1)
+    // the zip below pairs POSITIONALLY — a gapped or duplicated artifact
+    // would silently whiten dims with the wrong constants (the d13
+    // fail-at-the-seam rule); vectors wider than the artifact are a
+    // stream-side condition the caller owns (they'd emit null z_r)
+    require(sorted.map(_._1) == (0 until sorted.length),
+      s"moments artifact must cover contiguous dims 0..${sorted.length - 1}")
+    val ms = typedLit(sorted.map { case (_, m, s) => (m, s) })
     vecs.select(col("vec_id"),
       posexplode(zip_with(col("embedding").cast("array<double>"), ms,
-        (x, s) => round((x - s.getField("_1")) / s.getField("_2"), 6))))
+        (x, s) => graft.operators.Similarity.zColumn(
+          x, s.getField("_1"), s.getField("_2")))))
       .select(col("vec_id"), col("pos"), col("col").as("z_r"))
   }
 
@@ -509,9 +516,11 @@ object StreamOps {
       .withColumn("cosine_r",
         round(graft.operators.Similarity.cosine(col("v"), col("ev")), 6))
       // NaN (zero-norm vector on either side) compares LARGER than any
-      // threshold in Spark — guard it out or zero vectors "hit" the
-      // whole cell (c43's dominanceVerdicts rule, mirrored at ingest)
-      .filter(!isnan(col("cosine_r")) && col("cosine_r") >= threshold)
+      // threshold in Spark — map it to -Inf in ONE reference (c43's
+      // dominanceVerdicts rule, mirrored at ingest; a two-conjunct
+      // isnan filter would evaluate the cosine twice after predicate
+      // pushdown inlines the alias)
+      .filter(nanvl(col("cosine_r"), lit(Double.NegativeInfinity)) >= threshold)
       .select(col("vec_id"), col("cell"), col("cent_r"), col("ex_id"),
         col("cosine_r"))
   }
