@@ -47,10 +47,34 @@ object Main {
     case Some("chunk") => chunk(args.drop(1))
     case Some("shard") => shard(args.drop(1))
     case Some("semdedup") => semdedup(args.drop(1))
+    case Some("whiten") => whiten(args.drop(1))
     case _ =>
       System.err.println(
-        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|ingest|chunk|shard|semdedup ...")
+        "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
+          "ingest|chunk|shard|semdedup|whiten ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main whiten --in EMB_PARQUET --out OUT` — c47's whitening
+    * over an arbitrary (vec_id, embedding) parquet: z-normalize every
+    * vector with the corpus's own per-dimension moments and write the
+    * long form (vec_id, pos, z_r). The moments travel as one broadcast
+    * struct-array row, so the corpus is never shuffled. */
+  private def whiten(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    val embs = spark.read.parquet(in)
+    require(Seq("vec_id", "embedding").forall(embs.columns.contains),
+      s"input $in must have (vec_id, embedding) columns, " +
+        s"found ${embs.columns.mkString("(", ", ", ")")}")
+    Similarity.whitenEmbeddings(embs).write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)),
+      count_distinct(col("vec_id")), max(col("pos")) + 1).head()
+    println(s"""{"rows":${stats.getLong(0)},"vectors":${stats.getLong(1)},""" +
+      s""""dims":${stats.getInt(2)},"out":"$out"}""")
   }
 
   /** `graft.Main semdedup --in EMB_PARQUET --out OUT [--threshold T]

@@ -865,24 +865,31 @@ object Similarity {
   private[graft] def zColumn(x: Column, mean: Column, sd: Column): Column =
     round((x - mean) / sd, 6)
 
-  def c47Whiten(spark: SparkSession, dir: String): DataFrame = {
+  /** Whitening over an ARBITRARY (vec_id, embedding) frame — the
+    * library/CLI entry c47 wraps (no total ordering: that is gate
+    * determinism, not a library concern — a production write keeps the
+    * scan partitioning). */
+  def whitenEmbeddings(embs: DataFrame): DataFrame = {
     val mean = col("sum_v4").cast("double") / 10000.0 / col("n")
-    val m = fixedPointMoments(Tables.embeddings(spark, dir))
+    val m = fixedPointMoments(embs)
       .select(col("pos"), mean.as("mean"),
         sqrt(col("sum_sq4").cast("double") / 1e8 / col("n") - mean * mean)
           .as("sd"))
     val stats = broadcast(m.agg(
       sort_array(collect_list(struct(col("pos"), col("mean"), col("sd"))))
         .as("ms")))
-    Tables.embeddings(spark, dir)
+    embs
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .crossJoin(stats)
       .select(col("vec_id"), posexplode(
         zip_with(col("v"), col("ms"),
           (x, s) => zColumn(x, s.getField("mean"), s.getField("sd")))))
       .select(col("vec_id"), col("pos"), col("col").as("z_r"))
-      .orderBy("vec_id", "pos")
   }
+
+  def c47Whiten(spark: SparkSession, dir: String): DataFrame =
+    whitenEmbeddings(Tables.embeddings(spark, dir))
+      .orderBy("vec_id", "pos")
 
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the

@@ -609,16 +609,22 @@ object TextOps {
     * both engines derive naturally). Output is the top-`topK` merge
     * candidates under a total order (count desc, then pair lexicographic)
     * so the cut is deterministic. */
+  /** Adjacent symbol pairs of a STAGED char-array column (the BPE pair
+    * explode), shared by batch c44 and streaming d17 (twins-share-core).
+    * Callers stage `cs` in its own projection (the HOF staging rule) and
+    * filter words shorter than 2 chars first — `sequence(1, 0)` would
+    * generate a DESCENDING range, not an empty one. */
+  private[graft] def charPairsOf(cs: Column): Column =
+    transform(sequence(lit(1), size(cs) - 1),
+      i => struct(element_at(cs, i).as("a"), element_at(cs, i + 1).as("b")))
+
   def c44BpePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     val wc = Tables.documents(spark, dir)
       .select(explode(words(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
     wc.filter(length(col("w")) >= 2)
       .select(col("wcnt"), split(col("w"), "").as("cs"))
-      .select(col("wcnt"), explode(
-        transform(sequence(lit(1), size(col("cs")) - 1),
-          i => struct(element_at(col("cs"), i).as("a"),
-            element_at(col("cs"), i + 1).as("b")))).as("p"))
+      .select(col("wcnt"), explode(charPairsOf(col("cs"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("wcnt")).as("cnt"))
       .orderBy(desc("cnt"), asc("a"), asc("b"))

@@ -222,6 +222,27 @@ object StreamOps {
       .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
 
+  /** d17: streaming BPE pair statistics — c44's symbol-pair counting at
+    * ingest (a COMPLETE-mode surface like d10/d15: the result set is the
+    * bounded pair domain — the square of the observed symbol alphabet —
+    * never corpus-sized, so the running aggregate re-emits it per
+    * trigger and a live tokenizer-training view consumes it). The batch
+    * side's distinct-word weighting is an at-rest OPTIMIZATION (explode
+    * the vocabulary once, weight by word count); a stream counts pair
+    * OCCURRENCES directly, which yields IDENTICAL totals by construction
+    * (Σ_words count·pairs(word) ≡ Σ_occurrences pairs) — parity-spec'd
+    * against c44. The pair explode itself is shared code
+    * ([[graft.operators.TextOps.charPairsOf]]); the top-k merge cut is a
+    * sort on the sink table (d10's rule). */
+  def streamPairCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.TextOps.words(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(split(col("w"), "").as("cs"))
+      .select(explode(graft.operators.TextOps.charPairsOf(col("cs"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** d13: streaming corpus-frequency scoring — c41's perplexity-proxy
     * score at INGEST time, against a STATIC bounded vocabulary artifact
     * (the serving shape: batch c41 scores against the live full

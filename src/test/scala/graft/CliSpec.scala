@@ -173,6 +173,19 @@ class CliSpec extends SparkSpec {
     assert(got2.toSeq == want.toSeq)
   }
 
+  test("whiten subcommand: long-form z values over an arbitrary parquet equal c47's") {
+    val out = Files.createTempDirectory("graft-whiten-").toString
+    Main.main(Array("whiten",
+      "--in", s"$sfDir/embeddings.parquet", "--out", out))
+    val got = spark.read.parquet(out).orderBy("vec_id", "pos").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos"),
+        r.getAs[Double]("z_r")))
+    val want = graft.operators.Similarity.c47Whiten(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos"),
+        r.getAs[Double]("z_r")))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("shard subcommand: partitioned-by-shard layout, dense positions, full columns carried") {
     val inDir = Files.createTempDirectory("graft-shard-in-").toString
     Tables.documents(spark, sfDir)

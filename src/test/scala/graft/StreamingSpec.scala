@@ -577,6 +577,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d17 streaming pair counts equal c44's weighted totals; top-k cut matches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamPairCounts(
+      stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("d17_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d17_sink").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+          r.getAs[Long]("cnt")).toMap
+      // occurrence-direct counting ≡ the batch distinct-word weighting:
+      // brute-force totals from raw text
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach { case (_, t) =>
+        t.toLowerCase.split(" ", -1).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val k = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+            pc(k) = pc.getOrElse(k, 0L) + 1L
+          }
+        }
+      }
+      assert(streamed == pc.toMap,
+        "streaming occurrence counts must equal the weighted batch totals")
+      // and the batch top-k cut derives from this sink
+      val cut = streamed.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.take(50)
+      val batch = graft.operators.TextOps.c44BpePairs(spark, sfDir).collect()
+        .map(r => ((r.getAs[String]("a"), r.getAs[String]("b")),
+          r.getAs[Long]("cnt"))).toSeq
+      assert(cut == batch, "top-50 over the sink must equal c44's cut")
+    } finally q.stop()
+  }
+
   test("d16 streaming whitening equals batch c47 under the same moments artifact") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
