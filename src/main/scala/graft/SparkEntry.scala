@@ -106,6 +106,7 @@ object SparkEntry {
     "c45_embed_moments" -> ((s: SparkSession, d: String) => Similarity.c45EmbedMoments(s, d)),
     "c46_power_iter" -> ((s: SparkSession, d: String) => Similarity.c46PowerIter(s, d)),
     "c47_whiten" -> ((s: SparkSession, d: String) => Similarity.c47Whiten(s, d)),
+    "c48_sample_exact" -> ((s: SparkSession, d: String) => TextOps.c48SampleExact(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1099,5 +1100,12 @@ object SparkEntry {
         |  round((xv - mean) / sd, 6) AS z_r
         |FROM x JOIN m ON m.pos = x.pos
         |ORDER BY vec_id, pos""".stripMargin,
+    // c48: c40's salted content hash ranks every doc; the N smallest
+    // under the (rk, doc_id) total order are the sample
+    "c48_sample_exact" ->
+      """SELECT doc_id, lang,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || text) AS rk
+        |FROM documents
+        |ORDER BY rk, doc_id LIMIT 100""".stripMargin,
   )
 }

@@ -618,6 +618,23 @@ object TextOps {
     transform(sequence(lit(1), size(cs) - 1),
       i => struct(element_at(cs, i).as("a"), element_at(cs, i + 1).as("b")))
 
+  /** c48: exact-COUNT deterministic sampling — "exactly N docs" (a fixed
+    * labeling or eval budget), where c17/c25/c42 are RATE-based: rank
+    * every doc by its salted content hash (c40's h — replayed texts rank
+    * distinctly) and keep the N smallest under a total order. Plans as
+    * TakeOrderedAndProject — an N-row heap per partition and one N-row
+    * merge, NO global sort and no corpus shuffle (plan-audited) — and
+    * the pick is a pure function of content: stable under re-runs,
+    * re-partitioning, incremental ingest and engines. */
+  def c48SampleExact(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("rk"))
+      .orderBy("rk", "doc_id")
+      .limit(n)
+  }
+
   def c44BpePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     val wc = Tables.documents(spark, dir)
       .select(explode(words(lower(col("text")))).as("w"))

@@ -394,6 +394,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("c48 exact-count sample re-derives from raw text; count is exact and content-stable") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text")))
+    def h(id: Long, t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$t".getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString
+    }
+    val expected = docs.map { case (id, lang, t) => (h(id, t), id, lang) }
+      .sortBy { case (rk, id, _) => (rk, id) }.take(100)
+      .map { case (rk, id, lang) => (id, lang, rk) }
+    val rows = TextOps.c48SampleExact(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("rk")))
+    assert(rows.length == 100, "exactly the budgeted count")
+    assert(rows.toSeq == expected.toSeq)
+  }
+
   test("c44 BPE pair stats re-derive from raw text; the top-k cut is a total order") {
     val texts = Tables.documents(spark, sfDir).collect()
       .map(_.getAs[String]("text"))

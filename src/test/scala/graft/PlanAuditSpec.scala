@@ -142,4 +142,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected ONE hash exchange (the pos-keyed moments agg), got $hashExchanges:\n$s")
   }
+
+  test("c48 plan: exact-count sample is TakeOrderedAndProject, never a global sort") {
+    val s = executedPlanOf(graft.operators.TextOps.c48SampleExact(spark, sfDir))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"sample must plan as TakeOrdered:\n$s")
+    assert(!s.contains("Sort ["), s"global sort crept into the sampler:\n$s")
+    assert(!s.contains("hashpartitioning"), s"corpus shuffle in the sampler:\n$s")
+  }
 }
