@@ -891,6 +891,48 @@ object Similarity {
     whitenEmbeddings(Tables.embeddings(spark, dir))
       .orderBy("vec_id", "pos")
 
+  /** Iterated power method — c46's step driven to convergence (the
+    * training-loop shape trainCodebook established: each round
+    * re-broadcasts a BOUNDED integer model artifact and makes one
+    * corpus pass; the collect is dim-sized, never corpus-sized). The
+    * direction renormalizes every round onto an exact ±10⁴-unit integer
+    * grid (max-|component| maps to exactly ±10⁴, HALF_UP in BigDecimal)
+    * so each round's input is engine- and partitioning-exact — no
+    * float drift can accumulate across rounds. Per-round integer
+    * bounds: x₄·v terms ≤ 4×10⁸, s ≤ 2.6×10¹⁰ (exact int64 per row);
+    * the per-dim contribution sums run in DECIMAL(38,0) (the c46
+    * rule). Returns the final direction as (pos, v4) — the artifact a
+    * PCA-projection pass or d16-style serving path ships. */
+  def powerIterate(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dim = embeddingDim(spark, dir)
+    var v: IndexedSeq[Long] =
+      (0 until dim).map(i => if (i % 2 == 0) 10000L else -10000L)
+    for (_ <- 1 to rounds) {
+      val vl = typedLit(v)
+      val num = Tables.embeddings(spark, dir)
+        .select(transform(toDouble(col("embedding")),
+          x => round(x * 10000).cast("bigint")).as("x4"))
+        .select(col("x4"), aggregate(
+          zip_with(col("x4"), vl, (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x).as("s"))
+        .select(col("s"), posexplode(col("x4")))
+        .groupBy("pos")
+        .agg(sum(col("col").cast("decimal(38,0)") * col("s")).as("num"))
+        .collect()
+        .map(r => r.getAs[Int]("pos") -> r.getAs[java.math.BigDecimal]("num"))
+        .toMap
+      val maxAbs = num.values.map(_.abs).reduce((a, b) =>
+        if (a.compareTo(b) >= 0) a else b)
+      v = (0 until dim).map { p =>
+        num(p).multiply(java.math.BigDecimal.valueOf(10000L))
+          .divide(maxAbs, 0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (w, p) => (p, w) }.toDF("pos", "v4")
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the

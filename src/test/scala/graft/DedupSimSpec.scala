@@ -1037,6 +1037,38 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("powerIterate re-derives brute-force over two rounds and is exactly repeatable") {
+    val embs = Tables.embeddings(spark, sfDir).collect().map { r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }
+    def fx(x: Double): Long = java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val x4 = embs.map(_.map(fx))
+    val dim = x4.head.length
+    def step(v: IndexedSeq[Long]): IndexedSeq[Long] = {
+      val s = x4.map(row => row.indices.map(j => BigInt(row(j)) * v(j)).sum)
+      val num = (0 until dim).map(p =>
+        x4.indices.map(i => BigInt(x4(i)(p)) * s(i)).sum)
+      val maxAbs = num.map(_.abs).max
+      num.map { n =>
+        new java.math.BigDecimal(n.bigInteger)
+          .multiply(java.math.BigDecimal.valueOf(10000L))
+          .divide(new java.math.BigDecimal(maxAbs.bigInteger), 0,
+            java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+    }
+    val v0 = (0 until dim).map(i => if (i % 2 == 0) 10000L else -10000L)
+    val expected2 = step(step(v0))
+    val got2 = Similarity.powerIterate(spark, sfDir, rounds = 2).collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("v4")).toMap
+    assert((0 until dim).map(got2) == expected2,
+      "two engine rounds must equal the brute-force trajectory")
+    // the trajectory is exactly repeatable (integer artifacts, no drift)
+    val again = Similarity.powerIterate(spark, sfDir, rounds = 2).collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("v4")).toMap
+    assert(again == got2)
+  }
+
   test("c13 sessionize: session event counts sum to total events; gaps split sessions") {
     val ev = Tables.events(spark, sfDir)
     val sessions = Relational.c13Sessionize(spark, sfDir)
