@@ -71,8 +71,9 @@ object Main {
         s"found ${embs.columns.mkString("(", ", ", ")")}")
     Similarity.whitenEmbeddings(embs).write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
+    // coalesce: max(pos) is null on an empty input (the chunk-stats rule)
     val stats = written.agg(count(lit(1)),
-      count_distinct(col("vec_id")), max(col("pos")) + 1).head()
+      count_distinct(col("vec_id")), coalesce(max(col("pos")) + 1, lit(0))).head()
     println(s"""{"rows":${stats.getLong(0)},"vectors":${stats.getLong(1)},""" +
       s""""dims":${stats.getInt(2)},"out":"$out"}""")
   }

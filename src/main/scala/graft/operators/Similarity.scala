@@ -813,25 +813,31 @@ object Similarity {
     * broadcast 1-row aggregate (c16's corpus-scalar seam, never a
     * collect). Map-side combinable groupBy on the dim key: O(dim)
     * state, one corpus pass, no shuffle wider than the dim domain. */
-  def c46PowerIter(spark: SparkSession, dir: String): DataFrame = {
-    // stage x4, then s, in their own projections: the HOFs run
-    // interpreted, and an expression referenced from inside a lambda is
-    // re-evaluated PER ELEMENT — unstaged, the s-chain (itself a full
-    // array pass) would run 64× per row (the d11 shingle-staging lesson;
-    // measured 4.4 s → ~0.4 s at sf0.1)
-    val num = Tables.embeddings(spark, dir)
+  /** One X'Xv corpus pass, shared by c46 (v = the ±1 parity start) and
+    * [[powerIterate]]'s rounds (v = the current integer artifact) — the
+    * twins-share-core rule. Stage x4, then the per-row scalar s=⟨x₄,v⟩
+    * built by `sOf` FROM THE STAGED column, in their own projections:
+    * the HOFs run interpreted, and an expression referenced from inside
+    * a lambda is re-evaluated PER ELEMENT — unstaged, the s-chain
+    * (itself a full array pass) runs 64× per row (the d11 staging
+    * lesson; measured 4.4 s → ~0.4 s at sf0.1). Multiply AFTER the
+    * explode (scalar column math is codegen'd) with the decimal cast
+    * BEFORE the multiply (the fixedPointMoments overflow rule). */
+  private def powerNumerator(vecs: DataFrame,
+                             sOf: Column => Column): DataFrame =
+    vecs
       .select(transform(toDouble(col("embedding")),
         x => round(x * 10000).cast("bigint")).as("x4"))
-      .select(col("x4"), aggregate(
-        transform(col("x4"), (x, i) => when(i % 2 === 0, x).otherwise(-x)),
-        lit(0L), (acc, x) => acc + x).as("s"))
-      // multiply AFTER the explode: scalar column math is codegen'd,
-      // where a third HOF pass would run interpreted per element
+      .select(col("x4"), sOf(col("x4")).as("s"))
       .select(col("s"), posexplode(col("x4")))
       .groupBy("pos")
-      // decimal BEFORE the multiply (the fixedPointMoments rule): the
-      // per-term product must not wrap int64 on rogue-magnitude inputs
       .agg(sum(col("col").cast("decimal(38,0)") * col("s")).as("num"))
+
+  def c46PowerIter(spark: SparkSession, dir: String): DataFrame = {
+    val num = powerNumerator(Tables.embeddings(spark, dir),
+      x4 => aggregate(
+        transform(x4, (x, i) => when(i % 2 === 0, x).otherwise(-x)),
+        lit(0L), (acc, x) => acc + x))
     val scale = num.agg(max(abs(col("num"))).as("max_abs"))
     num.crossJoin(broadcast(scale))
       // num travels as digits-as-text (c45's sum_sq4 rule: exact at any
@@ -910,20 +916,21 @@ object Similarity {
       (0 until dim).map(i => if (i % 2 == 0) 10000L else -10000L)
     for (_ <- 1 to rounds) {
       val vl = typedLit(v)
-      val num = Tables.embeddings(spark, dir)
-        .select(transform(toDouble(col("embedding")),
-          x => round(x * 10000).cast("bigint")).as("x4"))
-        .select(col("x4"), aggregate(
-          zip_with(col("x4"), vl, (x, w) => x * w),
-          lit(0L), (acc, x) => acc + x).as("s"))
-        .select(col("s"), posexplode(col("x4")))
-        .groupBy("pos")
-        .agg(sum(col("col").cast("decimal(38,0)") * col("s")).as("num"))
+      val num = powerNumerator(Tables.embeddings(spark, dir),
+        x4 => aggregate(zip_with(x4, vl, (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x))
         .collect()
         .map(r => r.getAs[Int]("pos") -> r.getAs[java.math.BigDecimal]("num"))
         .toMap
+      require(num.nonEmpty, s"embeddings at $dir are empty — nothing to iterate")
       val maxAbs = num.values.map(_.abs).reduce((a, b) =>
         if (a.compareTo(b) >= 0) a else b)
+      // an all-zero corpus (or a direction orthogonal to every vector)
+      // yields a zero numerator — fail with a message, not a division
+      // ArithmeticException from the renormalization
+      require(maxAbs.signum != 0,
+        "power iteration degenerated: every contribution sum is zero " +
+          "(all-zero corpus, or the direction is orthogonal to every vector)")
       v = (0 until dim).map { p =>
         num(p).multiply(java.math.BigDecimal.valueOf(10000L))
           .divide(maxAbs, 0, java.math.RoundingMode.HALF_UP).longValueExact()

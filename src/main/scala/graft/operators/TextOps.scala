@@ -631,7 +631,10 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("rk"))
-      .orderBy("rk", "doc_id")
+      // null text → null rk: Spark defaults to NULLS FIRST, DuckDB to
+      // NULLS LAST — pin LAST explicitly so the sample membership is
+      // engine-stable on corpora with null texts
+      .orderBy(col("rk").asc_nulls_last, col("doc_id"))
       .limit(n)
   }
 
