@@ -48,11 +48,40 @@ object Main {
     case Some("shard") => shard(args.drop(1))
     case Some("semdedup") => semdedup(args.drop(1))
     case Some("whiten") => whiten(args.drop(1))
+    case Some("diff") => diffCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
-          "ingest|chunk|shard|semdedup|whiten ...")
+          "ingest|chunk|shard|semdedup|whiten|diff ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main diff --old PARQUET --new PARQUET --out OUT` — the
+    * dataset-release audit (c49's snapshotDiff) between two corpus
+    * versions: per-doc status added/removed/changed/unchanged by content
+    * hash, written as parquet plus one JSON stats line. One full-outer
+    * equi-join on the id key; md5s computed scan-side. */
+  private def diffCmd(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val oldP = opt(args, "--old").getOrElse(sys.error("--old required"))
+    val newP = opt(args, "--new").getOrElse(sys.error("--new required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    def docsOf(p: String) = {
+      val df = spark.read.parquet(p)
+      require(Seq("doc_id", "text").forall(df.columns.contains),
+        s"$p must have (doc_id, text) columns, " +
+          s"found ${df.columns.mkString("(", ", ", ")")}")
+      df.select("doc_id", "text")
+    }
+    TextOps.snapshotDiff(docsOf(oldP), docsOf(newP))
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out).groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def n(s: String) = stats.getOrElse(s, 0L)
+    println(s"""{"docs":${stats.values.sum},"added":${n("added")},""" +
+      s""""removed":${n("removed")},"changed":${n("changed")},""" +
+      s""""unchanged":${n("unchanged")},"out":"$out"}""")
   }
 
   /** `graft.Main whiten --in EMB_PARQUET --out OUT` — c47's whitening

@@ -107,6 +107,7 @@ object SparkEntry {
     "c46_power_iter" -> ((s: SparkSession, d: String) => Similarity.c46PowerIter(s, d)),
     "c47_whiten" -> ((s: SparkSession, d: String) => Similarity.c47Whiten(s, d)),
     "c48_sample_exact" -> ((s: SparkSession, d: String) => TextOps.c48SampleExact(s, d)),
+    "c49_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.c49SnapshotDiff(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1107,5 +1108,24 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || ':' || text) AS rk
         |FROM documents
         |ORDER BY rk, doc_id LIMIT 100""".stripMargin,
+    // c49: rebuild the derived old snapshot (every-13th absent,
+    // every-11th mutated, ghost docs beyond the id range), full-outer
+    // join by id, classify by content hash
+    "c49_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+        |o AS (SELECT doc_id, md5(text) AS old_h FROM old),
+        |n AS (SELECT doc_id, md5(text) AS new_h FROM documents)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_h <> new_h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -638,6 +638,39 @@ object TextOps {
       .limit(n)
   }
 
+  /** Corpus snapshot diff over ARBITRARY old/new (doc_id, text) frames —
+    * the dataset-release audit every training org runs between corpus
+    * versions: per-doc status added / removed / changed / unchanged by
+    * content hash. ONE full-outer equi-join on the id key with the md5s
+    * computed scan-side — at 100 TB this is the whole plan (AQE sizes
+    * the join; no pass over text beyond the two scans). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    oldDocs.select(col("doc_id"), md5(col("text")).as("old_h"))
+      .join(newDocs.select(col("doc_id"), md5(col("text")).as("new_h")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+
+  /** c49: [[snapshotDiff]]'s gate harness — the "old" snapshot derives
+    * DETERMINISTICALLY from the corpus itself (every-13th doc absent →
+    * `added`, every-11th text mutated → `changed`, ghost docs beyond the
+    * id range → `removed`), so both engines rebuild the identical
+    * old/new pair and the oracle checks the diff logic end-to-end with
+    * all four statuses populated. */
+  def c49SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val old = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    snapshotDiff(old, docs).orderBy("doc_id")
+  }
+
   def c44BpePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     val wc = Tables.documents(spark, dir)
       .select(explode(words(lower(col("text")))).as("w"))

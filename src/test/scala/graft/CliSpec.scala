@@ -186,6 +186,29 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("diff subcommand: release audit over two parquets equals the operator") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val newDir = Files.createTempDirectory("graft-diff-new-").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(newDir)
+    val oldDir = Files.createTempDirectory("graft-diff-old-").toString
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .write.mode("overwrite").parquet(oldDir)
+    val out = Files.createTempDirectory("graft-diff-out-").toString
+    Main.main(Array("diff", "--old", oldDir, "--new", newDir, "--out", out))
+    val got = spark.read.parquet(out).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    val want = graft.operators.TextOps.snapshotDiff(
+        spark.read.parquet(oldDir), spark.read.parquet(newDir))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_._2 == "added") && got.exists(_._2 == "changed"))
+  }
+
   test("shard subcommand: partitioned-by-shard layout, dense positions, full columns carried") {
     val inDir = Files.createTempDirectory("graft-shard-in-").toString
     Tables.documents(spark, sfDir)

@@ -413,6 +413,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.toSeq == expected.toSeq)
   }
 
+  test("c49 snapshot diff: every status re-derives from the closed-form construction") {
+    val ids = Tables.documents(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    def expected(id: Long): String =
+      if (id >= 1000000L) "removed" // ghost docs exist only in old
+      else if (id % 13 == 0) "added" // absent from old
+      else if (id % 11 == 0) "changed" // text mutated in old
+      else "unchanged"
+    val rows = TextOps.c49SnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+    val ghosts = ids.filter(_ % 17 == 0).map(_ + 1000000L)
+    assert(rows.length == ids.size + ghosts.size, "one row per union id")
+    rows.foreach { case (id, st) =>
+      assert(st == expected(id), s"status of doc $id")
+    }
+    // the harness populates all four statuses
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.length)
+    Seq("added", "removed", "changed", "unchanged").foreach { st =>
+      assert(byStatus.getOrElse(st, 0) > 0, s"status $st must be non-empty")
+    }
+  }
+
   test("c44 BPE pair stats re-derive from raw text; the top-k cut is a total order") {
     val texts = Tables.documents(spark, sfDir).collect()
       .map(_.getAs[String]("text"))
