@@ -435,6 +435,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff property: statuses are exactly the id/content set algebra on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCorpus: Gen[Map[Long, String]] = for {
+      n <- Gen.chooseNum(0, 40)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, 25L))
+      texts <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "", "δ"))
+    } yield ids.zip(texts).toMap // duplicate ids collapse — one text per id
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    for (trial <- 0 until 6) {
+      val oldC = sample(genCorpus, 1000 + trial)
+      val newC = sample(genCorpus, 2000 + trial)
+      val got = graft.operators.TextOps.snapshotDiff(
+          oldC.toSeq.toDF("doc_id", "text"), newC.toSeq.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+        .toMap
+      val expected = (oldC.keySet ++ newC.keySet).map { id =>
+        id -> ((oldC.get(id), newC.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a != b => "changed"
+          case _ => "unchanged"
+        })
+      }.toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("c44 BPE pair stats re-derive from raw text; the top-k cut is a total order") {
     val texts = Tables.documents(spark, sfDir).collect()
       .map(_.getAs[String]("text"))
