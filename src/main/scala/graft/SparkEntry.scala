@@ -58,6 +58,7 @@ object SparkEntry {
     "b18_outer_join" -> (Relational.b18OuterJoin _),
     "b19_correlated" -> (Relational.b19Correlated _),
     "b20_unpivot" -> (Relational.b20Unpivot _),
+    "b21_window_dedup" -> ((s: SparkSession, d: String) => Relational.b21WindowDedup(s, d)),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -665,6 +666,20 @@ object SparkEntry {
         |  round(min(value), 6) AS min_v,
         |  round(max(value), 6) AS max_v
         |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+    // b21: identical-event suppression — lag over the identity key in
+    // integer epoch-micros (ts is NANOS on disk; the proven conversion
+    // is epoch_us over the µs-truncated cast, ≡ Spark's unix_micros)
+    "b21_window_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events),
+        |l AS (SELECT event_id, user_id, event_type, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts_us, event_id) AS prev_us
+        |      FROM e)
+        |SELECT event_id, user_id, event_type, ts_us,
+        |  (prev_us IS NOT NULL AND ts_us - prev_us <= 1800000000) AS is_dup
+        |FROM l ORDER BY event_id""".stripMargin,
     "b19_correlated" ->
       """WITH parts AS (
         |  SELECT p_partkey, p_brand,

@@ -423,6 +423,36 @@ object Relational {
       .orderBy("measure")
   }
 
+  /** b21: windowed event dedup — suppress REPEATED identical events
+    * (retries, double-fires, at-least-once replays) that land within a
+    * suppression window of the previous identical one: the batch twin
+    * of d5's dropDuplicatesWithinWatermark, and the telemetry-log
+    * cleaning pass every training-data event pipeline runs. An event is
+    * a duplicate iff a same-identity (user_id, event_type) event
+    * precedes it by ≤ `windowMicros` (30 min default — the corpus's
+    * double-valued payloads are unique, so identity is the action, not
+    * the payload; both dup and non-dup classes are non-empty at every
+    * rehearsal SF). ONE shuffle on the identity key serves the single
+    * lag window; gap arithmetic in integer epoch-micros (both engines
+    * agree exactly — events.ts is NANOS on disk and never emitted raw).
+    * Chained duplicates each compare to their immediate predecessor —
+    * the d5/watermark semantics, where a retry storm keeps extending
+    * suppression — deliberately NOT first-in-window anchoring (that
+    * needs a running anchor; c13's session machinery provides it when
+    * wanted). */
+  def b21WindowDedup(spark: SparkSession, dir: String,
+                     windowMicros: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("prev_us").isNotNull &&
+          unix_micros(col("ts")) - col("prev_us") <= windowMicros).as("is_dup"))
+      .orderBy("event_id")
+  }
+
   /** c13: batch sessionization — a new session starts after a >30 min gap
     * per user. One shuffle on user_id serves both window passes and the
     * final groupBy (same partitioning, Catalyst reuses the exchange). Gap

@@ -156,4 +156,28 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
     assert(!plan.contains("Union"), s"unpivot must not union scans:\n$plan")
   }
+
+  test("b21 windowed event dedup re-derives from raw events; chained semantics hold") {
+    val window = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+    // per identity key: sort by (ts, id); dup iff gap to the IMMEDIATE
+    // predecessor <= window (chained — a retry storm extends suppression)
+    val expected = ev.groupBy(e => (e._2, e._3)).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._1)).toSeq
+      sorted.zipWithIndex.map { case (e, i) =>
+        e._1 -> (i > 0 && e._4 - sorted(i - 1)._4 <= window)
+      }
+    }
+    val rows = Relational.b21WindowDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(rows.size == ev.length)
+    expected.foreach { case (id, e) => assert(rows(id) == e, s"event $id") }
+    // the window must discriminate on this corpus
+    assert(rows.values.exists(identity) && rows.values.exists(!_))
+  }
 }
