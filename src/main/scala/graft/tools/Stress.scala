@@ -70,6 +70,7 @@ object Stress {
     time("c46 power iter")(Similarity.c46PowerIter(spark, base).count())
     time("c47 whiten")(Similarity.c47Whiten(spark, base).count())
     time("c48 sample exact")(TextOps.c48SampleExact(spark, base).count())
+    time("c49 snapshot diff")(TextOps.c49SnapshotDiff(spark, base).count())
     time("power iterate x3")(Similarity.powerIterate(spark, base, rounds = 3).count())
     time("ivfpq nprobe=2")(Similarity.ivfPqSearch(spark, base, nprobe = 2).count())
     val ev = Tables.events(spark, base).select(
