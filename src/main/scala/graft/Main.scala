@@ -60,7 +60,10 @@ object Main {
     * dataset-release audit (c49's snapshotDiff) between two corpus
     * versions: per-doc status added/removed/changed/unchanged by content
     * hash, written as parquet plus one JSON stats line. One full-outer
-    * equi-join on the id key; md5s computed scan-side. */
+    * equi-join on the id key; md5s computed scan-side. Inputs are keyed
+    * by doc_id: a duplicated id yields one status row per old×new
+    * pairing (the stats line reports rows AND distinct docs, so an
+    * id-uniqueness defect in a release is visible, not hidden). */
   private def diffCmd(args: Array[String]): Unit = {
     import graft.operators.TextOps
     val oldP = opt(args, "--old").getOrElse(sys.error("--old required"))
@@ -76,12 +79,15 @@ object Main {
     }
     TextOps.snapshotDiff(docsOf(oldP), docsOf(newP))
       .write.mode("overwrite").parquet(out)
-    val stats = spark.read.parquet(out).groupBy("status").count()
+    val written = spark.read.parquet(out)
+    val stats = written.groupBy("status").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = written.agg(count_distinct(col("doc_id"))).head().getLong(0)
     def n(s: String) = stats.getOrElse(s, 0L)
-    println(s"""{"docs":${stats.values.sum},"added":${n("added")},""" +
-      s""""removed":${n("removed")},"changed":${n("changed")},""" +
-      s""""unchanged":${n("unchanged")},"out":"$out"}""")
+    println(s"""{"rows":${stats.values.sum},"docs":$docs,""" +
+      s""""added":${n("added")},"removed":${n("removed")},""" +
+      s""""changed":${n("changed")},"unchanged":${n("unchanged")},""" +
+      s""""out":"$out"}""")
   }
 
   /** `graft.Main whiten --in EMB_PARQUET --out OUT` — c47's whitening

@@ -1124,21 +1124,22 @@ object SparkEntry {
         |FROM documents
         |ORDER BY rk, doc_id LIMIT 100""".stripMargin,
     // c49: rebuild the derived old snapshot (every-13th absent,
-    // every-11th mutated, ghost docs beyond the id range), full-outer
-    // join by id, classify by content hash
+    // every-11th mutated, negated-id ghost docs), full-outer join by
+    // id, classify by content hash (null-safe: IS DISTINCT FROM ≡
+    // Spark's <=> negation)
     "c49_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+        |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 17 = 0),
         |o AS (SELECT doc_id, md5(text) AS old_h FROM old),
         |n AS (SELECT doc_id, md5(text) AS new_h FROM documents)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN old_h <> new_h THEN 'changed'
+        |       WHEN old_h IS DISTINCT FROM new_h THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -425,21 +425,26 @@ object Relational {
 
   /** b21: windowed event dedup — suppress REPEATED identical events
     * (retries, double-fires, at-least-once replays) that land within a
-    * suppression window of the previous identical one: the batch twin
-    * of d5's dropDuplicatesWithinWatermark, and the telemetry-log
-    * cleaning pass every training-data event pipeline runs. An event is
-    * a duplicate iff a same-identity (user_id, event_type) event
-    * precedes it by ≤ `windowMicros` (30 min default — the corpus's
-    * double-valued payloads are unique, so identity is the action, not
-    * the payload; both dup and non-dup classes are non-empty at every
-    * rehearsal SF). ONE shuffle on the identity key serves the single
-    * lag window; gap arithmetic in integer epoch-micros (both engines
-    * agree exactly — events.ts is NANOS on disk and never emitted raw).
-    * Chained duplicates each compare to their immediate predecessor —
-    * the d5/watermark semantics, where a retry storm keeps extending
-    * suppression — deliberately NOT first-in-window anchoring (that
-    * needs a running anchor; c13's session machinery provides it when
-    * wanted). */
+    * suppression window of the previous identical one: the batch
+    * counterpart of d5's dropDuplicatesWithinWatermark, and the
+    * telemetry-log cleaning pass every training-data event pipeline
+    * runs. An event is a duplicate iff a same-identity (user_id,
+    * event_type) event precedes it by ≤ `windowMicros` (30 min
+    * default — the corpus's double-valued payloads are unique, so
+    * identity is the action, not the payload; both dup and non-dup
+    * classes are non-empty at every rehearsal SF). ONE shuffle on the
+    * identity key serves the single lag window; gap arithmetic in
+    * integer epoch-micros (both engines agree exactly — events.ts is
+    * NANOS on disk and never emitted raw).
+    * Semantics: each event compares to its IMMEDIATE predecessor, so a
+    * retry storm keeps suppressing as long as gaps stay small. That is
+    * deliberately NOT d5's rule — Spark's watermark dedup anchors its
+    * state at the FIRST arrival and never extends it on duplicates, so
+    * d5 re-admits an identical event once the first one's watermark
+    * expires even mid-storm. Predecessor-chaining is the single-lag-
+    * window shape (one pass, no running anchor); when first-arrival
+    * anchoring is wanted in batch, c13's session machinery (running
+    * break-sums) provides the anchor. */
   def b21WindowDedup(spark: SparkSession, dir: String,
                      windowMicros: Long = 30L * 60 * 1000 * 1000): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")

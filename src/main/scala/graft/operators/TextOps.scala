@@ -645,21 +645,27 @@ object TextOps {
     * computed scan-side — at 100 TB this is the whole plan (AQE sizes
     * the join; no pass over text beyond the two scans). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
-    oldDocs.select(col("doc_id"), md5(col("text")).as("old_h"))
-      .join(newDocs.select(col("doc_id"), md5(col("text")).as("new_h")),
-        Seq("doc_id"), "full_outer")
+    // presence rides its own flag: md5(NULL) is NULL, so hash-nullness
+    // cannot stand in for absence — a null-text doc present in both
+    // sides must compare null-safely (<=>) as unchanged, not get
+    // misread as added/removed
+    oldDocs.select(col("doc_id"), md5(col("text")).as("old_h"),
+      lit(true).as("in_old"))
+      .join(newDocs.select(col("doc_id"), md5(col("text")).as("new_h"),
+        lit(true).as("in_new")), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_h").isNull, "added")
-          .when(col("new_h").isNull, "removed")
-          .when(col("old_h") =!= col("new_h"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_h") <=> col("new_h")), "changed")
           .otherwise("unchanged").as("status"))
 
   /** c49: [[snapshotDiff]]'s gate harness — the "old" snapshot derives
     * DETERMINISTICALLY from the corpus itself (every-13th doc absent →
-    * `added`, every-11th text mutated → `changed`, ghost docs beyond the
-    * id range → `removed`), so both engines rebuild the identical
-    * old/new pair and the oracle checks the diff logic end-to-end with
-    * all four statuses populated. */
+    * `added`, every-11th text mutated → `changed`, NEGATED-id ghost
+    * docs → `removed`; negative ids can never collide with a real
+    * corpus id at any scale, where a fixed offset eventually would), so
+    * both engines rebuild the identical old/new pair and the oracle
+    * checks the diff logic end-to-end with all four statuses populated. */
   def c49SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val old = docs.filter(col("doc_id") % 13 =!= 0)
@@ -667,7 +673,7 @@ object TextOps {
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
     snapshotDiff(old, docs).orderBy("doc_id")
   }
 

@@ -417,13 +417,13 @@ class OperatorsSpec extends SparkSpec {
     val ids = Tables.documents(spark, sfDir).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     def expected(id: Long): String =
-      if (id >= 1000000L) "removed" // ghost docs exist only in old
+      if (id < 0) "removed" // negated-id ghost docs exist only in old
       else if (id % 13 == 0) "added" // absent from old
       else if (id % 11 == 0) "changed" // text mutated in old
       else "unchanged"
     val rows = TextOps.c49SnapshotDiff(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
-    val ghosts = ids.filter(_ % 17 == 0).map(_ + 1000000L)
+    val ghosts = ids.filter(_ % 17 == 0).map(id => -id - 1)
     assert(rows.length == ids.size + ghosts.size, "one row per union id")
     rows.foreach { case (id, st) =>
       assert(st == expected(id), s"status of doc $id")
@@ -442,7 +442,11 @@ class OperatorsSpec extends SparkSpec {
     val genCorpus: Gen[Map[Long, String]] = for {
       n <- Gen.chooseNum(0, 40)
       ids <- Gen.listOfN(n, Gen.chooseNum(0L, 25L))
-      texts <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "", "δ"))
+      // null texts included: md5(NULL) is NULL, and presence must not be
+      // read off hash-nullness (a null-text doc in both sides is
+      // unchanged; null vs non-null is changed)
+      texts <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "", "δ",
+        null: String))
     } yield ids.zip(texts).toMap // duplicate ids collapse — one text per id
     def sample[A](g: Gen[A], seed: Long): A =
       g.pureApply(Gen.Parameters.default, Seed(seed))
