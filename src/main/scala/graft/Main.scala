@@ -49,11 +49,39 @@ object Main {
     case Some("semdedup") => semdedup(args.drop(1))
     case Some("whiten") => whiten(args.drop(1))
     case Some("diff") => diffCmd(args.drop(1))
+    case Some("moments") => moments(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main moments --in EMB_PARQUET --out OUT` — c45's embedding
+    * dataset card over an arbitrary (vec_id, embedding) parquet, written
+    * as the SERVING ARTIFACT d16/streamWhiten consumes: per-dim exact
+    * integer sums plus the derived full-precision mean and σ (the
+    * artifact a stream-side whitener inlines as plan literals — compute
+    * once at rest, ship to ingest). */
+  private def moments(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    val embs = spark.read.parquet(in)
+    require(embs.columns.contains("embedding"),
+      s"input $in must have an embedding column, " +
+        s"found ${embs.columns.mkString("(", ", ", ")")}")
+    val mean = col("sum_v4").cast("double") / 10000.0 / col("n")
+    Similarity.fixedPointMoments(embs)
+      .select(col("pos"), col("n"), col("sum_v4"),
+        col("sum_sq4").cast("string").as("sum_sq4"),
+        col("min_v4"), col("max_v4"), mean.as("mean"),
+        sqrt(col("sum_sq4").cast("double") / 1e8 / col("n") - mean * mean)
+          .as("sd"))
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out).agg(count(lit(1))).head()
+    println(s"""{"dims":${stats.getLong(0)},"out":"$out"}""")
   }
 
   /** `graft.Main diff --old PARQUET --new PARQUET --out OUT` — the

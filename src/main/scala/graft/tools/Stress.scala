@@ -71,6 +71,8 @@ object Stress {
     time("c47 whiten")(Similarity.c47Whiten(spark, base).count())
     time("c48 sample exact")(TextOps.c48SampleExact(spark, base).count())
     time("c49 snapshot diff")(TextOps.c49SnapshotDiff(spark, base).count())
+    time("b21 window dedup")(
+      graft.operators.Relational.b21WindowDedup(spark, base).count())
     time("power iterate x3")(Similarity.powerIterate(spark, base, rounds = 3).count())
     time("ivfpq nprobe=2")(Similarity.ivfPqSearch(spark, base, nprobe = 2).count())
     val ev = Tables.events(spark, base).select(

@@ -186,6 +186,34 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("moments subcommand: artifact feeds streamWhiten identically to the in-engine path") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-moments-").toString
+    Main.main(Array("moments",
+      "--in", s"$sfDir/embeddings.parquet", "--out", out))
+    val art = spark.read.parquet(out).orderBy("pos").collect()
+    // the artifact must carry c45's exact integer sums
+    val card = graft.operators.Similarity.c45EmbedMoments(spark, sfDir)
+      .orderBy("pos").collect()
+    art.zip(card).foreach { case (a, c) =>
+      assert(a.getAs[Long]("sum_v4") == c.getAs[Long]("sum_v4"))
+      assert(a.getAs[String]("sum_sq4") == c.getAs[String]("sum_sq4"))
+    }
+    // and the derived (mean, sd) drive streamWhiten to batch-c47 values
+    val m = art.map(r => (r.getAs[Int]("pos"), r.getAs[Double]("mean"),
+      r.getAs[Double]("sd"))).toSeq
+    val viaArtifact = graft.streaming.StreamOps.streamWhiten(
+        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), m)
+      .orderBy("vec_id", "pos").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos"),
+        r.getAs[Double]("z_r")))
+    val batch = graft.operators.Similarity.c47Whiten(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos"),
+        r.getAs[Double]("z_r")))
+    assert(viaArtifact.toSeq == batch.toSeq)
+  }
+
   test("diff subcommand: release audit over two parquets equals the operator") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val newDir = Files.createTempDirectory("graft-diff-new-").toString
