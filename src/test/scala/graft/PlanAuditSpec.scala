@@ -143,6 +143,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected ONE hash exchange (the pos-keyed moments agg), got $hashExchanges:\n$s")
   }
 
+  test("b21 plan: one identity-key exchange serves the single lag window") {
+    val s = executedPlanOf(graft.operators.Relational.b21WindowDedup(spark, sfDir))
+    assert(s.contains("Window"), s"lag must plan as a window:\n$s")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange (the identity key), got $hashExchanges:\n$s")
+  }
+
+  test("c49 plan: the release audit is one full-outer equi-join, never a product") {
+    val s = executedPlanOf(graft.operators.TextOps.c49SnapshotDiff(spark, sfDir))
+    assert(s.contains("FullOuter"), s"diff must plan a full-outer join:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"product join in the release audit:\n$s")
+  }
+
   test("c48 plan: exact-count sample is TakeOrderedAndProject, never a global sort") {
     val s = executedPlanOf(graft.operators.TextOps.c48SampleExact(spark, sfDir))
     assert(s.contains("TakeOrderedAndProject"),
