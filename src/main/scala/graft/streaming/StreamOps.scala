@@ -461,6 +461,30 @@ object StreamOps {
   def streamEmbedMoments(vecs: DataFrame): DataFrame =
     graft.operators.Similarity.fixedPointMoments(vecs)
 
+  /** d18: streaming release audit — c49's snapshot classification at
+    * ingest time: every arriving (doc_id, text) classifies against the
+    * STATIC previous snapshot as added / changed / unchanged (`removed`
+    * is inherently batch — absence cannot arrive on a stream; the batch
+    * c49 pass owns it). One stream-static LEFT equi-join on the id key
+    * against the old snapshot's (doc_id, md5) table — stateless in
+    * Spark, no watermark — with c49's exact status rules: presence from
+    * the join match, content compared null-safely (md5(NULL) is NULL
+    * and must not read as absence). The static side must be a
+    * MATERIALIZED table (d11's rule: an unmaterialized old-snapshot
+    * pipeline re-hashes the whole corpus every micro-batch). Parity
+    * spec pins stream ≡ batch c49 on the non-removed statuses. */
+  def streamReleaseAudit(docs: DataFrame, oldSnapshot: DataFrame): DataFrame = {
+    val old = oldSnapshot.select(col("doc_id"),
+      md5(col("text")).as("old_h"), lit(true).as("in_old"))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("new_h"))
+      .join(old, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in_old").isNull, "added")
+          .when(!(col("old_h") <=> col("new_h")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** d16: streaming whitening — c47 at ingest time, against a STATIC
     * moments artifact (d13's argument: a stream cannot re-aggregate the
     * corpus per row, so the per-dim (mean, σ) table — dim-sized,

@@ -616,6 +616,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d18 streaming release audit equals batch c49 on the non-removed statuses") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the same derived old snapshot c49's harness builds, materialized
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val oldDir = java.nio.file.Files
+      .createTempDirectory("graft-d18-old-").toString
+    docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(oldDir)
+    val newDocs = docs.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamReleaseAudit(
+      stream.toDF().toDF("doc_id", "text"), spark.read.parquet(oldDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d18_sink").start()
+    try {
+      val (a, b) = newDocs.splitAt(newDocs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d18_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      val batch = graft.operators.TextOps.c49SnapshotDiff(spark, sfDir)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+        .filter(_._2 != "removed").toMap // absence cannot arrive on a stream
+      assert(streamed.size == batch.size)
+      assert(streamed == batch,
+        "stream classification must equal batch c49 minus removed")
+      assert(Set("added", "changed", "unchanged").subsetOf(streamed.values.toSet))
+    } finally q.stop()
+  }
+
   test("d16 streaming whitening equals batch c47 under the same moments artifact") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
