@@ -109,6 +109,7 @@ object SparkEntry {
     "c47_whiten" -> ((s: SparkSession, d: String) => Similarity.c47Whiten(s, d)),
     "c48_sample_exact" -> ((s: SparkSession, d: String) => TextOps.c48SampleExact(s, d)),
     "c49_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.c49SnapshotDiff(s, d)),
+    "c50_group_budget" -> ((s: SparkSession, d: String) => TextOps.c50GroupBudget(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1143,5 +1144,23 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // c50: c41's score CTEs + ONE plain per-lang window — the oracle
+    // needn't mirror the salted two-phase plan, only its answer
+    "c50_group_budget" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |vocab AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+        |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS total_tokens FROM vocab),
+        |d AS (SELECT doc_id, count(*) AS n_tokens, sum(ctf) AS sum_ctf
+        |      FROM tok JOIN vocab USING (term) GROUP BY doc_id),
+        |s AS (SELECT doc_id,
+        |        round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r
+        |      FROM d, t),
+        |r AS (SELECT lang, doc_id, mean_prob_r,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY mean_prob_r DESC, doc_id ASC) AS BIGINT) AS rnk
+        |      FROM s JOIN documents USING (doc_id))
+        |SELECT lang, rnk, doc_id, mean_prob_r
+        |FROM r WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
   )
 }

@@ -677,6 +677,36 @@ object TextOps {
     snapshotDiff(old, docs).orderBy("doc_id")
   }
 
+  /** c50: per-group budget selection — the balanced-mixture curation
+    * shape ("the best k docs PER LANGUAGE"), completing the sampling
+    * trio: c17 rates, c48 a global count, c50 a count per group. Ranked
+    * by c41's 6-dp-rounded quality score (engine-stable), ties to the
+    * lower doc_id. The plan is the SKEW-SAFE grouped top-k: group keys
+    * like `lang` are few and huge at 100 TB, so a single per-group
+    * window would funnel whole languages through single partitions —
+    * instead a salted local pass ranks within (lang, salt) and only the
+    * ≤ k·salts survivors reach the per-lang final window. Salting
+    * cannot change the answer (any global top-k member is top-k within
+    * its salt bucket a fortiori); the DuckDB oracle uses the plain
+    * single window, which is the point — same result, different plan. */
+  def c50GroupBudget(spark: SparkSession, dir: String, k: Int = 50,
+                     salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(c41FreqScore(spark, dir).select("doc_id", "mean_prob_r"), "doc_id")
+    val local = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(desc("mean_prob_r"), asc("doc_id"))
+    val global = Window.partitionBy("lang")
+      .orderBy(desc("mean_prob_r"), asc("doc_id"))
+    scored
+      .withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= k) // ≤ k·salts survivors per lang
+      .withColumn("rnk", row_number().over(global).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("mean_prob_r"))
+      .orderBy("lang", "rnk")
+  }
+
   def c44BpePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     val wc = Tables.documents(spark, dir)
       .select(explode(words(lower(col("text")))).as("w"))
