@@ -53,7 +53,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
-          "ingest|chunk|shard|semdedup|whiten|diff ...")
+          "ingest|chunk|shard|semdedup|whiten|diff|moments ...")
       sys.exit(2)
   }
 
@@ -259,8 +259,17 @@ object Main {
       // the top term is corpus-controlled text: JSON-escape it (every
       // other interpolated value on these stats lines is operator-set)
       val top = v.take(1).headOption.map { r =>
-        val t = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
-        s""""$t"""" -> r.getLong(1)
+        // full JSON string escaping: backslash, quote AND control chars
+        // (a tab/CR can survive whitespace-only tokenization and would
+        // otherwise make the stats line invalid JSON)
+        val sb = new StringBuilder("\"")
+        r.getString(0).foreach {
+          case '\\' => sb.append("\\\\")
+          case '"' => sb.append("\\\"")
+          case ch if ch < 0x20 => sb.append(f"\\u${ch.toInt}%04x")
+          case ch => sb.append(ch)
+        }
+        sb.append('"').toString -> r.getLong(1)
       }.getOrElse("null" -> 0L)
       println(s"""{"terms":$n,"top_term":${top._1},""" +
         s""""top_tf":${top._2},"out":"$out"}""")

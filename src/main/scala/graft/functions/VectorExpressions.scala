@@ -308,7 +308,7 @@ case class NearestCells(left: Expression, right: Expression, maxProbe: Int)
       val row = cells.getStruct(j, 2)
       val cell = if (cellDt == LongType) row.getLong(0) else row.getInt(0).toLong
       val cv = row.getArray(1)
-      val n = math.min(v.numElements(), cv.numElements())
+      val n = NearestCells.checkedDim(v.numElements(), cv.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -367,7 +367,7 @@ case class NearestCells(left: Expression, right: Expression, maxProbe: Int)
          |  org.apache.spark.sql.catalyst.InternalRow $row = $b.getStruct($j, 2);
          |  long $cell = (long) $row.$getCell;
          |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
-         |  int $n = Math.min($a.numElements(), $cv.numElements());
+         |  int $n = graft.functions.NearestCells.checkedDim($a.numElements(), $cv.numElements());
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $xi = $a.getDouble($i);
@@ -414,6 +414,17 @@ object NearestCells {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Loud, not lossy (the HyperplaneBucket rule): a width-mismatched
+    * codebook — e.g. a truncated or mispointed `--codebook` artifact —
+    * must error instead of silently assigning cells from a vector
+    * prefix. Returns the common width. */
+  def checkedDim(vlen: Int, clen: Int): Int = {
+    if (vlen != clen) throw new IllegalArgumentException(
+      s"graft_nearest_cells: vector width $vlen != centroid width $clen — " +
+        "codebook does not match the embedding column")
+    vlen
+  }
 }
 
 /** Column-API entry points for the native vector expressions. */

@@ -227,7 +227,7 @@ object Dedup {
     * documents table: the existing corpus is doc_id % 7 != 3; the incoming
     * batch is the % 7 == 3 slice (genuinely new docs plus their near-dups)
     * UNION a "recrawl" slice — existing docs with doc_id % 11 == 5
-    * re-keyed as doc_id + 1,000,000, byte-identical replays of corpus
+    * re-keyed as doc_id + 10^12, byte-identical replays of corpus
     * content (the way recrawls actually arrive) — so all three statuses
     * are exercised non-trivially and the oracle reproduces the exact
     * batch. */
