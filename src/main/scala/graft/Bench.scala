@@ -116,58 +116,71 @@ object Bench {
       name -> best.getOrElse(name, -1.0)
     }
 
+    // Channel micro-benches (convert / publish / ingest). Each is fenced in
+    // its own try/catch with a -1 sentinel: r8 lost the entire bench line —
+    // 907 s of per-query timing included — to one uncaught AnalysisException
+    // here. A broken micro-bench must cost its own number, nothing else.
+    def fenced[A](what: String, fallback: A)(body: => A): A =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $what micro-bench failed: $e")
+          fallback
+      }
+
     // a10 convert micro-bench: MB of ND-JSON converted to IPC per second.
     // Lines are materialized (cached + counted) first so only the convert
     // stage is under the clock, mirroring bolson's convert bench; the ×8
     // replication lifts the corpus above the fixed job-overhead floor.
-    val ev = Tables.events(spark, sfDir).select(
-      col("event_id"), unix_micros(col("ts")).as("ts_us"),
-      col("user_id"), col("event_type"), col("value"))
-    val schema = ev.schema
-    val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
-      .withColumn("r", explode(sequence(lit(1), lit(8)))).drop("r")
-      .repartition(32).cache()
-    val jsonBytes = lines.agg(sum(octet_length(col("value")))).head.getLong(0)
-    run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
-    // best of 3 timed runs: single-shot numbers on a shared box swing >3×
-    // on GC/eviction luck; the min reflects the pipeline's capability
-    val convertSec = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    val convertMbps = jsonBytes / 1e6 / convertSec
+    val (convertMbps, jsonBytes, pubMsgsPerS, pubBatchedMsgsPerS, nMsgs) =
+      fenced("convert/publish", (-1.0, -1L, -1.0, -1.0, -1L)) {
+        val ev = Tables.events(spark, sfDir).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        val schema = ev.schema
+        val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+          .withColumn("r", explode(sequence(lit(1), lit(8)))).drop("r")
+          .repartition(32).cache()
+        val jsonBytes = lines.agg(sum(octet_length(col("value")))).head.getLong(0)
+        run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
+        // best of 3 timed runs: single-shot numbers on a shared box swing >3×
+        // on GC/eviction luck; the min reflects the pipeline's capability
+        val convertSec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
+          (System.nanoTime() - t0) / 1e9
+        }.min
 
-    // publish micro-bench (≙ bolson `bench pulsar`, src/bolson/bench.cpp):
-    // messages are pre-materialized (persist + count) so only the publish
-    // op is under the clock; per-message FilePublisher vs the batching
-    // envelope publisher quantifies what producer batching buys at
-    // production message rates. Best-of-3, like convert.
-    val msgs = ArrowIpc.serialize(StreamPipeline.convert(lines, schema),
-      maxRows = 256).persist()
-    val nMsgs = msgs.count()
-    lines.unpersist()
-    def timePublish(mk: Long => graft.streaming.Publisher): Double =
-      (1 to 3).map { i =>
-        val t0 = System.nanoTime()
-        graft.streaming.Publish.run(msgs, () => mk(i.toLong))
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    val pubDir = GraftSession.scratchDir("bench-publish").toString
-    val perMsgSec = timePublish(e => new graft.streaming.FilePublisher(pubDir, e))
-    GraftSession.scratchDir("bench-publish") // clear between modes
-    val batchedSec = timePublish(e => new graft.streaming.BatchingFilePublisher(
-      pubDir, graft.streaming.BatchingOptions(
-        maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
-    msgs.unpersist()
-    val pubMsgsPerS = nMsgs / perMsgSec
-    val pubBatchedMsgsPerS = nMsgs / batchedSec
+        // publish micro-bench (≙ bolson `bench pulsar`, src/bolson/bench.cpp):
+        // messages are pre-materialized (persist + count) so only the publish
+        // op is under the clock; per-message FilePublisher vs the batching
+        // envelope publisher quantifies what producer batching buys at
+        // production message rates. Best-of-3, like convert.
+        val msgs = ArrowIpc.serialize(StreamPipeline.convert(lines, schema),
+          maxRows = 256).persist()
+        val nMsgs = msgs.count()
+        lines.unpersist()
+        def timePublish(mk: Long => graft.streaming.Publisher): Double =
+          (1 to 3).map { i =>
+            val t0 = System.nanoTime()
+            graft.streaming.Publish.run(msgs, () => mk(i.toLong))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val pubDir = GraftSession.scratchDir("bench-publish").toString
+        val perMsgSec = timePublish(e => new graft.streaming.FilePublisher(pubDir, e))
+        GraftSession.scratchDir("bench-publish") // clear between modes
+        val batchedSec = timePublish(e => new graft.streaming.BatchingFilePublisher(
+          pubDir, graft.streaming.BatchingOptions(
+            maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
+        msgs.unpersist()
+        (jsonBytes / 1e6 / convertSec, jsonBytes,
+          nMsgs / perMsgSec, nMsgs / batchedSec, nMsgs)
+      }
 
     // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
     // TCP receive throughput): a local feeder thread blasts the events
     // ND-JSON corpus through a socket; the socket source + full convert
     // stage drain it. Measures the wire-in path the stream CLI runs.
-    val ingest = benchIngest(spark, sfDir)
+    val ingest = fenced("ingest", (-1.0, -1.0))(benchIngest(spark, sfDir))
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -178,9 +191,15 @@ object Bench {
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}"""
     // the driver captures only a stdout tail (r7 lost the a-series times to
     // a 2,000-char cut) — the full line also lands in a file so the round
-    // artifact is complete regardless of how stdout is clipped
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // artifact is complete regardless of how stdout is clipped. The write is
+    // best-effort: an unwritable path must not abort before the println.
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e")
+    }
     // printed AFTER spark.stop() and flushed: the one JSON line is the
     // last thing on stdout, with nothing able to interleave
     println(line)

@@ -110,6 +110,7 @@ object SparkEntry {
     "c48_sample_exact" -> ((s: SparkSession, d: String) => TextOps.c48SampleExact(s, d)),
     "c49_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.c49SnapshotDiff(s, d)),
     "c50_group_budget" -> ((s: SparkSession, d: String) => TextOps.c50GroupBudget(s, d)),
+    "c51_image_codec" -> (Multimodal.c51ImageCodec _),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -165,13 +166,28 @@ object SparkEntry {
     * fixed-point (1e-4, half-away-from-zero) embedding — all products and
     * sums are integer-valued doubles ≤ 2^53, so the bucket is exact in
     * both engines regardless of summation order. */
-  private def lshBucketSql: String = {
-    val planes = graft.functions.VectorFunctions.lshPlanes(6, 64)
+  private def lshBucketSql: String = lshBucketSql(6)
+
+  private def lshBucketSql(nPlanes: Int): String = {
+    val planes = graft.functions.VectorFunctions.lshPlanes(nPlanes, 64)
     planes.map { p =>
       val lit = p.mkString("[", ",", "]") + "::DOUBLE[]"
       s"CAST(CAST(list_dot_product(f, $lit) >= 0 AS INT) AS VARCHAR)"
     }.mkString("concat(", ",\n           ", ")")
   }
+
+  /** Data directory the oracle SQL is rendered against — set by Verify (to
+    * the sfDir its queries just ran on) before dumping oracle_sql.json, so
+    * scale-adaptive oracle text (c11's plane count) matches the Spark plan
+    * built for the same data. Falls back to the env the driver exports. */
+  @volatile private[graft] var oracleDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  /** The SAME plane-count derivation c11EmbedNearDup uses, from the SAME
+    * parquet footer, so both engines bucket identically at any scale. */
+  private def c11OraclePlanes: Int =
+    graft.operators.Similarity.adaptivePlanes(
+      Tables.parquetRowCount(s"$oracleDir/embeddings.parquet"))
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
   def oracleSql: Map[String, String] = Map(
@@ -548,7 +564,7 @@ object SparkEntry {
       (s"""WITH f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
         |  FROM embeddings),
-        |e AS (SELECT vec_id, v, $lshBucketSql AS bucket FROM f0)""".stripMargin +
+        |e AS (SELECT vec_id, v, ${lshBucketSql(c11OraclePlanes)} AS bucket FROM f0)""".stripMargin +
       """
         |
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -604,6 +620,19 @@ object SparkEntry {
         |  CAST(list_sum(l) AS BIGINT)
         |FROM vid
         |ORDER BY doc_id""".stripMargin,
+    // decoded-raster stats only: the PNG byte length is DEFLATE-
+    // implementation-defined and deliberately outside the contract
+    "c51_image_codec" ->
+      """WITH img AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    list_transform(range(0, (8 + doc_id % 9) * (8 + doc_id % 7)),
+        |                   i -> (doc_id * 31 + i * 7) % 256) AS l
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_units,
+        |  CAST(list_min(l) AS BIGINT) AS v_min, CAST(list_max(l) AS BIGINT) AS v_max,
+        |  CAST(list_sum(l) AS BIGINT) AS v_sum
+        |FROM img ORDER BY doc_id""".stripMargin,
     "b13_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS seg,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish star schema (TESTDATA.md).
   *
@@ -25,16 +25,45 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    * only (spark.sql.legacy.parquet.nanosAsLong — set in GraftSession /
-    * Verify / Bench). Normalize to a microsecond TimestampType here so
-    * every operator sees a real timestamp column. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark reads a bare
+    * long under spark.sql.legacy.parquet.nanosAsLong — set in GraftSession /
+    * Verify / Bench) and, since the r8 regeneration, as TIMESTAMP(MICROS)
+    * without the UTC flag (Spark 4 reads TIMESTAMP_NTZ). Normalize every
+    * variant to a microsecond TimestampType here so downstream operators
+    * (`unix_micros`, window/range/as-of joins) see one column type. The
+    * NTZ→TZ cast reinterprets the wall clock in the session time zone —
+    * UTC everywhere in this project — so the micros value is unchanged,
+    * matching DuckDB's naive-timestamp read of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Exact row count from parquet footers only — no data pages are read, so
+    * this is O(files), not O(rows). Used to size scale-adaptive plan
+    * parameters (e.g. c11's LSH plane count) at plan-build time; on a
+    * cluster the same footer metadata is what AQE itself plans from.
+    * Returns 0 when the path is missing/unreadable (callers fall back to
+    * their minimum parameterization). */
+  def parquetRowCount(path: String): Long =
+    try {
+      val f = new java.io.File(path)
+      val parts: Array[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet"))
+        else Array(f)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      parts.map { pf =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    } catch { case _: Throwable => 0L }
 }

@@ -53,6 +53,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // scale-adaptive oracle text (c11's LSH plane count) must be rendered
+    // against the same data the queries just ran on
+    SparkEntry.oracleDir = sfDir
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -336,6 +336,83 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** PGM → PNG transcode through the JDK's BUILT-IN codec
+    * (javax.imageio, present in every JVM — no external library): the
+    * parsed grayscale raster is re-encoded as a real zlib/DEFLATE-
+    * compressed PNG. PNG is lossless, so the pixels survive exactly;
+    * the container is a genuine compressed codec stream, not a
+    * codec-free raw raster like PGM/WAV/Y4M. */
+  private[graft] def pngTranscode(docId: Long, pgm: Array[Byte]): Array[Byte] = {
+    val (w, h, pos) = pgmGeometry(docId, pgm)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pgm(pos + y * w + x) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      s"doc $docId: no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode via javax.imageio (inflate + unfilter + raster
+    * reconstruction — an actual compressed-codec decode in pure JDK).
+    * Malformed or non-image bytes throw, matching the other decoders'
+    * FAILFAST contract. */
+  private[graft] def decodePng(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    var mn = 255L; var mx = 0L; var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0).toLong
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(docId, "png", payload.length.toLong, w.toLong, h.toLong,
+      w.toLong * h, mn, mx, sum)
+  }
+
+  /** c51: the compressed-codec image path — every image-typed record is
+    * transcoded PGM → PNG (real DEFLATE compression via the JDK codec)
+    * and then DECODED BACK through `ImageIO.read`, with raster statistics
+    * computed from the decoded pixels. The oracle recomputes the same
+    * stats from the closed-form raster formula, so a single mis-decoded
+    * pixel anywhere in the compress → decompress loop hash-fails the
+    * gate. n_bytes (the DEFLATE output size) is deliberately NOT in the
+    * output: it is codec-implementation-defined, which is exactly why the
+    * codec-free formats carry c12's byte-accounting instead. Plan shape:
+    * the doc_id % 3 type predicate is applied on the scan column BEFORE
+    * payload generation, and the whole encode+decode loop is row-local
+    * mapPartitions — zero shuffles before the output sort. */
+  def c51ImageCodec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        decodePng(id, pngTranscode(id, pgmPayload(id)))
+      })
+      .select(col("doc_id"), col("width"), col("height"), col("n_units"),
+        col("v_min"), col("v_max"), col("v_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Floor mapping of output index `i` onto an input grid of `inN`
     * elements when emitting `outN` — the nearest-neighbor sampler shared
     * by all three resize paths. */

@@ -940,15 +940,35 @@ object Similarity {
     v.zipWithIndex.map { case (w, p) => (p, w) }.toDF("pos", "v4")
   }
 
+  /** Scale-adaptive LSH plane count: enough sign bits that the EXPECTED
+    * bucket population stays near `targetBucket` rows, so the within-bucket
+    * pair join does O(n·targetBucket) work — linear in n — instead of the
+    * O(n²/2^planes) a FIXED plane count degenerates to as the corpus grows
+    * (64 buckets over 10⁹ rows ⇒ 1.5×10⁷-row buckets ⇒ quadratic blowup).
+    * Floor of 6 keeps small/test corpora on the historical bucketing; cap
+    * of 24 (16M buckets) bounds the bucket-key cardinality. Deterministic
+    * in n, so the DuckDB oracle derives the identical count from the same
+    * parquet footer. */
+  private[graft] def adaptivePlanes(n: Long, targetBucket: Int = 512): Int = {
+    val needed = math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+      / math.log(2.0)).toInt
+    math.min(24, math.max(6, needed))
+  }
+
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
     * scoring happens only within a bucket (the 100 TB-safe shape — the
     * alternative is an O(n²) cross join). The threshold is applied to the
-    * 6-decimal rounding of the score so engines agree at the boundary. */
+    * 6-decimal rounding of the score so engines agree at the boundary.
+    * `planes <= 0` (the default) sizes the bucketing from the corpus row
+    * count via [[adaptivePlanes]] — a parquet-footer read, no data scan. */
   def c11EmbedNearDup(spark: SparkSession, dir: String,
-                      threshold: Double = 0.3, planes: Int = 6): DataFrame = {
+                      threshold: Double = 0.3, planes: Int = 0): DataFrame = {
+    val p =
+      if (planes > 0) planes
+      else adaptivePlanes(Tables.parquetRowCount(s"$dir/embeddings.parquet"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"),
-        signBucket(col("embedding"), planes).as("bucket"))
+        signBucket(col("embedding"), p).as("bucket"))
     e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
       .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb")),
         "bucket")

@@ -516,6 +516,27 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c51 PNG transcode round-trips the raster through a real compressed codec") {
+    for (id <- Seq(0L, 3L, 12L, 33L)) { // image ids (doc_id % 3 == 0)
+      val pgm = Multimodal.pgmPayload(id)
+      val ref = Multimodal.decodePgm(id, pgm)
+      val png = Multimodal.pngTranscode(id, pgm)
+      // a genuine PNG container: 8-byte signature
+      assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G',
+        s"doc $id: output is not a PNG stream")
+      val f = Multimodal.decodePng(id, png)
+      // lossless: every decoded-pixel statistic survives the
+      // deflate → inflate → unfilter loop exactly
+      assert(f.width == ref.width && f.height == ref.height &&
+        f.n_units == ref.n_units)
+      assert(f.v_min == ref.v_min && f.v_max == ref.v_max && f.v_sum == ref.v_sum)
+      assert(f.n_bytes == png.length.toLong)
+    }
+    intercept[IllegalArgumentException] { // non-image bytes must throw
+      Multimodal.decodePng(7L, "not a png at all".getBytes("US-ASCII"))
+    }
+  }
+
   test("c12 WAV decoder: hand-computed fixture + malformed input rejection") {
     // 3 samples: -32768, 0, 32767
     val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)

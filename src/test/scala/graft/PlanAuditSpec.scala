@@ -165,4 +165,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Sort ["), s"global sort crept into the sampler:\n$s")
     assert(!s.contains("hashpartitioning"), s"corpus shuffle in the sampler:\n$s")
   }
+
+  test("c50 plan: grouped top-k is salted — a (lang, salt) window prunes before the per-lang window") {
+    val s = executedPlanOf(graft.operators.TextOps.c50GroupBudget(spark, sfDir))
+    // the skew shield: the first window partitions on (lang, pmod(doc_id, salts))
+    // so a hot language fans across `salts` partitions for the heavy ranking pass
+    assert(s.contains("pmod"), s"salted window partitioning missing:\n$s")
+    val saltedIdx = s.indexOf("pmod")
+    // the lang-only exchange (the final k-per-lang window) must exist...
+    val langOnly = "hashpartitioning\\(lang#\\d+, \\d+\\)".r
+    val m = langOnly.findAllMatchIn(s).toSeq
+    assert(m.nonEmpty, s"per-lang final window exchange missing:\n$s")
+    // ...and operate ABOVE the salted pass (string order in the plan tree:
+    // upstream operators print below their parents, so the final lang-only
+    // exchange appears BEFORE the salted exchange in the dump)
+    assert(m.head.start < saltedIdx,
+      s"lang-only window does not sit above the salted pass:\n$s")
+    // only the ≤ k·salts survivors may reach it: the local-rank filter sits
+    // between the two windows
+    val between = s.substring(m.head.start, saltedIdx)
+    assert(between.contains("lrnk"),
+      s"survivor filter missing between salted and final window:\n$s")
+    // NOTE: c41's corpus-total (a 1-row aggregate) broadcasts via
+    // IdentityBroadcastMode and plans as a BroadcastNestedLoopJoin by
+    // construction — a single-row scalar join, safe at any scale — so only
+    // a true cartesian is forbidden here
+    assert(!s.contains("CartesianProduct"), s"cartesian in grouped top-k:\n$s")
+  }
+
+  test("c51 plan: type filter precedes the codec loop; no shuffle before the output sort") {
+    val s = executedPlanOf(graft.operators.Multimodal.c51ImageCodec(spark, sfDir))
+    // the doc_id % 3 predicate must evaluate scan-side, BEFORE the
+    // encode+decode mapPartitions — 2/3 of the corpus never reaches the codec
+    assert(s.contains("pmod"), s"type filter missing from the scan stage:\n$s")
+    // the whole codec loop is row-local: the output-order range exchange is
+    // the only exchange in the plan
+    assert(!s.contains("hashpartitioning"),
+      s"hash exchange crept into the row-local codec pipeline:\n$s")
+  }
 }

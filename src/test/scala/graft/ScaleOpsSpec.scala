@@ -108,4 +108,33 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("c50 salted grouped top-k equals the plain single-window reference") {
+    import graft.operators.TextOps
+    val salted = TextOps.c50GroupBudget(spark, sfDir, k = 50, salts = 8)
+    // salts = 1 degenerates the local pass to the plain per-lang window:
+    // the un-salted reference computed by the same code path
+    val plain = TextOps.c50GroupBudget(spark, sfDir, k = 50, salts = 1)
+    assert(salted.collect().toSeq == plain.collect().toSeq,
+      "salting changed the selected per-group top-k")
+    val rows = salted.collect()
+    assert(rows.nonEmpty)
+    // per-lang: ranks are 1..n(lang) with n <= k, scores non-increasing,
+    // doc_id tie-break ascending within equal scores
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length).toSeq,
+        s"ranks not dense for $lang")
+      assert(sorted.length <= 50, s"budget exceeded for $lang")
+      val scores = sorted.map(_.getAs[Double]("mean_prob_r")).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse),
+        s"scores not non-increasing for $lang")
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a.getAs[Double]("mean_prob_r") == b.getAs[Double]("mean_prob_r") =>
+          assert(a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"),
+            s"tie not broken by doc_id for $lang")
+        case _ =>
+      }
+    }
+  }
 }
