@@ -485,6 +485,27 @@ object StreamOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** d19: streaming image-codec path — c51 at ingest: every arriving
+    * image-typed media record runs the full PGM → PNG transcode (real
+    * DEFLATE via the JDK's built-in javax.imageio codec) and is decoded
+    * BACK, emitting the decoded-raster statistics. Row-local
+    * mapPartitions — exactly where a production stream would mount its
+    * codec contexts once per partition — with zero state, no watermark,
+    * any stream length; non-image records are filtered out BEFORE the
+    * codec loop, mirroring c51's scan-side type predicate. A parity
+    * spec pins stream ≡ batch c51 row-for-row. */
+  def streamImageCodec(media: Dataset[graft.operators.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image")
+      .as[graft.operators.MediaRecord]
+      .mapPartitions(_.map { r =>
+        graft.operators.Multimodal.decodePng(
+          r.doc_id, graft.operators.Multimodal.pngTranscode(r.doc_id, r.payload))
+      })
+      .select(col("doc_id"), col("width"), col("height"), col("n_units"),
+        col("v_min"), col("v_max"), col("v_sum"))
+  }
+
   /** d16: streaming whitening — c47 at ingest time, against a STATIC
     * moments artifact (d13's argument: a stream cannot re-aggregate the
     * corpus per row, so the per-dim (mean, σ) table — dim-sized,

@@ -781,4 +781,31 @@ class StreamingSpec extends SparkSpec {
         "streaming and batch sessionization must produce identical sessions")
     } finally q.stop()
   }
+
+  test("d19 streaming image codec equals batch c51 row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the full mixed-modality media table: audio/video rows must be
+    // dropped BEFORE the codec loop, image rows must round-trip
+    val media = graft.operators.Multimodal.mediaTable(spark, sfDir)
+      .collect().toSeq
+    val stream = MemoryStream[graft.operators.MediaRecord]
+    val q = StreamOps.streamImageCodec(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d19_sink").start()
+    try {
+      val (a, b) = media.splitAt(media.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d19_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      val batch = graft.operators.Multimodal.c51ImageCodec(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed.keySet == batch.keySet,
+        "stream must emit exactly the image-typed doc ids")
+      streamed.foreach { case (id, row) =>
+        assert(row == batch(id), s"doc $id stream vs batch codec stats")
+      }
+    } finally q.stop()
+  }
 }
