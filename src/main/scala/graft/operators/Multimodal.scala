@@ -47,6 +47,12 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // call creates a temp file, which under 32 concurrent tasks turns the
+  // codec loop into tmpfs churn. All payloads here are in-memory byte
+  // arrays — cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- deterministic payload generation (closed-form in doc_id, so the
   // ---- DuckDB oracle recomputes decoded features without parsing binary)
 
@@ -503,6 +509,34 @@ object Multimodal {
           val (w0, h0, off) = pgmGeometry(r.doc_id, r.payload)
           val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
           header ++ scalePlane(r.payload, off, w0, h0, width, height)
+        case "png" =>
+          // compressed-codec resize: ImageIO decode → the SAME nnIdx
+          // nearest-neighbor resample the raw-raster paths use (Java2D's
+          // own scalers are implementation-defined; the shared sampler
+          // keeps PNG resize pixel-identical to PGM resize of the same
+          // raster, which is how the spec verifies it) → PNG re-encode
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+          val (w0, h0) = (img.getWidth, img.getHeight)
+          val in = img.getRaster
+          val outImg = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val outR = outImg.getRaster
+          var y = 0
+          while (y < height) {
+            val sy = nnIdx(y, height, h0)
+            var x = 0
+            while (x < width) {
+              outR.setSample(x, y, 0, in.getSample(nnIdx(x, width, w0), sy, 0))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(outImg, "png", bos),
+            s"doc ${r.doc_id}: no PNG writer available")
+          bos.toByteArray
         case "audio" =>
           val (rate, s0) = wavSamples(r.doc_id, r.payload)
           val n = width * height

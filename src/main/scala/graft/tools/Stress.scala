@@ -71,6 +71,9 @@ object Stress {
     time("c47 whiten")(Similarity.c47Whiten(spark, base).count())
     time("c48 sample exact")(TextOps.c48SampleExact(spark, base).count())
     time("c49 snapshot diff")(TextOps.c49SnapshotDiff(spark, base).count())
+    time("c50 group budget")(TextOps.c50GroupBudget(spark, base).count())
+    time("c51 png codec")(
+      graft.operators.Multimodal.c51ImageCodec(spark, base).count())
     time("b21 window dedup")(
       graft.operators.Relational.b21WindowDedup(spark, base).count())
     time("power iterate x3")(Similarity.powerIterate(spark, base, rounds = 3).count())

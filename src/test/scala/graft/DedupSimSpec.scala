@@ -537,6 +537,32 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c51 PNG resize is pixel-identical to PGM resize of the same raster") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 12L)
+    val pgmRecs = ids.map(id =>
+      graft.operators.MediaRecord(id, "image", Multimodal.pgmPayload(id)))
+    val pngRecs = ids.map(id => graft.operators.MediaRecord(id, "png",
+      Multimodal.pngTranscode(id, Multimodal.pgmPayload(id))))
+    val rp = Multimodal.resize(spark.createDataset(pgmRecs), 16, 8).collect()
+      .map(r => r.doc_id -> r).toMap
+    val rn = Multimodal.resize(spark.createDataset(pngRecs), 16, 8).collect()
+      .map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      assert(rn(id).media_type == "png")
+      // the shared nnIdx sampler makes the two paths byte-equal on the
+      // decoded raster, not just equal in aggregate stats
+      val rawPgm = rp(id).payload.takeRight(16 * 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rn(id).payload))
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      val rr = img.getRaster
+      (0 until 8).foreach(y => (0 until 16).foreach(x =>
+        assert((rawPgm(y * 16 + x) & 0xFF) == rr.getSample(x, y, 0),
+          s"doc $id pixel ($x,$y) diverges between PGM and PNG resize")))
+    }
+  }
+
   test("c12 WAV decoder: hand-computed fixture + malformed input rejection") {
     // 3 samples: -32768, 0, 32767
     val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)
