@@ -120,9 +120,11 @@ object Bench {
     // its own try/catch with a -1 sentinel: r8 lost the entire bench line —
     // 907 s of per-query timing included — to one uncaught AnalysisException
     // here. A broken micro-bench must cost its own number, nothing else.
+    // NonFatal only: an OOM/VM error must abort the run, not let it keep
+    // "measuring" inside a corrupted JVM.
     def fenced[A](what: String, fallback: A)(body: => A): A =
       try body catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $what micro-bench failed: $e")
           fallback
       }
@@ -131,50 +133,67 @@ object Bench {
     // Lines are materialized (cached + counted) first so only the convert
     // stage is under the clock, mirroring bolson's convert bench; the ×8
     // replication lifts the corpus above the fixed job-overhead floor.
-    val (convertMbps, jsonBytes, pubMsgsPerS, pubBatchedMsgsPerS, nMsgs) =
-      fenced("convert/publish", (-1.0, -1L, -1.0, -1.0, -1L)) {
-        val ev = Tables.events(spark, sfDir).select(
-          col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"))
-        val schema = ev.schema
-        val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
-          .withColumn("r", explode(sequence(lit(1), lit(8)))).drop("r")
-          .repartition(32).cache()
-        val jsonBytes = lines.agg(sum(octet_length(col("value")))).head.getLong(0)
-        run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
-        // best of 3 timed runs: single-shot numbers on a shared box swing >3×
-        // on GC/eviction luck; the min reflects the pipeline's capability
-        val convertSec = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          run(ArrowIpc.serialize(StreamPipeline.convert(lines, schema), maxRows = 4096).toDF())
-          (System.nanoTime() - t0) / 1e9
-        }.min
+    // The corpus fence is shared (publish measures the converted messages,
+    // so it cannot run without it), but convert and publish each carry
+    // their OWN fence: a publish failure must not discard an already-
+    // measured convert number. Persisted sets unpersist in finally so a
+    // failed fence can't pin the 8× corpus through the ingest bench.
+    case class Corpus(lines: DataFrame, jsonBytes: Long,
+                      schema: org.apache.spark.sql.types.StructType)
+    val corpus = fenced("corpus", null: Corpus) {
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+        .withColumn("r", explode(sequence(lit(1), lit(8)))).drop("r")
+        .repartition(32).cache()
+      Corpus(lines, lines.agg(sum(octet_length(col("value")))).head.getLong(0),
+        ev.schema)
+    }
+    val jsonBytes = if (corpus == null) -1L else corpus.jsonBytes
 
-        // publish micro-bench (≙ bolson `bench pulsar`, src/bolson/bench.cpp):
-        // messages are pre-materialized (persist + count) so only the publish
-        // op is under the clock; per-message FilePublisher vs the batching
-        // envelope publisher quantifies what producer batching buys at
-        // production message rates. Best-of-3, like convert.
-        val msgs = ArrowIpc.serialize(StreamPipeline.convert(lines, schema),
-          maxRows = 256).persist()
-        val nMsgs = msgs.count()
-        lines.unpersist()
-        def timePublish(mk: Long => graft.streaming.Publisher): Double =
-          (1 to 3).map { i =>
-            val t0 = System.nanoTime()
-            graft.streaming.Publish.run(msgs, () => mk(i.toLong))
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        val pubDir = GraftSession.scratchDir("bench-publish").toString
-        val perMsgSec = timePublish(e => new graft.streaming.FilePublisher(pubDir, e))
-        GraftSession.scratchDir("bench-publish") // clear between modes
-        val batchedSec = timePublish(e => new graft.streaming.BatchingFilePublisher(
-          pubDir, graft.streaming.BatchingOptions(
-            maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
-        msgs.unpersist()
-        (jsonBytes / 1e6 / convertSec, jsonBytes,
-          nMsgs / perMsgSec, nMsgs / batchedSec, nMsgs)
+    val convertMbps = if (corpus == null) -1.0 else fenced("convert", -1.0) {
+      run(ArrowIpc.serialize(
+        StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
+      // best of 3 timed runs: single-shot numbers on a shared box swing >3×
+      // on GC/eviction luck; the min reflects the pipeline's capability
+      val convertSec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run(ArrowIpc.serialize(
+          StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      corpus.jsonBytes / 1e6 / convertSec
+    }
+
+    // publish micro-bench (≙ bolson `bench pulsar`, src/bolson/bench.cpp):
+    // messages are pre-materialized (persist + count) so only the publish
+    // op is under the clock; per-message FilePublisher vs the batching
+    // envelope publisher quantifies what producer batching buys at
+    // production message rates. Best-of-3, like convert.
+    val (pubMsgsPerS, pubBatchedMsgsPerS, nMsgs) =
+      if (corpus == null) (-1.0, -1.0, -1L)
+      else fenced("publish", (-1.0, -1.0, -1L)) {
+        val msgs = ArrowIpc.serialize(
+          StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 256).persist()
+        try {
+          val nMsgs = msgs.count()
+          def timePublish(mk: Long => graft.streaming.Publisher): Double =
+            (1 to 3).map { i =>
+              val t0 = System.nanoTime()
+              graft.streaming.Publish.run(msgs, () => mk(i.toLong))
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          val pubDir = GraftSession.scratchDir("bench-publish").toString
+          val perMsgSec = timePublish(e => new graft.streaming.FilePublisher(pubDir, e))
+          GraftSession.scratchDir("bench-publish") // clear between modes
+          val batchedSec = timePublish(e => new graft.streaming.BatchingFilePublisher(
+            pubDir, graft.streaming.BatchingOptions(
+              maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
+          (nMsgs / perMsgSec, nMsgs / batchedSec, nMsgs)
+        } finally msgs.unpersist()
       }
+    if (corpus != null) corpus.lines.unpersist()
 
     // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
     // TCP receive throughput): a local feeder thread blasts the events
@@ -188,7 +207,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}"""
     // the driver captures only a stdout tail (r7 lost the a-series times to
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is

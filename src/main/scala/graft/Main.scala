@@ -50,10 +50,11 @@ object Main {
     case Some("whiten") => whiten(args.drop(1))
     case Some("diff") => diffCmd(args.drop(1))
     case Some("moments") => moments(args.drop(1))
+    case Some("codec") => codec(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
-          "ingest|chunk|shard|semdedup|whiten|diff|moments ...")
+          "ingest|chunk|shard|semdedup|whiten|diff|moments|codec ...")
       sys.exit(2)
   }
 
@@ -139,6 +140,41 @@ object Main {
       count_distinct(col("vec_id")), coalesce(max(col("pos")) + 1, lit(0))).head()
     println(s"""{"rows":${stats.getLong(0)},"vectors":${stats.getLong(1)},""" +
       s""""dims":${stats.getInt(2)},"out":"$out"}""")
+  }
+
+  /** `graft.Main codec --in MEDIA_PARQUET --out OUT [--resize WxH]` —
+    * the c12/c51 multimodal path over an arbitrary (doc_id, media_type,
+    * payload) parquet: decode every record through the REAL parsers
+    * (PGM/WAV/Y4M binary parse; ImageIO inflate for png) and write the
+    * typed feature frame; with --resize, write the re-encoded resampled
+    * containers instead. Row-local either way — the CLI inherits the
+    * operators' zero-shuffle plan. One JSON stats line on stdout. */
+  private def codec(args: Array[String]): Unit = {
+    import graft.operators.{MediaRecord, Multimodal}
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val df = spark.read.parquet(in)
+    require(Seq("doc_id", "media_type", "payload").forall(df.columns.contains),
+      s"input $in must have (doc_id, media_type, payload) columns, " +
+        s"found ${df.columns.mkString("(", ", ", ")")}")
+    val recs = df.select("doc_id", "media_type", "payload").as[MediaRecord]
+    opt(args, "--resize") match {
+      case Some(wh) =>
+        val dims = wh.split("x")
+        require(dims.length == 2 && dims.forall(_.forall(_.isDigit)),
+          s"--resize must be WxH (e.g. 64x64), got $wh")
+        Multimodal.resize(recs, dims(0).toInt, dims(1).toInt)
+          .toDF().write.mode("overwrite").parquet(out)
+      case None =>
+        recs.mapPartitions(_.map(Multimodal.decode))
+          .toDF().write.mode("overwrite").parquet(out)
+    }
+    val written = spark.read.parquet(out)
+    val byType = written.groupBy("media_type").count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+    println(s"""{"rows":${written.count()},"by_type":{$byType},"out":"$out"}""")
   }
 
   /** `graft.Main semdedup --in EMB_PARQUET --out OUT [--threshold T]

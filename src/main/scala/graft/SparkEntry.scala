@@ -176,21 +176,23 @@ object SparkEntry {
     }.mkString("concat(", ",\n           ", ")")
   }
 
-  /** Data directory the oracle SQL is rendered against — set by Verify (to
-    * the sfDir its queries just ran on) before dumping oracle_sql.json, so
-    * scale-adaptive oracle text (c11's plane count) matches the Spark plan
-    * built for the same data. Falls back to the env the driver exports. */
-  @volatile private[graft] var oracleDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-
   /** The SAME plane-count derivation c11EmbedNearDup uses, from the SAME
     * parquet footer, so both engines bucket identically at any scale. */
-  private def c11OraclePlanes: Int =
+  private def c11OraclePlanes(dir: String): Int =
     graft.operators.Similarity.adaptivePlanes(
-      Tables.parquetRowCount(s"$oracleDir/embeddings.parquet"))
+      Tables.parquetRowCount(s"$dir/embeddings.parquet"))
 
-  /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result. */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB oracle SQL (driver contract). Scale-adaptive oracle text
+    * (c11's plane count) renders against the env-exported data dir; a
+    * caller that knows its dir — Verify dumps against the sfDir its
+    * queries just ran on — should use [[oracleSqlFor]] so the SQL and
+    * the Spark plans adapt to the SAME data without any ordering trap. */
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+
+  /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result,
+    * rendered for the given data directory. */
+  def oracleSqlFor(dir: String): Map[String, String] = Map(
     "a1_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -564,7 +566,7 @@ object SparkEntry {
       (s"""WITH f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
         |  FROM embeddings),
-        |e AS (SELECT vec_id, v, ${lshBucketSql(c11OraclePlanes)} AS bucket FROM f0)""".stripMargin +
+        |e AS (SELECT vec_id, v, ${lshBucketSql(c11OraclePlanes(dir))} AS bucket FROM f0)""".stripMargin +
       """
         |
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -47,23 +47,34 @@ object Tables {
 
   /** Exact row count from parquet footers only — no data pages are read, so
     * this is O(files), not O(rows). Used to size scale-adaptive plan
-    * parameters (e.g. c11's LSH plane count) at plan-build time; on a
-    * cluster the same footer metadata is what AQE itself plans from.
-    * Returns 0 when the path is missing/unreadable (callers fall back to
-    * their minimum parameterization). */
+    * parameters (e.g. c11's LSH plane count) at plan-build time. Goes
+    * through the Hadoop FileSystem API (not java.io.File) so any URI
+    * Spark itself can read — local, HDFS, s3a — resolves, and recurses
+    * into partitioned layouts. Returns 0 when the path is missing or
+    * unreadable, WITH a loud stderr warning: callers fall back to their
+    * minimum parameterization, and for the adaptive bucketing that
+    * fallback is the quadratic shape the scheme exists to prevent —
+    * a silent 0 here must never look like a small corpus. */
   def parquetRowCount(path: String): Long =
     try {
-      val f = new java.io.File(path)
-      val parts: Array[java.io.File] =
-        if (f.isDirectory)
-          f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet"))
-        else Array(f)
       val conf = new org.apache.hadoop.conf.Configuration()
-      parts.map { pf =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      def footerRows(f: org.apache.hadoop.fs.Path): Long = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
         try r.getRecordCount finally r.close()
-      }.sum
-    } catch { case _: Throwable => 0L }
+      }
+      def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+        if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
+        else if (st.getPath.getName.endsWith(".parquet")) footerRows(st.getPath)
+        else 0L
+      walk(fs.getFileStatus(p))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] parquetRowCount($path) failed — scale-adaptive " +
+            s"parameters fall back to their minimum: $e")
+        0L
+    }
 }

@@ -55,8 +55,7 @@ object Verify {
     } + "\""
     // scale-adaptive oracle text (c11's LSH plane count) must be rendered
     // against the same data the queries just ran on
-    SparkEntry.oracleDir = sfDir
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val nFail = failed.size

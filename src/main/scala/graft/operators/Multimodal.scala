@@ -321,11 +321,17 @@ object Multimodal {
       frames, mn, mx, sum)
   }
 
-  /** Dispatch decode by declared media type. */
+  /** Dispatch decode by declared media type. Explicit cases only: an
+    * unknown type must say so, not surface as a baffling Y4M parse
+    * error three layers down. */
   private[graft] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
     case "image" => decodePgm(r.doc_id, r.payload)
+    case "png"   => decodePng(r.doc_id, r.payload)
     case "audio" => decodeWav(r.doc_id, r.payload)
-    case _       => decodeY4m(r.doc_id, r.payload)
+    case "video" => decodeY4m(r.doc_id, r.payload)
+    case other => throw new IllegalArgumentException(
+      s"doc ${r.doc_id}: unknown media_type '$other' " +
+        "(expected image|png|audio|video)")
   }
 
   /** c12: decode/feature-extract over the media table — mapPartitions so a
@@ -340,6 +346,28 @@ object Multimodal {
       .mapPartitions(_.map(decode))
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** ImageIO decode with the FAILFAST contract the other decoders keep:
+    * malformed or non-image bytes throw (ImageIO.read signals failure by
+    * returning null). Shared by the c51 decode and the PNG resize path
+    * so a future codec swap happens in exactly one place. */
+  private[graft] def readImage(docId: Long,
+                               payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    img
+  }
+
+  /** PNG-encode through the JDK's built-in writer (real zlib/DEFLATE).
+    * Shared by the transcode and resize paths — the SURVEY-anticipated
+    * JPEG/WebP swap changes this one writer name. */
+  private[graft] def writePng(docId: Long,
+                              img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      s"doc $docId: no PNG writer available")
+    bos.toByteArray
   }
 
   /** PGM → PNG transcode through the JDK's BUILT-IN codec
@@ -362,10 +390,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "png", bos),
-      s"doc $docId: no PNG writer available")
-    bos.toByteArray
+    writePng(docId, img)
   }
 
   /** REAL PNG decode via javax.imageio (inflate + unfilter + raster
@@ -373,8 +398,7 @@ object Multimodal {
     * Malformed or non-image bytes throw, matching the other decoders'
     * FAILFAST contract. */
   private[graft] def decodePng(docId: Long, payload: Array[Byte]): MediaFeatures = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, s"doc $docId: payload is not a decodable image")
+    val img = readImage(docId, payload)
     val w = img.getWidth; val h = img.getHeight
     val raster = img.getRaster
     var mn = 255L; var mx = 0L; var sum = 0L
@@ -515,9 +539,7 @@ object Multimodal {
           // own scalers are implementation-defined; the shared sampler
           // keeps PNG resize pixel-identical to PGM resize of the same
           // raster, which is how the spec verifies it) → PNG re-encode
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+          val img = readImage(r.doc_id, r.payload)
           val (w0, h0) = (img.getWidth, img.getHeight)
           val in = img.getRaster
           val outImg = new java.awt.image.BufferedImage(
@@ -533,10 +555,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(outImg, "png", bos),
-            s"doc ${r.doc_id}: no PNG writer available")
-          bos.toByteArray
+          writePng(r.doc_id, outImg)
         case "audio" =>
           val (rate, s0) = wavSamples(r.doc_id, r.payload)
           val n = width * height

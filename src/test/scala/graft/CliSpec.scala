@@ -373,4 +373,47 @@ class CliSpec extends SparkSpec {
     assert(curated.columns.toSet.contains("text") &&
       curated.columns.toSet.contains("split"))
   }
+
+  test("codec subcommand: decode and resize over an arbitrary media parquet") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    // mixed corpus: the three raw containers plus real PNG payloads
+    val inDir = Files.createTempDirectory("graft-codec-in-").toString
+    val mixed = M.mediaTable(spark, sfDir).collect().toSeq ++
+      Seq(0L, 3L, 12L).map(id => graft.operators.MediaRecord(
+        id + 100000L, "png", M.pngTranscode(id, M.pgmPayload(id))))
+    spark.createDataset(mixed).toDF()
+      .write.mode("overwrite").parquet(inDir)
+    // decode mode: features equal the operator's for every record
+    val outF = Files.createTempDirectory("graft-codec-feat-").toString
+    Main.main(Array("codec", "--in", inDir, "--out", outF))
+    val got = spark.read.parquet(outF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("media_type"), r.getAs[Long]("width"),
+          r.getAs[Long]("height"), r.getAs[Long]("v_sum"))).toMap
+    assert(got.size == mixed.size)
+    mixed.foreach { r =>
+      val want = M.decode(r)
+      assert(got(r.doc_id) == ((want.media_type, want.width, want.height, want.v_sum)),
+        s"doc ${r.doc_id} CLI features diverge from the operator")
+    }
+    // png rows decode to the SAME raster stats as their pgm source
+    Seq(0L, 3L, 12L).foreach { id =>
+      assert(got(id + 100000L)._4 == got(id)._4,
+        s"png transcode of doc $id changed the raster sum")
+    }
+    // resize mode: every output is a valid container at the target dims
+    val outR = Files.createTempDirectory("graft-codec-resize-").toString
+    Main.main(Array("codec", "--in", inDir, "--out", outR, "--resize", "16x8"))
+    val resized = spark.read.parquet(outR)
+      .select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])].collect()
+    assert(resized.length == mixed.size)
+    resized.foreach { case (id, mt, payload) =>
+      val f = M.decode(graft.operators.MediaRecord(id, mt, payload))
+      if (mt != "audio") assert(f.width == 16 && f.height == 8,
+        s"doc $id ($mt) not resized to 16x8")
+      else assert(f.n_units == 16 * 8, s"doc $id audio not resampled to 128")
+    }
+  }
 }
