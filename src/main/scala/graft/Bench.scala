@@ -147,8 +147,11 @@ object Bench {
       val lines = ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
         .withColumn("r", explode(sequence(lit(1), lit(8)))).drop("r")
         .repartition(32).cache()
-      Corpus(lines, lines.agg(sum(octet_length(col("value")))).head.getLong(0),
+      // unpersist on a FAILED materialization too: a half-cached 8x corpus
+      // left pinned here would skew the publish/ingest benches that follow
+      try Corpus(lines, lines.agg(sum(octet_length(col("value")))).head.getLong(0),
         ev.schema)
+      catch { case e: Throwable => lines.unpersist(); throw e }
     }
     val jsonBytes = if (corpus == null) -1L else corpus.jsonBytes
 
@@ -219,9 +222,15 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e")
     }
-    // printed AFTER spark.stop() and flushed: the one JSON line is the
-    // last thing on stdout, with nothing able to interleave
+    // printed AFTER spark.stop() and flushed, then a COMPACT summary line
+    // LAST: the full line (85+ per-query times) overflowed the driver's
+    // stdout-tail capture in r9 (parsed:null — the tail began mid-line at
+    // b11), so the final line is now a short parseable summary the tail can
+    // never clip; the full per-query line still precedes it and lands in
+    // the sidecar file above
     println(line)
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}"""
+    println(compact)
     System.out.flush()
   }
 }

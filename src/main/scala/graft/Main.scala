@@ -162,9 +162,13 @@ object Main {
     val recs = df.select("doc_id", "media_type", "payload").as[MediaRecord]
     opt(args, "--resize") match {
       case Some(wh) =>
+        // nonEmpty guards the vacuous forall ("x8" splits to ["", "8"]);
+        // >= 1 rejects "0x0" here at the CLI seam instead of deep in resize
         val dims = wh.split("x")
-        require(dims.length == 2 && dims.forall(_.forall(_.isDigit)),
-          s"--resize must be WxH (e.g. 64x64), got $wh")
+        require(dims.length == 2 &&
+            dims.forall(d => d.nonEmpty && d.length <= 9 && d.forall(_.isDigit)) &&
+            dims.forall(_.toInt >= 1),
+          s"--resize must be WxH with W,H >= 1 (e.g. 64x64), got $wh")
         Multimodal.resize(recs, dims(0).toInt, dims(1).toInt)
           .toDF().write.mode("overwrite").parquet(out)
       case None =>

@@ -111,6 +111,7 @@ object SparkEntry {
     "c49_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.c49SnapshotDiff(s, d)),
     "c50_group_budget" -> ((s: SparkSession, d: String) => TextOps.c50GroupBudget(s, d)),
     "c51_image_codec" -> (Multimodal.c51ImageCodec _),
+    "c53_jpeg_codec" -> ((s: SparkSession, d: String) => Multimodal.c53ImageCodec(s, d)),
   )
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -183,10 +184,14 @@ object SparkEntry {
       Tables.parquetRowCount(s"$dir/embeddings.parquet"))
 
   /** DuckDB oracle SQL (driver contract). Scale-adaptive oracle text
-    * (c11's plane count) renders against the env-exported data dir; a
-    * caller that knows its dir — Verify dumps against the sfDir its
-    * queries just ran on — should use [[oracleSqlFor]] so the SQL and
-    * the Spark plans adapt to the SAME data without any ordering trap. */
+    * (c11's plane count, c52's learned merges) renders against the
+    * env-exported data dir; every caller that knows its dir — Verify
+    * dumps against the sfDir its queries just ran on — must use
+    * [[oracleSqlFor]] so the SQL and the Spark plans adapt to the SAME
+    * data. Kept only as the driver-contract name; deprecated because a
+    * renderer without SPARK_GRAFT_SF_DIR set silently gets sf0.001's
+    * adaptive parameters, which mismatch any other corpus. */
+  @deprecated("pass the data dir the queries actually ran on via oracleSqlFor", "r10")
   def oracleSql: Map[String, String] =
     oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
@@ -635,6 +640,16 @@ object SparkEntry {
         |  CAST(list_min(l) AS BIGINT) AS v_min, CAST(list_max(l) AS BIGINT) AS v_max,
         |  CAST(list_sum(l) AS BIGINT) AS v_sum
         |FROM img ORDER BY doc_id""".stripMargin,
+    // c53 (lossy JPEG): STRUCTURAL facts only — dims/pixel count/band
+    // count are closed-form in doc_id; decoded pixel values are lossy-
+    // codec-defined, so the contract is the inlined bounded-error TRUE
+    // (the Spark side computes max |decoded-original| and compares ≤ tol)
+    "c53_jpeg_codec" ->
+      """SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_units,
+        |  CAST(1 AS BIGINT) AS n_bands, TRUE AS lossy_ok
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
     "b13_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS seg,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -327,11 +327,12 @@ object Multimodal {
   private[graft] def decode(r: MediaRecord): MediaFeatures = r.media_type match {
     case "image" => decodePgm(r.doc_id, r.payload)
     case "png"   => decodePng(r.doc_id, r.payload)
+    case "jpeg"  => decodeCodecImage(r.doc_id, r.payload, "jpeg")
     case "audio" => decodeWav(r.doc_id, r.payload)
     case "video" => decodeY4m(r.doc_id, r.payload)
     case other => throw new IllegalArgumentException(
       s"doc ${r.doc_id}: unknown media_type '$other' " +
-        "(expected image|png|audio|video)")
+        "(expected image|png|jpeg|audio|video)")
   }
 
   /** c12: decode/feature-extract over the media table — mapPartitions so a
@@ -359,16 +360,21 @@ object Multimodal {
     img
   }
 
-  /** PNG-encode through the JDK's built-in writer (real zlib/DEFLATE).
-    * Shared by the transcode and resize paths — the SURVEY-anticipated
-    * JPEG/WebP swap changes this one writer name. */
-  private[graft] def writePng(docId: Long,
-                              img: java.awt.image.BufferedImage): Array[Byte] = {
+  /** Encode through the JDK's built-in ImageIO writers — `format` is the
+    * informal writer name ("png" → real zlib/DEFLATE, "jpeg" → real lossy
+    * DCT). Shared by the transcode and resize paths: the codec swap the
+    * c51 design anticipated is exactly this one argument. */
+  private[graft] def writeImage(docId: Long, img: java.awt.image.BufferedImage,
+                                format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "png", bos),
-      s"doc $docId: no PNG writer available")
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"doc $docId: no $format writer available")
     bos.toByteArray
   }
+
+  private[graft] def writePng(docId: Long,
+                              img: java.awt.image.BufferedImage): Array[Byte] =
+    writeImage(docId, img, "png")
 
   /** PGM → PNG transcode through the JDK's BUILT-IN codec
     * (javax.imageio, present in every JVM — no external library): the
@@ -376,7 +382,11 @@ object Multimodal {
     * compressed PNG. PNG is lossless, so the pixels survive exactly;
     * the container is a genuine compressed codec stream, not a
     * codec-free raw raster like PGM/WAV/Y4M. */
-  private[graft] def pngTranscode(docId: Long, pgm: Array[Byte]): Array[Byte] = {
+  private[graft] def pngTranscode(docId: Long, pgm: Array[Byte]): Array[Byte] =
+    rasterTranscode(docId, pgm, "png")
+
+  private[graft] def rasterTranscode(docId: Long, pgm: Array[Byte],
+                                     format: String): Array[Byte] = {
     val (w, h, pos) = pgmGeometry(docId, pgm)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -390,18 +400,26 @@ object Multimodal {
       }
       y += 1
     }
-    writePng(docId, img)
+    writeImage(docId, img, format)
   }
 
-  /** REAL PNG decode via javax.imageio (inflate + unfilter + raster
-    * reconstruction — an actual compressed-codec decode in pure JDK).
-    * Malformed or non-image bytes throw, matching the other decoders'
-    * FAILFAST contract. */
-  private[graft] def decodePng(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  /** REAL compressed-codec image decode via javax.imageio (PNG: inflate +
+    * unfilter; JPEG: entropy-decode + IDCT — actual codec work in pure
+    * JDK), with pixel statistics over the single gray band. Malformed or
+    * non-image bytes throw, matching the other decoders' FAILFAST
+    * contract — as does an image OUTSIDE the 8-bit single-band contract
+    * (a 16-bit or RGB input would otherwise yield silently wrong stats:
+    * band-0-only, min capped at 255). */
+  private[graft] def decodeCodecImage(docId: Long, payload: Array[Byte],
+                                      mediaType: String): MediaFeatures = {
     val img = readImage(docId, payload)
+    val cm = img.getColorModel
+    require(cm.getNumComponents == 1 && cm.getComponentSize(0) <= 8,
+      s"doc $docId: expected 8-bit single-band grayscale, got " +
+        s"${cm.getNumComponents} band(s) of ${cm.getComponentSize(0)} bits")
     val w = img.getWidth; val h = img.getHeight
     val raster = img.getRaster
-    var mn = 255L; var mx = 0L; var sum = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue; var sum = 0L
     var y = 0
     while (y < h) {
       var x = 0
@@ -414,9 +432,12 @@ object Multimodal {
       }
       y += 1
     }
-    MediaFeatures(docId, "png", payload.length.toLong, w.toLong, h.toLong,
+    MediaFeatures(docId, mediaType, payload.length.toLong, w.toLong, h.toLong,
       w.toLong * h, mn, mx, sum)
   }
+
+  private[graft] def decodePng(docId: Long, payload: Array[Byte]): MediaFeatures =
+    decodeCodecImage(docId, payload, "png")
 
   /** c51: the compressed-codec image path — every image-typed record is
     * transcoded PGM → PNG (real DEFLATE compression via the JDK codec)
@@ -440,6 +461,52 @@ object Multimodal {
       })
       .select(col("doc_id"), col("width"), col("height"), col("n_units"),
         col("v_min"), col("v_max"), col("v_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** c53: the LOSSY codec row — image-typed records transcoded PGM → JPEG
+    * (real DCT quantization + entropy coding via the JDK codec) and
+    * decoded back. Unlike c51's lossless loop, decoded pixels are
+    * codec-implementation-defined, so the oracle pins the STRUCTURAL
+    * decode facts (dims, pixel count, band count — all recomputable
+    * closed-form from doc_id) plus a BOUNDED-ERROR verdict: the max
+    * |decoded − original| over the raster must stay ≤ `tol`, which the
+    * oracle inlines as TRUE. A codec loop that mangles geometry, changes
+    * the band layout, or produces wild pixel error hash-fails the gate;
+    * exact pixel values are deliberately NOT pinned — lossy codecs don't
+    * contract them (c51 carries the pixel-exact family). Same row-local
+    * zero-shuffle plan shape as c51. tol=48 dominates the measured JDK
+    * worst case: an exhaustive scan of every raster pattern (doc_id over
+    * one full 3·16128 period of the (dims, pixel) cycle) maxes at 40. */
+  def c53ImageCodec(spark: SparkSession, dir: String, tol: Int = 48): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val pgm = pgmPayload(id)
+        val (w, h, off) = pgmGeometry(id, pgm)
+        val img = readImage(id, rasterTranscode(id, pgm, "jpeg"))
+        val cm = img.getColorModel
+        val raster = img.getRaster
+        var maxErr = 0
+        if (cm.getNumComponents == 1 && img.getWidth == w && img.getHeight == h) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val e = math.abs(raster.getSample(x, y, 0) - (pgm(off + y * w + x) & 0xFF))
+              if (e > maxErr) maxErr = e
+              x += 1
+            }
+            y += 1
+          }
+        } else maxErr = Int.MaxValue // geometry/band mismatch: never "ok"
+        (id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight, cm.getNumComponents.toLong,
+          maxErr <= tol)
+      })
+      .toDF("doc_id", "width", "height", "n_units", "n_bands", "lossy_ok")
       .orderBy("doc_id")
   }
 
@@ -533,12 +600,13 @@ object Multimodal {
           val (w0, h0, off) = pgmGeometry(r.doc_id, r.payload)
           val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
           header ++ scalePlane(r.payload, off, w0, h0, width, height)
-        case "png" =>
+        case "png" | "jpeg" =>
           // compressed-codec resize: ImageIO decode → the SAME nnIdx
           // nearest-neighbor resample the raw-raster paths use (Java2D's
           // own scalers are implementation-defined; the shared sampler
           // keeps PNG resize pixel-identical to PGM resize of the same
-          // raster, which is how the spec verifies it) → PNG re-encode
+          // raster, which is how the spec verifies it) → re-encode in the
+          // record's own codec
           val img = readImage(r.doc_id, r.payload)
           val (w0, h0) = (img.getWidth, img.getHeight)
           val in = img.getRaster
@@ -555,7 +623,7 @@ object Multimodal {
             }
             y += 1
           }
-          writePng(r.doc_id, outImg)
+          writeImage(r.doc_id, outImg, r.media_type)
         case "audio" =>
           val (rate, s0) = wavSamples(r.doc_id, r.payload)
           val n = width * height
@@ -570,7 +638,7 @@ object Multimodal {
           var i = 0
           while (i < n) { bb.putShort(s0(nnIdx(i, n, s0.length))); i += 1 }
           bb.array()
-        case _ =>
+        case "video" =>
           require(width % 2 == 0 && height % 2 == 0,
             s"doc ${r.doc_id}: 4:2:0 video resize needs even targets, got ${width}x$height")
           val (w0, h0, fs, start) = y4mGeometry(r.doc_id, r.payload)
@@ -595,6 +663,12 @@ object Multimodal {
             pos += fs
           }
           outBuf.toByteArray
+        case other =>
+          // same explicit-dispatch contract as decode(): an unknown type
+          // must say so here, not fail as a baffling Y4M parse error
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: unknown media_type '$other' " +
+              "(expected image|png|jpeg|audio|video)")
       }
       ResizedMedia(r.doc_id, r.media_type, width, height, out)
     })

@@ -563,6 +563,90 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c53 JPEG transcode is a real lossy codec loop with bounded error") {
+    for (id <- Seq(1L, 4L, 13L, 34L)) { // the c53 subset (doc_id % 3 == 1)
+      val pgm = Multimodal.pgmPayload(id)
+      val (w, h, off) = Multimodal.pgmGeometry(id, pgm)
+      val jpg = Multimodal.rasterTranscode(id, pgm, "jpeg")
+      // a genuine JPEG container: SOI marker
+      assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8,
+        s"doc $id: output is not a JPEG stream")
+      val f = Multimodal.decodeCodecImage(id, jpg, "jpeg")
+      // structural facts survive; pixels are NOT pinned (lossy)
+      assert(f.width == w && f.height == h && f.n_units == w.toLong * h)
+      // measure the true reconstruction error of the JDK codec on this
+      // raster family — c53's tol must dominate it with margin
+      val img = Multimodal.readImage(id, jpg)
+      val raster = img.getRaster
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = math.abs(raster.getSample(x, y, 0) - (pgm(off + y * w + x) & 0xFF))
+        if (e > maxErr) maxErr = e
+      }
+      info(s"doc $id: JPEG max |decoded-original| = $maxErr")
+      assert(maxErr <= 48, s"doc $id: JPEG error $maxErr exceeds c53's tol")
+      assert(maxErr > 0, s"doc $id: zero error would mean the codec is not lossy " +
+        "(fine per se, but then the tol contract is untested)")
+    }
+  }
+
+  test("c53 gate query: structural columns match the closed form, all lossy_ok") {
+    val rows = Multimodal.c53ImageCodec(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 3 == 1)
+      assert(r.getAs[Long]("width") == 8 + id % 9)
+      assert(r.getAs[Long]("height") == 8 + id % 7)
+      assert(r.getAs[Long]("n_units") == (8 + id % 9) * (8 + id % 7))
+      assert(r.getAs[Long]("n_bands") == 1L)
+      assert(r.getAs[Boolean]("lossy_ok"), s"doc $id exceeded the error bound")
+    }
+  }
+
+  test("c53 JPEG resize re-encodes in the record's own codec") {
+    import spark.implicits._
+    val ids = Seq(1L, 4L, 13L)
+    val recs = ids.map(id => graft.operators.MediaRecord(id, "jpeg",
+      Multimodal.rasterTranscode(id, Multimodal.pgmPayload(id), "jpeg")))
+    val out = Multimodal.resize(spark.createDataset(recs), 16, 8).collect()
+    assert(out.length == ids.length)
+    out.foreach { r =>
+      assert(r.media_type == "jpeg")
+      assert((r.payload(0) & 0xFF) == 0xFF && (r.payload(1) & 0xFF) == 0xD8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == 16 && img.getHeight == 8)
+    }
+  }
+
+  test("codec image decode rejects rasters outside the 8-bit single-band contract") {
+    // RGB PNG: band-0-only stats would silently report red-channel values
+    val rgb = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0x123456)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(7L, Multimodal.writeImage(7L, rgb, "png"))
+    }
+    // 16-bit grayscale PNG: a 255-capped v_min would lie about the raster
+    val deep = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    deep.getRaster.setSample(0, 0, 0, 40000)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(7L, Multimodal.writeImage(7L, deep, "png"))
+    }
+  }
+
+  test("resize rejects unknown media_type with a clear message (not a Y4M parse error)") {
+    import spark.implicits._
+    val recs = Seq(graft.operators.MediaRecord(5L, "hologram", Array[Byte](1, 2, 3)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resize(spark.createDataset(recs), 8, 8).collect()
+    }
+    assert(e.getMessage.contains("unknown media_type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown media_type")))
+  }
+
   test("c12 WAV decoder: hand-computed fixture + malformed input rejection") {
     // 3 samples: -32768, 0, 32767
     val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)

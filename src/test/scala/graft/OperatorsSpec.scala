@@ -8,7 +8,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("driver contract: every registered query carries an oracle, and vice versa") {
     val queries = SparkEntry.queries.keySet
-    val oracles = SparkEntry.oracleSql.keySet
+    val oracles = SparkEntry.oracleSqlFor(sfDir).keySet
     assert((queries -- oracles).isEmpty,
       s"queries without oracle (driver records only a weak rows check): ${queries -- oracles}")
     assert((oracles -- queries).isEmpty,
