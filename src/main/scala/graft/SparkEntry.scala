@@ -111,8 +111,36 @@ object SparkEntry {
     "c49_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.c49SnapshotDiff(s, d)),
     "c50_group_budget" -> ((s: SparkSession, d: String) => TextOps.c50GroupBudget(s, d)),
     "c51_image_codec" -> (Multimodal.c51ImageCodec _),
+    "c52_bpe_tokenize" -> ((s: SparkSession, d: String) => TextOps.c52BpeTokenize(s, d)),
     "c53_jpeg_codec" -> ((s: SparkSession, d: String) => Multimodal.c53ImageCodec(s, d)),
   )
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB rendering of c52's APPLY phase: the merge list learned by the
+    * SAME memoized Spark training run the query uses, inlined as nested
+    * literal replace() calls over the double-space-fenced symbol sequence
+    * (TextOps.bpeSeqOf's scheme — literal replace is one greedy BPE merge
+    * pass in both engines). Training itself is not re-run in SQL; the
+    * inlined literals pin it: a nondeterministic trainer would render SQL
+    * that mismatches the Spark re-train and hash-fail the gate. */
+  private def c52OracleSql(dir: String): String = {
+    val merges = graft.operators.TextOps.trainBpe(
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(GraftSession.get()), dir)
+    val seqExpr = "'  ' || array_to_string(list_transform(" +
+      "range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || '  '"
+    val applied = merges.foldLeft(seqExpr) { case (e, (a, b)) =>
+      s"replace($e,\n           ${sqlLit(s" $a  $b ")}, ${sqlLit(s" $a$b ")})"
+    }
+    s"""WITH wc AS (SELECT w, count(*) AS wcnt
+       |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |      WHERE len(w) >= 1 GROUP BY w),
+       |s AS (SELECT wcnt, $applied AS seq FROM wc),
+       |t AS (SELECT wcnt, unnest(string_split(trim(seq), '  ')) AS token FROM s)
+       |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt
+       |FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+  }
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
     * the Spark expression uses (seed "graft:rp"), inlined as a VALUES
@@ -640,6 +668,7 @@ object SparkEntry {
         |  CAST(list_min(l) AS BIGINT) AS v_min, CAST(list_max(l) AS BIGINT) AS v_max,
         |  CAST(list_sum(l) AS BIGINT) AS v_sum
         |FROM img ORDER BY doc_id""".stripMargin,
+    "c52_bpe_tokenize" -> c52OracleSql(dir),
     // c53 (lossy JPEG): STRUCTURAL facts only — dims/pixel count/band
     // count are closed-form in doc_id; decoded pixel values are lossy-
     // codec-defined, so the contract is the inlined bounded-error TRUE

@@ -719,4 +719,121 @@ object TextOps {
       .orderBy(desc("cnt"), asc("a"), asc("b"))
       .limit(topK)
   }
+
+  // ---- learned-merge BPE (c52): c44's one-shot pair statistics driven to
+  // ---- an actual tokenizer training loop (Sennrich et al. 2016, "Neural
+  // ---- Machine Translation of Rare Words with Subword Units")
+
+  /** The corpus word-type table (word, count) every BPE stage runs over —
+    * the classic distributed-BPE trick: pair counting and merge
+    * application iterate the VOCABULARY (bounded, tiny next to the
+    * corpus), so each training round costs one vocab scan, and the only
+    * corpus-sized pass is the map-side-combinable word count itself. */
+  private[graft] def wordTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /** A word staged as a BPE symbol sequence: symbols joined AND fenced by
+    * DOUBLE spaces ("ab" → "␣␣a␣␣b␣␣"). The double-space delimiter is
+    * what makes merge application a single literal `replace` per merge
+    * (see [[applyBpeMerges]]): the search pattern "␣a␣␣b␣" keeps one
+    * boundary space on each side, so (1) a pair can only match whole
+    * symbols — "␣a" cannot match the tail of symbol "xa", "b␣" cannot
+    * match the head of "bc" — and (2) back-to-back occurrences
+    * "a b a b" still both match, because each replacement leaves its
+    * neighbors' fence spaces intact. Literal replace scans left-to-right
+    * over non-overlapping occurrences in BOTH Spark and DuckDB — exactly
+    * one greedy BPE merge pass. */
+  private[graft] def bpeSeqOf(w: Column): Column =
+    concat(lit("  "), array_join(split(w, ""), "  "), lit("  "))
+
+  /** Apply an ordered merge list to a word column; returns the token
+    * array. One codegen'd literal replace per merge — row-local,
+    * shuffle-free, and byte-identical to the DuckDB rendering (nested
+    * replace() over the same fenced sequence). */
+  def applyBpeMerges(w: Column, merges: Seq[(String, String)]): Column =
+    split(trim(merges.foldLeft(bpeSeqOf(w)) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }), "  ")
+
+  /** One BPE training round's candidate table over staged token arrays:
+    * adjacent-pair counts weighted by word count, under the
+    * deterministic (count desc, pair asc) total order. */
+  private def pairCounts(staged: DataFrame): DataFrame =
+    staged.filter(size(col("ts")) >= 2)
+      .select(col("wcnt"), explode(charPairsOf(col("ts"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("a"), asc("b"))
+
+  /** BPE merge learning over an arbitrary (w, wcnt) word-type frame.
+    * Each round: count adjacent symbol pairs across the vocabulary
+    * (weighted by word frequency), adopt the most frequent pair as the
+    * next merge — ties broken lexicographically so the list is a pure
+    * function of the data (partitioning- and engine-invariant; every
+    * count is an exact long) — and re-stage the vocabulary with the
+    * merge applied. Stops early when no pair remains (every word fused
+    * to one symbol). The per-round collect is ONE row — the loop ships a
+    * bounded model artifact exactly like trainCodebook/powerIterate.
+    * Cost model at 100 TB: rounds × (one vocab scan + a pair-keyed
+    * shuffle whose key domain is bounded by the evolving symbol
+    * alphabet) — the corpus itself is only ever scanned by the word
+    * count feeding `wordCounts`. */
+  def trainBpeOn(wordCounts: DataFrame, rounds: Int): Seq[(String, String)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = wordCounts.select(col("wcnt"), bpeSeqOf(col("w")).as("seq"))
+      .persist()
+    try {
+      base.count() // materialize once; every round re-reads the cache
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      while (merges.length < rounds && !exhausted) {
+        val seqCol = merges.foldLeft(col("seq")) { case (c, (a, b)) =>
+          replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        val top = pairCounts(
+          base.select(col("wcnt"), split(trim(seqCol), "  ").as("ts")))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else merges :+= ((top(0).getAs[String]("a"), top(0).getAs[String]("b")))
+      }
+      merges
+    } finally { base.unpersist(); () }
+  }
+
+  /** Per-(dir, rounds) memo: the c52 query and its oracle rendering (which
+    * inlines the learned merges as SQL literals) must train exactly once
+    * per JVM and see the identical list. */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+
+  /** c52's training depth: enough rounds that multi-char merges chain
+    * (merged symbols re-merge) at every gate scale factor. */
+  val C52Rounds = 8
+
+  def trainBpe(spark: SparkSession, dir: String,
+               rounds: Int = C52Rounds): Seq[(String, String)] =
+    bpeMemo.computeIfAbsent((dir, rounds),
+      _ => trainBpeOn(wordTypes(spark, dir), rounds))
+
+  /** c52: the learned tokenizer END-TO-END — train [[C52Rounds]] merges on
+    * the corpus, apply them to the vocabulary, and emit the token
+    * frequency table (the artifact a tokenizer ships). The oracle re-runs
+    * only the APPLY phase in SQL, against the merge list inlined as
+    * literals at render time — so the gate verifies (1) merge application
+    * semantics against an independent engine and (2) that training is
+    * deterministic across runs and partitionings (a drifting merge list
+    * would change the inlined SQL vs the Spark re-train and hash-fail). */
+  def c52BpeTokenize(spark: SparkSession, dir: String,
+                     topK: Int = 100): DataFrame = {
+    val merges = trainBpe(spark, dir)
+    wordTypes(spark, dir)
+      .select(col("wcnt"), applyBpeMerges(col("w"), merges).as("ts"))
+      .select(col("wcnt"), explode(col("ts")).as("token"))
+      .groupBy("token").agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(topK)
+  }
 }

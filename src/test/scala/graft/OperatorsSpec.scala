@@ -492,4 +492,106 @@ class OperatorsSpec extends SparkSpec {
         s"pair ${r.getAs[String]("a")},${r.getAs[String]("b")} vs ($a,$b,$n)")
     }
   }
+
+  // ---- driver-side reference BPE (Sennrich 2016's algorithm, literally):
+  // ---- symbol vectors, all-adjacent pair counts, greedy left-to-right
+  // ---- merge passes — the independent implementation c52's trainer and
+  // ---- apply path must reproduce
+
+  private def bruteMergePass(syms: Vector[String],
+                             m: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == m._1 && syms(i + 1) == m._2) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def bruteBpe(words: Map[String, Long],
+                       rounds: Int): Seq[(String, String)] = {
+    var seqs: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < rounds && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (syms, c) =>
+        (0 until syms.length - 1).foreach { i =>
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges :+= best
+        seqs = seqs.toSeq.map { case (s, c) => bruteMergePass(s, best) -> c }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    merges
+  }
+
+  test("c52 trainBpe equals brute-force BPE and is partition-invariant") {
+    import spark.implicits._
+    // boundary traps baked in: "xab" (merge (a,b) must not eat "xa"'s
+    // tail), "abc" (must not eat "bc"'s head), "ababab" (back-to-back
+    // occurrences), "aaa" (overlapping pair), plus enough weight skew
+    // that the merge order is forced through multi-char re-merges
+    val words = Map(
+      "the" -> 50L, "then" -> 20L, "there" -> 10L, "xab" -> 8L,
+      "abc" -> 7L, "ababab" -> 6L, "aaa" -> 9L, "aa" -> 4L,
+      "banana" -> 12L, "bandana" -> 5L, "a" -> 30L, "b" -> 3L)
+    val expected = bruteBpe(words, 10)
+    assert(expected.length == 10, "corpus must survive 10 rounds")
+    assert(expected.exists { case (a, b) => a.length + b.length > 2 },
+      "rounds must chain multi-char merges or the loop is untested")
+    val df = words.toSeq.toDF("w", "wcnt")
+    assert(TextOps.trainBpeOn(df, 10) == expected)
+    assert(TextOps.trainBpeOn(df.repartition(7), 10) == expected,
+      "merge list must not depend on partitioning")
+  }
+
+  test("c52 applyBpeMerges is a greedy whole-symbol merge pass (fence safety)") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b", "ab" -> "ab", "a" -> "a")
+    val got = Seq("xab", "abc", "ababab", "aaab", "aaa", "ab", "q")
+      .toDF("w")
+      .select(col("w"), TextOps.applyBpeMerges(col("w"), merges).as("ts"))
+      .collect().map(r => r.getAs[String]("w") -> r.getSeq[String](1).toVector)
+      .toMap
+    val expected = Seq("xab", "abc", "ababab", "aaab", "aaa", "ab", "q").map { w =>
+      w -> merges.foldLeft(w.map(_.toString).toVector)(bruteMergePass)
+    }.toMap
+    assert(got == expected)
+    // the traps, spelled out: "xab" keeps x whole; "abc" keeps c whole;
+    // "ababab" merges all three pairs; "aaa" merges greedily left-first
+    assert(got("xab") == Vector("x", "ab"))
+    assert(got("abc") == Vector("ab", "c"))
+    assert(got("ababab") == Vector("abab", "ab"))
+    assert(got("aaa") == Vector("aa", "a"))
+  }
+
+  test("c52 tokenize end-to-end equals brute-force train+apply on the corpus") {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sfDir).collect()
+      .map(_.getAs[String]("text"))
+      .foreach(_.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L))
+    val merges = bruteBpe(wc.toMap, TextOps.C52Rounds)
+    val tc = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      merges.foldLeft(w.map(_.toString).toVector)(bruteMergePass)
+        .foreach(t => tc(t) = tc.getOrElse(t, 0L) + c)
+    }
+    val expected = tc.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+    val got = TextOps.c52BpeTokenize(spark, sfDir).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toSeq
+    assert(got == expected)
+    // and the Spark trainer agrees with the brute merge list on real data
+    assert(TextOps.trainBpe(spark, sfDir) == merges)
+  }
 }
