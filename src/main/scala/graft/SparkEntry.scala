@@ -113,9 +113,36 @@ object SparkEntry {
     "c51_image_codec" -> (Multimodal.c51ImageCodec _),
     "c52_bpe_tokenize" -> ((s: SparkSession, d: String) => TextOps.c52BpeTokenize(s, d)),
     "c53_jpeg_codec" -> ((s: SparkSession, d: String) => Multimodal.c53ImageCodec(s, d)),
+    "c54_pca_project" -> ((s: SparkSession, d: String) => Similarity.c54PcaProject(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Session for oracle renderers that inline a TRAINED artifact (c52's
+    * merges, c54's components): Verify renders right after running the
+    * queries, so the artifact memos are warm and the active session is
+    * reused; a cold standalone render (spec JVMs) creates one. */
+  private def renderSession: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(GraftSession.get())
+
+  /** DuckDB rendering of c54's projection: the SAME memoized component
+    * vectors the Spark query broadcasts, inlined as integer-entry
+    * DOUBLE[] literals (the rpPlanesValues rule: every dot product
+    * against the fixed-point embedding is integer-valued ≪ 2^53, exact
+    * in both engines in any summation order). */
+  private def c54OracleSql(dir: String): String = {
+    val comps = graft.operators.Similarity.pcaComponents(renderSession, dir)
+    val projs = comps.zipWithIndex.map { case (u, i) =>
+      s"round(list_dot_product(x4, ${u.mkString("[", ",", "]")}::DOUBLE[]) / 1e8, 6) AS p$i"
+    }.mkString(",\n  ")
+    s"""WITH x AS (SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]), v -> round(v * 10000)) AS x4
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  $projs
+       |FROM x ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB rendering of c52's APPLY phase: the merge list learned by the
     * SAME memoized Spark training run the query uses, inlined as nested
@@ -125,9 +152,7 @@ object SparkEntry {
     * inlined literals pin it: a nondeterministic trainer would render SQL
     * that mismatches the Spark re-train and hash-fail the gate. */
   private def c52OracleSql(dir: String): String = {
-    val merges = graft.operators.TextOps.trainBpe(
-      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        .getOrElse(GraftSession.get()), dir)
+    val merges = graft.operators.TextOps.trainBpe(renderSession, dir)
     val seqExpr = "'  ' || array_to_string(list_transform(" +
       "range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || '  '"
     val applied = merges.foldLeft(seqExpr) { case (e, (a, b)) =>
@@ -669,6 +694,7 @@ object SparkEntry {
         |  CAST(list_sum(l) AS BIGINT) AS v_sum
         |FROM img ORDER BY doc_id""".stripMargin,
     "c52_bpe_tokenize" -> c52OracleSql(dir),
+    "c54_pca_project" -> c54OracleSql(dir),
     // c53 (lossy JPEG): STRUCTURAL facts only — dims/pixel count/band
     // count are closed-form in doc_id; decoded pixel values are lossy-
     // codec-defined, so the contract is the inlined bounded-error TRUE

@@ -940,6 +940,137 @@ object Similarity {
     v.zipWithIndex.map { case (w, p) => (p, w) }.toDF("pos", "v4")
   }
 
+  /** Exact fixed-point Gram matrix G = X₄'X₄ of an embedding frame, as a
+    * dim×dim driver array — the ONE corpus pass behind [[pcaComponentsOn]].
+    * Per row the dim² pairwise products are exact longs (|x₄|≲4·10⁴ ⇒
+    * products ≲1.6·10⁹); the per-cell sums accumulate in DECIMAL(38,0)
+    * (the c46 overflow rule), so the collected matrix is a pure function
+    * of the data — partitioning- and engine-exact at any corpus size.
+    * Map-side combinable groupBy on the dim² key domain (4096 cells for
+    * 64-dim): O(dim²) state, one scan, no corpus shuffle. */
+  private[graft] def gramMatrix(embs: DataFrame): Array[Array[Double]] = {
+    val dim = embs.select(size(col("embedding"))).first().getInt(0)
+    val cells = embs
+      .select(transform(toDouble(col("embedding")),
+        x => round(x * 10000).cast("bigint")).as("x4"))
+      .select(posexplode(flatten(
+        transform(col("x4"), xi => transform(col("x4"), xj => xi * xj)))))
+      .groupBy("pos")
+      .agg(sum(col("col").cast("decimal(38,0)")).as("g"))
+      .collect()
+    require(cells.nonEmpty, "embeddings are empty — no Gram matrix")
+    val g = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      // exact decimal → double is a deterministic function of the exact
+      // value, so every partitioning yields the bit-identical matrix
+      g(pos / dim)(pos % dim) = r.getAs[java.math.BigDecimal]("g").doubleValue
+    }
+    g
+  }
+
+  /** Top-k principal directions via Hotelling DEFLATION over the exact
+    * Gram matrix: ONE corpus pass builds G = X'X ([[gramMatrix]] —
+    * embedding dims are small, so the matrix is driver-sized), then each
+    * component power-iterates G driver-side with projection onto the
+    * orthogonal complement of the components already found. Driver
+    * iterations are free, so convergence no longer depends on corpus
+    * passes — the matrix-free [[powerIterate]] row (c46) stays as the
+    * streaming-friendly alternative for dims too wide to cross. The
+    * whole artifact is a deterministic pure function of the data: G is
+    * partitioning-exact, and the driver loop is fixed-order IEEE
+    * arithmetic. Returns k directions on the ±10⁴ integer grid
+    * (HALF_UP), the same broadcast-artifact form powerIterate ships. */
+  def pcaComponentsOn(embs: DataFrame, k: Int,
+                      rounds: Int): Seq[IndexedSeq[Long]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val g = gramMatrix(embs)
+    val dim = g.length
+    require(k <= dim, s"k=$k exceeds the embedding dim $dim")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def deflate(x: Array[Double], basis: Seq[Array[Double]]): Array[Double] = {
+      var v = x
+      basis.foreach { u =>
+        val c = dot(v, u) / dot(u, u)
+        v = Array.tabulate(dim)(i => v(i) - c * u(i))
+      }
+      v
+    }
+    val found = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (c <- 0 until k) {
+      var v = deflate(Array.tabulate(dim)(i =>
+        if ((i + c) % 2 == 0) 1.0 else -1.0), found.toSeq)
+      for (_ <- 1 to rounds) {
+        val w = Array.tabulate(dim)(i => dot(g(i), v))
+        val x = deflate(w, found.toSeq)
+        val nx = math.sqrt(dot(x, x))
+        val nw = math.sqrt(dot(w, w))
+        // a RELATIVE collapse, not an exact zero: on a rank-deficient
+        // corpus the deflated residual is float noise (~1e-16 of ||w||),
+        // never exactly 0 — iterating it would return deterministic
+        // garbage presented as a component
+        require(nw > 0 && nx > 1e-6 * nw,
+          "PCA deflation degenerated: the direction lies entirely in the " +
+            "span already found (rank-deficient corpus, or k > rank)")
+        v = x.map(_ / nx)
+      }
+      found += v
+    }
+    found.toSeq.map { v =>
+      val maxAbs = v.map(math.abs).max
+      require(maxAbs > 0, "PCA produced a zero direction")
+      v.map(x => new java.math.BigDecimal(x * 10000.0 / maxAbs)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toIndexedSeq
+    }
+  }
+
+  /** Per-(dir, k, rounds) memo: the c54 query and its oracle rendering
+    * (which inlines the components as SQL literals) must train once per
+    * JVM and see identical directions. */
+  private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[IndexedSeq[Long]]]()
+
+  /** c54's fixed parameterization: k components; driver iterations per
+    * component (driver-side on the dim×dim Gram, so 512 rounds cost
+    * microseconds and converge through the ~0.93 eigen-gap of a
+    * near-isotropic corpus, where a corpus-pass-per-round budget
+    * could not). */
+  val C54K = 2
+  val C54Rounds = 512
+
+  def pcaComponents(spark: SparkSession, dir: String, k: Int = C54K,
+                    rounds: Int = C54Rounds): Seq[IndexedSeq[Long]] =
+    pcaMemo.computeIfAbsent((dir, k, rounds),
+      _ => pcaComponentsOn(Tables.embeddings(spark, dir), k, rounds))
+
+  /** c54: PCA projection — every embedding projected onto the k learned
+    * principal directions (the dimensionality-reduction pass a training
+    * pipeline ships after [[pcaComponentsOn]]): p_c = ⟨x₄, u_c⟩/10⁸,
+    * 6-dp-rounded. The components fold to plan literals (the c47
+    * broadcast-moments shape taken one step further — the artifact is
+    * dim-sized, so it inlines), projection is row-local array math with
+    * ZERO corpus exchanges before the gate ordering; every dot product
+    * is integer-valued ≤ 2¹⁵·10⁴·dim ≪ 2⁵³, hence exact in both engines
+    * regardless of summation order. */
+  def c54PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val comps = pcaComponents(spark, dir)
+    val proj = comps.zipWithIndex.map { case (u, i) =>
+      round(aggregate(zip_with(col("x4"), typedLit(u), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x).cast("double") / 1e8, 6).as(s"p$i")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(toDouble(col("embedding")),
+        x => round(x * 10000).cast("bigint")).as("x4"))
+      .select(col("vec_id") +: proj: _*)
+      .orderBy("vec_id")
+  }
+
   /** Scale-adaptive LSH plane count: enough sign bits that the EXPECTED
     * bucket population stays near `targetBucket` rows, so the within-bucket
     * pair join does O(n·targetBucket) work — linear in n — instead of the

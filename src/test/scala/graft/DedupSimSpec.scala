@@ -647,6 +647,68 @@ class DedupSimSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unknown media_type")))
   }
 
+  test("c54 pcaComponents: matches brute-force eigenvectors, orthogonal, partition-invariant") {
+    import graft.operators.Similarity
+    val embs = Tables.embeddings(spark, sfDir)
+    // the same fixed-point grid the operator iterates on (HALF_UP — NOT
+    // math.round, which rounds negative halves toward +inf)
+    val X = embs.collect().map(_.getSeq[Float](1).map(v =>
+      new java.math.BigDecimal(v.toDouble * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue).toArray)
+    val dim = X.head.length
+    val G = Array.tabulate(dim, dim)((i, j) => X.map(r => r(i) * r(j)).sum)
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def bruteTop(deflate: Seq[Array[Double]]): Array[Double] = {
+      var v = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0 else -1.0)
+      for (_ <- 1 to 1000) {
+        val w = Array.tabulate(dim)(i => (0 until dim).map(j => G(i)(j) * v(j)).sum)
+        var x = w
+        deflate.foreach { u =>
+          val c = dotd(x, u) / dotd(u, u)
+          x = x.zip(u).map { case (xi, ui) => xi - c * ui }
+        }
+        val n = math.sqrt(dotd(x, x))
+        v = x.map(_ / n)
+      }
+      v
+    }
+    val e0 = bruteTop(Nil)
+    val e1 = bruteTop(Seq(e0))
+    val got = Similarity.pcaComponents(spark, sfDir)
+      .map(_.map(_.toDouble).toArray)
+    def cosAbs(a: Array[Double], b: Array[Double]): Double =
+      math.abs(dotd(a, b) / math.sqrt(dotd(a, a) * dotd(b, b)))
+    info(f"comp0 vs eig0 |cos| = ${cosAbs(got(0), e0)}%.6f")
+    info(f"comp1 vs eig1 |cos| = ${cosAbs(got(1), e1)}%.6f")
+    info(f"comp0 vs comp1 |cos| = ${cosAbs(got(0), got(1))}%.6f")
+    // both sides iterate (numerically identical) Gram matrices to
+    // convergence, so directions must agree tightly despite the narrow
+    // eigen-gap; the ±10^4 grid rounding bounds the residual
+    assert(cosAbs(got(0), e0) >= 0.9999, "component 0 diverges from the top eigenvector")
+    assert(cosAbs(got(1), e1) >= 0.999, "component 1 diverges from the second eigenvector")
+    assert(cosAbs(got(0), got(1)) <= 0.001, "components are not near-orthogonal")
+    // exactness claim: the artifact is a pure function of the data —
+    // identical Long grids under any partitioning
+    assert(Similarity.pcaComponentsOn(embs.repartition(7),
+      Similarity.C54K, Similarity.C54Rounds) == got.toSeq.map(_.map(_.toLong).toIndexedSeq))
+  }
+
+  test("c54 degenerate inputs fail loudly") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // rank-1 corpus: component 2 lies entirely in the found span
+    val rank1 = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(0.5f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaComponentsOn(rank1, 2, 3)
+    }
+    assert(e.getMessage.contains("degenerated"))
+    intercept[IllegalArgumentException] { // k > dim
+      Similarity.pcaComponentsOn(rank1, 3, 1)
+    }
+  }
+
   test("c12 WAV decoder: hand-computed fixture + malformed input rejection") {
     // 3 samples: -32768, 0, 32767
     val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)
