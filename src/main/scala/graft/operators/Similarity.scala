@@ -1076,14 +1076,27 @@ object Similarity {
     * pair join does O(n·targetBucket) work — linear in n — instead of the
     * O(n²/2^planes) a FIXED plane count degenerates to as the corpus grows
     * (64 buckets over 10⁹ rows ⇒ 1.5×10⁷-row buckets ⇒ quadratic blowup).
-    * Floor of 6 keeps small/test corpora on the historical bucketing; cap
-    * of 24 (16M buckets) bounds the bucket-key cardinality. Deterministic
-    * in n, so the DuckDB oracle derives the identical count from the same
-    * parquet footer. */
+    * Floor of 6 keeps small/test corpora on the historical bucketing.
+    *
+    * Cap of 40 (2⁴⁰ ≈ 10¹² buckets) — NOT a key-cardinality bound: the
+    * bucket key is only ever hashed into a shuffle (never enumerated or
+    * held as aggregate state), so its cardinality costs nothing; the
+    * per-row cost is `planes` dot products (40×64 multiplies, trivial).
+    * 40 planes keep the expected bucket ≤ targetBucket out to
+    * n = 512·2⁴⁰ ≈ 5.6×10¹⁴ rows — ~100 PB of 64-dim float32 vectors,
+    * three orders past the 100 TB design point (a 100 TB corpus,
+    * ~4×10¹¹ rows, lands at 30 planes). The REAL large-n trade-off is
+    * recall, not cost: one band of p planes collides θ-near pairs with
+    * probability (1−θ/π)^p, so past ~30 planes a production near-dup
+    * pass should switch to banded repetitions (c2's MinHash banding
+    * shape) or c43's cell-confined SemDeDup — this single-band form is
+    * the gate-deterministic building block. Deterministic in n, so the
+    * DuckDB oracle derives the identical count from the same parquet
+    * footer. */
   private[graft] def adaptivePlanes(n: Long, targetBucket: Int = 512): Int = {
     val needed = math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
       / math.log(2.0)).toInt
-    math.min(24, math.max(6, needed))
+    math.min(40, math.max(6, needed))
   }
 
   /** c11: embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs

@@ -496,6 +496,30 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c11 adaptivePlanes parameterization holds from test corpora to 100 PB") {
+    import graft.operators.Similarity.adaptivePlanes
+    // floor: small/test corpora stay on the historical 6-plane bucketing
+    assert(adaptivePlanes(0L) == 6 && adaptivePlanes(1L) == 6 &&
+      adaptivePlanes(30000L) == 6)
+    // linear region: expected bucket stays within [targetBucket/2, targetBucket]
+    // (ceil of the log2 can only OVERSHOOT the plane count)
+    Seq(1L << 20, 1L << 25, 1L << 30, (1L << 33) + 7, 1L << 38, 417L * 1000 * 1000 * 1000)
+      .foreach { n =>
+        val p = adaptivePlanes(n)
+        val expectedBucket = n.toDouble / math.pow(2.0, p)
+        assert(expectedBucket <= 512.0 + 1e-6, s"n=$n planes=$p bucket=$expectedBucket")
+        assert(expectedBucket >= 128.0, s"n=$n planes=$p over-split: $expectedBucket")
+      }
+    // the r9-flagged >2^33-row region: the old 24-plane cap re-grew
+    // buckets linearly past ~8.6e9 rows; the lifted cap keeps the
+    // contract out to ~5.6e14 rows (~100 PB of 64-dim vectors)
+    assert(adaptivePlanes((1L << 33) + 7) == 25, "just past 2^33 rows needs 25 planes")
+    assert(adaptivePlanes(417L * 1000 * 1000 * 1000) == 30,
+      "a ~100 TB corpus (4.17e11 rows) lands at 30 planes")
+    assert(adaptivePlanes(512L << 40) == 40, "the cap engages exactly at 512*2^40")
+    assert(adaptivePlanes(Long.MaxValue) == 40, "cap bounds the key width")
+  }
+
   test("c12 PGM decoder: hand-computed fixture + malformed input rejection") {
     // 2x2 P5, pixels 10, 200, 0, 255 — every feature computed by hand
     val pgm = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
