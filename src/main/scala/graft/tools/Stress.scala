@@ -15,9 +15,126 @@ import graft.streaming.StreamPipeline
   * inflate exact-dup clusters, so c2's pair count is a worst case here,
   * not a bug). Uses replication only for timing, never for correctness. */
 object Stress {
+
+  /** `Stress skew [n]` — deliberate hot-key stress (SURVEY §4 evidence):
+    * lineitem ×n with 60% of all rows redirected onto ONE orderkey and
+    * events ×n with 50% of rows on one user, then the join-shaped
+    * operators timed with AQE skew-join ON vs OFF on identical data.
+    * Broadcast is disabled (threshold −1) so the joins actually
+    * sort-merge — at local scale every dim would broadcast and skew
+    * would never engage — and the AQE skew thresholds are scaled to the
+    * local data size (8 MB hot-partition trigger / 4 MB advisory) the
+    * way a cluster's defaults (256 MB) relate to real partitions.
+    * Expected shape: the raw fact⋈orders probe collapses the hot
+    * straggler when the toggle is ON; b3 stays ~flat BECAUSE its eager
+    * per-orderkey aggregation shrinks the hot key to one row before the
+    * join (the design claim under test); c13 stays skewed either way —
+    * its per-user session window is not a join, which is exactly why
+    * grouped-top-k paths salt (c50) and sessionization at 100 TB
+    * partitions by time range first. */
+  private def skewProbe(spark: SparkSession, dir: String, n: Int): Unit = {
+    import graft.operators.Relational
+    val base = "/tmp/graft_stress_skew"
+    def rep(df: DataFrame, idCol: String): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+        .withColumn(idCol, col(idCol) + col("__r") * 10000000L)
+        .drop("__r")
+
+    val hotKey = Tables.orders(spark, dir)
+      .agg(min(col("o_orderkey"))).head().getLong(0)
+    // 60% of replicated lineitem rows on one orderkey (which exists in
+    // orders, so the join is semantically honest). Payload columns are
+    // hash-jittered FIRST (while the replicated orderkey is still
+    // distinct): replica copies would dictionary-compress so well that
+    // the hot partition's COMPRESSED shuffle bytes — what AQE's skew
+    // detector measures — sat at barely 2× the median while holding 15×
+    // the rows (measured r10); incompressible payload makes bytes track
+    // rows the way distinct real-world fact rows do
+    rep(Tables.lineitem(spark, dir), "l_orderkey")
+      .withColumn("l_partkey",
+        xxhash64(col("l_orderkey"), col("l_partkey"), col("l_linenumber")))
+      .withColumn("l_suppkey", xxhash64(col("l_partkey"), lit(1)))
+      .withColumn("l_extendedprice",
+        pmod(xxhash64(col("l_partkey"), lit(2)), lit(100000L)).cast("double") / 100.0)
+      .withColumn("l_discount",
+        pmod(xxhash64(col("l_partkey"), lit(3)), lit(100L)).cast("double") / 1000.0)
+      .withColumn("l_tax",
+        pmod(xxhash64(col("l_partkey"), lit(4)), lit(80L)).cast("double") / 1000.0)
+      .withColumn("l_orderkey",
+        when(pmod(col("l_linenumber") + col("l_partkey"), lit(5)) < 3, lit(hotKey))
+          .otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+    rep(Tables.orders(spark, dir), "o_orderkey")
+      .write.mode("overwrite").parquet(s"$base/orders.parquet")
+    Seq("customer", "nation", "region").foreach(t =>
+      Tables.load(spark, dir, t).write.mode("overwrite").parquet(s"$base/$t.parquet"))
+    rep(Tables.events(spark, dir), "event_id")
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(2)) === 0, lit(0L)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val nRows = Tables.lineitem(spark, base).count()
+    println(s"[stress] skew corpus x$n at $base ($nRows lineitem rows, " +
+      s"hot orderkey $hotKey)")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (skew <- Seq(true, false); pass <- 1 to 3) {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
+        // raw fact⋈dim sort-merge join on the hot key: the shape AQE's
+        // skew splitter exists for (no pre-aggregation to save it)
+        // full payload rides the shuffle (a real fact join's shape) so
+        // the hot partition is hot in BYTES, not only in row count
+        val raw = Tables.lineitem(spark, base)
+          .join(Tables.orders(spark, base), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            avg(col("l_quantity")).as("q"),
+            avg(col("l_extendedprice")).as("ep"),
+            avg(col("l_partkey").cast("double") + col("l_suppkey").cast("double")).as("pk"),
+            max(col("l_shipdate")).as("sd"),
+            avg(col("l_discount") + col("l_tax")).as("dt"))
+        // collect (3 rows) so the introspected queryExecution below is the
+        // SAME execution that was timed (count() would plan separately)
+        timed(s"raw fact join skewJoin=$skew pass=$pass") { raw.collect().length.toLong }
+        if (pass == 1) {
+          val s = (raw.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }).toString
+          println(s"[stress] raw join skewJoin=$skew plan has skewed read: " +
+            s.contains("skewed"))
+        }
+        timed(s"b3 multiway skewJoin=$skew pass=$pass") {
+          Relational.b3JoinMultiway(spark, base).count()
+        }
+        timed(s"c13 sessionize skewJoin=$skew pass=$pass") {
+          Relational.c13Sessionize(spark, base).count()
+        }
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("skew")) {
+      skewProbe(spark, dir, args.drop(1).headOption.map(_.toInt).getOrElse(4))
+      spark.stop()
+      return
+    }
     val n = args.headOption.map(_.toInt).getOrElse(10)
 
     def rep(df: DataFrame, idCol: String): DataFrame = {
