@@ -478,34 +478,38 @@ object Multimodal {
     * zero-shuffle plan shape as c51. tol=48 dominates the measured JDK
     * worst case: an exhaustive scan of every raster pattern (doc_id over
     * one full 3·16128 period of the (dims, pixel) cycle) maxes at 40. */
+  /** The c53/d20 per-record core (twins-share-core rule): PGM → JPEG →
+    * decode, structural features + the bounded-error verdict. */
+  private[graft] def jpegCodecFeatures(id: Long, pgm: Array[Byte],
+                                       tol: Int): (Long, Long, Long, Long, Long, Boolean) = {
+    val (w, h, off) = pgmGeometry(id, pgm)
+    val img = readImage(id, rasterTranscode(id, pgm, "jpeg"))
+    val cm = img.getColorModel
+    val raster = img.getRaster
+    var maxErr = 0
+    if (cm.getNumComponents == 1 && img.getWidth == w && img.getHeight == h) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val e = math.abs(raster.getSample(x, y, 0) - (pgm(off + y * w + x) & 0xFF))
+          if (e > maxErr) maxErr = e
+          x += 1
+        }
+        y += 1
+      }
+    } else maxErr = Int.MaxValue // geometry/band mismatch: never "ok"
+    (id, img.getWidth.toLong, img.getHeight.toLong,
+      img.getWidth.toLong * img.getHeight, cm.getNumComponents.toLong,
+      maxErr <= tol)
+  }
+
   def c53ImageCodec(spark: SparkSession, dir: String, tol: Int = 48): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-      .mapPartitions(_.map { id =>
-        val pgm = pgmPayload(id)
-        val (w, h, off) = pgmGeometry(id, pgm)
-        val img = readImage(id, rasterTranscode(id, pgm, "jpeg"))
-        val cm = img.getColorModel
-        val raster = img.getRaster
-        var maxErr = 0
-        if (cm.getNumComponents == 1 && img.getWidth == w && img.getHeight == h) {
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val e = math.abs(raster.getSample(x, y, 0) - (pgm(off + y * w + x) & 0xFF))
-              if (e > maxErr) maxErr = e
-              x += 1
-            }
-            y += 1
-          }
-        } else maxErr = Int.MaxValue // geometry/band mismatch: never "ok"
-        (id, img.getWidth.toLong, img.getHeight.toLong,
-          img.getWidth.toLong * img.getHeight, cm.getNumComponents.toLong,
-          maxErr <= tol)
-      })
+      .mapPartitions(_.map(id => jpegCodecFeatures(id, pgmPayload(id), tol)))
       .toDF("doc_id", "width", "height", "n_units", "n_bands", "lossy_ok")
       .orderBy("doc_id")
   }

@@ -506,6 +506,47 @@ object StreamOps {
         col("v_min"), col("v_max"), col("v_sum"))
   }
 
+  /** d20: streaming LOSSY codec path — c53 at ingest: every arriving
+    * image-typed record runs the PGM → JPEG transcode (real DCT via the
+    * JDK codec), is decoded back, and emits the STRUCTURAL features plus
+    * the bounded-error verdict — the same shared core as the batch row
+    * (twins-share-core), so a codec drift shows up in the parity spec.
+    * Row-local, zero state, no watermark; non-image records filtered
+    * BEFORE the codec loop like d19. */
+  def streamJpegCodec(media: Dataset[graft.operators.MediaRecord],
+                      tol: Int = 48): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image")
+      .as[graft.operators.MediaRecord]
+      .mapPartitions(_.map(r =>
+        graft.operators.Multimodal.jpegCodecFeatures(r.doc_id, r.payload, tol)))
+      .toDF("doc_id", "width", "height", "n_units", "n_bands", "lossy_ok")
+  }
+
+  /** d21: streaming BPE tokenization — c52's APPLY phase at ingest,
+    * against a STATIC learned-merge artifact (the d13/d16 argument: a
+    * stream cannot re-train the tokenizer per row, so the bounded merge
+    * list — trainBpe's output — ships as plan literals, exactly how a
+    * serving system ships its tokenizer file; the batch side trains it
+    * at rest). Each arriving doc tokenizes row-locally: words → fenced
+    * symbol sequences → the merge replaces → token counts. Zero state,
+    * no watermark, any stream length. Emits (doc_id, n_words,
+    * n_tokens); a parity spec pins stream ≡ batch under the same
+    * artifact, and token semantics are pinned by c52's fence-safety
+    * specs on the shared applyBpeMerges core. */
+  def streamBpeTokenize(docs: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val ws = filter(graft.operators.TextOps.words(lower(col("text"))),
+      w => length(w) >= 1)
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        transform(col("ws"),
+          w => graft.operators.TextOps.applyBpeMerges(w, merges)).as("ts"))
+      .select(col("doc_id"), col("n_words"),
+        size(flatten(col("ts"))).cast("bigint").as("n_tokens"))
+  }
+
   /** d16: streaming whitening — c47 at ingest time, against a STATIC
     * moments artifact (d13's argument: a stream cannot re-aggregate the
     * corpus per row, so the per-dim (mean, σ) table — dim-sized,

@@ -203,4 +203,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("hashpartitioning"),
       s"hash exchange crept into the row-local codec pipeline:\n$s")
   }
+
+  test("c53 plan: same row-local shape as c51 — scan-side filter, no hash exchange") {
+    val s = executedPlanOf(graft.operators.Multimodal.c53ImageCodec(spark, sfDir))
+    assert(s.contains("pmod"), s"type filter missing from the scan stage:\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"hash exchange crept into the row-local codec pipeline:\n$s")
+  }
+
+  test("c52 plan: token counts aggregate partially; the cut is TakeOrderedAndProject") {
+    val s = executedPlanOf(graft.operators.TextOps.c52BpeTokenize(spark, sfDir))
+    // the top-k cut must never be a global sort
+    assert(s.contains("TakeOrderedAndProject"), s"c52 cut is not TakeOrdered:\n$s")
+    // two bounded-key aggregations (word types, then tokens), each with a
+    // partial (map-side) phase — the corpus itself is scanned once by the
+    // word count; merge application is row-local column math
+    assert("partial_count|partial_sum".r.findAllIn(s).nonEmpty,
+      s"map-side combine missing:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"product join in the tokenizer:\n$s")
+  }
+
+  test("c54 plan: projection is row-local plan literals — zero corpus exchanges before the gate sort") {
+    val df = graft.operators.Similarity.c54PcaProject(spark, sfDir)
+    df.collect()
+    val s = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // the components are inlined as literals: no join, no broadcast, no
+    // hash exchange anywhere — only the gate ordering's range exchange
+    assert(!s.contains("hashpartitioning"), s"corpus shuffle in PCA projection:\n$s")
+    assert(!s.contains("Join"), s"join crept into the projection:\n$s")
+  }
 }

@@ -782,6 +782,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d20 streaming JPEG codec equals batch c53 row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = graft.operators.Multimodal
+    // c53's subset (doc_id % 3 == 1) as arriving image records, plus
+    // audio/video rows that must be dropped BEFORE the codec loop
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 1).toSeq
+    val media = ids.map(id =>
+      graft.operators.MediaRecord(id, "image", M.pgmPayload(id))) ++
+      Seq(graft.operators.MediaRecord(2L, "audio", M.wavPayload(2L)),
+        graft.operators.MediaRecord(5L, "video", M.y4mPayload(5L)))
+    val stream = MemoryStream[graft.operators.MediaRecord]
+    val q = StreamOps.streamJpegCodec(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d20_sink").start()
+    try {
+      val (a, b) = media.splitAt(media.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d20_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      val batch = M.c53ImageCodec(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed.keySet == batch.keySet,
+        "stream must emit exactly the image-typed doc ids")
+      streamed.foreach { case (id, row) =>
+        assert(row == batch(id), s"doc $id stream vs batch jpeg stats")
+      }
+    } finally q.stop()
+  }
+
+  test("d21 streaming BPE tokenize equals driver-side apply of the same artifact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val merges = graft.operators.TextOps.trainBpe(spark, sfDir)
+    assert(merges.nonEmpty)
+    def bruteMergePass(syms: Vector[String], m: (String, String)): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == m._1 && syms(i + 1) == m._2) {
+          out += (syms(i) + syms(i + 1)); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val expected = docs.map { case (id, text) =>
+      val ws = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      val nTok = ws.map(w =>
+        merges.foldLeft(w.map(_.toString).toVector)(bruteMergePass).length).sum
+      id -> Seq(ws.length.toLong, nTok.toLong)
+    }.toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamBpeTokenize(
+        stream.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d21_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d21_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Seq(r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+      assert(streamed.keySet == expected.keySet)
+      streamed.foreach { case (id, row) =>
+        assert(row == expected(id), s"doc $id stream vs brute-force tokenize")
+      }
+    } finally q.stop()
+  }
+
   test("d19 streaming image codec equals batch c51 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
