@@ -134,7 +134,7 @@ object SparkEntry {
   private def c54OracleSql(dir: String): String = {
     val comps = graft.operators.Similarity.pcaComponents(renderSession, dir)
     val projs = comps.zipWithIndex.map { case (u, i) =>
-      s"round(list_dot_product(x4, ${u.mkString("[", ",", "]")}::DOUBLE[]) / 1e8, 6) AS p$i"
+      s"CAST(list_dot_product(x4, ${u.mkString("[", ",", "]")}::DOUBLE[]) AS BIGINT) AS p$i"
     }.mkString(",\n  ")
     s"""WITH x AS (SELECT vec_id,
        |  list_transform(CAST(embedding AS DOUBLE[]), v -> round(v * 10000)) AS x4

@@ -1051,18 +1051,23 @@ object Similarity {
 
   /** c54: PCA projection — every embedding projected onto the k learned
     * principal directions (the dimensionality-reduction pass a training
-    * pipeline ships after [[pcaComponentsOn]]): p_c = ⟨x₄, u_c⟩/10⁸,
-    * 6-dp-rounded. The components fold to plan literals (the c47
-    * broadcast-moments shape taken one step further — the artifact is
-    * dim-sized, so it inlines), projection is row-local array math with
-    * ZERO corpus exchanges before the gate ordering; every dot product
-    * is integer-valued ≤ 2¹⁵·10⁴·dim ≪ 2⁵³, hence exact in both engines
-    * regardless of summation order. */
+    * pipeline ships after [[pcaComponentsOn]]): p_c = ⟨x₄, u_c⟩ as the
+    * EXACT integer (the caller divides by 10⁸ for the real-valued
+    * coordinate). Exact-integer output, not a 6-dp rounding: p/10⁸ is an
+    * exact 8-digit decimal, so ~1% of values land exactly on the .xx50
+    * rounding boundary where engines' double-rounding tie rules diverge
+    * (measured at sf0.1) — the other `_r` columns round NON-terminating
+    * doubles, where ties have measure zero. The components fold to plan
+    * literals (the c47 broadcast-moments shape taken one step further —
+    * the artifact is dim-sized, so it inlines), projection is row-local
+    * array math with ZERO corpus exchanges before the gate ordering;
+    * every dot product is integer-valued ≤ 2¹⁵·10⁴·dim ≪ 2⁵³, hence
+    * exact in both engines regardless of summation order. */
   def c54PcaProject(spark: SparkSession, dir: String): DataFrame = {
     val comps = pcaComponents(spark, dir)
     val proj = comps.zipWithIndex.map { case (u, i) =>
-      round(aggregate(zip_with(col("x4"), typedLit(u), (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x).cast("double") / 1e8, 6).as(s"p$i")
+      aggregate(zip_with(col("x4"), typedLit(u), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x).as(s"p$i")
     }
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(toDouble(col("embedding")),
