@@ -114,6 +114,9 @@ object SparkEntry {
     "c52_bpe_tokenize" -> ((s: SparkSession, d: String) => TextOps.c52BpeTokenize(s, d)),
     "c53_jpeg_codec" -> ((s: SparkSession, d: String) => Multimodal.c53ImageCodec(s, d)),
     "c54_pca_project" -> ((s: SparkSession, d: String) => Similarity.c54PcaProject(s, d)),
+    "c55_bm25" -> ((s: SparkSession, d: String) => TextOps.c55Bm25(s, d)),
+    "c56_lm_score" -> ((s: SparkSession, d: String) => TextOps.c56LmScore(s, d)),
+    "c57_winnow" -> ((s: SparkSession, d: String) => TextOps.c57Winnow(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -705,6 +708,71 @@ object SparkEntry {
         |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_units,
         |  CAST(1 AS BIGINT) AS n_bands, TRUE AS lossy_ok
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
+    // c55: the log-free exact-rational BM25 (k1=6/5, b=3/4 cleared of
+    // fractions — see TextOps.c55Bm25) — every operand an exact BIGINT,
+    // one double division per term, fixed left-associated sum
+    "c55_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS dl,
+        |         CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+        |         CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window,
+        |         CAST(sum(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS tf_query
+        |       FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+        |         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+        |         CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query
+        |       FROM pd),
+        |sc AS (SELECT doc_id, dl, tf_spark, tf_window, tf_query,
+        |         round(CAST((2*n_docs - 2*df_spark + 1) * 22 * n_tokens * tf_spark AS DOUBLE)
+        |               / ((2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs)), 6) AS s_spark,
+        |         round(CAST((2*n_docs - 2*df_window + 1) * 22 * n_tokens * tf_window AS DOUBLE)
+        |               / ((2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs)), 6) AS s_window,
+        |         round(CAST((2*n_docs - 2*df_query + 1) * 22 * n_tokens * tf_query AS DOUBLE)
+        |               / ((2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs)), 6) AS s_query
+        |       FROM pd CROSS JOIN st)
+        |SELECT doc_id, dl, tf_spark, tf_window, tf_query, s_spark, s_window, s_query,
+        |  s_spark + s_window + s_query AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // c56: transition probabilities held exact as parts-per-billion via
+    // integer floor division (`//` ≡ Spark's `div` for positive longs)
+    "c56_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |dp AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+        |       FROM tok, UNNEST(range(1, len(tk))) AS u(i)),
+        |pc AS (SELECT a, b, count(*) AS c_pair FROM dp GROUP BY a, b),
+        |pfx AS (SELECT a, CAST(sum(c_pair) AS BIGINT) AS c_prefix FROM pc GROUP BY a),
+        |sc AS (SELECT doc_id, (c_pair * 1000000000) // c_prefix AS ppb
+        |       FROM dp JOIN pc USING (a, b) JOIN pfx USING (a))
+        |SELECT doc_id, count(*) AS n_pairs, CAST(sum(ppb) AS BIGINT) AS sum_ppb,
+        |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) AS avg_ppb,
+        |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) >= 34500000.0 AS keep
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // c57: winnowing (k=4-token shingles, w=5-hash windows); md5 hex
+    // strings under lexicographic list min — identical ASCII order in
+    // both engines; short docs CASE-guard to the empty fingerprint set
+    "c57_winnow" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |        CASE WHEN len(tk) >= 4
+        |             THEN list_transform(range(1, len(tk) - 2),
+        |                    i -> md5(array_to_string(tk[i:i+3], ' ')))
+        |             ELSE CAST([] AS VARCHAR[]) END AS gs
+        |      FROM tok),
+        |f AS (SELECT doc_id, n_tokens, CAST(len(gs) AS BIGINT) AS n_grams,
+        |        CASE WHEN len(gs) >= 5
+        |             THEN list_sort(list_distinct(list_transform(range(1, len(gs) - 3),
+        |                    j -> list_aggregate(gs[j:j+4], 'min'))))
+        |             ELSE CAST([] AS VARCHAR[]) END AS fps
+        |      FROM g)
+        |SELECT doc_id, n_tokens, n_grams,
+        |  CAST(greatest(n_grams - 4, 0) AS BIGINT) AS n_windows,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(fps, '')) AS fp_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "b13_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS seg,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -836,4 +836,195 @@ object TextOps {
       .orderBy(desc("cnt"), asc("token"))
       .limit(topK)
   }
+
+  // ---- lexical retrieval (c55): Okapi BM25 over an inverted per-doc
+  // ---- statistics pass (Robertson & Walker; the standard lexical ranker
+  // ---- a retrieval-augmented training pipeline mines hard positives with)
+
+  /** c55's fixed query term set. A handful of terms is the realistic
+    * retrieval shape (queries are short); each term becomes one
+    * conditional-aggregate column so the whole tf pass stays ONE
+    * map-side-combinable corpus scan regardless of corpus size. */
+  val C55QueryTerms: Seq[String] = Seq("spark", "window", "query")
+
+  /** c55: BM25 top-k retrieval (k1 = 1.2, b = 0.75) in the LOG-FREE
+    * exact-rational form. Classic BM25 multiplies a log idf into the tf
+    * saturation term; a float log is transcendental and engines disagree
+    * in the last ulp, so — exactly c16's move — each per-term score here
+    * is the monotone log-free Robertson idf (N − df + ½)/(df + ½) times
+    * the tf part, algebraically cleared of fractions: with k1 = 6/5 and
+    * b = 3/4,
+    *
+    *   tfPart = tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl))
+    *          = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)   (avgdl = T/N)
+    *
+    * so score_t = round( (2N−2df+1)·22·T·tf
+    *                    / ((2df+1)·(10·T·tf + 3·T + 9·dl·N)), 6 ) —
+    * every operand an exact long, ONE double division, bit-identical in
+    * any IEEE engine. Per-term scores are saturating and idf-monotone,
+    * so single-term rankings match classic BM25; the total is their sum
+    * in FIXED left-associated column order (s1 + s2 + s3), which both
+    * Spark and DuckDB evaluate identically.
+    *
+    * Scale shape: one exploded-token scan with map-side combine builds
+    * per-doc (dl, tf…); corpus stats (N, T, df…) fold to a 1-row
+    * broadcast artifact (never a collect); scoring is a row-local
+    * projection; the cut is TakeOrderedAndProject — no global sort, no
+    * all-pairs, nothing that grows super-linearly at 100 TB. Gate-scale
+    * products stay far under 2^53 so the double cast is exact; a 100 TB
+    * deployment (T ~ 10^14) lifts num/den into DECIMAL(38,0) — same
+    * expressions, wider type — documented rather than paid here. */
+  def c55Bm25(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val terms = C55QueryTerms
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("n_tokens") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val num = (lit(2) * col("n_docs") - lit(2) * df + lit(1)) *
+        lit(22) * col("n_tokens") * tf
+      val den = (lit(2) * df + lit(1)) *
+        (lit(10) * col("n_tokens") * tf + lit(3) * col("n_tokens") +
+          lit(9) * col("dl") * col("n_docs"))
+      round(num.cast("double") / den, 6)
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(
+        (Seq(col("doc_id"), col("dl")) ++
+          terms.map(t => col(s"tf_$t")) ++
+          terms.map(t => termScore(t).as(s"s_$t"))): _*)
+      .withColumn("score",
+        terms.map(t => col(s"s_$t")).reduceLeft(_ + _))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+  }
+
+  // ---- LM fluency scoring (c56): corpus-trained word-bigram transition
+  // ---- model, the cheap perplexity-proxy quality signal (CCNet-style
+  // ---- LM filtering without shipping a neural LM)
+
+  /** c56: word-bigram LM fluency score. Training and scoring in one
+    * operator: corpus-wide adjacent-pair counts c(a,b) and prefix totals
+    * c(a,·) form the model; each document then scores the average
+    * transition probability of its own adjacent pairs. Probabilities are
+    * held EXACT as parts-per-billion via integer floor division
+    * (`(c_pair · 10^9) div c_prefix` — a float divide-then-floor can
+    * round up across an integer boundary and disagree between engines),
+    * so the per-doc sum is an order-independent exact long and the final
+    * average is c16's one-double-division form.
+    *
+    * Scale shape: pair extraction is a row-local HOF projection (no
+    * posexplode shuffle); the model is a vocab²-BOUNDED aggregate — a
+    * model artifact, small by definition next to the corpus — so the
+    * score join broadcasts it; the per-doc fold is one map-side-
+    * combinable groupBy on doc_id. At 100 TB the corpus is scanned
+    * twice (train, score) and nothing else grows. Serving-side, the
+    * same model ships to d24's stream-static join. */
+  def c56LmScore(spark: SparkSession, dir: String,
+                 keepPpb: Long = 34500000L): DataFrame = {
+    val pairs = docPairs(Tables.documents(spark, dir))
+    val model = lmModel(pairs)
+    pairs.join(broadcast(model), Seq("a", "b"))
+      .withColumn("ppb",
+        expr("(c_pair * 1000000000L) div c_prefix"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ppb")).as("sum_ppb"))
+      .withColumn("avg_ppb",
+        round(col("sum_ppb").cast("double") / col("n_pairs"), 6))
+      .withColumn("keep", col("avg_ppb") >= keepPpb.toDouble)
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc adjacent word pairs, staged row-locally (the HOF staging
+    * rule: the token array materializes in its own projection before
+    * [[charPairsOf]] indexes it). Shared by c56 and d24's parity spec. */
+  private[graft] def docPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(charPairsOf(col("tk"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** The c56 model artifact: (a, b, c_pair, c_prefix). Bounded by the
+    * square of the word vocabulary — broadcast-sized at any corpus
+    * scale for a natural-language vocab. */
+  private[graft] def lmModel(pairs: DataFrame): DataFrame = {
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_pair"))
+    pc.join(pc.groupBy("a").agg(sum(col("c_pair")).as("c_prefix")), "a")
+  }
+
+  // ---- winnowing fingerprints (c57): Schleimer, Wilkerson & Aiken 2003
+  // ---- ("Winnowing: Local Algorithms for Document Fingerprinting") —
+  // ---- the MOSS fingerprint selector, the position-robust alternative
+  // ---- to c10's whole-doc hash and c2's MinHash sketches
+
+  /** c57: winnowing — hash every k-token shingle, slide a w-hash window,
+    * select each window's MINIMUM hash; the distinct selected set is the
+    * document's fingerprint. The guarantee that makes it a dedup
+    * primitive: any shared run of ≥ w+k−1 tokens between two documents
+    * contributes at least one IDENTICAL selected fingerprint, while only
+    * ~2/(w+1) of all hashes are kept (density bound, §3 of the paper) —
+    * so matching docs collide on an equi-joinable key without comparing
+    * bodies. Hashes are md5 hex strings (the one hash both engines share
+    * bit-for-bit) under lexicographic min — a total order both engines
+    * apply to ASCII identically.
+    *
+    * Scale shape: the entire selector — shingle hashing, window minima,
+    * distinct, sort — is ROW-LOCAL array math inside one projection:
+    * zero exchanges before the gate sort, embarrassingly parallel over
+    * any split of a 100 TB corpus, and the natural ingest twin (d23
+    * runs the identical expression per arriving row). Short docs
+    * degrade gracefully: fewer tokens than k (or windows than w) yield
+    * the empty fingerprint set, n_fp = 0, md5("") — never a negative
+    * `sequence` range (both branches are CASE-guarded). */
+  def c57Winnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), words(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
+        winnowGrams(col("tk")).as("gs"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("gs")).cast("bigint").as("n_grams"),
+        winnowSelect(col("gs")).as("fps"))
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        greatest(col("n_grams") - (WinnowW - 1), lit(0L)).as("n_windows"),
+        size(col("fps")).cast("bigint").as("n_fp"),
+        md5(array_join(col("fps"), "")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** Winnowing parameters: k-token shingles, w-hash windows. Matches
+    * collide on runs of ≥ w+k−1 = 8 shared tokens. */
+  val WinnowK = 4
+  val WinnowW = 5
+
+  /** md5 hashes of all k-token shingles of a token-array column —
+    * row-local, CASE-guarded against sub-k docs (an unguarded
+    * `sequence(1, n)` with n < 1 generates a DESCENDING range). */
+  private[graft] def winnowGrams(tk: Column): Column = {
+    val nG = size(tk) - (WinnowK - 1)
+    when(nG >= 1,
+      transform(sequence(lit(1), nG),
+        i => md5(array_join(slice(tk, i, lit(WinnowK)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The winnowing selector over a shingle-hash array: per-window minima
+    * (ties keep the value — selection is value-set semantics here, so
+    * the classic rightmost-position tiebreak is irrelevant), distinct,
+    * sorted ascending. Shared verbatim by batch c57 and streaming d23. */
+  private[graft] def winnowSelect(gs: Column): Column = {
+    val nW = size(gs) - (WinnowW - 1)
+    sort_array(array_distinct(
+      when(nW >= 1,
+        transform(sequence(lit(1), nW), j => array_min(slice(gs, j, lit(WinnowW)))))
+        .otherwise(array().cast("array<string>"))))
+  }
 }

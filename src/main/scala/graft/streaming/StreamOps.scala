@@ -691,4 +691,91 @@ object StreamOps {
             .map(s => Session(user, s.n, s.start_us, s.end_us)).iterator
       }
   }
+
+  /** The d22 artifact: c55's 1-row corpus statistics, collected at rest
+    * and shipped to the edge as plan literals. */
+  final case class Bm25Stats(nDocs: Long, nTokens: Long, dfs: Seq[(String, Long)])
+
+  /** d22: streaming BM25 scoring — c55's log-free exact-rational scorer
+    * at INGEST time. Batch c55 derives (N, T, df_t) from the corpus it is
+    * ranking; a stream can't re-aggregate the corpus per row, so — d13's
+    * artifact rule — those statistics train at rest and ship as plan
+    * literals, and each arriving document scores ROW-LOCALLY: dl and the
+    * per-term tfs are array math over the staged token array, the score
+    * is the identical fixed-order expression c55 uses (twins-share-
+    * arithmetic: same cleared-fraction operands, same 6-dp rounding,
+    * same left-associated sum). No top-k at the edge — ranking is a
+    * corpus decision; the stream emits every doc scored, zero state, no
+    * watermark, any stream length. */
+  def streamBm25(docs: DataFrame, stats: Bm25Stats): DataFrame = {
+    require(stats.nDocs >= 1 && stats.nTokens >= 1,
+      s"corpus stats artifact must be non-empty, got $stats")
+    require(stats.dfs.nonEmpty, "df artifact must contain at least one term")
+    val n = lit(stats.nDocs); val t = lit(stats.nTokens)
+    def termScore(tf: Column, dfCount: Long): Column = {
+      val df = lit(dfCount)
+      val num = (lit(2) * n - lit(2) * df + lit(1)) * lit(22) * t * tf
+      val den = (lit(2) * df + lit(1)) *
+        (lit(10) * t * tf + lit(3) * t + lit(9) * col("dl") * n)
+      round(num.cast("double") / den, 6)
+    }
+    val tfOf = (term: String) =>
+      size(filter(col("tk"), x => x === term)).cast("bigint")
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.TextOps.words(lower(col("text"))).as("tk"))
+      .select((Seq(col("doc_id"), size(col("tk")).cast("bigint").as("dl")) ++
+        stats.dfs.map { case (term, _) => tfOf(term).as(s"tf_$term") }): _*)
+      .select((Seq(col("doc_id"), col("dl")) ++
+        stats.dfs.map { case (term, _) => col(s"tf_$term") } ++
+        stats.dfs.map { case (term, dfc) =>
+          termScore(col(s"tf_$term"), dfc).as(s"s_$term") }): _*)
+      .withColumn("score",
+        stats.dfs.map { case (term, _) => col(s"s_$term") }.reduceLeft(_ + _))
+  }
+
+  /** d23: streaming winnowing fingerprints — c57 at ingest. The batch
+    * selector is already one row-local projection (zero exchanges), so
+    * the twin IS the batch core verbatim ([[graft.operators.TextOps
+    * .winnowGrams]]/[[graft.operators.TextOps.winnowSelect]] — twins-
+    * share-core): each arriving document emits its n-gram/window counts
+    * and fingerprint-set digest with zero state and no watermark. This
+    * is the front door of the fingerprint index a dedup service keys on:
+    * downstream, (fp, doc_id) pairs equi-join against the at-rest index. */
+  def streamWinnow(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps.{winnowGrams, winnowSelect, WinnowW}
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.TextOps.words(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
+        winnowGrams(col("tk")).as("gs"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("gs")).cast("bigint").as("n_grams"),
+        winnowSelect(col("gs")).as("fps"))
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        greatest(col("n_grams") - (WinnowW - 1), lit(0L)).as("n_windows"),
+        size(col("fps")).cast("bigint").as("n_fp"),
+        md5(array_join(col("fps"), "")).as("fp_md5"))
+  }
+
+  /** d24: streaming LM transition scoring — c56's bigram model served at
+    * the edge through a STREAM-STATIC broadcast equi-join. The model
+    * (a vocab²-bounded (a, b, c_pair, c_prefix) frame, trained at rest
+    * by [[graft.operators.TextOps.lmModel]]) is the static side; each
+    * arriving document explodes to its adjacent pairs (row-local HOF —
+    * stateless) and joins to pick up its transition counts, emitting one
+    * scored (doc_id, a, b, ppb) row per transition. INNER join semantics
+    * drop out-of-model pairs — the d13 trade: an edge can only score
+    * what the shipped model knows; the batch side (c56) aggregates the
+    * full-corpus average. ppb stays the exact integer floor division so
+    * stream and batch transitions are bit-identical (parity-spec'd).
+    * Stateless in Spark: the static subtree re-executes per micro-batch
+    * (cheap — the model is broadcast-sized), no watermark, no state. */
+  def streamLmTransitions(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.TextOps.docPairs(docs)
+      .join(broadcast(model), Seq("a", "b"))
+      .withColumn("ppb", expr("(c_pair * 1000000000L) div c_prefix"))
+      .select(col("doc_id"), col("a"), col("b"), col("ppb"))
 }

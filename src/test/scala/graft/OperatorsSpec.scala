@@ -594,4 +594,131 @@ class OperatorsSpec extends SparkSpec {
     // and the Spark trainer agrees with the brute merge list on real data
     assert(TextOps.trainBpe(spark, sfDir) == merges)
   }
+
+  // ---- c55-c57: driver-side brute-force twins share these helpers
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Spark's ROUND(double, 6): decimal HALF_UP on the double's shortest
+    * decimal representation — NOT a float multiply/divide. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mirrors `words(lower(text))`: Spark's split keeps trailing empties
+    * (limit −1), unlike Java's default split. */
+  private def tokensOf(t: String): Vector[String] =
+    t.toLowerCase.split(" ", -1).toVector
+
+  test("c55 BM25 equals a driver-side brute-force scorer over the whole corpus") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), tokensOf(r.getAs[String]("text"))))
+    val terms = TextOps.C55QueryTerms
+    val n = docs.length.toLong
+    val t = docs.map(_._2.length.toLong).sum
+    val dfc = terms.map(q => q -> docs.count(_._2.contains(q)).toLong).toMap
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val num = (2 * n - 2 * df + 1) * 22 * t * tf
+      val den = (2 * df + 1) * (10 * t * tf + 3 * t + 9 * dl * n)
+      r6(num.toDouble / den.toDouble)
+    }
+    val expected = docs.map { case (id, tk) =>
+      val dl = tk.length.toLong
+      val tfs = terms.map(q => tk.count(_ == q).toLong)
+      val ss = terms.zip(tfs).map { case (q, tf) => score(tf, dfc(q), dl) }
+      (id, dl, tfs, ss, ss.reduceLeft(_ + _))
+    }.sortBy { case (id, _, _, _, s) => (-s, id) }.take(20)
+    val got = TextOps.c55Bm25(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        terms.map(q => r.getAs[Long](s"tf_$q")),
+        terms.map(q => r.getAs[Double](s"s_$q")),
+        r.getAs[Double]("score"))
+    }
+    assert(got.length == 20)
+    assert(got.toSeq == expected.toSeq)
+    // the ranking must discriminate: the cut's top score strictly beats
+    // its bottom score on this corpus (an all-equal column would pass a
+    // pure equality check while testing nothing)
+    assert(got.head._5 > got.last._5)
+  }
+
+  test("c56 LM score equals a driver-side brute-force bigram model") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), tokensOf(r.getAs[String]("text"))))
+    val pairs = docs.flatMap { case (id, tk) =>
+      tk.sliding(2).collect { case Vector(a, b) => (id, a, b) } }
+    val cPair = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.length.toLong).toMap
+    val cPrefix = cPair.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+      val sum = ps.map { case (_, a, b) =>
+        cPair((a, b)) * 1000000000L / cPrefix(a) }.sum
+      val avg = r6(sum.toDouble / ps.length)
+      id -> ((ps.length.toLong, sum, avg, avg >= 34500000.0))
+    }
+    val got = TextOps.c56LmScore(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_ppb"),
+          r.getAs[Double]("avg_ppb"), r.getAs[Boolean]("keep")))
+    }.toMap
+    assert(got == expected)
+    // the fluency cutoff must discriminate on this corpus
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
+  /** Brute winnowing (Schleimer et al. 2003) under c57's value-set
+    * semantics: k-gram md5s, w-window minima, distinct, sorted. */
+  private def bruteWinnow(tk: Vector[String]): (Long, Long, Vector[String]) = {
+    val gs = if (tk.length >= TextOps.WinnowK)
+      tk.sliding(TextOps.WinnowK).map(g => md5hex(g.mkString(" "))).toVector
+    else Vector.empty[String]
+    val fps = if (gs.length >= TextOps.WinnowW)
+      gs.sliding(TextOps.WinnowW).map(_.min).toVector.distinct.sorted
+    else Vector.empty[String]
+    (gs.length.toLong, math.max(gs.length.toLong - (TextOps.WinnowW - 1), 0L), fps)
+  }
+
+  test("c57 winnowing equals the driver-side selector on the corpus") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), tokensOf(r.getAs[String]("text"))))
+    val expected = docs.map { case (id, tk) =>
+      val (ng, nw, fps) = bruteWinnow(tk)
+      id -> ((tk.length.toLong, ng, nw, fps.length.toLong, md5hex(fps.mkString(""))))
+    }.toMap
+    val got = TextOps.c57Winnow(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_windows"), r.getAs[Long]("n_fp"),
+          r.getAs[String]("fp_md5")))
+    }.toMap
+    assert(got == expected)
+    // density sanity: winnowing keeps ~2/(w+1) of hashes — far fewer
+    // than all of them — while never selecting zero on real-length docs
+    assert(got.values.forall { case (nt, ng, _, nfp, _) =>
+      nt < TextOps.WinnowK + TextOps.WinnowW - 1 || (nfp >= 1 && nfp < ng) })
+  }
+
+  test("c57 guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    // two docs, disjoint vocabulary except one shared 8-token run
+    val run = (0 until TextOps.WinnowK + TextOps.WinnowW - 1)
+      .map(i => s"shared$i").mkString(" ")
+    val a = (0 until 30).map(i => s"alpha$i").mkString(" ") + " " + run +
+      " " + (30 until 50).map(i => s"alpha$i").mkString(" ")
+    val b = (0 until 40).map(i => s"beta$i").mkString(" ") + " " + run
+    val c = (0 until 45).map(i => s"gamma$i").mkString(" ") // no shared run
+    val sets = Seq(a, b, c).map(t => bruteWinnow(tokensOf(t))._3.toSet)
+    assert((sets(0) intersect sets(1)).nonEmpty,
+      "a shared >= w+k-1 run must contribute a common selected fingerprint")
+    assert((sets(0) intersect sets(2)).isEmpty && (sets(1) intersect sets(2)).isEmpty,
+      "disjoint-vocabulary docs must not collide")
+    // and the Spark selector reproduces the driver sets exactly
+    val spk = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.winnowSelect(
+        TextOps.winnowGrams(split(lower(col("text")), " "))).as("fps"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .toMap
+    assert(spk == Map(1L -> sets(0), 2L -> sets(1), 3L -> sets(2)))
+  }
 }

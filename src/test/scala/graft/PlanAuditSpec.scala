@@ -236,4 +236,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("hashpartitioning"), s"corpus shuffle in PCA projection:\n$s")
     assert(!s.contains("Join"), s"join crept into the projection:\n$s")
   }
+
+  test("c55 plan: one doc_id exchange, stats broadcast, cut is TakeOrderedAndProject") {
+    val s = executedPlanOf(graft.operators.TextOps.c55Bm25(spark, sfDir))
+    // the per-doc tf pass is the ONLY physical hash exchange: the corpus
+    // stats branch consumes the SAME shuffle through a ReusedExchange
+    // (one corpus scan, one shuffle, both consumers) — count real
+    // exchanges, not the reused reference's description text
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(s).length -
+      "ReusedExchange \\[[^\\]]*\\], Exchange hashpartitioning".r.findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected ONE physical hash exchange (the doc_id tf pass), got $hashExchanges:\n$s")
+    assert(s.contains("ReusedExchange"),
+      s"stats branch must reuse the tf shuffle, not rescan the corpus:\n$s")
+    assert(s.contains("partial_count") || s.contains("partial_sum"),
+      s"map-side combine missing from the tf pass:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"1-row stats artifact must broadcast:\n$s")
+    assert(s.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$s")
+    assert(!s.contains("Sort ["), s"global sort crept into the cut:\n$s")
+  }
+
+  test("c56 plan: the model joins broadcast; scoring never sort-merge-joins the corpus") {
+    val s = executedPlanOf(graft.operators.TextOps.c56LmScore(spark, sfDir))
+    assert(s.contains("BroadcastHashJoin"),
+      s"vocab-bounded model must broadcast-join the pair stream:\n$s")
+    assert(!s.contains("CartesianProduct"), s"product join in LM scoring:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus-sized sort-merge join in LM scoring (model is bounded — broadcast it):\n$s")
+  }
+
+  test("c57 plan: the whole selector is row-local — no hash exchange at all") {
+    val s = executedPlanOf(graft.operators.TextOps.c57Winnow(spark, sfDir))
+    // shingle hashing, window minima, distinct, sort: ONE projection;
+    // the only exchange is the gate ordering's range partition
+    assert(!s.contains("hashpartitioning"),
+      s"hash exchange crept into the row-local winnowing selector:\n$s")
+    assert(!s.contains("Join"), s"join crept into winnowing:\n$s")
+    // text and doc_id only: the selector must not drag other columns
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning missing at the scan:\n$s")
+  }
 }

@@ -882,4 +882,109 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("d22 streaming BM25 scores match batch c55 under the same stats artifact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    // the artifact: c55's corpus statistics, trained at rest
+    val docsDf = Tables.documents(spark, sfDir)
+    val toks = docsDf.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val n = docsDf.count()
+    val t = toks.count()
+    val dfs = TextOps.C55QueryTerms.map { q =>
+      q -> toks.filter(col("term") === q).select("doc_id").distinct().count()
+    }
+    val stats = StreamOps.Bm25Stats(n, t, dfs)
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)].collect().toSeq ++
+      Seq((9001L, "no match terms here at all"), // all-zero tf: score exactly 0
+        (9002L, null)) // null text drops in both forms
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamBm25(stream.toDF().toDF("doc_id", "text"), stats)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d22_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d22_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(!streamed.contains(9002L), "null text must not emit a score row")
+      assert(streamed(9001L).last == 0.0, "all-OOV doc scores exactly 0")
+      // batch c55's top-20 rows must appear in the stream output with
+      // IDENTICAL columns (same arithmetic, same rounding, same sum order)
+      val batch = TextOps.c55Bm25(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(batch.nonEmpty)
+      batch.foreach { case (id, row) =>
+        assert(streamed(id) == row, s"doc $id stream vs batch BM25 columns")
+      }
+      // and every streamed corpus doc is present exactly once
+      assert(streamed.size == docs.length - 1)
+    } finally q.stop()
+  }
+
+  test("d23 streaming winnowing equals batch c57 row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq :+ ((9001L, "too short"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamWinnow(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d23_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d23_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      val batch = graft.operators.TextOps.c57Winnow(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed.keySet == batch.keySet + 9001L)
+      batch.foreach { case (id, row) =>
+        assert(streamed(id) == row, s"doc $id stream vs batch winnow")
+      }
+      // the sub-k doc degrades to the empty fingerprint set, never an error
+      val short = streamed(9001L)
+      assert(short(1) == 2L && short(2) == 0L && short(4) == 0L,
+        s"sub-k doc must yield zero grams and fingerprints: $short")
+    } finally q.stop()
+  }
+
+  test("d24 streaming LM transitions equal the batch pairs-model join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    val docsDf = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val model = TextOps.lmModel(TextOps.docPairs(docsDf)).cache()
+    try {
+      val docs = docsDf.as[(Long, String)].collect().toSeq ++
+        Seq((9001L, "zzz qqq"), // out-of-model pair: dropped by the inner join
+          (9002L, null))
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamOps.streamLmTransitions(
+          stream.toDF().toDF("doc_id", "text"), model)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("d24_sink").start()
+      try {
+        val (a, b) = docs.splitAt(docs.length / 2)
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+        val streamed = spark.table("d24_sink").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("a"),
+            r.getAs[String]("b"), r.getAs[Long]("ppb"))).sorted.toSeq
+        val batch = TextOps.docPairs(docsDf).join(broadcast(model), Seq("a", "b"))
+          .withColumn("ppb", expr("(c_pair * 1000000000L) div c_prefix"))
+          .select("doc_id", "a", "b", "ppb").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("a"),
+            r.getAs[String]("b"), r.getAs[Long]("ppb"))).sorted.toSeq
+        assert(streamed == batch,
+          "stream transition multiset must equal the batch join exactly")
+        assert(!streamed.exists(_._1 == 9001L), "out-of-model pairs drop")
+        assert(!streamed.exists(_._1 == 9002L), "null text drops")
+      } finally q.stop()
+    } finally { model.unpersist(); () }
+  }
 }
