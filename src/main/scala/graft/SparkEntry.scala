@@ -117,6 +117,8 @@ object SparkEntry {
     "c55_bm25" -> ((s: SparkSession, d: String) => TextOps.c55Bm25(s, d)),
     "c56_lm_score" -> ((s: SparkSession, d: String) => TextOps.c56LmScore(s, d)),
     "c57_winnow" -> ((s: SparkSession, d: String) => TextOps.c57Winnow(s, d)),
+    "c58_ann_recall" -> ((s: SparkSession, d: String) => Similarity.c58AnnRecall(s, d)),
+    "c59_rrf_fuse" -> ((s: SparkSession, d: String) => TextOps.c59RrfFuse(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -252,8 +254,40 @@ object SparkEntry {
     oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** DuckDB oracle SQL, same column names + ORDER BY as the Spark result,
-    * rendered for the given data directory. */
-  def oracleSqlFor(dir: String): Map[String, String] = Map(
+    * rendered for the given data directory. c58's oracle COMPOSES the
+    * c5/c6/c18 entries as subqueries (the eval must measure exactly the
+    * searches the gate verifies — re-written SQL could drift), so the
+    * base map is built first and extended below. */
+  def oracleSqlFor(dir: String): Map[String, String] = {
+    val base = oracleSqlBase(dir)
+    base + ("c58_ann_recall" -> c58OracleSql(
+      base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf")))
+  }
+
+  /** Recall@k of each approximate index against the exact c5 baseline,
+    * with the three searches inlined verbatim from their gate entries. */
+  private def c58OracleSql(c5: String, c6: String, c18: String): String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($c5) t5),
+       |lshc AS (SELECT query_id, neighbor_id FROM ($c6) t6),
+       |ivfc AS (SELECT query_id, neighbor_id FROM ($c18) t18),
+       |bs AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+       |lh AS (SELECT t.query_id, count(*) AS lsh_hits
+       |       FROM truth t JOIN lshc l
+       |         ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+       |       GROUP BY t.query_id),
+       |ih AS (SELECT t.query_id, count(*) AS ivf_hits
+       |       FROM truth t JOIN ivfc i
+       |         ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+       |       GROUP BY t.query_id)
+       |SELECT b.query_id, b.n_truth,
+       |  coalesce(lh.lsh_hits, 0) AS lsh_hits,
+       |  coalesce(ih.ivf_hits, 0) AS ivf_hits,
+       |  round(CAST(coalesce(lh.lsh_hits, 0) AS DOUBLE) / b.n_truth, 6) AS lsh_recall_r,
+       |  round(CAST(coalesce(ih.ivf_hits, 0) AS DOUBLE) / b.n_truth, 6) AS ivf_recall_r
+       |FROM bs b LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
+  private def oracleSqlBase(dir: String): Map[String, String] = Map(
     "a1_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -750,6 +784,45 @@ object SparkEntry {
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) AS avg_ppb,
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) >= 34500000.0 AS keep
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // c59: RRF k=60 fusion of the BM25 ranking with a query-likelihood
+    // ranking; contributions rounded per ranker then summed in fixed
+    // order; ql held exact as parts-per-million by integer floor division
+    "c59_rrf_fuse" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS dl,
+        |         CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+        |         CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window,
+        |         CAST(sum(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS tf_query
+        |       FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+        |         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+        |         CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query
+        |       FROM pd),
+        |fx AS (SELECT doc_id,
+        |         round(CAST((2*n_docs - 2*df_spark + 1) * 22 * n_tokens * tf_spark AS DOUBLE)
+        |               / ((2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs)), 6)
+        |         + round(CAST((2*n_docs - 2*df_window + 1) * 22 * n_tokens * tf_window AS DOUBLE)
+        |               / ((2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs)), 6)
+        |         + round(CAST((2*n_docs - 2*df_query + 1) * 22 * n_tokens * tf_query AS DOUBLE)
+        |               / ((2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs)), 6) AS score,
+        |         ((tf_spark + tf_window + tf_query) * 1000000) // dl AS ql_ppm
+        |       FROM pd CROSS JOIN st),
+        |a AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+        |      FROM (SELECT doc_id, score FROM fx ORDER BY score DESC, doc_id LIMIT 50) ta),
+        |b AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ql_ppm DESC, doc_id) AS BIGINT) AS rank_ql
+        |      FROM (SELECT doc_id, ql_ppm FROM fx ORDER BY ql_ppm DESC, doc_id LIMIT 50) tb),
+        |f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_bm25, b.rank_ql
+        |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  coalesce(rank_bm25, 0) AS rank_bm25,
+        |  coalesce(rank_ql, 0) AS rank_ql,
+        |  (CASE WHEN rank_bm25 IS NULL THEN CAST(0 AS DOUBLE)
+        |        ELSE round(CAST(1 AS DOUBLE) / (60 + rank_bm25), 6) END
+        |   + CASE WHEN rank_ql IS NULL THEN CAST(0 AS DOUBLE)
+        |          ELSE round(CAST(1 AS DOUBLE) / (60 + rank_ql), 6) END) AS rrf_r
+        |FROM f ORDER BY rrf_r DESC, doc_id LIMIT 20""".stripMargin,
     // c57: winnowing (k=4-token shingles, w=5-hash windows); md5 hex
     // strings under lexicographic list min — identical ASCII order in
     // both engines; short docs CASE-guard to the empty fingerprint set

@@ -1127,4 +1127,40 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine_r")
       .orderBy("vec_a", "vec_b")
   }
+
+  // ---- ANN index evaluation (c58): the recall dashboard a production
+  // ---- pipeline tunes its LSH planes / IVF nprobe against
+
+  /** c58: ANN recall@k evaluation — per query, how many of the exact
+    * brute-force top-k (c5, the ground truth) each approximate index
+    * recovers: c6's hyperplane LSH and c18's IVF. This is the EVAL
+    * operator the index-tuning loop monitors (raise planes/nprobe until
+    * recall clears the bar); the c18-trained spec checks one property,
+    * this emits the measurement itself as a queryable table.
+    *
+    * Scale shape: all three inputs are top-k frames — k·|queries| rows
+    * by construction — so the hit joins and per-query folds never touch
+    * corpus-sized data (the expensive part is the three searches, each
+    * already audited in its own right); recall is one double division of
+    * exact counts. At 100 TB an eval runs over a query SAMPLE; that
+    * sampling lives in the query-set definition (vec_id < 5 here), not
+    * in this operator's shape. */
+  def c58AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = c5AnnBrute(spark, dir, k).select("query_id", "neighbor_id")
+    def hitsOf(cand: DataFrame, name: String): DataFrame =
+      truth.join(cand.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hitsOf(c6AnnLsh(spark, dir, k), "lsh_hits"), Seq("query_id"), "left")
+      .join(hitsOf(c18AnnIvf(spark, dir, k), "ivf_hits"), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("lsh_recall_r",
+        round(col("lsh_hits").cast("double") / col("n_truth"), 6))
+      .withColumn("ivf_recall_r",
+        round(col("ivf_hits").cast("double") / col("n_truth"), 6))
+      .orderBy("query_id")
+  }
 }

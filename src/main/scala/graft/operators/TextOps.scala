@@ -874,7 +874,14 @@ object TextOps {
     * products stay far under 2^53 so the double cast is exact; a 100 TB
     * deployment (T ~ 10^14) lifts num/den into DECIMAL(38,0) — same
     * expressions, wider type — documented rather than paid here. */
-  def c55Bm25(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+  def c55Bm25(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+
+  /** The full BM25-scored corpus frame (doc_id, dl, tf…, s…, score) —
+    * c55 cuts its top-k from it; c59 ranks it twice and fuses. */
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val terms = C55QueryTerms
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
@@ -903,7 +910,55 @@ object TextOps {
           terms.map(t => termScore(t).as(s"s_$t"))): _*)
       .withColumn("score",
         terms.map(t => col(s"s_$t")).reduceLeft(_ + _))
-      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  // ---- ensemble ranking fusion (c59): Reciprocal Rank Fusion
+  // ---- (Cormack, Clarke & Buettcher 2009) over two retrieval rankings
+  // ---- for the same query — the standard hybrid-search combiner
+
+  /** c59: RRF fusion of two lexical rankers over [[C55QueryTerms]]:
+    * ranker A is c55's BM25, ranker B is query-likelihood (matched-token
+    * mass per document length, held exact as parts-per-million by
+    * integer floor division). Each ranker contributes
+    * round(1/(60+rank), 6) for its top-`cut` docs and 0 beyond — the
+    * classic k=60 RRF constant — and the fused score is the FIXED-ORDER
+    * two-term sum, so the result is bit-identical across engines.
+    *
+    * Scale shape: the scored corpus frame is computed ONCE (c55's
+    * one-pass shape); each ranking is TakeOrderedAndProject to `cut`
+    * rows BEFORE any window — the rank window runs on a k-BOUNDED frame
+    * (this is why no salting is needed: the single-partition window sees
+    * ≤ cut rows by construction, unlike a corpus-wide window); the
+    * fusion is a full-outer join of two ≤ cut-row frames. Nothing
+    * downstream of the one corpus pass grows with corpus size. */
+  def c59RrfFuse(spark: SparkSession, dir: String,
+                 cut: Int = 50, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(spark, dir)
+    val terms = C55QueryTerms
+    val qlPpm = expr(
+      s"((${terms.map(t => s"tf_$t").mkString(" + ")}) * 1000000L) div dl")
+    val a = scored.orderBy(desc("score"), asc("doc_id")).limit(cut)
+      .withColumn("rank_bm25",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+          .cast("bigint"))
+      .select(col("doc_id"), col("rank_bm25"))
+    val b = scored.withColumn("ql_ppm", qlPpm)
+      .orderBy(desc("ql_ppm"), asc("doc_id")).limit(cut)
+      .withColumn("rank_ql",
+        row_number().over(Window.orderBy(desc("ql_ppm"), asc("doc_id")))
+          .cast("bigint"))
+      .select(col("doc_id"), col("rank_ql"))
+    def contrib(rank: Column): Column =
+      when(rank.isNotNull, round(lit(1.0) / (lit(60L) + rank), 6))
+        .otherwise(lit(0.0))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", contrib(col("rank_bm25")) + contrib(col("rank_ql")))
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_ql"), lit(0L)).as("rank_ql"),
+        col("rrf_r"))
+      .orderBy(desc("rrf_r"), asc("doc_id"))
       .limit(topK)
   }
 

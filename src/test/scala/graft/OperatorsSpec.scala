@@ -611,7 +611,9 @@ class OperatorsSpec extends SparkSpec {
   private def tokensOf(t: String): Vector[String] =
     t.toLowerCase.split(" ", -1).toVector
 
-  test("c55 BM25 equals a driver-side brute-force scorer over the whole corpus") {
+  /** Driver-side brute BM25: every doc scored under c55's exact-rational
+    * arithmetic. Shared by the c55 and c59 specs. */
+  private def bruteBm25(): Seq[(Long, Long, Seq[Long], Seq[Double], Double)] = {
     val docs = Tables.documents(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), tokensOf(r.getAs[String]("text"))))
     val terms = TextOps.C55QueryTerms
@@ -623,20 +625,26 @@ class OperatorsSpec extends SparkSpec {
       val den = (2 * df + 1) * (10 * t * tf + 3 * t + 9 * dl * n)
       r6(num.toDouble / den.toDouble)
     }
-    val expected = docs.map { case (id, tk) =>
+    docs.toSeq.map { case (id, tk) =>
       val dl = tk.length.toLong
       val tfs = terms.map(q => tk.count(_ == q).toLong)
       val ss = terms.zip(tfs).map { case (q, tf) => score(tf, dfc(q), dl) }
       (id, dl, tfs, ss, ss.reduceLeft(_ + _))
-    }.sortBy { case (id, _, _, _, s) => (-s, id) }.take(20)
-    val got = TextOps.c55Bm25(spark, sfDir).collect().map { r =>
+    }
+  }
+
+  test("c55 BM25 equals a driver-side brute-force scorer over the whole corpus") {
+    val terms = TextOps.C55QueryTerms
+    val expected = bruteBm25()
+      .sortBy { case (id, _, _, _, s) => (-s, id) }.take(20)
+    val got = TextOps.c55Bm25(spark, sfDir).collect().toSeq.map { r =>
       (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
         terms.map(q => r.getAs[Long](s"tf_$q")),
         terms.map(q => r.getAs[Double](s"s_$q")),
         r.getAs[Double]("score"))
     }
     assert(got.length == 20)
-    assert(got.toSeq == expected.toSeq)
+    assert(got == expected)
     // the ranking must discriminate: the cut's top score strictly beats
     // its bottom score on this corpus (an all-equal column would pass a
     // pure equality check while testing nothing)
@@ -720,5 +728,54 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
       .toMap
     assert(spk == Map(1L -> sets(0), 2L -> sets(1), 3L -> sets(2)))
+  }
+
+  test("c58 recall table re-derives from the three searches' own outputs") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsOf(Similarity.c5AnnBrute(spark, sfDir))
+    val lsh = pairsOf(Similarity.c6AnnLsh(spark, sfDir))
+    val ivf = pairsOf(Similarity.c18AnnIvf(spark, sfDir))
+    val got = Similarity.c58AnnRecall(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_truth"), r.getAs[Long]("lsh_hits"),
+          r.getAs[Long]("ivf_hits"), r.getAs[Double]("lsh_recall_r"),
+          r.getAs[Double]("ivf_recall_r")))
+    }.toMap
+    assert(got.keySet == truth.map(_._1), "one row per evaluated query")
+    got.foreach { case (q, (nt, lh, ih, lr, ir)) =>
+      val t = truth.filter(_._1 == q)
+      assert(nt == t.size, s"query $q n_truth")
+      assert(lh == (t intersect lsh.filter(_._1 == q)).size, s"query $q lsh hits")
+      assert(ih == (t intersect ivf.filter(_._1 == q)).size, s"query $q ivf hits")
+      assert(lr == r6(lh.toDouble / nt) && ir == r6(ih.toDouble / nt))
+    }
+    // the measurement must be non-degenerate: some approximate hit exists
+    assert(got.values.exists(v => v._2 > 0 || v._3 > 0))
+  }
+
+  test("c59 RRF fusion equals the driver-side two-ranker combiner") {
+    val scored = bruteBm25()
+    val byBm25 = scored.sortBy { case (id, _, _, _, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _, _, _, _), i) => id -> (i + 1).toLong }.toMap
+    val byQl = scored.map { case (id, dl, tfs, _, _) =>
+      (id, tfs.sum * 1000000L / dl) }
+      .sortBy { case (id, q) => (-q, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    def contrib(r: Option[Long]): Double =
+      r.map(rk => r6(1.0 / (60L + rk))).getOrElse(0.0)
+    val expected = (byBm25.keySet ++ byQl.keySet).toSeq.map { id =>
+      (id, byBm25.getOrElse(id, 0L), byQl.getOrElse(id, 0L),
+        contrib(byBm25.get(id)) + contrib(byQl.get(id)))
+    }.sortBy { case (id, _, _, f) => (-f, id) }.take(20)
+    val got = TextOps.c59RrfFuse(spark, sfDir).collect().toSeq.map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_bm25"),
+        r.getAs[Long]("rank_ql"), r.getAs[Double]("rrf_r"))
+    }
+    assert(got == expected)
+    // both rankers must contribute to the fused head: the top-20 contains
+    // docs ranked by each (otherwise the fusion degenerates to one ranker)
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
   }
 }

@@ -266,6 +266,17 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-sized sort-merge join in LM scoring (model is bounded — broadcast it):\n$s")
   }
 
+  test("c59 plan: every cut is TakeOrderedAndProject; rank windows see only k-bounded frames") {
+    val s = executedPlanOf(graft.operators.TextOps.c59RrfFuse(spark, sfDir))
+    // three cuts: ranker A's top-50, ranker B's top-50, the fused top-20 —
+    // each a k-row heap, never a corpus sort; the single-partition rank
+    // windows are safe BECAUSE they sit above a TakeOrdered cut (≤ 50
+    // rows by construction — the c50 salting concern does not arise)
+    val cuts = "TakeOrderedAndProject".r.findAllIn(s).length
+    assert(cuts >= 3, s"expected >= 3 TakeOrdered cuts, got $cuts:\n$s")
+    assert(!s.contains("CartesianProduct"), s"product join in fusion:\n$s")
+  }
+
   test("c57 plan: the whole selector is row-local — no hash exchange at all") {
     val s = executedPlanOf(graft.operators.TextOps.c57Winnow(spark, sfDir))
     // shingle hashing, window minima, distinct, sort: ONE projection;
