@@ -1041,19 +1041,32 @@ object TextOps {
     * the empty fingerprint set, n_fp = 0, md5("") — never a negative
     * `sequence` range (both branches are CASE-guarded). */
   def c57Winnow(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    winnowProjection(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The one winnowing projection batch c57 and streaming d23 share
+    * (twins-share-core). The selector itself is the NATIVE codegen'd
+    * [[graft.functions.WinnowFps]] — the HOF reference formulation
+    * ([[winnowGrams]]/[[winnowSelect]]) cost 1.4 s of a 38 s sf0.1 suite
+    * in interpreted lambda eval for a purely row-local operator; the
+    * native loop is spec-pinned ≡ the reference over the corpus and
+    * generated edge cases. Gram/window counts are closed-form in the
+    * token count (n_grams = max(n−k+1, 0), n_windows = max(n_grams−w+1,
+    * 0)), so only the fingerprint set itself needs the native pass. */
+  private[graft] def winnowProjection(docs: DataFrame): DataFrame = {
+    val nTok = size(words(lower(col("text")))).cast("bigint")
+    docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), words(lower(col("text"))).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
-        winnowGrams(col("tk")).as("gs"))
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        graft.functions.WinnowFunctions
+          .winnowFps(col("text"), WinnowK, WinnowW).as("fps"))
       .select(col("doc_id"), col("n_tokens"),
-        size(col("gs")).cast("bigint").as("n_grams"),
-        winnowSelect(col("gs")).as("fps"))
+        greatest(col("n_tokens") - (WinnowK - 1), lit(0L)).as("n_grams"),
+        col("fps"))
       .select(col("doc_id"), col("n_tokens"), col("n_grams"),
         greatest(col("n_grams") - (WinnowW - 1), lit(0L)).as("n_windows"),
         size(col("fps")).cast("bigint").as("n_fp"),
         md5(array_join(col("fps"), "")).as("fp_md5"))
-      .orderBy("doc_id")
+  }
 
   /** Winnowing parameters: k-token shingles, w-hash windows. Matches
     * collide on runs of ≥ w+k−1 = 8 shared tokens. */

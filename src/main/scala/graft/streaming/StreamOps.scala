@@ -743,22 +743,8 @@ object StreamOps {
     * and fingerprint-set digest with zero state and no watermark. This
     * is the front door of the fingerprint index a dedup service keys on:
     * downstream, (fp, doc_id) pairs equi-join against the at-rest index. */
-  def streamWinnow(docs: DataFrame): DataFrame = {
-    import graft.operators.TextOps.{winnowGrams, winnowSelect, WinnowW}
-    docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        graft.operators.TextOps.words(lower(col("text"))).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
-        winnowGrams(col("tk")).as("gs"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("gs")).cast("bigint").as("n_grams"),
-        winnowSelect(col("gs")).as("fps"))
-      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
-        greatest(col("n_grams") - (WinnowW - 1), lit(0L)).as("n_windows"),
-        size(col("fps")).cast("bigint").as("n_fp"),
-        md5(array_join(col("fps"), "")).as("fp_md5"))
-  }
+  def streamWinnow(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.winnowProjection(docs)
 
   /** d24: streaming LM transition scoring — c56's bigram model served at
     * the edge through a STREAM-STATIC broadcast equi-join. The model

@@ -730,6 +730,31 @@ class OperatorsSpec extends SparkSpec {
     assert(spk == Map(1L -> sets(0), 2L -> sets(1), 3L -> sets(2)))
   }
 
+  test("c57 native winnow expression equals the HOF reference, corpus + edge cases") {
+    import spark.implicits._
+    val edges = Seq(
+      (9001L, ""), // one empty token
+      (9002L, "one"),
+      (9003L, "a b c d"), // exactly k tokens: one gram, no window
+      (9004L, "a b c d e f g h"), // exactly k+w-1 tokens: one window
+      (9005L, "A B C a b c A B C a b c d e f"), // case folding + repeats
+      (9006L, "x  y   z t t t t t t t t t t"), // interior empties survive
+      (9007L, "über ñandú 字 字 字 one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    for (docs <- Seq(edges, corpus)) {
+      val native = docs.select(col("doc_id"),
+          graft.functions.WinnowFunctions
+            .winnowFps(col("text"), TextOps.WinnowK, TextOps.WinnowW).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val ref = docs.select(col("doc_id"),
+          TextOps.winnowSelect(
+            TextOps.winnowGrams(split(lower(col("text")), " "))).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == ref)
+    }
+  }
+
   test("c58 recall table re-derives from the three searches' own outputs") {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
