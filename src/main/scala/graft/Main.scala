@@ -51,11 +51,80 @@ object Main {
     case Some("diff") => diffCmd(args.drop(1))
     case Some("moments") => moments(args.drop(1))
     case Some("codec") => codec(args.drop(1))
+    case Some("search") => search(args.drop(1))
+    case Some("fingerprint") => fingerprint(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
-          "ingest|chunk|shard|semdedup|whiten|diff|moments|codec ...")
+          "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
+          "fingerprint ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main search --in PARQUET --terms a,b,c --out OUT [--k N]` —
+    * c55's log-free exact-rational BM25 over an arbitrary (doc_id, text)
+    * parquet for a comma-separated query term set: writes the top-k
+    * ranking (doc_id, dl, per-term tf and score columns, total) plus one
+    * JSON summary line. One map-side-combined corpus pass however many
+    * terms; the cut is TakeOrderedAndProject. */
+  private def search(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val terms = opt(args, "--terms").getOrElse(sys.error("--terms required"))
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "--terms must name at least one query term")
+    val k = opt(args, "--k").map(_.toInt).getOrElse(20)
+    require(k >= 1, s"--k must be >= 1, got $k")
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    TextOps.bm25ScoredOn(docs.select("doc_id", "text"), terms)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val top = written.orderBy(desc("score"), asc("doc_id")).head()
+    println(s"""{"rows":${written.count()},"terms":${terms.length},""" +
+      s""""top_doc":${top.getAs[Long]("doc_id")},""" +
+      s""""top_score":${top.getAs[Double]("score")},"out":"$out"}""")
+  }
+
+  /** `graft.Main fingerprint --in PARQUET --out OUT [--index]` — c57's
+    * winnowing fingerprints over an arbitrary (doc_id, text) parquet.
+    * Default: per-doc digests (the c57 shape). `--index` writes the LONG
+    * (fp, doc_id) table instead — the equi-joinable fingerprint index a
+    * dedup service keys on (matching docs share fp rows; no body
+    * comparison anywhere). */
+  private def fingerprint(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val base = docs.select("doc_id", "text")
+    if (args.contains("--index")) {
+      base.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(
+          graft.functions.WinnowFunctions.winnowFps(
+            col("text"), TextOps.WinnowK, TextOps.WinnowW)).as("fp"))
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val stats = written.agg(count(lit(1)),
+        count_distinct(col("fp")), count_distinct(col("doc_id"))).head()
+      println(s"""{"rows":${stats.getLong(0)},"distinct_fp":${stats.getLong(1)},""" +
+        s""""docs":${stats.getLong(2)},"out":"$out"}""")
+    } else {
+      TextOps.winnowProjection(base).write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val stats = written.agg(count(lit(1)), sum(col("n_fp"))).head()
+      println(s"""{"docs":${stats.getLong(0)},""" +
+        s""""total_fp":${stats.getLong(1)},"out":"$out"}""")
+    }
   }
 
   /** `graft.Main moments --in EMB_PARQUET --out OUT` — c45's embedding

@@ -881,9 +881,16 @@ object TextOps {
 
   /** The full BM25-scored corpus frame (doc_id, dl, tf…, s…, score) —
     * c55 cuts its top-k from it; c59 ranks it twice and fuses. */
-  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val terms = C55QueryTerms
-    val toks = Tables.documents(spark, dir)
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredOn(Tables.documents(spark, dir), C55QueryTerms)
+
+  /** c55's scorer over an arbitrary (doc_id, text) frame and query term
+    * set — the `graft.Main search` entry point. Each term costs one
+    * conditional-aggregate column, never an extra corpus pass. */
+  def bm25ScoredOn(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "query term set must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val toks = docs
       .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
     val perDoc = toks.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),

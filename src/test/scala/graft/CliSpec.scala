@@ -416,4 +416,46 @@ class CliSpec extends SparkSpec {
       else assert(f.n_units == 16 * 8, s"doc $id audio not resampled to 128")
     }
   }
+
+  test("search subcommand: BM25 top-k over an arbitrary parquet equals c55's ranking") {
+    import graft.operators.TextOps
+    val out = Files.createTempDirectory("graft-cli-search-").toString + "/ranked"
+    Main.main(Array("search", "--in", s"$sfDir/documents.parquet",
+      "--terms", TextOps.C55QueryTerms.mkString(","), "--out", out, "--k", "20"))
+    val got = spark.read.parquet(out)
+      .orderBy(desc("score"), asc("doc_id")).collect().map(_.toSeq)
+    val want = TextOps.c55Bm25(spark, sfDir).collect().map(_.toSeq)
+    assert(got.length == 20)
+    assert(got.toSeq == want.toSeq, "CLI ranking diverges from the operator")
+  }
+
+  test("fingerprint subcommand: per-doc digests equal c57; --index joins dup docs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val base = Files.createTempDirectory("graft-cli-fp-").toString
+    // corpus + one planted near-dup pair sharing a long run
+    val run = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val extra = Seq((90001L, s"prefix words here $run"),
+      (90002L, s"$run and a different tail entirely"))
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(extra.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$base/docs")
+    Main.main(Array("fingerprint", "--in", s"$base/docs", "--out", s"$base/fp"))
+    val got = spark.read.parquet(s"$base/fp").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val want = TextOps.c57Winnow(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    want.foreach { case (id, row) =>
+      assert(got(id) == row, s"doc $id CLI digest diverges from c57")
+    }
+    // --index mode: the planted pair shares at least one fp row
+    Main.main(Array("fingerprint", "--in", s"$base/docs",
+      "--out", s"$base/idx", "--index"))
+    val shared = spark.read.parquet(s"$base/idx")
+      .groupBy("fp").agg(collect_set(col("doc_id")).as("ds"))
+      .filter(array_contains(col("ds"), 90001L) &&
+        array_contains(col("ds"), 90002L))
+      .count()
+    assert(shared >= 1, "planted near-dup pair must share an index fingerprint")
+  }
 }
