@@ -609,14 +609,21 @@ object TextOps {
     * both engines derive naturally). Output is the top-`topK` merge
     * candidates under a total order (count desc, then pair lexicographic)
     * so the cut is deterministic. */
-  /** Adjacent symbol pairs of a STAGED char-array column (the BPE pair
-    * explode), shared by batch c44 and streaming d17 (twins-share-core).
-    * Callers stage `cs` in its own projection (the HOF staging rule) and
-    * filter words shorter than 2 chars first — `sequence(1, 0)` would
-    * generate a DESCENDING range, not an empty one. */
+  /** Adjacent symbol pairs of a STAGED array column as array<struct<a,b>>,
+    * shared by c44/d17 (char pairs) and c56/d24 (word pairs). Formulated
+    * as `arrays_zip(prefix, suffix)` — slice and arrays_zip are fully
+    * codegen'd, where the previous transform(sequence, element_at) lambda
+    * routed every element through interpreted HOF eval (measured: the
+    * dominant cost of c56's pair explode at the ×10 stress scale).
+    * arrays_zip takes its struct field names from the input aliases, so
+    * the output schema is unchanged. Callers stage `cs` in its own
+    * projection and filter inputs shorter than 2 elements first (the
+    * pre-existing contract; a 1-element input yields empty slices and
+    * therefore no pairs either way). */
   private[graft] def charPairsOf(cs: Column): Column =
-    transform(sequence(lit(1), size(cs) - 1),
-      i => struct(element_at(cs, i).as("a"), element_at(cs, i + 1).as("b")))
+    arrays_zip(
+      slice(cs, lit(1), size(cs) - 1).as("a"),
+      slice(cs, lit(2), size(cs) - 1).as("b"))
 
   /** c48: exact-COUNT deterministic sampling — "exactly N docs" (a fixed
     * labeling or eval budget), where c17/c25/c42 are RATE-based: rank

@@ -191,6 +191,11 @@ object Stress {
     time("c50 group budget")(TextOps.c50GroupBudget(spark, base).count())
     time("c51 png codec")(
       graft.operators.Multimodal.c51ImageCodec(spark, base).count())
+    time("c52 bpe tokenize")(TextOps.c52BpeTokenize(spark, base).count())
+    time("c55 bm25")(TextOps.c55Bm25(spark, base).count())
+    time("c56 lm score")(TextOps.c56LmScore(spark, base).count())
+    time("c57 winnow")(TextOps.c57Winnow(spark, base).count())
+    time("c59 rrf fuse")(TextOps.c59RrfFuse(spark, base).count())
     time("b21 window dedup")(
       graft.operators.Relational.b21WindowDedup(spark, base).count())
     time("power iterate x3")(Similarity.powerIterate(spark, base, rounds = 3).count())
