@@ -108,11 +108,7 @@ object Main {
         s"found ${docs.columns.mkString("(", ", ", ")")}")
     val base = docs.select("doc_id", "text")
     if (args.contains("--index")) {
-      base.filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(
-          graft.functions.WinnowFunctions.winnowFps(
-            col("text"), TextOps.WinnowK, TextOps.WinnowW)).as("fp"))
-        .write.mode("overwrite").parquet(out)
+      TextOps.winnowIndex(base).write.mode("overwrite").parquet(out)
       val written = spark.read.parquet(out)
       val stats = written.agg(count(lit(1)),
         count_distinct(col("fp")), count_distinct(col("doc_id"))).head()

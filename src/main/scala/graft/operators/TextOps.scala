@@ -1087,6 +1087,18 @@ object TextOps {
   val WinnowK = 4
   val WinnowW = 5
 
+  /** The LONG (fp, doc_id) winnowing index over a (doc_id, text) frame —
+    * the equi-joinable artifact a dedup service keys on (docs sharing a
+    * ≥ w+k−1 token run share an fp row; bodies are never compared).
+    * Built by `Main fingerprint --index` at rest; consumed by d25's
+    * stream-static match join. At scale the index is written BUCKETED by
+    * fp so the ingest join is co-located. */
+  def winnowIndex(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(
+        graft.functions.WinnowFunctions
+          .winnowFps(col("text"), WinnowK, WinnowW)).as("fp"))
+
   /** md5 hashes of all k-token shingles of a token-array column —
     * row-local, CASE-guarded against sub-k docs (an unguarded
     * `sequence(1, n)` with n < 1 generates a DESCENDING range). */

@@ -764,4 +764,27 @@ object StreamOps {
       .join(broadcast(model), Seq("a", "b"))
       .withColumn("ppb", expr("(c_pair * 1000000000L) div c_prefix"))
       .select(col("doc_id"), col("a"), col("b"), col("ppb"))
+
+  /** d25: streaming near-dup MATCH at ingest — the serving loop c57/d23
+    * exist for: each arriving document computes its winnowing
+    * fingerprints (the native codegen'd selector, row-local) and
+    * equi-joins the at-rest (fp, doc_id) index
+    * ([[graft.operators.TextOps.winnowIndex]], built by
+    * `Main fingerprint --index`), emitting one (doc_id, matched_doc, fp)
+    * row per shared fingerprint — by the winnowing guarantee, any
+    * at-rest doc sharing a ≥ w+k−1 token run with the arrival WILL
+    * surface here. Deliberately STATELESS: match events stream out
+    * un-aggregated (counting shared fps per pair is a batch decision —
+    * d11's statuses rule); self-matches drop. The index is NOT broadcast
+    * — it is corpus-sized; d11's materialization rule applies (a
+    * stream-static join re-executes the static subtree per micro-batch,
+    * so the index must be a materialized table, and at scale one
+    * BUCKETED by fp so the join is co-located with no per-batch
+    * shuffle). */
+  def streamWinnowMatch(docs: DataFrame, index: DataFrame): DataFrame =
+    graft.operators.TextOps.winnowIndex(
+        docs.filter(col("text").isNotNull).select("doc_id", "text"))
+      .join(index.select(col("fp"), col("doc_id").as("matched_doc")), Seq("fp"))
+      .filter(col("matched_doc") =!= col("doc_id"))
+      .select(col("doc_id"), col("matched_doc"), col("fp"))
 }

@@ -987,4 +987,54 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally { model.unpersist(); () }
   }
+
+  test("d25 streaming fingerprint match finds planted near-dups against the at-rest index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // the at-rest index, materialized (d11's rule: the static subtree
+    // re-executes per micro-batch, so it must be a table, not a pipeline)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-d25-idx-").toString
+    TextOps.winnowIndex(corpus).write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    // arrivals: one near-dup of corpus doc 0 (long shared run), one
+    // fresh doc with disjoint vocabulary, one null
+    val base0 = corpus.filter(col("doc_id") === 0L)
+      .head().getAs[String]("text")
+    val arrivals = Seq(
+      (80001L, "totally new prefix " + base0), // shares doc 0's runs
+      (80002L, (0 until 40).map(i => s"fresh$i").mkString(" ")),
+      (80003L, null.asInstanceOf[String]))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamWinnowMatch(
+        stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d25_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d25_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_doc"),
+          r.getAs[String]("fp")))
+      assert(got.exists(m => m._1 == 80001L && m._2 == 0L),
+        "planted near-dup must match its source through the index")
+      assert(!got.exists(_._1 == 80002L), "disjoint-vocab doc must not match")
+      assert(!got.exists(_._1 == 80003L), "null text drops")
+      // every reported match is REAL: the fp is in both docs' selected sets
+      val batchIdx = index.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+      val arrivalFps = TextOps.winnowIndex(
+          arrivals.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+      got.foreach { case (id, m, fp) =>
+        assert(arrivalFps((id, fp)) && batchIdx((m, fp)),
+          s"match ($id, $m, $fp) not grounded in both fingerprint sets")
+      }
+      // and the match set is exactly the batch join's prediction
+      val expected = arrivalFps.flatMap { case (id, fp) =>
+        batchIdx.collect { case (m, f) if f == fp && m != id => (id, m, fp) } }
+      assert(got.toSet == expected)
+    } finally q.stop()
+  }
 }
