@@ -85,10 +85,15 @@ object Main {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
       .write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
-    val top = written.orderBy(desc("score"), asc("doc_id")).head()
-    println(s"""{"rows":${written.count()},"terms":${terms.length},""" +
-      s""""top_doc":${top.getAs[Long]("doc_id")},""" +
-      s""""top_score":${top.getAs[Double]("score")},"out":"$out"}""")
+    // headOption shape: an empty corpus (or all-null text) must summarize
+    // as zero rows, not crash after a successful write; doc_id read as
+    // Number so an int-typed input id still prints
+    val top = written.orderBy(desc("score"), asc("doc_id")).head(1)
+    val topJson = top.headOption.map(r =>
+      s""","top_doc":${r.getAs[Number]("doc_id").longValue},""" +
+        s""""top_score":${r.getAs[Double]("score")}""").getOrElse("")
+    println(s"""{"rows":${written.count()},"terms":${terms.length}""" +
+      topJson + s""","out":"$out"}""")
   }
 
   /** `graft.Main fingerprint --in PARQUET --out OUT [--index]` — c57's
@@ -117,7 +122,9 @@ object Main {
     } else {
       TextOps.winnowProjection(base).write.mode("overwrite").parquet(out)
       val written = spark.read.parquet(out)
-      val stats = written.agg(count(lit(1)), sum(col("n_fp"))).head()
+      // coalesce: sum() is null on an empty output (the chunk-stats rule)
+      val stats = written.agg(count(lit(1)),
+        coalesce(sum(col("n_fp")), lit(0L))).head()
       println(s"""{"docs":${stats.getLong(0)},""" +
         s""""total_fp":${stats.getLong(1)},"out":"$out"}""")
     }

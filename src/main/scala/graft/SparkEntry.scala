@@ -260,8 +260,39 @@ object SparkEntry {
     * base map is built first and extended below. */
   def oracleSqlFor(dir: String): Map[String, String] = {
     val base = oracleSqlBase(dir)
-    base + ("c58_ann_recall" -> c58OracleSql(
-      base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf")))
+    new LazyOracleMap(
+      base + ("c58_ann_recall" -> c58OracleSql(
+        base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf"))),
+      Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
+        "c54_pca_project" -> (() => c54OracleSql(dir))))
+  }
+
+  /** Oracle map whose artifact-TRAINED entries (c52's learned merges,
+    * c54's PCA components) render ON DEMAND: listing keys or fetching any
+    * pure-string oracle must not run training jobs or create a
+    * SparkSession (they cost a corpus pass each; the old eager map paid
+    * both for a `keySet` call). Forced values memoize per instance;
+    * iterating the whole map (what Verify does) still renders everything
+    * exactly once. */
+  private final class LazyOracleMap(
+      eager: Map[String, String], lazies: Map[String, () => String])
+    extends scala.collection.immutable.Map[String, String] {
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def force(k: String): String = memo.computeIfAbsent(k, _ => lazies(k)())
+    override def get(key: String): Option[String] =
+      eager.get(key).orElse(lazies.get(key).map(_ => force(key)))
+    override def contains(key: String): Boolean =
+      eager.contains(key) || lazies.contains(key)
+    override def keySet: Set[String] = eager.keySet ++ lazies.keySet
+    override def keysIterator: Iterator[String] = keySet.iterator
+    override def iterator: Iterator[(String, String)] =
+      eager.iterator ++ lazies.keysIterator.map(k => k -> force(k))
+    override def size: Int = eager.size + lazies.size
+    override def removed(key: String): Map[String, String] =
+      if (lazies.contains(key)) new LazyOracleMap(eager, lazies - key)
+      else new LazyOracleMap(eager - key, lazies)
+    override def updated[V1 >: String](key: String, value: V1): Map[String, V1] =
+      iterator.toMap.updated(key, value) // forces; not on any hot path
   }
 
   /** Recall@k of each approximate index against the exact c5 baseline,
@@ -730,8 +761,6 @@ object SparkEntry {
         |  CAST(list_min(l) AS BIGINT) AS v_min, CAST(list_max(l) AS BIGINT) AS v_max,
         |  CAST(list_sum(l) AS BIGINT) AS v_sum
         |FROM img ORDER BY doc_id""".stripMargin,
-    "c52_bpe_tokenize" -> c52OracleSql(dir),
-    "c54_pca_project" -> c54OracleSql(dir),
     // c53 (lossy JPEG): STRUCTURAL facts only — dims/pixel count/band
     // count are closed-form in doc_id; decoded pixel values are lossy-
     // codec-defined, so the contract is the inlined bounded-error TRUE

@@ -949,7 +949,12 @@ object Similarity {
     * Map-side combinable groupBy on the dim² key domain (4096 cells for
     * 64-dim): O(dim²) state, one scan, no corpus shuffle. */
   private[graft] def gramMatrix(embs: DataFrame): Array[Array[Double]] = {
-    val dim = embs.select(size(col("embedding"))).first().getInt(0)
+    // head(1), not first(): the emptiness require below must be the error
+    // an empty corpus produces, not first()'s 'next on empty iterator'
+    val probe = embs.select(size(col("embedding"))).head(1)
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "embeddings are empty — no Gram matrix")
+    val dim = probe(0).getInt(0)
     val cells = embs
       .select(transform(toDouble(col("embedding")),
         x => round(x * 10000).cast("bigint")).as("x4"))
@@ -1146,17 +1151,24 @@ object Similarity {
     * sampling lives in the query-set definition (vec_id < 5 here), not
     * in this operator's shape. */
   def c58AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val truth = c5AnnBrute(spark, dir, k).select("query_id", "neighbor_id")
-    def hitsOf(cand: DataFrame, name: String): DataFrame =
-      truth.join(cand.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as(name))
-    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
-      .join(hitsOf(c6AnnLsh(spark, dir, k), "lsh_hits"), Seq("query_id"), "left")
-      .join(hitsOf(c18AnnIvf(spark, dir, k), "ivf_hits"), Seq("query_id"), "left")
-      .select(col("query_id"), col("n_truth"),
-        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+    // flag-union, not three joins against `truth`: a join formulation
+    // references the c5 brute-force subtree once per consumer and the
+    // differing join keys defeat exchange reuse, so the expensive exact
+    // scan would execute up to 3×. Tagging each search's pairs and
+    // folding flags runs every search EXACTLY once — one (q, n) shuffle,
+    // one q shuffle, both over k-bounded frames.
+    def tagged(df: DataFrame, t: Int, l: Int, i: Int): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"),
+        lit(t).as("t"), lit(l).as("l"), lit(i).as("i"))
+    tagged(c5AnnBrute(spark, dir, k), 1, 0, 0)
+      .unionByName(tagged(c6AnnLsh(spark, dir, k), 0, 1, 0))
+      .unionByName(tagged(c18AnnIvf(spark, dir, k), 0, 0, 1))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("t")).as("t"), max(col("l")).as("l"), max(col("i")).as("i"))
+      .groupBy("query_id")
+      .agg(sum(col("t")).as("n_truth"),
+        sum(col("t") * col("l")).as("lsh_hits"),
+        sum(col("t") * col("i")).as("ivf_hits"))
       .withColumn("lsh_recall_r",
         round(col("lsh_hits").cast("double") / col("n_truth"), 6))
       .withColumn("ivf_recall_r",

@@ -897,6 +897,11 @@ object TextOps {
   def bm25ScoredOn(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "query term set must be non-empty")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
+    // terms become tf_/s_/df_ column names: a '.' or '`' would parse as
+    // struct access / break quoting deep inside the plan — fail at the
+    // seam with the actual offender instead
+    terms.foreach(t => require(t.matches("[^.`\\s]+"),
+      s"query term not usable as a column name (no dots/backticks/whitespace): '$t'"))
     val toks = docs
       .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
     val perDoc = toks.groupBy("doc_id").agg(

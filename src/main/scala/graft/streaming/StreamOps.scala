@@ -539,6 +539,10 @@ object StreamOps {
     val ws = filter(graft.operators.TextOps.words(lower(col("text"))),
       w => length(w) >= 1)
     docs
+      // batch wordTypes drops null texts via explode; a null here would
+      // otherwise surface as an all-null fact row (every sibling twin
+      // filters the same way)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
         transform(col("ws"),
