@@ -119,6 +119,7 @@ object SparkEntry {
     "c57_winnow" -> ((s: SparkSession, d: String) => TextOps.c57Winnow(s, d)),
     "c58_ann_recall" -> ((s: SparkSession, d: String) => Similarity.c58AnnRecall(s, d)),
     "c59_rrf_fuse" -> ((s: SparkSession, d: String) => TextOps.c59RrfFuse(s, d)),
+    "c60_cluster_label" -> ((s: SparkSession, d: String) => TextOps.c60ClusterLabel(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -813,6 +814,35 @@ object SparkEntry {
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) AS avg_ppb,
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) >= 34500000.0 AS keep
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // c60: cluster labeling — the c18/c36 label-codebook + argmax
+    // assignment CTEs (repeated verbatim, the codebook-CTE precedent)
+    // feeding c16's log-free tf·N/df scoring at CLUSTER granularity;
+    // corpus convention: embeddings.vec_id ≡ documents.doc_id
+    "c60_cluster_label" ->
+      """WITH x AS (SELECT label, i - 1 AS pos,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cb AS (SELECT label AS cell, list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
+        |       GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, cell ASC) AS arn
+        |      FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, cell FROM a WHERE arn = 1),
+        |tfx AS (SELECT asg.cell, unnest(string_split(lower(d.text), ' ')) AS term
+        |        FROM asg JOIN documents d ON d.doc_id = asg.vec_id),
+        |tf AS (SELECT cell, term, count(*) AS tf FROM tfx GROUP BY cell, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nc AS (SELECT count(DISTINCT cell) AS n_cells FROM tf),
+        |s AS (SELECT tf.cell, tf.term, tf.tf, dfx.df,
+        |        round(CAST(tf.tf * nc.n_cells AS DOUBLE) / dfx.df, 6) AS score_r
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN nc),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+        |        ORDER BY score_r DESC, term ASC) AS BIGINT) AS rnk FROM s)
+        |SELECT CAST(cell AS BIGINT) AS cell, rnk, term, tf, df, score_r
+        |FROM r WHERE rnk <= 3 ORDER BY cell, rnk""".stripMargin,
     // c59: RRF k=60 fusion of the BM25 ranking with a query-likelihood
     // ranking; contributions rounded per ranker then summed in fixed
     // order; ql held exact as parts-per-million by integer floor division

@@ -32,7 +32,7 @@ object Similarity {
   /** Elementwise ops in double precision (embeddings are float32 on disk;
     * scoring in f64 keeps accumulation order-stable and engine-portable).
     * Cast (not transform) — a native codegen'd conversion. */
-  private def toDouble(c: Column): Column = c.cast("array<double>")
+  private[graft] def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Cosine via the native codegen'd expression (graft.functions) — the
     * aggregate∘zip_with formulation is interpreted and was the dominant

@@ -1092,6 +1092,52 @@ object TextOps {
   val WinnowK = 4
   val WinnowW = 5
 
+  // ---- cluster labeling (c60): the "data map" composition — IVF cell
+  // ---- assignment (c18's codebook machinery) × per-cluster TF-IDF
+  // ---- (c16's scoring), the report a curation team reads to know what
+  // ---- each embedding cluster IS
+
+  /** c60: label every embedding cluster with its top TF-IDF terms.
+    * Assignment reuses [[Similarity.assignCells]] against the label
+    * codebook (row-local broadcast argmax — zero corpus exchanges, the
+    * c18-audited shape); each CLUSTER then plays the role of a document
+    * in c16's log-free tf·N/df scoring over its member docs' tokens.
+    * Corpus convention: `embeddings.vec_id` is the embedding of
+    * `documents.doc_id` (the testdata generator's 1:1 contract — the
+    * operator itself is generic over any (doc_id ↔ vec_id) linkage).
+    *
+    * Scale shape: one assignment pass (broadcast codebook), one token
+    * explode into a (cell × vocab)-BOUNDED groupBy with map-side
+    * combine, a term-keyed df fold, and a per-cell top-k window over
+    * cell-bounded frames; n_cells rides a 1-row broadcast. Nothing
+    * downstream of the two corpus scans (assign, tokenize) grows with
+    * corpus size. */
+  def c60ClusterLabel(spark: SparkSession, dir: String,
+                      topT: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val asg = Similarity
+      .assignCells(e, Similarity.labelCodebook(spark, dir), maxProbe = 1)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val tf = Tables.documents(spark, dir)
+      .join(asg, "doc_id")
+      .select(col("cell"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nCells = tf.agg(count_distinct(col("cell")).as("n_cells"))
+    val w = Window.partitionBy("cell").orderBy(desc("score_r"), asc("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nCells))
+      .withColumn("score_r",
+        round((col("tf") * col("n_cells")).cast("double") / col("df"), 6))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topT)
+      .select(col("cell").cast("bigint").as("cell"), col("rnk"),
+        col("term"), col("tf"), col("df"), col("score_r"))
+      .orderBy("cell", "rnk")
+  }
+
   /** The LONG (fp, doc_id) winnowing index over a (doc_id, text) frame —
     * the equi-joinable artifact a dedup service keys on (docs sharing a
     * ≥ w+k−1 token run share an fp row; bodies are never compared).

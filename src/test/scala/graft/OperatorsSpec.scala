@@ -755,6 +755,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c60 cluster labels re-derive from the assignment + driver-side tf-idf") {
+    val asg = graft.operators.Similarity.assignCells(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        graft.operators.Similarity.labelCodebook(spark, sfDir), maxProbe = 1)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("cell").longValue).toMap
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), tokensOf(r.getAs[String]("text"))))
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long]
+    docs.foreach { case (id, toks) =>
+      asg.get(id).foreach(c =>
+        toks.foreach(t => tf((c, t)) = tf.getOrElse((c, t), 0L) + 1)) }
+    val dfc = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nCells = tf.keys.map(_._1).toSet.size.toLong
+    assert(nCells >= 2, "corpus must spread over >= 2 cells or the test is vacuous")
+    val expected = tf.toSeq
+      .map { case ((c, t), n) => (c, t, n, dfc(t), r6(n * nCells / dfc(t).toDouble)) }
+      .groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+        rows.sortBy { case (_, t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+          .map { case ((_, t, n, d, s), i) => (c, (i + 1).toLong, t, n, d, s) }
+      }.sortBy(r => (r._1, r._2))
+    val got = TextOps.c60ClusterLabel(spark, sfDir).collect().toSeq.map { r =>
+      (r.getAs[Long]("cell"), r.getAs[Long]("rnk"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score_r"))
+    }
+    assert(got == expected)
+  }
+
   test("c58 recall table re-derives from the three searches' own outputs") {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
