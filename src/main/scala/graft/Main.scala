@@ -53,12 +53,33 @@ object Main {
     case Some("codec") => codec(args.drop(1))
     case Some("search") => search(args.drop(1))
     case Some("fingerprint") => fingerprint(args.drop(1))
+    case Some("card") => card(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint ...")
+          "fingerprint|card ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main card --in PARQUET --out OUT` — c61's dataset card over
+    * any (doc_id, text, lang) parquet: the release summary table
+    * (counts, exact-dup rate, language mix, quality-keep share), written
+    * as parquet with the card echoed as one JSON line. */
+  private def card(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text", "lang").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text, lang) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    TextOps.datasetCard(docs.select("doc_id", "text", "lang"))
+      .write.mode("overwrite").parquet(out)
+    val entries = spark.read.parquet(out).orderBy("metric").collect()
+      .map(r => s""""${r.getAs[String]("metric")}":${r.getAs[Double]("value_r")}""")
+    println(entries.mkString("{", ",", s""","out":"$out"}"""))
   }
 
   /** `graft.Main search --in PARQUET --terms a,b,c --out OUT [--k N]` —

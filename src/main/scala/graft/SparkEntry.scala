@@ -120,6 +120,7 @@ object SparkEntry {
     "c58_ann_recall" -> ((s: SparkSession, d: String) => Similarity.c58AnnRecall(s, d)),
     "c59_rrf_fuse" -> ((s: SparkSession, d: String) => TextOps.c59RrfFuse(s, d)),
     "c60_cluster_label" -> ((s: SparkSession, d: String) => TextOps.c60ClusterLabel(s, d)),
+    "c61_dataset_card" -> ((s: SparkSession, d: String) => TextOps.c61DatasetCard(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -814,6 +815,34 @@ object SparkEntry {
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) AS avg_ppb,
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) >= 34500000.0 AS keep
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // c61: dataset card — every value an exact count or ONE 6-dp-rounded
+    // division of exact counts; quality rule = c7's, length from text
+    "c61_dataset_card" ->
+      """WITH d AS (SELECT text, lang FROM documents WHERE text IS NOT NULL),
+        |pd AS (SELECT text, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS awl
+        |       FROM d),
+        |t AS (SELECT count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |        count(DISTINCT md5(text)) AS n_distinct,
+        |        CAST(sum(CASE WHEN n_words >= 5 AND awl >= 2.0 AND awl <= 12.0
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |      FROM pd)
+        |SELECT metric, value_r FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value_r FROM t
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'n_distinct_texts', CAST(n_distinct AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'dup_rate',
+        |    round(CAST(n_docs - n_distinct AS DOUBLE) / n_docs, 6) FROM t
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM t
+        |  UNION ALL SELECT 'quality_keep_rate',
+        |    round(CAST(n_keep AS DOUBLE) / n_docs, 6) FROM t
+        |  UNION ALL SELECT 'lang_share:' || lang,
+        |    round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM t), 6)
+        |  FROM pd GROUP BY lang
+        |) ORDER BY metric""".stripMargin,
     // c60: cluster labeling — the c18/c36 label-codebook + argmax
     // assignment CTEs (repeated verbatim, the codebook-CTE precedent)
     // feeding c16's log-free tf·N/df scoring at CLUSTER granularity;

@@ -1138,6 +1138,60 @@ object TextOps {
       .orderBy("cell", "rnk")
   }
 
+  // ---- dataset card (c61): the corpus-level release artifact — the
+  // ---- one-table summary a dataset ships with (counts, duplication,
+  // ---- language mix, quality share)
+
+  /** c61: dataset card over a (doc_id, text, lang) frame — one
+    * (metric, value_r) row per fact: doc/token counts, exact-dup rate
+    * (md5-distinct texts), mean doc length, per-language shares, and the
+    * quality-keep share under c7's exact rule (same thresholds, length
+    * derived from the text so the card works on any frame). Every value
+    * is an exact long or ONE
+    * 6-dp-rounded division of exact longs — engine-identical; counts
+    * ≪ 2^53 are exact as doubles.
+    *
+    * Scale shape: one token-stats pass (map-side-combined per-doc fold →
+    * 1-row corpus fold), one distinct-hash count, one lang groupBy —
+    * three corpus scans, every reduce key bounded (metric names,
+    * languages); the card itself is metric-count-sized. The union of
+    * 1-row aggregates is driver-free: no collect anywhere. */
+  def c61DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCard(Tables.documents(spark, dir))
+
+  /** The generic card builder — `Main card` runs it over any parquet
+    * with (doc_id, text, lang) columns. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val nWords = size(words(col("text"))).cast("bigint")
+    val perDoc = d.select(col("text"), col("lang"), nWords.as("n_words"),
+      ((length(col("text")) - (nWords - 1)).cast("double") / nWords).as("awl"))
+    val totals = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_tokens"),
+      count_distinct(md5(col("text"))).as("n_distinct"),
+      sum(when(col("n_words") >= 5 && col("awl") >= 2.0 && col("awl") <= 12.0,
+        1L).otherwise(0L)).as("n_keep"))
+    def m(name: String, v: Column): Column =
+      struct(lit(name).as("metric"), v.cast("double").as("value_r"))
+    val scalar = totals.select(explode(array(
+        m("n_docs", col("n_docs")),
+        m("n_tokens", col("n_tokens")),
+        m("n_distinct_texts", col("n_distinct")),
+        m("dup_rate", round(
+          (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 6)),
+        m("mean_doc_tokens", round(
+          col("n_tokens").cast("double") / col("n_docs"), 6)),
+        m("quality_keep_rate", round(
+          col("n_keep").cast("double") / col("n_docs"), 6)))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value_r").as("value_r"))
+    val langs = perDoc.groupBy("lang").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .select(concat(lit("lang_share:"), col("lang")).as("metric"),
+        round(col("n").cast("double") / col("n_docs"), 6).as("value_r"))
+    scalar.unionByName(langs).orderBy("metric")
+  }
+
   /** The LONG (fp, doc_id) winnowing index over a (doc_id, text) frame —
     * the equi-joinable artifact a dedup service keys on (docs sharing a
     * ≥ w+k−1 token run share an fp row; bodies are never compared).

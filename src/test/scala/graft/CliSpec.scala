@@ -417,6 +417,17 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("card subcommand: dataset card over an arbitrary parquet equals c61's") {
+    import graft.operators.TextOps
+    val out = Files.createTempDirectory("graft-cli-card-").toString + "/card"
+    Main.main(Array("card", "--in", s"$sfDir/documents.parquet", "--out", out))
+    val got = spark.read.parquet(out).orderBy("metric").collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value_r")).toSeq
+    val want = TextOps.c61DatasetCard(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value_r")).toSeq
+    assert(got == want, "CLI card diverges from the operator")
+  }
+
   test("search subcommand: BM25 top-k over an arbitrary parquet equals c55's ranking") {
     import graft.operators.TextOps
     val out = Files.createTempDirectory("graft-cli-search-").toString + "/ranked"

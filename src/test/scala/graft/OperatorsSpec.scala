@@ -784,6 +784,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("c61 dataset card equals a driver-side brute-force summary") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[String]("lang")))
+    val tks = docs.map { case (t, l) => (t, l, tokensOf(t)) }
+    val nDocs = docs.length.toLong
+    val nTokens = tks.map(_._3.length.toLong).sum
+    val nDistinct = docs.map(_._1).distinct.length.toLong
+    val nKeep = tks.count { case (t, _, tk) =>
+      val awl = (t.length - (tk.length - 1)).toDouble / tk.length
+      tk.length >= 5 && awl >= 2.0 && awl <= 12.0
+    }.toLong
+    val langShares = docs.groupBy(_._2).map { case (l, ds) =>
+      s"lang_share:$l" -> r6(ds.length.toDouble / nDocs) }
+    val expected = (Map(
+      "n_docs" -> nDocs.toDouble,
+      "n_tokens" -> nTokens.toDouble,
+      "n_distinct_texts" -> nDistinct.toDouble,
+      "dup_rate" -> r6((nDocs - nDistinct).toDouble / nDocs),
+      "mean_doc_tokens" -> r6(nTokens.toDouble / nDocs),
+      "quality_keep_rate" -> r6(nKeep.toDouble / nDocs)) ++ langShares)
+      .toSeq.sortBy(_._1)
+    val got = TextOps.c61DatasetCard(spark, sfDir).collect().toSeq
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value_r"))
+    assert(got == expected)
+    // the card must carry every language plus the six scalar facts
+    assert(got.count(_._1.startsWith("lang_share:")) ==
+      docs.map(_._2).distinct.length)
+  }
+
   test("c58 recall table re-derives from the three searches' own outputs") {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
