@@ -54,12 +54,40 @@ object Main {
     case Some("search") => search(args.drop(1))
     case Some("fingerprint") => fingerprint(args.drop(1))
     case Some("card") => card(args.drop(1))
+    case Some("spans") => spans(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card ...")
+          "fingerprint|card|spans ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal
+    * duplicated-substring spans over any (doc_id, text) parquet: one row
+    * per [span_start, span_end] token interval whose n-shingles all
+    * occur more than once corpus-wide — the cut list substring-level
+    * dedup (Lee et al. 2021) feeds a scrubber. One JSON stats line. */
+  private def spans(args: Array[String]): Unit = {
+    import graft.operators.Dedup
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val n = opt(args, "--n").map(_.toInt).getOrElse(5)
+    require(n >= 1, s"--n must be >= 1, got $n")
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    Dedup.dupSpans(docs.select("doc_id", "text"), n)
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    // coalesce: sums are null on an empty output (the chunk-stats rule)
+    val stats = written.agg(count(lit(1)),
+      count_distinct(col("doc_id")),
+      coalesce(sum(col("span_tokens")), lit(0L))).head()
+    println(s"""{"spans":${stats.getLong(0)},"docs_with_spans":${stats.getLong(1)},""" +
+      s""""dup_tokens":${stats.getLong(2)},"n":$n,"out":"$out"}""")
   }
 
   /** `graft.Main card --in PARQUET --out OUT` — c61's dataset card over

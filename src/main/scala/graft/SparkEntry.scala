@@ -121,6 +121,8 @@ object SparkEntry {
     "c59_rrf_fuse" -> ((s: SparkSession, d: String) => TextOps.c59RrfFuse(s, d)),
     "c60_cluster_label" -> ((s: SparkSession, d: String) => TextOps.c60ClusterLabel(s, d)),
     "c61_dataset_card" -> ((s: SparkSession, d: String) => TextOps.c61DatasetCard(s, d)),
+    "c62_dup_spans" -> ((s: SparkSession, d: String) => Dedup.c62DupSpans(s, d)),
+    "c63_span_scrub" -> ((s: SparkSession, d: String) => Dedup.c63SpanScrub(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -815,6 +817,60 @@ object SparkEntry {
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) AS avg_ppb,
         |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) >= 34500000.0 AS keep
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // c62: duplicated-substring spans — positional 5-shingles under md5,
+    // repeated-start islands merged per doc by the gap>n break rule;
+    // value an exact integer, so the rows are engine-identical
+    "c62_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |          md5(array_to_string(tk[i:i+4], ' ')) AS sh
+        |        FROM tok, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+        |h AS (SELECT doc_id, i FROM pos JOIN dup USING (sh)),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 5
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM h),
+        |isl AS (SELECT doc_id, i,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM g)
+        |SELECT doc_id, min(i) AS span_start,
+        |  max(i) + 4 AS span_end,
+        |  max(i) - min(i) + 5 AS span_tokens,
+        |  count(*) AS n_dup_shingles
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // c63: span scrub — c62's shingle machinery + ownership (the
+    // corpus-first occurrence per shingle value, a row_number here ≡
+    // Spark's min-struct) + covered-position fold + per-doc rebuild;
+    // FILTER keeps only uncut tokens, coalesce maps the all-cut doc's
+    // NULL list to the empty string (Spark's array_join of [])
+    "c63_span_scrub" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tko,
+        |               string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |          md5(array_to_string(tk[i:i+4], ' ')) AS sh
+        |        FROM tok, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        |occ AS (SELECT doc_id, i,
+        |          count(*) OVER (PARTITION BY sh) AS cnt,
+        |          row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+        |        FROM pos),
+        |ds AS (SELECT doc_id, i, (rn = 1) AS owned FROM occ WHERE cnt > 1),
+        |cov AS (SELECT doc_id, p, max(CASE WHEN owned THEN 1 ELSE 0 END) AS any_owned
+        |        FROM ds, UNNEST(range(i, i + 5)) AS v(p) GROUP BY doc_id, p),
+        |cut AS (SELECT doc_id, p FROM cov WHERE any_owned = 0),
+        |tp AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p, tko[j] AS tok,
+        |         len(tko) AS n_tokens
+        |       FROM tok, UNNEST(range(1, len(tko) + 1)) AS w(j))
+        |SELECT tp.doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cut.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |  coalesce(array_to_string(list(tok ORDER BY tp.p)
+        |    FILTER (WHERE cut.p IS NULL), ' '), '') AS scrubbed_text
+        |FROM tp LEFT JOIN cut ON tp.doc_id = cut.doc_id AND tp.p = cut.p
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
     // c61: dataset card — every value an exact count or ONE 6-dp-rounded
     // division of exact counts; quality rule = c7's, length from text
     "c61_dataset_card" ->

@@ -697,4 +697,145 @@ object Dedup {
         jaccardCol(col("ni"), col("na"), col("nb")).as("jaccard"))
       .orderBy("doc_a")
   }
+
+  /** c62: maximal duplicated-substring spans — the substring-level dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), which c1/c26 miss: WHICH token runs of a
+    * doc also occur elsewhere in the corpus, as explicit [start, end]
+    * intervals a scrubber can cut. Every n-token shingle occurring more
+    * than once corpus-wide (any position, intra- or inter-doc) marks its
+    * start as duplicated; duplicated starts whose shingle intervals
+    * [i, i+n-1] overlap or touch merge into maximal spans per doc
+    * (gaps-and-islands: break when the start gap exceeds n). One row per
+    * span: token bounds, width, and the duplicated-start count inside it.
+    *
+    * Scale shape: one positional-shingle explode (the codegen'd
+    * element_at-concat form, [[shingleRows]]'s rule) hashed to 16-byte
+    * md5 keys; a map-side-combined count per key; an equi-join back on
+    * the key (candidates only — non-repeated shingles never shuffle
+    * twice); then a per-doc window over only the DUPLICATED starts, so
+    * window frames are doc-bounded and sparse, never corpus-wide.
+    * Nothing is all-pairs. A full suffix-array (arbitrary-length exact
+    * match) refines the boundary by at most n-1 tokens at each end —
+    * this fixed-n formulation is the standard distributed approximation
+    * and is what keeps the whole operator three narrow shuffles. */
+  def c62DupSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    dupSpans(Tables.documents(spark, dir), n)
+
+  /** Positional n-shingles as (doc_id, i, sh) rows, i the 0-based start
+    * token index and sh the md5 of the lowercased shingle (16-byte keys
+    * — shuffles never carry shingle bodies). [[shingleRows]]'s codegen'd
+    * element_at-concat form, WITHOUT the distinct: positions matter
+    * here. Shared by c62/c63 and d26's arrival side. */
+  private[graft] def positionalShingles(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val toks = split(lower(col("text")), " ")
+    val parts = (0 until n).flatMap(j =>
+      Seq(element_at(col("t"), col("i") + (j + 1)), lit(" "))).dropRight(1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("i"))
+      .select(col("doc_id"), col("i").cast("bigint").as("i"),
+        md5(concat(parts: _*)).as("sh"))
+  }
+
+  /** Gaps-and-islands merge of duplicated start positions into maximal
+    * spans: starts whose [i, i+n-1] intervals overlap or touch (gap ≤ n)
+    * fuse; the window partitions by doc and only ever sees the
+    * duplicated starts — doc-bounded, sparse frames. Shared by c62 and
+    * the batch aggregation of d26's hit stream. */
+  private[graft] def mergeStartIslands(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("doc_id").orderBy("i")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      // first duplicated start of a doc has a NULL lag: NULL > n is not
+      // true, so it opens island 0 — no special case needed
+      .withColumn("brk",
+        when(col("i") - lag("i", 1).over(wOrd) > n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("i")).as("span_start"), max(col("i")).as("mx"),
+        count(lit(1)).as("n_dup_shingles"))
+      .select(col("doc_id"), col("span_start"),
+        (col("mx") + (n - 1)).as("span_end"),
+        (col("mx") - col("span_start") + n).as("span_tokens"),
+        col("n_dup_shingles"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** The at-rest shingle index d26 probes: the DISTINCT md5 n-shingle
+    * keys of a corpus — the artifact a span-aware ingest materializes
+    * (and at scale buckets by sh) next to c37's shingle table. */
+  def dupShingleIndexOf(docs: DataFrame, n: Int = 5): DataFrame =
+    positionalShingles(docs, n).select("sh").distinct()
+
+  /** The generic span finder — `Main spans` runs it over any parquet
+    * with (doc_id, text) columns. See [[c62DupSpans]] for semantics. */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val pos = positionalShingles(docs, n)
+    val dup = pos.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    mergeStartIslands(pos.join(dup, "sh").select("doc_id", "i"), n)
+  }
+
+  /** c63: span scrub — the transform c62's report feeds: rewrite every
+    * doc with its non-canonical duplicated runs CUT, keeping exactly one
+    * copy of each duplicated n-shingle corpus-wide (Lee et al. 2021's
+    * keep-one-occurrence rule at shingle granularity). The canonical
+    * occurrence of a shingle value is the corpus-first (min doc_id, then
+    * min start); a token is cut iff some non-owned duplicated shingle
+    * covers it AND no owned one does (the owned-coverage guard keeps the
+    * surviving copy intact where overlapping shingles disagree). Tokens
+    * re-join in original case and position order; docs below n tokens
+    * pass through untouched.
+    *
+    * Scale shape: c62's positional-shingle pass; ownership is ONE
+    * groupBy on the 16-byte shingle key (min-struct, map-side
+    * combinable); coverage explodes ONLY duplicated starts ×n and
+    * reduces on (doc, pos); the rebuild is c26's per-doc
+    * collect-sort-join. No all-pairs, no corpus-wide window. */
+  def c63SpanScrub(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    scrubSpans(Tables.documents(spark, dir), n)
+
+  /** The generic scrubber — see [[c63SpanScrub]] for semantics. */
+  def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tko"))
+    val pos = positionalShingles(docs, n)
+    // one fold per shingle value: occurrence count + the canonical
+    // (corpus-first) occurrence as a lexicographic struct minimum
+    val stats = pos.groupBy("sh").agg(count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("i"))).as("own"))
+    val dupStarts = pos.join(stats.filter(col("cnt") > 1), "sh")
+      .select(col("doc_id"), col("i"),
+        (col("own.doc_id") === col("doc_id") && col("own.i") === col("i"))
+          .as("owned"))
+    // per covered token position: does ANY owned start cover it?
+    val cov = dupStarts
+      .select(col("doc_id"), col("owned"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy("doc_id", "p")
+      .agg(max(when(col("owned"), 1).otherwise(0)).as("any_owned"))
+    val cuts = cov.filter(col("any_owned") === 0)
+      .select(col("doc_id"), col("p"), lit(true).as("cut"))
+    base
+      .select(col("doc_id"), size(col("tko")).cast("bigint").as("n_tokens"),
+        posexplode(col("tko")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("p"), col("col").as("tok"))
+      .join(cuts, Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        // when() without otherwise is null on cut rows — collect_list
+        // drops nulls, so only kept tokens are rebuilt (c26's rule)
+        array_join(sort_array(collect_list(when(col("cut").isNull,
+          struct(col("p"), col("tok"))))).getField("tok"), " ")
+          .as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -791,4 +791,27 @@ object StreamOps {
       .join(index.select(col("fp"), col("doc_id").as("matched_doc")), Seq("fp"))
       .filter(col("matched_doc") =!= col("doc_id"))
       .select(col("doc_id"), col("matched_doc"), col("fp"))
+
+  /** d26: streaming duplicated-START hits at ingest — the serving twin
+    * of batch c62: each arriving document's positional n-shingles
+    * (row-local explode — [[graft.operators.Dedup.positionalShingles]])
+    * probe the at-rest corpus shingle set and emit one (doc_id, i) row
+    * per start whose shingle already exists at rest. Stateless
+    * stream-static equi-join on the 16-byte md5 key — no watermark, no
+    * state; the island merge into maximal spans
+    * ([[graft.operators.Dedup.mergeStartIslands]]) is a per-doc batch
+    * fold downstream (d8's hit-row rule: append mode cannot run the
+    * per-doc window, and the merge is a pure function of the emitted
+    * hits). Vs batch c62's corpus-global count, the ingest semantic is
+    * arrival-vs-AT-REST: a run the arrival repeats only internally is
+    * new data and does not hit. The index ([[
+    * graft.operators.Dedup.dupShingleIndexOf]]) is NOT broadcast —
+    * corpus-sized; d11/d25's materialized-table rule applies, at scale
+    * bucketed by sh so the per-batch join is co-located. */
+  def streamDupStarts(docs: DataFrame, shingleIndex: DataFrame,
+                      n: Int = 5): DataFrame =
+    graft.operators.Dedup.positionalShingles(
+        docs.filter(col("text").isNotNull).select("doc_id", "text"), n)
+      .join(shingleIndex.select("sh"), Seq("sh"))
+      .select(col("doc_id"), col("i"))
 }

@@ -469,4 +469,16 @@ class CliSpec extends SparkSpec {
       .count()
     assert(shared >= 1, "planted near-dup pair must share an index fingerprint")
   }
+
+  test("spans subcommand: duplicated-substring spans equal c62's over the corpus") {
+    import graft.operators.Dedup
+    val out = Files.createTempDirectory("graft-cli-spans-").toString + "/spans"
+    Main.main(Array("spans", "--in", s"$sfDir/documents.parquet", "--out", out))
+    val got = spark.read.parquet(out)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq)
+    val want = Dedup.c62DupSpans(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI spans diverge from the operator")
+    assert(want.nonEmpty,
+      "the generator's near-dup corpus must yield at least one span")
+  }
 }

@@ -1294,4 +1294,65 @@ class DedupSimSpec extends SparkSpec {
     val bad = sessions.filter(col("end_us") < col("start_us")).count()
     assert(bad == 0)
   }
+
+  test("c62 dup spans: inter-doc, intra-doc, adjacency merge, short/null docs") {
+    // doc1/doc2 share the 6-token run "a b c d e f" (two overlapping
+    // duplicated 5-shingles each → ONE merged span per doc); doc4 repeats
+    // its own 5-token run at gap 7 > n → TWO spans; doc5's duplicated
+    // starts sit exactly n apart (adjacent intervals) → ONE 10-token span
+    // spanning both; doc3 has exactly one (unique) shingle, doc8 is
+    // sub-n, doc9 is null text → no rows from any of them
+    val docs = docsDf(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e f x q"),
+      (3L, "totally unique words only here"),
+      (4L, "p q r s t z z p q r s t"),
+      (5L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (6L, "a1 a2 a3 a4 a5 tail6"),
+      (7L, "head7 b1 b2 b3 b4 b5"),
+      (8L, "tiny doc"),
+      (9L, null.asInstanceOf[String])))
+    val rows = Dedup.dupSpans(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      (1L, 0L, 5L, 6L, 2L),
+      (2L, 2L, 7L, 6L, 2L),
+      (4L, 0L, 4L, 5L, 1L), (4L, 7L, 11L, 5L, 1L),
+      (5L, 0L, 9L, 10L, 2L),
+      (6L, 0L, 4L, 5L, 1L),
+      (7L, 1L, 5L, 5L, 1L))
+    assert(rows.toSeq == expected,
+      s"spans must match hand-derived intervals, got ${rows.toSeq}")
+    // spans are a pure function of content: invariant under partitioning
+    val reparted = Dedup.dupSpans(docs.repartition(7)).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(reparted.toSeq == expected)
+  }
+
+  test("c63 span scrub: keeps the corpus-first copy, cuts the rest, rebuilds text") {
+    // doc1 owns the duplicated run "A B C D E F" (corpus-first occurrence
+    // of both its 5-shingles) and survives untouched; doc2's copy is cut
+    // (tokens 2..7), its unique tokens survive in order and case; doc3
+    // repeats its own 5-run intra-doc — first occurrence kept, second cut;
+    // doc4 is sub-n and passes through verbatim, double space preserved
+    val docs = docsDf(Seq(
+      (1L, "A B C D E F g h"),
+      (2L, "x y a b c d e f tail1 tail2"),
+      (3L, "p q r s t mid p q r s t"),
+      (4L, "tiny  doc")))
+    val got = Dedup.scrubSpans(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val expected = Seq(
+      (1L, 8L, 0L, "A B C D E F g h"),
+      (2L, 10L, 6L, "x y tail1 tail2"),
+      (3L, 11L, 5L, "p q r s t mid"),
+      (4L, 3L, 0L, "tiny  doc")) // 3 tokens: the double space splits to ""
+    assert(got == expected, s"scrub must match hand-derived rewrite, got $got")
+    // cut token totals reconcile with c62's span report on the same corpus:
+    // every cut position lies inside some reported span
+    val spanTokens = Dedup.dupSpans(docs).agg(sum("span_tokens")).head().getLong(0)
+    val cutTokens = got.map(_._3).sum
+    assert(cutTokens <= spanTokens,
+      "cut tokens cannot exceed duplicated-span coverage")
+  }
 }

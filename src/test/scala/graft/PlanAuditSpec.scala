@@ -288,4 +288,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"column pruning missing at the scan:\n$s")
   }
+
+  test("c62/c63 plans: shingle joins are equi-joins, windows doc-partitioned, no product") {
+    val s62 = executedPlanOf(graft.operators.Dedup.c62DupSpans(spark, sfDir))
+    assert(!s62.contains("CartesianProduct") &&
+      !s62.contains("BroadcastNestedLoopJoin"),
+      s"span finding must never go all-pairs:\n$s62")
+    // the island merge must window per doc — a global (empty-partition)
+    // window would single-partition the corpus
+    assert(s62.contains("windowspecdefinition(doc_id"),
+      s"island window must partition by doc_id:\n$s62")
+    val s63 = executedPlanOf(graft.operators.Dedup.c63SpanScrub(spark, sfDir))
+    assert(!s63.contains("CartesianProduct") &&
+      !s63.contains("BroadcastNestedLoopJoin"),
+      s"scrub must never go all-pairs:\n$s63")
+    // ownership is a shingle-keyed aggregate with map-side partial
+    assert(s63.contains("partial_min") || s63.contains("partial min") ||
+      s63.contains("HashAggregate"),
+      s"ownership fold must aggregate partially:\n$s63")
+  }
 }

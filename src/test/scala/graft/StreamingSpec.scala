@@ -1037,4 +1037,60 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSet == expected)
     } finally q.stop()
   }
+
+  test("d26 streaming dup-start hits equal the batch probe; islands merge to c62 spans") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // the at-rest index, materialized (d11's rule)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-d26-idx-").toString
+    Dedup.dupShingleIndexOf(corpus).write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    // arrivals: a doc embedding corpus doc 0's full text after a fresh
+    // 2-token prefix (hits from start 2 onward), a disjoint-vocab doc,
+    // a doc repeating only ITSELF (at-rest semantic: no hits), a null
+    val base0 = corpus.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val selfRun = (0 until 6).map(i => s"own$i").mkString(" ")
+    val arrivals = Seq(
+      (90001L, s"fresh0 fresh1 $base0"),
+      (90002L, (0 until 40).map(i => s"new$i").mkString(" ")),
+      (90003L, s"$selfRun filler $selfRun"),
+      (90004L, null.asInstanceOf[String]))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamDupStarts(
+        stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d26_sink").start()
+    try {
+      val (a, b) = arrivals.splitAt(2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = spark.table("d26_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("i"))).toSet
+      // exactly the batch probe of the same arrivals against the index
+      val batch = Dedup.positionalShingles(
+          arrivals.toDF("doc_id", "text"), 5)
+        .join(index, "sh").select("doc_id", "i").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("i"))).toSet
+      assert(got == batch, "stream hit set must equal the batch probe")
+      assert(got.exists(_._1 == 90001L), "planted corpus run must hit")
+      assert(!got.exists(_._1 == 90002L), "disjoint vocab must not hit")
+      assert(!got.exists(_._1 == 90003L),
+        "self-repeating arrival is new data at the at-rest semantic")
+      assert(!got.exists(_._1 == 90004L), "null text drops")
+      // the downstream fold is exactly c62's island merge: one maximal
+      // span covering doc 0's embedded text, starting at token 2
+      val spans = Dedup.mergeStartIslands(
+          spark.table("d26_sink").select("doc_id", "i"), 5)
+        .filter(col("doc_id") === 90001L).collect()
+      val len0 = base0.split(" ").length
+      assert(spans.length == 1 &&
+        spans.head.getAs[Long]("span_start") == 2L &&
+        spans.head.getAs[Long]("span_end") == (2L + len0 - 1) &&
+        spans.head.getAs[Long]("span_tokens") == len0.toLong,
+        s"hits must merge to the single embedded-run span, got ${spans.toSeq}")
+    } finally q.stop()
+  }
 }
