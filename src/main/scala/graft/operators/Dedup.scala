@@ -85,6 +85,47 @@ object Dedup {
       p
     })
 
+  /** LSH banding planner — the (bands, rows) split of k minhashes that
+    * minimizes expected candidate error at a target Jaccard threshold.
+    * A pair with similarity s collides in ≥1 band with probability
+    * p(s) = 1 − (1 − s^r)^b (the S-curve); the planner integrates the
+    * false-positive mass ∫₀^t p(s) ds and false-negative mass
+    * ∫ₜ¹ (1 − p(s)) ds numerically (midpoint, 1000 cells — deterministic)
+    * and picks the divisor pair minimizing fpWeight·FP + (1−fpWeight)·FN,
+    * ties to more bands (recall-favoring). Pure driver-side arithmetic —
+    * run once when configuring a dedup job; c2's 4×2 default IS this
+    * planner's choice at its own 0.5 threshold (spec-pinned), since the
+    * S-curve midpoint (1/b)^(1/r) = (1/4)^(1/2) = 0.5. */
+  def lshPlan(threshold: Double, nPerm: Int,
+              fpWeight: Double = 0.5): (Int, Int, Double, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(nPerm >= 1, s"nPerm must be >= 1, got $nPerm")
+    require(fpWeight >= 0.0 && fpWeight <= 1.0,
+      s"fpWeight must be in [0, 1], got $fpWeight")
+    val cells = 1000
+    def masses(b: Int, r: Int): (Double, Double) = {
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < cells) {
+        val s = (i + 0.5) / cells
+        val w = 1.0 / cells
+        if (s < threshold) fp += p(s) * w else fn += (1.0 - p(s)) * w
+        i += 1
+      }
+      (fp, fn)
+    }
+    val candidates = (1 to nPerm).filter(nPerm % _ == 0).map { b =>
+      val r = nPerm / b
+      val (fp, fn) = masses(b, r)
+      (b, r, fp, fn)
+    }
+    candidates.minBy { case (b, _, fp, fn) =>
+      (fpWeight * fp + (1.0 - fpWeight) * fn, -b)
+    }
+  }
+
   /** k md5 minhashes + the shingle-set size in ONE codegen'd
     * hash-aggregate over (doc_id, shingle) rows (a separate sizes pass
     * would recompute the shingle subtree). Shared by c2, c37 and d11's

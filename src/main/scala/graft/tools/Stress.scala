@@ -196,6 +196,11 @@ object Stress {
     time("c56 lm score")(TextOps.c56LmScore(spark, base).count())
     time("c57 winnow")(TextOps.c57Winnow(spark, base).count())
     time("c59 rrf fuse")(TextOps.c59RrfFuse(spark, base).count())
+    // worst-case for the span family: every replica shares its whole
+    // text (mod the replica tag), so ~all shingles are duplicated and
+    // c63's coverage explode touches ~n_tokens × n positions
+    time("c62 dup spans")(Dedup.c62DupSpans(spark, base).count())
+    time("c63 span scrub")(Dedup.c63SpanScrub(spark, base).count())
     time("b21 window dedup")(
       graft.operators.Relational.b21WindowDedup(spark, base).count())
     time("power iterate x3")(Similarity.powerIterate(spark, base, rounds = 3).count())

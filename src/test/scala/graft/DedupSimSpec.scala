@@ -1329,6 +1329,131 @@ class DedupSimSpec extends SparkSpec {
     assert(reparted.toSeq == expected)
   }
 
+  test("c62 randomized corpora: engine spans equal a driver-side brute force") {
+    // tiny alphabet so repeats arise naturally; deterministic seeds so
+    // failures reproduce. Brute force re-implements the definition
+    // directly: count every positional shingle, keep starts with a
+    // repeated shingle, fold starts into islands with the gap>n break.
+    def brute(docs: Seq[(Long, String)], n: Int) = {
+      val sh = for {
+        (id, t) <- docs if t != null
+        toks = t.toLowerCase.split(" ", -1).toSeq if toks.length >= n
+        i <- 0 to toks.length - n
+      } yield (id, i.toLong, toks.slice(i, i + n).mkString(" "))
+      val counts = sh.groupBy(_._3).map { case (k, v) => k -> v.size }
+      sh.filter(s => counts(s._3) > 1).groupBy(_._1).toSeq.flatMap {
+        case (id, hs) =>
+          val starts = hs.map(_._2).sorted
+          val islands = starts.foldLeft(List.empty[List[Long]]) {
+            case (Nil, s) => List(List(s))
+            case (cur :: rest, s) if s - cur.head <= n => (s :: cur) :: rest
+            case (acc, s) => List(s) :: acc
+          }
+          islands.map { isl =>
+            val mn = isl.min; val mx = isl.max
+            (id, mn, mx + n - 1, mx - mn + n, isl.size.toLong)
+          }
+      }.sortBy(x => (x._1, x._2))
+    }
+    val words = Seq("a", "b", "c", "dd", "e", "ff", "g", "")
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(3) // shingle width 2..4
+      val docs = (0 until 25).map { id =>
+        val len = rnd.nextInt(13)
+        (id.toLong,
+          if (len == 0 && rnd.nextBoolean()) null
+          else (0 until len).map(_ => words(rnd.nextInt(words.length)))
+            .mkString(" "))
+      }
+      val got = Dedup.dupSpans(docsDf(docs), n).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val want = brute(docs, n)
+      assert(got.toSeq == want,
+        s"seed=$seed n=$n engine ${got.toSeq} != brute $want")
+    }
+  }
+
+  test("c63 randomized corpora: engine scrub equals a driver-side brute force") {
+    // brute force re-implements the keep-one-copy rule directly: owner =
+    // lexicographic min (doc_id, start) per repeated shingle; a token is
+    // cut iff covered by a non-owned repeated start and by no owned one
+    def brute(docs: Seq[(Long, String)], n: Int) = {
+      val sh = for {
+        (id, t) <- docs if t != null
+        toks = t.toLowerCase.split(" ", -1).toSeq if toks.length >= n
+        i <- 0 to toks.length - n
+      } yield (id, i.toLong, toks.slice(i, i + n).mkString(" "))
+      val byVal = sh.groupBy(_._3)
+      val repeated = byVal.filter(_._2.size > 1)
+      val owners = repeated.map { case (v, occ) =>
+        v -> occ.map(o => (o._1, o._2)).min
+      }
+      docs.filter(_._2 != null).map { case (id, t) =>
+        val toks = t.split(" ", -1).toSeq
+        val starts = repeated.values.flatten.filter(_._1 == id)
+          .map(o => (o._2, owners(o._3) == ((id, o._2))))
+        val cover = (0L until toks.length.toLong).map { p =>
+          val c = starts.filter(s => s._1 <= p && p < s._1 + n)
+          p -> (c.nonEmpty && !c.exists(_._2))
+        }.toMap
+        val kept = toks.zipWithIndex.collect {
+          case (tok, p) if !cover(p.toLong) => tok }
+        (id, toks.length.toLong,
+          cover.values.count(identity).toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+    }
+    val words = Seq("a", "b", "c", "dd", "e", "ff", "g", "")
+    for (seed <- 101 to 110) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(3)
+      val docs = (0 until 20).map { id =>
+        val len = rnd.nextInt(12)
+        (id.toLong,
+          if (len == 0 && rnd.nextBoolean()) null
+          else (0 until len).map(_ => words(rnd.nextInt(words.length)))
+            .mkString(" "))
+      }
+      val got = Dedup.scrubSpans(docsDf(docs), n).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      val want = brute(docs, n)
+      assert(got == want, s"seed=$seed n=$n engine $got != brute $want")
+    }
+  }
+
+  test("lshPlan: independent-integration argmin, c2's 4x2 at 0.5, threshold monotonicity") {
+    // independent re-derivation: trapezoid rule at double resolution —
+    // the chosen pair must be the argmin under the independent estimate
+    def err(t: Double, b: Int, r: Int): Double = {
+      val cells = 2000
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      (0 until cells).map { i =>
+        val s0 = i.toDouble / cells; val s1 = (i + 1).toDouble / cells
+        val mid = (s0 + s1) / 2
+        val v = if (mid < t) (p(s0) + p(s1)) / 2 else 1.0 - (p(s0) + p(s1)) / 2
+        v / cells
+      }.sum
+    }
+    for (t <- Seq(0.2, 0.5, 0.8); k <- Seq(8, 16, 24)) {
+      val (b, r, fp, fn) = graft.operators.Dedup.lshPlan(t, k)
+      assert(b * r == k, s"($b, $r) must factor $k")
+      assert(fp >= 0 && fn >= 0 && fp <= 1 && fn <= 1)
+      val best = (1 to k).filter(k % _ == 0)
+        .map(bb => (bb, err(t, bb, k / bb))).minBy(_._2)
+      assert(math.abs(err(t, b, r) - best._2) < 1e-6,
+        s"planner pick ($b×$r) must match the independent argmin " +
+          s"(${best._1}×${k / best._1}) at t=$t k=$k")
+    }
+    // c2's 4×2 default IS the planner's choice at c2's own threshold:
+    // the S-curve midpoint (1/4)^(1/2) = 0.5 exactly
+    val (b8, r8, _, _) = graft.operators.Dedup.lshPlan(0.5, 8)
+    assert(b8 == 4 && r8 == 2, s"expected 4×2 at t=0.5 k=8, got $b8×$r8")
+    // a stricter threshold shifts the curve right: rows never decrease
+    val rows = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(t => graft.operators.Dedup.lshPlan(t, 16)._2)
+    assert(rows == rows.sorted, s"rows must be monotone in threshold: $rows")
+  }
+
   test("c63 span scrub: keeps the corpus-first copy, cuts the rest, rebuilds text") {
     // doc1 owns the duplicated run "A B C D E F" (corpus-first occurrence
     // of both its 5-shingles) and survives untouched; doc2's copy is cut
