@@ -55,12 +55,28 @@ object Main {
     case Some("fingerprint") => fingerprint(args.drop(1))
     case Some("card") => card(args.drop(1))
     case Some("spans") => spans(args.drop(1))
+    case Some("plan") => planCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card|spans ...")
+          "fingerprint|card|spans|plan ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main plan --threshold T [--perm K] [--fp-weight W]` — the
+    * config-time LSH banding planner (Dedup.lshPlan): prints the
+    * (bands, rows) split of K minhashes minimizing expected candidate
+    * error at Jaccard threshold T, with the integrated false-pos/neg
+    * masses. Pure arithmetic — no SparkSession, no data. */
+  private def planCmd(args: Array[String]): Unit = {
+    val t = opt(args, "--threshold").map(_.toDouble)
+      .getOrElse(sys.error("--threshold required"))
+    val k = opt(args, "--perm").map(_.toInt).getOrElse(8)
+    val w = opt(args, "--fp-weight").map(_.toDouble).getOrElse(0.5)
+    val (b, r, fp, fn) = graft.operators.Dedup.lshPlan(t, k, w)
+    println(f"""{"threshold":$t,"perm":$k,"bands":$b,"rows":$r,""" +
+      f""""fp_mass":$fp%.6f,"fn_mass":$fn%.6f}""")
   }
 
   /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal

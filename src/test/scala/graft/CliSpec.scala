@@ -470,6 +470,18 @@ class CliSpec extends SparkSpec {
     assert(shared >= 1, "planted near-dup pair must share an index fingerprint")
   }
 
+  test("plan subcommand: prints lshPlan's pick; c2's defaults at threshold 0.5") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.main(Array("plan", "--threshold", "0.5", "--perm", "8"))
+    }
+    val out = buf.toString("UTF-8").trim
+    assert(out.contains("\"bands\":4") && out.contains("\"rows\":2"),
+      s"t=0.5 k=8 must plan c2's 4x2: $out")
+    val (b, r, _, _) = graft.operators.Dedup.lshPlan(0.5, 8)
+    assert(out.contains(s""""bands":$b""") && out.contains(s""""rows":$r"""))
+  }
+
   test("spans subcommand: duplicated-substring spans equal c62's over the corpus") {
     import graft.operators.Dedup
     val out = Files.createTempDirectory("graft-cli-spans-").toString + "/spans"
