@@ -75,15 +75,22 @@ object Main {
     val k = opt(args, "--perm").map(_.toInt).getOrElse(8)
     val w = opt(args, "--fp-weight").map(_.toDouble).getOrElse(0.5)
     val (b, r, fp, fn) = graft.operators.Dedup.lshPlan(t, k, w)
-    println(f"""{"threshold":$t,"perm":$k,"bands":$b,"rows":$r,""" +
-      f""""fp_mass":$fp%.6f,"fn_mass":$fn%.6f}""")
+    // Locale.ROOT: the f-interpolator's %.6f uses the default locale — a
+    // comma-decimal locale would print malformed JSON
+    println(String.format(java.util.Locale.ROOT,
+      """{"threshold":%s,"perm":%d,"bands":%d,"rows":%d,""" +
+        """"fp_mass":%.6f,"fn_mass":%.6f}""",
+      t.toString, Int.box(k), Int.box(b), Int.box(r),
+      Double.box(fp), Double.box(fn)))
   }
 
   /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal
     * duplicated-substring spans over any (doc_id, text) parquet: one row
-    * per [span_start, span_end] token interval whose n-shingles all
-    * occur more than once corpus-wide — the cut list substring-level
-    * dedup (Lee et al. 2021) feeds a scrubber. One JSON stats line. */
+    * per [span_start, span_end] token interval in which EVERY token is
+    * covered by some n-shingle occurring more than once corpus-wide
+    * (shingles straddling two fused runs may themselves be unique) —
+    * the cut list substring-level dedup (Lee et al. 2021) feeds a
+    * scrubber. One JSON stats line. */
   private def spans(args: Array[String]): Unit = {
     import graft.operators.Dedup
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))

@@ -42,23 +42,34 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct word n-shingles as rows (doc_id, shingle) — the hot-path
-    * shape: explode an index sequence and build each shingle with
-    * element_at, which stays fully codegen'd (the array-of-shingles
-    * formulation above routes through interpreted higher-order functions:
-    * measured 10× slower). Row shape also keeps shuffles narrow at scale —
-    * no fat array columns move. */
-  private[graft] def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** The shared positional-shingle core: every n-shingle of lowercased
+    * text as (doc_id, i, shingle) rows, i the 0-based start token index.
+    * The hot-path shape: explode an index sequence and build each
+    * shingle with element_at, which stays fully codegen'd (the
+    * array-of-shingles formulation above routes through interpreted
+    * higher-order functions: measured 10× slower). Row shape also keeps
+    * shuffles narrow at scale — no fat array columns move. ONE copy of
+    * the scaffold: shingleRows (c2/c4/c37's distinct sets) and
+    * positionalShingles (c62/c63/d26's positions) both project it. */
+  private def shingleCore(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val toks = split(lower(col("text")), " ")
     val parts = (0 until n).flatMap(j =>
       Seq(element_at(col("t"), col("i") + (j + 1)), lit(" "))).dropRight(1)
-    docs.select(col("doc_id"), toks.as("t"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - n)).as("i"))
-      .select(col("doc_id"), concat(parts: _*).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), col("i").cast("bigint").as("i"),
+        concat(parts: _*).as("shingle"))
   }
+
+  /** Distinct word n-shingles as rows (doc_id, shingle) — see
+    * [[shingleCore]]. */
+  private[graft] def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleCore(docs, n).select("doc_id", "shingle").distinct()
 
   /** Exact Jaccard from integer set sizes: |A∩B| / (|A| + |B| - |A∩B|) —
     * identical integer operands in both engines before the single double
@@ -763,25 +774,13 @@ object Dedup {
   def c62DupSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
     dupSpans(Tables.documents(spark, dir), n)
 
-  /** Positional n-shingles as (doc_id, i, sh) rows, i the 0-based start
-    * token index and sh the md5 of the lowercased shingle (16-byte keys
-    * — shuffles never carry shingle bodies). [[shingleRows]]'s codegen'd
-    * element_at-concat form, WITHOUT the distinct: positions matter
-    * here. Shared by c62/c63 and d26's arrival side. */
-  private[graft] def positionalShingles(docs: DataFrame, n: Int): DataFrame = {
-    require(n >= 1, s"shingle width must be >= 1, got $n")
-    val toks = split(lower(col("text")), " ")
-    val parts = (0 until n).flatMap(j =>
-      Seq(element_at(col("t"), col("i") + (j + 1)), lit(" "))).dropRight(1)
-    docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), size(col("t")) - n)).as("i"))
-      .select(col("doc_id"), col("i").cast("bigint").as("i"),
-        md5(concat(parts: _*)).as("sh"))
-  }
+  /** Positional n-shingles as (doc_id, i, sh) rows — [[shingleCore]]
+    * with the shingle hashed to its md5 (16-byte keys — shuffles never
+    * carry shingle bodies) and positions kept: they matter here. Shared
+    * by c62/c63 and d26's arrival side. */
+  private[graft] def positionalShingles(docs: DataFrame, n: Int): DataFrame =
+    shingleCore(docs, n)
+      .select(col("doc_id"), col("i"), md5(col("shingle")).as("sh"))
 
   /** Gaps-and-islands merge of duplicated start positions into maximal
     * spans: starts whose [i, i+n-1] intervals overlap or touch (gap ≤ n)

@@ -810,8 +810,8 @@ object StreamOps {
     * bucketed by sh so the per-batch join is co-located. */
   def streamDupStarts(docs: DataFrame, shingleIndex: DataFrame,
                       n: Int = 5): DataFrame =
-    graft.operators.Dedup.positionalShingles(
-        docs.filter(col("text").isNotNull).select("doc_id", "text"), n)
+    // positionalShingles filters null text and projects internally
+    graft.operators.Dedup.positionalShingles(docs, n)
       .join(shingleIndex.select("sh"), Seq("sh"))
       .select(col("doc_id"), col("i"))
 }
