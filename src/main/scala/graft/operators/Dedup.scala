@@ -772,7 +772,7 @@ object Dedup {
     * this fixed-n formulation is the standard distributed approximation
     * and is what keeps the whole operator three narrow shuffles. */
   def c62DupSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
-    dupSpans(Tables.documents(spark, dir), n)
+    spansOfPos(spark.read.parquet(posShingleTablePath(spark, dir, n)), n)
 
   /** Positional n-shingles as (doc_id, i, sh) rows — [[shingleCore]]
     * with the shingle hashed to its md5 (16-byte keys — shuffles never
@@ -781,6 +781,23 @@ object Dedup {
   private[graft] def positionalShingles(docs: DataFrame, n: Int): DataFrame =
     shingleCore(docs, n)
       .select(col("doc_id"), col("i"), md5(col("shingle")).as("sh"))
+
+  /** Per-JVM memoized POSITIONAL shingle table ([[shingleTablePath]]'s
+    * rule for the span family): the scan+split+explode+md5 subtree
+    * feeds TWO consumers inside c62 (repeat count + hit side) and two
+    * inside c63, and c62/c63 share a corpus in any Verify/Bench run —
+    * materialized once per (dir, n), each consumer scans a small
+    * parquet. Pipelines managing their own positional store use the
+    * generic [[dupSpans]]/[[scrubSpans]] directly. */
+  private[graft] def posShingleTablePath(spark: SparkSession, dir: String,
+                                         n: Int = 5): String =
+    shingleCache.computeIfAbsent(s"pos:$dir#$n", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"posshingles-$n-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      positionalShingles(Tables.documents(spark, dir), n)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Gaps-and-islands merge of duplicated start positions into maximal
     * spans: starts whose [i, i+n-1] intervals overlap or touch (gap ≤ n)
@@ -815,8 +832,13 @@ object Dedup {
 
   /** The generic span finder — `Main spans` runs it over any parquet
     * with (doc_id, text) columns. See [[c62DupSpans]] for semantics. */
-  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
-    val pos = positionalShingles(docs, n)
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    spansOfPos(positionalShingles(docs, n), n)
+
+  /** Span finding over an already-built positional-shingle frame —
+    * the memoized-table path (c62) and the live path (generic) meet
+    * here, so the two provably share every expression. */
+  private def spansOfPos(pos: DataFrame, n: Int): DataFrame = {
     val dup = pos.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
     mergeStartIslands(pos.join(dup, "sh").select("doc_id", "i"), n)
@@ -839,13 +861,20 @@ object Dedup {
     * reduces on (doc, pos); the rebuild is c26's per-doc
     * collect-sort-join. No all-pairs, no corpus-wide window. */
   def c63SpanScrub(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
-    scrubSpans(Tables.documents(spark, dir), n)
+    scrubOfPos(Tables.documents(spark, dir),
+      spark.read.parquet(posShingleTablePath(spark, dir, n)), n)
 
   /** The generic scrubber — see [[c63SpanScrub]] for semantics. */
-  def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+  def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    scrubOfPos(docs, positionalShingles(docs, n), n)
+
+  /** Scrub over an already-built positional-shingle frame (`pos` MUST
+    * be [[positionalShingles]] of `docs` — the memoized-table and live
+    * paths meet here). */
+  private def scrubOfPos(docs: DataFrame, pos: DataFrame,
+                         n: Int): DataFrame = {
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("tko"))
-    val pos = positionalShingles(docs, n)
     // one fold per shingle value: occurrence count + the canonical
     // (corpus-first) occurrence as a lexicographic struct minimum
     val stats = pos.groupBy("sh").agg(count(lit(1)).as("cnt"),

@@ -1329,6 +1329,23 @@ class DedupSimSpec extends SparkSpec {
     assert(reparted.toSeq == expected)
   }
 
+  test("c62/c63 are identical with and without the positional-shingle table seam") {
+    // gate entries read the memoized positional table; the generic
+    // frame-based paths recompute the subtree live — same rows (c2's
+    // shingle-reuse seam rule, applied to the span family)
+    val docs = Tables.documents(spark, sfDir)
+    val viaTable62 = Dedup.c62DupSpans(spark, sfDir)
+    val live62 = Dedup.dupSpans(docs)
+    assert(viaTable62.exceptAll(live62).count() == 0 &&
+      live62.exceptAll(viaTable62).count() == 0,
+      "positional-table reuse must not change c62 results")
+    val viaTable63 = Dedup.c63SpanScrub(spark, sfDir)
+    val live63 = Dedup.scrubSpans(docs)
+    assert(viaTable63.exceptAll(live63).count() == 0 &&
+      live63.exceptAll(viaTable63).count() == 0,
+      "positional-table reuse must not change c63 results")
+  }
+
   test("c62 randomized corpora: engine spans equal a driver-side brute force") {
     // tiny alphabet so repeats arise naturally; deterministic seeds so
     // failures reproduce. Brute force re-implements the definition
