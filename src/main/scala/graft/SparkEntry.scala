@@ -123,6 +123,7 @@ object SparkEntry {
     "c61_dataset_card" -> ((s: SparkSession, d: String) => TextOps.c61DatasetCard(s, d)),
     "c62_dup_spans" -> ((s: SparkSession, d: String) => Dedup.c62DupSpans(s, d)),
     "c63_span_scrub" -> ((s: SparkSession, d: String) => Dedup.c63SpanScrub(s, d)),
+    "c64_dup_stats" -> ((s: SparkSession, d: String) => Dedup.c64DupStats(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -842,6 +843,39 @@ object SparkEntry {
         |  count(*) AS n_dup_shingles
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // c64: duplication profile — c62's span CTEs verbatim, folded to
+    // per-doc dup-token sums then per-lang exact counts + one rounded
+    // share; span-free docs ride the left join as zero
+    "c64_dup_stats" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |          md5(array_to_string(tk[i:i+4], ' ')) AS sh
+        |        FROM tok, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+        |h AS (SELECT doc_id, i FROM pos JOIN dup USING (sh)),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 5
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM h),
+        |isl AS (SELECT doc_id, i,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM g),
+        |sp AS (SELECT doc_id, max(i) - min(i) + 5 AS span_tokens
+        |       FROM isl GROUP BY doc_id, island),
+        |pd AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        |       FROM sp GROUP BY doc_id),
+        |dt AS (SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(pd.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        |  round(CAST(sum(coalesce(pd.dup_tokens, 0)) AS DOUBLE)
+        |        / sum(n_tokens), 6) AS dup_share_r
+        |FROM dt LEFT JOIN pd USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // c63: span scrub — c62's shingle machinery + ownership (the
     // corpus-first occurrence per shingle value, a row_number here ≡
     // Spark's min-struct) + covered-position fold + per-doc rebuild;

@@ -868,6 +868,36 @@ object Dedup {
   def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame =
     scrubOfPos(docs, positionalShingles(docs, n), n)
 
+  /** c64: corpus duplication profile — the headline number
+    * substring-dedup work reports (Lee et al. 2021 table 1's shape):
+    * per language, how many tokens sit inside duplicated spans, as an
+    * exact count and one rounded share. Composes c62's span table
+    * (memoized — this adds NO new corpus scan beyond the token count):
+    * per-doc span-token sums, left-joined so span-free docs count zero,
+    * folded per lang. Every value an exact BIGINT or ONE 6-dp-rounded
+    * division of exact BIGINTs — engine-identical.
+    *
+    * Scale shape: one map-side-combined token-count pass, the span
+    * subtree's own cost, a doc-keyed equi-join, a lang-keyed
+    * (bounded-domain) fold. Nothing new grows with corpus size. */
+  def c64DupStats(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val perDocDup = c62DupSpans(spark, dir, n)
+      .groupBy("doc_id").agg(sum(col("span_tokens")).as("dup_tokens"))
+    perDoc.join(perDocDup, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("dup_tokens")).as("dup_tokens"))
+      .withColumn("dup_share_r",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy("lang")
+  }
+
   /** Scrub over an already-built positional-shingle frame (`pos` MUST
     * be [[positionalShingles]] of `docs` — the memoized-table and live
     * paths meet here). */

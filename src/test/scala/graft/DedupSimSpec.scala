@@ -1346,6 +1346,32 @@ class DedupSimSpec extends SparkSpec {
       "positional-table reuse must not change c63 results")
   }
 
+  test("c64 dup stats re-derive from c62 spans and raw token counts") {
+    val stats = Dedup.c64DupStats(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_share_r"))).toMap
+    // independent driver-side fold of the gate's own span rows
+    val spansByDoc = Dedup.c62DupSpans(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("span_tokens")).sum }
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).select("doc_id", "lang", "text").collect()
+    val byLang = docs.groupBy(_.getAs[String]("lang")).map { case (lang, rs) =>
+      val nTok = rs.map(_.getAs[String]("text").split(" ", -1).length.toLong).sum
+      val dup = rs.map(r => spansByDoc.getOrElse(r.getAs[Long]("doc_id"), 0L)).sum
+      lang -> (rs.length.toLong, nTok, dup,
+        BigDecimal(dup.toDouble / nTok)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(stats == byLang, s"engine $stats != driver $byLang")
+    // duplication exists in the generator corpus and shares are sane
+    assert(stats.values.exists(_._3 > 0), "corpus must show duplication")
+    stats.values.foreach { case (_, n, d, s) =>
+      assert(d <= n && s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("c62 randomized corpora: engine spans equal a driver-side brute force") {
     // tiny alphabet so repeats arise naturally; deterministic seeds so
     // failures reproduce. Brute force re-implements the definition
