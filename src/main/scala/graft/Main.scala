@@ -56,12 +56,41 @@ object Main {
     case Some("card") => card(args.drop(1))
     case Some("spans") => spans(args.drop(1))
     case Some("plan") => planCmd(args.drop(1))
+    case Some("scrub") => scrub(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card|spans|plan ...")
+          "fingerprint|card|spans|plan|scrub ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main scrub --in PARQUET --out OUT [--n N]` — c63's span
+    * scrubber over any (doc_id, text) parquet: every doc rewritten with
+    * non-canonical duplicated runs cut (one copy kept corpus-wide — the
+    * corpus-first occurrence owns each n-shingle); writes (doc_id,
+    * n_tokens, n_cut, scrubbed_text) plus one JSON stats line. The
+    * transform `spans` reports on. */
+  private def scrub(args: Array[String]): Unit = {
+    import graft.operators.Dedup
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val n = opt(args, "--n").map(_.toInt).getOrElse(5)
+    require(n >= 1, s"--n must be >= 1, got $n")
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    Dedup.scrubSpans(docs.select("doc_id", "text"), n)
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    // coalesce: sums are null on an empty output (the chunk-stats rule)
+    val stats = written.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L)),
+      coalesce(sum(col("n_cut")), lit(0L))).head()
+    println(s"""{"docs":${stats.getLong(0)},"tokens":${stats.getLong(1)},""" +
+      s""""cut_tokens":${stats.getLong(2)},"n":$n,"out":"$out"}""")
   }
 
   /** `graft.Main plan --threshold T [--perm K] [--fp-weight W]` — the

@@ -482,6 +482,17 @@ class CliSpec extends SparkSpec {
     assert(out.contains(s""""bands":$b""") && out.contains(s""""rows":$r"""))
   }
 
+  test("scrub subcommand: span-scrubbed corpus equals c63's over the corpus") {
+    import graft.operators.Dedup
+    val out = Files.createTempDirectory("graft-cli-scrub-").toString + "/scrubbed"
+    Main.main(Array("scrub", "--in", s"$sfDir/documents.parquet", "--out", out))
+    val got = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
+    val want = Dedup.c63SpanScrub(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI scrub diverges from the operator")
+    // the scrub actually cut something on the generator's dup-laden corpus
+    assert(spark.read.parquet(out).filter(col("n_cut") > 0).count() > 0)
+  }
+
   test("spans subcommand: duplicated-substring spans equal c62's over the corpus") {
     import graft.operators.Dedup
     val out = Files.createTempDirectory("graft-cli-spans-").toString + "/spans"
