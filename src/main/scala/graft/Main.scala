@@ -35,6 +35,21 @@ object Main {
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
   }
 
+  /** JSON string literal of a user-controlled value (paths on the stats
+    * lines): backslash, quote and control chars escaped — a Windows-ish
+    * path or a quote in --out must not break the one-JSON-line
+    * contract. (vocab's top-term escape, shared.) */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case ch if ch < 0x20 => sb.append(f"\\u${ch.toInt}%04x")
+      case ch => sb.append(ch)
+    }
+    sb.append('"').toString
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("bench") => Bench.main(args.drop(1))
     case Some("verify") => Verify.main(args.drop(1))
@@ -90,7 +105,7 @@ object Main {
       coalesce(sum(col("n_tokens")), lit(0L)),
       coalesce(sum(col("n_cut")), lit(0L))).head()
     println(s"""{"docs":${stats.getLong(0)},"tokens":${stats.getLong(1)},""" +
-      s""""cut_tokens":${stats.getLong(2)},"n":$n,"out":"$out"}""")
+      s""""cut_tokens":${stats.getLong(2)},"n":$n,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main plan --threshold T [--perm K] [--fp-weight W]` — the
@@ -139,7 +154,7 @@ object Main {
       count_distinct(col("doc_id")),
       coalesce(sum(col("span_tokens")), lit(0L))).head()
     println(s"""{"spans":${stats.getLong(0)},"docs_with_spans":${stats.getLong(1)},""" +
-      s""""dup_tokens":${stats.getLong(2)},"n":$n,"out":"$out"}""")
+      s""""dup_tokens":${stats.getLong(2)},"n":$n,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main card --in PARQUET --out OUT` — c61's dataset card over
@@ -159,7 +174,7 @@ object Main {
       .write.mode("overwrite").parquet(out)
     val entries = spark.read.parquet(out).orderBy("metric").collect()
       .map(r => s""""${r.getAs[String]("metric")}":${r.getAs[Double]("value_r")}""")
-    println(entries.mkString("{", ",", s""","out":"$out"}"""))
+    println(entries.mkString("{", ",", s""","out":${jsonStr(out)}}"""))
   }
 
   /** `graft.Main search --in PARQUET --terms a,b,c --out OUT [--k N]` —
@@ -194,7 +209,7 @@ object Main {
       s""","top_doc":${r.getAs[Number]("doc_id").longValue},""" +
         s""""top_score":${r.getAs[Double]("score")}""").getOrElse("")
     println(s"""{"rows":${written.count()},"terms":${terms.length}""" +
-      topJson + s""","out":"$out"}""")
+      topJson + s""","out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main fingerprint --in PARQUET --out OUT [--index]` — c57's
@@ -219,7 +234,7 @@ object Main {
       val stats = written.agg(count(lit(1)),
         count_distinct(col("fp")), count_distinct(col("doc_id"))).head()
       println(s"""{"rows":${stats.getLong(0)},"distinct_fp":${stats.getLong(1)},""" +
-        s""""docs":${stats.getLong(2)},"out":"$out"}""")
+        s""""docs":${stats.getLong(2)},"out":${jsonStr(out)}}""")
     } else {
       TextOps.winnowProjection(base).write.mode("overwrite").parquet(out)
       val written = spark.read.parquet(out)
@@ -227,7 +242,7 @@ object Main {
       val stats = written.agg(count(lit(1)),
         coalesce(sum(col("n_fp")), lit(0L))).head()
       println(s"""{"docs":${stats.getLong(0)},""" +
-        s""""total_fp":${stats.getLong(1)},"out":"$out"}""")
+        s""""total_fp":${stats.getLong(1)},"out":${jsonStr(out)}}""")
     }
   }
 
@@ -255,7 +270,7 @@ object Main {
           .as("sd"))
       .write.mode("overwrite").parquet(out)
     val stats = spark.read.parquet(out).agg(count(lit(1))).head()
-    println(s"""{"dims":${stats.getLong(0)},"out":"$out"}""")
+    println(s"""{"dims":${stats.getLong(0)},"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main diff --old PARQUET --new PARQUET --out OUT` — the
@@ -289,7 +304,7 @@ object Main {
     println(s"""{"rows":${stats.values.sum},"docs":$docs,""" +
       s""""added":${n("added")},"removed":${n("removed")},""" +
       s""""changed":${n("changed")},"unchanged":${n("unchanged")},""" +
-      s""""out":"$out"}""")
+      s""""out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main whiten --in EMB_PARQUET --out OUT` — c47's whitening
@@ -312,7 +327,7 @@ object Main {
     val stats = written.agg(count(lit(1)),
       count_distinct(col("vec_id")), coalesce(max(col("pos")) + 1, lit(0))).head()
     println(s"""{"rows":${stats.getLong(0)},"vectors":${stats.getLong(1)},""" +
-      s""""dims":${stats.getInt(2)},"out":"$out"}""")
+      s""""dims":${stats.getInt(2)},"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main codec --in MEDIA_PARQUET --out OUT [--resize WxH]` —
@@ -351,7 +366,7 @@ object Main {
     val written = spark.read.parquet(out)
     val byType = written.groupBy("media_type").count().collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
-    println(s"""{"rows":${written.count()},"by_type":{$byType},"out":"$out"}""")
+    println(s"""{"rows":${written.count()},"by_type":{$byType},"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main semdedup --in EMB_PARQUET --out OUT [--threshold T]
@@ -402,7 +417,7 @@ object Main {
       val total = stats.getLong(0)
       val kept = stats.getLong(1)
       println(s"""{"vectors":$total,"kept":$kept,"dropped":${total - kept},""" +
-        s""""threshold":$threshold,"out":"$out"}""")
+        s""""threshold":$threshold,"out":${jsonStr(out)}}""")
     } finally assigned.unpersist()
   }
 
@@ -425,7 +440,7 @@ object Main {
       .agg(count(lit(1)), coalesce(sum(col("chunk_tokens")), lit(0L))).head()
     println(s"""{"docs":${docs.count()},"chunks":${stats.getLong(0)},""" +
       s""""chunk_tokens":${stats.getLong(1)},"size":$size,""" +
-      s""""stride":$stride,"out":"$out"}""")
+      s""""stride":$stride,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main shard --in PARQUET --out OUT [--prefix-len N]` — c40's
@@ -452,7 +467,7 @@ object Main {
       val stats = sharded
         .agg(count(lit(1)), count_distinct(col("shard"))).head()
       println(s"""{"docs":${stats.getLong(0)},"shards":${stats.getLong(1)},""" +
-        s""""prefix_len":$prefixLen,"out":"$out"}""")
+        s""""prefix_len":$prefixLen,"out":${jsonStr(out)}}""")
     } finally sharded.unpersist()
   }
 
@@ -485,7 +500,7 @@ object Main {
         sb.append('"').toString -> r.getLong(1)
       }.getOrElse("null" -> 0L)
       println(s"""{"terms":$n,"top_term":${top._1},""" +
-        s""""top_tf":${top._2},"out":"$out"}""")
+        s""""top_tf":${top._2},"out":${jsonStr(out)}}""")
     } finally v.unpersist()
   }
 
@@ -524,7 +539,7 @@ object Main {
       val nNear = statuses.filter(col("status") === "near_dup").count()
       val nNew = statuses.filter(col("status") === "new").count()
       println(s"""{"incoming":${nExact + nNear + nNew},"exact_dup":$nExact,""" +
-        s""""near_dup":$nNear,"new":$nNew,"out":"$out"}""")
+        s""""near_dup":$nNear,"new":$nNew,"out":${jsonStr(out)}}""")
     } finally statuses.unpersist()
   }
 
@@ -549,7 +564,7 @@ object Main {
     val total = Tables.documents(spark, in).count()
     val kept = spark.read.parquet(out).count()
     println(s"""{"mode":"$mode","docs":$total,"survivors":$kept,""" +
-      s""""dropped":${total - kept},"out":"$out"}""")
+      s""""dropped":${total - kept},"out":${jsonStr(out)}}""")
   }
 
   /** Benchmark decontamination against a held-out eval set: flags (and
@@ -580,7 +595,7 @@ object Main {
     val contaminated = flagged.filter(col("contaminated")).count()
     flagged.unpersist()
     println(s"""{"docs":$total,"contaminated":$contaminated,""" +
-      s""""dropped":${if (drop) contaminated else 0},"out":"$out"}""")
+      s""""dropped":${if (drop) contaminated else 0},"out":${jsonStr(out)}}""")
   }
 
   /** End-to-end corpus curation — the pipeline a training-data team runs,
@@ -652,7 +667,7 @@ object Main {
     Seq(afterQuality, afterDedup, afterDecontam).foreach(_.unpersist())
     println(s"""{"docs":$total,"after_quality":$nQuality,""" +
       s""""after_dedup":$nDedup,"after_decontam":$nClean,""" +
-      s""""curated":$nOut,"out":"$out"}""")
+      s""""curated":$nOut,"out":${jsonStr(out)}}""")
   }
 
   private def stream(args: Array[String]): Unit = {

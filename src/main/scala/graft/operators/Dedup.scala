@@ -787,8 +787,13 @@ object Dedup {
     * feeds TWO consumers inside c62 (repeat count + hit side) and two
     * inside c63, and c62/c63 share a corpus in any Verify/Bench run —
     * materialized once per (dir, n), each consumer scans a small
-    * parquet. Pipelines managing their own positional store use the
-    * generic [[dupSpans]]/[[scrubSpans]] directly. */
+    * parquet. Like every memoized artifact here (shingleTablePath,
+    * clusterTablePath, c43's assignment), this assumes the corpus dir
+    * is IMMUTABLE for the JVM's lifetime: c63/c64 join this table
+    * against a live documents scan (as curate joins the cluster
+    * table), so mutating the dir mid-JVM would mix freshness — rewrite
+    * the corpus under a new dir, or use the generic
+    * [[dupSpans]]/[[scrubSpans]] entry points, which recompute live. */
   private[graft] def posShingleTablePath(spark: SparkSession, dir: String,
                                          n: Int = 5): String =
     shingleCache.computeIfAbsent(s"pos:$dir#$n", _ => {
