@@ -215,12 +215,19 @@ object Bench {
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is
     // best-effort: an unwritable path must not abort before the println.
-    try {
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
-    } catch {
-      case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e")
+    // two sidecars: the env-pointed one, and bench_queries.json in the
+    // working directory — the r10 round artifact again lost 38 of 98
+    // per-query times to the stdout-tail clip, so the full map must land
+    // in a file the repo keeps regardless of how stdout is captured
+    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      "bench_queries.json").foreach { outPath =>
+      try
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (line + "\n").getBytes("UTF-8"))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sidecar write $outPath failed: $e")
+      }
     }
     // printed AFTER spark.stop() and flushed, then a COMPACT summary line
     // LAST: the full line (85+ per-query times) overflowed the driver's

@@ -172,8 +172,11 @@ object Main {
         s"found ${docs.columns.mkString("(", ", ", ")")}")
     TextOps.datasetCard(docs.select("doc_id", "text", "lang"))
       .write.mode("overwrite").parquet(out)
+    // jsonStr on the metric name too: lang_share:<lang> keys carry a
+    // data-derived lang value, and a quote/backslash/control char in it
+    // must not break the one-JSON-line contract
     val entries = spark.read.parquet(out).orderBy("metric").collect()
-      .map(r => s""""${r.getAs[String]("metric")}":${r.getAs[Double]("value_r")}""")
+      .map(r => s"${jsonStr(r.getAs[String]("metric"))}:${r.getAs[Double]("value_r")}")
     println(entries.mkString("{", ",", s""","out":${jsonStr(out)}}"""))
   }
 

@@ -98,6 +98,12 @@ object WinnowUtil {
 case class WinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  // plan-time validation: the Column API is public, and w <= 0 would
+  // otherwise fail only at eval time as an executor-side
+  // ArrayIndexOutOfBoundsException inside generated code
+  require(k >= 1, s"winnow k-gram width must be >= 1, got $k")
+  require(w >= 1, s"winnow window width must be >= 1, got $w")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_winnow_fps"
 

@@ -948,6 +948,11 @@ object Similarity {
     * of the data — partitioning- and engine-exact at any corpus size.
     * Map-side combinable groupBy on the dim² key domain (4096 cells for
     * 64-dim): O(dim²) state, one scan, no corpus shuffle. */
+  /** Widest embedding [[gramMatrix]] will cross: 256² = 65,536 exploded
+    * cells per row is the practical ceiling before the explode dominates
+    * the scan; past it the matrix-free [[powerIterate]] is the path. */
+  val GramMaxDim = 256
+
   private[graft] def gramMatrix(embs: DataFrame): Array[Array[Double]] = {
     // head(1), not first(): the emptiness require below must be the error
     // an empty corpus produces, not first()'s 'next on empty iterator'
@@ -955,6 +960,14 @@ object Similarity {
     require(probe.nonEmpty && !probe(0).isNullAt(0),
       "embeddings are empty — no Gram matrix")
     val dim = probe(0).getInt(0)
+    // the per-row explode is dim² elements (4096 at the gate's 64-dim —
+    // fine; 10⁶ at 1024-dim — a 16,000× row blowup before the combine).
+    // Guard loudly: wide embeddings belong on the matrix-free power
+    // iteration, whose per-row cost is O(dim) per round.
+    require(dim <= GramMaxDim,
+      s"gramMatrix explodes dim² = ${dim.toLong * dim} cells per row; " +
+        s"dim $dim > $GramMaxDim — use powerIterate (c46's matrix-free " +
+        "path) for wide embeddings")
     val cells = embs
       .select(transform(toDouble(col("embedding")),
         x => round(x * 10000).cast("bigint")).as("x4"))
@@ -1169,6 +1182,10 @@ object Similarity {
       .agg(sum(col("t")).as("n_truth"),
         sum(col("t") * col("l")).as("lsh_hits"),
         sum(col("t") * col("i")).as("ivf_hits"))
+      // truth-anchored by construction: a query_id seen only by an
+      // approximate search (n_truth = 0 ⇒ null/NaN recall) must not emit
+      // a row, because the oracle derives its row set from the truth side
+      .filter(col("n_truth") > 0)
       .withColumn("lsh_recall_r",
         round(col("lsh_hits").cast("double") / col("n_truth"), 6))
       .withColumn("ivf_recall_r",

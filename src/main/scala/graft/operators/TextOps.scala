@@ -790,18 +790,19 @@ object TextOps {
     * count feeding `wordCounts`. */
   def trainBpeOn(wordCounts: DataFrame, rounds: Int): Seq[(String, String)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val base = wordCounts.select(col("wcnt"), bpeSeqOf(col("w")).as("seq"))
-      .persist()
+    val base = wordCounts.select(col("wcnt"), col("w")).persist()
     try {
       base.count() // materialize once; every round re-reads the cache
       var merges = Vector.empty[(String, String)]
       var exhausted = false
       while (merges.length < rounds && !exhausted) {
-        val seqCol = merges.foldLeft(col("seq")) { case (c, (a, b)) =>
-          replace(c, lit(s" $a  $b "), lit(s" $a$b "))
-        }
+        // stage with the NATIVE fused merge loop (functions/Bpe.scala):
+        // round r previously chained r replace nodes (O(rounds²) total
+        // plan work across training — unplannable at a real ~30k-merge
+        // vocabulary); the native expression is one plan node per round
         val top = pairCounts(
-          base.select(col("wcnt"), split(trim(seqCol), "  ").as("ts")))
+          base.select(col("wcnt"),
+            graft.functions.BpeFunctions.applyBpe(col("w"), merges).as("ts")))
           .limit(1).collect()
         if (top.isEmpty) exhausted = true
         else merges :+= ((top(0).getAs[String]("a"), top(0).getAs[String]("b")))
@@ -837,7 +838,12 @@ object TextOps {
                      topK: Int = 100): DataFrame = {
     val merges = trainBpe(spark, dir)
     wordTypes(spark, dir)
-      .select(col("wcnt"), applyBpeMerges(col("w"), merges).as("ts"))
+      // the NATIVE fused merge loop (functions/Bpe.scala): one plan node
+      // at any vocabulary size, where the applyBpeMerges replace-chain is
+      // merge-count deep (parity-spec'd equal; the chain remains the
+      // independent reference formulation)
+      .select(col("wcnt"),
+        graft.functions.BpeFunctions.applyBpe(col("w"), merges).as("ts"))
       .select(col("wcnt"), explode(col("ts")).as("token"))
       .groupBy("token").agg(sum(col("wcnt")).as("cnt"))
       .orderBy(desc("cnt"), asc("token"))

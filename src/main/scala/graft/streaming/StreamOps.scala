@@ -546,7 +546,7 @@ object StreamOps {
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
         transform(col("ws"),
-          w => graft.operators.TextOps.applyBpeMerges(w, merges)).as("ts"))
+          w => graft.functions.BpeFunctions.applyBpe(w, merges)).as("ts"))
       .select(col("doc_id"), col("n_words"),
         size(flatten(col("ts"))).cast("bigint").as("n_tokens"))
   }
