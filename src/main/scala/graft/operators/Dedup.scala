@@ -862,9 +862,11 @@ object Dedup {
     *
     * Scale shape: c62's positional-shingle pass; ownership is ONE
     * groupBy on the 16-byte shingle key (min-struct, map-side
-    * combinable); coverage explodes ONLY duplicated starts ×n and
-    * reduces on (doc, pos); the rebuild is c26's per-doc
-    * collect-sort-join. No all-pairs, no corpus-wide window. */
+    * combinable); duplicated starts fold to one sparse per-doc array,
+    * the cut set derives row-locally from it, and the rebuild is one
+    * doc_id equi-join + in-place array indexing — zero token-level
+    * exchanges (see [[scrubOfPos]]). No all-pairs, no corpus-wide
+    * window. */
   def c63SpanScrub(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
     scrubOfPos(Tables.documents(spark, dir),
       spark.read.parquet(posShingleTablePath(spark, dir, n)), n)
@@ -905,7 +907,20 @@ object Dedup {
 
   /** Scrub over an already-built positional-shingle frame (`pos` MUST
     * be [[positionalShingles]] of `docs` — the memoized-table and live
-    * paths meet here). */
+    * paths meet here).
+    *
+    * The rebuild carries ZERO token-level exchanges (the r10 audit's one
+    * finding: the old form posexploded every corpus token, joined on
+    * (doc_id, p), and re-grouped per doc — the suite's two biggest
+    * shuffles). Now the doc's duplicated starts fold to ONE sparse
+    * per-doc array (sparse: only duplicated starts, never the corpus),
+    * the cut-position set derives ROW-LOCALLY from it (covered-by-
+    * unowned minus covered-by-owned, via sequence/flatten/array_except
+    * HOFs), and one doc_id equi-join hands it to the doc row, where
+    * kept positions index the token array in place. Every exchange in
+    * the whole operator is keyed by the 16-byte shingle hash or by
+    * doc_id — nothing scales with tokens, only with docs and with
+    * duplicated starts. */
   private def scrubOfPos(docs: DataFrame, pos: DataFrame,
                          n: Int): DataFrame = {
     val base = docs.filter(col("text").isNotNull)
@@ -918,27 +933,32 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         (col("own.doc_id") === col("doc_id") && col("own.i") === col("i"))
           .as("owned"))
-    // per covered token position: does ANY owned start cover it?
-    val cov = dupStarts
-      .select(col("doc_id"), col("owned"),
-        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
-      .groupBy("doc_id", "p")
-      .agg(max(when(col("owned"), 1).otherwise(0)).as("any_owned"))
-    val cuts = cov.filter(col("any_owned") === 0)
-      .select(col("doc_id"), col("p"), lit(true).as("cut"))
-    base
-      .select(col("doc_id"), size(col("tko")).cast("bigint").as("n_tokens"),
-        posexplode(col("tko")))
-      .select(col("doc_id"), col("n_tokens"),
-        col("pos").cast("bigint").as("p"), col("col").as("tok"))
-      .join(cuts, Seq("doc_id", "p"), "left")
+    // per doc: cut positions as one sparse array — positions covered by
+    // some non-owned duplicated shingle and by NO owned one (the
+    // owned-coverage guard keeps the surviving copy intact)
+    val cutArr = dupStarts
       .groupBy("doc_id")
-      .agg(max(col("n_tokens")).as("n_tokens"),
-        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
-        // when() without otherwise is null on cut rows — collect_list
-        // drops nulls, so only kept tokens are rebuilt (c26's rule)
-        array_join(sort_array(collect_list(when(col("cut").isNull,
-          struct(col("p"), col("tok"))))).getField("tok"), " ")
+      .agg(collect_list(struct(col("i"), col("owned"))).as("ss"))
+      .select(col("doc_id"),
+        array_except(
+          array_distinct(flatten(transform(
+            filter(col("ss"), s => not(s.getField("owned"))),
+            s => sequence(s.getField("i"), s.getField("i") + (n - 1))))),
+          flatten(transform(
+            filter(col("ss"), s => s.getField("owned")),
+            s => sequence(s.getField("i"), s.getField("i") + (n - 1)))))
+          .as("cutps"))
+    base.join(cutArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tko"),
+        size(col("tko")).cast("bigint").as("n_tokens"),
+        coalesce(col("cutps"), array().cast("array<bigint>")).as("cutps"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("cutps")).cast("bigint").as("n_cut"),
+        // kept positions in order (array_except preserves the sorted
+        // first argument), each indexing the token array in place
+        array_join(transform(
+          array_except(sequence(lit(0L), col("n_tokens") - 1), col("cutps")),
+          p => element_at(col("tko"), (p + 1).cast("int"))), " ")
           .as("scrubbed_text"))
       .orderBy("doc_id")
   }

@@ -306,5 +306,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(s63.contains("partial_min") || s63.contains("partial min") ||
       s63.contains("HashAggregate"),
       s"ownership fold must aggregate partially:\n$s63")
+    // r11 rebuild contract: zero token-level work in the plan — no
+    // explode of the token array (the old form posexploded every corpus
+    // token)...
+    assert(!s63.contains("Generate") && !s63.contains("posexplode"),
+      s"token-level explode crept back into the scrub rebuild:\n$s63")
+    // ...and no exchange keyed at (doc_id, p) token granularity: every
+    // hash exchange is the shingle key or doc_id alone
+    assert(!"hashpartitioning\\(doc_id#\\d+, p#".r.findFirstIn(s63).isDefined,
+      s"(doc_id, p)-keyed exchange crept back into the scrub rebuild:\n$s63")
   }
 }
