@@ -134,27 +134,42 @@ object Main {
     * covered by some n-shingle occurring more than once corpus-wide
     * (shingles straddling two fused runs may themselves be unique) —
     * the cut list substring-level dedup (Lee et al. 2021) feeds a
-    * scrubber. One JSON stats line. */
+    * scrubber. One JSON stats line.
+    *
+    * `--min-span L [--strong-n W]` switches to the c65 thresholded form:
+    * spans cut at span_tokens >= L and confirmed by >= 1 duplicated
+    * W-shingle wholly inside (default W = min(L, 20)). */
   private def spans(args: Array[String]): Unit = {
     import graft.operators.Dedup
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val n = opt(args, "--n").map(_.toInt).getOrElse(5)
     require(n >= 1, s"--n must be >= 1, got $n")
+    val minSpan = opt(args, "--min-span").map(_.toInt)
+    val strongN = opt(args, "--strong-n").map(_.toInt)
+      .orElse(minSpan.map(math.min(_, 20)))
+    require(strongN.forall(_ >= 1), s"--strong-n must be >= 1, got $strongN")
+    require(minSpan.isDefined || strongN.isEmpty,
+      "--strong-n requires --min-span")
     val spark = GraftSession.get()
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    Dedup.dupSpans(docs.select("doc_id", "text"), n)
-      .write.mode("overwrite").parquet(out)
+    val selected = docs.select("doc_id", "text")
+    (minSpan match {
+      case Some(ms) => Dedup.dupSpansMin(selected, ms, strongN.get, n)
+      case None => Dedup.dupSpans(selected, n)
+    }).write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
     // coalesce: sums are null on an empty output (the chunk-stats rule)
     val stats = written.agg(count(lit(1)),
       count_distinct(col("doc_id")),
       coalesce(sum(col("span_tokens")), lit(0L))).head()
     println(s"""{"spans":${stats.getLong(0)},"docs_with_spans":${stats.getLong(1)},""" +
-      s""""dup_tokens":${stats.getLong(2)},"n":$n,"out":${jsonStr(out)}}""")
+      s""""dup_tokens":${stats.getLong(2)},"n":$n""" +
+      minSpan.map(ms => s""","min_span":$ms,"strong_n":${strongN.get}""").getOrElse("") +
+      s""","out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main card --in PARQUET --out OUT` — c61's dataset card over

@@ -124,6 +124,7 @@ object SparkEntry {
     "c62_dup_spans" -> ((s: SparkSession, d: String) => Dedup.c62DupSpans(s, d)),
     "c63_span_scrub" -> ((s: SparkSession, d: String) => Dedup.c63SpanScrub(s, d)),
     "c64_dup_stats" -> ((s: SparkSession, d: String) => Dedup.c64DupStats(s, d)),
+    "c65_span_minlen" -> ((s: SparkSession, d: String) => Dedup.c65SpanMinlen(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -876,6 +877,40 @@ object SparkEntry {
         |        / sum(n_tokens), 6) AS dup_share_r
         |FROM dt LEFT JOIN pd USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // c65: thresholded variable-length spans — c62's n=5 span CTEs cut
+    // at span_tokens >= 20, confirmed by >= 1 duplicated 20-shingle
+    // wholly inside (the exact-match evidence); counts exact integers
+    "c65_span_minlen" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |          md5(array_to_string(tk[i:i+4], ' ')) AS sh
+        |        FROM tok, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+        |h AS (SELECT doc_id, i FROM pos JOIN dup USING (sh)),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 5
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM h),
+        |isl AS (SELECT doc_id, i,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM g),
+        |sp AS (SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end,
+        |         max(i) - min(i) + 5 AS span_tokens, count(*) AS n_dup_shingles
+        |       FROM isl GROUP BY doc_id, island),
+        |spm AS (SELECT * FROM sp WHERE span_tokens >= 20),
+        |pos20 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |            md5(array_to_string(tk[i:i+19], ' ')) AS sh
+        |          FROM tok, UNNEST(range(1, len(tk) - 18)) AS u(i)),
+        |dup20 AS (SELECT sh FROM pos20 GROUP BY sh HAVING count(*) > 1),
+        |h20 AS (SELECT doc_id, i FROM pos20 JOIN dup20 USING (sh))
+        |SELECT spm.doc_id, span_start, span_end, span_tokens,
+        |  n_dup_shingles, count(*) AS n_exact
+        |FROM spm JOIN h20 ON spm.doc_id = h20.doc_id
+        |  AND h20.i >= spm.span_start AND h20.i + 19 <= spm.span_end
+        |GROUP BY spm.doc_id, span_start, span_end, span_tokens, n_dup_shingles
+        |ORDER BY spm.doc_id, span_start""".stripMargin,
     // c63: span scrub — c62's shingle machinery + ownership (the
     // corpus-first occurrence per shingle value, a row_number here ≡
     // Spark's min-struct) + covered-position fold + per-doc rebuild;

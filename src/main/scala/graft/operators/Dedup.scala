@@ -849,6 +849,66 @@ object Dedup {
     mergeStartIslands(pos.join(dup, "sh").select("doc_id", "i"), n)
   }
 
+  /** c65: variable-length duplicated spans under a minimum match
+    * threshold — Lee et al. 2021 dedups at "substring match ≥ 50
+    * tokens"; a fixed-n shingle pass alone cannot express that: c62's
+    * n=5 spans overestimate (overlapping repeats of DIFFERENT short
+    * shingles chain into long spans with no long exact match behind
+    * them). This operator composes two fixed-n passes into the
+    * thresholded semantics:
+    *
+    *  - CANDIDATES: c62's n=5 spans cut at span_tokens ≥ minSpan. A
+    *    true duplicated substring of length L ≥ minSpan produces a run
+    *    of L−4 duplicated 5-shingle starts, so every qualifying match
+    *    is inside some candidate — the cut loses nothing.
+    *  - CONFIRMATION: a candidate survives iff ≥ 1 duplicated
+    *    strongN-shingle lies WHOLLY inside it — an exact strongN-token
+    *    duplicate, the evidence chained-5-shingle mirages can't fake.
+    *    n_exact counts the confirming starts (≈ exact-match coverage).
+    *
+    * Scale shape: the n=5 span subtree is c62's (memoized positional
+    * table); the strongN pass is the same shape at n=20 (its own
+    * memoized table, shared with any other strongN consumer); the
+    * confirm join is a doc_id equi-join + row-local range predicate
+    * over two SPARSE frames (spans, duplicated starts — never corpus
+    * tokens). Nothing all-pairs, nothing token-keyed. */
+  def c65SpanMinlen(spark: SparkSession, dir: String, minSpan: Int = 20,
+                    strongN: Int = 20): DataFrame = {
+    val spans = c62DupSpans(spark, dir).filter(col("span_tokens") >= minSpan)
+    spanConfirm(spans,
+      spark.read.parquet(posShingleTablePath(spark, dir, strongN)), strongN)
+  }
+
+  /** The generic thresholded span finder — the live-recompute twin of
+    * [[c65SpanMinlen]] (`Main spans --min-span`). */
+  def dupSpansMin(docs: DataFrame, minSpan: Int = 20, strongN: Int = 20,
+                  n: Int = 5): DataFrame = {
+    require(minSpan >= strongN,
+      s"minSpan=$minSpan must be >= strongN=$strongN, or a confirming " +
+        "shingle cannot fit inside the shortest candidate")
+    spanConfirm(dupSpans(docs, n).filter(col("span_tokens") >= minSpan),
+      positionalShingles(docs, strongN), strongN)
+  }
+
+  /** Confirm candidate spans against a strongN positional-shingle frame:
+    * keep spans containing ≥ 1 duplicated strongN-shingle wholly inside
+    * their token range, with the confirming-start count. */
+  private def spanConfirm(spans: DataFrame, posStrong: DataFrame,
+                          strongN: Int): DataFrame = {
+    val dupStrong = posStrong.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val starts = posStrong.join(dupStrong, "sh")
+      .select(col("doc_id"), col("i"))
+    spans.join(starts,
+      spans("doc_id") === starts("doc_id") &&
+        starts("i") >= spans("span_start") &&
+        starts("i") + (strongN - 1) <= spans("span_end"))
+      .groupBy(spans("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_dup_shingles"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** c63: span scrub — the transform c62's report feeds: rewrite every
     * doc with its non-canonical duplicated runs CUT, keeping exactly one
     * copy of each duplicated n-shingle corpus-wide (Lee et al. 2021's

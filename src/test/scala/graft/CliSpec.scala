@@ -504,4 +504,22 @@ class CliSpec extends SparkSpec {
     assert(want.nonEmpty,
       "the generator's near-dup corpus must yield at least one span")
   }
+
+  test("spans subcommand --min-span: thresholded spans equal c65's over the corpus") {
+    import graft.operators.Dedup
+    val out = Files.createTempDirectory("graft-cli-spansmin-").toString + "/spans"
+    Main.main(Array("spans", "--in", s"$sfDir/documents.parquet", "--out", out,
+      "--min-span", "20"))
+    val got = spark.read.parquet(out)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq)
+    val want = Dedup.c65SpanMinlen(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI --min-span diverges from c65")
+    assert(want.nonEmpty, "corpus must yield confirmed long spans")
+    // --strong-n without --min-span is a usage error, loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("spans", "--in", s"$sfDir/documents.parquet",
+        "--out", out, "--strong-n", "7"))
+    }
+    assert(e.getMessage.contains("--min-span"))
+  }
 }

@@ -1464,6 +1464,95 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c65 gate row equals the live dupSpansMin path, and the guard holds") {
+    val live = Dedup.dupSpansMin(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val gate = Dedup.c65SpanMinlen(spark, sfDir)
+    assert(gate.collect().map(_.toSeq).toSeq == live.collect().map(_.toSeq).toSeq,
+      "positional-table reuse must not change c65 results")
+    // threshold semantics are real on the gate corpus: candidates exist
+    // below the cut, and confirmation drops at least nothing silently
+    val cand = Dedup.c62DupSpans(spark, sfDir)
+      .filter(col("span_tokens") >= 20).count()
+    assert(gate.count() <= cand, "confirmation can only narrow candidates")
+    assert(gate.count() > 0, "gate corpus must yield confirmed long spans")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupSpansMin(Tables.documents(spark, sfDir), minSpan = 5, strongN = 20)
+    }
+    assert(e.getMessage.contains("minSpan"))
+  }
+
+  test("c65 randomized corpora: thresholded spans equal a driver-side brute force") {
+    // brute force re-implements the composed definition directly: c62's
+    // islands at width n, cut at minSpan, confirmed by >= 1 repeated
+    // strongN-shingle wholly inside; counts the confirming starts
+    def bruteStarts(docs: Seq[(Long, String)], w: Int) = {
+      val sh = for {
+        (id, t) <- docs if t != null
+        toks = t.toLowerCase.split(" ", -1).toSeq if toks.length >= w
+        i <- 0 to toks.length - w
+      } yield (id, i.toLong, toks.slice(i, i + w).mkString(" "))
+      val counts = sh.groupBy(_._3).map { case (k, v) => k -> v.size }
+      sh.filter(s => counts(s._3) > 1).map(s => (s._1, s._2))
+    }
+    // returns (candidates-after-cut count, confirmed spans)
+    def brute(docs: Seq[(Long, String)], n: Int, minSpan: Int, strongN: Int) = {
+      val islands = bruteStarts(docs, n).groupBy(_._1).toSeq.flatMap {
+        case (id, hs) =>
+          val starts = hs.map(_._2).sorted
+          val isl = starts.foldLeft(List.empty[List[Long]]) {
+            case (Nil, s) => List(List(s))
+            case (cur :: rest, s) if s - cur.head <= n => (s :: cur) :: rest
+            case (acc, s) => List(s) :: acc
+          }
+          isl.map(i => (id, i.min, i.max + n - 1, i.max - i.min + n, i.size.toLong))
+      }
+      val strong = bruteStarts(docs, strongN)
+      val cands = islands.filter(_._4 >= minSpan)
+      (cands.length, cands.flatMap { case sp @ (id, s, e, _, _) =>
+        val nx = strong.count(h => h._1 == id && h._2 >= s && h._2 + strongN - 1 <= e)
+        if (nx > 0) Some((sp._1, sp._2, sp._3, sp._4, sp._5, nx.toLong)) else None
+      }.sortBy(x => (x._1, x._2)))
+    }
+    val words = Seq("a", "b", "c", "d")
+    var confirmed = 0
+    var dropped = 0
+    for (seed <- 201 to 212) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(2)            // candidate width 2..3
+      val strongN = n + 1 + rnd.nextInt(3)  // confirm width n+1..n+3
+      val minSpan = strongN + rnd.nextInt(3)
+      // a shared passage pool guarantees some long EXACT duplicates;
+      // random filler guarantees some chained-mirage candidates too
+      val passages = (0 until 3).map(_ =>
+        (0 until 6 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      val docs = (0 until 18).map { id =>
+        val parts = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          if (rnd.nextInt(3) == 0) passages(rnd.nextInt(passages.length))
+          else (0 until rnd.nextInt(10))
+            .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+        }
+        (id.toLong, parts.mkString(" ").trim match {
+          case "" => if (rnd.nextBoolean()) null else ""
+          case t => t
+        })
+      }
+      val got = Dedup.dupSpansMin(docsDf(docs), minSpan, strongN, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      val (nCand, want) = brute(docs, n, minSpan, strongN)
+      assert(got == want, s"seed=$seed n=$n strongN=$strongN " +
+        s"minSpan=$minSpan engine $got != brute $want")
+      confirmed += got.length
+      dropped += nCand - want.length
+    }
+    assert(confirmed > 0, "seeds must exercise the confirmed path")
+    assert(dropped > 0,
+      "seeds must produce chained-mirage candidates that confirmation kills " +
+        "- otherwise the threshold is untested")
+  }
+
   test("lshPlan: independent-integration argmin, c2's 4x2 at 0.5, threshold monotonicity") {
     // independent re-derivation: trapezoid rule at double resolution —
     // the chosen pair must be the argmin under the independent estimate
