@@ -72,11 +72,13 @@ object Main {
     case Some("spans") => spans(args.drop(1))
     case Some("plan") => planCmd(args.drop(1))
     case Some("scrub") => scrub(args.drop(1))
+    case Some("index") => indexCmd(args.drop(1))
+    case Some("query") => queryCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card|spans|plan|scrub ...")
+          "fingerprint|card|spans|plan|scrub|index|query ...")
       sys.exit(2)
   }
 
@@ -262,6 +264,68 @@ object Main {
       println(s"""{"docs":${stats.getLong(0)},""" +
         s""""total_fp":${stats.getLong(1)},"out":${jsonStr(out)}}""")
     }
+  }
+
+  /** `graft.Main index --in EMB_PARQUET --out IDXDIR [--m M]
+    * [--codebook-from EMB_PARQUET]` — build the at-rest IVF-PQ index of
+    * an embedding corpus (the artifact a vector-serving system ships —
+    * what `Main fingerprint --index` + d25 are for lexical near-dup):
+    * IDXDIR/codebook (cell, centroid) + IDXDIR/codes (vec_id, cell, M
+    * PQ codes; no raw floats — the 64× at-rest compression). The
+    * codebook trains on --codebook-from when given (point it at the
+    * full search universe to reproduce an existing in-memory search),
+    * else on --in; either frame needs (vec_id, embedding, label). */
+  private def indexCmd(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val m = opt(args, "--m").map(_.toInt).getOrElse(4)
+    require(m >= 1, s"--m must be >= 1, got $m")
+    val spark = GraftSession.get()
+    def embFrame(path: String) = {
+      val e = spark.read.parquet(path)
+      require(Seq("vec_id", "embedding", "label").forall(e.columns.contains),
+        s"input $path must have (vec_id, embedding, label) columns, " +
+          s"found ${e.columns.mkString("(", ", ", ")")}")
+      e
+    }
+    val (cb, codes) = Similarity.buildVectorIndex(embFrame(in), m,
+      opt(args, "--codebook-from").map(embFrame))
+    cb.write.mode("overwrite").parquet(s"$out/codebook")
+    codes.write.mode("overwrite").parquet(s"$out/codes")
+    val stats = spark.read.parquet(s"$out/codes")
+      .agg(count(lit(1)), count_distinct(col("cell"))).head()
+    val nCells = spark.read.parquet(s"$out/codebook").count()
+    println(s"""{"vectors":${stats.getLong(0)},"cells":$nCells,""" +
+      s""""cells_used":${stats.getLong(1)},"m":$m,"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main query --index IDXDIR --queries EMB_PARQUET --out OUT
+    * [--k K] [--nprobe N]` — serve top-k ANN from `Main index`
+    * artifacts: candidates are touched only as (cell, codes) rows,
+    * reconstructed row-locally from the broadcast codebook; scoring and
+    * ranking are exactly ivfPqSearch's (CLI-spec-pinned). */
+  private def queryCmd(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val idx = opt(args, "--index").getOrElse(sys.error("--index required"))
+    val qp = opt(args, "--queries").getOrElse(sys.error("--queries required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val k = opt(args, "--k").map(_.toInt).getOrElse(5)
+    val nprobe = opt(args, "--nprobe").map(_.toInt).getOrElse(1)
+    val spark = GraftSession.get()
+    val queries = spark.read.parquet(qp)
+    require(Seq("vec_id", "embedding").forall(queries.columns.contains),
+      s"queries $qp must have (vec_id, embedding) columns, " +
+        s"found ${queries.columns.mkString("(", ", ", ")")}")
+    Similarity.queryVectorIndex(queries.select("vec_id", "embedding"),
+      spark.read.parquet(s"$idx/codebook"), spark.read.parquet(s"$idx/codes"),
+      k, nprobe)
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)),
+      count_distinct(col("query_id"))).head()
+    println(s"""{"rows":${stats.getLong(0)},"queries":${stats.getLong(1)},""" +
+      s""""k":$k,"nprobe":$nprobe,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main moments --in EMB_PARQUET --out OUT` — c45's embedding

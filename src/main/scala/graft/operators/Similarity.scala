@@ -653,6 +653,91 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- at-rest IVF-PQ index (`Main index` / `Main query`): the
+  // ---- artifacts a vector-serving system ships — coarse codebook +
+  // ---- per-vector codes as parquet, NO raw floats in the index
+
+  /** Build the at-rest IVF-PQ index of a candidate embedding frame:
+    * returns (codebook, codes). `codebook` is the (cell, centroid)
+    * label codebook trained on `codebookFrom` (default: the candidates
+    * themselves; pass the full search universe to reproduce an existing
+    * in-memory search exactly). `codes` is ONE row per candidate —
+    * (vec_id, cell, codes): its nearest IVF cell and its M PQ codes,
+    * derived by exactly the c18/c36 expressions (NearestCells argmax,
+    * 6-dp rounding, lowest-cell ties). The codes table holds NO raw
+    * floats: at scale the index is one small int per subspace plus the
+    * cell — the 64× compression that lets a billion-vector index fit
+    * where the float32 corpus cannot. Both frames are what
+    * [[queryVectorIndex]] serves from, and both round-trip parquet
+    * losslessly (ints only). */
+  def buildVectorIndex(embs: DataFrame, m: Int = 4,
+                       codebookFrom: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val cb = labelCodebookOf(codebookFrom.getOrElse(embs))
+    val e = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val probe = e.select(size(col("v"))).head(1)
+    require(probe.nonEmpty, "cannot index an empty embedding frame")
+    val dim = probe(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    val assigned = assignCells(e, cb, maxProbe = 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val codes = withSubCodebookFolds(assigned, cb, m, subDim)
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map { j =>
+          element_at(graft.functions.VectorFunctions.nearestCells(
+            slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
+            .getField("cell")
+        }: _*).as("codes"))
+    (cb, codes)
+  }
+
+  /** Serve top-k ANN from at-rest [[buildVectorIndex]] artifacts: the
+    * query side carries full-precision vectors (tiny — it is the query
+    * set), the candidate side exists ONLY as (cell, codes) rows whose
+    * reconstruction (each code's sub-centroid, concatenated) is looked
+    * up row-locally from the broadcast sub-codebook folds. Queries
+    * probe their top-`nprobe` cells; scoring is ADC cosine against the
+    * reconstruction; ranks and rounding are exactly [[ivfPqSearch]]'s —
+    * with the same codebook and candidate/query split the two are
+    * row-identical (CLI-spec-pinned). Scale shape: one broadcast of the
+    * codebook folds + queries, a cell equi-join against the codes scan,
+    * a per-query top-k window over nprobe/cells of the corpus. */
+  def queryVectorIndex(queries: DataFrame, codebook: DataFrame,
+                       codes: DataFrame, k: Int = 5,
+                       nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val mProbe = codes.select(size(col("codes"))).head(1)
+    require(mProbe.nonEmpty, "cannot query an empty index")
+    val m = mProbe(0).getInt(0)
+    val dim = codebook.select(size(col("centroid"))).head().getInt(0)
+    require(dim % m == 0, s"codebook dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val cand = withSubCodebookFolds(
+      codes.select(col("vec_id"), col("cell"), col("codes")),
+      codebook, m, subDim)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        flatten(array((0 until m).map { j =>
+          element_at(filter(col(s"cb$j"),
+            s => s.getField("cell") === element_at(col("codes"), j + 1)), 1)
+            .getField("sc")
+        }: _*)).as("rv"))
+    val q = assignCells(
+      queries.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      codebook, maxProbe = nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    cand.join(broadcast(q), "cell")
+      .withColumn("adc", cosine(col("qv"), col("rv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
+        round(col("adc"), 6).as("adc_r"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Memoized nearest-cell assignment of the FULL corpus (maxProbe=1)
     * against the label codebook, checkpointed to scratch parquet per data
     * dir (the [[labelCodebookPath]] seam). c43 consumes the same

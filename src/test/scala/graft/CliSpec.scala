@@ -522,4 +522,34 @@ class CliSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("--min-span"))
   }
+
+  test("index/query subcommands: at-rest IVF-PQ serving equals ivfPqSearch") {
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-cli-vidx-").toString
+    val full = Tables.embeddings(spark, sfDir)
+    full.filter(col("vec_id") >= 5).write.parquet(s"$tmp/cands.parquet")
+    full.filter(col("vec_id") < 5).write.parquet(s"$tmp/queries.parquet")
+    // index the candidates; coarse codebook trained on the full universe
+    // (exactly the in-memory search's codebook derivation)
+    Main.main(Array("index", "--in", s"$tmp/cands.parquet",
+      "--out", s"$tmp/idx", "--codebook-from", s"$sfDir/embeddings.parquet"))
+    // the at-rest index must hold NO raw floats — that is its point
+    val codesSchema = spark.read.parquet(s"$tmp/idx/codes").schema
+    assert(!codesSchema.exists(f =>
+      f.dataType.simpleString.contains("double") ||
+        f.dataType.simpleString.contains("float")),
+      s"codes table leaked floats: $codesSchema")
+    for (nprobe <- Seq(1, 2)) {
+      Main.main(Array("query", "--index", s"$tmp/idx",
+        "--queries", s"$tmp/queries.parquet", "--out", s"$tmp/res",
+        "--nprobe", nprobe.toString))
+      val got = spark.read.parquet(s"$tmp/res")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq)
+      val want = Similarity.ivfPqSearch(spark, sfDir, nprobe = nprobe)
+        .collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq,
+        s"nprobe=$nprobe: at-rest serve diverges from ivfPqSearch")
+      assert(want.nonEmpty)
+    }
+  }
 }
