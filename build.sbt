@@ -36,3 +36,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- non-default `adapters` module: the Pulsar vendor adapter,
+// compile-gated so the doc/pulsar-adapter.md snippet can never rot.
+// `sbt adapters/compile` type-checks graft.streaming.pulsar against the
+// api-shim facade (the zero-egress sandbox cannot resolve the real
+// pulsar-client jar; production drops the shim dir and adds the jar —
+// see adapters/api-shim/.../shim.scala). Root is defined explicitly so
+// plain `sbt compile` / `sbt test` do NOT aggregate this module.
+lazy val root = (project in file("."))
+
+lazy val adapters = (project in file("adapters"))
+  .dependsOn(root)
+  .settings(
+    name := "graft-adapters",
+    unmanagedBase := file("/opt/spark/jars"),
+    Compile / unmanagedSourceDirectories +=
+      baseDirectory.value / "api-shim" / "src" / "main" / "scala",
+  )
