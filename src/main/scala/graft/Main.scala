@@ -561,8 +561,17 @@ object Main {
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val k = opt(args, "--k").map(_.toInt).getOrElse(100)
+    val unicode = args.contains("--unicode")
+    val stripPunct = args.contains("--strip-punct")
+    require(unicode || !stripPunct, "--strip-punct requires --unicode")
     val spark = GraftSession.get()
-    val v = graft.operators.TextOps.c34VocabTopk(spark, in, k).persist()
+    // --unicode: the NFC/Unicode-whitespace tokenizer variant (SURVEY §2
+    // tokenizer note) instead of the gate's engine-exact ASCII split
+    val v = (if (unicode)
+      graft.operators.TextOps.vocabTopkOn(
+        graft.Tables.documents(spark, in), k,
+        t => graft.functions.UnicodeTokenize.uniTokens(t, stripPunct))
+    else graft.operators.TextOps.c34VocabTopk(spark, in, k)).persist()
     try {
       v.write.mode("overwrite").parquet(out)
       val n = v.count()

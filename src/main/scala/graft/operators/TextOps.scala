@@ -377,8 +377,19 @@ object TextOps {
     * sized, not corpus-sized) and each executor ships only its local
     * top-k to the driver-side merge. */
   def c34VocabTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+    vocabTopkOn(Tables.documents(spark, dir), k, t => words(lower(t)))
+
+  /** c34 over an arbitrary (doc_id, text) frame and tokenizer — the
+    * `Main vocab` entry point. The gate row keeps the ASCII tokenizer
+    * (its DuckDB oracle depends on the engine-exact `split(lower, ' ')`
+    * rendering); `Main vocab --unicode [--strip-punct]` swaps in the
+    * codegen'd NFC/Unicode-whitespace variant
+    * ([[graft.functions.UnicodeTokenize.uniTokens]]), parity-pinned by
+    * a driver brute-force spec instead of a SQL oracle. */
+  def vocabTopkOn(docs: DataFrame, k: Int,
+                  tokens: Column => Column): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .orderBy(desc("tf"), asc("term"))
