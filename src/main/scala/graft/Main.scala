@@ -74,12 +74,83 @@ object Main {
     case Some("scrub") => scrub(args.drop(1))
     case Some("index") => indexCmd(args.drop(1))
     case Some("query") => queryCmd(args.drop(1))
+    case Some("bpe-train") => bpeTrain(args.drop(1))
+    case Some("tokenize") => tokenize(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card|spans|plan|scrub|index|query ...")
+          "fingerprint|card|spans|plan|scrub|index|query|bpe-train|" +
+          "tokenize ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main bpe-train --in PARQUET --out MERGES [--rounds N]` —
+    * learn a BPE merge list over any (doc_id, text) parquet (c52's
+    * training phase as an at-rest artifact step): writes the ordered
+    * merges as (rank, a, b) parquet — the tokenizer file a serving
+    * system ships — plus one JSON line. */
+  private def bpeTrain(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val rounds = opt(args, "--rounds").map(_.toInt).getOrElse(TextOps.C52Rounds)
+    require(rounds >= 1, s"--rounds must be >= 1, got $rounds")
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val docs = spark.read.parquet(in)
+    require(docs.columns.contains("text"),
+      s"input $in must have a text column, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val wc = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val merges = TextOps.trainBpeOn(wc, rounds)
+    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    println(s"""{"merges":${merges.length},"rounds":$rounds,""" +
+      s""""out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main tokenize --in PARQUET --merges MERGES --out OUT` —
+    * apply a `bpe-train` artifact to a corpus through the native
+    * [[graft.functions.ApplyBpe]] expression (one fused plan node at ANY
+    * merge count — this is the path that serves a real ~30k-merge
+    * tokenizer, where the replace-chain formulation cannot plan):
+    * writes (doc_id, n_words, n_tokens, tokens). The merge list is the
+    * one bounded driver-side collect a tokenizer apply needs — it IS
+    * the model artifact (vocab-sized, like d21's plan literals). */
+  private def tokenize(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val mergesPath = opt(args, "--merges").getOrElse(sys.error("--merges required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    val mf = spark.read.parquet(mergesPath)
+    require(Seq("rank", "a", "b").forall(mf.columns.contains),
+      s"merges $mergesPath must have (rank, a, b) columns, " +
+        s"found ${mf.columns.mkString("(", ", ", ")")}")
+    val merges = mf.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val ws = filter(split(lower(col("text")), " "), w => length(w) >= 1)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        flatten(transform(col("ws"),
+          w => graft.functions.BpeFunctions.applyBpe(w, merges))).as("tokens"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L))).head()
+    println(s"""{"docs":${stats.getLong(0)},"total_tokens":${stats.getLong(1)},""" +
+      s""""merges":${merges.length},"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main scrub --in PARQUET --out OUT [--n N]` — c63's span

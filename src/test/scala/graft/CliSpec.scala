@@ -552,4 +552,35 @@ class CliSpec extends SparkSpec {
       assert(want.nonEmpty)
     }
   }
+
+  test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
+    import graft.operators.TextOps
+    val tmp = Files.createTempDirectory("graft-cli-bpe-").toString
+    Main.main(Array("bpe-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/merges"))
+    val merges = spark.read.parquet(s"$tmp/merges").orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    assert(merges == TextOps.trainBpe(spark, sfDir),
+      "CLI-trained merge list diverges from the gate's memoized artifact")
+    Main.main(Array("tokenize", "--in", s"$sfDir/documents.parquet",
+      "--merges", s"$tmp/merges", "--out", s"$tmp/toks"))
+    val got = spark.read.parquet(s"$tmp/toks").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getSeq[String](3).toVector))
+    // independent derivation through the replace-chain formulation
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) >= 1).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        flatten(transform(col("ws"),
+          w => TextOps.applyBpeMerges(w, merges))).as("tokens"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getSeq[String](2).length.toLong, r.getSeq[String](2).toVector))
+    assert(got.toSeq == want.toSeq,
+      "CLI tokenize diverges from the replace-chain derivation")
+    assert(got.nonEmpty && got.exists(_._4.exists(_.length > 1)),
+      "the trained merges must actually fuse some tokens")
+  }
 }
