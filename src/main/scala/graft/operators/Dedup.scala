@@ -897,17 +897,49 @@ object Dedup {
                           strongN: Int): DataFrame = {
     val dupStrong = posStrong.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
-    val starts = posStrong.join(dupStrong, "sh")
-      .select(col("doc_id"), col("i"))
-    spans.join(starts,
-      spans("doc_id") === starts("doc_id") &&
-        starts("i") >= spans("span_start") &&
-        starts("i") + (strongN - 1) <= spans("span_end"))
-      .groupBy(spans("doc_id"), col("span_start"), col("span_end"),
+    confirmSpans(spans,
+      posStrong.join(dupStrong, "sh").select(col("doc_id"), col("i")),
+      strongN)
+  }
+
+  /** Confirm candidate spans against an ALREADY-DERIVED duplicated-start
+    * frame (doc_id, i) at width strongN — the seam where the batch path
+    * (corpus-global duplicate derivation, [[spanConfirm]]) and the
+    * streaming path (arrival-vs-at-rest index probes,
+    * [[spansMinOfHits]]) meet, so both provably share the confirm
+    * semantics. doc_id equi-join + row-local range predicate over two
+    * sparse frames. */
+  private[graft] def confirmSpans(spans: DataFrame, starts: DataFrame,
+                                  strongN: Int): DataFrame = {
+    // rename the start side up front: when both frames derive from ONE
+    // source (the d27 fold feeds the same sink table to both), df("col")
+    // disambiguation fails with conflicting references — fresh attribute
+    // ids from the projection cannot
+    val st = starts.select(col("doc_id").as("s_doc_id"), col("i").as("s_i"))
+    spans.join(st,
+      col("doc_id") === col("s_doc_id") &&
+        col("s_i") >= col("span_start") &&
+        col("s_i") + (strongN - 1) <= col("span_end"))
+      .groupBy(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("n_dup_shingles"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy("doc_id", "span_start")
   }
+
+  /** Batch fold of d27's tagged hit stream ((doc_id, i, strong) rows —
+    * [[graft.streaming.StreamOps.streamSpanHits]]): islands of the
+    * weak (n-width) hits cut at minSpan, confirmed by the strong
+    * (strongN-width) hits. The streaming-side c65: candidates and
+    * evidence both carry the arrival-vs-AT-REST semantic of the index
+    * probes that produced the hits. */
+  def spansMinOfHits(hits: DataFrame, n: Int = 5, minSpan: Int = 20,
+                     strongN: Int = 20): DataFrame =
+    confirmSpans(
+      mergeStartIslands(hits.filter(not(col("strong")))
+        .select("doc_id", "i"), n)
+        .filter(col("span_tokens") >= minSpan),
+      hits.filter(col("strong")).select("doc_id", "i"),
+      strongN)
 
   /** c63: span scrub — the transform c62's report feeds: rewrite every
     * doc with its non-canonical duplicated runs CUT, keeping exactly one

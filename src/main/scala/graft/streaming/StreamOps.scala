@@ -814,4 +814,26 @@ object StreamOps {
     graft.operators.Dedup.positionalShingles(docs, n)
       .join(shingleIndex.select("sh"), Seq("sh"))
       .select(col("doc_id"), col("i"))
+
+  /** d27: streaming THRESHOLDED-span hits at ingest — the serving twin
+    * of batch c65: each arriving document probes TWO at-rest shingle
+    * indexes ([[graft.operators.Dedup.dupShingleIndexOf]] at widths n
+    * and strongN — the same artifact family d26 probes), emitting one
+    * tagged (doc_id, i, strong) row per hit: weak (n-width) hits are
+    * c65's span CANDIDATES, strong (strongN-width) hits its exact-match
+    * CONFIRMATION evidence. Stateless (two stream-static equi-joins on
+    * 16-byte md5 keys unioned — no watermark, no state); the fold into
+    * confirmed minSpan spans
+    * ([[graft.operators.Dedup.spansMinOfHits]]) is a per-doc batch
+    * pass downstream (d26's rule: append mode cannot run the per-doc
+    * window, and the fold is a pure function of the emitted hits).
+    * Both indexes follow d11/d25's materialized-table rule — at scale
+    * bucketed by sh so the per-batch joins are co-located. */
+  def streamSpanHits(docs: DataFrame, weakIndex: DataFrame,
+                     strongIndex: DataFrame, n: Int = 5,
+                     strongN: Int = 20): DataFrame =
+    streamDupStarts(docs, weakIndex, n)
+      .withColumn("strong", lit(false))
+      .unionByName(streamDupStarts(docs, strongIndex, strongN)
+        .withColumn("strong", lit(true)))
 }

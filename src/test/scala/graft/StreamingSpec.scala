@@ -1093,4 +1093,75 @@ class StreamingSpec extends SparkSpec {
         s"hits must merge to the single embedded-run span, got ${spans.toSeq}")
     } finally q.stop()
   }
+
+  test("d27 streaming span hits: tagged probes equal batch; fold confirms runs, kills mirages") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val idx5Dir = java.nio.file.Files
+      .createTempDirectory("graft-d27-idx5-").toString
+    val idx20Dir = java.nio.file.Files
+      .createTempDirectory("graft-d27-idx20-").toString
+    Dedup.dupShingleIndexOf(corpus, 5).write.mode("overwrite").parquet(idx5Dir)
+    Dedup.dupShingleIndexOf(corpus, 20).write.mode("overwrite").parquet(idx20Dir)
+    val idx5 = spark.read.parquet(idx5Dir)
+    val idx20 = spark.read.parquet(idx20Dir)
+    // a long corpus doc to embed (true >= 20-token exact run), and three
+    // 8-token snippets from three OTHER docs stitched back-to-back — each
+    // produces at-rest 5-gram hits whose islands fuse (boundary gap = 5
+    // <= n) into a >= 20-token CANDIDATE, but no 20-gram of the stitched
+    // text exists at rest: the mirage c65 exists to kill
+    val docsArr = corpus.filter(col("text").isNotNull).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ", -1)))
+    val (_, longToks) = docsArr.filter(_._2.length >= 24).head
+    val snippetSrc = docsArr.filter(d => d._2.length >= 8)
+      .filterNot(_._2.sameElements(longToks)).take(3)
+    assert(snippetSrc.length == 3, "corpus must offer three snippet donors")
+    val mirage = snippetSrc.map(_._2.take(8).mkString(" ")).mkString(" ")
+    val arrivals = Seq(
+      (80001L, s"fresh0 fresh1 ${longToks.mkString(" ")}"),
+      (80002L, mirage),
+      (80003L, (0 until 30).map(i => s"zzz$i").mkString(" ")))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamSpanHits(
+        stream.toDF().toDF("doc_id", "text"), idx5, idx20)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d27_sink").start()
+    try {
+      stream.addData(arrivals.take(1)); q.processAllAvailable()
+      stream.addData(arrivals.drop(1)); q.processAllAvailable()
+      val got = spark.table("d27_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("i"),
+          r.getAs[Boolean]("strong"))).toSet
+      // tagged hit set ≡ the two batch probes of the same arrivals
+      val arrDf = arrivals.toDF("doc_id", "text")
+      def batchProbe(idx: org.apache.spark.sql.DataFrame, w: Int, s: Boolean) =
+        Dedup.positionalShingles(arrDf, w).join(idx, "sh")
+          .select("doc_id", "i").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("i"), s)).toSet
+      assert(got == batchProbe(idx5, 5, s = false) ++ batchProbe(idx20, 20, s = true),
+        "stream hit set must equal the batch probes")
+      // the downstream fold: embedded run survives confirmation with the
+      // exact evidence count, the stitched mirage dies, noise never hits
+      val folded = Dedup.spansMinOfHits(spark.table("d27_sink")).collect()
+      val lenL = longToks.length.toLong
+      assert(folded.exists(r => r.getAs[Long]("doc_id") == 80001L &&
+        r.getAs[Long]("span_start") == 2L &&
+        r.getAs[Long]("span_tokens") >= lenL &&
+        r.getAs[Long]("n_exact") >= lenL - 19L),
+        s"embedded run must confirm, got ${folded.toSeq}")
+      assert(!folded.exists(_.getAs[Long]("doc_id") == 80002L),
+        "stitched mirage candidate must be killed by 20-gram confirmation")
+      // ...and it WAS a candidate (the kill is the threshold working,
+      // not the mirage failing to chain)
+      val mirageCand = Dedup.mergeStartIslands(
+          spark.table("d27_sink").filter(!col("strong"))
+            .filter(col("doc_id") === 80002L).select("doc_id", "i"), 5)
+        .filter(col("span_tokens") >= 20)
+      assert(mirageCand.count() >= 1,
+        "mirage must chain into a >= 20-token candidate island")
+      assert(!got.exists(_._1 == 80003L), "disjoint vocab must not hit")
+    } finally q.stop()
+  }
 }
