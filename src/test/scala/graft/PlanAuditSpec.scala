@@ -316,4 +316,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"hashpartitioning\\(doc_id#\\d+, p#".r.findFirstIn(s63).isDefined,
       s"(doc_id, p)-keyed exchange crept back into the scrub rebuild:\n$s63")
   }
+
+  test("c65 plan: confirm join is a doc_id equi-join over sparse frames, no product") {
+    val s = executedPlanOf(graft.operators.Dedup.c65SpanMinlen(spark, sfDir))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"span confirmation must never go all-pairs:\n$s")
+    // the range predicates ride an EQUI join on the doc key; a planner
+    // that lost the equi piece would nested-loop spans x starts
+    assert(s.contains("doc_id"), s)
+    // candidates still window per doc (c62's island merge underneath)
+    assert(s.contains("windowspecdefinition(doc_id"),
+      s"island window must partition by doc_id:\n$s")
+  }
 }
