@@ -125,6 +125,7 @@ object SparkEntry {
     "c63_span_scrub" -> ((s: SparkSession, d: String) => Dedup.c63SpanScrub(s, d)),
     "c64_dup_stats" -> ((s: SparkSession, d: String) => Dedup.c64DupStats(s, d)),
     "c65_span_minlen" -> ((s: SparkSession, d: String) => Dedup.c65SpanMinlen(s, d)),
+    "c66_bpe_fertility" -> ((s: SparkSession, d: String) => TextOps.c66BpeFertility(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -162,21 +163,42 @@ object SparkEntry {
     * pass in both engines). Training itself is not re-run in SQL; the
     * inlined literals pin it: a nondeterministic trainer would render SQL
     * that mismatches the Spark re-train and hash-fail the gate. */
-  private def c52OracleSql(dir: String): String = {
+  /** The fenced-sequence merge-application expression over a column `w`
+    * (TextOps.bpeSeqOf's scheme rendered in SQL — one literal replace
+    * per learned merge), shared by the c52 and c66 renderers. */
+  private def bpeAppliedExpr(dir: String): String = {
     val merges = graft.operators.TextOps.trainBpe(renderSession, dir)
     val seqExpr = "'  ' || array_to_string(list_transform(" +
       "range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || '  '"
-    val applied = merges.foldLeft(seqExpr) { case (e, (a, b)) =>
+    merges.foldLeft(seqExpr) { case (e, (a, b)) =>
       s"replace($e,\n           ${sqlLit(s" $a  $b ")}, ${sqlLit(s" $a$b ")})"
     }
+  }
+
+  private def c52OracleSql(dir: String): String =
     s"""WITH wc AS (SELECT w, count(*) AS wcnt
        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |      WHERE len(w) >= 1 GROUP BY w),
-       |s AS (SELECT wcnt, $applied AS seq FROM wc),
+       |s AS (SELECT wcnt, ${bpeAppliedExpr(dir)} AS seq FROM wc),
        |t AS (SELECT wcnt, unnest(string_split(trim(seq), '  ')) AS token FROM s)
        |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt
        |FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
-  }
+
+  /** DuckDB rendering of c66: the SAME inlined learned merges as c52,
+    * applied per (doc, word) and folded per doc — trainer drift
+    * hash-fails; the row set derives from the surviving word stream in
+    * both engines (zero-word docs absent by construction). */
+  private def c66OracleSql(dir: String): String =
+    s"""WITH wf AS (SELECT doc_id, w FROM
+       |      (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |       FROM documents WHERE text IS NOT NULL)
+       |      WHERE len(w) >= 1),
+       |t AS (SELECT doc_id,
+       |        CAST(len(string_split(trim(${bpeAppliedExpr(dir)}), '  ')) AS BIGINT) AS nt
+       |      FROM wf)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility_r
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
     * the Spark expression uses (seed "graft:rp"), inlined as a VALUES
@@ -270,7 +292,8 @@ object SparkEntry {
       base + ("c58_ann_recall" -> c58OracleSql(
         base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf"))),
       Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
-        "c54_pca_project" -> (() => c54OracleSql(dir))))
+        "c54_pca_project" -> (() => c54OracleSql(dir)),
+        "c66_bpe_fertility" -> (() => c66OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

@@ -861,6 +861,38 @@ object TextOps {
       .limit(topK)
   }
 
+  /** c66: tokenizer FERTILITY — tokens-per-word under the trained BPE
+    * (c52's artifact), per document: the standard tokenizer-evaluation
+    * metric (a fertility near 1 means the vocabulary fits the corpus;
+    * rare-vocab documents blow up toward characters-per-word). Closes
+    * the tokenizer loop c44 → c52 opened: train → apply → EVALUATE.
+    * Documents with zero length-≥1 words drop (both engines derive the
+    * row set from the surviving word stream, so the degenerate 0/0
+    * fertility cannot arise by construction).
+    *
+    * Scale shape: training is c52's memoized artifact (one corpus scan
+    * per JVM); the apply is the native fused [[graft.functions.ApplyBpe]]
+    * inside a row-local HOF projection — ZERO exchanges before the gate
+    * ordering; fertility is one double division of exact longs, 6-dp
+    * rounded. The oracle inlines the learned merges (c52's rule), so
+    * trainer drift hash-fails here too. */
+  def c66BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpe(spark, dir)
+    val ws = filter(words(lower(col("text"))), w => length(w) >= 1)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        size(flatten(transform(col("ws"),
+          w => graft.functions.BpeFunctions.applyBpe(w, merges))))
+          .cast("bigint").as("n_tokens"))
+      .withColumn("fertility_r",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   // ---- lexical retrieval (c55): Okapi BM25 over an inverted per-doc
   // ---- statistics pass (Robertson & Walker; the standard lexical ranker
   // ---- a retrieval-augmented training pipeline mines hard positives with)

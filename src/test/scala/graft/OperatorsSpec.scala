@@ -595,6 +595,41 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.trainBpe(spark, sfDir) == merges)
   }
 
+  test("c66 fertility equals brute-force train+apply per doc; zero-word docs absent") {
+    val merges = TextOps.trainBpe(spark, sfDir)
+    val want = Tables.documents(spark, sfDir).collect()
+      .flatMap { r =>
+        Option(r.getAs[String]("text")).flatMap { t =>
+          val ws = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+          if (ws.isEmpty) None
+          else {
+            val nt = ws.map(w =>
+              merges.foldLeft(w.map(_.toString).toVector)(bruteMergePass).length.toLong).sum
+            Some((r.getAs[Long]("doc_id"), ws.length.toLong, nt,
+              BigDecimal(nt.toDouble / ws.length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }
+      }.sortBy(_._1).toSeq
+    val got = TextOps.c66BpeFertility(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fertility must compute on the gate corpus")
+    // the metric measures real compression: with zero merges every word
+    // is its code points, so n_tokens would equal the summed word
+    // lengths — the 8 learned merges must land SOMEWHERE in the corpus
+    val charCeil = Tables.documents(spark, sfDir).collect().flatMap { r =>
+      Option(r.getAs[String]("text")).map { t =>
+        r.getAs[Long]("doc_id") ->
+          t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+            .map(w => w.codePointCount(0, w.length).toLong).sum
+      }
+    }.toMap
+    assert(got.exists { case (id, _, t, _) => t < charCeil(id) },
+      "trained merges must compress at least one document below the " +
+        "character-split ceiling")
+  }
+
   // ---- c55-c57: driver-side brute-force twins share these helpers
 
   private def md5hex(s: String): String =
