@@ -288,19 +288,35 @@ object Main {
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    TextOps.bm25ScoredOn(docs.select("doc_id", "text"), terms)
-      .orderBy(desc("score"), asc("doc_id")).limit(k)
-      .write.mode("overwrite").parquet(out)
-    val written = spark.read.parquet(out)
-    // headOption shape: an empty corpus (or all-null text) must summarize
-    // as zero rows, not crash after a successful write; doc_id read as
-    // Number so an int-typed input id still prints
-    val top = written.orderBy(desc("score"), asc("doc_id")).head(1)
-    val topJson = top.headOption.map(r =>
-      s""","top_doc":${r.getAs[Number]("doc_id").longValue},""" +
-        s""""top_score":${r.getAs[Double]("score")}""").getOrElse("")
-    println(s"""{"rows":${written.count()},"terms":${terms.length}""" +
-      topJson + s""","out":${jsonStr(out)}}""")
+    val base = docs.select("doc_id", "text")
+    if (args.contains("--fuse")) {
+      // hybrid ranking (c59's RRF of BM25 + query-likelihood) — the
+      // serving shape of hybrid search; still one corpus pass
+      val cut = opt(args, "--cut").map(_.toInt).getOrElse(50)
+      TextOps.rrfFuseOn(base, terms, cut, k)
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val top = written.orderBy(desc("rrf_r"), asc("doc_id")).head(1)
+      val topJson = top.headOption.map(r =>
+        s""","top_doc":${r.getAs[Number]("doc_id").longValue},""" +
+          s""""top_rrf":${r.getAs[Double]("rrf_r")}""").getOrElse("")
+      println(s"""{"rows":${written.count()},"terms":${terms.length},""" +
+        s""""fused":true,"cut":$cut""" + topJson + s""","out":${jsonStr(out)}}""")
+    } else {
+      TextOps.bm25ScoredOn(base, terms)
+        .orderBy(desc("score"), asc("doc_id")).limit(k)
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      // headOption shape: an empty corpus (or all-null text) must summarize
+      // as zero rows, not crash after a successful write; doc_id read as
+      // Number so an int-typed input id still prints
+      val top = written.orderBy(desc("score"), asc("doc_id")).head(1)
+      val topJson = top.headOption.map(r =>
+        s""","top_doc":${r.getAs[Number]("doc_id").longValue},""" +
+          s""""top_score":${r.getAs[Double]("score")}""").getOrElse("")
+      println(s"""{"rows":${written.count()},"terms":${terms.length}""" +
+        topJson + s""","out":${jsonStr(out)}}""")
+    }
   }
 
   /** `graft.Main fingerprint --in PARQUET --out OUT [--index]` — c57's

@@ -1000,12 +1000,24 @@ object TextOps {
     * fusion is a full-outer join of two ≤ cut-row frames. Nothing
     * downstream of the one corpus pass grows with corpus size. */
   def c59RrfFuse(spark: SparkSession, dir: String,
-                 cut: Int = 50, topK: Int = 20): DataFrame = {
+                 cut: Int = 50, topK: Int = 20): DataFrame =
+    rrfFuseOn(Tables.documents(spark, dir), C55QueryTerms, cut, topK)
+
+  /** c59 over an arbitrary (doc_id, text) frame and query term set —
+    * the `Main search --fuse` entry point (the hybrid-ranking serving
+    * shape: one corpus pass, two rankings, RRF-fused cut). */
+  def rrfFuseOn(docs: DataFrame, terms: Seq[String],
+                cut: Int = 50, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bm25Scored(spark, dir)
-    val terms = C55QueryTerms
+    require(cut >= 1, s"cut must be >= 1, got $cut")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val scored = bm25ScoredOn(docs, terms)
+    // backtick-quoted identifiers: CLI-supplied terms may carry chars
+    // SQL identifiers can't (the integer `div` has no Column operator,
+    // so this one expression stays textual)
     val qlPpm = expr(
-      s"((${terms.map(t => s"tf_$t").mkString(" + ")}) * 1000000L) div dl")
+      s"((${terms.map(t => s"`tf_${t.replace("`", "``")}`").mkString(" + ")})" +
+        " * 1000000L) div dl")
     val a = scored.orderBy(desc("score"), asc("doc_id")).limit(cut)
       .withColumn("rank_bm25",
         row_number().over(Window.orderBy(desc("score"), asc("doc_id")))

@@ -583,4 +583,25 @@ class CliSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._4.exists(_.length > 1)),
       "the trained merges must actually fuse some tokens")
   }
+
+  test("search --fuse: hybrid RRF ranking equals c59 over the corpus") {
+    import graft.operators.TextOps
+    val out = Files.createTempDirectory("graft-cli-fuse-").toString + "/fused"
+    Main.main(Array("search", "--in", s"$sfDir/documents.parquet",
+      "--out", out, "--terms", TextOps.C55QueryTerms.mkString(","),
+      "--k", "20"))
+    // plain BM25 path unchanged by the flag refactor
+    val plainTop = spark.read.parquet(out)
+      .orderBy(desc("score"), asc("doc_id")).collect().map(_.getAs[Long]("doc_id"))
+    val wantPlain = TextOps.c55Bm25(spark, sfDir).collect().map(_.getAs[Long]("doc_id"))
+    assert(plainTop.toSeq == wantPlain.toSeq)
+    Main.main(Array("search", "--in", s"$sfDir/documents.parquet",
+      "--out", out, "--terms", TextOps.C55QueryTerms.mkString(","),
+      "--k", "20", "--fuse"))
+    val got = spark.read.parquet(out)
+      .orderBy(desc("rrf_r"), asc("doc_id")).collect().map(_.toSeq)
+    val want = TextOps.c59RrfFuse(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI --fuse diverges from c59")
+    assert(want.nonEmpty)
+  }
 }
