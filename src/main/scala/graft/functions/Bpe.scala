@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared eval engine for [[ApplyBpe]] — also the body the generated
   * code calls. One instance per expression; carries the merge list
-  * pre-flattened for the row loop and ships to executors as a plan
+  * pre-indexed for the row loop and ships to executors as a plan
   * reference object (the lshPlanes pattern, VectorExpressions.scala).
   *
   * Reproduces TextOps.applyBpeMerges bit-for-bit at the SYMBOL level:
@@ -20,14 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrences and resumes AFTER each replacement, which on the fenced
   * encoding is exactly one greedy BPE merge pass over the symbol array
   * (match syms(i)=a, syms(i+1)=b ⇒ emit ab, advance 2). This engine
-  * runs that pass directly on a symbol array, so the per-merge cost is
-  * one O(|word|) sweep instead of a Catalyst expression node — the
-  * replace-chain's plan depth is LINEAR in merge count and stops
-  * analyzing/codegenning around a thousand merges, while a real
-  * tokenizer ships ~30k; here 30k merges are one array walk each, and
-  * a presence pre-check (hash multiset of live symbols) skips the sweep
-  * entirely for every merge whose sides aren't both in the word — for
-  * natural words almost all of them.
+  * runs those passes directly on a symbol array — but only for the
+  * merges that can possibly fire: merges are INDEXED BY SIDE SYMBOL at
+  * construction, and per word a rank-ordered FIREABLE bitset tracks
+  * exactly the merge ranks whose sides are both live in the word's
+  * symbol multiset (seeded from the word's distinct code points;
+  * extended whenever a pass creates a new symbol). A natural word
+  * touches a handful of index buckets out of a ~30k-merge vocabulary,
+  * so per-word cost scales with the word, not the vocabulary — where
+  * the replace-chain's PLAN is merge-count deep and stops analyzing
+  * around a thousand merges. Sequential-pass semantics are preserved
+  * exactly: ranks are visited strictly ascending, a rank is skipped
+  * (lazily, by re-checking liveness at visit) if its sides were
+  * consumed before its turn, and ranks below the cursor are never
+  * revisited even when their sides reappear — precisely the
+  * replace-chain's behavior.
   *
   * Domain guard: the fenced encoding is only well-defined for
   * space-free inputs (words, by construction of TextOps.words); a ' '
@@ -49,6 +56,22 @@ final class BpeApplier(merges: Seq[(String, String)]) extends Serializable {
   private val as: Array[String] = merges.map(_._1).toArray
   private val bs: Array[String] = merges.map(_._2).toArray
   private val abs: Array[String] = merges.map { case (a, b) => a + b }.toArray
+
+  /** side symbol → ascending ranks of merges using it (as a OR b). */
+  private val bySide: java.util.HashMap[String, Array[Int]] = {
+    val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    def add(s: String, m: Int): Unit = {
+      var l = tmp.get(s)
+      if (l == null) { l = scala.collection.mutable.ArrayBuffer.empty[Int]; tmp.put(s, l) }
+      // dedupe the (a == b) case so a rank lists once per side symbol
+      if (l.isEmpty || l.last != m) { l += m; () }
+    }
+    var m = 0
+    while (m < as.length) { add(as(m), m); add(bs(m), m); m += 1 }
+    val out = new java.util.HashMap[String, Array[Int]](tmp.size * 2)
+    tmp.forEach((k, v) => { out.put(k, v.toArray); () })
+    out
+  }
 
   def nMerges: Int = as.length
 
@@ -77,39 +100,70 @@ final class BpeApplier(merges: Seq[(String, String)]) extends Serializable {
       i = next
     }
     var n = cpn
-    // live-symbol multiset: O(1) skip for merges whose sides are absent
+    if (as.length == 0 || n < 2) {
+      val out0 = new Array[Any](n)
+      i = 0
+      while (i < n) { out0(i) = UTF8String.fromString(syms(i)); i += 1 }
+      return new GenericArrayData(out0)
+    }
+    // live-symbol multiset
     val cnt = new java.util.HashMap[String, Integer](Math.max(8, 2 * n))
     i = 0
     while (i < n) { cnt.merge(syms(i), BpeApplier.I1, BpeApplier.Sum); i += 1 }
-    var m = 0
-    while (m < as.length && n >= 2) {
-      val a = as(m)
-      val b = bs(m)
-      val ca = cnt.get(a)
-      if (ca != null && ca.intValue > 0) {
-        val cb = cnt.get(b)
-        if (cb != null && cb.intValue > 0) {
-          // one greedy left-to-right non-overlapping pass
-          val ab = abs(m)
-          var r = 0
-          var o = 0
-          while (r < n) {
-            if (r + 1 < n && syms(r).equals(a) && syms(r + 1).equals(b)) {
-              syms(o) = ab
-              cnt.merge(a, BpeApplier.IM1, BpeApplier.Sum)
-              cnt.merge(b, BpeApplier.IM1, BpeApplier.Sum)
-              cnt.merge(ab, BpeApplier.I1, BpeApplier.Sum)
-              r += 2
-            } else {
-              syms(o) = syms(r)
-              r += 1
-            }
-            o += 1
-          }
-          n = o
+    def live(sym: String): Boolean = {
+      val c = cnt.get(sym)
+      c != null && c.intValue > 0
+    }
+    // rank-ordered fireable bitset: rank m set ⇒ both sides of merge m
+    // MAY be live (authoritative re-check happens at visit)
+    val fire = new Array[Long]((as.length + 63) >>> 6)
+    def mark(sym: String, above: Int): Unit = {
+      val ranks = bySide.get(sym)
+      if (ranks != null) {
+        var k = 0
+        while (k < ranks.length) {
+          val m = ranks(k)
+          if (m > above &&
+              live(as(m)) && live(bs(m)))
+            fire(m >>> 6) |= 1L << (m & 63)
+          k += 1
         }
       }
-      m += 1
+    }
+    // seed from the word's distinct symbols (rank filter: none yet)
+    val seedIt = cnt.keySet().iterator()
+    while (seedIt.hasNext) mark(seedIt.next(), -1)
+    // visit fireable ranks strictly ascending
+    var m = BpeApplier.nextSetBit(fire, 0)
+    while (m >= 0 && n >= 2) {
+      val a = as(m)
+      val b = bs(m)
+      if (live(a) && live(b)) {
+        // one greedy left-to-right non-overlapping pass
+        val ab = abs(m)
+        var created = false
+        var r = 0
+        var o = 0
+        while (r < n) {
+          if (r + 1 < n && syms(r).equals(a) && syms(r + 1).equals(b)) {
+            syms(o) = ab
+            cnt.merge(a, BpeApplier.IM1, BpeApplier.Sum)
+            cnt.merge(b, BpeApplier.IM1, BpeApplier.Sum)
+            cnt.merge(ab, BpeApplier.I1, BpeApplier.Sum)
+            created = true
+            r += 2
+          } else {
+            syms(o) = syms(r)
+            r += 1
+          }
+          o += 1
+        }
+        n = o
+        // the new symbol may enable LATER merges only (sequential
+        // semantics: ranks <= m already had their turn)
+        if (created) mark(ab, m)
+      }
+      m = BpeApplier.nextSetBit(fire, m + 1)
     }
     val out = new Array[Any](n)
     i = 0
@@ -126,6 +180,20 @@ private object BpeApplier {
     * lambda per call site). */
   val Sum: java.util.function.BiFunction[Integer, Integer, Integer] =
     (x: Integer, y: Integer) => Integer.valueOf(x.intValue + y.intValue)
+
+  /** First set bit at index >= from, or -1. */
+  def nextSetBit(bits: Array[Long], from: Int): Int = {
+    if (from >= (bits.length << 6)) return -1
+    var w = from >>> 6
+    var word = bits(w) & (-1L << (from & 63))
+    while (true) {
+      if (word != 0L) return (w << 6) + java.lang.Long.numberOfTrailingZeros(word)
+      w += 1
+      if (w == bits.length) return -1
+      word = bits(w)
+    }
+    -1 // unreachable
+  }
 }
 
 /** Codegen'd greedy BPE merge application (SURVEY §2 c52/d21).
@@ -137,8 +205,9 @@ private object BpeApplier {
   * back past the 64KB method limit). This expression carries the merge
   * list as ONE reference object and fuses the whole greedy loop into a
   * single JVM pass inside whole-stage codegen; plan depth is 1 at any
-  * vocabulary size. The replace-chain stays in TextOps as the
-  * independent reference the parity spec pins against.
+  * vocabulary size, and the side-symbol index makes per-word cost scale
+  * with the word, not the vocabulary. The replace-chain stays in
+  * TextOps as the independent reference the parity spec pins against.
   * (Reference capability: subword tokenization — Sennrich et al. 2016;
   * bolson has no analogue, extension rows c52/d21.) */
 case class ApplyBpe(child: Expression, merges: Seq[(String, String)])

@@ -139,6 +139,32 @@ class BpeExprSpec extends SparkSpec {
       c.getMessage.contains("space-free")))
   }
 
+  test("applyBpe randomized adversarial merge lists equal the brute sequential passes") {
+    import spark.implicits._
+    // tiny alphabet + random (often repeated) merge pairs maximize the
+    // hard cases for the indexed fireable-set engine: sides consumed to
+    // zero then RECREATED by later merges, duplicate (a,b) ranks, merges
+    // whose sides only ever exist transiently, a==b overlap passes
+    val alpha = Vector("a", "b", "c")
+    for (seed <- 301 to 330) {
+      val rnd = new scala.util.Random(seed)
+      def sym(): String =
+        (0 until 1 + rnd.nextInt(2)).map(_ => alpha(rnd.nextInt(3))).mkString
+      val merges = (0 until 12 + rnd.nextInt(20)).map(_ => (sym(), sym()))
+      val words = (0 until 25).map(_ =>
+        (0 until rnd.nextInt(14)).map(_ => alpha(rnd.nextInt(3))).mkString)
+        .distinct
+      val got = words.toDF("w")
+        .select(col("w"), BpeFunctions.applyBpe(col("w"), merges).as("ts"))
+        .collect()
+        .map(r => r.getAs[String]("w") -> r.getSeq[String](1).toVector).toMap
+      words.foreach { w =>
+        assert(got(w) == bruteApply(w, merges),
+          s"seed=$seed word=$w merges=$merges")
+      }
+    }
+  }
+
   test("trainBpeOn staged through the native expression is unchanged (memo parity)") {
     // the r11 switch of the training loop's staging from the replace
     // chain to ApplyBpe must not move the learned artifact: re-derive

@@ -7,6 +7,30 @@ import graft.functions.VectorFunctions
 /** Native CosineSimilarity expression specs. */
 class VectorExprSpec extends SparkSpec {
 
+  test("winnowFps guards: k/w validated at plan time, not inside generated code") {
+    import org.apache.spark.sql.functions.col
+    for ((k, w) <- Seq((0, 5), (4, 0), (-1, -1))) {
+      val e = intercept[IllegalArgumentException] {
+        graft.functions.WinnowFunctions.winnowFps(col("text"), k, w)
+      }
+      assert(e.getMessage.contains(">= 1"), s"k=$k w=$w: ${e.getMessage}")
+    }
+  }
+
+  test("gramMatrix guards wide embeddings toward the matrix-free path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = graft.operators.Similarity.GramMaxDim + 1
+    val wide = Seq(1L).toDF("vec_id")
+      .select(col("vec_id"),
+        array_repeat(lit(0.5f), dim).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pcaComponentsOn(wide, k = 1, rounds = 1)
+    }
+    assert(e.getMessage.contains("powerIterate"),
+      s"guard must route to the matrix-free path: ${e.getMessage}")
+  }
+
   test("cosine expression matches a hand-computed value and the HOF formulation") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("a", "b")
