@@ -165,20 +165,33 @@ object Main {
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val n = opt(args, "--n").map(_.toInt).getOrElse(5)
     require(n >= 1, s"--n must be >= 1, got $n")
+    // --min-span L [--strong-n W]: the c67 thresholded form — cut only
+    // inside confirmed >= L-token spans (the spans-CLI flag pair)
+    val minSpan = opt(args, "--min-span").map(_.toInt)
+    val strongN = opt(args, "--strong-n").map(_.toInt)
+      .orElse(minSpan.map(math.min(_, 20)))
+    require(strongN.forall(_ >= 1), s"--strong-n must be >= 1, got $strongN")
+    require(minSpan.isDefined || strongN.isEmpty,
+      "--strong-n requires --min-span")
     val spark = GraftSession.get()
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    Dedup.scrubSpans(docs.select("doc_id", "text"), n)
-      .write.mode("overwrite").parquet(out)
+    val selected = docs.select("doc_id", "text")
+    (minSpan match {
+      case Some(ms) => Dedup.scrubSpansMin(selected, n, ms, strongN.get)
+      case None => Dedup.scrubSpans(selected, n)
+    }).write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
     // coalesce: sums are null on an empty output (the chunk-stats rule)
     val stats = written.agg(count(lit(1)),
       coalesce(sum(col("n_tokens")), lit(0L)),
       coalesce(sum(col("n_cut")), lit(0L))).head()
     println(s"""{"docs":${stats.getLong(0)},"tokens":${stats.getLong(1)},""" +
-      s""""cut_tokens":${stats.getLong(2)},"n":$n,"out":${jsonStr(out)}}""")
+      s""""cut_tokens":${stats.getLong(2)},"n":$n""" +
+      minSpan.map(ms => s""","min_span":$ms,"strong_n":${strongN.get}""").getOrElse("") +
+      s""","out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main plan --threshold T [--perm K] [--fp-weight W]` — the

@@ -126,6 +126,7 @@ object SparkEntry {
     "c64_dup_stats" -> ((s: SparkSession, d: String) => Dedup.c64DupStats(s, d)),
     "c65_span_minlen" -> ((s: SparkSession, d: String) => Dedup.c65SpanMinlen(s, d)),
     "c66_bpe_fertility" -> ((s: SparkSession, d: String) => TextOps.c66BpeFertility(s, d)),
+    "c67_scrub_minlen" -> ((s: SparkSession, d: String) => Dedup.c67ScrubMinlen(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -954,6 +955,56 @@ object SparkEntry {
         |cov AS (SELECT doc_id, p, max(CASE WHEN owned THEN 1 ELSE 0 END) AS any_owned
         |        FROM ds, UNNEST(range(i, i + 5)) AS v(p) GROUP BY doc_id, p),
         |cut AS (SELECT doc_id, p FROM cov WHERE any_owned = 0),
+        |tp AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p, tko[j] AS tok,
+        |         len(tko) AS n_tokens
+        |       FROM tok, UNNEST(range(1, len(tko) + 1)) AS w(j))
+        |SELECT tp.doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cut.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |  coalesce(array_to_string(list(tok ORDER BY tp.p)
+        |    FILTER (WHERE cut.p IS NULL), ' '), '') AS scrubbed_text
+        |FROM tp LEFT JOIN cut ON tp.doc_id = cut.doc_id AND tp.p = cut.p
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+    // c67: thresholded scrub — c63's cut set restricted to positions
+    // inside c65's confirmed spans (ds doubles as c62's duplicated-start
+    // stream, so both subtrees share the pos CTE)
+    "c67_scrub_minlen" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tko,
+        |               string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |          md5(array_to_string(tk[i:i+4], ' ')) AS sh
+        |        FROM tok, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        |occ AS (SELECT doc_id, i,
+        |          count(*) OVER (PARTITION BY sh) AS cnt,
+        |          row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+        |        FROM pos),
+        |ds AS (SELECT doc_id, i, (rn = 1) AS owned FROM occ WHERE cnt > 1),
+        |cov AS (SELECT doc_id, p, max(CASE WHEN owned THEN 1 ELSE 0 END) AS any_owned
+        |        FROM ds, UNNEST(range(i, i + 5)) AS v(p) GROUP BY doc_id, p),
+        |cut0 AS (SELECT doc_id, p FROM cov WHERE any_owned = 0),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 5
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM ds),
+        |isl AS (SELECT doc_id, i,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM g),
+        |sp AS (SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end,
+        |         max(i) - min(i) + 5 AS span_tokens
+        |       FROM isl GROUP BY doc_id, island),
+        |spm AS (SELECT * FROM sp WHERE span_tokens >= 20),
+        |pos20 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+        |            md5(array_to_string(tk[i:i+19], ' ')) AS sh
+        |          FROM tok, UNNEST(range(1, len(tk) - 18)) AS u(i)),
+        |dup20 AS (SELECT sh FROM pos20 GROUP BY sh HAVING count(*) > 1),
+        |h20 AS (SELECT doc_id, i FROM pos20 JOIN dup20 USING (sh)),
+        |spc AS (SELECT DISTINCT spm.doc_id, span_start, span_end
+        |        FROM spm JOIN h20 ON spm.doc_id = h20.doc_id
+        |          AND h20.i >= spm.span_start AND h20.i + 19 <= spm.span_end),
+        |cut AS (SELECT DISTINCT c.doc_id, c.p FROM cut0 c JOIN spc
+        |        ON c.doc_id = spc.doc_id
+        |          AND c.p >= spc.span_start AND c.p <= spc.span_end),
         |tp AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p, tko[j] AS tok,
         |         len(tko) AS n_tokens
         |       FROM tok, UNNEST(range(1, len(tko) + 1)) AS w(j))

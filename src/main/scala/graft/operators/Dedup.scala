@@ -967,6 +967,53 @@ object Dedup {
   def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame =
     scrubOfPos(docs, positionalShingles(docs, n), n)
 
+  /** c67: THRESHOLDED span scrub — c63's keep-one-copy rewrite applied
+    * only inside c65's CONFIRMED long spans: Lee et al. 2021 remove
+    * duplicated substrings at a minimum match length, not every stray
+    * repeated shingle (c63's full form over-cuts boilerplate-heavy
+    * corpora — short incidental repeats like dates or headers are not
+    * duplication to remove). A token is cut iff c63 would cut it AND it
+    * lies inside a confirmed ≥ minSpan span of its doc. Completes the
+    * substring-dedup family: c62 report → c65 threshold → c67 scrub →
+    * c64 profile.
+    *
+    * Scale shape: the c63 cut-array subtree and the c65 span subtree
+    * (both over memoized positional tables), one extra doc_id
+    * equi-join between two SPARSE per-doc-array frames, and a
+    * row-local array intersection — still zero token-level exchanges
+    * in the whole rebuild. */
+  def c67ScrubMinlen(spark: SparkSession, dir: String, n: Int = 5,
+                     minSpan: Int = 20, strongN: Int = 20): DataFrame =
+    rebuildScrubbed(Tables.documents(spark, dir),
+      restrictCuts(
+        cutPositionsOf(
+          spark.read.parquet(posShingleTablePath(spark, dir, n)), n),
+        c65SpanMinlen(spark, dir, minSpan, strongN)))
+
+  /** The generic thresholded scrubber (`Main scrub --min-span`) — the
+    * live-recompute twin of [[c67ScrubMinlen]]. */
+  def scrubSpansMin(docs: DataFrame, n: Int = 5, minSpan: Int = 20,
+                    strongN: Int = 20): DataFrame =
+    rebuildScrubbed(docs,
+      restrictCuts(cutPositionsOf(positionalShingles(docs, n), n),
+        dupSpansMin(docs, minSpan, strongN, n)))
+
+  /** Restrict per-doc cut arrays to positions inside a confirmed span
+    * of the same doc — a doc_id equi-join of two sparse array frames +
+    * a row-local filter/exists intersection. Renamed join key up front
+    * (the confirmSpans rule: both sides derive from one positional
+    * table). */
+  private def restrictCuts(cutArr: DataFrame, spans: DataFrame): DataFrame = {
+    val spanArr = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+      .select(col("doc_id").as("s_doc_id"), col("sps"))
+    cutArr.join(spanArr, col("doc_id") === col("s_doc_id"))
+      .select(col("doc_id"),
+        filter(col("cutps"), p => exists(col("sps"), sp =>
+          p >= sp.getField("span_start") && p <= sp.getField("span_end")))
+          .as("cutps"))
+  }
+
   /** c64: corpus duplication profile — the headline number
     * substring-dedup work reports (Lee et al. 2021 table 1's shape):
     * per language, how many tokens sit inside duplicated spans, as an
@@ -1014,9 +1061,13 @@ object Dedup {
     * doc_id — nothing scales with tokens, only with docs and with
     * duplicated starts. */
   private def scrubOfPos(docs: DataFrame, pos: DataFrame,
-                         n: Int): DataFrame = {
-    val base = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("tko"))
+                         n: Int): DataFrame =
+    rebuildScrubbed(docs, cutPositionsOf(pos, n))
+
+  /** Per-doc cut positions as ONE sparse array (doc_id, cutps) —
+    * positions covered by some non-owned duplicated shingle and by NO
+    * owned one. The c63 half the c67 span restriction composes on. */
+  private[graft] def cutPositionsOf(pos: DataFrame, n: Int): DataFrame = {
     // one fold per shingle value: occurrence count + the canonical
     // (corpus-first) occurrence as a lexicographic struct minimum
     val stats = pos.groupBy("sh").agg(count(lit(1)).as("cnt"),
@@ -1025,10 +1076,7 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         (col("own.doc_id") === col("doc_id") && col("own.i") === col("i"))
           .as("owned"))
-    // per doc: cut positions as one sparse array — positions covered by
-    // some non-owned duplicated shingle and by NO owned one (the
-    // owned-coverage guard keeps the surviving copy intact)
-    val cutArr = dupStarts
+    dupStarts
       .groupBy("doc_id")
       .agg(collect_list(struct(col("i"), col("owned"))).as("ss"))
       .select(col("doc_id"),
@@ -1040,6 +1088,14 @@ object Dedup {
             filter(col("ss"), s => s.getField("owned")),
             s => sequence(s.getField("i"), s.getField("i") + (n - 1)))))
           .as("cutps"))
+  }
+
+  /** Rebuild every doc from its sparse cut-position array — the shared
+    * zero-token-shuffle rebuild of c63 and c67 (one doc_id equi-join,
+    * row-local array indexing). */
+  private def rebuildScrubbed(docs: DataFrame, cutArr: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tko"))
     base.join(cutArr, Seq("doc_id"), "left")
       .select(col("doc_id"), col("tko"),
         size(col("tko")).cast("bigint").as("n_tokens"),

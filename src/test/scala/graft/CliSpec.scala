@@ -523,6 +523,22 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--min-span"))
   }
 
+  test("scrub subcommand --min-span: thresholded scrub equals c67's over the corpus") {
+    import graft.operators.Dedup
+    val out = Files.createTempDirectory("graft-cli-scrubmin-").toString + "/scrub"
+    Main.main(Array("scrub", "--in", s"$sfDir/documents.parquet", "--out", out,
+      "--min-span", "20"))
+    val got = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
+    val want = Dedup.c67ScrubMinlen(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI --min-span diverges from c67")
+    // the threshold preserves SOME short repeats the full scrub cuts
+    val fullCuts = Dedup.c63SpanScrub(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_cut")).sum
+    val minCuts = want.map(_(2).asInstanceOf[Long]).sum
+    assert(minCuts > 0 && minCuts < fullCuts,
+      s"threshold must bite on the gate corpus: $minCuts vs full $fullCuts")
+  }
+
   test("index/query subcommands: at-rest IVF-PQ serving equals ivfPqSearch") {
     import graft.operators.Similarity
     val tmp = Files.createTempDirectory("graft-cli-vidx-").toString

@@ -1553,6 +1553,89 @@ class DedupSimSpec extends SparkSpec {
         "- otherwise the threshold is untested")
   }
 
+  test("c67 randomized corpora: thresholded scrub equals the composed brute force") {
+    // self-contained brute: c63's keep-one-copy cut set RESTRICTED to
+    // positions inside c65's confirmed spans
+    def brute(docs: Seq[(Long, String)], n: Int, minSpan: Int, strongN: Int) = {
+      def starts(w: Int) = {
+        val sh = for {
+          (id, t) <- docs if t != null
+          toks = t.toLowerCase.split(" ", -1).toSeq if toks.length >= w
+          i <- 0 to toks.length - w
+        } yield (id, i.toLong, toks.slice(i, i + w).mkString(" "))
+        val counts = sh.groupBy(_._3).map { case (k, v) => k -> v.size }
+        (sh, sh.filter(s => counts(s._3) > 1))
+      }
+      val (_, rep5) = starts(n)
+      val owners = rep5.groupBy(_._3).map { case (v, occ) =>
+        v -> occ.map(o => (o._1, o._2)).min
+      }
+      val (_, repS) = starts(strongN)
+      // confirmed spans per doc
+      val spans = rep5.groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+        val ss = hs.map(_._2).distinct.sorted
+        val isl = ss.foldLeft(List.empty[List[Long]]) {
+          case (Nil, s) => List(List(s))
+          case (cur :: rest, s) if s - cur.head <= n => (s :: cur) :: rest
+          case (acc, s) => List(s) :: acc
+        }
+        isl.map(i => (id, i.min, i.max + n - 1, i.max - i.min + n))
+          .filter(_._4 >= minSpan)
+          .filter { case (_, s, e, _) =>
+            repS.exists(h => h._1 == id && h._2 >= s && h._2 + strongN - 1 <= e) }
+      }
+      docs.filter(_._2 != null).map { case (id, t) =>
+        val toks = t.split(" ", -1).toSeq
+        val my = rep5.filter(_._1 == id)
+          .map(o => (o._2, owners(o._3) == ((id, o._2))))
+        val cut = (0L until toks.length.toLong).filter { p =>
+          val c = my.filter(s => s._1 <= p && p < s._1 + n)
+          c.nonEmpty && !c.exists(_._2) &&
+            spans.exists(sp => sp._1 == id && p >= sp._2 && p <= sp._3)
+        }.toSet
+        (id, toks.length.toLong, cut.size.toLong,
+          toks.zipWithIndex.collect {
+            case (tok, p) if !cut(p.toLong) => tok }.mkString(" "))
+      }.sortBy(_._1)
+    }
+    val words = Seq("a", "b", "c", "d")
+    var restricted = 0L
+    for (seed <- 401 to 410) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(2)
+      val strongN = n + 1 + rnd.nextInt(2)
+      val minSpan = strongN + rnd.nextInt(3)
+      val passages = (0 until 3).map(_ =>
+        (0 until 6 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      val docs = (0 until 15).map { id =>
+        val parts = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          if (rnd.nextInt(3) == 0) passages(rnd.nextInt(passages.length))
+          else (0 until rnd.nextInt(9))
+            .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+        }
+        (id.toLong, parts.mkString(" ").trim match {
+          case "" => if (rnd.nextBoolean()) null else ""
+          case t => t
+        })
+      }
+      val got = Dedup.scrubSpansMin(docsDf(docs), n, minSpan, strongN)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      val want = brute(docs, n, minSpan, strongN)
+      assert(got == want, s"seed=$seed n=$n strongN=$strongN minSpan=$minSpan")
+      // the restriction must bite somewhere across seeds: fewer cuts
+      // than the unrestricted scrub
+      val full = Dedup.scrubSpans(docsDf(docs), n).collect()
+        .map(_.getAs[Long]("n_cut")).sum
+      restricted += full - got.map(_._3).sum
+    }
+    assert(restricted > 0,
+      "seeds must include short repeats the threshold PRESERVES " +
+        "- otherwise c67 is indistinguishable from c63")
+  }
+
   test("lshPlan: independent-integration argmin, c2's 4x2 at 0.5, threshold monotonicity") {
     // independent re-derivation: trapezoid rule at double resolution —
     // the chosen pair must be the argmin under the independent estimate
