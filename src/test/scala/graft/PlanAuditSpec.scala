@@ -317,6 +317,17 @@ class PlanAuditSpec extends SparkSpec {
       s"(doc_id, p)-keyed exchange crept back into the scrub rebuild:\n$s63")
   }
 
+  test("c67 plan: inherits the zero-token-level-rebuild contract, no product") {
+    val s = executedPlanOf(graft.operators.Dedup.c67ScrubMinlen(spark, sfDir))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"thresholded scrub must never go all-pairs:\n$s")
+    assert(!s.contains("posexplode"),
+      s"token-level explode crept into the thresholded scrub rebuild:\n$s")
+    assert(!"hashpartitioning\\(doc_id#\\d+, p#".r.findFirstIn(s).isDefined,
+      s"(doc_id, p)-keyed exchange crept into the thresholded scrub:\n$s")
+  }
+
   test("c65 plan: confirm join is a doc_id equi-join over sparse frames, no product") {
     val s = executedPlanOf(graft.operators.Dedup.c65SpanMinlen(spark, sfDir))
     assert(!s.contains("CartesianProduct") &&
