@@ -127,6 +127,7 @@ object SparkEntry {
     "c65_span_minlen" -> ((s: SparkSession, d: String) => Dedup.c65SpanMinlen(s, d)),
     "c66_bpe_fertility" -> ((s: SparkSession, d: String) => TextOps.c66BpeFertility(s, d)),
     "c67_scrub_minlen" -> ((s: SparkSession, d: String) => Dedup.c67ScrubMinlen(s, d)),
+    "c68_contam_report" -> ((s: SparkSession, d: String) => TextOps.c68ContamReport(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1451,6 +1452,26 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    // c68: eval-side contamination report — c24's shingle CTEs, folded
+    // per BENCHMARK doc; sub-8-token eval docs absent in both engines
+    "c68_contam_report" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-6)) AS u(i)),
+        |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+        |cs AS (SELECT doc_id AS c_doc, shingle FROM sh WHERE doc_id % 50 <> 0),
+        |h AS (SELECT ev.doc_id,
+        |        count(DISTINCT cs.c_doc) AS n_hit_docs,
+        |        count(DISTINCT ev.shingle) AS n_hit_shingles
+        |      FROM ev JOIN cs USING (shingle) GROUP BY ev.doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+        |  CAST(COALESCE(n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+        |  round(CAST(COALESCE(n_hit_shingles, 0) AS DOUBLE) / n_shingles, 6)
+        |    AS leak_share_r
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // c27 = c24's bloom-prefiltered twin: the bloom pass only DISCARDS
     // rows the exact verify join would discard anyway (no false
     // negatives), so the correct output is identical — same oracle.

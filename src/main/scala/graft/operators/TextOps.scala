@@ -241,6 +241,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** c68: contamination REPORT — the eval-side view c24/c27 lack: per
+    * benchmark document, how much of it leaks into the training corpus
+    * (distinct corpus docs sharing an 8-shingle, distinct leaked
+    * shingles, and the leaked share of its own shingles). This is the
+    * table an eval-integrity review reads: c24 answers "which TRAINING
+    * docs to drop", c68 answers "which BENCHMARK items are compromised
+    * and how badly". Eval docs too short to shingle are absent by
+    * construction in both engines (the row set derives from the shingle
+    * stream — c66's rule).
+    *
+    * Scale shape: both sides read the memoized n=8 shingle table
+    * (shared with c24/c27 — zero new corpus scans); one shingle-keyed
+    * equi-join (16-byte md5 keys at 100 TB) feeding two count-distincts
+    * on the (eval-doc)-keyed fold plus one per-doc total; never
+    * all-pairs. */
+  def c68ContamReport(spark: SparkSession, dir: String): DataFrame = {
+    val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, dir, n = 8))
+    val evalSide = sh8.filter(col("doc_id") % 50 === 0)
+    val corpSide = sh8.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("c_doc"), col("shingle"))
+    val hits = evalSide.join(corpSide, "shingle")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("c_doc")).as("n_hit_docs"),
+        count_distinct(col("shingle")).as("n_hit_shingles"))
+    evalSide.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"))
+      .withColumn("leak_share_r",
+        round(col("n_hit_shingles").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   /** c27: bloom-prefiltered decontamination — c24's 100 TB shape. c24's
     * equi-join shuffles EVERY training shingle to meet the eval set; here a
     * [[graft.functions.BloomMightContain]] filter (built once over the

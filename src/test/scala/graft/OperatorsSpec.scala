@@ -146,6 +146,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._2), "corpus near-dups should produce contamination hits")
   }
 
+  test("c68 contamination report equals a direct eval-side recomputation") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh8(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ", -1)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val corpus = texts.filter(_._1 % 50 != 0)
+      .map { case (id, t) => id -> sh8(t) }
+    val got = TextOps.c68ContamReport(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit_shingles"),
+          r.getAs[Long]("n_hit_docs"), r.getAs[Double]("leak_share_r"))).toMap
+    val evalIds = texts.keySet.filter(id => id % 50 == 0 && sh8(texts(id)).nonEmpty)
+    assert(got.keySet == evalIds,
+      "row set = eval docs with at least one shingle")
+    evalIds.foreach { id =>
+      val mine = sh8(texts(id))
+      val hitSh = mine.filter(s => corpus.values.exists(_.contains(s)))
+      val hitDocs = corpus.count(_._2.exists(mine.contains)).toLong
+      val share = BigDecimal(hitSh.size.toDouble / mine.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((mine.size.toLong, hitSh.size.toLong, hitDocs, share)),
+        s"eval doc $id: got ${got(id)}")
+    }
+    assert(got.values.exists(_._3 > 0),
+      "the near-dup generator corpus must compromise some benchmark item")
+    assert(got.values.exists(_._3 == 0),
+      "and leave some benchmark item clean - else the report is trivial")
+  }
+
   test("c25 mixture resample: rarest language keeps ~everything, head flattens toward it") {
     val before = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
