@@ -768,10 +768,25 @@ object Main {
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val fpp = opt(args, "--bloom-fpp").map(_.toDouble).getOrElse(0.01)
     val drop = args.contains("--drop")
+    val report = args.contains("--report")
+    require(!(drop && report), "--drop and --report are exclusive modes")
     val spark = GraftSession.get()
     val docsFull = Tables.documents(spark, in)
     val docs = docsFull.select("doc_id", "text")
     val evalDocs = spark.read.parquet(eval).select("doc_id", "text")
+    if (report) {
+      // --report: the EVAL-side view (c68) — per benchmark doc, how
+      // compromised it is — instead of the training-side flag table
+      graft.operators.TextOps.contamReportOn(docs, evalDocs)
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val stats = written.agg(count(lit(1)),
+        coalesce(sum(when(col("n_hit_docs") > 0, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      println(s"""{"eval_docs":${stats.getLong(0)},""" +
+        s""""compromised":${stats.getLong(1)},"out":${jsonStr(out)}}""")
+      return
+    }
     // persisted: the flag pipeline (bloom build + verify join) feeds both
     // the write and the contaminated count — one execution, not two
     val flagged = graft.operators.TextOps.decontaminate(docs, evalDocs, fpp)

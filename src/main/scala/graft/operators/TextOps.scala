@@ -258,9 +258,22 @@ object TextOps {
     * all-pairs. */
   def c68ContamReport(spark: SparkSession, dir: String): DataFrame = {
     val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, dir, n = 8))
-    val evalSide = sh8.filter(col("doc_id") % 50 === 0)
-    val corpSide = sh8.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id").as("c_doc"), col("shingle"))
+    contamCore(sh8.filter(col("doc_id") % 50 === 0),
+      sh8.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("c_doc"), col("shingle")))
+  }
+
+  /** c68 over arbitrary corpus/eval frames — `Main decontam --report`'s
+    * entry point (live shingle recompute; the gate path reads the
+    * memoized table). */
+  def contamReportOn(corpus: DataFrame, evalDocs: DataFrame,
+                     n: Int = 8): DataFrame =
+    contamCore(Dedup.shingleRows(evalDocs, n),
+      Dedup.shingleRows(corpus, n)
+        .select(col("doc_id").as("c_doc"), col("shingle")))
+
+  private def contamCore(evalSide: DataFrame,
+                         corpSide: DataFrame): DataFrame = {
     val hits = evalSide.join(corpSide, "shingle")
       .groupBy("doc_id")
       .agg(count_distinct(col("c_doc")).as("n_hit_docs"),

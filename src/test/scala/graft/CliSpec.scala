@@ -523,6 +523,25 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--min-span"))
   }
 
+  test("decontam --report: eval-side view equals c68 on the gate split") {
+    import graft.operators.TextOps
+    val tmp = Files.createTempDirectory("graft-cli-contam-").toString
+    // materialize the gate's own eval/corpus split as external parquets
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 50 === 0).write.parquet(s"$tmp/eval.parquet")
+    val corpDir = s"$tmp/corp"
+    new java.io.File(corpDir).mkdirs()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .write.parquet(s"$corpDir/documents.parquet")
+    Main.main(Array("decontam", "--in", corpDir,
+      "--eval", s"$tmp/eval.parquet", "--out", s"$tmp/report", "--report"))
+    val got = spark.read.parquet(s"$tmp/report").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val want = TextOps.c68ContamReport(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI --report diverges from c68")
+    assert(want.nonEmpty)
+  }
+
   test("scrub subcommand --min-span: thresholded scrub equals c67's over the corpus") {
     import graft.operators.Dedup
     val out = Files.createTempDirectory("graft-cli-scrubmin-").toString + "/scrub"
