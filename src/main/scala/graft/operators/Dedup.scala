@@ -873,10 +873,45 @@ object Dedup {
     * over two SPARSE frames (spans, duplicated starts — never corpus
     * tokens). Nothing all-pairs, nothing token-keyed. */
   def c65SpanMinlen(spark: SparkSession, dir: String, minSpan: Int = 20,
-                    strongN: Int = 20): DataFrame = {
+                    strongN: Int = 20): DataFrame =
+    spark.read.parquet(confirmedSpanTablePath(spark, dir, minSpan, strongN))
+      .orderBy("doc_id", "span_start")
+
+  /** The live c65 computation the memo materializes (and the plan-audit
+    * spec audits via [[dupSpansMin]], which shares every expression). */
+  private def c65Compute(spark: SparkSession, dir: String, minSpan: Int,
+                         strongN: Int): DataFrame = {
     val spans = c62DupSpans(spark, dir).filter(col("span_tokens") >= minSpan)
     spanConfirm(spans,
       spark.read.parquet(posShingleTablePath(spark, dir, strongN)), strongN)
+  }
+
+  /** Per-JVM memoized CONFIRMED-span table (posShingleTablePath's rule
+    * one level up): the c65 span subtree feeds c65's own gate output
+    * AND c67's cut restriction — materialized once per
+    * (dir, minSpan, strongN), each consumer scans a small parquet.
+    * Same immutable-dir assumption as every memoized scratch table;
+    * [[dupSpansMin]]/[[scrubSpansMin]] are the live-recompute entry
+    * points. */
+  private val spanTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def confirmedSpanTablePath(spark: SparkSession, dir: String,
+                                            minSpan: Int = 20,
+                                            strongN: Int = 20): String = {
+    // resolve the positional-table memos BEFORE entering this memo's
+    // compute: a computeIfAbsent that re-enters the same map (even on
+    // another key) throws IllegalStateException("Recursive update") —
+    // hence also the dedicated map
+    posShingleTablePath(spark, dir, 5)
+    posShingleTablePath(spark, dir, strongN)
+    spanTableCache.computeIfAbsent(s"$dir#$minSpan#$strongN", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"spanmin-$minSpan-$strongN-${graft.sources.JsonConvert.pathKey(dir)}")
+        .toString
+      c65Compute(spark, dir, minSpan, strongN)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
   }
 
   /** The generic thresholded span finder — the live-recompute twin of
@@ -988,7 +1023,8 @@ object Dedup {
       restrictCuts(
         cutPositionsOf(
           spark.read.parquet(posShingleTablePath(spark, dir, n)), n),
-        c65SpanMinlen(spark, dir, minSpan, strongN)))
+        spark.read.parquet(
+          confirmedSpanTablePath(spark, dir, minSpan, strongN))))
 
   /** The generic thresholded scrubber (`Main scrub --min-span`) — the
     * live-recompute twin of [[c67ScrubMinlen]]. */

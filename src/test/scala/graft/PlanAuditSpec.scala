@@ -329,7 +329,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("c65 plan: confirm join is a doc_id equi-join over sparse frames, no product") {
-    val s = executedPlanOf(graft.operators.Dedup.c65SpanMinlen(spark, sfDir))
+    // audit the LIVE plan (dupSpansMin shares every expression with the
+    // memoized gate path, which reads the materialized span table)
+    val s = executedPlanOf(graft.operators.Dedup.dupSpansMin(
+      Tables.documents(spark, sfDir).select("doc_id", "text")))
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"),
       s"span confirmation must never go all-pairs:\n$s")
