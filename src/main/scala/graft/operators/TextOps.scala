@@ -273,13 +273,21 @@ object TextOps {
         .select(col("doc_id").as("c_doc"), col("shingle")))
 
   private def contamCore(evalSide: DataFrame,
-                         corpSide: DataFrame): DataFrame = {
-    val hits = evalSide.join(corpSide, "shingle")
-      .groupBy("doc_id")
+                         corpSide: DataFrame): DataFrame =
+    contamReportOfHits(
+      evalSide.groupBy("doc_id").agg(count(lit(1)).as("n_shingles")),
+      evalSide.join(corpSide, "shingle"))
+
+  /** The report fold shared by the at-rest path ([[contamCore]]) and
+    * d28's hit stream: per-eval-doc totals + raw
+    * (doc_id, shingle, c_doc) hit rows → the c68 report shape. */
+  def contamReportOfHits(evalTotals: DataFrame,
+                         hits: DataFrame): DataFrame = {
+    val folded = hits.groupBy("doc_id")
       .agg(count_distinct(col("c_doc")).as("n_hit_docs"),
         count_distinct(col("shingle")).as("n_hit_shingles"))
-    evalSide.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
+    evalTotals
+      .join(folded, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
         coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"))

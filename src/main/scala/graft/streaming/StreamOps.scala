@@ -836,4 +836,43 @@ object StreamOps {
       .withColumn("strong", lit(false))
       .unionByName(streamDupStarts(docs, strongIndex, strongN)
         .withColumn("strong", lit(true)))
+
+  /** d28: streaming eval-ONBOARDING contamination probe — c68's serving
+    * twin: benchmark sets evolve, and each arriving eval item must be
+    * checked against the (at-rest) training corpus BEFORE it is trusted.
+    * The arrival's distinct n-shingles compute row-locally (HOF
+    * transform + array_distinct — the shingleRows formulation, no
+    * per-doc state) and probe the corpus shingle index
+    * ([[graft.operators.Dedup.shingleRows]] materialized as parquet —
+    * corpus-sized, so d11/d25's table rule, at scale bucketed by
+    * shingle), emitting one (doc_id, n_shingles, shingle, c_doc) row
+    * per leaked (shingle, corpus-doc) pair. Stateless; the fold into
+    * the c68 report shape
+    * ([[graft.operators.TextOps.contamReportOfHits]]) is a batch pass
+    * downstream (d26's rule) — clean items produce NO stream rows, so
+    * the fold's total side comes from the arrival log, not the hits. */
+  def streamContamProbe(docs: DataFrame, corpusIndex: DataFrame,
+                        n: Int = 8): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    // TOTAL expression (c57's sub-k guard rule): Spark's sequence(0, x)
+    // DESCENDS for x < 0, feeding slice a zero start — and the streaming
+    // planner evaluated this projection for a sub-n row despite the
+    // size filter below it (batch never did). The CASE makes the
+    // expression well-defined for every row, filter or no filter.
+    val shs = when(size(col("t")) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(col("t")) - n),
+        i => array_join(slice(col("t"), i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), shs.as("shs"))
+      .select(col("doc_id"),
+        size(col("shs")).cast("bigint").as("n_shingles"),
+        explode(col("shs")).as("shingle"))
+      .join(corpusIndex.select(col("shingle"), col("doc_id").as("c_doc")),
+        "shingle")
+      .select(col("doc_id"), col("n_shingles"), col("shingle"), col("c_doc"))
+  }
 }

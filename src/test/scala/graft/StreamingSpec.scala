@@ -1164,4 +1164,64 @@ class StreamingSpec extends SparkSpec {
       assert(!got.exists(_._1 == 80003L), "disjoint vocab must not hit")
     } finally q.stop()
   }
+
+  test("d28 streaming contamination probe: hits equal batch; fold equals c68") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, TextOps}
+    // the at-rest corpus shingle index = the training side of c68's split
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 =!= 0).select("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-d28-idx-").toString
+    Dedup.shingleRows(corpus, 8).write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    // arrivals: the gate's own eval items (so the fold can be pinned to
+    // c68 row-for-row) + a clean long doc + a sub-8-token doc + a null
+    val evalDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val arrivals = evalDocs.toSeq ++ Seq(
+      (70001L, (0 until 40).map(i => s"probe$i").mkString(" ")),
+      (70002L, "too short for one shingle"),
+      (70003L, null.asInstanceOf[String]))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamContamProbe(
+        stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d28_sink").start()
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val sink = spark.table("d28_sink")
+      val got = sink.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("shingle"),
+          r.getAs[Long]("c_doc"))).toSet
+      // hit set ≡ the batch probe of the same arrivals
+      val arrDf = arrivals.toDF("doc_id", "text")
+      val batch = Dedup.shingleRows(arrDf.filter(col("text").isNotNull), 8)
+        .join(index.select(col("shingle"), col("doc_id").as("c_doc")), "shingle")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("shingle"),
+          r.getAs[Long]("c_doc"))).toSet
+      assert(got == batch, "stream hit set must equal the batch probe")
+      assert(!got.exists(t => t._1 >= 70001L), "clean/short/null never hit")
+      // the downstream fold over (arrival totals, stream hits) is
+      // row-for-row c68 on the gate's eval items
+      val totals = Dedup.shingleRows(arrDf.filter(col("text").isNotNull), 8)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val folded = TextOps.contamReportOfHits(totals,
+        sink.select("doc_id", "shingle", "c_doc"))
+      val evalIds = evalDocs.map(_._1).toSet
+      val gotRep = folded.filter(col("doc_id").isin(evalIds.toSeq: _*))
+        .collect().map(_.toSeq)
+      val want = TextOps.c68ContamReport(spark, sfDir).collect().map(_.toSeq)
+      assert(gotRep.toSeq == want.toSeq,
+        "fold over stream hits must equal the c68 gate report")
+      // the clean arrival folds to an explicit zero row, not an absence
+      val clean = folded.filter(col("doc_id") === 70001L).collect()
+      assert(clean.length == 1 && clean.head.getAs[Long]("n_hit_docs") == 0L)
+    } finally q.stop()
+  }
 }
