@@ -128,6 +128,7 @@ object SparkEntry {
     "c66_bpe_fertility" -> ((s: SparkSession, d: String) => TextOps.c66BpeFertility(s, d)),
     "c67_scrub_minlen" -> ((s: SparkSession, d: String) => Dedup.c67ScrubMinlen(s, d)),
     "c68_contam_report" -> ((s: SparkSession, d: String) => TextOps.c68ContamReport(s, d)),
+    "c69_span_clusters" -> ((s: SparkSession, d: String) => Dedup.c69SpanClusters(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1015,6 +1016,28 @@ object SparkEntry {
         |    FILTER (WHERE cut.p IS NULL), ' '), '') AS scrubbed_text
         |FROM tp LEFT JOIN cut ON tp.doc_id = cut.doc_id AND tp.p = cut.p
         |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+    // c69: substring-dup clusters — star edges per shared duplicated
+    // 20-shingle value, transitive closure, min label (c19's CTE shape)
+    "c69_span_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, md5(array_to_string(tk[i:i+19], ' ')) AS sh
+        |        FROM tok, UNNEST(range(1, len(tk) - 18)) AS u(i)),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM pos),
+        |rt AS (SELECT sh, min(doc_id) AS root, count(*) AS nd
+        |       FROM dsh GROUP BY sh),
+        |e0 AS (SELECT r.root AS u, d.doc_id AS v
+        |       FROM dsh d JOIN rt r ON d.sh = r.sh
+        |       WHERE r.nd > 1 AND d.doc_id <> r.root),
+        |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |reach AS (SELECT u, v FROM ed
+        |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+        |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
+        |  least(COALESCE(l.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // c61: dataset card — every value an exact count or ONE 6-dp-rounded
     // division of exact counts; quality rule = c7's, length from text
     "c61_dataset_card" ->

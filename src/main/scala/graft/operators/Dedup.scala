@@ -976,6 +976,62 @@ object Dedup {
       hits.filter(col("strong")).select("doc_id", "i"),
       strongN)
 
+  /** c69: substring-duplication CLUSTERS — c19's cluster view at
+    * substring granularity: two docs connect when they SHARE a
+    * duplicated strongN-shingle value (an exact ≥ strongN-token common
+    * substring — c65's confirmation evidence used as an edge), and
+    * connected components give each doc a cluster id (its own id when
+    * it shares no long substring with anything; is_canonical marks the
+    * min-id member a dedup pipeline keeps). Intra-doc repetition does
+    * NOT connect anything (cluster semantics are inter-doc by
+    * definition; c62/c64 carry the intra-doc signal). Closes the span
+    * family's missing report: c65 says WHERE long duplication sits,
+    * c69 says WHICH DOCS form each duplication group.
+    *
+    * Scale shape: distinct (sh, doc) projection of the memoized
+    * positional table; per shingle value a STAR to the min doc — a hot
+    * boilerplate shingle shared by k docs contributes k−1 edges, never
+    * k² (star edges preserve connectivity exactly); components via the
+    * large-star/small-star alternation (O(log n) rounds), labels
+    * memoized like c19's. */
+  def c69SpanClusters(spark: SparkSession, dir: String,
+                      strongN: Int = 20): DataFrame = {
+    val comp = spark.read.parquet(spanClusterTablePath(spark, dir, strongN))
+      .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val spanClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def spanClusterTablePath(spark: SparkSession, dir: String,
+                                          strongN: Int = 20): String = {
+    // pre-resolve the positional memo (the recursive-update rule)
+    posShingleTablePath(spark, dir, strongN)
+    spanClusterCache.computeIfAbsent(s"$dir#$strongN", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"spanclusters-$strongN-${graft.sources.JsonConvert.pathKey(dir)}")
+        .toString
+      val docSh = spark.read
+        .parquet(posShingleTablePath(spark, dir, strongN))
+        .select("sh", "doc_id").distinct()
+      val roots = docSh.groupBy("sh")
+        .agg(min(col("doc_id")).as("root"), count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("sh", "root")
+      val edges = docSh.join(roots, "sh")
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("u"), col("doc_id").as("v"))
+        .distinct()
+      connectedComponentsAlternating(edges)._1
+        .select(col("node"), col("cluster_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+  }
+
   /** c63: span scrub — the transform c62's report feeds: rewrite every
     * doc with its non-canonical duplicated runs CUT, keeping exactly one
     * copy of each duplicated n-shingle corpus-wide (Lee et al. 2021's

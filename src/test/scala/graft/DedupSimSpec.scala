@@ -1636,6 +1636,43 @@ class DedupSimSpec extends SparkSpec {
         "- otherwise c67 is indistinguishable from c63")
   }
 
+  test("c69 span clusters equal a driver-side union-find over shared 20-grams") {
+    // independent derivation: FULL pairwise connectivity (not star
+    // edges) via union-find — proving the engine's star-edge reduction
+    // preserves components exactly
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text")))
+    val byShingle = scala.collection.mutable.Map.empty[String, List[Long]]
+    docs.foreach { case (id, t) =>
+      t.foreach { text =>
+        val toks = text.toLowerCase.split(" ", -1)
+        if (toks.length >= 20)
+          toks.sliding(20).map(_.mkString(" ")).toSet
+            .foreach(sh => byShingle(sh) = id :: byShingle.getOrElse(sh, Nil))
+      }
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); () }
+    }
+    byShingle.values.foreach { ids =>
+      val d = ids.distinct
+      d.tail.foreach(union(d.head, _))
+    }
+    val want = docs.map { case (id, _) => (id, find(id), find(id) == id) }
+      .sortBy(_._1).toSeq
+    val got = Dedup.c69SpanClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == want)
+    assert(got.exists(r => !r._3),
+      "the near-dup corpus must form at least one non-singleton cluster")
+  }
+
   test("lshPlan: independent-integration argmin, c2's 4x2 at 0.5, threshold monotonicity") {
     // independent re-derivation: trapezoid rule at double resolution —
     // the chosen pair must be the argmin under the independent estimate
