@@ -1005,6 +1005,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The at-rest ROUTING table d29 probes: every strongN-shingle of a
+    * clustered doc mapped to that doc's cluster id — (sh, cluster_id),
+    * distinct. Sharing a shingle implies sharing a cluster (it IS the
+    * edge relation), so each sh maps to exactly ONE cluster; at scale
+    * the table is bucketed by sh like every probe index here. */
+  def spanClusterRoutingOf(spark: SparkSession, dir: String,
+                           strongN: Int = 20): DataFrame = {
+    val docSh = spark.read
+      .parquet(posShingleTablePath(spark, dir, strongN))
+      .select("sh", "doc_id").distinct()
+    val labels = spark.read
+      .parquet(spanClusterTablePath(spark, dir, strongN))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    docSh.join(labels, "doc_id").select("sh", "cluster_id").distinct()
+  }
+
   private val spanClusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def spanClusterTablePath(spark: SparkSession, dir: String,

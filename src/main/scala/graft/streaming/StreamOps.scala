@@ -851,6 +851,33 @@ object StreamOps {
     * ([[graft.operators.TextOps.contamReportOfHits]]) is a batch pass
     * downstream (d26's rule) — clean items produce NO stream rows, so
     * the fold's total side comes from the arrival log, not the hits. */
+  /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
+    * d14's lexical analogue: each arriving doc is routed to the
+    * existing substring-duplication group(s) it belongs to, by probing
+    * the at-rest (shingle → cluster_id) routing table (the c69 label
+    * table joined back to its shingle occurrences — the artifact a
+    * dedup-aware ingest ships next to c37's shingle index). Emits one
+    * (doc_id, sh, cluster_id) row per hit — stateless (d26's rule: the
+    * distinct/min fold is a batch decision downstream); an arrival
+    * hitting NO cluster is new material. Shingles compute row-locally
+    * via [[streamContamProbe]]'s machinery at width strongN, hashed to
+    * the positional table's md5 keys so the routing table never carries
+    * bodies. */
+  def streamClusterRoute(docs: DataFrame, routingIndex: DataFrame,
+                         strongN: Int = 20): DataFrame = {
+    require(strongN >= 1, s"shingle width must be >= 1, got $strongN")
+    val shs = when(size(col("t")) >= strongN,
+      array_distinct(transform(
+        sequence(lit(0), size(col("t")) - strongN),
+        i => md5(array_join(slice(col("t"), i + 1, lit(strongN)), " ")))))
+      .otherwise(array().cast("array<string>"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(shs).as("sh"))
+      .join(routingIndex.select("sh", "cluster_id"), "sh")
+      .select(col("doc_id"), col("sh"), col("cluster_id"))
+  }
+
   def streamContamProbe(docs: DataFrame, corpusIndex: DataFrame,
                         n: Int = 8): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")

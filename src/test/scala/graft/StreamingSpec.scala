@@ -1224,4 +1224,57 @@ class StreamingSpec extends SparkSpec {
       assert(clean.length == 1 && clean.head.getAs[Long]("n_hit_docs") == 0L)
     } finally q.stop()
   }
+
+  test("d29 streaming cluster routing: arrivals route to their c69 group") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val routing = Dedup.spanClusterRoutingOf(spark, sfDir)
+    // invariant the route relies on: sharing a shingle implies sharing a
+    // cluster, so each sh maps to exactly one cluster_id
+    assert(routing.groupBy("sh").count().filter(col("count") > 1).isEmpty,
+      "a shingle mapping to two clusters contradicts the edge relation")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-d29-idx-").toString
+    routing.write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    // an arrival embedding the text of a doc KNOWN to sit in a
+    // non-singleton cluster must route to exactly that cluster
+    val clustered = Dedup.c69SpanClusters(spark, sfDir)
+      .filter(!col("is_canonical")).head()
+    val srcId = clustered.getAs[Long]("doc_id")
+    val srcCluster = clustered.getAs[Long]("cluster_id")
+    val srcText = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === srcId).head().getAs[String]("text")
+    val arrivals = Seq(
+      (60001L, s"fresh $srcText"),
+      (60002L, (0 until 40).map(i => s"route$i").mkString(" ")),
+      (60003L, "short"),
+      (60004L, null.asInstanceOf[String]))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamClusterRoute(
+        stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d29_sink").start()
+    try {
+      stream.addData(arrivals.take(2)); q.processAllAvailable()
+      stream.addData(arrivals.drop(2)); q.processAllAvailable()
+      val got = spark.table("d29_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh"),
+          r.getAs[Long]("cluster_id"))).toSet
+      // hit set ≡ the batch probe of the same arrivals
+      val batch = Dedup.positionalShingles(
+          arrivals.toDF("doc_id", "text"), 20)
+        .join(index, "sh")
+        .select("doc_id", "sh", "cluster_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh"),
+          r.getAs[Long]("cluster_id"))).toSet
+      assert(got == batch, "stream hit set must equal the batch probe")
+      val routed = got.filter(_._1 == 60001L).map(_._3)
+      assert(routed == Set(srcCluster),
+        s"embedded arrival must route to cluster $srcCluster, got $routed")
+      assert(!got.exists(t => t._1 >= 60002L),
+        "disjoint/short/null arrivals route nowhere")
+    } finally q.stop()
+  }
 }
