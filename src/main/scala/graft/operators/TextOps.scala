@@ -825,7 +825,10 @@ object TextOps {
   /** Apply an ordered merge list to a word column; returns the token
     * array. One codegen'd literal replace per merge — row-local,
     * shuffle-free, and byte-identical to the DuckDB rendering (nested
-    * replace() over the same fenced sequence). */
+    * replace() over the same fenced sequence). Since r11 this is the
+    * REFERENCE formulation only (plan depth is linear in merge count):
+    * production paths use the native fused [[graft.functions.ApplyBpe]],
+    * parity-pinned against this chain by BpeExprSpec. */
   def applyBpeMerges(w: Column, merges: Seq[(String, String)]): Column =
     split(trim(merges.foldLeft(bpeSeqOf(w)) { case (c, (a, b)) =>
       replace(c, lit(s" $a  $b "), lit(s" $a$b "))

@@ -528,12 +528,13 @@ object StreamOps {
     * stream cannot re-train the tokenizer per row, so the bounded merge
     * list — trainBpe's output — ships as plan literals, exactly how a
     * serving system ships its tokenizer file; the batch side trains it
-    * at rest). Each arriving doc tokenizes row-locally: words → fenced
-    * symbol sequences → the merge replaces → token counts. Zero state,
-    * no watermark, any stream length. Emits (doc_id, n_words,
-    * n_tokens); a parity spec pins stream ≡ batch under the same
-    * artifact, and token semantics are pinned by c52's fence-safety
-    * specs on the shared applyBpeMerges core. */
+    * at rest). Each arriving doc tokenizes row-locally through the
+    * native fused [[graft.functions.ApplyBpe]] (r11 — one plan node at
+    * any merge count) → token counts. Zero state, no watermark, any
+    * stream length. Emits (doc_id, n_words, n_tokens); a parity spec
+    * pins stream ≡ batch under the same artifact, and token semantics
+    * are pinned by BpeExprSpec's parity/adversarial suite on the shared
+    * ApplyBpe engine. */
   def streamBpeTokenize(docs: DataFrame,
                         merges: Seq[(String, String)]): DataFrame = {
     val ws = filter(graft.operators.TextOps.words(lower(col("text"))),
