@@ -535,6 +535,28 @@ object StreamOps {
     * pins stream ≡ batch under the same artifact, and token semantics
     * are pinned by BpeExprSpec's parity/adversarial suite on the shared
     * ApplyBpe engine. */
+  /** d30: streaming FULL tokenization — `Main tokenize`'s serving twin:
+    * where d21 emits counts (the monitoring shape), d30 emits the token
+    * payload itself — (doc_id, n_words, n_tokens, tokens) — exactly the
+    * at-rest CLI's schema, so an ingest pipeline can write
+    * training-ready tokenized shards straight from the stream. Same
+    * static merge artifact, same native ApplyBpe row-local apply, zero
+    * state; parity spec pins stream ≡ the batch CLI derivation
+    * row-for-row including the arrays. */
+  def streamTokenize(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val ws = filter(graft.operators.TextOps.words(lower(col("text"))),
+      w => length(w) >= 1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        flatten(transform(col("ws"),
+          w => graft.functions.BpeFunctions.applyBpe(w, merges))).as("tokens"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
+  }
+
   def streamBpeTokenize(docs: DataFrame,
                         merges: Seq[(String, String)]): DataFrame = {
     val ws = filter(graft.operators.TextOps.words(lower(col("text"))),

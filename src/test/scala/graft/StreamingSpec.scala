@@ -1225,6 +1225,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d30 streaming full tokenization equals the at-rest CLI derivation per doc") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val merges = graft.operators.TextOps.trainBpe(spark, sfDir)
+    // the batch twin IS the `Main tokenize` expression shape, derived
+    // here through the REPLACE-CHAIN reference formulation so stream
+    // and batch take independent token paths
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) >= 1).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        flatten(transform(col("ws"),
+          w => graft.operators.TextOps.applyBpeMerges(w, merges))).as("tokens"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).length.toLong, r.getSeq[String](2).toVector))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamTokenize(
+        stream.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d30_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = spark.table("d30_sink").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_tokens"), r.getSeq[String](3).toVector))
+      assert(got.toSeq == want.toSeq,
+        "streamed token payloads must equal the at-rest derivation")
+      assert(got.exists(_._4.exists(_.length > 1)),
+        "the learned merges must fuse tokens in the stream too")
+    } finally q.stop()
+  }
+
   test("d29 streaming cluster routing: arrivals route to their c69 group") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
