@@ -215,12 +215,15 @@ object Bench {
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is
     // best-effort: an unwritable path must not abort before the println.
-    // two sidecars: the env-pointed one, and bench_queries.json in the
-    // working directory — the r10 round artifact again lost 38 of 98
+    // two sidecars: the env-pointed one, and bench_queries.json under a
+    // KNOWN root (SPARK_GRAFT_REPO_ROOT, default /root/repo — r12: the
+    // CWD-relative path dropped the artifact elsewhere when the bench ran
+    // from any other directory) — the r10 round artifact lost 38 of 98
     // per-query times to the stdout-tail clip, so the full map must land
     // in a file the repo keeps regardless of how stdout is captured
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo")
     Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-      "bench_queries.json").foreach { outPath =>
+      s"$repoRoot/bench_queries.json").foreach { outPath =>
       try
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
           (line + "\n").getBytes("UTF-8"))

@@ -715,6 +715,12 @@ object Similarity {
     val dim = codebook.select(size(col("centroid"))).head().getInt(0)
     require(dim % m == 0, s"codebook dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // mismatched --index artifacts (codes against a DIFFERENT codebook)
+    // must fail loudly, not mis-rank: a code id absent from its
+    // sub-codebook reconstructs a null sc (filter+element_at miss →
+    // flatten nulls the whole rv), and a cell id absent from the
+    // codebook would silently never be probed — both are guarded here
+    // (the codebook is broadcast-sized, so the membership join is free)
     val cand = withSubCodebookFolds(
       codes.select(col("vec_id"), col("cell"), col("codes")),
       codebook, m, subDim)
@@ -723,7 +729,18 @@ object Similarity {
           element_at(filter(col(s"cb$j"),
             s => s.getField("cell") === element_at(col("codes"), j + 1)), 1)
             .getField("sc")
-        }: _*)).as("rv"))
+        }: _*)).as("rv0"))
+      .join(broadcast(codebook.select(col("cell"), lit(true).as("cb_ok"))),
+        Seq("cell"), "left")
+      .select(col("neighbor_id"), col("cell"),
+        when(col("cb_ok").isNull || col("rv0").isNull
+            || size(col("rv0")) =!= lit(dim),
+          raise_error(concat(
+            lit("queryVectorIndex: codes row (vec_id="), col("neighbor_id"),
+            lit(", cell="), col("cell"),
+            lit(") references a cell or PQ code absent from the supplied " +
+              "codebook — mismatched index artifacts"))))
+          .otherwise(col("rv0")).as("rv"))
     val q = assignCells(
       queries.select(col("vec_id"), toDouble(col("embedding")).as("v")),
       codebook, maxProbe = nprobe)

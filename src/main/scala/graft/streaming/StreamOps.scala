@@ -523,18 +523,6 @@ object StreamOps {
       .toDF("doc_id", "width", "height", "n_units", "n_bands", "lossy_ok")
   }
 
-  /** d21: streaming BPE tokenization — c52's APPLY phase at ingest,
-    * against a STATIC learned-merge artifact (the d13/d16 argument: a
-    * stream cannot re-train the tokenizer per row, so the bounded merge
-    * list — trainBpe's output — ships as plan literals, exactly how a
-    * serving system ships its tokenizer file; the batch side trains it
-    * at rest). Each arriving doc tokenizes row-locally through the
-    * native fused [[graft.functions.ApplyBpe]] (r11 — one plan node at
-    * any merge count) → token counts. Zero state, no watermark, any
-    * stream length. Emits (doc_id, n_words, n_tokens); a parity spec
-    * pins stream ≡ batch under the same artifact, and token semantics
-    * are pinned by BpeExprSpec's parity/adversarial suite on the shared
-    * ApplyBpe engine. */
   /** d30: streaming FULL tokenization — `Main tokenize`'s serving twin:
     * where d21 emits counts (the monitoring shape), d30 emits the token
     * payload itself — (doc_id, n_words, n_tokens, tokens) — exactly the
@@ -557,6 +545,18 @@ object StreamOps {
         size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
   }
 
+  /** d21: streaming BPE tokenization — c52's APPLY phase at ingest,
+    * against a STATIC learned-merge artifact (the d13/d16 argument: a
+    * stream cannot re-train the tokenizer per row, so the bounded merge
+    * list — trainBpe's output — ships as plan literals, exactly how a
+    * serving system ships its tokenizer file; the batch side trains it
+    * at rest). Each arriving doc tokenizes row-locally through the
+    * native fused [[graft.functions.ApplyBpe]] (r11 — one plan node at
+    * any merge count) → token counts. Zero state, no watermark, any
+    * stream length. Emits (doc_id, n_words, n_tokens); a parity spec
+    * pins stream ≡ batch under the same artifact, and token semantics
+    * are pinned by BpeExprSpec's parity/adversarial suite on the shared
+    * ApplyBpe engine. */
   def streamBpeTokenize(docs: DataFrame,
                         merges: Seq[(String, String)]): DataFrame = {
     val ws = filter(graft.operators.TextOps.words(lower(col("text"))),
@@ -860,6 +860,26 @@ object StreamOps {
       .unionByName(streamDupStarts(docs, strongIndex, strongN)
         .withColumn("strong", lit(true)))
 
+  /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
+    * d14's lexical analogue: each arriving doc is routed to the
+    * existing substring-duplication group(s) it belongs to, by probing
+    * the at-rest (shingle → cluster_id) routing table (the c69 label
+    * table joined back to its shingle occurrences — the artifact a
+    * dedup-aware ingest ships next to c37's shingle index). Emits one
+    * (doc_id, sh, cluster_id) row per positional hit — stateless (d26's
+    * rule: the distinct/min fold is a batch decision downstream); an
+    * arrival hitting NO cluster is new material. The arrival-side
+    * shingle hashes derive through the SAME
+    * [[graft.operators.Dedup.positionalShingles]] subtree the at-rest
+    * routing table is built from (streamDupStarts's rule, r12) — the
+    * hash contract is shared by construction, not merely pinned by the
+    * d29 parity test, and the routing table never carries bodies. */
+  def streamClusterRoute(docs: DataFrame, routingIndex: DataFrame,
+                         strongN: Int = 20): DataFrame =
+    graft.operators.Dedup.positionalShingles(docs, strongN)
+      .join(routingIndex.select("sh", "cluster_id"), "sh")
+      .select(col("doc_id"), col("sh"), col("cluster_id"))
+
   /** d28: streaming eval-ONBOARDING contamination probe — c68's serving
     * twin: benchmark sets evolve, and each arriving eval item must be
     * checked against the (at-rest) training corpus BEFORE it is trusted.
@@ -874,33 +894,6 @@ object StreamOps {
     * ([[graft.operators.TextOps.contamReportOfHits]]) is a batch pass
     * downstream (d26's rule) — clean items produce NO stream rows, so
     * the fold's total side comes from the arrival log, not the hits. */
-  /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
-    * d14's lexical analogue: each arriving doc is routed to the
-    * existing substring-duplication group(s) it belongs to, by probing
-    * the at-rest (shingle → cluster_id) routing table (the c69 label
-    * table joined back to its shingle occurrences — the artifact a
-    * dedup-aware ingest ships next to c37's shingle index). Emits one
-    * (doc_id, sh, cluster_id) row per hit — stateless (d26's rule: the
-    * distinct/min fold is a batch decision downstream); an arrival
-    * hitting NO cluster is new material. Shingles compute row-locally
-    * via [[streamContamProbe]]'s machinery at width strongN, hashed to
-    * the positional table's md5 keys so the routing table never carries
-    * bodies. */
-  def streamClusterRoute(docs: DataFrame, routingIndex: DataFrame,
-                         strongN: Int = 20): DataFrame = {
-    require(strongN >= 1, s"shingle width must be >= 1, got $strongN")
-    val shs = when(size(col("t")) >= strongN,
-      array_distinct(transform(
-        sequence(lit(0), size(col("t")) - strongN),
-        i => md5(array_join(slice(col("t"), i + 1, lit(strongN)), " ")))))
-      .otherwise(array().cast("array<string>"))
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .select(col("doc_id"), explode(shs).as("sh"))
-      .join(routingIndex.select("sh", "cluster_id"), "sh")
-      .select(col("doc_id"), col("sh"), col("cluster_id"))
-  }
-
   def streamContamProbe(docs: DataFrame, corpusIndex: DataFrame,
                         n: Int = 8): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
