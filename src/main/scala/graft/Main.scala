@@ -85,16 +85,22 @@ object Main {
       sys.exit(2)
   }
 
-  /** `graft.Main bpe-train --in PARQUET --out MERGES [--rounds N]` —
-    * learn a BPE merge list over any (doc_id, text) parquet (c52's
-    * training phase as an at-rest artifact step): writes the ordered
-    * merges as (rank, a, b) parquet — the tokenizer file a serving
-    * system ships — plus one JSON line. */
+  /** `graft.Main bpe-train --in PARQUET --out MERGES [--rounds N]
+    * [--bytes]` — learn a BPE merge list over any (doc_id, text) parquet
+    * (c52's training phase as an at-rest artifact step): writes the
+    * ordered merges as (rank, a, b) parquet — the tokenizer file a
+    * serving system ships — plus one JSON line. `--bytes` trains
+    * BYTE-LEVEL (c70): pretokens keep their leading space and stage
+    * through the GPT-2 byte alphabet, so any input byte sequence —
+    * case, punctuation, emoji — tokenizes; the artifact's symbols are
+    * staged-alphabet strings ('Ġthe'-shaped). */
   private def bpeTrain(args: Array[String]): Unit = {
     import graft.operators.TextOps
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
-    val rounds = opt(args, "--rounds").map(_.toInt).getOrElse(TextOps.C52Rounds)
+    val bytes = args.contains("--bytes")
+    val rounds = opt(args, "--rounds").map(_.toInt)
+      .getOrElse(if (bytes) TextOps.C70Rounds else TextOps.C52Rounds)
     require(rounds >= 1, s"--rounds must be >= 1, got $rounds")
     val spark = GraftSession.get()
     import spark.implicits._
@@ -102,20 +108,22 @@ object Main {
     require(docs.columns.contains("text"),
       s"input $in must have a text column, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    val wc = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val wc =
+      if (bytes) TextOps.bytePretokenTypes(docs)
+      else docs
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("wcnt"))
     val merges = TextOps.trainBpeOn(wc, rounds)
     merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "a", "b")
       .coalesce(1).write.mode("overwrite").parquet(out)
     println(s"""{"merges":${merges.length},"rounds":$rounds,""" +
-      s""""out":${jsonStr(out)}}""")
+      s""""bytes":$bytes,"out":${jsonStr(out)}}""")
   }
 
-  /** `graft.Main tokenize --in PARQUET --merges MERGES --out OUT` —
-    * apply a `bpe-train` artifact to a corpus through the native
+  /** `graft.Main tokenize --in PARQUET --merges MERGES --out OUT
+    * [--bytes]` — apply a `bpe-train` artifact to a corpus through the native
     * [[graft.functions.ApplyBpe]] expression (one fused plan node at ANY
     * merge count — this is the path that serves a real ~30k-merge
     * tokenizer, where the replace-chain formulation cannot plan):
@@ -126,6 +134,7 @@ object Main {
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val mergesPath = opt(args, "--merges").getOrElse(sys.error("--merges required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val bytes = args.contains("--bytes")
     val spark = GraftSession.get()
     val mf = spark.read.parquet(mergesPath)
     require(Seq("rank", "a", "b").forall(mf.columns.contains),
@@ -137,7 +146,15 @@ object Main {
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    val ws = filter(split(lower(col("text")), " "), w => length(w) >= 1)
+    // --bytes: a `bpe-train --bytes` artifact applies to byte-STAGED
+    // pretokens (c70's path) — tokens come out in the staged alphabet
+    // and ByteBpeFunctions.byteUnstage(concat(tokens)) recovers the
+    // input bytes exactly (CLI-spec-pinned round trip)
+    val ws =
+      if (bytes) transform(
+        graft.operators.TextOps.bytePretokens(col("text")),
+        p => graft.functions.ByteBpeFunctions.byteStage(p))
+      else filter(split(lower(col("text")), " "), w => length(w) >= 1)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
@@ -150,7 +167,7 @@ object Main {
     val stats = written.agg(count(lit(1)),
       coalesce(sum(col("n_tokens")), lit(0L))).head()
     println(s"""{"docs":${stats.getLong(0)},"total_tokens":${stats.getLong(1)},""" +
-      s""""merges":${merges.length},"out":${jsonStr(out)}}""")
+      s""""merges":${merges.length},"bytes":$bytes,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main scrub --in PARQUET --out OUT [--n N]` — c63's span

@@ -129,6 +129,7 @@ object SparkEntry {
     "c67_scrub_minlen" -> ((s: SparkSession, d: String) => Dedup.c67ScrubMinlen(s, d)),
     "c68_contam_report" -> ((s: SparkSession, d: String) => TextOps.c68ContamReport(s, d)),
     "c69_span_clusters" -> ((s: SparkSession, d: String) => Dedup.c69SpanClusters(s, d)),
+    "c70_bpe_bytes" -> ((s: SparkSession, d: String) => TextOps.c70BpeBytes(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -169,8 +170,13 @@ object SparkEntry {
   /** The fenced-sequence merge-application expression over a column `w`
     * (TextOps.bpeSeqOf's scheme rendered in SQL — one literal replace
     * per learned merge), shared by the c52 and c66 renderers. */
-  private def bpeAppliedExpr(dir: String): String = {
-    val merges = graft.operators.TextOps.trainBpe(renderSession, dir)
+  private def bpeAppliedExpr(dir: String): String =
+    mergesAppliedExpr(graft.operators.TextOps.trainBpe(renderSession, dir))
+
+  /** The fenced replace-chain for an ARBITRARY merge list (shared by the
+    * char-level c52/c66 renderers and the byte-level c70 renderer — the
+    * fence scheme is alphabet-agnostic, like the engine it verifies). */
+  private def mergesAppliedExpr(merges: Seq[(String, String)]): String = {
     val seqExpr = "'  ' || array_to_string(list_transform(" +
       "range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || '  '"
     merges.foldLeft(seqExpr) { case (e, (a, b)) =>
@@ -186,6 +192,31 @@ object SparkEntry {
        |t AS (SELECT wcnt, unnest(string_split(trim(seq), '  ')) AS token FROM s)
        |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt
        |FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+
+  /** DuckDB rendering of c70: byte-level staging + merge application,
+    * both re-expressed in SQL. The pre-tokenizer is the SAME parity-safe
+    * pattern the Spark query uses (TextOps.BytePretokenPattern — no
+    * lookahead, identical in Java regex and RE2); staging renders as one
+    * literal replace per NON-IDENTITY byte the gate corpus can contain
+    * (space→Ġ, \n→Ċ, \t→ĉ, \r→č — all other printable-ASCII bytes map
+    * to themselves in the GPT-2 table, so the oracle is exact on any
+    * ASCII corpus; a non-ASCII byte would stage differently in Spark
+    * and hash-FAIL loudly, never silently pass). Merges are the memoized
+    * Spark-trained byte-level artifact inlined at render time (c52's
+    * drift-pinning rule). */
+  private def c70OracleSql(dir: String): String = {
+    val merges = graft.operators.TextOps.trainBpeBytes(renderSession, dir)
+    val stage = "replace(replace(replace(replace(p, ' ', 'Ġ'), " +
+      "chr(10), 'Ċ'), chr(9), 'ĉ'), chr(13), 'č')"
+    s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+       |        '${graft.operators.TextOps.BytePretokenPattern}')) AS p
+       |      FROM documents WHERE text IS NOT NULL),
+       |wc AS (SELECT $stage AS w, count(*) AS wcnt FROM pt GROUP BY 1),
+       |s AS (SELECT wcnt, ${mergesAppliedExpr(merges)} AS seq FROM wc),
+       |t AS (SELECT wcnt, unnest(string_split(trim(seq), '  ')) AS token FROM s)
+       |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt
+       |FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+  }
 
   /** DuckDB rendering of c66: the SAME inlined learned merges as c52,
     * applied per (doc, word) and folded per doc — trainer drift
@@ -296,7 +327,8 @@ object SparkEntry {
         base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf"))),
       Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
         "c54_pca_project" -> (() => c54OracleSql(dir)),
-        "c66_bpe_fertility" -> (() => c66OracleSql(dir))))
+        "c66_bpe_fertility" -> (() => c66OracleSql(dir)),
+        "c70_bpe_bytes" -> (() => c70OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

@@ -951,6 +951,82 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- byte-level BPE (c70): c52's training/apply machinery lifted to
+  // ---- the GPT-2 byte-staged alphabet (Radford et al. 2019; the
+  // ---- tiktoken/HuggingFace ByteLevel contract) — ANY input byte
+  // ---- sequence tokenizes, not just space-split ASCII words
+
+  /** c70's pre-tokenizer pattern: each pretoken is one optional leading
+    * space plus a maximal space-free run — the "Ġword" shape byte-level
+    * tokenizers train on (a merge can fuse the space INTO the word, so
+    * " the" becomes one token). GPT-2's full pattern also splits letter
+    * /digit/punctuation classes and keeps whitespace runs via a
+    * `\s+(?!\S)` lookahead; RE2 (DuckDB's engine) supports no
+    * lookahead, so the gate uses this parity-safe core — identical
+    * semantics in Java regex and RE2 — and documents the divergence:
+    * within a run of k ≥ 2 spaces only the one attached to the next
+    * pretoken survives, and trailing whitespace drops. On the
+    * single-spaced gate corpus the two pre-tokenizers agree exactly. */
+  private[graft] val BytePretokenPattern = " ?[^ ]+"
+
+  /** Pretoken array of a raw text column (no lowercasing — byte-level
+    * tokenization is case-preserving by design). */
+  private[graft] def bytePretokens(c: Column): Column =
+    regexp_extract_all(c, lit(BytePretokenPattern), lit(0))
+
+  /** The byte-STAGED pretoken-type table (w, wcnt): every pretoken's
+    * UTF-8 bytes mapped into the staging alphabet
+    * ([[graft.functions.ByteBpeAlphabet]]) so the result is space-free
+    * and fence-safe for the shared BPE engine — [[trainBpeOn]] and
+    * [[graft.functions.ApplyBpe]] are alphabet-agnostic and run on it
+    * unchanged. Same scale shape as [[wordTypes]]: the corpus is
+    * scanned once by a map-side-combinable count; every BPE stage
+    * iterates this bounded vocabulary. */
+  private[graft] def bytePretokenTypes(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(bytePretokens(col("text"))).as("p"))
+      .select(graft.functions.ByteBpeFunctions.byteStage(col("p")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /** c70's training depth (c52's rule: enough rounds that merged symbols
+    * re-merge — with the leading-space staging this learns 'Ġx'-style
+    * space-fused merges too). */
+  val C70Rounds = 8
+
+  private val byteBpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+
+  /** Byte-level merge list over the corpus at `dir` — memoized per
+    * (dir, rounds) exactly like [[trainBpe]] (query and oracle renderer
+    * must see the identical artifact). */
+  def trainBpeBytes(spark: SparkSession, dir: String,
+                    rounds: Int = C70Rounds): Seq[(String, String)] =
+    byteBpeMemo.computeIfAbsent((dir, rounds),
+      _ => trainBpeOn(bytePretokenTypes(Tables.documents(spark, dir)), rounds))
+
+  /** c70: BYTE-LEVEL learned BPE end-to-end — train [[C70Rounds]] merges
+    * over the byte-staged pretoken vocabulary, apply them through the
+    * native fused [[graft.functions.ApplyBpe]] (the engine is
+    * alphabet-agnostic; only the staging differs from c52), and emit the
+    * token frequency table. Tokens stay in the staged alphabet (a
+    * tokenizer's vocab file shape — 'Ġthe', not ' the');
+    * [[graft.functions.ByteBpeFunctions.byteUnstage]] inverts them
+    * losslessly. The oracle re-runs the staging + apply in SQL against
+    * merges inlined at render time (c52's drift-pinning rule), so both
+    * the staging table and merge application verify against an
+    * independent engine. */
+  def c70BpeBytes(spark: SparkSession, dir: String,
+                  topK: Int = 100): DataFrame = {
+    val merges = trainBpeBytes(spark, dir)
+    bytePretokenTypes(Tables.documents(spark, dir))
+      .select(col("wcnt"),
+        graft.functions.BpeFunctions.applyBpe(col("w"), merges).as("ts"))
+      .select(col("wcnt"), explode(col("ts")).as("token"))
+      .groupBy("token").agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(topK)
+  }
+
   // ---- lexical retrieval (c55): Okapi BM25 over an inverted per-doc
   // ---- statistics pass (Robertson & Walker; the standard lexical ranker
   // ---- a retrieval-augmented training pipeline mines hard positives with)

@@ -545,6 +545,35 @@ object StreamOps {
         size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
   }
 
+  /** d31: streaming BYTE-LEVEL tokenization — c70's serving twin
+    * (`tokenize --bytes` at ingest): each arriving doc pre-tokenizes
+    * with the parity-safe leading-space pattern
+    * ([[graft.operators.TextOps.bytePretokens]]), stages through the
+    * GPT-2 byte alphabet ([[graft.functions.ByteStage]]) and tokenizes
+    * through the native fused [[graft.functions.ApplyBpe]] against a
+    * STATIC byte-level merge artifact (d21's plan-literal rule) — so the
+    * ingest path accepts ANY byte sequence (case, emoji, control bytes),
+    * not just space-split ASCII words, and
+    * `byteUnstage(concat(tokens))` recovers each arrival byte-for-byte.
+    * Zero state, no watermark; emits (doc_id, n_pretokens, n_tokens,
+    * tokens) — training-ready tokenized shards straight from the
+    * stream. */
+  def streamTokenizeBytes(docs: DataFrame,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val ts = transform(
+      graft.operators.TextOps.bytePretokens(col("text")),
+      p => graft.functions.BpeFunctions.applyBpe(
+        graft.functions.ByteBpeFunctions.byteStage(p), merges))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("bigint").as("n_pretokens"),
+        flatten(col("ts")).as("tokens"))
+      .select(col("doc_id"), col("n_pretokens"),
+        size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
+  }
+
   /** d21: streaming BPE tokenization — c52's APPLY phase at ingest,
     * against a STATIC learned-merge artifact (the d13/d16 argument: a
     * stream cannot re-train the tokenizer per row, so the bounded merge

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ByteBpeAlphabet, ByteBpeFunctions, BpeFunctions}
+import graft.operators.TextOps
+
+/** Byte-level BPE specs (c70): the GPT-2 staging alphabet against an
+  * independently-built table, ByteStage/ByteUnstage expression parity
+  * with a driver-side byte loop on adversarial inputs, lossless
+  * round-trips, and end-to-end byte-level tokenization parity with a
+  * brute-force greedy merge reference. */
+class ByteBpeSpec extends SparkSpec {
+
+  /** Independent rebuild of the public GPT-2 bytes_to_unicode table —
+    * transcribed directly from the published algorithm, sharing no code
+    * with ByteBpeAlphabet. */
+  private val refTable: Map[Int, Int] = {
+    val bs = (('!'.toInt to '~'.toInt) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toBuffer
+    val cs = bs.clone()
+    var n = 0
+    for (b <- 0 until 256) {
+      if (!bs.contains(b)) { bs += b; cs += (256 + n); n += 1 }
+    }
+    bs.zip(cs).map { case (b, c) => (b, c) }.toMap
+  }
+
+  private def refStage(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8)
+      .map(b => refTable(b & 0xff).toChar).mkString
+
+  test("staging alphabet is the GPT-2 table: total, injective, printable-identity") {
+    assert(ByteBpeAlphabet.byteToChar.length == 256)
+    assert(ByteBpeAlphabet.byteToChar.distinct.length == 256,
+      "every byte must stage to a DISTINCT char")
+    for (b <- 0 until 256)
+      assert(ByteBpeAlphabet.byteToChar(b).toInt == refTable(b),
+        s"byte $b stages to ${ByteBpeAlphabet.byteToChar(b).toInt}, " +
+          s"reference says ${refTable(b)}")
+    // the landmarks every byte-level tokenizer doc quotes
+    assert(ByteBpeAlphabet.byteToChar(' '.toInt) == 'Ġ') // Ġ
+    assert(ByteBpeAlphabet.byteToChar('\n'.toInt) == 'Ċ') // Ċ
+    assert(ByteBpeAlphabet.byteToChar('\t'.toInt) == 'ĉ') // ĉ
+    assert(ByteBpeAlphabet.byteToChar('a'.toInt) == 'a')
+    assert(ByteBpeAlphabet.byteToChar('~'.toInt) == '~')
+    // no staged char is a space: the fence stays safe for ANY input
+    assert(!ByteBpeAlphabet.byteToChar.contains(' '))
+  }
+
+  private val adversarial = Seq(
+    "hello world",
+    " leading and trailing ",
+    "tab\there\nnewline\r\n",
+    "café résumé",           // 2-byte UTF-8
+    "你好世界",             // CJK, 3-byte UTF-8
+    "emoji 🙂 pair 🍕", // surrogate pairs, 4-byte UTF-8
+    "nul\u0000ctl\u0007\u007f",                    // control bytes
+    "",
+    "­",                                // soft hyphen: the lone 0xAD case
+    "mixed é😀x\tY z")
+
+  test("ByteStage equals the driver-side byte loop on adversarial inputs") {
+    import spark.implicits._
+    val got = adversarial.toDF("s")
+      .select(ByteBpeFunctions.byteStage(col("s")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == adversarial.map(refStage),
+      "staged strings must match the reference table byte-for-byte")
+  }
+
+  test("ByteUnstage inverts ByteStage losslessly through the plan") {
+    import spark.implicits._
+    val got = adversarial.toDF("s")
+      .select(col("s"), ByteBpeFunctions.byteUnstage(
+        ByteBpeFunctions.byteStage(col("s"))).as("t"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"round trip broke for ${r.getString(0)}"))
+  }
+
+  test("ByteUnstage fails loudly on a char outside the staged alphabet") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq("ok世ok").toDF("s")
+        .select(ByteBpeFunctions.byteUnstage(col("s"))).collect()
+    }
+    assert(e.getMessage != null)
+    // null passes through (nullSafeEval), never throws
+    val n = Seq[String](null).toDF("s")
+      .select(ByteBpeFunctions.byteUnstage(col("s"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("bytePretokens: concat reconstructs single-spaced text; Ġ-shape after staging") {
+    import spark.implicits._
+    val texts = Seq("the cat sat", "a", "x y-z 9", " lead", "double  space")
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        concat_ws("", TextOps.bytePretokens(col("text"))).as("rejoined"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      if (!t.contains("  ")) assert(r.getString(1) == t,
+        s"pretokens of single-spaced '$t' must concat back exactly")
+      else assert(r.getString(1) == t.replaceAll(" +", " "),
+        "documented divergence: only the space attached to the next " +
+          "pretoken survives a multi-space run")
+    }
+  }
+
+  /** Brute-force byte-level tokenize: stage via the independent table,
+    * then sequential greedy merge passes (the Sennrich reference,
+    * duplicated from BpeExprSpec's rule: no shared code with the
+    * implementation). */
+  private def bruteTokens(pretoken: String,
+                          merges: Seq[(String, String)]): Vector[String] = {
+    val staged = refStage(pretoken)
+    var syms = staged.map(_.toString).toVector
+    for ((a, b) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  test("c70 token table equals the driver brute force on the gate corpus") {
+    val merges = TextOps.trainBpeBytes(spark, sfDir)
+    assert(merges.nonEmpty)
+    assert(merges.forall { case (a, b) =>
+      !a.contains(' ') && !b.contains(' ') },
+      "byte-staged merges must be space-free (fence safety)")
+    // brute-force token frequency table from the raw pretokens
+    val pretokens = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.bytePretokens(col("text"))).as("p"))
+      .collect().map(_.getString(0))
+    val want = pretokens.iterator
+      .flatMap(p => bruteTokens(p, merges))
+      .foldLeft(Map.empty[String, Long]) { case (m, t) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val got = TextOps.c70BpeBytes(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, "c70 must equal the brute-force byte-level tokenizer")
+    assert(got.exists(_._1.length > 1), "merges must actually fuse symbols")
+  }
+
+  test("byte-level BPE handles inputs char-level BPE cannot: spaces and emoji") {
+    import spark.implicits._
+    // a space INSIDE the input breaks the char-level fence (ApplyBpe
+    // throws); staged first, the same engine tokenizes it fine
+    val merges = Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"))
+    val got = Seq(" the end 🙂").toDF("s")
+      .select(BpeFunctions.applyBpe(
+        ByteBpeFunctions.byteStage(col("s")), merges).as("ts"))
+      .collect()(0).getSeq[String](0).toVector
+    assert(got.head == "Ġthe", "Ġ+t+he must fuse into one token")
+    // the emoji staged to its 4 mapped bytes, untouched by these merges
+    assert(got.takeRight(4).mkString ==
+      refStage("🙂"))
+    // and the whole token stream unstages back to the input
+    assert(ByteBpeAlphabet.unstage(
+      org.apache.spark.unsafe.types.UTF8String.fromString(got.mkString))
+      .toString == " the end 🙂")
+  }
+}

@@ -619,6 +619,41 @@ class CliSpec extends SparkSpec {
       "the trained merges must actually fuse some tokens")
   }
 
+  test("bpe-train/tokenize --bytes: byte-level artifact round-trips the corpus") {
+    import graft.operators.TextOps
+    import graft.functions.ByteBpeFunctions
+    val tmp = Files.createTempDirectory("graft-cli-bpeb-").toString
+    Main.main(Array("bpe-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/merges", "--bytes"))
+    val merges = spark.read.parquet(s"$tmp/merges").orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    assert(merges == TextOps.trainBpeBytes(spark, sfDir),
+      "CLI byte-trained merge list diverges from the c70 memoized artifact")
+    Main.main(Array("tokenize", "--in", s"$sfDir/documents.parquet",
+      "--merges", s"$tmp/merges", "--out", s"$tmp/toks", "--bytes"))
+    val toks = spark.read.parquet(s"$tmp/toks")
+    // the token table must reproduce the c70 gate's frequency cut
+    val freq = toks.select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gate = TextOps.c70BpeBytes(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(freq == gate, "CLI --bytes token frequencies diverge from c70")
+    // LOSSLESS round trip: unstage(concat(tokens)) == the original text
+    // byte-for-byte — the property char-level BPE cannot offer (its
+    // word split drops the spaces); single-spaced corpus, so exact
+    val bad = toks
+      .select(col("doc_id"), ByteBpeFunctions.byteUnstage(
+        concat_ws("", col("tokens"))).as("detok"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        "doc_id")
+      .filter(col("detok") =!= col("text"))
+      .count()
+    assert(bad == 0L, s"$bad docs failed the byte-level detokenize round trip")
+    assert(toks.count() > 0)
+  }
+
   test("search --fuse: hybrid RRF ranking equals c59 over the corpus") {
     import graft.operators.TextOps
     val out = Files.createTempDirectory("graft-cli-fuse-").toString + "/fused"

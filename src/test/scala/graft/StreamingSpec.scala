@@ -1315,4 +1315,56 @@ class StreamingSpec extends SparkSpec {
         "disjoint/short/null arrivals route nowhere")
     } finally q.stop()
   }
+
+  test("d31 streaming byte-level tokenize: stream ≡ batch, any byte sequence round-trips") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.{ByteBpeAlphabet, ByteBpeFunctions}
+    import graft.operators.TextOps
+    val merges = TextOps.trainBpeBytes(spark, sfDir)
+    // corpus arrivals plus inputs the char-level path cannot serve:
+    // mixed case, emoji, control bytes, CJK
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .limit(50).collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val exotic = Seq(
+      70001L -> "Mixed CASE and a \tTAB",
+      70002L -> "emoji 🙂 and CJK 你好",
+      70003L -> "double  space survives staged",
+      70004L -> null.asInstanceOf[String])
+    val arrivals = corpus ++ exotic
+    val batch = graft.streaming.StreamOps.streamTokenizeBytes(
+        arrivals.toDF("doc_id", "text"), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toVector))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamTokenizeBytes(
+        stream.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d31_sink").start()
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = spark.table("d31_sink").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pretokens"),
+          r.getAs[Long]("n_tokens"), r.getSeq[String](3).toVector))
+      assert(got.toSeq == batch.toSeq,
+        "streamed byte-level tokens must equal the batch derivation")
+      assert(got.exists(_._4.exists(_.length > 1)),
+        "the byte-level merges must fuse tokens in the stream too")
+      // every single-spaced arrival round-trips byte-for-byte through
+      // unstage(concat(tokens)) — the byte-level fidelity contract
+      val byId = arrivals.toMap
+      got.filter(t => byId(t._1) != null && !byId(t._1).contains("  "))
+        .foreach { t =>
+          val detok = ByteBpeAlphabet.unstage(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              t._4.mkString)).toString
+          assert(detok == byId(t._1),
+            s"doc ${t._1} failed the streamed detokenize round trip")
+        }
+      assert(!got.exists(_._1 == 70004L), "null text emits no row")
+    } finally q.stop()
+  }
 }
