@@ -130,6 +130,7 @@ object SparkEntry {
     "c68_contam_report" -> ((s: SparkSession, d: String) => TextOps.c68ContamReport(s, d)),
     "c69_span_clusters" -> ((s: SparkSession, d: String) => Dedup.c69SpanClusters(s, d)),
     "c70_bpe_bytes" -> ((s: SparkSession, d: String) => TextOps.c70BpeBytes(s, d)),
+    "c71_neardup_banded" -> ((s: SparkSession, d: String) => Similarity.c71NearDupBanded(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -289,12 +290,43 @@ object SparkEntry {
     * both engines regardless of summation order. */
   private def lshBucketSql: String = lshBucketSql(6)
 
-  private def lshBucketSql(nPlanes: Int): String = {
-    val planes = graft.functions.VectorFunctions.lshPlanes(nPlanes, 64)
+  private def lshBucketSql(nPlanes: Int): String =
+    lshBucketSql(nPlanes, "graft")
+
+  private def lshBucketSql(nPlanes: Int, seed: String): String = {
+    val planes = graft.functions.VectorFunctions.lshPlanes(nPlanes, 64, seed)
     planes.map { p =>
       val lit = p.mkString("[", ",", "]") + "::DOUBLE[]"
       s"CAST(CAST(list_dot_product(f, $lit) >= 0 AS INT) AS VARCHAR)"
     }.mkString("concat(", ",\n           ", ")")
+  }
+
+  /** DuckDB rendering of c71: every band's bucket from the SAME seeded
+    * integer plane matrices the Spark expression uses (seed
+    * "graft:band$b" — lshBucketSql's exactness argument applies per
+    * band), candidates = DISTINCT pairs colliding in ANY band, then the
+    * exact-cosine verify at the gate threshold. */
+  private def c71OracleSql: String = {
+    val bands = (0 until graft.operators.Similarity.C71Bands).map { b =>
+      val bucket = lshBucketSql(
+        graft.operators.Similarity.C71PlanesPerBand, s"graft:band$b")
+      if (b == 0) s"  SELECT vec_id, 0 AS band, $bucket AS bucket FROM f0"
+      else s"  UNION ALL SELECT vec_id, $b, $bucket FROM f0"
+    }.mkString("\n")
+    s"""WITH f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*10000)) AS f
+       |  FROM embeddings),
+       |bk AS (
+       |$bands),
+       |pr AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |       FROM bk a JOIN bk b
+       |       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT p.vec_a, p.vec_b,
+       |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_r
+       |FROM pr p JOIN f0 ea ON ea.vec_id = p.vec_a
+       |          JOIN f0 eb ON eb.vec_id = p.vec_b
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** The SAME plane-count derivation c11EmbedNearDup uses, from the SAME
@@ -328,7 +360,10 @@ object SparkEntry {
       Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
         "c54_pca_project" -> (() => c54OracleSql(dir)),
         "c66_bpe_fertility" -> (() => c66OracleSql(dir)),
-        "c70_bpe_bytes" -> (() => c70OracleSql(dir))))
+        "c70_bpe_bytes" -> (() => c70OracleSql(dir)),
+        // no trained artifact, but ~6k inlined plane literals: render
+        // on demand like the artifact entries
+        "c71_neardup_banded" -> (() => c71OracleSql)))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

@@ -1248,6 +1248,69 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** c71's banding geometry: bands of planes-per-band sign bits, each
+    * band seeded independently ("graft:band$b"). Recall of a pair at
+    * angle θ is 1 − (1 − (1−θ/π)^r)^bands — the OR over bands buys back
+    * what a single r-plane band loses (c2's AND/OR MinHash shape over
+    * c6's hyperplanes). Defaults measured on the gate corpus: r = 4,
+    * bands = 24 recovers ≥ 0.9 of the exact ≥ 0.3-cosine pairs where
+    * single-band c11 at 6 planes collides only ~5% (BandedNearDupSpec
+    * measures it against the brute-force truth). At scale r grows like
+    * [[adaptivePlanes]] to keep each band's buckets bounded and `bands`
+    * grows to hold recall — both knobs explicit because the right
+    * setting is threshold-dependent (at cosine ≥ 0.95, θ ≈ 18°, r = 30
+    * and bands = 60 give ~0.92 recall; at the gate's 0.3 only small r
+    * is viable). */
+  val C71Bands = 24
+  val C71PlanesPerBand = 4
+
+  /** Multi-band hyperplane LSH near-duplicate pairs over an arbitrary
+    * (vec_id, embedding) frame — c11's production-recall upgrade. A pair
+    * is a candidate iff it collides in ANY band (the OR); exact cosine
+    * verifies candidates, so banding affects RECALL only, never
+    * precision. Scale shape: per-band buckets are a (band, bucket)
+    * equi-join — never all-pairs; the OR is a distinct over candidate
+    * id-pairs (16-byte-ish keys, no vectors); vectors join back only for
+    * the verify, by vec_id. Work is O(n · bands · bucketPop), linear in
+    * n when r tracks corpus size. */
+  def bandedNearDupOn(embs: DataFrame, threshold: Double,
+                      bands: Int = C71Bands,
+                      planesPerBand: Int = C71PlanesPerBand): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(planesPerBand >= 1,
+      s"planesPerBand must be >= 1, got $planesPerBand")
+    val buckets = array((0 until bands).map { b =>
+      VectorFunctions.hyperplaneBucket(col("embedding"),
+        VectorFunctions.lshPlanes(planesPerBand, EmbeddingDim,
+          seed = s"graft:band$b"))
+    }: _*)
+    val bk = embs.select(col("vec_id"), posexplode(buckets).as(Seq("band", "bucket")))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val v = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cosine_r", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine_r") >= threshold)
+      .select("vec_a", "vec_b", "cosine_r")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** c71: banded embedding near-dup over the corpus at c11's threshold —
+    * same output contract as c11 (vec_a < vec_b, 6-dp rounded cosine,
+    * exact verify), far higher recall (the banding note above). The
+    * DuckDB oracle re-derives every band's bucket from the SAME seeded
+    * integer plane matrices inlined at render time (lshBucketSql's
+    * exactness argument: integer-valued dot products ≪ 2^53). */
+  def c71NearDupBanded(spark: SparkSession, dir: String,
+                       threshold: Double = 0.3): DataFrame =
+    bandedNearDupOn(Tables.embeddings(spark, dir), threshold)
+
   // ---- ANN index evaluation (c58): the recall dashboard a production
   // ---- pipeline tunes its LSH planes / IVF nprobe against
 
