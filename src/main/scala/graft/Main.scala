@@ -391,13 +391,23 @@ object Main {
     * PQ codes; no raw floats — the 64× at-rest compression). The
     * codebook trains on --codebook-from when given (point it at the
     * full search universe to reproduce an existing in-memory search),
-    * else on --in; either frame needs (vec_id, embedding, label). */
+    * else on --in; either frame needs (vec_id, embedding, label).
+    *
+    * `--add` (r12) grows an EXISTING index incrementally: the new
+    * vectors assign + PQ-quantize against the FROZEN at-rest codebook
+    * (Similarity.quantizeAgainstCodebook — the same expressions the
+    * full build runs, so add-then-query ≡ rebuild-from-scratch under
+    * that codebook) and append to IDXDIR/codes; the codebook is never
+    * retrained, the already-quantized corpus never rewritten, and no
+    * raw floats land in the artifact. New vec_ids must be disjoint
+    * from the index (a duplicate would serve twice) — checked, loud.
+    * `--m`/`--codebook-from` are build-time knobs and are rejected with
+    * `--add` (m is read from the existing codes). */
   private def indexCmd(args: Array[String]): Unit = {
     import graft.operators.Similarity
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
-    val m = opt(args, "--m").map(_.toInt).getOrElse(4)
-    require(m >= 1, s"--m must be >= 1, got $m")
+    val add = args.contains("--add")
     val spark = GraftSession.get()
     def embFrame(path: String) = {
       val e = spark.read.parquet(path)
@@ -406,15 +416,38 @@ object Main {
           s"found ${e.columns.mkString("(", ", ", ")")}")
       e
     }
-    val (cb, codes) = Similarity.buildVectorIndex(embFrame(in), m,
-      opt(args, "--codebook-from").map(embFrame))
-    cb.write.mode("overwrite").parquet(s"$out/codebook")
-    codes.write.mode("overwrite").parquet(s"$out/codes")
-    val stats = spark.read.parquet(s"$out/codes")
-      .agg(count(lit(1)), count_distinct(col("cell"))).head()
-    val nCells = spark.read.parquet(s"$out/codebook").count()
-    println(s"""{"vectors":${stats.getLong(0)},"cells":$nCells,""" +
-      s""""cells_used":${stats.getLong(1)},"m":$m,"out":${jsonStr(out)}}""")
+    if (add) {
+      require(opt(args, "--m").isEmpty && opt(args, "--codebook-from").isEmpty,
+        "--add derives m from the existing index and never retrains: " +
+          "--m/--codebook-from are build-only flags")
+      val cb = spark.read.parquet(s"$out/codebook")
+      val existing = spark.read.parquet(s"$out/codes")
+      val m = existing.select(size(col("codes"))).head().getInt(0)
+      val newEmbs = embFrame(in)
+      val clash = newEmbs.select("vec_id")
+        .join(existing.select("vec_id"), "vec_id").count()
+      require(clash == 0L,
+        s"--add: $clash vec_ids are already present in the index " +
+          s"(a duplicate would be served twice); re-id or drop them first")
+      val added = Similarity.quantizeAgainstCodebook(newEmbs, cb, m)
+      added.write.mode("append").parquet(s"$out/codes")
+      val stats = spark.read.parquet(s"$out/codes")
+        .agg(count(lit(1)), count_distinct(col("cell"))).head()
+      println(s"""{"added":${newEmbs.count()},"vectors":${stats.getLong(0)},""" +
+        s""""cells_used":${stats.getLong(1)},"m":$m,"out":${jsonStr(out)}}""")
+    } else {
+      val m = opt(args, "--m").map(_.toInt).getOrElse(4)
+      require(m >= 1, s"--m must be >= 1, got $m")
+      val (cb, codes) = Similarity.buildVectorIndex(embFrame(in), m,
+        opt(args, "--codebook-from").map(embFrame))
+      cb.write.mode("overwrite").parquet(s"$out/codebook")
+      codes.write.mode("overwrite").parquet(s"$out/codes")
+      val stats = spark.read.parquet(s"$out/codes")
+        .agg(count(lit(1)), count_distinct(col("cell"))).head()
+      val nCells = spark.read.parquet(s"$out/codebook").count()
+      println(s"""{"vectors":${stats.getLong(0)},"cells":$nCells,""" +
+        s""""cells_used":${stats.getLong(1)},"m":$m,"out":${jsonStr(out)}}""")
+    }
   }
 
   /** `graft.Main query --index IDXDIR --queries EMB_PARQUET --out OUT

@@ -673,24 +673,39 @@ object Similarity {
   def buildVectorIndex(embs: DataFrame, m: Int = 4,
                        codebookFrom: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    require(m >= 1, s"m must be >= 1, got $m")
     val cb = labelCodebookOf(codebookFrom.getOrElse(embs))
+    (cb, quantizeAgainstCodebook(embs, cb, m))
+  }
+
+  /** Assign + PQ-quantize an embedding frame against a FROZEN codebook —
+    * [[buildVectorIndex]]'s quantize phase as its own seam, which is
+    * exactly what incremental indexing needs (`Main index --add`): new
+    * vectors join an existing index by running ONLY this step against
+    * the at-rest codebook artifact, no retrain, no touch of the already
+    * -quantized corpus. Expressions are byte-identical to the full
+    * build's (NearestCells argmax, lowest-cell ties), so add-then-query
+    * ≡ rebuild-from-scratch under the same codebook — CLI-spec-pinned. */
+  def quantizeAgainstCodebook(embs: DataFrame, cb: DataFrame,
+                              m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
     val e = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val probe = e.select(size(col("v"))).head(1)
-    require(probe.nonEmpty, "cannot index an empty embedding frame")
+    require(probe.nonEmpty, "cannot quantize an empty embedding frame")
     val dim = probe(0).getInt(0)
+    val cbDim = cb.select(size(col("centroid"))).head().getInt(0)
+    require(dim == cbDim,
+      s"embedding dim $dim != codebook dim $cbDim — mismatched artifacts")
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val subDim = dim / m
     val assigned = assignCells(e, cb, maxProbe = 1)
       .select(col("vec_id"), col("v"), col("cell"))
-    val codes = withSubCodebookFolds(assigned, cb, m, subDim)
+    withSubCodebookFolds(assigned, cb, m, subDim)
       .select(col("vec_id"), col("cell"),
         array((0 until m).map { j =>
           element_at(graft.functions.VectorFunctions.nearestCells(
             slice(col("v"), j * subDim + 1, subDim), col(s"cb$j"), 1), 1)
             .getField("cell")
         }: _*).as("codes"))
-    (cb, codes)
   }
 
   /** Serve top-k ANN from at-rest [[buildVectorIndex]] artifacts: the

@@ -588,6 +588,58 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("index --add: incremental add + query equals a from-scratch rebuild") {
+    val tmp = Files.createTempDirectory("graft-cli-vadd-").toString
+    val full = Tables.embeddings(spark, sfDir)
+    // the serving corpus splits into an initial batch and a later batch
+    full.filter(col("vec_id") >= 5 && col("vec_id") < 300)
+      .write.parquet(s"$tmp/batch0.parquet")
+    full.filter(col("vec_id") >= 300).write.parquet(s"$tmp/batch1.parquet")
+    full.filter(col("vec_id") >= 5).write.parquet(s"$tmp/all.parquet")
+    full.filter(col("vec_id") < 5).write.parquet(s"$tmp/queries.parquet")
+    // incremental: index batch0, then --add batch1 (codebook frozen from
+    // the full universe, as a production serving system would pin it)
+    Main.main(Array("index", "--in", s"$tmp/batch0.parquet",
+      "--out", s"$tmp/inc", "--codebook-from", s"$sfDir/embeddings.parquet"))
+    Main.main(Array("index", "--add", "--in", s"$tmp/batch1.parquet",
+      "--out", s"$tmp/inc"))
+    // reference: one-shot index of everything under the same codebook
+    Main.main(Array("index", "--in", s"$tmp/all.parquet",
+      "--out", s"$tmp/scratch", "--codebook-from", s"$sfDir/embeddings.parquet"))
+    // the incremental codes table IS the from-scratch one (no retrain,
+    // no raw floats — same artifact row set)
+    val incCodes = spark.read.parquet(s"$tmp/inc/codes")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val refCodes = spark.read.parquet(s"$tmp/scratch/codes")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(incCodes.toSeq == refCodes.toSeq,
+      "incrementally-added codes diverge from the from-scratch quantize")
+    assert(!spark.read.parquet(s"$tmp/inc/codes").schema.exists(f =>
+      f.dataType.simpleString.contains("double") ||
+        f.dataType.simpleString.contains("float")),
+      "added codes leaked raw floats")
+    // serving parity at nprobe = all cells (10 labels in the gate data)
+    Main.main(Array("query", "--index", s"$tmp/inc",
+      "--queries", s"$tmp/queries.parquet", "--out", s"$tmp/res_inc",
+      "--nprobe", "10"))
+    Main.main(Array("query", "--index", s"$tmp/scratch",
+      "--queries", s"$tmp/queries.parquet", "--out", s"$tmp/res_ref",
+      "--nprobe", "10"))
+    val gotInc = spark.read.parquet(s"$tmp/res_inc")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq)
+    val gotRef = spark.read.parquet(s"$tmp/res_ref")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq)
+    assert(gotInc.toSeq == gotRef.toSeq,
+      "add-then-query diverges from rebuild-then-query at nprobe=all")
+    assert(gotInc.nonEmpty)
+    // duplicate vec_ids must be rejected loudly, not served twice
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("index", "--add", "--in", s"$tmp/batch1.parquet",
+        "--out", s"$tmp/inc"))
+    }
+    assert(e.getMessage.contains("already present"))
+  }
+
   test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-bpe-").toString
