@@ -155,54 +155,106 @@ object Bench {
     }
     val jsonBytes = if (corpus == null) -1L else corpus.jsonBytes
 
-    val convertMbps = if (corpus == null) -1.0 else fenced("convert", -1.0) {
+    // ---- channel micro-benches (convert / publish / ingest), r12
+    // variance armor: twice (r10→r11) a channel dipped far below its
+    // historical band on byte-identical code and the defense was "box
+    // weather" — unfalsifiable from a single sample. Now each channel
+    // takes 3 samples INTERLEAVED across rounds (the per-query min-of-3
+    // argument: back-to-back repeats all land in one contention window;
+    // a round of OTHER channels separates each channel's samples), the
+    // JSON carries {min, median, max} per channel, and a median below
+    // the band floor annotates the run loudly in `weak_channels` so a
+    // real regression cannot hide behind weather — nor weather behind a
+    // lucky single shot. Legacy scalar keys keep their historical
+    // best-sample semantics (capability), so cross-round comparison of
+    // BENCH_r* files stays apples-to-apples.
+    val convertS = scala.collection.mutable.ArrayBuffer[Double]()
+    val pubS = scala.collection.mutable.ArrayBuffer[Double]()
+    val batchedS = scala.collection.mutable.ArrayBuffer[Double]()
+    val ingestS = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+
+    val msgs =
+      if (corpus == null) null
+      else fenced("publish-corpus",
+          null: org.apache.spark.sql.Dataset[graft.ipc.IpcMessage]) {
+        val m = ArrowIpc.serialize(
+          StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 256).persist()
+        m.count()
+        m
+      }
+    val nMsgs = if (msgs == null) -1L else msgs.count()
+    // one-time codegen/JIT warmup for the convert pipeline, outside the clock
+    if (corpus != null) fenced("convert-warmup", ()) {
       run(ArrowIpc.serialize(
         StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
-      // best of 3 timed runs: single-shot numbers on a shared box swing >3×
-      // on GC/eviction luck; the min reflects the pipeline's capability
-      val convertSec = (1 to 3).map { _ =>
+    }
+    for (round <- 1 to 3) {
+      if (corpus != null) fenced(s"convert#$round", ()) {
         val t0 = System.nanoTime()
         run(ArrowIpc.serialize(
           StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      corpus.jsonBytes / 1e6 / convertSec
-    }
-
-    // publish micro-bench (≙ bolson `bench pulsar`, src/bolson/bench.cpp):
-    // messages are pre-materialized (persist + count) so only the publish
-    // op is under the clock; per-message FilePublisher vs the batching
-    // envelope publisher quantifies what producer batching buys at
-    // production message rates. Best-of-3, like convert.
-    val (pubMsgsPerS, pubBatchedMsgsPerS, nMsgs) =
-      if (corpus == null) (-1.0, -1.0, -1L)
-      else fenced("publish", (-1.0, -1.0, -1L)) {
-        val msgs = ArrowIpc.serialize(
-          StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 256).persist()
-        try {
-          val nMsgs = msgs.count()
-          def timePublish(mk: Long => graft.streaming.Publisher): Double =
-            (1 to 3).map { i =>
-              val t0 = System.nanoTime()
-              graft.streaming.Publish.run(msgs, () => mk(i.toLong))
-              (System.nanoTime() - t0) / 1e9
-            }.min
-          val pubDir = GraftSession.scratchDir("bench-publish").toString
-          val perMsgSec = timePublish(e => new graft.streaming.FilePublisher(pubDir, e))
-          GraftSession.scratchDir("bench-publish") // clear between modes
-          val batchedSec = timePublish(e => new graft.streaming.BatchingFilePublisher(
-            pubDir, graft.streaming.BatchingOptions(
-              maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
-          (nMsgs / perMsgSec, nMsgs / batchedSec, nMsgs)
-        } finally msgs.unpersist()
+        convertS += corpus.jsonBytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+        ()
       }
+      if (msgs != null) fenced(s"publish#$round", ()) {
+        def timeOne(mk: Long => graft.streaming.Publisher): Double = {
+          // scratch wiped per run so file accumulation can't slow later rounds
+          val t0 = System.nanoTime()
+          graft.streaming.Publish.run(msgs, () => mk(round.toLong))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val pubDir = GraftSession.scratchDir("bench-publish").toString
+        pubS += nMsgs / timeOne(e => new graft.streaming.FilePublisher(pubDir, e))
+        GraftSession.scratchDir("bench-publish") // clear between modes
+        batchedS += nMsgs / timeOne(e => new graft.streaming.BatchingFilePublisher(
+          pubDir, graft.streaming.BatchingOptions(
+            maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
+        ()
+      }
+      // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
+      // TCP receive throughput): a local feeder thread blasts the events
+      // ND-JSON corpus through a socket; the socket source + full convert
+      // stage drain it — the wire-in path `graft.Main stream` runs.
+      fenced(s"ingest#$round", ()) { ingestS += benchIngest(spark, sfDir); () }
+    }
+    if (msgs != null) msgs.unpersist()
     if (corpus != null) corpus.lines.unpersist()
 
-    // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
-    // TCP receive throughput): a local feeder thread blasts the events
-    // ND-JSON corpus through a socket; the socket source + full convert
-    // stage drain it. Measures the wire-in path the stream CLI runs.
-    val ingest = fenced("ingest", (-1.0, -1.0))(benchIngest(spark, sfDir))
+    def statsJson(samples: Seq[Double]): String =
+      if (samples.isEmpty) """{"min":-1.0,"median":-1.0,"max":-1.0}"""
+      else {
+        val s = samples.sorted
+        f"""{"min":${s.head}%.1f,"median":${s(s.size / 2)}%.1f,"max":${s.last}%.1f}"""
+      }
+    def medianOf(samples: Seq[Double]): Double =
+      if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
+    // band floors from the SURVEY §6 channel-band history (lowest healthy
+    // round): a median below the floor is flagged, not explained away
+    val bandLow = Seq(
+      ("convert_mb_per_s", 280.0, convertS.toSeq),
+      ("publish_msgs_per_s", 20000.0, pubS.toSeq),
+      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq),
+      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq))
+    // the floors are calibrated at the driver's bench scale (sf0.1) —
+    // at smaller SFs fixed job overhead dominates every channel and the
+    // annotation would be pure noise
+    val bandsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val weak = bandLow.collect {
+      case (name, low, samples)
+        if bandsApply && samples.nonEmpty && medianOf(samples) < low => name
+    }
+    weak.foreach(w => System.err.println(
+      s"[bench] WEAK CHANNEL: $w median below its band floor"))
+    val channelStats = bandLow.map { case (name, _, samples) =>
+      s""""$name":${statsJson(samples)}"""
+    }.mkString("{", ",", "}")
+    val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    val convertMbps = if (convertS.isEmpty) -1.0 else convertS.max
+    val pubMsgsPerS = if (pubS.isEmpty) -1.0 else pubS.max
+    val pubBatchedMsgsPerS = if (batchedS.isEmpty) -1.0 else batchedS.max
+    val ingest =
+      if (ingestS.isEmpty) (-1.0, -1.0) else ingestS.maxBy(_._1)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -210,7 +262,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson}"""
     // the driver captures only a stdout tail (r7 lost the a-series times to
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is
@@ -239,7 +291,7 @@ object Bench {
     // never clip; the full per-query line still precedes it and lands in
     // the sidecar file above
     println(line)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"weak_channels":$weakJson}"""
     println(compact)
     System.out.flush()
   }
