@@ -1198,6 +1198,148 @@ object Dedup {
           .as("cutps"))
   }
 
+  // ---- exact maximal-match spans (r12): the suffix-automaton upgrade of
+  // ---- the fixed-n shingle approximation, scoped to the ONE surface
+  // ---- where it is affordable at 100 TB — per-pair verification inside
+  // ---- c69's sparse duplication clusters
+
+  /** Longest exact common token run of two token arrays, O(|a|+|b|):
+    * a suffix automaton of `a` (Blumer et al. 1985 — the standard online
+    * construction) walked once by `b`. Returns (len, startA, startB),
+    * zero-based; (0, -1, -1) when no token is shared. Deterministic tie
+    * break: the FIRST (smallest startB) longest match wins, and startA is
+    * the match's first occurrence in `a` (the automaton's first-endpos),
+    * so the result is a pure function of the inputs — partition- and
+    * engine-invariant like every gate expression.
+    *
+    * This is the EXACT structure the c62/c65 shingle machinery
+    * approximates: those report spans stitched from fixed-n shingle
+    * hits, which is the right distributed trade corpus-wide (16-byte
+    * keys, equi-joins, no bodies shuffled) but can overstate a true
+    * contiguous match — periodic text is the classic adversary: every
+    * n-shingle of a long periodic region recurs elsewhere, so stitching
+    * spans the whole region while the longest true common run is one
+    * period chain (ExactSpanSpec constructs it). Row-local and
+    * imperative by nature, hence a plain JVM function (the codec rule),
+    * not an approximation in Column algebra. */
+  private[graft] def longestCommonRun(a: IndexedSeq[String],
+                                      b: IndexedSeq[String]): (Int, Int, Int) = {
+    if (a.isEmpty || b.isEmpty) return (0, -1, -1)
+    val maxStates = 2 * a.length + 4
+    val link = new Array[Int](maxStates)
+    val slen = new Array[Int](maxStates)
+    val firstPos = new Array[Int](maxStates)
+    val next = new Array[java.util.HashMap[String, Integer]](maxStates)
+    var size = 1
+    var last = 0
+    link(0) = -1
+    next(0) = new java.util.HashMap[String, Integer]()
+    def addState(l: Int): Int = {
+      val s = size; size += 1
+      slen(s) = l
+      next(s) = new java.util.HashMap[String, Integer]()
+      s
+    }
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      val cur = addState(slen(last) + 1)
+      firstPos(cur) = i
+      var p = last
+      while (p != -1 && !next(p).containsKey(c)) {
+        next(p).put(c, cur)
+        p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = next(p).get(c).intValue
+        if (slen(p) + 1 == slen(q)) link(cur) = q
+        else {
+          val clone = addState(slen(p) + 1)
+          next(clone).putAll(next(q))
+          link(clone) = link(q)
+          firstPos(clone) = firstPos(q)
+          var pp = p
+          while (pp != -1 && {
+              val t = next(pp).get(c); t != null && t.intValue == q }) {
+            next(pp).put(c, clone)
+            pp = link(pp)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    var v = 0
+    var l = 0
+    var bestLen = 0
+    var bestA = -1
+    var bestB = -1
+    var j = 0
+    while (j < b.length) {
+      val c = b(j)
+      while (v != 0 && !next(v).containsKey(c)) {
+        v = link(v)
+        l = slen(v)
+      }
+      val t = next(v).get(c)
+      if (t != null) { v = t.intValue; l += 1 }
+      else { v = 0; l = 0 }
+      if (l > bestLen) {
+        bestLen = l
+        bestB = j - l + 1
+        bestA = firstPos(v) - l + 1
+      }
+      j += 1
+    }
+    (bestLen, bestA, bestB)
+  }
+
+  /** Exact per-pair span verification inside c69's clusters: for every
+    * (canonical, member) pair of each non-singleton substring-duplication
+    * cluster, the longest EXACT common token run — length and both start
+    * positions — via [[longestCommonRun]]. Closes the span family's
+    * precision gap on the one surface where exactness is affordable:
+    * cluster membership already proves a shared ≥ strongN-token run (a
+    * c69 edge IS a shared strongN-shingle value), this measures it to the
+    * token.
+    *
+    * 100 TB shape: pairs are canonical × member — LINEAR in cluster
+    * sizes, never member×member, and duplication clusters are sparse by
+    * construction (they exist only where long verbatim duplication
+    * exists); bodies join by doc_id equi-joins; the automaton is
+    * O(|a|+|b|) row-local with no state shared across rows. The
+    * corpus-wide span REPORT stays on the shingle approximation (c62/c65
+    * — 16-byte keys, no bodies shuffled); this pass upgrades its verdict
+    * per flagged pair, exactly like c2's banding hands candidates to an
+    * exact Jaccard verify. */
+  def exactClusterSpans(spark: SparkSession, dir: String,
+                        strongN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val cl = c69SpanClusters(spark, dir, strongN)
+    val canon = cl.filter(col("is_canonical"))
+      .select(col("cluster_id"), col("doc_id").as("doc_a"))
+    val members = cl.filter(!col("is_canonical"))
+      .select(col("cluster_id"), col("doc_id").as("doc_b"))
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    canon.join(members, "cluster_id")
+      .join(toks.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("cluster_id"), col("doc_a"), col("doc_b"),
+        col("ta"), col("tb"))
+      .as[(Long, Long, Long, Seq[String], Seq[String])]
+      .mapPartitions(_.map { case (cid, da, db, ta, tb) =>
+        val (len, sa, sb) = longestCommonRun(ta.toIndexedSeq, tb.toIndexedSeq)
+        (cid, da, db, len.toLong, sa.toLong, sb.toLong)
+      })
+      .toDF("cluster_id", "doc_a", "doc_b", "len_exact", "start_a", "start_b")
+      .orderBy("cluster_id", "doc_a", "doc_b")
+  }
+
   /** Rebuild every doc from its sparse cut-position array — the shared
     * zero-token-shuffle rebuild of c63 and c67 (one doc_id equi-join,
     * row-local array indexing). */
