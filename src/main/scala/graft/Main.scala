@@ -70,6 +70,7 @@ object Main {
     case Some("fingerprint") => fingerprint(args.drop(1))
     case Some("card") => card(args.drop(1))
     case Some("spans") => spans(args.drop(1))
+    case Some("score") => score(args.drop(1))
     case Some("plan") => planCmd(args.drop(1))
     case Some("scrub") => scrub(args.drop(1))
     case Some("index") => indexCmd(args.drop(1))
@@ -80,7 +81,7 @@ object Main {
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card|spans|plan|scrub|index|query|bpe-train|" +
+          "fingerprint|card|spans|score|plan|scrub|index|query|bpe-train|" +
           "tokenize ...")
       sys.exit(2)
   }
@@ -242,6 +243,55 @@ object Main {
     * `--min-span L [--strong-n W]` switches to the c65 thresholded form:
     * spans cut at span_tokens >= L and confirmed by >= 1 duplicated
     * W-shingle wholly inside (default W = min(L, 20)). */
+  /** The `--unicode [--strip-punct]` tokenizer selection shared by the
+    * generic-text CLI paths (score/spans — vocab keeps its own branch
+    * because its ASCII path is the memoized gate operator): default is
+    * the gate's engine-exact ASCII split; `--unicode` swaps in the
+    * codegen'd NFC/Unicode-whitespace variant (SURVEY §2 tokenizer
+    * note), parity-pinned by driver brute-force specs instead of a SQL
+    * oracle. */
+  private def tokenizerOf(args: Array[String])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val unicode = args.contains("--unicode")
+    val stripPunct = args.contains("--strip-punct")
+    require(unicode || !stripPunct, "--strip-punct requires --unicode")
+    if (unicode) t => graft.functions.UnicodeTokenize.uniTokens(t, stripPunct)
+    else t => split(lower(t), " ")
+  }
+
+  /** `graft.Main score --in PARQUET --out OUT [--min-prob P] [--quality]
+    * [--unicode [--strip-punct]]` — corpus quality scoring over any
+    * (doc_id, text) parquet: default is c41's corpus-frequency score
+    * with its keep verdict (CCNet's shape); `--quality` runs the c35
+    * Gopher-style rule battery instead. `--unicode` scores through the
+    * NFC/Unicode tokenizer — the variant a multilingual corpus needs
+    * first, where the ASCII split undercounts every NBSP-joined or
+    * ideographic-space text (the gate rows keep the ASCII split for
+    * oracle exactness). */
+  private def score(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val quality = args.contains("--quality")
+    val minProb = opt(args, "--min-prob").map(_.toDouble).getOrElse(0.033)
+    val tokens = tokenizerOf(args)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val base = docs.select("doc_id", "text")
+    (if (quality) TextOps.qualityFilterOn(base, tokens)
+     else TextOps.freqScoreOn(base, tokens, minProb))
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)),
+      count(when(col("keep"), lit(1)))).head()
+    println(s"""{"docs":${stats.getLong(0)},"kept":${stats.getLong(1)},""" +
+      s""""quality":$quality,"unicode":${args.contains("--unicode")},""" +
+      s""""out":${jsonStr(out)}}""")
+  }
+
   private def spans(args: Array[String]): Unit = {
     import graft.operators.Dedup
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
@@ -254,6 +304,11 @@ object Main {
     require(strongN.forall(_ >= 1), s"--strong-n must be >= 1, got $strongN")
     require(minSpan.isDefined || strongN.isEmpty,
       "--strong-n requires --min-span")
+    // --unicode: shingle over the NFC/Unicode-whitespace tokenizer
+    // (vocab's rule, r12) — a multilingual corpus where NBSP/ideographic
+    // spaces hide token boundaries from the ASCII split; parity-pinned
+    // by spec, no SQL oracle by design (gate rows stay ASCII)
+    val tokens = tokenizerOf(args)
     val spark = GraftSession.get()
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
@@ -261,8 +316,8 @@ object Main {
         s"found ${docs.columns.mkString("(", ", ", ")")}")
     val selected = docs.select("doc_id", "text")
     (minSpan match {
-      case Some(ms) => Dedup.dupSpansMin(selected, ms, strongN.get, n)
-      case None => Dedup.dupSpans(selected, n)
+      case Some(ms) => Dedup.dupSpansMin(selected, ms, strongN.get, n, tokens)
+      case None => Dedup.dupSpans(selected, n, tokens)
     }).write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
     // coalesce: sums are null on an empty output (the chunk-stats rule)

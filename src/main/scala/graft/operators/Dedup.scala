@@ -51,9 +51,15 @@ object Dedup {
     * shuffles narrow at scale — no fat array columns move. ONE copy of
     * the scaffold: shingleRows (c2/c4/c37's distinct sets) and
     * positionalShingles (c62/c63/d26's positions) both project it. */
-  private def shingleCore(docs: DataFrame, n: Int): DataFrame = {
+  /** Default gate tokenizer — the engine-exact ASCII split every oracled
+    * row uses (SURVEY §2 tokenizer note). */
+  private[graft] val asciiTokens: Column => Column =
+    t => split(lower(t), " ")
+
+  private def shingleCore(docs: DataFrame, n: Int,
+                          tokens: Column => Column = asciiTokens): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    val toks = split(lower(col("text")), " ")
+    val toks = tokens(col("text"))
     val parts = (0 until n).flatMap(j =>
       Seq(element_at(col("t"), col("i") + (j + 1)), lit(" "))).dropRight(1)
     docs
@@ -778,8 +784,9 @@ object Dedup {
     * with the shingle hashed to its md5 (16-byte keys — shuffles never
     * carry shingle bodies) and positions kept: they matter here. Shared
     * by c62/c63 and d26's arrival side. */
-  private[graft] def positionalShingles(docs: DataFrame, n: Int): DataFrame =
-    shingleCore(docs, n)
+  private[graft] def positionalShingles(docs: DataFrame, n: Int,
+      tokens: Column => Column = asciiTokens): DataFrame =
+    shingleCore(docs, n, tokens)
       .select(col("doc_id"), col("i"), md5(col("shingle")).as("sh"))
 
   /** Per-JVM memoized POSITIONAL shingle table ([[shingleTablePath]]'s
@@ -837,8 +844,9 @@ object Dedup {
 
   /** The generic span finder — `Main spans` runs it over any parquet
     * with (doc_id, text) columns. See [[c62DupSpans]] for semantics. */
-  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame =
-    spansOfPos(positionalShingles(docs, n), n)
+  def dupSpans(docs: DataFrame, n: Int = 5,
+               tokens: Column => Column = asciiTokens): DataFrame =
+    spansOfPos(positionalShingles(docs, n, tokens), n)
 
   /** Span finding over an already-built positional-shingle frame —
     * the memoized-table path (c62) and the live path (generic) meet
@@ -917,12 +925,14 @@ object Dedup {
   /** The generic thresholded span finder — the live-recompute twin of
     * [[c65SpanMinlen]] (`Main spans --min-span`). */
   def dupSpansMin(docs: DataFrame, minSpan: Int = 20, strongN: Int = 20,
-                  n: Int = 5): DataFrame = {
+                  n: Int = 5,
+                  tokens: Column => Column = asciiTokens): DataFrame = {
     require(minSpan >= strongN,
       s"minSpan=$minSpan must be >= strongN=$strongN, or a confirming " +
         "shingle cannot fit inside the shortest candidate")
-    spanConfirm(dupSpans(docs, n).filter(col("span_tokens") >= minSpan),
-      positionalShingles(docs, strongN), strongN)
+    spanConfirm(
+      dupSpans(docs, n, tokens).filter(col("span_tokens") >= minSpan),
+      positionalShingles(docs, strongN, tokens), strongN)
   }
 
   /** Confirm candidate spans against a strongN positional-shingle frame:

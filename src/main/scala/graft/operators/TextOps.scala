@@ -461,9 +461,18 @@ object TextOps {
     * quadratic per row). Ratios are one double division of exact integers
     * rounded to 6 dp, and every rule thresholds the ROUNDED value so row
     * verdicts cannot flip on a last-ulp engine disagreement. */
-  def c35QualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val tc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+  def c35QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOn(Tables.documents(spark, dir), t => words(lower(t)))
+
+  /** Tokenizer-parameterized c35 (the vocabTopkOn rule, r12): `Main
+    * score --quality --unicode` swaps in the codegen'd NFC/Unicode
+    * variant for multilingual corpora; the gate row keeps the
+    * engine-exact ASCII split. Same two narrow-key shuffles whatever
+    * the tokenizer. */
+  def qualityFilterOn(docs: DataFrame,
+                      tokens: Column => Column): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     qualityVerdicts(tc.groupBy("doc_id")
       .agg(sum(col("c")).as("n_words"),
@@ -600,10 +609,8 @@ object TextOps {
     * thresholds the ROUNDED value, so engines agree at the boundary. */
   def c41FreqScore(spark: SparkSession, dir: String,
                    minMeanProb: Double = 0.033): DataFrame =
-    freqScored(spark, dir)
-      .select("doc_id", "n_tokens", "sum_ctf", "total_tokens", "mean_prob_r")
-      .withColumn("keep", col("mean_prob_r") >= minMeanProb)
-      .orderBy("doc_id")
+    freqScoreOn(Tables.documents(spark, dir), t => words(lower(t)),
+      minMeanProb)
 
   /** The c41 scoring subtree, shared with c42: per-doc token counts,
     * corpus-frequency sums and the 6-dp-rounded mean unigram probability,
@@ -612,10 +619,18 @@ object TextOps {
     * column, so a degenerate input with duplicate doc_ids still yields
     * one row per id, exactly like the c41 oracle's GROUP BY doc_id) so
     * c42 can sample without joining text back in. */
-  private[graft] def freqScored(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  private[graft] def freqScored(spark: SparkSession, dir: String): DataFrame =
+    freqScoredOn(Tables.documents(spark, dir), t => words(lower(t)))
+
+  /** Tokenizer-parameterized c41 subtree (the vocabTopkOn rule, r12):
+    * `Main score --unicode` swaps in the NFC/Unicode variant; shape is
+    * identical whatever the tokenizer (two narrow-key shuffles, the
+    * corpus total via a broadcast 1-row aggregate). */
+  private[graft] def freqScoredOn(docs: DataFrame,
+                                  tokens: Column => Column): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("bucket"),
-        explode(words(lower(col("text")))).as("term"))
+        explode(tokens(col("text"))).as("term"))
     val vocab = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
     // corpus total = Σ ctf over the VOCABULARY (already aggregated) — not
     // a third corpus-wide explode
@@ -628,6 +643,15 @@ object TextOps {
       .withColumn("mean_prob_r",
         round(col("sum_ctf").cast("double") / col("n_tokens") / col("total_tokens"), 6))
   }
+
+  /** c41's keep-verdict form over an arbitrary docs frame + tokenizer —
+    * what `Main score` serves. */
+  def freqScoreOn(docs: DataFrame, tokens: Column => Column,
+                  minMeanProb: Double = 0.033): DataFrame =
+    freqScoredOn(docs, tokens)
+      .select("doc_id", "n_tokens", "sum_ctf", "total_tokens", "mean_prob_r")
+      .withColumn("keep", col("mean_prob_r") >= minMeanProb)
+      .orderBy("doc_id")
 
   /** c42: banded quality sampling — the CCNet-shaped stage downstream of
     * c41: docs are bucketed into head/middle/tail quality bands by FIXED

@@ -706,6 +706,31 @@ class CliSpec extends SparkSpec {
     assert(toks.count() > 0)
   }
 
+  test("score subcommand: ASCII default equals c41; --unicode/--quality run") {
+    import graft.operators.TextOps
+    val tmp = Files.createTempDirectory("graft-cli-score-").toString
+    Main.main(Array("score", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/freq"))
+    val got = spark.read.parquet(s"$tmp/freq").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val want = TextOps.c41FreqScore(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI score diverges from the c41 gate")
+    Main.main(Array("score", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/q", "--quality"))
+    val q = spark.read.parquet(s"$tmp/q").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val wantQ = TextOps.c35QualityFilter(spark, sfDir).collect().map(_.toSeq)
+    assert(q.toSeq == wantQ.toSeq, "CLI score --quality diverges from c35")
+    // --unicode on the ASCII gate corpus must agree with the ASCII path
+    // (the variant extends reach, it must not reinterpret simple text)
+    Main.main(Array("score", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/uni", "--unicode"))
+    val uni = spark.read.parquet(s"$tmp/uni").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(uni.toSeq == want.toSeq,
+      "single-spaced ASCII corpus: unicode and ASCII scores must agree")
+  }
+
   test("search --fuse: hybrid RRF ranking equals c59 over the corpus") {
     import graft.operators.TextOps
     val out = Files.createTempDirectory("graft-cli-fuse-").toString + "/fused"

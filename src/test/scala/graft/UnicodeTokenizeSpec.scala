@@ -113,6 +113,112 @@ class UnicodeTokenizeSpec extends SparkSpec {
     }
   }
 
+  test("freqScoreOn with uniTokens: the Main score --unicode path (driver brute force)") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "Café menu café"),       // NBSP-joined
+      (2L, "café menu menu"),                  // NFD café
+      (3L, "今日　今日 rare"),   // ideographic space
+      (4L, "plain ascii words here"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = graft.operators.TextOps.freqScoreOn(docs,
+        t => UnicodeTokenize.uniTokens(t, stripPunct = false), 0.1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("sum_ctf"), r.getAs[Long]("total_tokens"),
+        r.getAs[Double]("mean_prob_r"), r.getAs[Boolean]("keep"))).toSeq
+    // independent derivation through refTokens (this suite's reference)
+    val toks = texts.map { case (id, t) => id -> refTokens(t, stripPunct = false) }
+    val ctf = toks.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = ctf.values.sum
+    val want = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val sumCtf = ts.map(ctf).sum
+      val mp = BigDecimal(sumCtf.toDouble / ts.size / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ts.size.toLong, sumCtf, total, mp, mp >= 0.1)
+    }.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+    // and the unicode variant genuinely sees what the ASCII split cannot:
+    // doc 1's NBSP-joined café must count as two tokens + a repeat
+    assert(got.find(_._1 == 1L).get._2 == 3L)
+  }
+
+  test("qualityFilterOn with uniTokens: the Main score --quality --unicode path") {
+    import spark.implicits._
+    val texts = Seq(
+      // 12 distinct unicode-split tokens → passes len+ttr+top_share
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      // 15 copies of one token → top_share = 1 → drop
+      (2L, Seq.fill(15)("dup").mkString("　")),
+      // 3 tokens → too short → drop
+      (3L, "a b c"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = graft.operators.TextOps.qualityFilterOn(docs,
+        t => UnicodeTokenize.uniTokens(t, stripPunct = false))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_types"), r.getAs[Boolean]("keep"))).toSeq
+    val want = texts.map { case (id, t) =>
+      val ts = refTokens(t, stripPunct = false)
+      val byTok = ts.groupBy(identity).map(_._2.size)
+      val ttr = BigDecimal(byTok.size.toDouble / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val top = BigDecimal(byTok.max.toDouble / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ts.size.toLong, byTok.size.toLong,
+        ts.size >= 10 && ts.size <= 1000 && ttr >= 0.2 && top <= 0.2)
+    }.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._4) == Seq(true, false, false),
+      "the battery must keep 1 and drop 2 (top_share) and 3 (length)")
+    // the ASCII split sees ONE token per doc here — every verdict flips
+    // to drop; the unicode variant is what makes the battery meaningful
+    val ascii = graft.operators.TextOps.qualityFilterOn(docs,
+        t => split(lower(t), " "))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep")))
+    assert(ascii.forall(!_._2), "ASCII split must fail all three (1 token each)")
+  }
+
+  test("dupSpans with uniTokens: the Main spans --unicode path (driver brute force)") {
+    import spark.implicits._
+    val n = 5
+    val run = (0 until 12).map(i => s"run$i")
+    // doc 1 carries the run NBSP-joined (invisible to the ASCII split);
+    // doc 2 carries it space-joined
+    val aToks = (0 until 8).map(i => s"xa$i") ++ run ++ (0 until 6).map(i => s"ya$i")
+    val aText = aToks.take(8).mkString(" ") + " " +
+      run.mkString(" ") + " " + aToks.takeRight(6).mkString(" ")
+    val bText = ((0 until 3).map(i => s"xb$i") ++ run ++
+      (0 until 4).map(i => s"yb$i")).mkString(" ")
+    val docs = Seq((1L, aText), (2L, bText)).toDF("doc_id", "text")
+    val uni = graft.operators.Dedup.dupSpans(docs, n,
+        t => UnicodeTokenize.uniTokens(t, stripPunct = false))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_tokens"))).toSet
+    // brute: refTokens both docs, duplicated n-shingles across the corpus,
+    // spans = maximal start islands + n − 1
+    val tokd = Seq(1L -> refTokens(aText, stripPunct = false),
+      2L -> refTokens(bText, stripPunct = false))
+    val shingles = tokd.flatMap { case (id, ts) =>
+      (0 to ts.length - n).map(i => (id, i, ts.slice(i, i + n).mkString(" ")))
+    }
+    val dup = shingles.groupBy(_._3).filter(_._2.size > 1).keySet
+    val want = tokd.flatMap { case (id, _) =>
+      val starts = shingles.filter(s => s._1 == id && dup(s._3)).map(_._2).sorted
+      // islands of consecutive starts
+      starts.foldLeft(Vector.empty[(Int, Int)]) { (acc, s) =>
+        acc.lastOption match {
+          case Some((b, e)) if s == e + 1 => acc.init :+ (b, s)
+          case _ => acc :+ (s, s)
+        }
+      }.map { case (b, e) => (id, b.toLong, (e - b + n).toLong) }
+    }.toSet
+    assert(uni == want, s"got $uni\nwant $want")
+    assert(uni.map(_._1) == Set(1L, 2L) && uni.forall(_._3 == 12L),
+      s"both docs must span the 12-token run: $uni")
+    // the ASCII split cannot see doc 1's NBSP-fused run — no spans at all
+    val ascii = graft.operators.Dedup.dupSpans(docs, n).collect()
+    assert(ascii.isEmpty, "ASCII split must find nothing here")
+  }
+
   test("vocabTopkOn with uniTokens: the Main vocab --unicode path") {
     import spark.implicits._
     val docs = Seq(
