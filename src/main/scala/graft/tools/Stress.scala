@@ -127,9 +127,116 @@ object Stress {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  /** `Stress bucketed [replicas] [batches]` — measured evidence for the
+    * d25/d26/d27 at-scale claim (SURVEY §4): a stream-static join
+    * re-executes its static side EVERY micro-batch, so an UNBUCKETED
+    * fingerprint index pays a corpus-side exchange per batch, while the
+    * same index written `bucketBy(fp)` plans the static side
+    * shuffle-free — only the tiny arrival batch exchanges into the
+    * bucketing. Runs a REAL MemoryStream through streamWinnowMatch (the
+    * d25 operator) against both index forms with broadcast disabled (at
+    * local scale the index would broadcast and the claim could not be
+    * observed; at 100 TB it cannot broadcast), asserts the per-batch
+    * plan shapes from the live query's lastExecution, and times the
+    * drains. */
+  private def bucketedProbe(spark: SparkSession, dir: String,
+                            replicas: Int, nBatches: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/tmp/graft_stress_bucketed"
+    // corpus side: documents ×replicas (shifted ids, suffixed texts so
+    // fingerprints spread), fingerprinted once — the `Main fingerprint
+    // --index` artifact
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__r", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("doc_id", col("doc_id") + col("__r") * 10000000L)
+      .withColumn("text", concat(col("text"), lit(" r"), col("__r").cast("string")))
+      .drop("__r")
+    val idx = TextOps.winnowIndex(docs.select("doc_id", "text"))
+    idx.write.mode("overwrite").parquet(s"$base/fpidx_plain")
+    spark.sql("DROP TABLE IF EXISTS graft_stress_fpidx_bucketed")
+    idx.write.mode("overwrite")
+      .bucketBy(32, "fp").sortBy("fp")
+      .option("path", s"$base/fpidx_bucketed")
+      .saveAsTable("graft_stress_fpidx_bucketed")
+    val nIdx = spark.read.parquet(s"$base/fpidx_plain").count()
+    // arrival batches: a rolling slice of the raw corpus (realistic probe
+    // mix — most arrivals match something at rest)
+    val arrivals = Tables.documents(spark, dir)
+      .select(col("doc_id") + 900000000L, col("text"))
+      .as[(Long, String)].take(nBatches * 50)
+      .grouped(50).toSeq
+    println(s"[stress] fp index: $nIdx rows x2 forms at $base; " +
+      s"${arrivals.size} batches of 50 arrivals")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (bucketed <- Seq(false, true)) {
+        val index =
+          if (bucketed) spark.table("graft_stress_fpidx_bucketed")
+          else spark.read.parquet(s"$base/fpidx_plain")
+        val stream =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamOps.streamWinnowMatch(
+            stream.toDS().toDF("doc_id", "text"), index)
+          .writeStream.outputMode("append").format("noop").start()
+        try {
+          // warm batch (plan/codegen) outside the clock
+          stream.addData(arrivals.head); q.processAllAvailable()
+          val t0 = System.nanoTime()
+          arrivals.tail.foreach { b =>
+            stream.addData(b); q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val plan = q match {
+            case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+              w.streamingQuery.lastExecution.executedPlan.toString
+            case _ => "<unavailable>"
+          }
+          // count the shuffle nodes in the EXECUTED plan only — the AQE
+          // toString appends an "== Initial Plan ==" section that would
+          // double-count every exchange (ReusedExchange deliberately not
+          // counted: it re-reads, not re-shuffles)
+          val finalPlan = plan.split("== Initial Plan ==").head
+          val nExchanges = "Exchange hashpartitioning".r
+            .findAllIn(finalPlan).length
+          val bucketedScan = plan.contains("SelectedBucketsCount") ||
+            plan.contains("Bucketed: true")
+          if (sys.env.contains("GRAFT_STRESS_DUMP_PLANS"))
+            java.nio.file.Files.write(java.nio.file.Paths.get(
+              s"/tmp/graft_stress_plan_bucketed_$bucketed.txt"),
+              plan.getBytes("UTF-8"))
+          println(f"[stress] bucketed=$bucketed drain(${arrivals.size - 1} " +
+            f"batches)=$sec%.2f s, per-batch plan exchanges=$nExchanges, " +
+            s"bucketed scan=$bucketedScan")
+          if (bucketed) {
+            assert(bucketedScan,
+              "bucketed run must actually read the bucketed table")
+            assert(nExchanges == 1,
+              s"bucketed static side must be shuffle-free (exactly the " +
+                s"arrival-batch exchange remains), got $nExchanges:\n$plan")
+          } else assert(nExchanges == 2,
+            s"unbucketed run must show the per-batch corpus-side exchange " +
+              s"(stream + static), got $nExchanges:\n$plan")
+        } finally q.stop()
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.sql("DROP TABLE IF EXISTS graft_stress_fpidx_bucketed")
+      ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("bucketed")) {
+      bucketedProbe(spark, dir,
+        args.drop(1).headOption.map(_.toInt).getOrElse(8),
+        args.drop(2).headOption.map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       skewProbe(spark, dir, args.drop(1).headOption.map(_.toInt).getOrElse(4))
       spark.stop()
