@@ -71,6 +71,7 @@ object Main {
     case Some("card") => card(args.drop(1))
     case Some("spans") => spans(args.drop(1))
     case Some("score") => score(args.drop(1))
+    case Some("neardup") => neardup(args.drop(1))
     case Some("plan") => planCmd(args.drop(1))
     case Some("scrub") => scrub(args.drop(1))
     case Some("index") => indexCmd(args.drop(1))
@@ -81,8 +82,8 @@ object Main {
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
-          "fingerprint|card|spans|score|plan|scrub|index|query|bpe-train|" +
-          "tokenize ...")
+          "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
+          "bpe-train|tokenize ...")
       sys.exit(2)
   }
 
@@ -257,6 +258,49 @@ object Main {
     require(unicode || !stripPunct, "--strip-punct requires --unicode")
     if (unicode) t => graft.functions.UnicodeTokenize.uniTokens(t, stripPunct)
     else t => split(lower(t), " ")
+  }
+
+  /** `graft.Main neardup --in EMB_PARQUET --out OUT [--threshold T]
+    * [--bands B] [--planes R] [--index]` — c71's banded embedding
+    * near-dup over any (vec_id, embedding) parquet: verified ≥-threshold
+    * pairs at production recall (default 24 bands × 4 planes — 0.97 of
+    * the exact pairs on the gate corpus, c72-measured). `--index`
+    * instead writes the at-rest (band, bucket, vec_id, v) banding index
+    * d32's ingest probe joins — at scale written BUCKETED by
+    * (band, bucket) (the `Stress bucketed` measurement). */
+  private def neardup(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.3)
+    val bands = opt(args, "--bands").map(_.toInt)
+      .getOrElse(Similarity.C71Bands)
+    val planes = opt(args, "--planes").map(_.toInt)
+      .getOrElse(Similarity.C71PlanesPerBand)
+    val spark = GraftSession.get()
+    val embs = spark.read.parquet(in)
+    require(Seq("vec_id", "embedding").forall(embs.columns.contains),
+      s"input $in must have (vec_id, embedding) columns, " +
+        s"found ${embs.columns.mkString("(", ", ", ")")}")
+    val base = embs.select("vec_id", "embedding")
+    if (args.contains("--index")) {
+      Similarity.bandedIndexOf(base, bands, planes)
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val stats = written.agg(count(lit(1)),
+        count_distinct(col("vec_id"))).head()
+      println(s"""{"rows":${stats.getLong(0)},"vectors":${stats.getLong(1)},""" +
+        s""""bands":$bands,"planes":$planes,"out":${jsonStr(out)}}""")
+    } else {
+      Similarity.bandedNearDupOn(base, threshold, bands, planes)
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val stats = written.agg(count(lit(1)),
+        count_distinct(col("vec_a"))).head()
+      println(s"""{"pairs":${stats.getLong(0)},"docs_a":${stats.getLong(1)},""" +
+        s""""threshold":$threshold,"bands":$bands,"planes":$planes,""" +
+        s""""out":${jsonStr(out)}}""")
+    }
   }
 
   /** `graft.Main score --in PARQUET --out OUT [--min-prob P] [--quality]

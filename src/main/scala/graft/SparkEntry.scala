@@ -131,6 +131,7 @@ object SparkEntry {
     "c69_span_clusters" -> ((s: SparkSession, d: String) => Dedup.c69SpanClusters(s, d)),
     "c70_bpe_bytes" -> ((s: SparkSession, d: String) => TextOps.c70BpeBytes(s, d)),
     "c71_neardup_banded" -> ((s: SparkSession, d: String) => Similarity.c71NearDupBanded(s, d)),
+    "c72_neardup_recall" -> ((s: SparkSession, d: String) => Similarity.c72NearDupRecall(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -306,7 +307,9 @@ object SparkEntry {
     * "graft:band$b" — lshBucketSql's exactness argument applies per
     * band), candidates = DISTINCT pairs colliding in ANY band, then the
     * exact-cosine verify at the gate threshold. */
-  private def c71OracleSql: String = {
+  /** The c71 CTE chain (f0 fixed-point embeddings → 24 seeded band
+    * buckets → candidate pairs), shared by the c71 and c72 renderers. */
+  private def c71Ctes: String = {
     val bands = (0 until graft.operators.Similarity.C71Bands).map { b =>
       val bucket = lshBucketSql(
         graft.operators.Similarity.C71PlanesPerBand, s"graft:band$b")
@@ -320,14 +323,40 @@ object SparkEntry {
        |$bands),
        |pr AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |       FROM bk a JOIN bk b
-       |       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  private def c71OracleSql: String =
+    s"""$c71Ctes
        |SELECT p.vec_a, p.vec_b,
        |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_r
        |FROM pr p JOIN f0 ea ON ea.vec_id = p.vec_a
        |          JOIN f0 eb ON eb.vec_id = p.vec_b
        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
+
+  /** DuckDB rendering of c72: BOTH measurement sides re-derived in SQL —
+    * the c71 band-union candidates with their exact-cosine verify, and
+    * the cross-join exact pair truth — folded to the one-row recall
+    * report. */
+  private def c72OracleSql: String =
+    s"""$c71Ctes,
+       |bandv AS (SELECT p.vec_a, p.vec_b
+       |  FROM pr p JOIN f0 ea ON ea.vec_id = p.vec_a
+       |            JOIN f0 eb ON eb.vec_id = p.vec_b
+       |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3),
+       |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM f0 a JOIN f0 b ON a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+       |u AS (SELECT vec_a, vec_b, 1 AS e, 0 AS b FROM ex
+       |      UNION ALL SELECT vec_a, vec_b, 0, 1 FROM bandv),
+       |g AS (SELECT vec_a, vec_b, max(e) AS e, max(b) AS b
+       |      FROM u GROUP BY vec_a, vec_b)
+       |SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+       |  CAST(sum(b) AS BIGINT) AS n_banded,
+       |  CAST(sum(e * b) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(e * b) AS DOUBLE) / sum(e), 6) AS recall_r
+       |FROM g""".stripMargin
 
   /** The SAME plane-count derivation c11EmbedNearDup uses, from the SAME
     * parquet footer, so both engines bucket identically at any scale. */
@@ -363,7 +392,8 @@ object SparkEntry {
         "c70_bpe_bytes" -> (() => c70OracleSql(dir)),
         // no trained artifact, but ~6k inlined plane literals: render
         // on demand like the artifact entries
-        "c71_neardup_banded" -> (() => c71OracleSql)))
+        "c71_neardup_banded" -> (() => c71OracleSql),
+        "c72_neardup_recall" -> (() => c72OracleSql)))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

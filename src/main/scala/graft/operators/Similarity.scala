@@ -1279,6 +1279,34 @@ object Similarity {
   val C71Bands = 24
   val C71PlanesPerBand = 4
 
+  /** The per-band bucket ARRAY of an embedding column — ONE expression
+    * shared by c71's at-rest pair hunt, the d32 arrival side and the
+    * [[bandedIndexOf]] artifact builder (the d29/streamDupStarts rule:
+    * the ingest path must share the at-rest hash subtree by
+    * construction, not merely by parity test). */
+  private[graft] def bandBuckets(emb: Column, bands: Int,
+                                 planesPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      VectorFunctions.hyperplaneBucket(emb,
+        VectorFunctions.lshPlanes(planesPerBand, EmbeddingDim,
+          seed = s"graft:band$b"))
+    }: _*)
+
+  /** The at-rest (band, bucket, vec_id, v) banding index of an embedding
+    * frame — what d32's ingest probe joins (built by `Main neardup
+    * --index`). Attaches the full-precision vector (d11's trade: a
+    * fatter bounded artifact buys ZERO stream state — the exact-cosine
+    * verify becomes row-local on the joined row); at scale the table is
+    * written bucketed by (band, bucket) so the per-micro-batch join is
+    * co-located (the `Stress bucketed` measurement). */
+  def bandedIndexOf(embs: DataFrame, bands: Int = C71Bands,
+                    planesPerBand: Int = C71PlanesPerBand): DataFrame =
+    embs.select(col("vec_id"), toDouble(col("embedding")).as("v"),
+        bandBuckets(col("embedding"), bands, planesPerBand).as("bks"))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("vec_id"), col("v"))
+
   /** Multi-band hyperplane LSH near-duplicate pairs over an arbitrary
     * (vec_id, embedding) frame — c11's production-recall upgrade. A pair
     * is a candidate iff it collides in ANY band (the OR); exact cosine
@@ -1294,12 +1322,9 @@ object Similarity {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(planesPerBand >= 1,
       s"planesPerBand must be >= 1, got $planesPerBand")
-    val buckets = array((0 until bands).map { b =>
-      VectorFunctions.hyperplaneBucket(col("embedding"),
-        VectorFunctions.lshPlanes(planesPerBand, EmbeddingDim,
-          seed = s"graft:band$b"))
-    }: _*)
-    val bk = embs.select(col("vec_id"), posexplode(buckets).as(Seq("band", "bucket")))
+    val bk = embs.select(col("vec_id"),
+      posexplode(bandBuckets(col("embedding"), bands, planesPerBand))
+        .as(Seq("band", "bucket")))
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -1325,6 +1350,49 @@ object Similarity {
   def c71NearDupBanded(spark: SparkSession, dir: String,
                        threshold: Double = 0.3): DataFrame =
     bandedNearDupOn(Tables.embeddings(spark, dir), threshold)
+
+  /** Exact ≥-threshold pair TRUTH over an embedding frame — the
+    * all-pairs baseline c72 measures recall against. Deliberately
+    * quadratic: this is an EVAL operator and runs on the (sampled)
+    * frame it is given, never corpus-wide at scale (c58's rule — the
+    * sampling lives in the caller's frame definition). */
+  private[graft] def exactPairsOn(embs: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val v = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    v.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .crossJoin(v.select(col("vec_id").as("vec_b"), col("v").as("vb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine_r", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine_r") >= threshold)
+      .select("vec_a", "vec_b", "cosine_r")
+  }
+
+  /** c72: near-dup RECALL evaluation — the measurement c71's banding is
+    * tuned against, as a queryable one-row table (c58's eval-as-operator
+    * rule, applied to pair recall): exact ≥-threshold pair count, banded
+    * pair count, their intersection, and recall = hits / exact. Banded
+    * precision is exact by construction (every candidate re-scores), so
+    * n_banded ≡ n_hit and the single interesting number is recall — but
+    * all four are emitted so a broken verify would surface as
+    * n_banded ≠ n_hit rather than hide inside one ratio. The oracle
+    * re-derives BOTH sides in SQL (the c71 band union + a cross-join
+    * truth), so the measurement itself is engine-verified. */
+  def c72NearDupRecall(spark: SparkSession, dir: String,
+                       threshold: Double = 0.3): DataFrame = {
+    val exact = exactPairsOn(Tables.embeddings(spark, dir), threshold)
+      .select("vec_a", "vec_b")
+    val banded = c71NearDupBanded(spark, dir, threshold)
+      .select("vec_a", "vec_b")
+    exact.withColumn("e", lit(1)).withColumn("b", lit(0))
+      .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))
+      .groupBy("vec_a", "vec_b")
+      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
+      .agg(sum(col("e")).cast("bigint").as("n_exact"),
+        sum(col("b")).cast("bigint").as("n_banded"),
+        sum(col("e") * col("b")).cast("bigint").as("n_hit"))
+      .withColumn("recall_r",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
 
   // ---- ANN index evaluation (c58): the recall dashboard a production
   // ---- pipeline tunes its LSH planes / IVF nprobe against

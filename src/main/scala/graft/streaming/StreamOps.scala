@@ -545,6 +545,42 @@ object StreamOps {
         size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
   }
 
+  /** d32: streaming BANDED near-dup at ingest — c71's serving twin and
+    * d6's embedding-space analogue at production recall: each arriving
+    * vector computes its 24 band buckets row-locally through the SAME
+    * [[graft.operators.Similarity.bandBuckets]] expression the at-rest
+    * index is built from (the d29 shared-subtree rule), equi-joins the
+    * (band, bucket, vec_id, v) index
+    * ([[graft.operators.Similarity.bandedIndexOf]], built by `Main
+    * neardup --index` — d11/d25's materialized-table rule, at scale
+    * bucketed by (band, bucket): the `Stress bucketed` measurement),
+    * and verifies each candidate with the exact cosine ROW-LOCALLY on
+    * the joined row — the attached vector is what buys zero state.
+    * Emits one (vec_id, neighbor_id, band, cosine_r) row per band hit
+    * ≥ threshold; the distinct-pair fold is a batch decision downstream
+    * (d26's rule). Stateless, no watermark; recall is c71's banding
+    * curve (0.97 of exact pairs at the gate geometry, c72-measured). */
+  def streamNearDupBanded(arrivals: DataFrame, index: DataFrame,
+                          threshold: Double = 0.3,
+                          bands: Int = graft.operators.Similarity.C71Bands,
+                          planesPerBand: Int =
+                            graft.operators.Similarity.C71PlanesPerBand)
+      : DataFrame = {
+    val sim = graft.operators.Similarity
+    arrivals.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        sim.bandBuckets(col("embedding"), bands, planesPerBand).as("bks"))
+      .select(col("vec_id"), col("qv"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+      .join(index.select(col("band"), col("bucket"),
+        col("vec_id").as("neighbor_id"), col("v")), Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("cosine_r", round(sim.cosine(col("qv"), col("v")), 6))
+      .filter(col("cosine_r") >= threshold)
+      .select(col("vec_id"), col("neighbor_id"), col("band"), col("cosine_r"))
+  }
+
   /** d31: streaming BYTE-LEVEL tokenization — c70's serving twin
     * (`tokenize --bytes` at ingest): each arriving doc pre-tokenizes
     * with the parity-safe leading-space pattern

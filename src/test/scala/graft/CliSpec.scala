@@ -731,6 +731,27 @@ class CliSpec extends SparkSpec {
       "single-spaced ASCII corpus: unicode and ASCII scores must agree")
   }
 
+  test("neardup subcommand: banded pairs equal c71; --index equals bandedIndexOf") {
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-cli-nd-").toString
+    Main.main(Array("neardup", "--in", s"$sfDir/embeddings.parquet",
+      "--out", s"$tmp/pairs"))
+    val got = spark.read.parquet(s"$tmp/pairs")
+      .orderBy("vec_a", "vec_b").collect().map(_.toSeq)
+    val want = Similarity.c71NearDupBanded(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI neardup diverges from the c71 gate")
+    Main.main(Array("neardup", "--index", "--in", s"$sfDir/embeddings.parquet",
+      "--out", s"$tmp/idx"))
+    val idx = spark.read.parquet(s"$tmp/idx")
+    val wantIdx = Similarity.bandedIndexOf(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+    assert(idx.orderBy("band", "bucket", "vec_id").collect().map(_.toSeq).toSeq ==
+      wantIdx.orderBy("band", "bucket", "vec_id").collect().map(_.toSeq).toSeq,
+      "CLI neardup --index diverges from bandedIndexOf")
+    assert(idx.count() ==
+      Similarity.C71Bands * Tables.embeddings(spark, sfDir).count())
+  }
+
   test("search --fuse: hybrid RRF ranking equals c59 over the corpus") {
     import graft.operators.TextOps
     val out = Files.createTempDirectory("graft-cli-fuse-").toString + "/fused"

@@ -1367,4 +1367,54 @@ class StreamingSpec extends SparkSpec {
       assert(!got.exists(_._1 == 70004L), "null text emits no row")
     } finally q.stop()
   }
+
+  test("d32 streaming banded near-dup: stream ≡ batch probe; self route at cosine 1") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+    val threshold = 0.3
+    val corpus = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-d32-idx-").toString
+    Similarity.bandedIndexOf(corpus).write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    // arrivals: 20 corpus vectors re-id'd (each must hit its own source
+    // at cosine 1.0), plus a null embedding (must emit nothing)
+    val src = corpus.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val arrivals = src.map { case (id, e) => (id + 800000000L, e) } :+
+      ((899999999L, null.asInstanceOf[Array[Float]]))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.streamNearDupBanded(
+        stream.toDS().toDF("vec_id", "embedding"), index, threshold)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d32_sink").start()
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq); q.processAllAvailable()
+      stream.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("d32_sink").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("band"), r.getAs[Double]("cosine_r"))).toSet
+      // batch probe of the same arrivals through the same operator
+      val batch = graft.streaming.StreamOps.streamNearDupBanded(
+          arrivals.toSeq.toDF("vec_id", "embedding"), index, threshold)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("band"), r.getAs[Double]("cosine_r"))).toSet
+      assert(got == batch, "stream hit set must equal the batch probe")
+      // every re-id'd arrival collides with its identical at-rest source
+      // in EVERY band (same vector ⇒ same sign pattern) at cosine 1.0
+      src.foreach { case (id, _) =>
+        val self = got.filter(t => t._1 == id + 800000000L && t._2 == id)
+        assert(self.size == Similarity.C71Bands,
+          s"arrival ${id + 800000000L} must hit source $id in all bands, " +
+            s"got ${self.size}")
+        assert(self.forall(_._4 == 1.0), s"self-hit cosine must round to 1.0")
+      }
+      assert(!got.exists(_._1 == 899999999L), "null embedding emits no row")
+      // and the distinct fold's pairs all verify >= threshold
+      assert(got.forall(_._4 >= threshold))
+    } finally q.stop()
+  }
 }
