@@ -233,17 +233,6 @@ object Main {
       Double.box(fp), Double.box(fn)))
   }
 
-  /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal
-    * duplicated-substring spans over any (doc_id, text) parquet: one row
-    * per [span_start, span_end] token interval in which EVERY token is
-    * covered by some n-shingle occurring more than once corpus-wide
-    * (shingles straddling two fused runs may themselves be unique) —
-    * the cut list substring-level dedup (Lee et al. 2021) feeds a
-    * scrubber. One JSON stats line.
-    *
-    * `--min-span L [--strong-n W]` switches to the c65 thresholded form:
-    * spans cut at span_tokens >= L and confirmed by >= 1 duplicated
-    * W-shingle wholly inside (default W = min(L, 20)). */
   /** The `--unicode [--strip-punct]` tokenizer selection shared by the
     * generic-text CLI paths (score/spans — vocab keeps its own branch
     * because its ASCII path is the memoized gate operator): default is
@@ -336,10 +325,43 @@ object Main {
       s""""out":${jsonStr(out)}}""")
   }
 
+  /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal
+    * duplicated-substring spans over any (doc_id, text) parquet: one row
+    * per [span_start, span_end] token interval in which EVERY token is
+    * covered by some n-shingle occurring more than once corpus-wide
+    * (shingles straddling two fused runs may themselves be unique) —
+    * the cut list substring-level dedup (Lee et al. 2021) feeds a
+    * scrubber. One JSON stats line.
+    *
+    * `--min-span L [--strong-n W]` switches to the c65 thresholded form:
+    * spans cut at span_tokens >= L and confirmed by >= 1 duplicated
+    * W-shingle wholly inside (default W = min(L, 20)).
+    *
+    * `--exact` (r12) runs the suffix-automaton EXACT pass instead: --in
+    * names a DATA DIR (the corpus the c69 cluster tables were built
+    * over), and the output is one row per (canonical, member) cluster
+    * pair with the longest exact common token run measured to the token
+    * (Dedup.exactClusterSpans — the per-pair upgrade of the shingle
+    * approximation; see SURVEY §4). */
   private def spans(args: Array[String]): Unit = {
     import graft.operators.Dedup
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    if (args.contains("--exact")) {
+      val spark = GraftSession.get()
+      val strongN = opt(args, "--strong-n").map(_.toInt).getOrElse(20)
+      require(strongN >= 1, s"--strong-n must be >= 1, got $strongN")
+      Dedup.exactClusterSpans(spark, in, strongN)
+        .write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val stats = written.agg(count(lit(1)),
+        coalesce(max(col("len_exact")), lit(0L)),
+        coalesce(min(col("len_exact")), lit(0L))).head()
+      println(s"""{"pairs":${stats.getLong(0)},"max_run":${stats.getLong(1)},""" +
+        s""""min_run":${stats.getLong(2)},"strong_n":$strongN,""" +
+        s""""out":${jsonStr(out)}}""")
+      return
+    }
     val n = opt(args, "--n").map(_.toInt).getOrElse(5)
     require(n >= 1, s"--n must be >= 1, got $n")
     val minSpan = opt(args, "--min-span").map(_.toInt)

@@ -696,7 +696,18 @@ object Similarity {
     require(dim == cbDim,
       s"embedding dim $dim != codebook dim $cbDim — mismatched artifacts")
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val subDim = dim / m
+    quantizeCore(e, cb, m, dim / m)
+  }
+
+  /** Probe-free quantize core over a (vec_id, v) frame — shared by the
+    * batch path above and d33's STREAMING index add (a streaming frame
+    * cannot be head()-probed; its dims validate against the static
+    * codebook instead). Every subtree here is stream-safe: the cell
+    * assignment and the M sub-codebook folds are broadcast cross joins
+    * of 1-row static aggregates, the code argmax is the stateless
+    * codegen'd NearestCells — zero state, zero stream-side shuffles. */
+  private[graft] def quantizeCore(e: DataFrame, cb: DataFrame,
+                                  m: Int, subDim: Int): DataFrame = {
     val assigned = assignCells(e, cb, maxProbe = 1)
       .select(col("vec_id"), col("v"), col("cell"))
     withSubCodebookFolds(assigned, cb, m, subDim)

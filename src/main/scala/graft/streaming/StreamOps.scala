@@ -545,6 +545,31 @@ object StreamOps {
         size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
   }
 
+  /** d33: streaming vector-index ADD — `Main index --add`'s serving
+    * twin, closing the incremental-index loop (batch `--add` backfills,
+    * this ingests live): each arriving vector assigns to its nearest
+    * IVF cell and PQ-quantizes against the FROZEN broadcast codebook —
+    * the SAME [[graft.operators.Similarity.quantizeCore]] expressions
+    * the batch add runs (the d29 shared-subtree rule), so a stream-added
+    * row is byte-identical to a batch-added one and appends straight to
+    * the at-rest codes table per micro-batch. No retrain, no state, no
+    * raw floats in the output; dims validate against the static codebook
+    * (a streaming frame cannot be probed). De-dup against already-
+    * indexed vec_ids is the writer's batch decision (d26's rule —
+    * exactly the loud clash guard `index --add` applies). */
+  def streamIndexAdd(arrivals: DataFrame, codebook: DataFrame,
+                     m: Int = 4): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val sim = graft.operators.Similarity
+    val dim = codebook.select(size(col("centroid"))).head().getInt(0)
+    require(dim % m == 0,
+      s"codebook dim $dim not divisible by $m subspaces")
+    sim.quantizeCore(
+      arrivals.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      codebook, m, dim / m)
+  }
+
   /** d32: streaming BANDED near-dup at ingest — c71's serving twin and
     * d6's embedding-space analogue at production recall: each arriving
     * vector computes its 24 band buckets row-locally through the SAME

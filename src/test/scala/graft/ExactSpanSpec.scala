@@ -103,6 +103,17 @@ class ExactSpanSpec extends SparkSpec {
       "the adversary must actually demonstrate the overstatement")
   }
 
+  test("Main spans --exact: CLI output equals exactClusterSpans") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-exact-").toString + "/spans"
+    Main.main(Array("spans", "--exact", "--in", sfDir, "--out", out))
+    val got = spark.read.parquet(out)
+      .orderBy("cluster_id", "doc_a", "doc_b").collect().map(_.toSeq)
+    val want = Dedup.exactClusterSpans(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI --exact diverges from the operator")
+    assert(got.nonEmpty)
+  }
+
   test("c69 cross-validation: every cluster pair shares an exact run >= strongN") {
     val strongN = 20
     val rows = Dedup.exactClusterSpans(spark, sfDir, strongN).collect()

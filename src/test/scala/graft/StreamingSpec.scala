@@ -1417,4 +1417,45 @@ class StreamingSpec extends SparkSpec {
       assert(got.forall(_._4 >= threshold))
     } finally q.stop()
   }
+
+  test("d33 streaming index add: stream-quantized codes ≡ the batch --add derivation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+    val m = 4
+    val cb = Similarity.labelCodebook(spark, sfDir)
+    val arrivalsDf = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") + 700000000L, col("embedding")).limit(40)
+    val arrivals = arrivalsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)) :+
+      ((799999999L, null.asInstanceOf[Array[Float]]))
+    // batch truth: the exact `index --add` quantize of the same frame
+    val want = Similarity.quantizeAgainstCodebook(
+        arrivals.toSeq.toDF("vec_id", "embedding"), cb, m)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getSeq[Long](2).toVector))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.streamIndexAdd(
+        stream.toDS().toDF("vec_id", "embedding"), cb, m)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d33_sink").start()
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq); q.processAllAvailable()
+      stream.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("d33_sink").orderBy("vec_id").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getSeq[Long](2).toVector))
+      assert(got.toSeq == want.toSeq,
+        "stream-quantized codes must equal the batch --add derivation")
+      assert(got.length == 40, "the null-embedding arrival must emit no row")
+      // the output carries NO raw floats — it is the at-rest codes schema
+      val schema = spark.table("d33_sink").schema
+      assert(!schema.exists(f =>
+        f.dataType.simpleString.contains("double") ||
+          f.dataType.simpleString.contains("float")),
+        s"stream add leaked floats: $schema")
+    } finally q.stop()
+  }
 }
