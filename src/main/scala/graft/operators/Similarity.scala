@@ -1286,7 +1286,19 @@ object Similarity {
     * grows to hold recall — both knobs explicit because the right
     * setting is threshold-dependent (at cosine ≥ 0.95, θ ≈ 18°, r = 30
     * and bands = 60 give ~0.92 recall; at the gate's 0.3 only small r
-    * is viable). */
+    * is viable).
+    *
+    * Selectivity regime, measured (r12, sf0.1): at θ ≈ 72° the per-bit
+    * near/random separation is only 0.597 vs 0.5, so ANY hyperplane
+    * geometry holding recall ≥ 0.9 must accept most random pairs too —
+    * this configuration admits ~78% of all pairs on the isotropic gate
+    * embeddings (1.55M distinct candidates of 2M possible at n = 2000),
+    * i.e. near-all-pairs cost. That is the S-curve's physics, not a
+    * defect: at production thresholds the same geometry is sharply
+    * selective (cosine ≥ 0.95 with r = 30: p_near ≈ 4.2% per band vs
+    * p_random ≈ 9×10⁻¹⁰ — candidates ≈ true pairs only). Low-threshold
+    * sweeps belong on the exact evaluator; the banding exists for the
+    * high-threshold dedup regime a production near-dup pass runs in. */
   val C71Bands = 24
   val C71PlanesPerBand = 4
 
@@ -1358,9 +1370,29 @@ object Similarity {
     * DuckDB oracle re-derives every band's bucket from the SAME seeded
     * integer plane matrices inlined at render time (lshBucketSql's
     * exactness argument: integer-valued dot products ≪ 2^53). */
+  /** Per-JVM memoized banded-pair table (the shingleTablePath rule): the
+    * full find-candidates→verify subtree feeds BOTH c71 (the pair
+    * report) and c72 (the recall eval) in any Verify/Bench run —
+    * materialized once per (dir, threshold), each consumer scans a
+    * small parquet. Same immutable-dir-per-JVM assumption as every
+    * memoized artifact here. */
+  private val bandedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+  private[graft] def bandedPairsTablePath(spark: SparkSession, dir: String,
+                                          threshold: Double): String =
+    bandedCache.computeIfAbsent((dir, threshold), _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"banded-pairs-${graft.sources.JsonConvert.pathKey(dir)}" +
+          s"-t${(threshold * 1e6).toLong}").toString
+      bandedNearDupOn(Tables.embeddings(spark, dir), threshold)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   def c71NearDupBanded(spark: SparkSession, dir: String,
                        threshold: Double = 0.3): DataFrame =
-    bandedNearDupOn(Tables.embeddings(spark, dir), threshold)
+    spark.read.parquet(bandedPairsTablePath(spark, dir, threshold))
+      .orderBy("vec_a", "vec_b")
 
   /** Exact ≥-threshold pair TRUTH over an embedding frame — the
     * all-pairs baseline c72 measures recall against. Deliberately
@@ -1392,7 +1424,8 @@ object Similarity {
                        threshold: Double = 0.3): DataFrame = {
     val exact = exactPairsOn(Tables.embeddings(spark, dir), threshold)
       .select("vec_a", "vec_b")
-    val banded = c71NearDupBanded(spark, dir, threshold)
+    val banded = spark.read
+      .parquet(bandedPairsTablePath(spark, dir, threshold))
       .select("vec_a", "vec_b")
     exact.withColumn("e", lit(1)).withColumn("b", lit(0))
       .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))

@@ -59,7 +59,10 @@ class BandedNearDupSpec extends SparkSpec {
   }
 
   test("c71 plan: candidate generation is a (band, bucket) equi-join — no cartesian") {
-    val df = Similarity.c71NearDupBanded(spark, sfDir, threshold)
+    // audit the LIVE build subtree, not the memoized table read that
+    // c71NearDupBanded serves from (r12 memo seam)
+    val df = Similarity.bandedNearDupOn(
+      Tables.embeddings(spark, sfDir), threshold)
     df.collect()
     val s = (df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
