@@ -154,6 +154,48 @@ class ByteBpeSpec extends SparkSpec {
     assert(got.exists(_._1.length > 1), "merges must actually fuse symbols")
   }
 
+  test("property: arbitrary strings round-trip stage∘unstage; tokens re-concat losslessly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    // strings over the FULL unicode range incl. control chars, the
+    // printable-latin supplement (the identity rows), and astral planes
+    val genStr: Gen[String] = Gen.listOf(Gen.frequency(
+      (4, Gen.chooseNum(0x20, 0x7e)),
+      (2, Gen.chooseNum(0, 0x1f)),
+      (2, Gen.chooseNum(0xa0, 0x2ff)),
+      (1, Gen.chooseNum(0x4e00, 0x9fff)),
+      (1, Gen.chooseNum(0x1f300, 0x1f64f)))).map(cps =>
+      cps.flatMap(Character.toChars(_).toSeq).mkString)
+    val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+    for (trial <- 0 until 200) {
+      val s = sample(genStr, 31L * trial + 7)
+      val staged = ByteBpeAlphabet.stage(u8(s)).toString
+      // staged length = UTF-8 byte length; every staged char maps back
+      assert(staged.length == s.getBytes(StandardCharsets.UTF_8).length,
+        s"trial $trial: staged length")
+      assert(ByteBpeAlphabet.unstage(u8(staged)).toString == s,
+        s"trial $trial: stage∘unstage broke for ${s.getBytes("UTF-8").toSeq}")
+      // tokenizing the staged form under ANY merge list re-concats to the
+      // staged string (BPE merges only fuse, never alter content), so
+      // unstage(concat(tokens)) always recovers the input
+      if (!staged.contains(' ')) {
+        val merges = {
+          val syms = staged.toSeq.map(_.toString).distinct
+          if (syms.length >= 2)
+            Seq((syms(0), syms(1)), (syms(0) + syms(1), syms(0)))
+          else Seq(("ß", "ß"))
+        }
+        val toks = new graft.functions.BpeApplier(merges).apply(u8(staged))
+        val cat = (0 until toks.numElements())
+          .map(i => toks.getUTF8String(i).toString).mkString
+        assert(cat == staged || (staged.isEmpty && cat == ""),
+          s"trial $trial: token concat diverged")
+      }
+    }
+  }
+
   test("byte-level BPE handles inputs char-level BPE cannot: spaces and emoji") {
     import spark.implicits._
     // a space INSIDE the input breaks the char-level fence (ApplyBpe
