@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -20,6 +22,14 @@ import graft.streaming.{FilePublisher, StreamPipeline}
   *     [--schema battery|trip] [--schema-ddl "col TYPE, ..."]
   *     [--max-rows N] [--max-ipc BYTES] [--codec none|lz4|zstd]
   *     [--seq-col] [--idle-timeout-ms T] [--no-strict]
+  *     — or RESTARTABLE file mode (r12): --in-dir DIR --checkpoint CKPT
+  *       in place of --host/--port: drains every unprocessed ND-JSON
+  *       file under DIR (Trigger.AvailableNow) and exits; re-running
+  *       with the same checkpoint picks up ONLY new files, and with
+  *       --seq-col the seq column resumes contiguously from the
+  *       already-published output (recovered by scanning OUT's .arrow
+  *       files — the at-rest truth, not driver state, survives the
+  *       restart)
   *     [--batch] [--batch-max-messages N] [--batch-max-bytes B]
   *     [--batch-max-delay MS]   (≙ bolson --pulsar-batch*)
   *     [--latency FILE] [--metrics FILE]   (≙ bolson -l / --metrics:
@@ -1048,8 +1058,20 @@ object Main {
   }
 
   private def stream(args: Array[String]): Unit = {
+    val inDir = opt(args, "--in-dir")
     val host = opt(args, "--host").getOrElse("127.0.0.1")
-    val port = opt(args, "--port").getOrElse(sys.error("--port required")).toInt
+    val port = opt(args, "--port")
+    require(inDir.isDefined != port.isDefined,
+      "exactly one of --port (socket mode) or --in-dir (file mode) required")
+    val ckpt = opt(args, "--checkpoint")
+    // file sources replay from the checkpoint; without one a re-run would
+    // reprocess every file AND reuse micro-batch ids (duplicate + clobber
+    // the epoch-named output) — so the file mode demands it, and the
+    // non-replayable socket rejects it rather than pretend resume works
+    require(inDir.isEmpty || ckpt.isDefined,
+      "--in-dir (restartable file mode) requires --checkpoint")
+    require(ckpt.isEmpty || inDir.isDefined,
+      "--checkpoint is only meaningful with --in-dir (a socket replays nothing)")
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val maxRows = opt(args, "--max-rows").map(_.toInt).getOrElse(4096)
     val maxIpc = opt(args, "--max-ipc").map(_.toLong).getOrElse(5L * 1024 * 1024)
@@ -1094,14 +1116,32 @@ object Main {
     var lastParse = 0.0; var lastSer = 0.0; var lastPub = 0.0
     // per-stage publish totals across all micro-batches (bolson --metrics)
     var totMsgs = 0L; var totRows = 0L; var totBytes = 0L
-    val lines = spark.readStream.format("socket")
-      .option("host", host).option("port", port).load()
+    val lines = inDir match {
+      case Some(d) => spark.readStream
+        .option("maxFilesPerTrigger", "8").text(d)
+      case None => spark.readStream.format("socket")
+        .option("host", host).option("port", port.get).load()
+    }
 
     // bolson's --arrow-seq-col: contiguous u64 ordering across the whole
     // stream — per micro-batch the driver carries the running offset, and
     // SeqColumn assigns contiguous ids inside the batch without a global
-    // sort (per-partition counts + offsets).
-    var seqOffset = 0L
+    // sort (per-partition counts + offsets). In restartable file mode the
+    // offset seeds from the ALREADY-PUBLISHED output (max seq + 1): the
+    // at-rest .arrow files are the truth a restart must continue from —
+    // a driver variable would reset to 0 and fork the sequence.
+    var seqOffset: Long =
+      if (seqCol && inDir.isDefined &&
+          Option(new java.io.File(out).listFiles())
+            .exists(_.exists(_.getName.endsWith(".arrow")))) {
+        import spark.implicits._
+        val withSeq = schema.add("seq", org.apache.spark.sql.types.LongType)
+        val published = spark.read.format("binaryFile").load(s"$out/*.arrow")
+          .select(col("content")).as[Array[Byte]]
+          .map(b => graft.ipc.IpcMessage(0L, 0L, b.length.toLong, b))
+        ArrowIpc.deserialize(spark, published, withSeq)
+          .agg(coalesce(max(col("seq")) + 1L, lit(0L))).head().getLong(0)
+      } else 0L
     @volatile var lastProgress = System.currentTimeMillis()
     // bolson parses with UnexpectedFieldBehavior::Error unconditionally
     // (parse/arrow.cpp:89); strict is therefore the CLI default, with
@@ -1148,9 +1188,16 @@ object Main {
         } finally if (seqCol) { df.unpersist(); () }
         ()
       }
+      // restartable file mode: drain everything available then exit —
+      // the re-runnable shape; the checkpoint makes the NEXT run skip
+      // every file this one processed
+      .pipe(w => inDir.fold(w)(_ => w
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())))
+      .pipe(w => ckpt.fold(w)(c => w.option("checkpointLocation", c)))
       .start()
 
-    idleMs match {
+    if (inDir.isDefined) query.awaitTermination()
+    else idleMs match {
       case Some(t) =>
         while (System.currentTimeMillis() - lastProgress < t) {
           query.processAllAvailable()

@@ -731,6 +731,48 @@ class CliSpec extends SparkSpec {
       "single-spaced ASCII corpus: unicode and ASCII scores must agree")
   }
 
+  test("stream --in-dir: restartable file drain resumes without duplicates, seq contiguous") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-resume-").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeBatch(name: String, ids: Range): Unit = {
+      val w = new PrintWriter(s"$inDir/$name")
+      ids.foreach(i => w.println(s"""{"id": $i, "v": ${i * 3}}"""))
+      w.close()
+    }
+    def drained(): Seq[(Long, Long, Long)] = {
+      val schema = StructType.fromDDL("id BIGINT, v BIGINT, seq BIGINT")
+      val msgs = spark.read.format("binaryFile").load(s"$outDir/*.arrow")
+        .select(col("content")).as[Array[Byte]]
+        .map(b => IpcMessage(0L, 0L, b.length.toLong, b))
+      ArrowIpc.deserialize(spark, msgs, schema).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+          r.getAs[Long]("seq"))).toSeq
+    }
+    val baseArgs = Array("stream", "--in-dir", inDir, "--checkpoint", ckpt,
+      "--out", outDir, "--schema-ddl", "id BIGINT, v BIGINT",
+      "--max-rows", "64", "--seq-col")
+    writeBatch("part-000.json", 0 until 300)
+    Main.main(baseArgs)
+    val first = drained()
+    assert(first.map(_._1).sorted == (0L until 300L),
+      "first drain must publish exactly the first file's rows")
+    assert(first.map(_._3).sorted == (0L until 300L), "seq must be 0..299")
+    // a restart with NEW input: only the new file drains, seq continues
+    writeBatch("part-001.json", 300 until 500)
+    Main.main(baseArgs)
+    val second = drained()
+    assert(second.map(_._1).sorted == (0L until 500L),
+      "resume must add exactly the new file's rows — no dups, no loss")
+    assert(second.map(_._3).sorted == (0L until 500L),
+      "seq must continue contiguously across the restart (at-rest recovery)")
+    assert(second.forall { case (id, v, _) => v == id * 3 }, "payload intact")
+    // an idle restart (no new input) publishes nothing new
+    Main.main(baseArgs)
+    assert(drained().length == 500, "an idle restart must be a no-op")
+  }
+
   test("neardup subcommand: banded pairs equal c71; --index equals bandedIndexOf") {
     import graft.operators.Similarity
     val tmp = Files.createTempDirectory("graft-cli-nd-").toString
