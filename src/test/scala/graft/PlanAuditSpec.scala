@@ -328,6 +328,36 @@ class PlanAuditSpec extends SparkSpec {
       s"(doc_id, p)-keyed exchange crept into the thresholded scrub:\n$s")
   }
 
+  test("c70 plan: byte staging + merge apply are fused nodes; only the two vocab shuffles") {
+    val s = executedPlanOf(graft.operators.TextOps.c70BpeBytes(spark, sfDir))
+    // the native expressions run IN the plan — not a UDF, not a chain
+    assert(s.contains("graft_byte_stage"), s"ByteStage missing from plan:\n$s")
+    assert(s.contains("graft_apply_bpe"), s"fused ApplyBpe missing from plan:\n$s")
+    // cost model: exactly the (staged-pretoken count) and (token count)
+    // aggregations shuffle — the staging/apply themselves are row-local
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 2, s"expected exactly 2 vocab shuffles, got $exchanges:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"the top-k cut must never globally sort:\n$s")
+  }
+
+  test("index-add quantize plan: zero exchanges — broadcast folds + stateless argmax only") {
+    // the d33/`index --add` claim: assignment and the M sub-codebook
+    // folds are broadcast cross joins of 1-row static aggregates, the
+    // code argmax is codegen'd NearestCells — nothing shuffles the
+    // vectors being quantized
+    val embs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cb = Similarity.labelCodebook(spark, sfDir)
+    val df = Similarity.quantizeAgainstCodebook(embs, cb, m = 4)
+    val s = executedPlanOf(df)
+    val sub = s.split("== Initial Plan ==").head
+    assert(!"Exchange hashpartitioning".r.findFirstIn(sub).isDefined,
+      s"the quantize subtree must not shuffle the embedding rows:\n$s")
+    assert(sub.contains("graft_nearest_cells") || sub.contains("NearestCells") ||
+      sub.contains("nearest_cells"),
+      s"codegen'd argmax missing from the quantize plan:\n$s")
+  }
+
   test("c65 plan: confirm join is a doc_id equi-join over sparse frames, no product") {
     // audit the LIVE plan (dupSpansMin shares every expression with the
     // memoized gate path, which reads the materialized span table)
