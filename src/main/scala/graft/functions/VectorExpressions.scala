@@ -551,6 +551,87 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             if (children.length > 2) foldableInt(children, 2, "dim") else 64,
             if (children.length > 3) foldableString(children, 3, "seed") else "graft:rp"))
       }))
+    // graft_byte_stage / graft_byte_unstage — c70's GPT-2 byte-level BPE
+    // staging pair (r12)
+    ext.injectFunction((
+      FunctionIdentifier("graft_byte_stage"),
+      new ExpressionInfo(classOf[ByteStage].getName, "graft_byte_stage"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_byte_stage", 1, 1)
+        ByteStage(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_byte_unstage"),
+      new ExpressionInfo(classOf[ByteUnstage].getName, "graft_byte_unstage"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_byte_unstage", 1, 1)
+        ByteUnstage(children.head)
+      }))
+    // graft_uni_tokens(text[, strip_punct]) — the NFC/Unicode-whitespace
+    // tokenizer variant (SURVEY §2 tokenizer note)
+    ext.injectFunction((
+      FunctionIdentifier("graft_uni_tokens"),
+      new ExpressionInfo(classOf[UniTokens].getName, "graft_uni_tokens"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_uni_tokens", 1, 2)
+        UniTokens(children.head,
+          children.length > 1 && foldableBoolean(children, 1, "strip_punct"))
+      }))
+    // graft_winnow_fps(text[, k, w]) — c57's winnowing fingerprint
+    // selector; defaults are the gate geometry (k=4, w=5)
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow_fps"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_winnow_fps", 1, 3)
+        WinnowFps(children.head,
+          if (children.length > 1) foldableInt(children, 1, "k")
+          else graft.operators.TextOps.WinnowK,
+          if (children.length > 2) foldableInt(children, 2, "w")
+          else graft.operators.TextOps.WinnowW)
+      }))
+    // graft_apply_bpe(word, merges) — the fused greedy merge loop; the
+    // merge list is a FOLDABLE array(array(a, b), ...) in rank order (a
+    // model/plan constant by design — c52/c70 inline it the same way)
+    ext.injectFunction((
+      FunctionIdentifier("graft_apply_bpe"),
+      new ExpressionInfo(classOf[ApplyBpe].getName, "graft_apply_bpe"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_apply_bpe", 2, 2)
+        ApplyBpe(children.head, foldableMerges(children, 1))
+      }))
+  }
+
+  private def foldableBoolean(children: Seq[Expression], i: Int,
+                              name: String): Boolean = {
+    val e = children(i)
+    require(e.foldable, s"$name must be a literal, got $e")
+    e.eval().asInstanceOf[Boolean]
+  }
+
+  /** A foldable array(array(a, b), ...) of rank-ordered merge pairs. */
+  private def foldableMerges(children: Seq[Expression],
+                             i: Int): Seq[(String, String)] = {
+    val e = children(i)
+    require(e.foldable,
+      "merges must be a literal array of 2-element string arrays " +
+        s"(the trained artifact inlined as a plan constant), got $e")
+    e.eval() match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val elemType = e.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        (0 until arr.numElements()).map(j => arr.get(j, elemType) match {
+          case pair: org.apache.spark.sql.catalyst.util.ArrayData
+              if pair.numElements() == 2 =>
+            (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_apply_bpe: each merge must be a 2-element string " +
+              s"array, got $other")
+        })
+      case other => throw new IllegalArgumentException(
+        s"graft_apply_bpe: merges must be an array of 2-element string " +
+          s"arrays, got $other")
+    }
   }
 
   /** Wrong-argument-count errors at analysis, not a silent head-take. */

@@ -170,6 +170,39 @@ class VectorExprSpec extends SparkSpec {
     assert(err.getMessage.contains("maxProbe"), err.getMessage)
   }
 
+  test("r12 SQL registrations: byte_stage/unstage, uni_tokens, winnow_fps, apply_bpe") {
+    // byte staging pair round-trips pure-SQL, incl. the Ġ landmark
+    val st = spark.sql(
+      "SELECT graft_byte_stage(' the 🙂') AS s, " +
+        "graft_byte_unstage(graft_byte_stage(' the 🙂')) AS back").head
+    assert(st.getString(0).startsWith("Ġthe"), st.getString(0))
+    assert(st.getString(1) == " the 🙂")
+    // uni_tokens: NBSP splits; strip_punct must be a literal
+    val ut = spark.sql(
+      "SELECT graft_uni_tokens('A b,', true) AS t").head.getSeq[String](0)
+    assert(ut == Seq("a", "b"), s"got $ut")
+    // winnow_fps SQL equals the Column API at the gate geometry
+    Tables.documents(spark, sfDir).limit(20).createOrReplaceTempView("wf_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_winnow_fps(text) AS fps FROM wf_sql ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaApi = Tables.documents(spark, sfDir).limit(20)
+      .select(col("doc_id"), graft.functions.WinnowFunctions
+        .winnowFps(col("text"), graft.operators.TextOps.WinnowK,
+          graft.operators.TextOps.WinnowW).as("fps"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // apply_bpe with an inlined merge-list literal: the c52/c70 rule in SQL
+    val bpe = spark.sql(
+      "SELECT graft_apply_bpe('Ġthe', array(array('Ġ','t'), array('h','e'), " +
+        "array('Ġt','he'))) AS ts").head.getSeq[String](0)
+    assert(bpe == Seq("Ġthe"), s"got $bpe")
+    // non-literal merges rejected at analysis with a clear message
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_apply_bpe('ab', array(array(string(rand()), 'b')))").collect())
+    assert(err.getMessage.contains("merges"), err.getMessage)
+  }
+
   test("c5 results are unchanged by the native expression (vs collected ground truth)") {
     val e = Tables.embeddings(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
