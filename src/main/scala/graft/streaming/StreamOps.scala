@@ -46,6 +46,59 @@ case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
 /** Per-shard d7 state: the running token count. */
 case class ShardPackState(cum_tokens: Long)
 
+/** The d34 session processor (see [[StreamOps.sessionizeTws]]): per-user
+  * open-session list in one typed ValueState, sealing driven by
+  * event-time TIMERS — at most one armed instant per user (the earliest
+  * watermark at which any open session seals), re-armed whenever the
+  * open set changes and fired into [[handleExpiredTimer]] so quiet users
+  * still flush without waiting for their next event. */
+class TwsSessionProcessor(gapMicros: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp), Session] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var open: ValueState[SessionsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[SessionsState]("open",
+      org.apache.spark.sql.Encoders.product[SessionsState], TTLConfig.NONE)
+
+  /** Shared seal step: emit every session the watermark has passed
+    * (micros-exact — [[StreamOps.sessionize]]'s rule), persist the rest,
+    * re-arm the single timer at the earliest future seal instant. */
+  private def seal(user: Long, wmMs: Long,
+                   merged: List[SessionState]): Iterator[Session] = {
+    val (closed, stillOpen) =
+      merged.partition(_.end_us + gapMicros < wmMs * 1000L)
+    val h = getHandle
+    h.listTimers().toList.foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
+    if (stillOpen.isEmpty) open.clear()
+    else {
+      open.update(SessionsState(stillOpen))
+      val earliestSeal =
+        stillOpen.map(s => (s.end_us + gapMicros) / 1000 + 1).min
+      h.registerTimer(math.max(earliestSeal, wmMs + 1))
+    }
+    closed.sortBy(_.start_us)
+      .map(s => Session(user, s.n, s.start_us, s.end_us)).iterator
+  }
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      tv: TimerValues): Iterator[Session] = {
+    val existing = if (open.exists()) open.get().sessions else Nil
+    val merged = StreamOps.gapMerge(
+      existing ++ rows.map(r => SessionState(r._2, r._2, 1L)), gapMicros)
+    seal(user, tv.getCurrentWatermarkInMs(), merged)
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[Session] = {
+    val existing = if (open.exists()) open.get().sessions else Nil
+    seal(user, tv.getCurrentWatermarkInMs(), existing)
+  }
+}
+
 object StreamOps {
 
   /** d2: tumbling event-time window with late-data watermark. In append
@@ -755,7 +808,7 @@ object StreamOps {
     * events can bridge two formerly-separate sessions; the fold handles
     * that because the bridging n=1 session extends the left session's end
     * until the right one falls within gap. */
-  private def gapMerge(ss: Seq[SessionState], gap: Long): List[SessionState] =
+  private[streaming] def gapMerge(ss: Seq[SessionState], gap: Long): List[SessionState] =
     ss.sortBy(s => (s.start_us, s.end_us))
       .foldLeft(List.empty[SessionState]) { (acc, s) =>
         acc match {
@@ -807,6 +860,39 @@ object StreamOps {
           closed.sortBy(_.start_us)
             .map(s => Session(user, s.n, s.start_us, s.end_us)).iterator
       }
+  }
+
+  /** d34: sessionization on the transformWithState API (Spark 4's
+    * arbitrary-state v2 — the successor to flatMapGroupsWithState):
+    * IDENTICAL semantics to [[sessionize]] (same gapMerge, same
+    * micros-exact sealing rule, same append contract), re-expressed with
+    * a [[TwsSessionProcessor]] — typed ValueState + explicit event-time
+    * TIMERS instead of the GroupState timeout (timers are the v2 API's
+    * sharper tool: one registered instant per user, deleted and re-armed
+    * as the open set changes, and expiry is delivered to its own
+    * callback rather than flag-checked inside the input path). The
+    * parity spec pins d34 ≡ d3 row-for-row on the same event stream —
+    * the two stateful APIs must be interchangeable carriers of the one
+    * session semantics.
+    *
+    * Deployment note: transformWithState requires the RocksDB state
+    * store (`spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` — the v2 API keeps each state
+    * variable and the timer registry in its own column family, which
+    * the default HDFS-backed provider cannot host; Spark bundles the
+    * RocksDB JNI jar). The d3 form runs on either provider. */
+  def sessionizeTws(events: Dataset[SessionEvent], gapMicros: Long,
+                    watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsSessionProcessor(gapMicros),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[Session]])
   }
 
   /** The d22 artifact: c55's 1-row corpus statistics, collected at rest

@@ -782,6 +782,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d34 transformWithState sessions ≡ d3 flatMapGroupsWithState ≡ c13 batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent].collect().toSeq
+    val maxUs = ev.map(_.ts_us).max
+    def runThrough(name: String,
+                   f: org.apache.spark.sql.Dataset[SessionEvent] =>
+                     org.apache.spark.sql.Dataset[Session]): Seq[Seq[Any]] = {
+      val stream = MemoryStream[SessionEvent]
+      val q = f(stream.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // two batches so mid-stream state genuinely carries, then the
+        // same watermark-advancing flush protocol as the d3 spec
+        val (a, b) = ev.splitAt(ev.length / 2)
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+        stream.addData(Seq(SessionEvent(-1L, maxUs + 100L * 60 * 60 * 1000 * 1000)))
+        q.processAllAvailable()
+        stream.addData(Seq(SessionEvent(-1L, maxUs + 200L * 60 * 60 * 1000 * 1000)))
+        q.processAllAvailable()
+        spark.table(name).filter(col("user_id") >= 0)
+          .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+      } finally q.stop()
+    }
+    // transformWithState needs the RocksDB provider (multi-column-family
+    // state layout — see sessionizeTws's scaladoc); the d3 run below goes
+    // back to the session default to prove the two coexist
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val viaTws =
+      try runThrough("d34_tws", ds => StreamOps.sessionizeTws(ds, gap))
+      finally savedProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    val viaFmgws = runThrough("d34_fmgws",
+      ds => StreamOps.sessionize(ds, gap))
+    assert(viaTws == viaFmgws,
+      "the two stateful APIs must carry identical session semantics")
+    assert(viaTws.nonEmpty, "flush must seal real sessions")
+    // and both agree with the batch oracle twin
+    val batch = graft.operators.Relational.c13Sessionize(spark, sfDir)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    assert(viaTws == batch, "transformWithState sessions must equal batch c13")
+  }
+
   test("d20 streaming JPEG codec equals batch c53 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
