@@ -132,6 +132,7 @@ object SparkEntry {
     "c70_bpe_bytes" -> ((s: SparkSession, d: String) => TextOps.c70BpeBytes(s, d)),
     "c71_neardup_banded" -> ((s: SparkSession, d: String) => Similarity.c71NearDupBanded(s, d)),
     "c72_neardup_recall" -> ((s: SparkSession, d: String) => Similarity.c72NearDupRecall(s, d)),
+    "c73_byte_fertility" -> ((s: SparkSession, d: String) => TextOps.c73ByteFertility(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -218,6 +219,26 @@ object SparkEntry {
        |t AS (SELECT wcnt, unnest(string_split(trim(seq), '  ')) AS token FROM s)
        |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt
        |FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+  }
+
+  /** DuckDB rendering of c73: c66's fold shape over BYTE-level units —
+    * the same inlined staging replaces and learned merges as c70 (its
+    * drift-pinning rule), applied per (doc, pretoken) and folded per
+    * doc. */
+  private def c73OracleSql(dir: String): String = {
+    val merges = graft.operators.TextOps.trainBpeBytes(renderSession, dir)
+    val stage = "replace(replace(replace(replace(p, ' ', 'Ġ'), " +
+      "chr(10), 'Ċ'), chr(9), 'ĉ'), chr(13), 'č')"
+    s"""WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |        '${graft.operators.TextOps.BytePretokenPattern}')) AS p
+       |      FROM documents WHERE text IS NOT NULL),
+       |wf AS (SELECT doc_id, $stage AS w FROM pt),
+       |t AS (SELECT doc_id,
+       |        CAST(len(string_split(trim(${mergesAppliedExpr(merges)}), '  ')) AS BIGINT) AS nt
+       |      FROM wf)
+       |SELECT doc_id, count(*) AS n_pretokens, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility_r
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB rendering of c66: the SAME inlined learned merges as c52,
@@ -393,7 +414,8 @@ object SparkEntry {
         // no trained artifact, but ~6k inlined plane literals: render
         // on demand like the artifact entries
         "c71_neardup_banded" -> (() => c71OracleSql),
-        "c72_neardup_recall" -> (() => c72OracleSql)))
+        "c72_neardup_recall" -> (() => c72OracleSql),
+        "c73_byte_fertility" -> (() => c73OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

@@ -1051,6 +1051,36 @@ object TextOps {
       .limit(topK)
   }
 
+  /** c73: BYTE-LEVEL tokenizer fertility — c66's evaluation metric for
+    * the c70 artifact, closing the byte-level loop too (train → apply →
+    * EVALUATE): tokens-per-PRETOKEN per document under the trained
+    * byte-level merges. The denominator is pretokens (c70's unit — a
+    * pretoken carries its leading space), so fertility here reads
+    * "staged symbols a pretoken compresses to": near 1 means the learned
+    * vocabulary covers the corpus's byte patterns; an unmerged corpus
+    * reads ≈ bytes-per-pretoken. Same shape as c66: memoized training
+    * artifact, native fused staging+apply inside a row-local HOF
+    * projection — ZERO exchanges before the gate ordering; zero-pretoken
+    * docs absent by construction in both engines; the oracle inlines the
+    * staging table AND the learned merges (c70's rule), so trainer or
+    * staging drift hash-fails. */
+  def c73ByteFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpeBytes(spark, dir)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), bytePretokens(col("text")).as("ps"))
+      .filter(size(col("ps")) >= 1)
+      .select(col("doc_id"),
+        size(col("ps")).cast("bigint").as("n_pretokens"),
+        size(flatten(transform(col("ps"), p =>
+          graft.functions.BpeFunctions.applyBpe(
+            graft.functions.ByteBpeFunctions.byteStage(p), merges))))
+          .cast("bigint").as("n_tokens"))
+      .withColumn("fertility_r",
+        round(col("n_tokens").cast("double") / col("n_pretokens"), 6))
+      .orderBy("doc_id")
+  }
+
   // ---- lexical retrieval (c55): Okapi BM25 over an inverted per-doc
   // ---- statistics pass (Robertson & Walker; the standard lexical ranker
   // ---- a retrieval-augmented training pipeline mines hard positives with)

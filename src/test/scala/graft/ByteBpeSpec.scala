@@ -154,6 +154,37 @@ class ByteBpeSpec extends SparkSpec {
     assert(got.exists(_._1.length > 1), "merges must actually fuse symbols")
   }
 
+  test("c73 byte fertility equals the driver brute force per document") {
+    val merges = TextOps.trainBpeBytes(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pretokenRe = java.util.regex.Pattern.compile(" ?[^ ]+")
+    val want = docs.flatMap { case (id, t) =>
+      val m = pretokenRe.matcher(t)
+      val ps = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toVector
+      if (ps.isEmpty) None
+      else {
+        val nt = ps.map(p => bruteTokens(p, merges).size.toLong).sum
+        val fert = BigDecimal(nt.toDouble / ps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((id, ps.size.toLong, nt, fert))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextOps.c73ByteFertility(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, "c73 must equal the brute-force byte-level fertility")
+    // the trained merges genuinely compress: corpus-wide token count is
+    // strictly below the unmerged ceiling (one token per staged byte —
+    // single-spaced corpus, so byte length == summed pretoken length)
+    val totalTokens = got.map(_._3).sum
+    val totalBytes = docs.map { case (_, t) =>
+      t.getBytes(StandardCharsets.UTF_8).length.toLong }.sum
+    assert(totalTokens < totalBytes,
+      s"merges fused nothing: $totalTokens tokens over $totalBytes bytes")
+  }
+
   test("property: arbitrary strings round-trip stage∘unstage; tokens re-concat losslessly") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
