@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ipc.IpcQueries
-import graft.operators.{Dedup, Multimodal, Relational, SeqColumn, Similarity, TextOps}
+import graft.operators.{Dedup, Distill, Multimodal, Relational, SeqColumn, Similarity, TextOps}
 import graft.sources.{FormatConvert, JsonConvert}
 import graft.streaming.{PipelineQueries, StreamPipeline}
 
@@ -133,6 +133,7 @@ object SparkEntry {
     "c71_neardup_banded" -> ((s: SparkSession, d: String) => Similarity.c71NearDupBanded(s, d)),
     "c72_neardup_recall" -> ((s: SparkSession, d: String) => Similarity.c72NearDupRecall(s, d)),
     "c73_byte_fertility" -> ((s: SparkSession, d: String) => TextOps.c73ByteFertility(s, d)),
+    "c74_quality_classifier" -> ((s: SparkSession, d: String) => Distill.c74QualityClassifier(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -239,6 +240,47 @@ object SparkEntry {
        |SELECT doc_id, count(*) AS n_pretokens, CAST(sum(nt) AS BIGINT) AS n_tokens,
        |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility_r
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB rendering of c74: recompute the integer features and the
+    * teacher label in SQL (the c35 + c41 oracle shapes composed), and
+    * apply the tree trained by the SAME memoized Spark run the query
+    * uses, inlined as CASE WHEN literals (c52's drift-pinning rule — a
+    * partition-dependent trainer would render thresholds that mismatch
+    * the Spark re-train and hash-fail the gate). */
+  private def c74OracleSql(dir: String): String = {
+    val t = graft.operators.Distill.trainTree(renderSession, dir)
+    def childSql(c: graft.operators.Distill.Child): String = c.split match {
+      case Some(s) =>
+        s"CASE WHEN ${s.feature} <= ${s.thr} THEN ${c.predLe} ELSE ${c.predGt} END"
+      case None => c.predLe.toString
+    }
+    val pred = s"CASE WHEN ${t.root.feature} <= ${t.root.thr} " +
+      s"THEN ${childSql(t.le)} ELSE ${childSql(t.gt)} END"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+       |q AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |        CAST(count(*) AS BIGINT) AS n_types, CAST(max(c) AS BIGINT) AS max_tc
+       |      FROM tc GROUP BY doc_id),
+       |vocab AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+       |tt AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab),
+       |fr AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(ctf) AS BIGINT) AS sum_ctf
+       |       FROM tok JOIN vocab USING (term) GROUP BY doc_id),
+       |f AS (SELECT q.doc_id AS doc_id, n_words AS len,
+       |        CAST(n_types * 1000 // n_words AS BIGINT) AS ttr_ppt,
+       |        CAST(max_tc * 1000 // n_words AS BIGINT) AS top_ppt,
+       |        CAST(sum_ctf * 1000000000 // (fr.n_tokens * tt.total) AS BIGINT)
+       |          AS freq_ppb,
+       |        ((n_words BETWEEN 10 AND 1000)
+       |          AND round(CAST(n_types AS DOUBLE) / n_words, 6) >= 0.2
+       |          AND round(CAST(max_tc AS DOUBLE) / n_words, 6) <= 0.2
+       |          AND round(CAST(sum_ctf AS DOUBLE) / fr.n_tokens / tt.total, 6)
+       |            >= 0.033) AS label
+       |      FROM q JOIN fr ON q.doc_id = fr.doc_id, tt)
+       |SELECT doc_id, len, ttr_ppt, top_ppt, freq_ppb, label,
+       |  $pred AS pred
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB rendering of c66: the SAME inlined learned merges as c52,
@@ -415,7 +457,8 @@ object SparkEntry {
         // on demand like the artifact entries
         "c71_neardup_banded" -> (() => c71OracleSql),
         "c72_neardup_recall" -> (() => c72OracleSql),
-        "c73_byte_fertility" -> (() => c73OracleSql(dir))))
+        "c73_byte_fertility" -> (() => c73OracleSql(dir)),
+        "c74_quality_classifier" -> (() => c74OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

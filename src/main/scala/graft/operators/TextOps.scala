@@ -470,7 +470,14 @@ object TextOps {
     * engine-exact ASCII split. Same two narrow-key shuffles whatever
     * the tokenizer. */
   def qualityFilterOn(docs: DataFrame,
-                      tokens: Column => Column): DataFrame = {
+                      tokens: Column => Column): DataFrame =
+    qualityCounted(docs, tokens).orderBy("doc_id")
+
+  /** The c35 battery WITHOUT the presentation sort — the form other
+    * operators compose (c74 joins it under its own ordering; sorting
+    * below a join would just be a wasted exchange). */
+  private[graft] def qualityCounted(docs: DataFrame,
+                                    tokens: Column => Column): DataFrame = {
     val tc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -478,7 +485,6 @@ object TextOps {
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_types"),
         max(col("c")).as("max_tc")))
-      .orderBy("doc_id")
   }
 
   /** The c35 rule battery over a (doc_id, n_words, n_types, max_tc) frame
