@@ -27,9 +27,11 @@ import graft.streaming.{FilePublisher, StreamPipeline}
   *       file under DIR (Trigger.AvailableNow) and exits; re-running
   *       with the same checkpoint picks up ONLY new files, and with
   *       --seq-col the seq column resumes contiguously from the
-  *       already-published output (recovered by scanning OUT's .arrow
-  *       files — the at-rest truth, not driver state, survives the
-  *       restart)
+  *       already-published output (recovered by decoding OUT's .arrow
+  *       files and --batch's .arrowbag envelopes — the at-rest truth,
+  *       not driver state, survives the restart; contiguity assumes the
+  *       prior run exited cleanly — a mid-batch crash replays with
+  *       monotone but possibly gapped seqs, see the recovery comment)
   *     [--batch] [--batch-max-messages N] [--batch-max-bytes B]
   *     [--batch-max-delay MS]   (≙ bolson --pulsar-batch*)
   *     [--latency FILE] [--metrics FILE]   (≙ bolson -l / --metrics:
@@ -1128,17 +1130,36 @@ object Main {
     // SeqColumn assigns contiguous ids inside the batch without a global
     // sort (per-partition counts + offsets). In restartable file mode the
     // offset seeds from the ALREADY-PUBLISHED output (max seq + 1): the
-    // at-rest .arrow files are the truth a restart must continue from —
-    // a driver variable would reset to 0 and fork the sequence.
+    // at-rest files are the truth a restart must continue from — a driver
+    // variable would reset to 0 and fork the sequence. Both publisher
+    // layouts are decoded: one .arrow file per message (plain), and
+    // --batch's .arrowbag envelope files holding many length-prefixed
+    // messages each (recovery that scanned only .arrow would find nothing
+    // after a --batch run, reseed at 0, and emit duplicate seqs).
+    // Contiguity assumes the previous run EXITED CLEANLY (AvailableNow
+    // drained and committed): a run killed between publishing part of a
+    // micro-batch and its checkpoint commit will replay that batch with
+    // fresh seqs above the partially-published ones while overwriting the
+    // same epoch-named files — at-least-once delivery, monotone but
+    // possibly gapped seqs (the checkpoint, not the output dir, is what
+    // records commit points).
+    val publishedFiles: Seq[String] =
+      Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".arrow") ||
+          f.getName.endsWith(".arrowbag"))
+        .map(_.getAbsolutePath).sorted
     var seqOffset: Long =
-      if (seqCol && inDir.isDefined &&
-          Option(new java.io.File(out).listFiles())
-            .exists(_.exists(_.getName.endsWith(".arrow")))) {
+      if (seqCol && inDir.isDefined && publishedFiles.nonEmpty) {
         import spark.implicits._
         val withSeq = schema.add("seq", org.apache.spark.sql.types.LongType)
-        val published = spark.read.format("binaryFile").load(s"$out/*.arrow")
-          .select(col("content")).as[Array[Byte]]
-          .map(b => graft.ipc.IpcMessage(0L, 0L, b.length.toLong, b))
+        val published = spark.read.format("binaryFile")
+          .load(publishedFiles: _*)
+          .select(col("path"), col("content")).as[(String, Array[Byte])]
+          .flatMap { case (path, b) =>
+            if (path.endsWith(".arrowbag"))
+              graft.streaming.BatchEnvelope.decode(b)
+            else Seq(graft.ipc.IpcMessage(0L, 0L, b.length.toLong, b))
+          }
         ArrowIpc.deserialize(spark, published, withSeq)
           .agg(coalesce(max(col("seq")) + 1L, lit(0L))).head().getLong(0)
       } else 0L

@@ -26,12 +26,17 @@ import graft.Tables
   *
   * 100 TB shape: the feature frame is doc-count-sized (4 integers + a
   * label per doc), persisted once and scanned by ≤ 3 node searches; each
-  * search shuffles only (feature, value) histogram cells — a bounded
-  * domain (ppt ∈ [0, 1000], capped len, ppb buckets), map-side combined.
-  * Driver traffic is one 1-row argmin plus two counters per node
-  * (powerIterate's artifact-sized-collect rule). Scoring is a stateless
-  * broadcast-free projection: the tree ships as plan literals, so d35
-  * applies the SAME verdict expression at ingest with zero state.
+  * search shuffles only (feature, candidate-threshold) histogram cells,
+  * and the candidate grid is BOUNDED by construction ([[ThresholdGrid]]:
+  * ppt features live in [0, 1000], len candidates cap at 100k, freq_ppb
+  * candidates quantize to ppm resolution — ≤ ~1.1M cells total across
+  * the 4 features at ANY corpus size), map-side combined; the
+  * per-feature prefix-sum window therefore runs over a bounded cell set,
+  * never a corpus-sized distinct-value domain. Driver traffic is one
+  * 1-row argmin plus two counters per node (powerIterate's
+  * artifact-sized-collect rule). Scoring is a stateless broadcast-free
+  * projection: the tree ships as plan literals, so d35 applies the SAME
+  * verdict expression at ingest with zero state.
   *
   * The freq_ppb feature multiplies sum_ctf by 10^9 in BIGINT — loud
   * raise_error guards fire before either product can exceed Long range
@@ -54,6 +59,22 @@ object Distill {
   /** Feature columns, in deterministic tie-break order. */
   val Features: Seq[String] = Seq("len", "ttr_ppt", "top_ppt", "freq_ppb")
 
+  /** Candidate-threshold grid per feature: (step, maxBucket). A raw
+    * value v maps to the candidate `least(v div step, maxBucket) · step
+    * + (step − 1)` — the upper edge of its bucket — so `v ≤ candidate`
+    * is EXACTLY `v div step ≤ bucket` and the histogram error for every
+    * surviving candidate is exact, while the cell domain is bounded by
+    * maxBucket + 1 whatever the corpus size. A capped candidate (raw
+    * v div step > maxBucket collapsing onto maxBucket) is self-filtering:
+    * when capping actually occurs it is the largest candidate present,
+    * its prefix count equals n, and the `lc < n` not-a-split filter
+    * removes it — so no candidate with an inexact error is ever scored. */
+  private[graft] val ThresholdGrid: Map[String, (Long, Long)] = Map(
+    "len" -> ((1L, 100000L)), // quality trees never split past 100k tokens
+    "ttr_ppt" -> ((1L, 1000L)), // parts-per-thousand: domain is [0, 1000]
+    "top_ppt" -> ((1L, 1000L)),
+    "freq_ppb" -> ((1000L, 1000000L))) // ppm resolution over a ppb value
+
   /** c41's keep threshold — the frequency half of the teacher. */
   val TeacherMinMeanProb: Double = 0.033
 
@@ -69,6 +90,30 @@ object Distill {
   def classifierFeatures(spark: SparkSession, dir: String): DataFrame =
     classifierFeaturesOn(Tables.documents(spark, dir))
 
+  /** The integer feature projection — SHARED by the batch trainer/gate
+    * row and d35's ingest scoring (the d29 shared-subtree rule: one
+    * expression tree, so batch and stream features can't drift). Expects
+    * n_words, n_types, max_tc, n_tokens, sum_ctf, total_tokens columns.
+    * Both overflow guards are exact INTEGER comparisons (a
+    * double-division guard rounds Long.MaxValue up to 2^63 and can let a
+    * product within ~1024 of the boundary wrap silently instead of
+    * raising). */
+  private[graft] def featureProjection: Seq[Column] = {
+    val ppbOverflow =
+      col("sum_ctf") > lit(Long.MaxValue / 1000000000L) ||
+        expr("total_tokens > 9223372036854775807 div n_tokens")
+    Seq(
+      col("n_words").as("len"),
+      expr("n_types * 1000L div n_words").as("ttr_ppt"),
+      expr("max_tc * 1000L div n_words").as("top_ppt"),
+      when(ppbOverflow, expr(
+        "raise_error('c74 freq_ppb exceeds BIGINT — upgrade the feature " +
+          "to DECIMAL(38,0) at this corpus scale')").cast("long"))
+        .otherwise(expr(
+          "sum_ctf * 1000000000L div (n_tokens * total_tokens)"))
+        .as("freq_ppb"))
+  }
+
   /** [[classifierFeatures]] over an arbitrary documents frame (the
     * `Main distill` / spec entry point). */
   def classifierFeaturesOn(docs: DataFrame): DataFrame = {
@@ -79,22 +124,10 @@ object Distill {
     val f = TextOps.freqScoredOn(docs, toks)
       .select(col("doc_id"), col("n_tokens"), col("sum_ctf"),
         col("total_tokens"), col("mean_prob_r"))
-    val ppbOverflow =
-      col("sum_ctf") > lit(Long.MaxValue / 1000000000L) ||
-        col("total_tokens") > lit(Long.MaxValue) / col("n_tokens")
     q.join(f, "doc_id")
-      .select(col("doc_id"),
-        col("n_words").as("len"),
-        expr("n_types * 1000L div n_words").as("ttr_ppt"),
-        expr("max_tc * 1000L div n_words").as("top_ppt"),
-        when(ppbOverflow, expr(
-          "raise_error('c74 freq_ppb exceeds BIGINT — upgrade the feature " +
-            "to DECIMAL(38,0) at this corpus scale')").cast("long"))
-          .otherwise(expr(
-            "sum_ctf * 1000000000L div (n_tokens * total_tokens)"))
-          .as("freq_ppb"),
+      .select(col("doc_id") +: featureProjection :+
         (col("rule_keep") && col("mean_prob_r") >= TeacherMinMeanProb)
-          .as("label"))
+          .as("label"): _*)
   }
 
   /** (row count, positive count) of a node — two longs to the driver. */
@@ -107,16 +140,23 @@ object Distill {
     * quality filter is a kept borderline doc, not a dropped good one). */
   private def majority(n: Long, npos: Long): Boolean = npos * 2 >= n
 
-  /** Exact distributed split search: histogram → prefix sums →
-    * misclassification per candidate threshold → deterministic global
-    * argmin. Returns None when no feature splits the node (all values
-    * constant). */
+  /** Exact distributed split search: bounded-grid histogram → prefix
+    * sums → misclassification per candidate threshold → deterministic
+    * global argmin. Candidates come from [[ThresholdGrid]] (each raw
+    * value contributes its bucket's upper edge), so the shuffled cell
+    * set and the per-feature window are bounded at any corpus size and
+    * every surviving candidate's error is exact. Returns None when no
+    * feature splits the node (all values constant). */
   private[graft] def bestSplit(node: DataFrame, n: Long, npos: Long)
       : Option[(Split, Long)] = {
     if (n == 0) return None
     val fv = node.select(
-      explode(array(Features.map(f =>
-        struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"),
+      explode(array(Features.map { f =>
+        val (step, maxB) = ThresholdGrid(f)
+        struct(lit(f).as("f"),
+          (least(expr(s"$f div $step"), lit(maxB)) * lit(step) +
+            lit(step - 1)).as("v"))
+      }: _*)).as("fv"),
       col("label").cast("long").as("y"))
       .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
     val w = Window.partitionBy("f").orderBy("v")

@@ -347,8 +347,16 @@ object StreamOps {
     * c35 so thresholds can't drift; a parity spec pins stream ≡ batch
     * row-for-row. Stateless: no watermark, no aggregation state, any
     * stream length. */
-  def streamQuality(docs: DataFrame): DataFrame = {
-    val counts = docs
+  def streamQuality(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.qualityVerdicts(
+      rowLocalQualityCounts(docs).drop("sorted"))
+
+  /** The row-local (n_words, n_types, max_tc) counts d12 and d35 share:
+    * c35's two groupBy passes collapsed onto the SORTED token array of a
+    * single stream row. The sorted array itself stays in the frame —
+    * d35 folds sum_ctf over it (sums are order-independent). */
+  private[graft] def rowLocalQualityCounts(docs: DataFrame): DataFrame =
+    docs
       // batch c35 tokenizes via explode, which emits ZERO rows for a
       // null text — drop nulls here too or they'd surface as all-null
       // verdict rows and break the row-for-row parity
@@ -362,7 +370,7 @@ object StreamOps {
           i => (i === lit(0)) ||
             (element_at(col("sorted"), i + 1) =!= element_at(col("sorted"), i)))
           .as("starts"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sorted"),
         size(col("sorted")).cast("bigint").as("n_words"),
         size(col("starts")).cast("bigint").as("n_types"),
         // run lengths = next start (or n) minus this start; the max is
@@ -372,7 +380,44 @@ object StreamOps {
           concat(slice(col("starts"), lit(2), size(col("starts"))),
             array(size(col("sorted")))),
           (a, b) => b - a)).cast("bigint").as("max_tc"))
-    graft.operators.TextOps.qualityVerdicts(counts)
+
+  /** d35: streaming distilled quality classification — c74's trained
+    * depth-2 tree applied at INGEST time, the serving twin distillation
+    * exists for: the expensive teacher battery (c35 ∧ c41) ran once at
+    * rest to train the tree, and arriving docs get the cheap verdict
+    * without re-deriving corpus statistics. Artifacts are bounded and
+    * ship as plan literals (d13's rule): the vocabulary cut + corpus
+    * token total for sum_ctf, and the tree itself — applied through
+    * [[graft.operators.Distill.treeVerdict]], the SAME Column expression
+    * the batch gate row evaluates, over
+    * [[graft.operators.Distill.featureProjection]], the SAME integer
+    * feature projection (d29 shared-subtree rule twice over: neither
+    * thresholds nor feature arithmetic can drift). Features are
+    * row-local — d12's sorted-array counts give len/ttr/top, d13's
+    * map-lookup fold gives sum_ctf — so the operator is stateless: no
+    * watermark, no aggregation, any stream length. OOV terms contribute
+    * 0 to sum_ctf (d13's documented bounded-artifact trade; with the
+    * full corpus vocabulary the parity spec pins stream ≡ batch c74
+    * row-for-row). The teacher `label` column is deliberately absent:
+    * it needs corpus-wide aggregation, which is exactly what the
+    * distilled tree frees ingest from. */
+  def streamDistill(docs: DataFrame, vocab: Seq[(String, Long)],
+                    totalTokens: Long,
+                    tree: graft.operators.Distill.QualityTree): DataFrame = {
+    require(totalTokens >= 1, s"totalTokens must be >= 1, got $totalTokens")
+    require(vocab.nonEmpty, "vocab artifact must contain at least one term")
+    val ctfMap = map(vocab.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    rowLocalQualityCounts(docs)
+      .select(col("doc_id"), col("n_words"), col("n_types"), col("max_tc"),
+        // freqScoredOn's n_tokens counts the same exploded token stream
+        // qualityCounted sums — for one row they are the same number
+        col("n_words").as("n_tokens"),
+        aggregate(
+          transform(col("sorted"), t => coalesce(element_at(ctfMap, t), lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("sum_ctf"),
+        lit(totalTokens).as("total_tokens"))
+      .select(col("doc_id") +: graft.operators.Distill.featureProjection: _*)
+      .withColumn("pred", graft.operators.Distill.treeVerdict(tree))
   }
 
   /** d11: streaming ingest routing — classify an arriving doc stream

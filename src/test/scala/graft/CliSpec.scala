@@ -773,6 +773,42 @@ class CliSpec extends SparkSpec {
     assert(drained().length == 500, "an idle restart must be a no-op")
   }
 
+  test("stream --in-dir --batch: seq recovery decodes .arrowbag envelopes") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-bagresume-").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeBatch(name: String, ids: Range): Unit = {
+      val w = new PrintWriter(s"$inDir/$name")
+      ids.foreach(i => w.println(s"""{"id": $i, "v": ${i * 3}}"""))
+      w.close()
+    }
+    def drained(): Seq[(Long, Long)] = {
+      val schema = StructType.fromDDL("id BIGINT, v BIGINT, seq BIGINT")
+      val msgs = spark.read.format("binaryFile").load(s"$outDir/*.arrowbag")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => graft.streaming.BatchEnvelope.decode(b))
+      ArrowIpc.deserialize(spark, msgs, schema).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("seq"))).toSeq
+    }
+    val baseArgs = Array("stream", "--in-dir", inDir, "--checkpoint", ckpt,
+      "--out", outDir, "--schema-ddl", "id BIGINT, v BIGINT",
+      "--max-rows", "64", "--seq-col", "--batch")
+    writeBatch("part-000.json", 0 until 200)
+    Main.main(baseArgs)
+    val first = drained()
+    assert(first.map(_._2).sorted == (0L until 200L), "seq must be 0..199")
+    // the restart must recover max(seq)+1 from the ENVELOPE files — a
+    // recovery that only scans .arrow would reseed at 0 and duplicate
+    writeBatch("part-001.json", 200 until 300)
+    Main.main(baseArgs)
+    val second = drained()
+    assert(second.map(_._1).sorted == (0L until 300L),
+      "resume must add exactly the new file's rows — no dups, no loss")
+    assert(second.map(_._2).sorted == (0L until 300L),
+      "seq must continue contiguously across a --batch restart")
+  }
+
   test("neardup subcommand: banded pairs equal c71; --index equals bandedIndexOf") {
     import graft.operators.Similarity
     val tmp = Files.createTempDirectory("graft-cli-nd-").toString
