@@ -134,6 +134,7 @@ object SparkEntry {
     "c72_neardup_recall" -> ((s: SparkSession, d: String) => Similarity.c72NearDupRecall(s, d)),
     "c73_byte_fertility" -> ((s: SparkSession, d: String) => TextOps.c73ByteFertility(s, d)),
     "c74_quality_classifier" -> ((s: SparkSession, d: String) => Distill.c74QualityClassifier(s, d)),
+    "c76_pack_ffd" -> ((s: SparkSession, d: String) => TextOps.c76PackFfd(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1624,6 +1625,39 @@ object SparkEntry {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // c76: first-fit-decreasing packing — a recursive CTE carries each
+    // shard's open-pack remaining-capacity LIST and advances one doc per
+    // iteration in the same (n_tokens desc, doc_id) order the Spark fold
+    // uses; shards recurse in parallel rows. All-integer state.
+    "c76_pack_ffd" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, doc_id // 100 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |ord AS (SELECT doc_id, shard, nt,
+        |    row_number() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS rn
+        |  FROM t),
+        |rec AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS rem,
+        |      CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS nt,
+        |      CAST(NULL AS BIGINT) AS pack_id
+        |    FROM (SELECT DISTINCT shard FROM ord)
+        |  UNION ALL
+        |  SELECT shard, rn,
+        |      CASE WHEN fit IS NULL THEN list_append(rem, 256 - nt)
+        |           ELSE list_transform(range(1, len(rem) + 1),
+        |             i -> CASE WHEN i = fit THEN rem[i] - nt ELSE rem[i] END)
+        |      END AS rem,
+        |      doc_id, nt,
+        |      CAST(CASE WHEN fit IS NULL THEN len(rem) ELSE fit - 1 END
+        |        AS BIGINT) AS pack_id
+        |    FROM (
+        |      SELECT r.shard AS shard, o.rn AS rn, r.rem AS rem,
+        |          o.doc_id AS doc_id, o.nt AS nt,
+        |          list_filter(range(1, len(r.rem) + 1),
+        |            i -> r.rem[i] >= o.nt)[1] AS fit
+        |      FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1))
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, nt AS n_tokens, pack_id
+        |FROM rec WHERE rn >= 1 ORDER BY doc_id""".stripMargin,
     "c24_decontam" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
