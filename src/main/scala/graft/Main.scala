@@ -107,12 +107,18 @@ object Main {
     * BYTE-LEVEL (c70): pretokens keep their leading space and stage
     * through the GPT-2 byte alphabet, so any input byte sequence —
     * case, punctuation, emoji — tokenizes; the artifact's symbols are
-    * staged-alphabet strings ('Ġthe'-shaped). */
+    * staged-alphabet strings ('Ġthe'-shaped). `--gpt2-pre` (with
+    * --bytes) pretokenizes with the EXACT published GPT-2 lookahead
+    * pattern (contraction suffixes, class splits, whitespace-run
+    * handling) via the native [[graft.functions.Gpt2Pretokens]]
+    * expression — train and tokenize must use the same flag. */
   private def bpeTrain(args: Array[String]): Unit = {
     import graft.operators.TextOps
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val bytes = args.contains("--bytes")
+    val gpt2Pre = args.contains("--gpt2-pre")
+    require(!gpt2Pre || bytes, "--gpt2-pre requires --bytes")
     val rounds = opt(args, "--rounds").map(_.toInt)
       .getOrElse(if (bytes) TextOps.C70Rounds else TextOps.C52Rounds)
     require(rounds >= 1, s"--rounds must be >= 1, got $rounds")
@@ -123,7 +129,7 @@ object Main {
       s"input $in must have a text column, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
     val wc =
-      if (bytes) TextOps.bytePretokenTypes(docs)
+      if (bytes) TextOps.bytePretokenTypes(docs, gpt2Pre)
       else docs
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(length(col("w")) >= 1)
@@ -133,7 +139,7 @@ object Main {
       .toDF("rank", "a", "b")
       .coalesce(1).write.mode("overwrite").parquet(out)
     println(s"""{"merges":${merges.length},"rounds":$rounds,""" +
-      s""""bytes":$bytes,"out":${jsonStr(out)}}""")
+      s""""bytes":$bytes,"gpt2_pre":$gpt2Pre,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main tokenize --in PARQUET --merges MERGES --out OUT
@@ -149,6 +155,8 @@ object Main {
     val mergesPath = opt(args, "--merges").getOrElse(sys.error("--merges required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val bytes = args.contains("--bytes")
+    val gpt2Pre = args.contains("--gpt2-pre")
+    require(!gpt2Pre || bytes, "--gpt2-pre requires --bytes")
     val spark = GraftSession.get()
     val mf = spark.read.parquet(mergesPath)
     require(Seq("rank", "a", "b").forall(mf.columns.contains),
@@ -166,7 +174,7 @@ object Main {
     // input bytes exactly (CLI-spec-pinned round trip)
     val ws =
       if (bytes) transform(
-        graft.operators.TextOps.bytePretokens(col("text")),
+        graft.operators.TextOps.bytePretokensOf(col("text"), gpt2Pre),
         p => graft.functions.ByteBpeFunctions.byteStage(p))
       else filter(split(lower(col("text")), " "), w => length(w) >= 1)
     docs.filter(col("text").isNotNull)
@@ -181,7 +189,8 @@ object Main {
     val stats = written.agg(count(lit(1)),
       coalesce(sum(col("n_tokens")), lit(0L))).head()
     println(s"""{"docs":${stats.getLong(0)},"total_tokens":${stats.getLong(1)},""" +
-      s""""merges":${merges.length},"bytes":$bytes,"out":${jsonStr(out)}}""")
+      s""""merges":${merges.length},"bytes":$bytes,"gpt2_pre":$gpt2Pre,""" +
+      s""""out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main scrub --in PARQUET --out OUT [--n N]` — c63's span

@@ -590,6 +590,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (children.length > 2) foldableInt(children, 2, "w")
           else graft.operators.TextOps.WinnowW)
       }))
+    // graft_gpt2_pretokens(text) — the EXACT published GPT-2
+    // pre-tokenizer (lookahead pattern — Java regex; gate rows keep the
+    // parity-safe ` ?[^ ]+` core for oracle exactness, see
+    // Gpt2Pretokenize.scala)
+    ext.injectFunction((
+      FunctionIdentifier("graft_gpt2_pretokens"),
+      new ExpressionInfo(classOf[Gpt2Pretokens].getName, "graft_gpt2_pretokens"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_gpt2_pretokens", 1, 1)
+        Gpt2Pretokens(children.head)
+      }))
     // graft_apply_bpe(word, merges) — the fused greedy merge loop; the
     // merge list is a FOLDABLE array(array(a, b), ...) in rank order (a
     // model/plan constant by design — c52/c70 inline it the same way)

@@ -1069,6 +1069,15 @@ object TextOps {
   private[graft] def bytePretokens(c: Column): Column =
     regexp_extract_all(c, lit(BytePretokenPattern), lit(0))
 
+  /** Pretokenizer selection for the byte-BPE CLI surface: the gate's
+    * parity-safe core, or (`--gpt2-pre`) the exact published GPT-2
+    * pattern via the native lookahead expression
+    * ([[graft.functions.Gpt2Pretokenize]] — fixture-pinned; gate rows
+    * never use it because RE2/DuckDB cannot render it). */
+  private[graft] def bytePretokensOf(c: Column, gpt2Pre: Boolean): Column =
+    if (gpt2Pre) graft.functions.Gpt2Pretokenize.gpt2Pretokens(c)
+    else bytePretokens(c)
+
   /** The byte-STAGED pretoken-type table (w, wcnt): every pretoken's
     * UTF-8 bytes mapped into the staging alphabet
     * ([[graft.functions.ByteBpeAlphabet]]) so the result is space-free
@@ -1077,9 +1086,10 @@ object TextOps {
     * unchanged. Same scale shape as [[wordTypes]]: the corpus is
     * scanned once by a map-side-combinable count; every BPE stage
     * iterates this bounded vocabulary. */
-  private[graft] def bytePretokenTypes(docs: DataFrame): DataFrame =
+  private[graft] def bytePretokenTypes(docs: DataFrame,
+                                       gpt2Pre: Boolean = false): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(explode(bytePretokens(col("text"))).as("p"))
+      .select(explode(bytePretokensOf(col("text"), gpt2Pre)).as("p"))
       .select(graft.functions.ByteBpeFunctions.byteStage(col("p")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
 

@@ -706,6 +706,39 @@ class CliSpec extends SparkSpec {
     assert(toks.count() > 0)
   }
 
+  test("bpe-train/tokenize --gpt2-pre: exact-pattern artifact round-trips") {
+    import graft.functions.ByteBpeFunctions
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-gpt2-").toString
+    // contraction + class-mix + whitespace-run text the parity-safe
+    // pretokenizer cannot tile the GPT-2 way
+    Seq((1L, "don't stop now"), (2L, "abc123  def"), (3L, "I'll go "))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/docs")
+    Main.main(Array("bpe-train", "--in", s"$tmp/docs",
+      "--out", s"$tmp/merges", "--bytes", "--gpt2-pre"))
+    Main.main(Array("tokenize", "--in", s"$tmp/docs",
+      "--merges", s"$tmp/merges", "--out", s"$tmp/toks",
+      "--bytes", "--gpt2-pre"))
+    val toks = spark.read.parquet(s"$tmp/toks")
+    // losslessness survives the pretokenizer swap (the GPT-2 tiling
+    // covers every char, including the whitespace-run pretokens)
+    val bad = toks
+      .select(col("doc_id"), ByteBpeFunctions.byteUnstage(
+        concat_ws("", col("tokens"))).as("detok"))
+      .join(spark.read.parquet(s"$tmp/docs"), "doc_id")
+      .filter(col("detok") =!= col("text")).count()
+    assert(bad == 0L, s"$bad docs failed the --gpt2-pre round trip")
+    // n_words counts GPT-2 pretokens: "don't stop now" = don,'t, stop, now
+    val n1 = toks.filter(col("doc_id") === 1L).head().getAs[Long]("n_words")
+    assert(n1 == 4L, s"expected 4 GPT-2 pretokens for doc 1, got $n1")
+    // --gpt2-pre without --bytes must be rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("bpe-train", "--in", s"$tmp/docs",
+        "--out", s"$tmp/m2", "--gpt2-pre"))
+    }
+    assert(e.getMessage.contains("--gpt2-pre requires --bytes"))
+  }
+
   test("score subcommand: ASCII default equals c41; --unicode/--quality run") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-score-").toString
