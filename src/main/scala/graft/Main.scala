@@ -89,13 +89,14 @@ object Main {
     case Some("index") => indexCmd(args.drop(1))
     case Some("query") => queryCmd(args.drop(1))
     case Some("bpe-train") => bpeTrain(args.drop(1))
+    case Some("unigram-train") => unigramTrain(args.drop(1))
     case Some("tokenize") => tokenize(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
-          "bpe-train|tokenize ...")
+          "bpe-train|unigram-train|tokenize ...")
       sys.exit(2)
   }
 
@@ -142,6 +143,40 @@ object Main {
       s""""bytes":$bytes,"gpt2_pre":$gpt2Pre,"out":${jsonStr(out)}}""")
   }
 
+  /** `graft.Main unigram-train --in PARQUET --out PIECES
+    * [--seed-multis N] [--vocab N] [--rounds R]` — learn a unigram-LM
+    * (SentencePiece-style) piece vocabulary over any (doc_id, text)
+    * parquet (c75's training phase as an at-rest artifact step): writes
+    * the canonical (piece, score) table — integer fixed-point
+    * log-probabilities, the tokenizer file `tokenize --unigram` applies
+    * — plus one JSON line. */
+  private def unigramTrain(args: Array[String]): Unit = {
+    import graft.operators.Unigram
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val seedMultis = opt(args, "--seed-multis").map(_.toInt)
+      .getOrElse(Unigram.SeedMultis)
+    val vocabMultis = opt(args, "--vocab").map(_.toInt)
+      .getOrElse(Unigram.VocabMultis)
+    val rounds = opt(args, "--rounds").map(_.toInt).getOrElse(Unigram.Rounds)
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val docs = spark.read.parquet(in)
+    require(docs.columns.contains("text"),
+      s"input $in must have a text column, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val wt = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val art = Unigram.trainUnigramOn(wt, seedMultis, vocabMultis, rounds)
+    art.toDF("piece", "score")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    println(s"""{"pieces":${art.length},""" +
+      s""""multis":${art.count(_._1.length > 1)},"rounds":$rounds,""" +
+      s""""out":${jsonStr(out)}}""")
+  }
+
   /** `graft.Main tokenize --in PARQUET --merges MERGES --out OUT
     * [--bytes]` — apply a `bpe-train` artifact to a corpus through the native
     * [[graft.functions.ApplyBpe]] expression (one fused plan node at ANY
@@ -151,6 +186,7 @@ object Main {
     * one bounded driver-side collect a tokenizer apply needs — it IS
     * the model artifact (vocab-sized, like d21's plan literals). */
   private def tokenize(args: Array[String]): Unit = {
+    if (args.contains("--unigram")) { tokenizeUnigram(args); return }
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val mergesPath = opt(args, "--merges").getOrElse(sys.error("--merges required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
@@ -191,6 +227,47 @@ object Main {
     println(s"""{"docs":${stats.getLong(0)},"total_tokens":${stats.getLong(1)},""" +
       s""""merges":${merges.length},"bytes":$bytes,"gpt2_pre":$gpt2Pre,""" +
       s""""out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main tokenize --unigram --in PARQUET --pieces PIECES --out
+    * OUT` — apply a `unigram-train` artifact: each doc's words segment
+    * by maximum-likelihood Viterbi under the inlined (piece, score) map
+    * (row-local, zero exchanges — d13's plan-literal artifact rule);
+    * writes the same (doc_id, n_words, n_tokens, tokens) shape as the
+    * BPE path so downstream stages are tokenizer-agnostic. */
+  private def tokenizeUnigram(args: Array[String]): Unit = {
+    import graft.operators.Unigram
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val piecesPath = opt(args, "--pieces")
+      .getOrElse(sys.error("--pieces required with --unigram"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    require(!args.contains("--bytes") && !args.contains("--gpt2-pre"),
+      "--unigram is the word-level unigram path; --bytes/--gpt2-pre are BPE flags")
+    val spark = GraftSession.get()
+    val pf = spark.read.parquet(piecesPath)
+    require(Seq("piece", "score").forall(pf.columns.contains),
+      s"pieces $piecesPath must have (piece, score) columns, " +
+        s"found ${pf.columns.mkString("(", ", ", ")")}")
+    val art = pf.orderBy("piece").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("score"))).toSeq
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) >= 1).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        flatten(transform(col("ws"),
+          w => Unigram.segment(w, art))).as("tokens"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L))).head()
+    println(s"""{"docs":${stats.getLong(0)},"total_tokens":${stats.getLong(1)},""" +
+      s""""pieces":${art.length},"unigram":true,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main scrub --in PARQUET --out OUT [--n N]` — c63's span

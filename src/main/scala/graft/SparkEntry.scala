@@ -134,6 +134,7 @@ object SparkEntry {
     "c72_neardup_recall" -> ((s: SparkSession, d: String) => Similarity.c72NearDupRecall(s, d)),
     "c73_byte_fertility" -> ((s: SparkSession, d: String) => TextOps.c73ByteFertility(s, d)),
     "c74_quality_classifier" -> ((s: SparkSession, d: String) => Distill.c74QualityClassifier(s, d)),
+    "c75_unigram_tokenize" -> ((s: SparkSession, d: String) => graft.operators.Unigram.c75UnigramTokenize(s, d)),
     "c76_pack_ffd" -> ((s: SparkSession, d: String) => TextOps.c76PackFfd(s, d)),
   )
 
@@ -282,6 +283,56 @@ object SparkEntry {
        |SELECT doc_id, len, ttr_ppt, top_ppt, freq_ppb, label,
        |  $pred AS pred
        |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB rendering of c75: re-derive the word-type table and the
+    * maximum-likelihood segmentation in SQL — a recursive CTE carries
+    * each word's per-position Viterbi best array (integer score sum,
+    * piece count, piece list) and advances one position per iteration;
+    * candidates sort under (negscore, np, i), exactly the Spark fold's
+    * (score desc, fewer-pieces, earliest-split) rule. The (piece →
+    * score) map is the artifact trained by the SAME memoized Spark run,
+    * inlined as a MAP literal (c52's drift-pinning rule — trainer drift
+    * hash-fails the gate). */
+  private def c75OracleSql(dir: String): String = {
+    val art = graft.operators.Unigram.trainUnigram(renderSession, dir)
+    val m = art.map { case (p, s) => s"${sqlLit(p)}: CAST($s AS BIGINT)" }
+      .mkString("MAP {", ", ", "}")
+    val L = graft.operators.Unigram.MaxPieceLen
+    val unk = graft.operators.Unigram.UnkScore
+    s"""WITH RECURSIVE wt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM
+       |    (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |     FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       |rec AS (
+       |  SELECT w, wcnt, CAST(0 AS BIGINT) AS j,
+       |    [struct_pack(score := CAST(0 AS BIGINT), np := CAST(0 AS BIGINT),
+       |                 pieces := CAST([] AS VARCHAR[]))] AS bests
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT w, wcnt, j, list_append(bests,
+       |    struct_pack(score := -best_j.negscore, np := best_j.np,
+       |                pieces := best_j.pieces)) AS bests
+       |  FROM (
+       |    SELECT w, wcnt, r.j + 1 AS j, r.bests AS bests,
+       |      list_sort(list_filter(
+       |        list_transform(range(greatest(0, r.j + 1 - $L), r.j + 1),
+       |          i -> struct_pack(
+       |            negscore := -(r.bests[CAST(i AS INT) + 1].score +
+       |              coalesce(map_extract($m,
+       |                  substr(r.w, CAST(i AS INT) + 1, CAST(r.j + 1 - i AS INT)))[1],
+       |                CASE WHEN r.j + 1 - i = 1 THEN CAST($unk AS BIGINT) END)),
+       |            np := r.bests[CAST(i AS INT) + 1].np + 1,
+       |            i := i,
+       |            pieces := list_append(r.bests[CAST(i AS INT) + 1].pieces,
+       |              substr(r.w, CAST(i AS INT) + 1, CAST(r.j + 1 - i AS INT))))),
+       |        c -> c.negscore IS NOT NULL))[1] AS best_j
+       |    FROM rec r WHERE r.j < len(r.w)))
+       |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt FROM
+       |  (SELECT unnest(bests[len(w) + 1].pieces) AS token, wcnt
+       |   FROM rec WHERE j = len(w))
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
   }
 
   /** DuckDB rendering of c66: the SAME inlined learned merges as c52,
@@ -459,7 +510,8 @@ object SparkEntry {
         "c71_neardup_banded" -> (() => c71OracleSql),
         "c72_neardup_recall" -> (() => c72OracleSql),
         "c73_byte_fertility" -> (() => c73OracleSql(dir)),
-        "c74_quality_classifier" -> (() => c74OracleSql(dir))))
+        "c74_quality_classifier" -> (() => c74OracleSql(dir)),
+        "c75_unigram_tokenize" -> (() => c75OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** c75: unigram-LM (SentencePiece-style) tokenizer — the OTHER
+  * production tokenizer trainer next to BPE (Kudo 2018): instead of
+  * growing merges bottom-up (c52/c70), start from a large seed
+  * vocabulary of candidate pieces, fit piece probabilities to the
+  * corpus by EM, prune to a target vocabulary, and tokenize by
+  * maximum-likelihood segmentation (Viterbi). The hard-EM (Viterbi-EM)
+  * variant is implemented — each E-step assigns every word type its
+  * single best segmentation — which keeps every statistic an exact
+  * integer count and makes the whole trainer a deterministic pure
+  * function of the corpus.
+  *
+  * Determinism and the oracle (c52's drift-pinning rule): piece scores
+  * are FIXED-POINT integer log-probabilities — floor(ln(count/total) ·
+  * 10⁹) computed once driver-side with StrictMath.log (bit-identical on
+  * any JVM) over exact integer counts. Segmentation compares only
+  * integer score sums under the total order (score desc, piece-count
+  * asc, earliest-split asc), so Spark and DuckDB segment identically;
+  * the oracle inlines the trained (piece → score) map as a SQL MAP
+  * literal and re-derives the Viterbi DP in a recursive CTE — trainer
+  * drift hash-fails the gate.
+  *
+  * 100 TB shape: the corpus is scanned ONCE by the word-type count
+  * (c44's distributed-tokenizer-training trick — every later stage
+  * iterates the BOUNDED word-type vocabulary, never corpus tokens).
+  * Seeding is one substring explode over word TYPES (≤ 4·|w| candidate
+  * pieces per type) into a map-side-combinable count; each EM round is
+  * one row-local Viterbi projection over word types + one piece count;
+  * driver traffic is the vocabulary-sized (piece, count) table per
+  * round — a bounded model artifact, trainCodebook's rule. Applying the
+  * tokenizer is a stateless row-local HOF projection (zero exchanges),
+  * with the artifact shipped as plan literals (d13's rule).
+  */
+object Unigram {
+
+  /** Longest candidate piece; bounds the Viterbi window and the seed
+    * explosion (SentencePiece's max_sentencepiece_length analogue). */
+  val MaxPieceLen = 4
+
+  /** Fallback score for a single character absent from the vocabulary
+    * (applying the artifact to unseen text): strictly below any real
+    * score — floor(ln(c/T)·10⁹) ≥ −10¹¹ for any c ≥ 1, T ≤ 10²⁶ — so an
+    * in-vocabulary path always wins, but every input stays tokenizable
+    * (SentencePiece's UNK surface). */
+  val UnkScore: Long = -100000000000L
+
+  /** Seed multi-char candidates kept after the substring count. */
+  val SeedMultis = 1000
+
+  /** Multi-char pieces kept after each EM prune (single chars are always
+    * kept — they are the coverage guarantee). */
+  val VocabMultis = 500
+
+  /** Hard-EM rounds. */
+  val Rounds = 2
+
+  /** Fixed-point integer score of each kept piece:
+    * floor(ln(count/total)·10⁹) over EXACT integer counts; StrictMath
+    * keeps the double ln bit-identical across JVMs. Sorted by piece so
+    * the artifact is a canonical list. */
+  private[graft] def scoresOf(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = counts.map(_._2).sum
+    require(total > 0, "unigram training needs a non-empty corpus")
+    counts.map { case (p, c) =>
+      p -> math.floor(StrictMath.log(c.toDouble / total) * 1e9).toLong
+    }.sortBy(_._1)
+  }
+
+  /** All substrings of length 1..MaxPieceLen — the seed candidates. */
+  private def substrPieces(w: Column): Column =
+    flatten(transform(sequence(lit(1), length(w)), s =>
+      transform(sequence(lit(1), least(lit(MaxPieceLen), length(w) - s + 1)),
+        l => w.substr(s, l))))
+
+  /** Maximum-likelihood segmentation of a word column under a trained
+    * (piece, score) artifact: row-local Viterbi over positions, integer
+    * score sums, ties broken by fewer pieces then earliest split — the
+    * EXACT rule the oracle's recursive CTE re-derives. The artifact
+    * ships as a plan-literal map (d13's bounded-artifact rule). */
+  def segment(w: Column, artifact: Seq[(String, Long)]): Column = {
+    require(artifact.nonEmpty, "unigram artifact must contain pieces")
+    val m = map(artifact.flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*)
+    val len = length(w)
+    val init = array(struct(
+      lit(0L).as("score"), lit(0L).as("np"),
+      array().cast("array<string>").as("pieces")))
+    val states = aggregate(sequence(lit(1), len), init, (acc, j) => {
+      val best = aggregate(
+        sequence(greatest(lit(0), j - lit(MaxPieceLen)), j - 1),
+        struct(lit(Long.MinValue).as("score"), lit(0L).as("np"),
+          lit(null).cast("array<string>").as("pieces")),
+        (b, i) => {
+          val piece = w.substr(i + 1, j - i)
+          val sc = coalesce(element_at(m, piece),
+            when(j - i === 1, lit(UnkScore)))
+          val prev = element_at(acc, i + 1)
+          val candScore = prev.getField("score") + sc
+          val candNp = prev.getField("np") + lit(1L)
+          when(sc.isNotNull &&
+            (candScore > b.getField("score") ||
+              (candScore === b.getField("score") &&
+                candNp < b.getField("np"))),
+            struct(candScore.as("score"), candNp.as("np"),
+              concat(prev.getField("pieces"), array(piece)).as("pieces")))
+            .otherwise(b)
+        })
+      concat(acc, array(best))
+    })
+    element_at(states, len + 1).getField("pieces")
+  }
+
+  /** One vocabulary selection: every single char (coverage, smoothed to
+    * count ≥ 1) plus the top `multis` multi-char pieces by the
+    * (count desc, piece asc) total order. Selection runs DISTRIBUTED
+    * (orderBy+limit = TakeOrdered); only the kept vocabulary-sized rows
+    * reach the driver. */
+  private def selectVocab(counts: DataFrame, singles: Seq[String],
+                          multis: Int): Seq[(String, Long)] = {
+    val multiRows = counts
+      .filter(length(col("piece")) >= 2 && col("cnt") >= 1)
+      .orderBy(desc("cnt"), asc("piece")).limit(multis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val singleCnt = counts.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    singles.map(c => c -> math.max(singleCnt.getOrElse(c, 0L), 1L)) ++ multiRows
+  }
+
+  /** Train over an arbitrary (w, wcnt) word-type frame: seed → scores →
+    * `Rounds`× (Viterbi E-step count → prune → rescore). Returns the
+    * canonical (piece, score) artifact. */
+  def trainUnigramOn(wordCounts: DataFrame,
+                     seedMultis: Int = SeedMultis,
+                     vocabMultis: Int = VocabMultis,
+                     rounds: Int = Rounds): Seq[(String, Long)] = {
+    require(seedMultis >= 0 && vocabMultis >= 0 && rounds >= 0,
+      s"invalid unigram config ($seedMultis, $vocabMultis, $rounds)")
+    val base = wordCounts.select(col("w"), col("wcnt")).persist()
+    try {
+      base.count()
+      val seedCounts = base
+        .select(col("wcnt"), explode(substrPieces(col("w"))).as("piece"))
+        .groupBy("piece").agg(sum(col("wcnt")).as("cnt"))
+        .persist()
+      // the single-char set is the corpus alphabet — fixed across rounds
+      val singles = seedCounts.filter(length(col("piece")) === 1)
+        .select("piece").collect().map(_.getString(0)).toSeq.sorted
+      var art = scoresOf(selectVocab(seedCounts, singles, seedMultis))
+      seedCounts.unpersist()
+      for (_ <- 0 until rounds) {
+        val emCounts = base
+          .select(col("wcnt"), explode(segment(col("w"), art)).as("piece"))
+          .groupBy("piece").agg(sum(col("wcnt")).as("cnt"))
+        art = scoresOf(selectVocab(emCounts, singles, vocabMultis))
+      }
+      art
+    } finally { base.unpersist(); () }
+  }
+
+  /** Per-dir memo: gate row and oracle renderer must see the identical
+    * artifact (trainBpe's memo rule). */
+  private val unigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  def trainUnigram(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    unigramMemo.computeIfAbsent(dir,
+      _ => trainUnigramOn(TextOps.wordTypes(spark, dir)))
+
+  /** c75 gate row: train the unigram artifact, segment every word TYPE
+    * (vocabulary-side — the corpus was scanned once by the word count),
+    * and emit the corpus token-frequency table: top `topK` by
+    * (cnt desc, token asc) — c52's gate shape so the two trainers'
+    * vocabularies read side by side. */
+  def c75UnigramTokenize(spark: SparkSession, dir: String,
+                         topK: Int = 100): DataFrame = {
+    val art = trainUnigram(spark, dir)
+    TextOps.wordTypes(spark, dir)
+      .select(col("wcnt"), explode(segment(col("w"), art)).as("token"))
+      .groupBy("token").agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(topK)
+  }
+}

@@ -739,6 +739,43 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--gpt2-pre requires --bytes"))
   }
 
+  test("unigram-train/tokenize --unigram: artifact equals c75's, tiles losslessly") {
+    import graft.operators.Unigram
+    val tmp = Files.createTempDirectory("graft-cli-uni-").toString
+    Main.main(Array("unigram-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/pieces"))
+    val art = spark.read.parquet(s"$tmp/pieces").orderBy("piece").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("score"))).toSeq
+    assert(art == Unigram.trainUnigram(spark, sfDir),
+      "CLI-trained artifact diverges from the c75 memoized artifact")
+    Main.main(Array("tokenize", "--unigram", "--in", s"$sfDir/documents.parquet",
+      "--pieces", s"$tmp/pieces", "--out", s"$tmp/toks"))
+    val toks = spark.read.parquet(s"$tmp/toks")
+    // the token table must reproduce the c75 gate's frequency cut
+    val freq = toks.select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gate = Unigram.c75UnigramTokenize(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(freq == gate, "CLI --unigram token frequencies diverge from c75")
+    // pieces of each doc concatenate back to its space-stripped words
+    val bad = toks
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .filter(concat_ws("", col("tokens")) =!=
+        concat_ws("", filter(split(lower(col("text")), " "),
+          w => length(w) >= 1)))
+      .count()
+    assert(bad == 0L, s"$bad docs failed the unigram tiling check")
+    // --unigram with a BPE flag is a usage error
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("tokenize", "--unigram", "--bytes",
+        "--in", s"$sfDir/documents.parquet",
+        "--pieces", s"$tmp/pieces", "--out", s"$tmp/t2"))
+    }
+    assert(e.getMessage.contains("--bytes/--gpt2-pre are BPE flags"))
+  }
+
   test("score subcommand: ASCII default equals c41; --unicode/--quality run") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-score-").toString
