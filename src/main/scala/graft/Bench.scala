@@ -172,6 +172,17 @@ object Bench {
     val pubS = scala.collection.mutable.ArrayBuffer[Double]()
     val batchedS = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestS = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // r13 de-weathering: every channel sample also records the TASK CPU
+    // seconds it burned (graft.metrics.CpuClock — contention-immune,
+    // unlike the wall-clock throughput above it), so a sub-band
+    // wall-clock median on a busy box no longer reads like a regression:
+    // flat cpu_s + slow wall = weather; rising cpu_s = the code.
+    val cpuClock = new graft.metrics.CpuClock()
+    spark.sparkContext.addSparkListener(cpuClock)
+    val convertC = scala.collection.mutable.ArrayBuffer[Double]()
+    val pubC = scala.collection.mutable.ArrayBuffer[Double]()
+    val batchedC = scala.collection.mutable.ArrayBuffer[Double]()
+    val ingestC = scala.collection.mutable.ArrayBuffer[Double]()
 
     val msgs =
       if (corpus == null) null
@@ -190,63 +201,80 @@ object Bench {
     }
     for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
+        val c0 = cpuClock.settled()
         val t0 = System.nanoTime()
         run(ArrowIpc.serialize(
           StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
         convertS += corpus.jsonBytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+        convertC += (cpuClock.settled() - c0) / 1e9
         ()
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
-        def timeOne(mk: Long => graft.streaming.Publisher): Double = {
+        def timeOne(mk: Long => graft.streaming.Publisher): (Double, Double) = {
           // scratch wiped per run so file accumulation can't slow later rounds
+          val c0 = cpuClock.settled()
           val t0 = System.nanoTime()
           graft.streaming.Publish.run(msgs, () => mk(round.toLong))
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, (cpuClock.settled() - c0) / 1e9)
         }
         val pubDir = GraftSession.scratchDir("bench-publish").toString
-        pubS += nMsgs / timeOne(e => new graft.streaming.FilePublisher(pubDir, e))
+        val (pw, pc) = timeOne(e => new graft.streaming.FilePublisher(pubDir, e))
+        pubS += nMsgs / pw; pubC += pc
         GraftSession.scratchDir("bench-publish") // clear between modes
-        batchedS += nMsgs / timeOne(e => new graft.streaming.BatchingFilePublisher(
+        val (bw, bc) = timeOne(e => new graft.streaming.BatchingFilePublisher(
           pubDir, graft.streaming.BatchingOptions(
             maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
+        batchedS += nMsgs / bw; batchedC += bc
         ()
       }
       // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
       // TCP receive throughput): a local feeder thread blasts the events
       // ND-JSON corpus through a socket; the socket source + full convert
       // stage drain it — the wire-in path `graft.Main stream` runs.
-      fenced(s"ingest#$round", ()) { ingestS += benchIngest(spark, sfDir); () }
+      fenced(s"ingest#$round", ()) {
+        val c0 = cpuClock.settled()
+        ingestS += benchIngest(spark, sfDir)
+        ingestC += (cpuClock.settled() - c0) / 1e9
+        ()
+      }
     }
     if (msgs != null) msgs.unpersist()
     if (corpus != null) corpus.lines.unpersist()
 
-    def statsJson(samples: Seq[Double]): String =
-      if (samples.isEmpty) """{"min":-1.0,"median":-1.0,"max":-1.0}"""
+    def triple(samples: Seq[Double], fmt: Double => String): String =
+      if (samples.isEmpty) """"min":-1.0,"median":-1.0,"max":-1.0"""
       else {
         val s = samples.sorted
-        f"""{"min":${s.head}%.1f,"median":${s(s.size / 2)}%.1f,"max":${s.last}%.1f}"""
+        s""""min":${fmt(s.head)},"median":${fmt(s(s.size / 2))},""" +
+          s""""max":${fmt(s.last)}"""
       }
+    def statsJson(samples: Seq[Double], cpus: Seq[Double]): String =
+      s"{${triple(samples, v => f"$v%.1f")}," +
+        s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}}}"""
     def medianOf(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
     // band floors from the SURVEY §6 channel-band history (lowest healthy
-    // round): a median below the floor is flagged, not explained away
+    // round): a median below the floor is flagged, not explained away.
+    // Each channel carries its wall-clock throughput samples AND their
+    // task-CPU seconds (r13): the cpu_s band is the contention-immune
+    // verdict on whether a wall-clock dip is weather or regression.
     val bandLow = Seq(
-      ("convert_mb_per_s", 280.0, convertS.toSeq),
-      ("publish_msgs_per_s", 20000.0, pubS.toSeq),
-      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq),
-      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq))
+      ("convert_mb_per_s", 280.0, convertS.toSeq, convertC.toSeq),
+      ("publish_msgs_per_s", 20000.0, pubS.toSeq, pubC.toSeq),
+      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq, batchedC.toSeq),
+      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq, ingestC.toSeq))
     // the floors are calibrated at the driver's bench scale (sf0.1) —
     // at smaller SFs fixed job overhead dominates every channel and the
     // annotation would be pure noise
     val bandsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val weak = bandLow.collect {
-      case (name, low, samples)
+      case (name, low, samples, _)
         if bandsApply && samples.nonEmpty && medianOf(samples) < low => name
     }
     weak.foreach(w => System.err.println(
       s"[bench] WEAK CHANNEL: $w median below its band floor"))
-    val channelStats = bandLow.map { case (name, _, samples) =>
-      s""""$name":${statsJson(samples)}"""
+    val channelStats = bandLow.map { case (name, _, samples, cpus) =>
+      s""""$name":${statsJson(samples, cpus)}"""
     }.mkString("{", ",", "}")
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
 

@@ -283,6 +283,31 @@ object TextOps {
         col("d.nt").as("n_tokens"), col("d.pack").as("pack_id"))
   }
 
+  /** c77: packing-efficiency REPORT — the measurement c76's FFD is run
+    * for, as a queryable one-row table (c72's eval-as-operator rule
+    * applied to pad waste): pack counts and total pad waste (unfilled
+    * budget tokens across packs) for FFD vs c23's greedy arrival-order
+    * packer, plus the saving. Overflowed packs (straddling greedy packs,
+    * oversize FFD packs) waste 0 by the greatest(0, ·) clamp — waste
+    * measures PADDING, the tokens a trainer would burn on pad ids.
+    *
+    * Scale shape: two (shard, pack) aggregations over the c76/c23
+    * assignment frames (both per-shard independent), each folded to ONE
+    * row, cross-joined — the 1-row-aggregate broadcast shape (c45's
+    * rule). All-integer outputs. */
+  def c77PackReport(spark: SparkSession, dir: String,
+                    budget: Long = 256): DataFrame = {
+    def fold(assign: DataFrame, prefix: String): DataFrame =
+      assign.groupBy("shard", "pack_id")
+        .agg(sum(col("n_tokens")).as("fill"))
+        .agg(count(lit(1)).as(s"${prefix}_packs"),
+          sum(greatest(lit(0L), lit(budget) - col("fill")))
+            .as(s"${prefix}_waste"))
+    fold(packFfdOn(Tables.documents(spark, dir), budget), "ffd")
+      .crossJoin(fold(c23SeqPack(spark, dir, budget), "greedy"))
+      .withColumn("waste_saved", col("greedy_waste") - col("ffd_waste"))
+  }
+
   /** c24: benchmark decontamination — flag training docs sharing any
     * 8-token shingle with a benchmark/eval set (here: doc_id % 50 == 0 as
     * the deterministic stand-in). The industry-standard n-gram overlap
