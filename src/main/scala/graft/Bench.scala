@@ -94,14 +94,28 @@ object Bench {
           failed += name
       }
     }
+    // r14: per-query task-CPU seconds alongside wall (extending r13's
+    // channel de-weathering to the query suite — the c37 question: a
+    // 1.56× wall move on untouched code is weather iff its cpu_s held).
+    // The clock snapshots CHAIN (each query-run's end snapshot is the
+    // next run's start), so the listener-bus settle is paid once per
+    // run, outside the wall-clock window.
+    val cpuClock = new graft.metrics.CpuClock()
+    spark.sparkContext.addSparkListener(cpuClock)
     val best = scala.collection.mutable.Map[String, Double]()
+    val bestCpu = scala.collection.mutable.Map[String, Double]()
     val flaky = scala.collection.mutable.Set[String]()
+    var lastCpuNs = cpuClock.settled()
     for (_ <- 1 to 3; (name, fn) <- names if !failed(name)) {
       try {
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
+        val c1 = cpuClock.settled()
+        val cpu = (c1 - lastCpuNs) / 1e9
+        lastCpuNs = c1
         if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+        if (cpu < bestCpu.getOrElse(name, Double.MaxValue)) bestCpu(name) = cpu
       } catch {
         case e: Throwable =>
           // keep any good sample already taken: a single transient later-pass
@@ -110,6 +124,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           failed += name
           if (best.contains(name)) flaky += name
+          // re-baseline the chained clock: a failed run's partial cpu
+          // must not be charged to the NEXT query's delta
+          lastCpuNs = cpuClock.settled()
       }
     }
     val results = names.map { case (name, _) =>
@@ -173,12 +190,11 @@ object Bench {
     val batchedS = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestS = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // r13 de-weathering: every channel sample also records the TASK CPU
-    // seconds it burned (graft.metrics.CpuClock — contention-immune,
-    // unlike the wall-clock throughput above it), so a sub-band
-    // wall-clock median on a busy box no longer reads like a regression:
-    // flat cpu_s + slow wall = weather; rising cpu_s = the code.
-    val cpuClock = new graft.metrics.CpuClock()
-    spark.sparkContext.addSparkListener(cpuClock)
+    // seconds it burned (the shared graft.metrics.CpuClock registered
+    // before the query suite — contention-immune, unlike the wall-clock
+    // throughput above it), so a sub-band wall-clock median on a busy
+    // box no longer reads like a regression: flat cpu_s + slow wall =
+    // weather; rising cpu_s = the code.
     val convertC = scala.collection.mutable.ArrayBuffer[Double]()
     val pubC = scala.collection.mutable.ArrayBuffer[Double]()
     val batchedC = scala.collection.mutable.ArrayBuffer[Double]()
@@ -286,11 +302,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    // per-query task-CPU seconds (min across the 3 interleaved passes),
+    // keyed identically to `queries` — the de-weathering companion: a
+    // wall move with flat cpu_s is box weather, rising cpu_s is code
+    val qsCpu = names.map { case (name, _) =>
+      "\"" + name + f"""":${bestCpu.getOrElse(name, -1.0)}%.3f"""
+    }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel in `queries`; exclude from total
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"queries_cpu_s":$qsCpu,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson}"""
     // the driver captures only a stdout tail (r7 lost the a-series times to
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is

@@ -1243,7 +1243,20 @@ object Main {
           .select(col("path"), col("content")).as[(String, Array[Byte])]
           .flatMap { case (path, b) =>
             if (path.endsWith(".arrowbag"))
-              graft.streaming.BatchEnvelope.decode(b)
+              // Files.write is not atomic: a crash mid-flush leaves a
+              // partial envelope whose decode throws (Magic require /
+              // buffer underflow). The restart contract is at-least-once
+              // — it tolerates replay, so it must also tolerate one torn
+              // tail file: skip it loudly and seed from the decodable
+              // remainder rather than refusing to start.
+              try graft.streaming.BatchEnvelope.decode(b)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"[graft] WARN: seq recovery skipping undecodable " +
+                      s"envelope $path (truncated write?): ${e.getMessage}")
+                  Seq.empty
+              }
             else Seq(graft.ipc.IpcMessage(0L, 0L, b.length.toLong, b))
           }
         ArrowIpc.deserialize(spark, published, withSeq)

@@ -136,6 +136,7 @@ object SparkEntry {
     "c74_quality_classifier" -> ((s: SparkSession, d: String) => Distill.c74QualityClassifier(s, d)),
     "c75_unigram_tokenize" -> ((s: SparkSession, d: String) => graft.operators.Unigram.c75UnigramTokenize(s, d)),
     "c76_pack_ffd" -> ((s: SparkSession, d: String) => TextOps.c76PackFfd(s, d)),
+    "c77_pack_report" -> ((s: SparkSession, d: String) => TextOps.c77PackReport(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1710,6 +1711,55 @@ object SparkEntry {
         |      FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1))
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, nt AS n_tokens, pack_id
         |FROM rec WHERE rn >= 1 ORDER BY doc_id""".stripMargin,
+    // c77: packing-efficiency report — c76's recursive-CTE FFD assignment
+    // and c23's cumulative greedy assignment, each folded to (packs,
+    // waste); waste clamps straddling/oversize packs to 0 (it measures
+    // PADDING). DuckDB sum(BIGINT) is HUGEINT, hence the casts.
+    "c77_pack_report" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, doc_id // 100 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |ord AS (SELECT doc_id, shard, nt,
+        |    row_number() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS rn
+        |  FROM t),
+        |rec AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS rem,
+        |      CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS nt,
+        |      CAST(NULL AS BIGINT) AS pack_id
+        |    FROM (SELECT DISTINCT shard FROM ord)
+        |  UNION ALL
+        |  SELECT shard, rn,
+        |      CASE WHEN fit IS NULL THEN list_append(rem, 256 - nt)
+        |           ELSE list_transform(range(1, len(rem) + 1),
+        |             i -> CASE WHEN i = fit THEN rem[i] - nt ELSE rem[i] END)
+        |      END AS rem,
+        |      doc_id, nt,
+        |      CAST(CASE WHEN fit IS NULL THEN len(rem) ELSE fit - 1 END
+        |        AS BIGINT) AS pack_id
+        |    FROM (
+        |      SELECT r.shard AS shard, o.rn AS rn, r.rem AS rem,
+        |          o.doc_id AS doc_id, o.nt AS nt,
+        |          list_filter(range(1, len(r.rem) + 1),
+        |            i -> r.rem[i] >= o.nt)[1] AS fit
+        |      FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1)),
+        |ffd_fill AS (SELECT shard, pack_id, sum(nt) AS fill
+        |  FROM rec WHERE rn >= 1 GROUP BY shard, pack_id),
+        |ffd_agg AS (SELECT count(*) AS ffd_packs,
+        |    sum(greatest(0, 256 - fill)) AS ffd_waste FROM ffd_fill),
+        |gr AS (SELECT shard, nt,
+        |    (sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - nt) // 256 AS pack_id
+        |  FROM t),
+        |gr_fill AS (SELECT shard, pack_id, sum(nt) AS fill
+        |  FROM gr GROUP BY shard, pack_id),
+        |gr_agg AS (SELECT count(*) AS greedy_packs,
+        |    sum(greatest(0, 256 - fill)) AS greedy_waste FROM gr_fill)
+        |SELECT CAST(ffd_packs AS BIGINT) AS ffd_packs,
+        |  CAST(ffd_waste AS BIGINT) AS ffd_waste,
+        |  CAST(greedy_packs AS BIGINT) AS greedy_packs,
+        |  CAST(greedy_waste AS BIGINT) AS greedy_waste,
+        |  CAST(greedy_waste - ffd_waste AS BIGINT) AS waste_saved
+        |FROM ffd_agg CROSS JOIN gr_agg""".stripMargin,
     "c24_decontam" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle

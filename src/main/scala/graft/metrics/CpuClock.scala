@@ -32,15 +32,21 @@ final class CpuClock extends SparkListener {
   }
 
   /** Current cumulative CPU ns, after the listener bus has gone quiet
-    * (stable for 100 ms, polled at 25 ms). */
+    * (stable for 100 ms, polled at 25 ms). Bounded: if concurrent Spark
+    * activity (e.g. a lingering streaming query) keeps completing tasks
+    * so the counter never stabilizes, give up after 5 s total and
+    * return the latest value — a slightly-early snapshot beats an
+    * unbounded spin. */
   def settled(): Long = {
     var prev = cpuNs.get()
     var stableMs = 0
-    while (stableMs < 100) {
+    var totalMs = 0
+    while (stableMs < 100 && totalMs < 5000) {
       Thread.sleep(25)
+      totalMs += 25
       val cur = cpuNs.get()
       if (cur == prev) stableMs += 25 else { prev = cur; stableMs = 0 }
     }
-    prev
+    cpuNs.get()
   }
 }

@@ -246,7 +246,10 @@ object TextOps {
   def packFfdOn(docs: DataFrame, budget: Long = 256): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val perShard = docs
-      .select(col("doc_id"), (col("doc_id") / 100).cast("bigint").as("shard"),
+      // `div` = exact integer division, matching the oracle's doc_id //
+      // 100 for every bigint (the `/`+cast idiom goes through double —
+      // lossy past 2^53 and truncating toward zero for negatives)
+      .select(col("doc_id"), expr("doc_id div 100").as("shard"),
         size(words(col("text"))).cast("bigint").as("n_tokens"))
       .groupBy("shard")
       // nnt = −n_tokens so the ascending sort_array realizes the

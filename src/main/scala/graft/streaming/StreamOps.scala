@@ -408,6 +408,16 @@ object StreamOps {
     require(vocab.nonEmpty, "vocab artifact must contain at least one term")
     val ctfMap = map(vocab.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
     rowLocalQualityCounts(docs)
+      // Divide-by-zero contract: featureProjection divides by n_words,
+      // so a zero-token doc would yield NULL features (or kill the
+      // stream under ANSI) and an arbitrary tree verdict for a doc the
+      // batch explode path would have dropped. With the space-split
+      // tokenizer this branch is unreachable — split("", " ") is [""]
+      // (n_words = 1), so even empty/whitespace-only docs carry tokens
+      // and batch c74 scores them (the parity spec pins that) — but any
+      // future tokenizer that CAN yield zero tokens must drop the doc
+      // on both paths, and this filter is the stream half of that.
+      .filter(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"), col("n_types"), col("max_tc"),
         // freqScoredOn's n_tokens counts the same exploded token stream
         // qualityCounted sums — for one row they are the same number

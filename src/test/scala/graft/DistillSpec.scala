@@ -144,9 +144,14 @@ class DistillSpec extends SparkSpec {
   test("d35 stream verdicts equal batch c74 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // a restricted corpus keeps the full-vocabulary artifact small
+    // a restricted corpus keeps the full-vocabulary artifact small;
+    // 9003/9004 pin the empty/whitespace-only edge: split(" ") never
+    // yields an empty array (split("", " ") is [""]), so batch c74
+    // scores these docs (n_words >= 1) and the stream must score them
+    // IDENTICALLY — not drop them, not NULL-feature them
     val corpus = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+      .union(Seq((9003L, ""), (9004L, "   ")).toDF("doc_id", "text"))
     val docs = corpus.as[(Long, String)].collect().toSeq
     // batch side: features + tree + verdict, all on the same corpus
     val feats = Distill.classifierFeaturesOn(corpus)
@@ -176,6 +181,9 @@ class DistillSpec extends SparkSpec {
       val streamed = spark.table("d35_sink").collect()
         .map(r => r.getLong(0) -> r.toSeq).toMap
       assert(!streamed.contains(9002L), "null text must not emit a row")
+      assert(streamed.contains(9003L) && streamed.contains(9004L),
+        "empty/whitespace docs tokenize to [\"\"]-style arrays and must " +
+          "be scored, same as batch")
       assert(streamed.keySet - 9001L == batch.keySet)
       batch.foreach { case (id, row) =>
         assert(streamed(id) == row, s"doc $id stream vs batch c74")

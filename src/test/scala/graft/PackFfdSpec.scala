@@ -96,6 +96,34 @@ class PackFfdSpec extends SparkSpec {
       "on this corpus FFD should strictly cut pad waste")
   }
 
+  test("c77 report equals a driver fold of the assignment frames") {
+    def foldOf(rows: Array[(Long, Long, Long)]): (Long, Long) = {
+      val fills = rows.groupBy(x => (x._1, x._2)).map(_._2.map(_._3).sum)
+      (fills.size.toLong, fills.map(f => math.max(0L, Budget - f)).sum)
+    }
+    val ffd = TextOps.c76PackFfd(spark, sfDir).collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getLong(2))) // shard, pack, nt
+    val greedy = TextOps.c23SeqPack(spark, sfDir).collect()
+      .map(x => (x.getAs[Long]("shard"), x.getAs[Long]("pack_id"),
+        x.getAs[Long]("n_tokens")))
+    val (fp, fw) = foldOf(ffd)
+    val (gp, gw) = foldOf(greedy)
+    val rep = TextOps.c77PackReport(spark, sfDir).collect()
+    assert(rep.length == 1, "the report is one row by construction")
+    val r = rep(0)
+    assert(r.getAs[Long]("ffd_packs") == fp && r.getAs[Long]("ffd_waste") == fw,
+      s"ffd fold mismatch: report (${r.getAs[Long]("ffd_packs")}, " +
+        s"${r.getAs[Long]("ffd_waste")}) vs frames ($fp, $fw)")
+    assert(r.getAs[Long]("greedy_packs") == gp &&
+      r.getAs[Long]("greedy_waste") == gw,
+      s"greedy fold mismatch: report (${r.getAs[Long]("greedy_packs")}, " +
+        s"${r.getAs[Long]("greedy_waste")}) vs frames ($gp, $gw)")
+    assert(r.getAs[Long]("waste_saved") == gw - fw)
+    // the measurement c76 exists for: on this corpus FFD must strictly
+    // cut pad waste vs c23's arrival-order packer
+    assert(fw < gw, s"FFD waste $fw should be under greedy's $gw")
+  }
+
   test("c76 is partition-invariant") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val a = TextOps.packFfdOn(docs.repartition(1)).orderBy("doc_id")
