@@ -254,14 +254,9 @@ object Main {
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), w => length(w) >= 1).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
-        flatten(transform(col("ws"),
-          w => Unigram.segment(w, art))).as("tokens"))
-      .select(col("doc_id"), col("n_words"),
-        size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
+    // THE shared derivation (d29's rule): the CLI, the c78 gate row and
+    // d36's stream twin all project through Unigram.tokenizeDocs
+    Unigram.tokenizeDocs(docs, art)
       .write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out)
     val stats = written.agg(count(lit(1)),

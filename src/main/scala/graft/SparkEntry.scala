@@ -137,6 +137,7 @@ object SparkEntry {
     "c75_unigram_tokenize" -> ((s: SparkSession, d: String) => graft.operators.Unigram.c75UnigramTokenize(s, d)),
     "c76_pack_ffd" -> ((s: SparkSession, d: String) => TextOps.c76PackFfd(s, d)),
     "c77_pack_report" -> ((s: SparkSession, d: String) => TextOps.c77PackReport(s, d)),
+    "c78_unigram_fertility" -> ((s: SparkSession, d: String) => graft.operators.Unigram.c78UnigramFertility(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -295,13 +296,19 @@ object SparkEntry {
     * score) map is the artifact trained by the SAME memoized Spark run,
     * inlined as a MAP literal (c52's drift-pinning rule — trainer drift
     * hash-fails the gate). */
-  private def c75OracleSql(dir: String): String = {
+  /** Shared DuckDB Viterbi DP (word-type CTE `wt` + recursive per-type
+    * best-segmentation CTE `rec`) under the dir's MEMOIZED artifact
+    * inlined as a MAP literal (c52's drift-pinning rule) — composed by
+    * BOTH the c75 and c78 oracles, so the two gate rows re-derive
+    * segmentation from one SQL text exactly as the Spark side shares
+    * [[graft.operators.Unigram.segment]]. */
+  private def unigramViterbiCtes(dir: String): String = {
     val art = graft.operators.Unigram.trainUnigram(renderSession, dir)
     val m = art.map { case (p, s) => s"${sqlLit(p)}: CAST($s AS BIGINT)" }
       .mkString("MAP {", ", ", "}")
     val L = graft.operators.Unigram.MaxPieceLen
     val unk = graft.operators.Unigram.UnkScore
-    s"""WITH RECURSIVE wt AS (
+    s"""wt AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM
        |    (SELECT unnest(string_split(lower(text), ' ')) AS w
        |     FROM documents WHERE text IS NOT NULL)
@@ -329,12 +336,34 @@ object SparkEntry {
        |            pieces := list_append(r.bests[CAST(i AS INT) + 1].pieces,
        |              substr(r.w, CAST(i AS INT) + 1, CAST(r.j + 1 - i AS INT))))),
        |        c -> c.negscore IS NOT NULL))[1] AS best_j
-       |    FROM rec r WHERE r.j < len(r.w)))
+       |    FROM rec r WHERE r.j < len(r.w)))""".stripMargin
+  }
+
+  private def c75OracleSql(dir: String): String =
+    s"""WITH RECURSIVE ${unigramViterbiCtes(dir)}
        |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt FROM
        |  (SELECT unnest(bests[len(w) + 1].pieces) AS token, wcnt
        |   FROM rec WHERE j = len(w))
        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
-  }
+
+  /** DuckDB rendering of c78: the shared Viterbi CTEs give each word
+    * TYPE its piece count (the final DP state's np field — the oracle
+    * never re-walks pieces), then the corpus word stream joins that
+    * type-level table and folds per doc; zero-word docs absent in both
+    * engines (c66's row-set rule). */
+  private def c78OracleSql(dir: String): String =
+    s"""WITH RECURSIVE ${unigramViterbiCtes(dir)},
+       |wnp AS (SELECT w, bests[len(w) + 1].np AS np
+       |        FROM rec WHERE j = len(w)),
+       |dw AS (SELECT doc_id, w FROM
+       |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |     FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) >= 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS fertility_r
+       |FROM dw JOIN wnp USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of c66: the SAME inlined learned merges as c52,
     * applied per (doc, word) and folded per doc — trainer drift
@@ -512,7 +541,8 @@ object SparkEntry {
         "c72_neardup_recall" -> (() => c72OracleSql),
         "c73_byte_fertility" -> (() => c73OracleSql(dir)),
         "c74_quality_classifier" -> (() => c74OracleSql(dir)),
-        "c75_unigram_tokenize" -> (() => c75OracleSql(dir))))
+        "c75_unigram_tokenize" -> (() => c75OracleSql(dir)),
+        "c78_unigram_fertility" -> (() => c78OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

@@ -169,6 +169,54 @@ object Unigram {
     unigramMemo.computeIfAbsent(dir,
       _ => trainUnigramOn(TextOps.wordTypes(spark, dir)))
 
+  /** (doc_id, n_words, n_tokens, tokens) projection of a (doc_id, text)
+    * frame under a trained artifact — THE tokenize derivation, shared by
+    * construction (d29's shared-subtree rule) between `Main tokenize
+    * --unigram`, the c78 fertility gate row, and d36's streaming twin:
+    * none of the three can drift from the others. Row-local Viterbi per
+    * word (window bounded by [[MaxPieceLen]]), artifact as plan
+    * literals (d13's bounded-artifact rule) — zero exchanges, stateless,
+    * so the same plan serves batch and a streaming frame. Same output
+    * shape as the BPE apply path, keeping downstream stages
+    * tokenizer-agnostic. Docs whose words all filter away (empty text)
+    * emit n_words = 0 with an empty token array. */
+  def tokenizeDocs(docs: DataFrame, artifact: Seq[(String, Long)]): DataFrame = {
+    val ws = filter(TextOps.words(lower(col("text"))), w => length(w) >= 1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        flatten(transform(col("ws"), w => segment(w, artifact))).as("tokens"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
+  }
+
+  /** c78: unigram fertility — tokens-per-word per doc under the trained
+    * unigram artifact, closing c75's evaluation loop the way c66 closed
+    * c52's and c73 closed c70's: the three trainer families (char-BPE,
+    * byte-BPE, unigram) now compare on ONE metric. Shares
+    * [[tokenizeDocs]] with the CLI/stream paths and [[trainUnigram]]'s
+    * memoized artifact with the c75 gate row (the oracle renderer sees
+    * the identical artifact — trainBpe's memo rule). Zero-word docs are
+    * absent by construction (c66's row-set rule; also what keeps the
+    * ratio's divisor nonzero).
+    *
+    * Scale shape: the row-local Viterbi HOF re-runs per corpus TOKEN
+    * (c66's precedent) rather than joining a word-type→np table — the
+    * join formulation would memoize Viterbi over the bounded type
+    * vocabulary but buy that with a corpus-sized shuffle; the HOF form
+    * has ZERO exchanges beyond the final doc-ordered sort, and the
+    * per-word cost is bounded by MaxPieceLen·|w| integer ops. */
+  def c78UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val art = trainUnigram(spark, dir)
+    tokenizeDocs(graft.Tables.documents(spark, dir), art)
+      .filter(col("n_words") >= 1)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+      .withColumn("fertility_r",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   /** c75 gate row: train the unigram artifact, segment every word TYPE
     * (vocabulary-side — the corpus was scanned once by the word count),
     * and emit the corpus token-frequency table: top `topK` by

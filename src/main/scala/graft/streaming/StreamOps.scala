@@ -653,6 +653,27 @@ object StreamOps {
         size(col("tokens")).cast("bigint").as("n_tokens"), col("tokens"))
   }
 
+  /** d36: streaming UNIGRAM tokenization — c75's APPLY phase at ingest
+    * and d30's unigram sibling (the tokenizer family's third serving
+    * twin next to d21/d30 char-BPE and d31 byte-BPE): each arriving doc
+    * segments by maximum-likelihood Viterbi under the STATIC trained
+    * (piece, score) artifact, shipped as plan literals (d13's rule — a
+    * stream cannot re-train the tokenizer; `Main unigram-train` builds
+    * the artifact at rest). The body IS
+    * [[graft.operators.Unigram.tokenizeDocs]] — the same expression
+    * subtree `Main tokenize --unigram` and the c78 gate row project
+    * through (d29's shared-subtree rule: batch and stream tokenization
+    * cannot drift), and it emits the same (doc_id, n_words, n_tokens,
+    * tokens) schema as the BPE twins, so downstream packing/counting
+    * stages stay tokenizer-agnostic. Row-local (Viterbi window bounded
+    * by MaxPieceLen), zero state, no watermark, any stream length; docs
+    * with corpus-unseen characters tokenize via the UNK single-char
+    * fallback instead of erroring — the parity spec pins stream ≡ batch
+    * row-for-row including those. */
+  def streamUnigramTokenize(docs: DataFrame,
+                            artifact: Seq[(String, Long)]): DataFrame =
+    graft.operators.Unigram.tokenizeDocs(docs, artifact)
+
   /** d33: streaming vector-index ADD — `Main index --add`'s serving
     * twin, closing the incremental-index loop (batch `--add` backfills,
     * this ingests live): each arriving vector assigns to its nearest

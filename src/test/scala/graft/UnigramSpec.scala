@@ -134,6 +134,86 @@ class UnigramSpec extends SparkSpec {
       s"unigram tokens $toks must compress below the char ceiling $chars")
   }
 
+  test("c78 fertility equals a driver re-derivation on every doc") {
+    val art = Unigram.trainUnigram(spark, sfDir)
+    val scores = art.toMap
+    // word lists derive through the SAME Spark split/lower the operator
+    // uses; the TOKEN counts re-derive through the independent driver
+    // Viterbi — what the test actually pins
+    val docsWs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) >= 1).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq)
+    val want = docsWs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val nw = ws.size.toLong
+      val nt = ws.map(w => refViterbi(w, scores).size.toLong).sum
+      val fr = BigDecimal(nt.toDouble / nw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, nw, nt, fr)
+    }.sortBy(_._1).toSeq
+    val got = Unigram.c78UnigramFertility(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want, "c78 must equal the driver fertility re-derivation")
+    // the evaluation the row exists for: corpus-wide compression below
+    // the char-split ceiling (each word as single-char pieces)
+    val chars = docsWs.flatMap(_._2).map(_.length.toLong).sum
+    val toks = want.map(_._3).sum
+    assert(toks < chars,
+      s"unigram doc tokens $toks must compress below the char ceiling $chars")
+  }
+
+  test("d36 streaming unigram tokenize equals the driver derivation, " +
+      "incl. UNK fallback docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val art = Unigram.trainUnigram(spark, sfDir)
+    val scores = art.toMap
+    // a char the corpus never saw, surviving lower(): exercises the UNK
+    // single fallback on the ingest path
+    val unkChar = "éß€#".find(c => !scores.contains(c.toString)).get
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val edge = Seq((9101L, s"zz${unkChar}x plain words"),
+      (9102L, null.asInstanceOf[String]), (9103L, ""))
+    val docs = corpus ++ edge
+    val wsMap = docs.toDF("doc_id", "text")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) >= 1).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val want = wsMap.toSeq.map { case (id, ws) =>
+      val toks = ws.flatMap(w => refViterbi(w, scores))
+      (id, ws.size.toLong, toks.size.toLong, toks.toVector)
+    }.sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamUnigramTokenize(
+        stream.toDS().toDF("doc_id", "text"), art)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d36_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = spark.table("d36_sink").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_tokens"), r.getSeq[String](3).toVector))
+      assert(got.toSeq == want,
+        "streamed unigram token payloads must equal the driver derivation")
+      val unkRow = got.find(_._1 == 9101L).get
+      assert(unkRow._4.contains(unkChar.toString.toLowerCase),
+        s"the unseen char must surface as an UNK single: ${unkRow._4}")
+      assert(unkRow._4.mkString("") == wsMap(9101L).mkString(""),
+        "UNK docs must still tile losslessly")
+      assert(!got.exists(_._1 == 9102L), "null text must not emit a row")
+      assert(got.find(_._1 == 9103L).exists(r => r._2 == 0L && r._4.isEmpty),
+        "empty text emits the documented n_words = 0 row")
+    } finally q.stop()
+    ()
+  }
+
   test("c75 prune keeps every single char and respects the vocab cap") {
     import spark.implicits._
     // a synthetic corpus where pruning provably bites: many distinct
