@@ -98,6 +98,8 @@ object SparkEntry {
     "c36_pq_quantize" -> ((s: SparkSession, d: String) => Similarity.c36PqQuantize(s, d)),
     "c37_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.c37IncrementalDedup(s, d)),
     "c38_pq_search" -> ((s: SparkSession, d: String) => Similarity.c38PqSearch(s, d)),
+    "c79_exact_rerank" -> ((s: SparkSession, d: String) => Similarity.c79ExactRerank(s, d)),
+    "c80_dsir_weights" -> ((s: SparkSession, d: String) => graft.operators.Dsir.c80DsirWeights(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
     "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
@@ -339,6 +341,34 @@ object SparkEntry {
        |    FROM rec r WHERE r.j < len(r.w)))""".stripMargin
   }
 
+  /** DuckDB rendering of c80: the trained (bucket → lr_fx) map inlined
+    * as a MAP literal (c75's drift-pinning rule — the renderer and the
+    * gate row share the memoized artifact), per-doc exact BIGINT sums
+    * via map_extract with the same neutral-0 fallback the Spark fold
+    * applies, the 6-dp average as the same exact-integer half-away-
+    * from-zero division, and the integer sign test. */
+  private def c80OracleSql(dir: String): String = {
+    val art = graft.operators.Dsir.trainDsir(renderSession, dir)
+    val m = art.map { case (b, s) => s"${sqlLit(b)}: CAST($s AS BIGINT)" }
+      .mkString("MAP {", ", ", "}")
+    val hc = graft.operators.Dsir.BucketHexChars
+    s"""WITH t AS (SELECT doc_id, unnest(ws) AS w FROM
+       |    (SELECT doc_id,
+       |       list_filter(string_split(lower(text), ' '), w -> len(w) >= 1) AS ws
+       |     FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(ws) >= 1),
+       |s AS (SELECT doc_id, count(*) AS n,
+       |        CAST(sum(coalesce(map_extract($m,
+       |              substring(md5(w), 1, $hc))[1], 0)) AS BIGINT) AS slr
+       |      FROM t GROUP BY doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, slr AS sum_lr,
+       |  CAST(CASE WHEN slr >= 0 THEN (2*slr + n) // (2*n)
+       |            ELSE -((2*(-slr) + n) // (2*n)) END AS DOUBLE)
+       |    / 1000000 AS avg_lr_r,
+       |  slr > 0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private def c75OracleSql(dir: String): String =
     s"""WITH RECURSIVE ${unigramViterbiCtes(dir)}
        |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt FROM
@@ -399,6 +429,42 @@ object SparkEntry {
     * transitive closure via a recursive CTE → per-node min label `lbl`.
     * Callers append their own final SELECT (and further CTEs after a
     * comma). */
+  /** Shared WITH-chain for the PQ/ADC oracles (c38, c79): the c36
+    * code-assignment CTEs + per-candidate reconstruction + the ADC
+    * scoring/ranking of every candidate against every query, ending at
+    * `r(query_id, neighbor_id, adc, rnk)` with `q(query_id, qv)` still
+    * in scope. Callers append further CTEs after a comma or a final
+    * SELECT. */
+  private def pqAdcCte: String =
+    """WITH x AS (SELECT label, i - 1 AS pos,
+      |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
+      |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |cb AS (SELECT label AS cell, pos // 16 AS sub,
+      |         list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
+      |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
+      |       GROUP BY label, pos // 16),
+      |ev AS (SELECT vec_id, pos // 16 AS sub, list(val ORDER BY pos) AS sv
+      |       FROM (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      |             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+      |       WHERE vec_id >= 5
+      |       GROUP BY vec_id, pos // 16),
+      |a AS (SELECT vec_id, ev.sub AS sub, cell,
+      |        row_number() OVER (PARTITION BY vec_id, ev.sub
+      |          ORDER BY round(list_cosine_similarity(sv, centroid), 6) DESC, cell ASC) AS rn
+      |      FROM ev JOIN cb ON cb.sub = ev.sub),
+      |recon AS (SELECT a.vec_id, flatten(list(cb.centroid ORDER BY a.sub)) AS rv
+      |          FROM a JOIN cb ON cb.sub = a.sub AND cb.cell = a.cell
+      |          WHERE a.rn = 1 GROUP BY a.vec_id),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 5),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |        list_cosine_similarity(qv, rv) AS adc
+      |      FROM recon CROSS JOIN q),
+      |r AS (SELECT query_id, neighbor_id, adc,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rnk
+      |      FROM s)""".stripMargin
+
   private def clusterCte: String =
     """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
@@ -542,7 +608,8 @@ object SparkEntry {
         "c73_byte_fertility" -> (() => c73OracleSql(dir)),
         "c74_quality_classifier" -> (() => c74OracleSql(dir)),
         "c75_unigram_tokenize" -> (() => c75OracleSql(dir)),
-        "c78_unigram_fertility" -> (() => c78OracleSql(dir))))
+        "c78_unigram_fertility" -> (() => c78OracleSql(dir)),
+        "c80_dsir_weights" -> (() => c80OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,
@@ -1586,36 +1653,25 @@ object SparkEntry {
     // sub-centroids per candidate) + c5's top-k shape against the
     // full-precision query.
     "c38_pq_search" ->
-      """WITH x AS (SELECT label, i - 1 AS pos,
-        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
-        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
-        |cb AS (SELECT label AS cell, pos // 16 AS sub,
-        |         list(CAST(sum_v4 AS DOUBLE) / 10000 / n ORDER BY pos) AS centroid
-        |       FROM (SELECT label, pos, sum(v4) AS sum_v4, count(*) AS n FROM x GROUP BY label, pos)
-        |       GROUP BY label, pos // 16),
-        |ev AS (SELECT vec_id, pos // 16 AS sub, list(val ORDER BY pos) AS sv
-        |       FROM (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
-        |             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
-        |       WHERE vec_id >= 5
-        |       GROUP BY vec_id, pos // 16),
-        |a AS (SELECT vec_id, ev.sub AS sub, cell,
-        |        row_number() OVER (PARTITION BY vec_id, ev.sub
-        |          ORDER BY round(list_cosine_similarity(sv, centroid), 6) DESC, cell ASC) AS rn
-        |      FROM ev JOIN cb ON cb.sub = ev.sub),
-        |recon AS (SELECT a.vec_id, flatten(list(cb.centroid ORDER BY a.sub)) AS rv
-        |          FROM a JOIN cb ON cb.sub = a.sub AND cb.cell = a.cell
-        |          WHERE a.rn = 1 GROUP BY a.vec_id),
-        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |      FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT query_id, vec_id AS neighbor_id,
-        |        list_cosine_similarity(qv, rv) AS adc
-        |      FROM recon CROSS JOIN q),
-        |r AS (SELECT query_id, neighbor_id, adc,
-        |        CAST(row_number() OVER (PARTITION BY query_id
-        |          ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rnk
-        |      FROM s)
+      s"""$pqAdcCte
         |SELECT query_id, rnk, neighbor_id, round(adc, 6) AS adc_r
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // c79 = c38's full ADC ranking kept to a 20-id shortlist, then exact
+    // cosine against the full-precision vectors of the shortlist only.
+    "c79_exact_rerank" ->
+      s"""$pqAdcCte,
+        |sl AS (SELECT query_id, neighbor_id, rnk AS adc_rnk
+        |       FROM r WHERE rnk <= 20),
+        |ex AS (SELECT sl.query_id, sl.neighbor_id, sl.adc_rnk,
+        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS ex
+        |       FROM sl JOIN embeddings e ON e.vec_id = sl.neighbor_id
+        |               JOIN q ON q.query_id = sl.query_id),
+        |rr AS (SELECT query_id, neighbor_id, adc_rnk, ex,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY ex DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |       FROM ex)
+        |SELECT query_id, rnk, neighbor_id, round(ex, 6) AS exact_r, adc_rnk
+        |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // c31 = c18's codebook + assignment CTEs, then the Lloyd update as
     // exact integer numerator/denominator pairs per (cell, pos).
     "c31_kmeans_step" ->

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg: comma-separated query names — dump (and emit
+    // oracle SQL for) only those, for fast single-row rehearsals. The
+    // driver always calls with two args and gets the full gate.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +32,7 @@ object Verify {
     // One computation, two layouts.
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try {
         val dir = s"$outDir/$name"
@@ -56,6 +63,7 @@ object Verify {
     // scale-adaptive oracle text (c11's LSH plane count) must be rendered
     // against the same data the queries just ran on
     val json = SparkEntry.oracleSqlFor(sfDir)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val nFail = failed.size

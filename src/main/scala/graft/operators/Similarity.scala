@@ -653,6 +653,43 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** c79: exact re-rank — the second stage that completes the two-stage
+    * retrieval story (quantized shortlist → exact re-score), the shape
+    * every production vector-serving system runs because ADC's codec
+    * error reorders close neighbors. Stage 1 is c38's ADC verbatim
+    * (scores EVERY candidate from its PQ reconstruction — at billion
+    * scale the scan reads M small ints per vector, no floats) kept to a
+    * per-query SHORTLIST of `shortlist` ids; stage 2 fetches
+    * full-precision vectors for the shortlist ONLY — a vec_id equi-join
+    * with the (queries·shortlist)-row shortlist BROADCAST, so the corpus
+    * is probed, never shuffled — and re-ranks by exact cosine, returning
+    * top-`k`. Output carries both orders so the re-rank's correction is
+    * visible: `rnk` (exact) next to `adc_rnk` (the stage-1 position it
+    * overrode). With `shortlist` ≥ the candidate count stage 2 re-scores
+    * everything and the result is EXACTLY c5's brute-force truth
+    * (spec-pinned); ties break on neighbor_id ascending in both stages
+    * and both engines. */
+  def c79ExactRerank(spark: SparkSession, dir: String, k: Int = 5,
+                     shortlist: Int = 20, m: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val sl = c38PqSearch(spark, dir, k = shortlist, m = m)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("ex"), asc("neighbor_id"))
+    e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .join(broadcast(sl), "neighbor_id")
+      .join(queries, "query_id")
+      .withColumn("ex", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("ex"), 6).as("exact_r"), col("adc_rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- at-rest IVF-PQ index (`Main index` / `Main query`): the
   // ---- artifacts a vector-serving system ships — coarse codebook +
   // ---- per-vector codes as parquet, NO raw floats in the index

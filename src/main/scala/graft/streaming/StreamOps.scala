@@ -430,6 +430,26 @@ object StreamOps {
       .withColumn("pred", graft.operators.Distill.treeVerdict(tree))
   }
 
+  /** d37: streaming DSIR selection — c80's APPLY phase at ingest:
+    * arriving docs score their target-likeness under the STATIC trained
+    * (bucket → lr_fx) artifact (`trainDsir` builds it at rest over the
+    * raw/target corpora; a stream cannot re-count either distribution —
+    * d13's bounded-artifact argument) and carry the same exact BIGINT
+    * `sum_lr`, 6-dp `avg_lr_r`, and integer-sign `keep` verdict as the
+    * batch gate row. The body IS [[graft.operators.Dsir.scoreDocs]] +
+    * [[graft.operators.Dsir.weightsOf]] — the same expression subtrees
+    * the c80 gate row projects through (d29's shared-subtree rule:
+    * batch and ingest selection cannot drift). Row-local md5-bucket
+    * fold with the artifact as plan literals, zero state, no watermark;
+    * buckets unseen at train time contribute the neutral 0 by the same
+    * coalesce both paths share, so NEW documents (the entire point of
+    * ingest) score without retraining. Zero-token docs are dropped on
+    * both paths (c66's row-set rule). */
+  def streamDsir(docs: DataFrame,
+                 artifact: Seq[(String, Long)]): DataFrame =
+    graft.operators.Dsir.weightsOf(
+      graft.operators.Dsir.scoreDocs(docs, artifact))
+
   /** d11: streaming ingest routing — classify an arriving doc stream
     * against a STATIC existing corpus (the zero-state streaming twin of
     * c37, and the inventory's stream-static-join surface). The batch

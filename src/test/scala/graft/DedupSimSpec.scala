@@ -488,6 +488,59 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c79 exact re-rank: ADC shortlist re-scored exactly; full shortlist IS c5 truth; recall never below raw ADC") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // driver re-derivation: the stage-1 shortlist is c38's ADC order at
+    // k=20 (already pinned against a full re-derivation above); stage 2 is
+    // exact cosine over raw vectors, top-5, neighbor-asc ties
+    val sl = Similarity.c38PqSearch(spark, sfDir, k = 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rnk")))
+    val expected = sl.groupBy(_._1).flatMap { case (qid, rows) =>
+      rows.toSeq.map { case (_, nid, arnk) => (nid, cos(vecs(qid), vecs(nid)), arnk) }
+        .sortBy { case (nid, s, _) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, s, arnk), i) => (qid, i + 1L) -> (nid, round6(s), arnk) }
+    }
+    val got = Similarity.c79ExactRerank(spark, sfDir).collect()
+    assert(got.length == expected.size, "row count")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"))
+      val (nid, s, arnk) = expected(key)
+      assert(r.getAs[Long]("neighbor_id") == nid, s"$key neighbor")
+      assert(r.getAs[Double]("exact_r") == s, s"$key exact score")
+      assert(r.getAs[Long]("adc_rnk") == arnk, s"$key stage-1 rank")
+    }
+    // with the shortlist admitting every candidate, stage 2 re-scores the
+    // whole corpus and the result is EXACTLY c5's brute-force truth
+    val nCand = vecs.keys.count(_ >= 5)
+    val full = Similarity.c79ExactRerank(spark, sfDir, shortlist = nCand)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("exact_r").as("cosine_r"))
+    val brute = Similarity.c5AnnBrute(spark, sfDir)
+    assert(full.exceptAll(brute).count() == 0 && brute.exceptAll(full).count() == 0,
+      "shortlist = all candidates must reduce c79 to the brute-force truth")
+    // re-ranking can only help: any truth-top-5 member inside the
+    // shortlist carries one of the shortlist's 5 highest exact scores, so
+    // the exact re-rank keeps it — recall@5 >= raw ADC order's recall@5
+    val truth = brute.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val adcTop5 = sl.filter(_._3 <= 5).map { case (q, n, _) => (q, n) }
+    val rerankTop5 = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val adcRecall = adcTop5.count(truth).toDouble / truth.size
+    val rerankRecall = rerankTop5.count(truth).toDouble / truth.size
+    assert(rerankRecall >= adcRecall,
+      f"re-rank recall $rerankRecall%.2f fell below raw ADC $adcRecall%.2f")
+    info(f"c79 recall@5 vs c5 truth: ADC-only $adcRecall%.2f -> re-ranked $rerankRecall%.2f")
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>

@@ -742,6 +742,74 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
 
+  test("c80 DSIR weights equal a driver-side re-derivation; artifact bounded by the bucket space") {
+    import graft.operators.Dsir
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), tokensOf(r.getAs[String]("text")),
+        r.getAs[String]("lang")))
+    def bucket(w: String): String = md5hex(w).substring(0, Dsir.BucketHexChars)
+    // driver brute artifact: smoothed fixed-point log-ratios over exact counts
+    val toks = docs.flatMap { case (_, tk, lang) => tk.map(w => (bucket(w), lang)) }
+    val cr = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = toks.groupBy(_._1).view
+      .mapValues(_.count(_._2 == Dsir.TargetLang).toLong).toMap
+    val nr = cr.values.sum; val nt = ct.values.sum; val v = cr.size
+    val lr = cr.keys.map { b =>
+      b -> math.floor((StrictMath.log((ct(b) + 1).toDouble) -
+        StrictMath.log((nt + v).toDouble) -
+        StrictMath.log((cr(b) + 1).toDouble) +
+        StrictMath.log((nr + v).toDouble)) * 1e6).toLong
+    }.toMap
+    val art = Dsir.trainDsir(spark, sfDir)
+    assert(art.toMap == lr, "trained artifact vs driver brute force")
+    assert(art.size <= Dsir.NBuckets && art.size == lr.size)
+    // the exact-integer half-away-from-zero 6-dp rounding weightsOf uses
+    def avgOf(sum: Long, n: Long): Double = {
+      val r = (2 * math.abs(sum) + n) / (2 * n)
+      (if (sum >= 0) r else -r).toDouble / 1e6
+    }
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, tk, _) =>
+      val sum = tk.map(w => lr(bucket(w))).sum
+      id -> ((tk.length.toLong, sum, avgOf(sum, tk.length), sum > 0L))
+    }.toMap
+    val got = Dsir.c80DsirWeights(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_lr"),
+          r.getAs[Double]("avg_lr_r"), r.getAs[Boolean]("keep")))
+    }.toMap
+    assert(got == expected)
+    // the ranking must be non-degenerate even here: weights spread
+    assert(got.values.map(_._3).toSet.size > 1, "all-equal weights test nothing")
+    // On THIS corpus the en slice is distributionally ~identical to the
+    // raw corpus, so weights are noise around 0 and the keep split is
+    // arbitrary — reported, not asserted; the sign test's discrimination
+    // is pinned on a genuinely distribution-shifted corpus below.
+    info(s"c80 keep distribution on the identical-distribution corpus: " +
+      s"${got.values.count(_._4)} true / ${got.values.count(!_._4)} false")
+  }
+
+  test("c80 sign test discriminates when the target slice actually differs") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    // target (en) speaks {alpha beta}, the rest speak {gamma delta}:
+    // a genuinely shifted target distribution
+    val frame = Seq(
+      (1L, "alpha beta alpha beta alpha", "en"),
+      (2L, "beta alpha beta alpha", "en"),
+      (3L, "gamma delta gamma delta gamma", "fr"),
+      (4L, "delta gamma delta gamma", "es"),
+      (5L, "alpha beta gamma delta", "de") // mixed: half target-like
+    ).toDF("doc_id", "text", "lang")
+    val art = Dsir.trainDsirOn(frame)
+    val got = Dsir.weightsOf(Dsir.scoreDocs(frame, art)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("avg_lr_r"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L)._2 && got(2L)._2, "target-voiced docs must keep")
+    assert(!got(3L)._2 && !got(4L)._2, "off-target docs must drop")
+    assert(got(1L)._1 > got(5L)._1 && got(5L)._1 > got(3L)._1,
+      "mixed doc must rank between pure-target and pure-off-target")
+  }
+
   /** Brute winnowing (Schleimer et al. 2003) under c57's value-set
     * semantics: k-gram md5s, w-window minima, distinct, sorted. */
   private def bruteWinnow(tk: Vector[String]): (Long, Long, Vector[String]) = {

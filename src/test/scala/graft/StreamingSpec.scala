@@ -435,6 +435,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d37 streaming DSIR selection equals batch c80 row-for-row; unseen buckets score neutral 0") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dsir
+    val art = Dsir.trainDsir(spark, sfDir)
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val docs = corpus ++ Seq(
+      (9001L, "zzzzz qqqqq zzzzz"), // words unseen at train time
+      (9002L, null.asInstanceOf[String])) // null text drops on both paths
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamDsir(stream.toDF().toDF("doc_id", "text"), art)
+      .writeStream.outputMode("append").format("memory").queryName("d37_sink").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("d37_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      // batch twin: c80's own weights projection over the same frame —
+      // the SAME subtree by construction, executed in batch mode
+      val batch = Dsir.weightsOf(Dsir.scoreDocs(
+          docs.toDF("doc_id", "text"), art)).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed.keySet == batch.keySet)
+      assert(!streamed.contains(9002L), "null text must not emit a row")
+      streamed.foreach { case (id, row) =>
+        assert(row == batch(id), s"doc $id stream vs batch weight")
+      }
+      // the gate row itself agrees on the corpus slice (same artifact
+      // via the per-dir memo)
+      val gate = Dsir.c80DsirWeights(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      corpus.map(_._1).filter(streamed.contains).foreach { id =>
+        assert(streamed(id) == gate(id), s"doc $id stream vs c80 gate row")
+      }
+      // every word of 9001 hashes to a bucket outside the artifact:
+      // the shared coalesce scores it exactly 0 (the documented
+      // neutral fallback that lets one artifact serve new data)
+      val unseen = streamed(9001L)
+      assert(unseen(2) == 0L && unseen(3) == 0.0 && unseen(4) == false,
+        s"unseen-bucket doc must score exactly 0: $unseen")
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
