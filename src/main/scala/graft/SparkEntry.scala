@@ -100,6 +100,7 @@ object SparkEntry {
     "c38_pq_search" -> ((s: SparkSession, d: String) => Similarity.c38PqSearch(s, d)),
     "c79_exact_rerank" -> ((s: SparkSession, d: String) => Similarity.c79ExactRerank(s, d)),
     "c80_dsir_weights" -> ((s: SparkSession, d: String) => graft.operators.Dsir.c80DsirWeights(s, d)),
+    "c81_containment" -> ((s: SparkSession, d: String) => Dedup.c81ContainmentDedup(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
     "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
@@ -1470,6 +1471,44 @@ object SparkEntry {
         |  CAST(len(fps) AS BIGINT) AS n_fp,
         |  md5(array_to_string(fps, '')) AS fp_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+    // c81 = c57's winnow CTEs (candidates: fingerprint collisions) +
+    // clusterCte's shingle shape (exact verify) + exact-integer rounding.
+    "c81_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(tk) >= 4
+        |             THEN list_transform(range(1, len(tk) - 2),
+        |                    i -> md5(array_to_string(tk[i:i+3], ' ')))
+        |             ELSE CAST([] AS VARCHAR[]) END AS gs
+        |      FROM tok),
+        |f AS (SELECT doc_id, unnest(
+        |        CASE WHEN len(gs) >= 5
+        |             THEN list_distinct(list_transform(range(1, len(gs) - 3),
+        |                    j -> list_aggregate(gs[j:j+4], 'min')))
+        |             ELSE CAST([] AS VARCHAR[]) END) AS fp
+        |      FROM g),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM f a JOIN f b ON a.fp = b.fp WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM pr p JOIN sh sa ON sa.doc_id = p.doc_a
+        |                 JOIN sh sb ON sb.doc_id = p.doc_b
+        |                          AND sb.shingle = sa.shingle
+        |       GROUP BY p.doc_a, p.doc_b),
+        |r AS (SELECT it.doc_a, it.doc_b, it.n_common,
+        |        za.n AS na, zb.n AS nb,
+        |        CAST((2*it.n_common*1000000 + za.n) // (2*za.n) AS DOUBLE)
+        |          / 1000000 AS cont_a_in_b_r,
+        |        CAST((2*it.n_common*1000000 + zb.n) // (2*zb.n) AS DOUBLE)
+        |          / 1000000 AS cont_b_in_a_r
+        |      FROM it JOIN sz za ON za.doc_id = it.doc_a
+        |              JOIN sz zb ON zb.doc_id = it.doc_b)
+        |SELECT doc_a, doc_b, n_common, na, nb, cont_a_in_b_r, cont_b_in_a_r,
+        |  greatest(cont_a_in_b_r, cont_b_in_a_r) >= 0.5 AS contained
+        |FROM r ORDER BY doc_a, doc_b""".stripMargin,
     "b13_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS seg,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

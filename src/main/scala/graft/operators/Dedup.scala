@@ -733,6 +733,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** c81: containment dedup — the ASYMMETRIC near-dup relation Jaccard
+    * misses: a short document wholly quoted inside a long one has
+    * containment |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0, so
+    * c2's banded MinHash (an estimator OF Jaccard) structurally cannot
+    * surface it — the standard corpus-curation gap (quote farms, boiler-
+    * plate wrappers, doc-in-doc aggregation pages). Candidates come from
+    * WINNOW-FINGERPRINT collisions instead (c57's positional-robustness
+    * guarantee: ANY shared run of ≥ w+k−1 = 8 tokens yields an identical
+    * selected fingerprint, regardless of where it sits in either doc),
+    * which is exactly the recall argument an asymmetric pair needs and
+    * banding can't make; verification is the exact distinct-shingle
+    * containment in both directions via c2's equi-join count. Ratios
+    * round by EXACT-INTEGER half-away-from-zero division (the c80
+    * lesson: n_common·10⁶/n lands on .5 ties for power-of-two set
+    * sizes, where decimal-HALF_UP and double-rounding engines split).
+    *
+    * Scale shape: the fingerprint join is an equi-join on a 32-byte key
+    * over the winnowing index (≈ 2/(w+1) of the corpus' gram count —
+    * the index a dedup service already maintains, c57/d25); the verify
+    * joins are shingle-key equi-joins confined to collided candidates.
+    * Never all-pairs; bodies never shuffle. */
+  def c81ContainmentDedup(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame =
+    containmentOn(graft.Tables.documents(spark, dir),
+      spark.read.parquet(shingleTablePath(spark, dir)), threshold)
+
+  /** c81's core over injectable frames (`docs` for the winnow index,
+    * `sh` the distinct (doc_id, shingle) table) — the seam the spec's
+    * synthetic doc-in-doc corpus and a shingle-store-owning service
+    * both use. */
+  def containmentOn(docs: DataFrame, sh: DataFrame,
+                    threshold: Double = 0.5): DataFrame = {
+    val idx = graft.operators.TextOps.winnowIndex(docs)
+    val pairs = idx.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(idx.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    // round6(n_common/n) as exact integers: (2·n_common·10⁶ + n) div (2n)
+    // — all operands nonnegative, so div is floor is truncate in both
+    // engines
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("cont_a_in_b_r",
+        expr("(2*n_common*1000000 + na) div (2*na)").cast("double") / 1e6)
+      .withColumn("cont_b_in_a_r",
+        expr("(2*n_common*1000000 + nb) div (2*nb)").cast("double") / 1e6)
+      .withColumn("contained",
+        greatest(col("cont_a_in_b_r"), col("cont_b_in_a_r")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("cont_a_in_b_r"), col("cont_b_in_a_r"),
+        col("contained"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** c4: token-3-gram Jaccard over adjacent-id candidate pairs. The pair
     * generator here is deliberately trivial (id, id+1) so the oracle can
     * reproduce it; production candidate pairs come from c2/c3 banding and

@@ -194,24 +194,40 @@ object Unigram {
   /** c78: unigram fertility — tokens-per-word per doc under the trained
     * unigram artifact, closing c75's evaluation loop the way c66 closed
     * c52's and c73 closed c70's: the three trainer families (char-BPE,
-    * byte-BPE, unigram) now compare on ONE metric. Shares
-    * [[tokenizeDocs]] with the CLI/stream paths and [[trainUnigram]]'s
-    * memoized artifact with the c75 gate row (the oracle renderer sees
-    * the identical artifact — trainBpe's memo rule). Zero-word docs are
-    * absent by construction (c66's row-set rule; also what keeps the
-    * ratio's divisor nonzero).
+    * byte-BPE, unigram) now compare on ONE metric. Shares [[segment]]
+    * (the ONE Viterbi expression — d29's rule: the CLI/stream paths and
+    * this row cannot drift) and [[trainUnigram]]'s memoized artifact
+    * with the c75 gate row (the oracle renderer sees the identical
+    * artifact — trainBpe's memo rule). Zero-word docs are absent by
+    * construction (c66's row-set rule; also what keeps the ratio's
+    * divisor nonzero).
     *
-    * Scale shape: the row-local Viterbi HOF re-runs per corpus TOKEN
-    * (c66's precedent) rather than joining a word-type→np table — the
-    * join formulation would memoize Viterbi over the bounded type
-    * vocabulary but buy that with a corpus-sized shuffle; the HOF form
-    * has ZERO exchanges beyond the final doc-ordered sort, and the
-    * per-word cost is bounded by MaxPieceLen·|w| integer ops. */
+    * Scale shape — the WORD-TYPE JOIN, exactly what the DuckDB oracle
+    * composes (wnp ⋈ dw): Viterbi runs ONCE per word TYPE (the bounded
+    * vocabulary — c44's distributed-tokenizer trick), the type→np table
+    * BROADCASTS, and the corpus token stream folds per doc with
+    * map-side combine; corpus tokens never shuffle — only per-doc
+    * partial sums do. The r13 formulation re-ran the interpreted
+    * Viterbi HOF per corpus TOKEN; "row-local" read as scale-safe but
+    * cost 14 s of a 64 s sf0.1 suite (270k interpreted DP lambdas vs
+    * 31 — measured, §8l), and the HOF-vs-join trade argued in its
+    * comment had the shuffle direction wrong: the join side moves
+    * (doc_id, np) partial aggregates, not tokens. d36's ingest twin
+    * keeps the per-row HOF — a stream row cannot join a computed type
+    * table, and an arrival is one doc, which is exactly where row-local
+    * IS the right shape. */
   def c78UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
     val art = trainUnigram(spark, dir)
-    tokenizeDocs(graft.Tables.documents(spark, dir), art)
-      .filter(col("n_words") >= 1)
-      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+    val types = graft.operators.TextOps.wordTypes(spark, dir)
+      .select(col("w"), size(segment(col("w"), art)).cast("bigint").as("np"))
+    val dw = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(
+        filter(graft.operators.TextOps.words(lower(col("text"))),
+          w => length(w) >= 1)).as("w"))
+    dw.join(broadcast(types), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_tokens"))
       .withColumn("fertility_r",
         round(col("n_tokens").cast("double") / col("n_words"), 6))
       .orderBy("doc_id")

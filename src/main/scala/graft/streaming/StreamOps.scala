@@ -1087,6 +1087,69 @@ object StreamOps {
       .filter(col("matched_doc") =!= col("doc_id"))
       .select(col("doc_id"), col("matched_doc"), col("fp"))
 
+  /** The static-side artifacts [[streamContainment]] joins against —
+    * c81's corpus half as at-rest tables: the winnowing index
+    * ([[graft.operators.TextOps.winnowIndex]], the same artifact
+    * d25/c57 maintain) and the per-doc distinct-shingle sets with their
+    * sizes. d11/d25's materialized-table rule: build ONCE per corpus
+    * and persist; at scale the index is bucketed by fp and the sets by
+    * ex_id so both per-batch joins are co-located. */
+  case class ContainStatics(index: DataFrame, sets: DataFrame)
+
+  def containStatics(existing: DataFrame): ContainStatics = {
+    import graft.operators.{Dedup, TextOps}
+    ContainStatics(
+      TextOps.winnowIndex(existing)
+        .select(col("fp"), col("doc_id").as("ex_id")),
+      Dedup.shingleRows(existing).groupBy("doc_id")
+        .agg(collect_list(col("shingle")).as("ex_sl"),
+          count(lit(1)).as("ex_ns"))
+        .select(col("doc_id").as("ex_id"), col("ex_sl"), col("ex_ns")))
+  }
+
+  /** d38: streaming containment hits at ingest — c81's serving twin:
+    * each arriving document probes the at-rest winnow index for
+    * candidate corpus docs (c57's guarantee carries over: an arrival
+    * sharing a ≥ 8-token run with ANY corpus doc collides) and verifies
+    * exact bidirectional shingle containment against the candidate's
+    * attached set — the doc-in-doc signal (quote farms, boilerplate
+    * wrappers) that d11's Jaccard verify structurally under-scores.
+    * The arrival's fingerprints and distinct-shingle set are ROW-LOCAL
+    * (the same native WinnowFps expression batch winnowIndex projects
+    * through, and c2's shingles HOF — d29's shared-subtree rule twice),
+    * so the plan is two stateless stream-static equi-joins; no
+    * watermark, no state. Emits one hit row per colliding (doc_id,
+    * ex_id, fp) — d8/d26's hit-row rule: append mode cannot run the
+    * pair-distinct, and every duplicate carries the identical verified
+    * ratios, so the fold downstream is a pure distinct. Containment
+    * ratios use c81's exact-integer rounding; parity is spec-pinned
+    * against batch [[graft.operators.Dedup.containmentOn]] over the
+    * straddling pairs. */
+  def streamContainment(docs: DataFrame, statics: ContainStatics,
+                        threshold: Double = 0.5): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val arriving = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("sd"),
+        explode(graft.functions.WinnowFunctions.winnowFps(
+          col("text"), TextOps.WinnowK, TextOps.WinnowW)).as("fp"))
+    arriving.join(statics.index, "fp")
+      .join(statics.sets, "ex_id")
+      .withColumn("n_common",
+        size(array_intersect(col("sd"), col("ex_sl"))).cast("bigint"))
+      .withColumn("n_in", size(col("sd")).cast("bigint"))
+      .filter(col("n_in") >= 1L)
+      .withColumn("cont_in_r",
+        expr("(2*n_common*1000000 + n_in) div (2*n_in)").cast("double") / 1e6)
+      .withColumn("cont_ex_r",
+        expr("(2*n_common*1000000 + ex_ns) div (2*ex_ns)").cast("double") / 1e6)
+      .withColumn("contained",
+        greatest(col("cont_in_r"), col("cont_ex_r")) >= threshold)
+      .select(col("doc_id"), col("ex_id"), col("fp"), col("n_common"),
+        col("n_in"), col("ex_ns"), col("cont_in_r"), col("cont_ex_r"),
+        col("contained"))
+  }
+
   /** d26: streaming duplicated-START hits at ingest — the serving twin
     * of batch c62: each arriving document's positional n-shingles
     * (row-local explode — [[graft.operators.Dedup.positionalShingles]])

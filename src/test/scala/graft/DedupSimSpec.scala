@@ -541,6 +541,69 @@ class DedupSimSpec extends SparkSpec {
     info(f"c79 recall@5 vs c5 truth: ADC-only $adcRecall%.2f -> re-ranked $rerankRecall%.2f")
   }
 
+  test("c81 containment equals a driver-side re-derivation over winnow-collided pairs") {
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").toLowerCase.split(" ", -1).toVector))
+    // winnow fps (reference formulation, k=4 w=5) and 3-shingle sets
+    val fps = docs.map { case (id, tk) =>
+      val gs = if (tk.length >= 4)
+        tk.sliding(4).map(g => md5s(g.mkString(" "))).toVector
+      else Vector.empty
+      id -> (if (gs.length >= 5) gs.sliding(5).map(_.min).toSet
+             else Set.empty[String])
+    }.toMap
+    val shingles = docs.map { case (id, tk) =>
+      id -> (if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    def contFx(ni: Long, n: Long): Double =
+      ((2 * ni * 1000000L + n) / (2 * n)).toDouble / 1e6
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if fps(a).exists(fps(b))
+      ni = shingles(a).intersect(shingles(b)).size.toLong
+      if ni >= 1
+      ca = contFx(ni, shingles(a).size); cb = contFx(ni, shingles(b).size)
+    } yield (a, b) -> ((ni, shingles(a).size.toLong, shingles(b).size.toLong,
+      ca, cb, math.max(ca, cb) >= 0.5))).toMap
+    val got = Dedup.c81ContainmentDedup(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Double]("cont_a_in_b_r"), r.getAs[Double]("cont_b_in_a_r"),
+          r.getAs[Boolean]("contained")))
+    }.toMap
+    assert(got == expected)
+    // never all-pairs: candidates confined to fingerprint collisions
+    assert(got.size < ids.length * 5L, "candidate set must stay banded")
+    info(s"c81: ${got.size} collided pairs, ${got.values.count(_._6)} contained")
+  }
+
+  test("c81 surfaces the doc-in-doc pair Jaccard-banded dedup structurally misses") {
+    // A (10 tokens) quoted verbatim inside B (60 tokens): containment
+    // |A∩B|/|A| = 1, Jaccard ≈ 8/58 ≈ 0.14 — far below any near-dup
+    // threshold, invisible to a Jaccard estimator by construction
+    val a = (1 to 10).map(i => s"q$i").mkString(" ")
+    val b = (1 to 25).map(i => s"x$i").mkString(" ") + " " + a + " " +
+      (1 to 25).map(i => s"y$i").mkString(" ")
+    val docs = docsDf(Seq((1L, a), (2L, b), (3L, "unrelated words only here")))
+    val sh = Dedup.shingleRows(docs)
+    val got = Dedup.containmentOn(docs, sh).collect()
+    assert(got.length == 1, s"exactly the (1,2) pair must collide: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("cont_a_in_b_r") == 1.0, "A fully contained in B")
+    assert(r.getAs[Boolean]("contained"))
+    // the Jaccard this pair would score stays far below c2's 0.5-ish bars
+    val ni = r.getAs[Long]("n_common").toDouble
+    val j = ni / (r.getAs[Long]("na") + r.getAs[Long]("nb") - ni)
+    assert(j < 0.2, f"jaccard $j%.3f must be low — that is the point")
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>

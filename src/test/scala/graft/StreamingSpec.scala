@@ -480,6 +480,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d38 streaming containment hits fold to batch c81 over the straddling pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val existing = docs.filter(_._1 % 7 != 3)
+    // incoming: the held-out slice plus a CONSTRUCTED doc-in-doc arrival —
+    // an existing doc quoted verbatim inside fresh padding (the asymmetric
+    // case c81 exists for), plus a null-text row (drops on both paths)
+    val quoted = existing.head._2
+    val incoming = docs.filter(_._1 % 7 == 3) ++ Seq(
+      (900001L, "pad1 pad2 pad3 pad4 pad5 " + quoted + " pad6 pad7"),
+      (900002L, null.asInstanceOf[String]))
+    val statics = StreamOps.containStatics(existing.toDF("doc_id", "text"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamContainment(
+        stream.toDF().toDF("doc_id", "text"), statics)
+      .writeStream.outputMode("append").format("memory").queryName("d38_sink").start()
+    try {
+      val (a, b) = incoming.splitAt(incoming.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      // fold: hit rows are per colliding fingerprint; every duplicate
+      // carries identical verified ratios, so the fold is a pure distinct
+      val streamed = spark.table("d38_sink")
+        .drop("fp").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ex_id")) ->
+          ((r.getAs[Long]("n_common"), r.getAs[Long]("n_in"),
+            r.getAs[Long]("ex_ns"), r.getAs[Double]("cont_in_r"),
+            r.getAs[Double]("cont_ex_r"), r.getAs[Boolean]("contained"))))
+        .toMap
+      // batch reference: c81's core over the UNION corpus, restricted to
+      // the straddling (incoming × existing) pairs, reoriented to
+      // (arrival, corpus) direction
+      val union = (existing ++ incoming).toDF("doc_id", "text")
+      val exIds = existing.map(_._1).toSet
+      val inIds = incoming.map(_._1).toSet
+      val batch = Dedup.containmentOn(union, Dedup.shingleRows(union))
+        .collect().flatMap { r =>
+          val (da, db) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+          val v = (r.getAs[Long]("n_common"), r.getAs[Long]("na"),
+            r.getAs[Long]("nb"), r.getAs[Double]("cont_a_in_b_r"),
+            r.getAs[Double]("cont_b_in_a_r"), r.getAs[Boolean]("contained"))
+          if (inIds(da) && exIds(db))
+            Some((da, db) -> v)
+          else if (inIds(db) && exIds(da))
+            Some((db, da) -> ((v._1, v._3, v._2, v._5, v._4, v._6)))
+          else None
+        }.toMap
+      assert(streamed.keySet == batch.keySet,
+        s"straddling candidate sets differ: stream-only=${streamed.keySet -- batch.keySet}, batch-only=${batch.keySet -- streamed.keySet}")
+      streamed.foreach { case (k, v) =>
+        assert(v == batch(k), s"pair $k stream vs batch containment")
+      }
+      assert(!streamed.keys.exists(_._1 == 900002L), "null text must not emit")
+      // the constructed doc-in-doc arrival must hit its quoted source
+      // with full corpus-side containment (every shingle of the quoted
+      // doc appears in the arrival — plus the boundary shingles)
+      val hit = streamed.collectFirst {
+        case ((900001L, ex), v) if ex == existing.head._1 => v }
+      assert(hit.nonEmpty, "doc-in-doc arrival must collide with its source")
+      assert(hit.get._5 == 1.0 && hit.get._6,
+        s"quoted source must be fully contained: ${hit.get}")
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
