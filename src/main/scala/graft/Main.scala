@@ -88,6 +88,8 @@ object Main {
     case Some("scrub") => scrub(args.drop(1))
     case Some("index") => indexCmd(args.drop(1))
     case Some("query") => queryCmd(args.drop(1))
+    case Some("select") => selectCmd(args.drop(1))
+    case Some("contain") => contain(args.drop(1))
     case Some("bpe-train") => bpeTrain(args.drop(1))
     case Some("unigram-train") => unigramTrain(args.drop(1))
     case Some("tokenize") => tokenize(args.drop(1))
@@ -96,7 +98,7 @@ object Main {
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
-          "bpe-train|unigram-train|tokenize ...")
+          "select|contain|bpe-train|unigram-train|tokenize ...")
       sys.exit(2)
   }
 
@@ -416,6 +418,73 @@ object Main {
     println(s"""{"docs":${stats.getLong(0)},"kept":${stats.getLong(1)},""" +
       s""""quality":$quality,"unicode":${args.contains("--unicode")},""" +
       s""""out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main select --in PARQUET --out OUT [--target-lang L]
+    * [--save-artifact PATH] [--artifact PATH]` — c80's DSIR importance
+    * weighting over any (doc_id, text[, lang]) parquet. With
+    * `--artifact` the stored (bucket, lr_fx) table scores the input
+    * WITHOUT retraining (the d37 serving path — no lang column needed;
+    * train-time-unseen buckets score the neutral 0); otherwise the
+    * input trains the artifact (lang column required), optionally
+    * persisted via `--save-artifact` for later `--artifact` runs /
+    * d37 ingest. One JSON stats line. */
+  private def selectCmd(args: Array[String]): Unit = {
+    import graft.operators.Dsir
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val trained = opt(args, "--artifact").isEmpty
+    val art: Seq[(String, Long)] = opt(args, "--artifact") match {
+      case Some(p) =>
+        spark.read.parquet(p).collect()
+          .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("lr_fx")))
+          .sortBy(_._1).toIndexedSeq
+      case None =>
+        require(docs.columns.contains("lang"),
+          s"training needs a lang column in $in (or pass --artifact)")
+        Dsir.trainDsirOn(docs,
+          opt(args, "--target-lang").getOrElse(Dsir.TargetLang))
+    }
+    opt(args, "--save-artifact").foreach { p =>
+      import spark.implicits._
+      art.toDF("bucket", "lr_fx").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+    }
+    Dsir.weightsOf(Dsir.scoreDocs(docs.select("doc_id", "text"), art))
+      .orderBy("doc_id")
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out)
+      .agg(count(lit(1)), count(when(col("keep"), lit(1)))).head()
+    println(s"""{"docs":${stats.getLong(0)},"kept":${stats.getLong(1)},""" +
+      s""""buckets":${art.length},"trained":$trained,"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main contain --in PARQUET --out OUT [--threshold T]` —
+    * c81's asymmetric containment pairs over any (doc_id, text)
+    * parquet: winnow-fingerprint candidates, exact bidirectional
+    * distinct-shingle containment. One JSON stats line. */
+  private def contain(args: Array[String]): Unit = {
+    import graft.operators.Dedup
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val base = docs.select("doc_id", "text")
+    Dedup.containmentOn(base, Dedup.shingleRows(base), threshold)
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out)
+      .agg(count(lit(1)), count(when(col("contained"), lit(1)))).head()
+    println(s"""{"pairs":${stats.getLong(0)},"contained":${stats.getLong(1)},""" +
+      s""""threshold":$threshold,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal

@@ -101,6 +101,9 @@ object SparkEntry {
     "c79_exact_rerank" -> ((s: SparkSession, d: String) => Similarity.c79ExactRerank(s, d)),
     "c80_dsir_weights" -> ((s: SparkSession, d: String) => graft.operators.Dsir.c80DsirWeights(s, d)),
     "c81_containment" -> ((s: SparkSession, d: String) => Dedup.c81ContainmentDedup(s, d)),
+    "c82_best_of_cluster" -> ((s: SparkSession, d: String) => Dedup.c82BestOfCluster(s, d)),
+    "c83_minhash_recall" -> ((s: SparkSession, d: String) => Dedup.c83MinhashRecall(s, d)),
+    "c84_tokenizer_report" -> ((s: SparkSession, d: String) => TextOps.c84TokenizerReport(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
     "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
@@ -340,6 +343,72 @@ object SparkEntry {
        |              substr(r.w, CAST(i AS INT) + 1, CAST(r.j + 1 - i AS INT))))),
        |        c -> c.negscore IS NOT NULL))[1] AS best_j
        |    FROM rec r WHERE r.j < len(r.w)))""".stripMargin
+  }
+
+  /** DuckDB rendering of c82: c19's transitive-closure cluster CTEs +
+    * c41's score SQL embedded as a subquery + the per-cluster argmax
+    * (score desc, doc_id asc) — the same composition the Spark side
+    * runs. */
+  private def c82OracleSql(c41Sql: String): String =
+    s"""$clusterCte,
+       |cl AS (SELECT d.doc_id,
+       |         CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+       |       FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+       |sc AS (SELECT doc_id, mean_prob_r FROM ($c41Sql)),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, sc.mean_prob_r
+       |      FROM cl JOIN sc USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |         ORDER BY mean_prob_r DESC, doc_id ASC) AS rn FROM j),
+       |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM rk WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, j.mean_prob_r, cn.canonical_id,
+       |  j.doc_id = cn.canonical_id AS is_canonical
+       |FROM j JOIN cn USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** DuckDB rendering of c83: exact-jaccard truth over shared-shingle
+    * pairs + c2's SQL embedded as the banded side (c58's rule), folded
+    * to c72's one-row recall shape. */
+  private def c83OracleSql(c2Sql: String): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |             FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+       |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |tr AS (SELECT it.doc_a, it.doc_b FROM
+       |         (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |                            AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id) it
+       |       JOIN sz za ON za.doc_id = it.doc_a
+       |       JOIN sz zb ON zb.doc_id = it.doc_b
+       |       WHERE round(CAST(it.ni AS DOUBLE) / (za.n + zb.n - it.ni), 6)
+       |             >= 0.5),
+       |bd AS (SELECT doc_a, doc_b FROM ($c2Sql) WHERE jaccard >= 0.5),
+       |u AS (SELECT doc_a, doc_b, 1 AS e, 0 AS b FROM tr
+       |      UNION ALL SELECT doc_a, doc_b, 0, 1 FROM bd),
+       |g AS (SELECT doc_a, doc_b, max(e) AS e, max(b) AS b
+       |      FROM u GROUP BY doc_a, doc_b)
+       |SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+       |  CAST(sum(b) AS BIGINT) AS n_banded,
+       |  CAST(sum(e * b) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(e * b) AS DOUBLE) / sum(e), 6) AS recall_r
+       |FROM g""".stripMargin
+
+  /** DuckDB rendering of c84: the three fertility oracles as
+    * subqueries, each folded to its corpus-level row. */
+  private def c84OracleSql(dir: String): String = {
+    def leg(sql: String, units: String, name: String): String =
+      s"""SELECT '$name' AS tokenizer, count(*) AS n_docs,
+         |  CAST(sum($units) AS BIGINT) AS n_units,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / sum($units), 6) AS fertility_r
+         |FROM (${sql.replace("\n", "\n  ")})""".stripMargin
+    s"""SELECT * FROM (
+       |${leg(c66OracleSql(dir), "n_words", "bpe_char")}
+       |UNION ALL
+       |${leg(c73OracleSql(dir), "n_pretokens", "bpe_byte")}
+       |UNION ALL
+       |${leg(c78OracleSql(dir), "n_words", "unigram")}
+       |) ORDER BY tokenizer""".stripMargin
   }
 
   /** DuckDB rendering of c80: the trained (bucket → lr_fx) map inlined
@@ -597,7 +666,12 @@ object SparkEntry {
     val base = oracleSqlBase(dir)
     new LazyOracleMap(
       base + ("c58_ann_recall" -> c58OracleSql(
-        base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf"))),
+        base("c5_ann_brute"), base("c6_ann_lsh"), base("c18_ann_ivf")))
+        // c82 composes c19's cluster CTEs with c41's score SQL as a
+        // subquery (c58's rule: the survivorship must judge exactly the
+        // score the gate verifies — re-written SQL could drift)
+        + ("c82_best_of_cluster" -> c82OracleSql(base("c41_freq_score")))
+        + ("c83_minhash_recall" -> c83OracleSql(base("c2_dedup_minhash"))),
       Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
         "c54_pca_project" -> (() => c54OracleSql(dir)),
         "c66_bpe_fertility" -> (() => c66OracleSql(dir)),
@@ -610,7 +684,10 @@ object SparkEntry {
         "c74_quality_classifier" -> (() => c74OracleSql(dir)),
         "c75_unigram_tokenize" -> (() => c75OracleSql(dir)),
         "c78_unigram_fertility" -> (() => c78OracleSql(dir)),
-        "c80_dsir_weights" -> (() => c80OracleSql(dir))))
+        "c80_dsir_weights" -> (() => c80OracleSql(dir)),
+        // c84 composes the three fertility oracles (two of them
+        // artifact-trained) as subqueries — render on demand
+        "c84_tokenizer_report" -> (() => c84OracleSql(dir))))
   }
 
   /** Oracle map whose artifact-TRAINED entries (c52's learned merges,

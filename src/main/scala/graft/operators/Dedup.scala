@@ -693,6 +693,91 @@ object Dedup {
     }
   }
 
+  /** c82: quality-aware survivorship — WHICH member of each near-dup
+    * cluster should survive: c19 keeps the min doc_id (deterministic but
+    * quality-blind); production curation keeps the BEST member, because
+    * near-dup clusters routinely mix a clean original with boilerplate-
+    * wrapped or truncated recrawls. Composes the memoized c19/c30
+    * cluster table with c41's scale-free quality score: per cluster the
+    * canonical is argmax by (mean_prob_r desc, doc_id asc) — the
+    * ROUNDED 6-dp score (c41's own oracle-pinned metric), so the
+    * verdict can't flip on a last-ulp disagreement, and exact-dup
+    * members (identical text ⇒ identical score) fall back to min
+    * doc_id, c19's rule.
+    *
+    * Scale shape: the cluster table is memoized (one clustering per
+    * dir — c19/c30/curate share it), the score join is a doc_id
+    * equi-join, and the per-cluster argmax is one row_number window
+    * over cluster-bounded frames (the same skew bound as any
+    * per-cluster fold; a giant cluster is a threshold pathology the
+    * dedup policy owns, not a plan defect). */
+  def c82BestOfCluster(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = spark.read.parquet(clusterTablePath(spark, dir, threshold))
+      .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
+    val scores = graft.operators.TextOps.c41FreqScore(spark, dir)
+      .select(col("doc_id"), col("mean_prob_r"))
+    val members = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+      .join(scores, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("mean_prob_r"), asc("doc_id"))
+    val canon = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    members.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("mean_prob_r"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** c83: banded-MinHash recall gate for the TEXT near-dup family —
+    * c72's eval-as-operator rule applied to c2: the dedup pipeline's
+    * tunable (k minhashes × bands) needs a measured recall number, not a
+    * hope. TRUTH = every pair verifying at exact jaccard ≥ threshold
+    * over pairs sharing ≥ 1 shingle — and pairs sharing NO shingle have
+    * jaccard 0 < any threshold, so the shingle equi-join IS the complete
+    * truth, no cross join anywhere (stronger than c72's embedding side,
+    * where truth genuinely needs the cross join). BANDED = c2's
+    * collided candidates verifying at the same threshold. Folds to ONE
+    * row (n_exact, n_banded, n_hit, recall_r) — c2 verifies its
+    * candidates exactly, so banded ⊆ truth and n_hit = n_banded: the
+    * gate measures RECALL, precision is 1.0 by construction.
+    *
+    * Eval-confined (c72's documented rule): the truth side's
+    * shared-shingle pair expansion is quadratic in per-shingle document
+    * frequency — right for an eval corpus/sample, never the production
+    * path (which stays c2's banding). Thresholds compare the ROUNDED
+    * 6-dp jaccard on both sides (c37's threshold rule). */
+  def c83MinhashRecall(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val sh = spark.read.parquet(shingleTablePath(spark, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jaccardCol(col("ni"), col("na"), col("nb")) >= threshold)
+      .select("doc_a", "doc_b")
+    val banded = c2DedupMinhash(spark, dir)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    truth.withColumn("e", lit(1)).withColumn("b", lit(0))
+      .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
+      .agg(sum(col("e")).cast("bigint").as("n_exact"),
+        sum(col("b")).cast("bigint").as("n_banded"),
+        sum(col("e") * col("b")).cast("bigint").as("n_hit"))
+      .withColumn("recall_r",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** c26: passage-level dedup (the CCNet/C4 paragraph-dedup technique,
     * applied to fixed 10-token passages because this corpus has no line
     * structure): every passage is owned by the minimum doc_id that

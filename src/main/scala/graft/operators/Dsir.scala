@@ -63,7 +63,8 @@ object Dsir {
     * fixed-point smoothed log-ratios driver-side. StrictMath keeps the
     * double ln bit-identical across JVMs; the four-term form (rather
     * than one log of a quotient) pins the exact sequence of IEEE ops. */
-  def trainDsirOn(docs: DataFrame): Seq[(String, Long)] = {
+  def trainDsirOn(docs: DataFrame,
+                  target: String = TargetLang): Seq[(String, Long)] = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("lang"),
         explode(filter(TextOps.words(lower(col("text"))),
@@ -71,7 +72,7 @@ object Dsir {
       .select(col("lang"), bucketOf(col("w")).as("b"))
     val counts = toks.groupBy("b").agg(
       count(lit(1)).as("cr"),
-      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("ct"))
+      sum(when(col("lang") === target, 1L).otherwise(0L)).as("ct"))
       .collect()
       .map(r => (r.getString(0), r.getAs[Long]("cr"), r.getAs[Long]("ct")))
     require(counts.nonEmpty, "DSIR training needs a non-empty corpus")

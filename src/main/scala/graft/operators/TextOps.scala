@@ -1190,6 +1190,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** c84: cross-tokenizer fertility report — the three production
+    * trainers (char-BPE c52, byte-BPE c70, unigram-LM c75) compared on
+    * the ONE metric their eval rows share, folded to a 3-row
+    * side-by-side table: corpus doc count, unit count (words for
+    * char-BPE/unigram, byte-pretokens for byte-BPE — each family's own
+    * fertility denominator), token count, and corpus-level fertility.
+    * This is the table a tokenizer decision actually reads; until now
+    * it lived in three separate per-doc gates (c66/c73/c78). Each leg
+    * folds ITS OWN gate row's frame (c58's composed-eval rule: the
+    * comparison must measure exactly the derivations the gates verify —
+    * the oracle composes the c66/c73/c78 SQLs as subqueries), so all
+    * three memoized artifacts are shared and nothing can drift. Three
+    * corpus scans (one per tokenizer — intrinsic: the metric is defined
+    * over each family's full apply pass), each folding to one row. */
+  def c84TokenizerReport(spark: SparkSession, dir: String): DataFrame = {
+    def fold(df: DataFrame, units: String, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(col(units)).as("n_units"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(name).as("tokenizer"), col("n_docs"),
+          col("n_units"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_units"), 6)
+            .as("fertility_r"))
+    fold(c66BpeFertility(spark, dir), "n_words", "bpe_char")
+      .unionByName(fold(c73ByteFertility(spark, dir), "n_pretokens", "bpe_byte"))
+      .unionByName(fold(
+        graft.operators.Unigram.c78UnigramFertility(spark, dir),
+        "n_words", "unigram"))
+      .orderBy("tokenizer")
+  }
+
   // ---- lexical retrieval (c55): Okapi BM25 over an inverted per-doc
   // ---- statistics pass (Robertson & Walker; the standard lexical ranker
   // ---- a retrieval-augmented training pipeline mines hard positives with)

@@ -801,6 +801,39 @@ class CliSpec extends SparkSpec {
       "single-spaced ASCII corpus: unicode and ASCII scores must agree")
   }
 
+  test("select subcommand: train equals c80 gate; artifact round-trip scores identically without lang") {
+    import graft.operators.Dsir
+    val tmp = Files.createTempDirectory("graft-cli-select-").toString
+    Main.main(Array("select", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/w", "--save-artifact", s"$tmp/art"))
+    val got = spark.read.parquet(s"$tmp/w").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val want = Dsir.c80DsirWeights(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI select diverges from the c80 gate")
+    // serving path: score a lang-FREE projection under the stored
+    // artifact — must reproduce the trained run bit-for-bit
+    val noLang = Files.createTempDirectory("graft-cli-select-nl-").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").write.mode("overwrite").parquet(s"$noLang/docs")
+    Main.main(Array("select", "--in", s"$noLang/docs",
+      "--out", s"$tmp/w2", "--artifact", s"$tmp/art"))
+    val served = spark.read.parquet(s"$tmp/w2").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(served.toSeq == want.toSeq,
+      "at-rest artifact serving diverges from the trained run")
+  }
+
+  test("contain subcommand equals the c81 gate row") {
+    import graft.operators.Dedup
+    val tmp = Files.createTempDirectory("graft-cli-contain-").toString
+    Main.main(Array("contain", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/pairs"))
+    val got = spark.read.parquet(s"$tmp/pairs").orderBy("doc_a", "doc_b")
+      .collect().map(_.toSeq)
+    val want = Dedup.c81ContainmentDedup(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI contain diverges from the c81 gate")
+  }
+
   test("stream --in-dir: restartable file drain resumes without duplicates, seq contiguous") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cli-resume-").toString

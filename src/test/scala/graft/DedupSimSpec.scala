@@ -604,6 +604,75 @@ class DedupSimSpec extends SparkSpec {
     assert(j < 0.2, f"jaccard $j%.3f must be low — that is the point")
   }
 
+  test("c82 survivorship picks each cluster's best-scored member; exact-dup ties fall back to min id") {
+    import graft.operators.TextOps
+    // driver re-derivation from the two oracle-pinned inputs
+    val clusters = Dedup.c19DedupCluster(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val scores = TextOps.c41FreqScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_prob_r")).toMap
+    val expectedCanon = clusters.groupBy(_._2).map { case (cc, ms) =>
+      cc -> ms.keys.toSeq.sortBy(id => (-scores(id), id)).head
+    }
+    val got = Dedup.c82BestOfCluster(spark, sfDir).collect()
+    assert(got.length == clusters.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cc = r.getAs[Long]("cluster_id")
+      assert(cc == clusters(id), s"doc $id cluster")
+      assert(r.getAs[Double]("mean_prob_r") == scores(id), s"doc $id score")
+      assert(r.getAs[Long]("canonical_id") == expectedCanon(cc), s"doc $id canonical")
+      assert(r.getAs[Boolean]("is_canonical") == (id == expectedCanon(cc)))
+    }
+    // the policy must differ from c19's min-id rule somewhere on this
+    // corpus (otherwise the quality-aware row tests nothing) ...
+    val minIdCanon = clusters.groupBy(_._2).map { case (cc, ms) => cc -> ms.keys.min }
+    val diverges = expectedCanon.exists { case (cc, id) => minIdCanon(cc) != id }
+    // ... and exact-dup clusters (identical text => identical score) must
+    // fall back to exactly the min-id choice
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    clusters.groupBy(_._2).foreach { case (cc, ms) =>
+      val ids = ms.keys.toSeq
+      if (ids.size > 1 && ids.map(texts).distinct.size == 1)
+        assert(expectedCanon(cc) == ids.min, s"exact-dup cluster $cc must keep min id")
+    }
+    info(s"c82: ${expectedCanon.size} clusters, quality-aware canonical " +
+      s"diverges from min-id in ${expectedCanon.count { case (cc, id) => minIdCanon(cc) != id }} (diverges=$diverges)")
+  }
+
+  test("c83 minhash recall gate equals the driver-side truth; banded is a verified subset") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").toLowerCase.split(" ", -1).toVector))
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val shingles = docs.map { case (id, tk) =>
+      id -> (if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      ni = shingles(a).intersect(shingles(b)).size
+      if ni >= 1 && r6(ni.toDouble / (shingles(a).size + shingles(b).size - ni)) >= 0.5
+    } yield (a, b)).toSet
+    val banded = Dedup.c2DedupMinhash(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.5)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(banded.subsetOf(truth), "c2 verifies exactly — banded must be a truth subset")
+    val got = Dedup.c83MinhashRecall(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_exact") == truth.size)
+    assert(r.getAs[Long]("n_banded") == banded.size)
+    assert(r.getAs[Long]("n_hit") == banded.size, "precision is 1.0 by construction")
+    assert(r.getAs[Double]("recall_r") ==
+      r6(banded.size.toDouble / truth.size))
+    info(f"c83: banding recall@0.5 = ${r.getAs[Double]("recall_r")}%.3f " +
+      s"(${banded.size}/${truth.size})")
+  }
+
   test("c11 near-dup pairs are symmetric-free and above threshold") {
     val df = Similarity.c11EmbedNearDup(spark, sfDir).collect()
     df.foreach { r =>

@@ -810,6 +810,29 @@ class OperatorsSpec extends SparkSpec {
       "mixed doc must rank between pure-target and pure-off-target")
   }
 
+  test("c84 tokenizer report folds exactly the three fertility gate frames") {
+    import graft.operators.{TextOps, Unigram}
+    def foldOf(rows: Array[org.apache.spark.sql.Row], units: String) = {
+      val nd = rows.length.toLong
+      val nu = rows.map(_.getAs[Long](units)).sum
+      val nt = rows.map(_.getAs[Long]("n_tokens")).sum
+      (nd, nu, nt, r6(nt.toDouble / nu))
+    }
+    val expected = Map(
+      "bpe_char" -> foldOf(TextOps.c66BpeFertility(spark, sfDir).collect(), "n_words"),
+      "bpe_byte" -> foldOf(TextOps.c73ByteFertility(spark, sfDir).collect(), "n_pretokens"),
+      "unigram" -> foldOf(Unigram.c78UnigramFertility(spark, sfDir).collect(), "n_words"))
+    val got = TextOps.c84TokenizerReport(spark, sfDir).collect().map { r =>
+      r.getAs[String]("tokenizer") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("fertility_r")))
+    }.toMap
+    assert(got == expected)
+    // every family emits at least one token per unit
+    got.values.foreach { case (_, _, _, f) => assert(f >= 1.0, s"fertility $f < 1") }
+    info(got.map { case (k, v) => f"$k ${v._4}%.3f" }.mkString("c84 fertility: ", ", ", ""))
+  }
+
   /** Brute winnowing (Schleimer et al. 2003) under c57's value-set
     * semantics: k-gram md5s, w-window minima, distinct, sorted. */
   private def bruteWinnow(tk: Vector[String]): (Long, Long, Vector[String]) = {

@@ -81,6 +81,39 @@ class ScaleOpsSpec extends SparkSpec {
       s"native simhash must not explode or aggregate:\n$pSim")
   }
 
+  test("r14 rows keep scale-safe plan shapes: broadcast stage-2, row-local scoring, equi-join-only containment") {
+    import graft.operators.{Dedup, Dsir, Similarity}
+    // c79: the stage-2 exact re-rank joins must BROADCAST the
+    // (queries·shortlist)-row shortlist and query sides — the corpus is
+    // probed, never shuffled on vec_id; and no cross join anywhere (the
+    // only ADC cross-join partner is the 5-row broadcast query side)
+    val p79 = Similarity.c79ExactRerank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p79.contains("BroadcastHashJoin"),
+      s"c79 stage 2 must broadcast the shortlist:\n$p79")
+    assert(!p79.contains("CartesianProduct"),
+      s"c79 must not plan a cartesian:\n$p79")
+    assert(!p79.contains("Exchange hashpartitioning(neighbor_id"),
+      s"c79 must not shuffle the corpus on vec_id:\n$p79")
+    // c80: scoring is ONE row-local fold — no shuffle at all before the
+    // gate sort (the artifact rides as plan literals)
+    val art = Dsir.trainDsir(spark, sfDir)
+    val p80 = Dsir.weightsOf(Dsir.scoreDocs(
+        Tables.documents(spark, sfDir), art))
+      .queryExecution.executedPlan.toString
+    assert(!p80.contains("Exchange hashpartitioning"),
+      s"c80 scoring is row-local — no shuffle:\n$p80")
+    assert(!p80.contains("Generate explode"),
+      s"c80 scores via an array fold, never a token explode:\n$p80")
+    // c81: candidates + verify are equi-joins only — the containment
+    // relation must never fall back to cartesian or nested-loop
+    val p81 = Dedup.c81ContainmentDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p81.contains("CartesianProduct") &&
+      !p81.contains("BroadcastNestedLoopJoin"),
+      s"c81 must stay equi-join only:\n$p81")
+  }
+
   test("co-bucketed tables join without any shuffle exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
