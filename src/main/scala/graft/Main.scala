@@ -90,6 +90,7 @@ object Main {
     case Some("query") => queryCmd(args.drop(1))
     case Some("select") => selectCmd(args.drop(1))
     case Some("contain") => contain(args.drop(1))
+    case Some("curriculum") => curriculum(args.drop(1))
     case Some("bpe-train") => bpeTrain(args.drop(1))
     case Some("unigram-train") => unigramTrain(args.drop(1))
     case Some("tokenize") => tokenize(args.drop(1))
@@ -98,7 +99,7 @@ object Main {
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
-          "select|contain|bpe-train|unigram-train|tokenize ...")
+          "select|contain|curriculum|bpe-train|unigram-train|tokenize ...")
       sys.exit(2)
   }
 
@@ -485,6 +486,30 @@ object Main {
       .agg(count(lit(1)), count(when(col("contained"), lit(1)))).head()
     println(s"""{"pairs":${stats.getLong(0)},"contained":${stats.getLong(1)},""" +
       s""""threshold":$threshold,"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main curriculum --in PARQUET --out OUT [--phases N]` —
+    * c86's training order over any (doc_id, text) parquet: exact global
+    * quality rank (no single-partition window — a4's zipWithIndex
+    * machinery), easy-to-hard phase deciles, deterministic intra-phase
+    * md5 shuffle. The output is what a trainer reads ORDER BY
+    * train_pos. One JSON stats line. */
+  private def curriculum(args: Array[String]): Unit = {
+    import graft.operators.Curriculum
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val phases = opt(args, "--phases").map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    Curriculum.curriculumOn(docs.select("doc_id", "text"), phases)
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out)
+      .agg(count(lit(1)), countDistinct(col("phase"))).head()
+    println(s"""{"docs":${stats.getLong(0)},"phases":${stats.getLong(1)},""" +
+      s""""out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main spans --in PARQUET --out OUT [--n N]` — c62's maximal

@@ -104,6 +104,8 @@ object SparkEntry {
     "c82_best_of_cluster" -> ((s: SparkSession, d: String) => Dedup.c82BestOfCluster(s, d)),
     "c83_minhash_recall" -> ((s: SparkSession, d: String) => Dedup.c83MinhashRecall(s, d)),
     "c84_tokenizer_report" -> ((s: SparkSession, d: String) => TextOps.c84TokenizerReport(s, d)),
+    "c85_global_rank" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c85GlobalRank(s, d)),
+    "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
     "c41_freq_score" -> ((s: SparkSession, d: String) => TextOps.c41FreqScore(s, d)),
@@ -363,6 +365,34 @@ object SparkEntry {
        |SELECT j.doc_id, j.cluster_id, j.mean_prob_r, cn.canonical_id,
        |  j.doc_id = cn.canonical_id AS is_canonical
        |FROM j JOIN cn USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** DuckDB rendering of c85: the global window formulation over the
+    * c41 score subquery. */
+  private def c85OracleSql(c41Sql: String): String =
+    s"""WITH sc AS (SELECT doc_id, mean_prob_r FROM ($c41Sql))
+       |SELECT doc_id, mean_prob_r,
+       |  CAST(row_number() OVER (ORDER BY mean_prob_r DESC, doc_id)
+       |    AS BIGINT) AS global_rank
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB rendering of c86: c85's rank window + exact-integer decile
+    * + the md5 shuffle key + the (phase, skey, doc_id) position
+    * window. */
+  private def c86OracleSql(c41Sql: String): String =
+    s"""WITH sc AS (SELECT doc_id, mean_prob_r FROM ($c41Sql)),
+       |r AS (SELECT doc_id,
+       |        CAST(row_number() OVER (ORDER BY mean_prob_r DESC, doc_id)
+       |          AS BIGINT) AS global_rank
+       |      FROM sc),
+       |n AS (SELECT count(*) AS n_docs FROM r),
+       |p AS (SELECT doc_id,
+       |        CAST((global_rank - 1) * 10 // n_docs AS BIGINT) AS phase,
+       |        md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS skey
+       |      FROM r, n)
+       |SELECT doc_id, phase, skey,
+       |  CAST(row_number() OVER (ORDER BY phase, skey, doc_id)
+       |    AS BIGINT) AS train_pos
+       |FROM p ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of c83: exact-jaccard truth over shared-shingle
     * pairs + c2's SQL embedded as the banded side (c58's rule), folded
@@ -671,7 +701,12 @@ object SparkEntry {
         // subquery (c58's rule: the survivorship must judge exactly the
         // score the gate verifies — re-written SQL could drift)
         + ("c82_best_of_cluster" -> c82OracleSql(base("c41_freq_score")))
-        + ("c83_minhash_recall" -> c83OracleSql(base("c2_dedup_minhash"))),
+        + ("c83_minhash_recall" -> c83OracleSql(base("c2_dedup_minhash")))
+        // c85/c86's oracle IS the single-window formulation the Spark
+        // side deliberately avoids — identical ranks because the sort
+        // key is total (that equivalence is what the gate verifies)
+        + ("c85_global_rank" -> c85OracleSql(base("c41_freq_score")))
+        + ("c86_curriculum" -> c86OracleSql(base("c41_freq_score"))),
       Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
         "c54_pca_project" -> (() => c54OracleSql(dir)),
         "c66_bpe_fertility" -> (() => c66OracleSql(dir)),

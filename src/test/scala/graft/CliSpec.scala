@@ -834,6 +834,17 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, "CLI contain diverges from the c81 gate")
   }
 
+  test("curriculum subcommand equals the c86 gate row") {
+    import graft.operators.Curriculum
+    val tmp = Files.createTempDirectory("graft-cli-curr-").toString
+    Main.main(Array("curriculum", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/order"))
+    val got = spark.read.parquet(s"$tmp/order").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val want = Curriculum.c86Curriculum(spark, sfDir).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI curriculum diverges from the c86 gate")
+  }
+
   test("stream --in-dir: restartable file drain resumes without duplicates, seq contiguous") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cli-resume-").toString

@@ -114,6 +114,65 @@ class ScaleOpsSpec extends SparkSpec {
       s"c81 must stay equi-join only:\n$p81")
   }
 
+  test("c85 no-window global rank equals the window formulation and plans no window") {
+    import graft.operators.{Curriculum, TextOps}
+    import org.apache.spark.sql.expressions.Window
+    val got = Curriculum.c85GlobalRank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("global_rank")).toMap
+    // the single-partition reference formulation (fine at spec scale,
+    // fatal at corpus scale — which is the point of c85)
+    val w = Window.orderBy(desc("mean_prob_r"), asc("doc_id"))
+    val want = TextOps.c41FreqScore(spark, sfDir)
+      .select(col("doc_id"), col("mean_prob_r"))
+      .withColumn("global_rank", row_number().over(w).cast("bigint"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("global_rank")).toMap
+    assert(got == want, "zipWithIndex ranks must equal the window reference")
+    assert(got.values.toSeq.sorted == (1L to got.size).toSeq,
+      "global_rank must be a permutation of 1..n")
+    val plan = Curriculum.c85GlobalRank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"c85 must not plan the single-partition window:\n$plan")
+  }
+
+  test("c86 curriculum: exact deciles over rank order, train_pos permutes, intra-phase md5 shuffle") {
+    import graft.operators.Curriculum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ranks = Curriculum.c85GlobalRank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("global_rank")).toMap
+    val n = ranks.size
+    val phaseOf = ranks.map { case (id, rk) => id -> (rk - 1) * 10 / n }
+    val skeyOf = ranks.keys.map(id => id -> md5hex(s"curriculum:$id")).toMap
+    val expectedPos = ranks.keys.toSeq
+      .sortBy(id => (phaseOf(id), skeyOf(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val got = Curriculum.c86Curriculum(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("phase"), r.getAs[String]("skey"),
+          r.getAs[Long]("train_pos")))).toMap
+    assert(got.size == n)
+    got.foreach { case (id, (ph, sk, pos)) =>
+      assert(ph == phaseOf(id), s"doc $id phase")
+      assert(sk == skeyOf(id), s"doc $id shuffle key")
+      assert(pos == expectedPos(id), s"doc $id train_pos")
+    }
+    // exact-decile sizes: every phase holds floor(n/10) or floor(n/10)+1
+    val sizes = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    sizes.values.foreach(s =>
+      assert(s == n / 10 || s == n / 10 + 1, s"phase sizes $sizes"))
+    // the shuffle must do something: within some phase, train_pos order
+    // differs from quality-rank order
+    val reordered = got.keys.groupBy(got(_)._1).exists { case (_, ids) =>
+      val byPos = ids.toSeq.sortBy(got(_)._3)
+      val byRank = ids.toSeq.sortBy(ranks)
+      byPos != byRank
+    }
+    assert(reordered, "intra-phase order must be shuffled, not quality-sorted")
+  }
+
   test("co-bucketed tables join without any shuffle exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
