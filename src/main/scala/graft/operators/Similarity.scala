@@ -767,24 +767,27 @@ object Similarity {
     * row-identical (CLI-spec-pinned). Scale shape: one broadcast of the
     * codebook folds + queries, a cell equi-join against the codes scan,
     * a per-query top-k window over nprobe/cells of the corpus. */
-  def queryVectorIndex(queries: DataFrame, codebook: DataFrame,
-                       codes: DataFrame, k: Int = 5,
-                       nprobe: Int = 1): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  /** The (neighbor_id, cell, rv) candidate frame of an at-rest
+    * (codebook, codes) index — each indexed vector's PQ reconstruction
+    * keyed by its IVF cell, THE candidate side both the batch
+    * [[queryVectorIndex]] and d39's streaming query scoring join
+    * against (d29's shared-subtree rule). Mismatched --index artifacts
+    * (codes against a DIFFERENT codebook) must fail loudly, not
+    * mis-rank: a code id absent from its sub-codebook reconstructs a
+    * null sc (filter+element_at miss → flatten nulls the whole rv), and
+    * a cell id absent from the codebook would silently never be probed
+    * — both are guarded here (the codebook is broadcast-sized, so the
+    * membership join is free). Streaming callers must MATERIALIZE this
+    * frame (d11/d25's rule) — at scale bucketed by cell. */
+  private[graft] def reconstructCandidates(codebook: DataFrame,
+                                           codes: DataFrame): DataFrame = {
     val mProbe = codes.select(size(col("codes"))).head(1)
     require(mProbe.nonEmpty, "cannot query an empty index")
     val m = mProbe(0).getInt(0)
     val dim = codebook.select(size(col("centroid"))).head().getInt(0)
     require(dim % m == 0, s"codebook dim $dim not divisible by m=$m")
     val subDim = dim / m
-    // mismatched --index artifacts (codes against a DIFFERENT codebook)
-    // must fail loudly, not mis-rank: a code id absent from its
-    // sub-codebook reconstructs a null sc (filter+element_at miss →
-    // flatten nulls the whole rv), and a cell id absent from the
-    // codebook would silently never be probed — both are guarded here
-    // (the codebook is broadcast-sized, so the membership join is free)
-    val cand = withSubCodebookFolds(
+    withSubCodebookFolds(
       codes.select(col("vec_id"), col("cell"), col("codes")),
       codebook, m, subDim)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
@@ -804,6 +807,14 @@ object Similarity {
             lit(") references a cell or PQ code absent from the supplied " +
               "codebook — mismatched index artifacts"))))
           .otherwise(col("rv0")).as("rv"))
+  }
+
+  def queryVectorIndex(queries: DataFrame, codebook: DataFrame,
+                       codes: DataFrame, k: Int = 5,
+                       nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cand = reconstructCandidates(codebook, codes)
     val q = assignCells(
       queries.select(col("vec_id"), toDouble(col("embedding")).as("v")),
       codebook, maxProbe = nprobe)

@@ -855,6 +855,48 @@ object StreamOps {
     array_max(array(scored: _*))
   }
 
+  /** d39: streaming ANN query scoring — the QUERY half of the vector
+    * index's serving story at ingest (the index half is d33's
+    * incremental add): arriving query vectors probe the at-rest IVF-PQ
+    * index and emit one ADC-scored hit row per candidate in their
+    * probed cells. Cell probing is ROW-LOCAL (d9/d14's bestCell
+    * argument taken to top-nprobe: the bounded codebook ships as plan
+    * literals; the scored-struct array sorts and slices per row — ties
+    * break exactly like batch assignCells, rounded cosine desc then
+    * LOWEST cell); candidates arrive by ONE stream-static equi-join on
+    * the cell id against the MATERIALIZED
+    * [[graft.operators.Similarity.reconstructCandidates]] frame
+    * (d11/d25's rule — at scale bucketed by cell), so each query
+    * touches ~nprobe/cells of the index, never the corpus. Emits
+    * (query_id, cell, neighbor_id, adc_r) hit rows — cell-sized
+    * emission per query, d26's hit-row rule: append mode cannot run
+    * the per-query top-k window, and the top-k cut is a pure fold of
+    * the emitted hits (parity spec pins fold ≡ batch
+    * queryVectorIndex / ivfPqSearch). Zero state, no watermark. */
+  def streamAnnScore(queries: DataFrame, candidates: DataFrame,
+                     codebook: Seq[(Long, Array[Double])],
+                     nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(codebook.nonEmpty, "codebook must be non-empty")
+    val v = col("embedding").cast("array<double>")
+    val scored = codebook.sortBy(_._1).map { case (cell, cv) =>
+      struct(
+        round(graft.functions.VectorFunctions.cosine(v, typedLit(cv.toSeq)), 6)
+          .as("ccos"),
+        lit(-cell).as("negcell"))
+    }
+    val probes = slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    queries
+      .select(col("vec_id").as("query_id"), v.as("qv"),
+        explode(probes).as("p"))
+      .select(col("query_id"), col("qv"),
+        (-col("p.negcell")).cast("bigint").as("cell"))
+      .join(candidates.withColumn("cell", col("cell").cast("bigint")), "cell")
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        round(graft.operators.Similarity.cosine(col("qv"), col("rv")), 6)
+          .as("adc_r"))
+  }
+
   /** d14: streaming semantic-dedup routing — classify an arriving
     * embedding stream against a STATIC corpus: the embedding twin of
     * d11's text ingest routing, and c43's serving shape. The vector's

@@ -547,6 +547,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d39 streaming ANN query hits fold to the batch index serve") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+    val embs = Tables.embeddings(spark, sfDir)
+    val candRows = embs.filter(col("vec_id") >= 5)
+    // at-rest index over the candidates; codebook from the full universe
+    // so cells match the in-memory searches (buildVectorIndex's contract)
+    val (cb, codes) = Similarity.buildVectorIndex(candRows,
+      codebookFrom = Some(embs))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d39-").toString
+    // the materialized-table rule: the static side is an at-rest frame
+    Similarity.reconstructCandidates(cb, codes)
+      .write.mode("overwrite").parquet(s"$tmp/cand")
+    val candStatic = spark.read.parquet(s"$tmp/cand")
+    val cbSeq = cb.collect().map(r =>
+      (r.getAs[Number]("cell").longValue(),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray)).toSeq
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val nprobe = 2
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamAnnScore(
+        stream.toDF().toDF("vec_id", "embedding"), candStatic, cbSeq, nprobe)
+      .writeStream.outputMode("append").format("memory").queryName("d39_sink").start()
+    try {
+      val (a, b) = queries.splitAt(2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val hits = spark.table("d39_sink").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_r")))
+      // the batch serve from the SAME artifacts
+      val want = Similarity.queryVectorIndex(
+          embs.filter(col("vec_id") < 5), cb, codes, k = 5, nprobe = nprobe)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_r")))
+      // 1. every batch result row exists among the hits with the same score
+      val hitSet = hits.map(h => (h._1, h._3) -> h._4).toMap
+      want.foreach { case (qid, _, nid, adc) =>
+        assert(hitSet.get((qid, nid)).contains(adc),
+          s"batch row ($qid, $nid, $adc) missing from stream hits")
+      }
+      // 2. the downstream top-k fold reproduces the batch ranking
+      val folded = hits.groupBy(_._1).flatMap { case (qid, hs) =>
+        hs.toSeq.sortBy(h => (-h._4, h._3)).take(5).zipWithIndex
+          .map { case (h, i) => (qid, i + 1L, h._3, h._4) }
+      }.toSet
+      assert(folded == want.toSet,
+        s"fold diverges: fold-only=${folded -- want.toSet}, batch-only=${want.toSet -- folded}")
+      // 3. hit volume = the probed cells' candidate counts (cell-sized
+      // emission, never the corpus)
+      val cellSizes = candStatic.groupBy("cell").count().collect()
+        .map(r => r.getAs[Number]("cell").longValue() -> r.getAs[Long]("count")).toMap
+      hits.groupBy(_._1).foreach { case (qid, hs) =>
+        val probed = hs.map(_._2).distinct
+        assert(probed.length <= nprobe, s"query $qid probed ${probed.length} cells")
+        assert(hs.length == probed.map(cellSizes).sum,
+          s"query $qid hit volume != probed cell sizes")
+      }
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
