@@ -422,7 +422,8 @@ object Main {
   }
 
   /** `graft.Main select --in PARQUET --out OUT [--target-lang L]
-    * [--save-artifact PATH] [--artifact PATH]` — c80's DSIR importance
+    * [--save-artifact PATH] [--artifact PATH] [--unicode
+    * [--strip-punct]]` — c80's DSIR importance
     * weighting over any (doc_id, text[, lang]) parquet. With
     * `--artifact` the stored (bucket, lr_fx) table scores the input
     * WITHOUT retraining (the d37 serving path — no lang column needed;
@@ -449,20 +450,23 @@ object Main {
         require(docs.columns.contains("lang"),
           s"training needs a lang column in $in (or pass --artifact)")
         Dsir.trainDsirOn(docs,
-          opt(args, "--target-lang").getOrElse(Dsir.TargetLang))
+          opt(args, "--target-lang").getOrElse(Dsir.TargetLang),
+          tokenizerOf(args))
     }
     opt(args, "--save-artifact").foreach { p =>
       import spark.implicits._
       art.toDF("bucket", "lr_fx").coalesce(1)
         .write.mode("overwrite").parquet(p)
     }
-    Dsir.weightsOf(Dsir.scoreDocs(docs.select("doc_id", "text"), art))
+    Dsir.weightsOf(Dsir.scoreDocs(docs.select("doc_id", "text"), art,
+        tokenizerOf(args)))
       .orderBy("doc_id")
       .write.mode("overwrite").parquet(out)
     val stats = spark.read.parquet(out)
       .agg(count(lit(1)), count(when(col("keep"), lit(1)))).head()
     println(s"""{"docs":${stats.getLong(0)},"kept":${stats.getLong(1)},""" +
-      s""""buckets":${art.length},"trained":$trained,"out":${jsonStr(out)}}""")
+      s""""buckets":${art.length},"trained":$trained,""" +
+      s""""unicode":${args.contains("--unicode")},"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main contain --in PARQUET --out OUT [--threshold T]` —

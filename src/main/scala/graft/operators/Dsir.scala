@@ -63,11 +63,19 @@ object Dsir {
     * fixed-point smoothed log-ratios driver-side. StrictMath keeps the
     * double ln bit-identical across JVMs; the four-term form (rather
     * than one log of a quotient) pins the exact sequence of IEEE ops. */
+  /** The gate's engine-exact ASCII tokenizer; CLI `--unicode` swaps in
+    * the codegen'd NFC variant (SURVEY §2 tokenizer note — variants are
+    * spec-pinned, the oracle stays on the ASCII default). */
+  private[graft] val defaultTokens: Column => Column =
+    t => TextOps.words(lower(t))
+
   def trainDsirOn(docs: DataFrame,
-                  target: String = TargetLang): Seq[(String, Long)] = {
+                  target: String = TargetLang,
+                  tokens: Column => Column = defaultTokens)
+      : Seq[(String, Long)] = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("lang"),
-        explode(filter(TextOps.words(lower(col("text"))),
+        explode(filter(tokens(col("text")),
           w => length(w) >= 1)).as("w"))
       .select(col("lang"), bucketOf(col("w")).as("b"))
     val counts = toks.groupBy("b").agg(
@@ -112,10 +120,11 @@ object Dsir {
     * the artifact as a plan-literal map; buckets outside the artifact
     * contribute 0. Zero-token docs are absent (c66's row-set rule; also
     * what keeps the average's divisor nonzero). */
-  def scoreDocs(docs: DataFrame, artifact: Seq[(String, Long)]): DataFrame = {
+  def scoreDocs(docs: DataFrame, artifact: Seq[(String, Long)],
+                tokens: Column => Column = defaultTokens): DataFrame = {
     require(artifact.nonEmpty, "DSIR artifact must contain buckets")
     val m = map(artifact.flatMap { case (b, s) => Seq(lit(b), lit(s)) }: _*)
-    val ws = filter(TextOps.words(lower(col("text"))), w => length(w) >= 1)
+    val ws = filter(tokens(col("text")), w => length(w) >= 1)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 1)

@@ -821,6 +821,15 @@ class CliSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(served.toSeq == want.toSeq,
       "at-rest artifact serving diverges from the trained run")
+    // --unicode on the single-spaced ASCII gate corpus must agree with
+    // the ASCII path (the variant extends reach, it must not
+    // reinterpret simple text — score's precedent)
+    Main.main(Array("select", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/w3", "--unicode"))
+    val uni = spark.read.parquet(s"$tmp/w3").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(uni.toSeq == want.toSeq,
+      "single-spaced ASCII corpus: unicode and ASCII weights must agree")
   }
 
   test("contain subcommand equals the c81 gate row") {
