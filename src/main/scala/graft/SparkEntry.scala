@@ -59,6 +59,7 @@ object SparkEntry {
     "b19_correlated" -> (Relational.b19Correlated _),
     "b20_unpivot" -> (Relational.b20Unpivot _),
     "b21_window_dedup" -> ((s: SparkSession, d: String) => Relational.b21WindowDedup(s, d)),
+    "b22_asof_forward" -> ((s: SparkSession, d: String) => Relational.b22AsofForward(s, d)),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -1650,6 +1651,21 @@ object SparkEntry {
         |        p.event_id AS purchase_id, p.ts_us AS purchase_ts_us,
         |        row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
         |      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
+        |SELECT click_id, user_id, click_ts_us, purchase_id, purchase_ts_us
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    // b22 mirrors b14's oracle in the forward direction with the
+    // tolerance folded into the join predicate (equivalent to the Spark
+    // post-filter: the first right >= t is the minimum ts, so bounding
+    // candidates and bounding the pick agree)
+    "b22_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id AS click_id, c.user_id, c.ts_us AS click_ts_us,
+        |        p.event_id AS purchase_id, p.ts_us AS purchase_ts_us,
+        |        row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts_us ASC, p.event_id ASC) AS rn
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_us >= c.ts_us
+        |                        AND p.ts_us <= c.ts_us + 1800000000)
         |SELECT click_id, user_id, click_ts_us, purchase_id, purchase_ts_us
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "b15_range_join" ->

@@ -207,16 +207,28 @@ object Relational {
   }
 
   /** Generic as-of join: for every left row, the latest right row with the
-    * same key and time ≤ the left row's time. Spark has no native as-of
-    * join; the scalable shape is NOT a range join or a per-row subquery but
-    * a tagged UNION + ONE window pass over (key, time) — a single shuffle
-    * on the key, O(n log n) per partition, no candidate blow-up at any
-    * scale (the shape kdb-style and Flink temporal joins use internally).
-    * Right rows sort before left rows at equal times (`__tag`), so a
-    * same-timestamp right row is visible to the left row (≤, not <); ties
-    * among right rows resolve to the largest `valueCol`. */
+    * same key and time ≤ the left row's time (`direction = "backward"`,
+    * the default) or the EARLIEST right row with time ≥ it
+    * (`direction = "forward"` — attribution-style "next event" pairing).
+    * Spark has no native as-of join; the scalable shape is NOT a range
+    * join or a per-row subquery but a tagged UNION + ONE window pass over
+    * (key, time) — a single shuffle on the key, O(n log n) per partition,
+    * no candidate blow-up at any scale (the shape kdb-style and Flink
+    * temporal joins use internally). Right rows at EQUAL time are visible
+    * to the left row in both directions (≤ / ≥, not strict — `__tag`
+    * ordering); equal-time ties among right rows resolve to the largest
+    * `valueCol` backward and the SMALLEST forward (each direction's
+    * frame-edge pick, matched by the oracles). `toleranceUs` (in
+    * `timeCol`'s own unit) nulls a match farther than the tolerance —
+    * production as-of joins are almost always tolerance-bounded, and the
+    * post-filter keeps the plan single-pass. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
-               valueCol: String, asofName: String, asofTime: String): DataFrame = {
+               valueCol: String, asofName: String, asofTime: String,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward|forward, got '$direction'")
+    require(toleranceUs.forall(_ >= 0), s"tolerance must be >= 0")
     // the bigint cast below would silently corrupt a non-integral valueCol:
     // non-numerics go all-null, double/decimal get truncated (both the
     // returned value and the tie-break ranking) — fail loudly instead
@@ -233,12 +245,35 @@ object Relational {
     val r = right.select(col(key), col(timeCol), lit(0).as("__tag"),
       col(valueCol).cast("bigint").as("__v"), col(timeCol).as("__vt"),
       lit(null).cast(l.schema("__row").dataType).as("__row"))
-    val w = Window.partitionBy(key)
-      .orderBy(col(timeCol), col("__tag"), col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn(asofName, last(col("__v"), ignoreNulls = true).over(w))
-      .withColumn(asofTime, last(col("__vt"), ignoreNulls = true).over(w))
+    val merged = l.unionByName(r)
+    val asofd =
+      if (direction == "backward") {
+        val w = Window.partitionBy(key)
+          .orderBy(col(timeCol), col("__tag"), col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        merged
+          .withColumn(asofName, last(col("__v"), ignoreNulls = true).over(w))
+          .withColumn(asofTime, last(col("__vt"), ignoreNulls = true).over(w))
+      } else {
+        // forward: rights at equal time must sort AFTER the left row so
+        // the current→following frame sees them; first non-null = the
+        // earliest right ≥ the left time, smallest __v on equal-time ties
+        val w = Window.partitionBy(key)
+          .orderBy(col(timeCol), col("__tag").desc, col("__v"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        merged
+          .withColumn(asofName, first(col("__v"), ignoreNulls = true).over(w))
+          .withColumn(asofTime, first(col("__vt"), ignoreNulls = true).over(w))
+      }
+    val bounded = toleranceUs match {
+      case None => asofd
+      case Some(tol) =>
+        val inTol = abs(col(asofTime) - col(timeCol)) <= tol
+        asofd
+          .withColumn(asofName, when(inTol, col(asofName)))
+          .withColumn(asofTime, when(inTol, col(asofTime)))
+    }
+    bounded
       .filter(col("__tag") === 1)
       .select(col("__row.*"), col(asofName), col(asofTime))
   }
@@ -254,6 +289,28 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts_us"))
     asofJoin(clicks, purchases, key = "user_id", timeCol = "ts_us",
       valueCol = "event_id", asofName = "purchase_id", asofTime = "purchase_ts_us")
+      .select(col("click_id"), col("user_id"), col("ts_us").as("click_ts_us"),
+        col("purchase_id"), col("purchase_ts_us"))
+      .orderBy("click_id")
+  }
+
+  /** b22: forward as-of with tolerance — each click paired with the same
+    * user's EARLIEST purchase at-or-after it, NULL unless it lands within
+    * 30 minutes: the attribution-window pairing (click → next conversion),
+    * b14's mirror direction plus the tolerance bound every production
+    * as-of carries. Same single-shuffle tagged-union window plan. */
+  def b22AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val withinUs = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    asofJoin(clicks, purchases, key = "user_id", timeCol = "ts_us",
+      valueCol = "event_id", asofName = "purchase_id",
+      asofTime = "purchase_ts_us",
+      direction = "forward", toleranceUs = Some(withinUs))
       .select(col("click_id"), col("user_id"), col("ts_us").as("click_ts_us"),
         col("purchase_id"), col("purchase_ts_us"))
       .orderBy("click_id")

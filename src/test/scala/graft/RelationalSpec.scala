@@ -94,6 +94,63 @@ class RelationalSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected a single key shuffle, got $shuffles:\n$plan")
   }
 
+  test("b22 forward as-of equals the naive earliest-purchase-within-tolerance join") {
+    import spark.implicits._
+    val tol = 30L * 60 * 1000 * 1000
+    val got = Relational.b22AsofForward(spark, sfDir)
+      .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+    val purchases = ev.filter(_.getString(3) == "purchase")
+      .groupBy(_.getLong(1)).view
+      .mapValues(_.sortBy(r => (r.getLong(2), r.getLong(0)))).toMap
+    val clicks = ev.filter(_.getString(3) == "click")
+    assert(clicks.length == got.size)
+    var some = 0; var none = 0
+    clicks.foreach { c =>
+      val expect = purchases.getOrElse(c.getLong(1), Array.empty[org.apache.spark.sql.Row])
+        .find(r => r.getLong(2) >= c.getLong(2) && r.getLong(2) <= c.getLong(2) + tol)
+        .map(_.getLong(0))
+      assert(got(c.getLong(0)) == expect, s"click ${c.getLong(0)}")
+      if (expect.isDefined) some += 1 else none += 1
+    }
+    // both outcomes must occur or the tolerance/direction test nothing
+    assert(some > 0 && none > 0, s"degenerate corpus: some=$some none=$none")
+  }
+
+  test("asofJoin direction and tolerance semantics on a constructed frame") {
+    import spark.implicits._
+    // key 1: rights at t=5 (v=50,51), t=10 (v=60), t=20 (v=70); left at t=10
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 50L), (1L, 5L, 51L), (1L, 10L, 60L), (1L, 20L, 70L))
+      .toDF("k", "t", "v")
+    def run(dir: String, tol: Option[Long]) =
+      Relational.asofJoin(l, r, "k", "t", "v", "av", "at",
+        direction = dir, toleranceUs = tol)
+        .select("av", "at").collect().head
+    // equal-time rights are visible in BOTH directions (<= / >=)
+    assert(run("backward", None).toSeq == Seq(60L, 10L))
+    assert(run("forward", None).toSeq == Seq(60L, 10L))
+    // strict cases: drop the equal-time right
+    val r2 = Seq((1L, 5L, 50L), (1L, 5L, 51L), (1L, 20L, 70L)).toDF("k", "t", "v")
+    def run2(dir: String, tol: Option[Long]) =
+      Relational.asofJoin(l, r2, "k", "t", "v", "av", "at",
+        direction = dir, toleranceUs = tol)
+        .select("av", "at").collect().head
+    // backward equal-time tie at t=5 resolves to the LARGEST v (b14 rule)
+    assert(run2("backward", None).toSeq == Seq(51L, 5L))
+    assert(run2("forward", None).toSeq == Seq(70L, 20L))
+    // tolerance nulls matches farther than the bound
+    assert(run2("backward", Some(4L)).toSeq == Seq(null, null))
+    assert(run2("forward", Some(9L)).toSeq == Seq(null, null))
+    assert(run2("forward", Some(10L)).toSeq == Seq(70L, 20L))
+    // forward equal-time tie resolves to the SMALLEST v
+    val l3 = Seq((1L, 5L)).toDF("k", "t")
+    assert(Relational.asofJoin(l3, r2, "k", "t", "v", "av", "at",
+      direction = "forward").select("av").collect().head.getLong(0) == 50L)
+  }
+
   test("asofJoin rejects non-integral valueCols instead of silently truncating") {
     import spark.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")
