@@ -27,6 +27,18 @@ case class SessionState(start_us: Long, end_us: Long, n: Long)
   * early. Bounded by the watermark delay: O(delay / gap) entries. */
 case class SessionsState(sessions: List[SessionState])
 
+/** One side-tagged event of d40's streaming as-of join. */
+case class AsofEvent(key: Long, id: Long, ts_us: Long, is_right: Boolean)
+
+/** d40 per-key state: unsealed lefts + the candidate right set. */
+case class AsofState(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+
+/** One sealed as-of answer: the latest right at-or-before the left's
+  * time (b14's backward contract), None when the key has no such
+  * right. */
+case class AsofMatch(key: Long, left_id: Long, left_ts_us: Long,
+                     right_id: Option[Long], right_ts_us: Option[Long])
+
 /** One per-bucket verdict of the d6 near-dup filter (4 per doc, one per
   * simhash segment). dup_of = Long.MaxValue ⇔ no prior near-dup in this
   * bucket. */
@@ -997,6 +1009,78 @@ object StreamOps {
           }
           closed.sortBy(_.start_us)
             .map(s => Session(user, s.n, s.start_us, s.end_us)).iterator
+      }
+  }
+
+  /** d40: streaming as-of join — b14's backward contract
+    * (latest right at-or-before each left, per key) made
+    * WATERMARK-CORRECT: a left's answer is not emittable on arrival,
+    * because a right with a smaller event time can still arrive later
+    * and change it; the left seals only once the watermark passes its
+    * event time (strictly — an admissible right AT the watermark could
+    * still tie into a left sitting exactly there), at which point no
+    * admissible right can precede it and the answer equals batch b14's
+    * for every admitted event. Per-key state holds the unsealed lefts
+    * and the DOMINANCE-PRUNED right set: once the watermark is at W,
+    * every future or unsealed left has ts ≥ W, so any right older than
+    * the latest right ≤ W can never win the argmax again and is dropped
+    * (ties keep the largest id, b14's rule) — state is O(unsealed
+    * lefts + rights newer than the best-at-W), bounded by the watermark
+    * horizon, NOT the stream. Timeout re-arms at the earliest unsealed
+    * left's seal instant (sessionize's pattern) so sealed answers flush
+    * without waiting for new same-key data. Append mode; emissions
+    * sorted by (left ts, id) per flush. */
+  def streamAsof(events: Dataset[AsofEvent],
+                 watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Boolean, java.sql.Timestamp)],
+         state: GroupState[AsofState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val (newR, newL) =
+            if (state.hasTimedOut) (Nil, Nil) // timeout delivers no rows
+            else {
+              val rs = rows.toList
+              (rs.filter(_._4).map(r => (r._3, r._2)),
+                rs.filterNot(_._4).map(r => (r._3, r._2)))
+            }
+          val rights = prev.rights ++ newR
+          // seal strictly below the watermark: a future right AT wmUs is
+          // admissible and would qualify (ts <= left ts) for a left there
+          val (flushed, open) = (prev.lefts ++ newL).partition(_._1 < wmUs)
+          val answers = flushed.sortBy(identity).map { case (lts, lid) =>
+            // b14's argmax: max right ts <= left ts, ties -> max id
+            val best = rights.filter(_._1 <= lts).sorted.lastOption
+            AsofMatch(key, lid, lts, best.map(_._2), best.map(_._1))
+          }
+          // dominance GC: rights older than the best at-or-before the
+          // watermark can never win for any remaining (ts >= wmUs) left
+          val keptRights = rights.filter(_._1 >= wmUs) ++
+            rights.filter(_._1 < wmUs).sorted.lastOption.toList
+          if (open.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofState(open, keptRights))
+            if (open.nonEmpty) {
+              // earliest ms watermark sealing a left: wm*1000 > ts ⇔
+              // wm ≥ ts/1000 + 1 (integer floor)
+              val earliestSeal = open.map(_._1 / 1000L + 1).min
+              state.setTimeoutTimestamp(
+                math.max(earliestSeal, state.getCurrentWatermarkMs() + 1))
+            } else {
+              // only pruned rights remain: keep them alive one horizon —
+              // any new left can still need the best-at-W right; re-check
+              // at the next watermark advance
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            }
+          }
+          answers.iterator
       }
   }
 

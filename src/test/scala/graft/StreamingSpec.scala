@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{Session, SessionEvent, StreamOps, StreamPipeline}
+import graft.streaming.{AsofEvent, Session, SessionEvent, StreamOps, StreamPipeline}
 
 /** Structured Streaming specs (SURVEY §2 a8, d1-d3). */
 class StreamingSpec extends SparkSpec {
@@ -609,6 +609,92 @@ class StreamingSpec extends SparkSpec {
         assert(hs.length == probed.map(cellSizes).sum,
           s"query $qid hit volume != probed cell sizes")
       }
+    } finally q.stop()
+  }
+
+  test("d40 streaming as-of seals on the watermark and equals batch b14 on the full replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .filter(r => Set("click", "purchase")(r.getString(3)))
+      .map(r => AsofEvent(r.getLong(1), r.getLong(0), r.getLong(2),
+        is_right = r.getString(3) == "purchase"))
+    val maxTs = ev.map(_.ts_us).max
+    val minTs = ev.map(_.ts_us).min
+    // a delay of half the corpus' event-time span guarantees batch 1
+    // seals the early half and holds the late half open — both sides of
+    // the watermark guard get exercised on any corpus shape
+    val delayMin = math.max(1L, (maxTs - minTs) / 2 / 60000000L)
+    val stream = MemoryStream[AsofEvent]
+    val q = StreamOps.streamAsof(stream.toDS(),
+        watermarkDelay = s"$delayMin minutes")
+      .writeStream.outputMode("append").format("memory").queryName("d40_sink").start()
+    try {
+      // batch 1: every real event, deliberately NOT in event-time order
+      stream.addData(ev.sortBy(e => (e.id * 2654435761L) % 1000003))
+      q.processAllAvailable()
+      val afterB1 = spark.table("d40_sink").count()
+      // the half-span watermark cannot have sealed everything yet, and
+      // must have sealed something
+      assert(afterB1 < ev.count(!_.is_right),
+        "every left sealed after batch 1 — the watermark guard is dead")
+      assert(afterB1 > 0, "nothing sealed after batch 1 — the flush is dead")
+      // batch 2: a far-future sentinel right on an unused key pushes the
+      // watermark past every real left; all answers must flush
+      stream.addData(Seq(AsofEvent(999999999L, 0L,
+        maxTs + 4 * delayMin * 60000000L, is_right = true)))
+      q.processAllAvailable()
+      val got = spark.table("d40_sink")
+        .filter(col("key") =!= 999999999L).collect()
+        .map(r => r.getAs[Long]("left_id") ->
+          ((r.getAs[Long]("key"), r.getAs[Long]("left_ts_us"),
+            Option(r.getAs[java.lang.Long]("right_id")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("right_ts_us")).map(_.longValue()))))
+        .toMap
+      val want = graft.operators.Relational.b14AsofJoin(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("click_id") ->
+          ((r.getAs[Long]("user_id"), r.getAs[Long]("click_ts_us"),
+            Option(r.getAs[java.lang.Long]("purchase_id")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("purchase_ts_us")).map(_.longValue()))))
+        .toMap
+      assert(got.size == want.size,
+        s"sealed ${got.size} lefts, batch b14 has ${want.size}")
+      got.foreach { case (id, v) =>
+        assert(v == want(id), s"click $id stream vs batch as-of")
+      }
+    } finally q.stop()
+  }
+
+  test("d40 a late right inside the watermark corrects an unsealed left before it seals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = 60L * 1000 * 1000 // one minute in us
+    val stream = MemoryStream[AsofEvent]
+    val q = StreamOps.streamAsof(stream.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("d40_late").start()
+    try {
+      // batch 1: a right at t=1m, the left at t=5m, and a clock event far
+      // ahead on another key (t=12m) so the watermark moves to 2m — the
+      // left (5m) stays unsealed
+      stream.addData(Seq(
+        AsofEvent(1L, 10L, 1 * M, is_right = true),
+        AsofEvent(1L, 100L, 5 * M, is_right = false),
+        AsofEvent(2L, 0L, 12 * M, is_right = true)))
+      q.processAllAvailable()
+      assert(spark.table("d40_late").isEmpty, "left emitted before its seal")
+      // batch 2: a LATE right at t=4m (>= watermark 2m — admissible) that
+      // must become the answer, then a clock push sealing the left
+      stream.addData(Seq(
+        AsofEvent(1L, 11L, 4 * M, is_right = true),
+        AsofEvent(2L, 0L, 30 * M, is_right = true)))
+      q.processAllAvailable()
+      val out = spark.table("d40_late").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("left_id") == 100L)
+      assert(out.head.getAs[java.lang.Long]("right_id") == 11L,
+        s"late-but-admissible right must win: ${out.head}")
     } finally q.stop()
   }
 
