@@ -1031,7 +1031,20 @@ object StreamOps {
     * without waiting for new same-key data. Append mode; emissions
     * sorted by (left ts, id) per flush. */
   def streamAsof(events: Dataset[AsofEvent],
-                 watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+                 watermarkDelay: String = "10 minutes",
+                 direction: String = "backward",
+                 toleranceUs: Option[Long] = None): Dataset[AsofMatch] = {
+    require(direction == "backward" || direction == "forward",
+      s"streamAsof direction must be backward|forward, got '$direction'")
+    // backward waits only for rights BEFORE the left — the watermark
+    // bounds that for free. Forward waits for rights AFTER it: without a
+    // tolerance the wait never seals (the matching right may be
+    // arbitrarily far in the future), so d41 REQUIRES the bound b22's
+    // batch form merely recommends.
+    require(direction == "backward" || toleranceUs.isDefined,
+      "forward streaming as-of needs a tolerance — an unbounded forward wait never seals")
+    require(toleranceUs.forall(_ >= 0), "tolerance must be >= 0")
+    val fwd = direction == "forward"
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -1052,31 +1065,68 @@ object StreamOps {
                 rs.filterNot(_._4).map(r => (r._3, r._2)))
             }
           val rights = prev.rights ++ newR
-          // seal strictly below the watermark: a future right AT wmUs is
-          // admissible and would qualify (ts <= left ts) for a left there
-          val (flushed, open) = (prev.lefts ++ newL).partition(_._1 < wmUs)
+          // forward best: earliest right in [t, t+tol], ties -> SMALLEST
+          // id (b22's rule)
+          def fwdBest(lts: Long): Option[(Long, Long)] =
+            rights.filter(r => r._1 >= lts && r._1 <= lts + toleranceUs.get)
+              .sorted.headOption
+          // seal rules. Backward: strictly below the watermark (a future
+          // right AT wmUs is admissible and would qualify ts <= left ts
+          // for a left sitting there). Forward: once the watermark is
+          // strictly past the current best's time no admissible right can
+          // displace it (displacers need ts in [t, best) or an equal-ts
+          // smaller id — both below-or-at best, excluded by strict);
+          // with NO candidate, once the watermark passes the whole
+          // window the answer is provably None.
+          def sealedNow(lts: Long): Boolean =
+            if (!fwd) lts < wmUs
+            else fwdBest(lts) match {
+              case Some((bts, _)) => wmUs > bts
+              case None => wmUs > lts + toleranceUs.get
+            }
+          val (flushed, open) = (prev.lefts ++ newL).partition(l => sealedNow(l._1))
           val answers = flushed.sortBy(identity).map { case (lts, lid) =>
-            // b14's argmax: max right ts <= left ts, ties -> max id
-            val best = rights.filter(_._1 <= lts).sorted.lastOption
+            val best =
+              if (fwd) fwdBest(lts)
+              // b14's argmax: max right ts <= left ts, ties -> max id;
+              // tolerance nulls a match farther than the bound (b22's
+              // post-filter, mirrored)
+              else rights.filter(_._1 <= lts).sorted.lastOption
+                .filter(b => toleranceUs.forall(t => lts - b._1 <= t))
             AsofMatch(key, lid, lts, best.map(_._2), best.map(_._1))
           }
-          // dominance GC: rights older than the best at-or-before the
-          // watermark can never win for any remaining (ts >= wmUs) left
-          val keptRights = rights.filter(_._1 >= wmUs) ++
-            rights.filter(_._1 < wmUs).sorted.lastOption.toList
+          // right-set GC. Backward: rights older than the best
+          // at-or-before the watermark can never win for any remaining
+          // (ts >= wmUs) left — dominance. Forward: a right serves only
+          // lefts with t in [rts - tol, rts]; every remaining or future
+          // left has ts >= min(open, wmUs), so earlier rights are dead.
+          val keptRights =
+            if (!fwd)
+              rights.filter(_._1 >= wmUs) ++
+                rights.filter(_._1 < wmUs).sorted.lastOption.toList
+            else {
+              val minT = (open.map(_._1) :+ wmUs).min
+              rights.filter(_._1 >= minT)
+            }
           if (open.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsofState(open, keptRights))
             if (open.nonEmpty) {
-              // earliest ms watermark sealing a left: wm*1000 > ts ⇔
-              // wm ≥ ts/1000 + 1 (integer floor)
-              val earliestSeal = open.map(_._1 / 1000L + 1).min
+              // earliest ms watermark at which some left seals:
+              // wm*1000 > x ⇔ wm ≥ x/1000 + 1 (integer floor); forward
+              // lefts seal at their best's time or their window end
+              val earliestSeal = open.map { case (lts, _) =>
+                val x =
+                  if (!fwd) lts
+                  else fwdBest(lts).map(_._1).getOrElse(lts + toleranceUs.get)
+                x / 1000L + 1
+              }.min
               state.setTimeoutTimestamp(
                 math.max(earliestSeal, state.getCurrentWatermarkMs() + 1))
             } else {
               // only pruned rights remain: keep them alive one horizon —
-              // any new left can still need the best-at-W right; re-check
-              // at the next watermark advance
+              // a new left can still need them; re-check at the next
+              // watermark advance
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
             }
           }

@@ -698,6 +698,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d41 forward streaming as-of equals batch b22 on the full replay; tolerance is mandatory") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // forward without a tolerance must refuse: the wait never seals
+    val err = intercept[IllegalArgumentException](
+      StreamOps.streamAsof(spark.emptyDataset[AsofEvent],
+        direction = "forward"))
+    assert(err.getMessage.contains("tolerance"))
+    val tol = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .filter(r => Set("click", "purchase")(r.getString(3)))
+      .map(r => AsofEvent(r.getLong(1), r.getLong(0), r.getLong(2),
+        is_right = r.getString(3) == "purchase"))
+    val maxTs = ev.map(_.ts_us).max
+    val stream = MemoryStream[AsofEvent]
+    val q = StreamOps.streamAsof(stream.toDS(), watermarkDelay = "10 minutes",
+        direction = "forward", toleranceUs = Some(tol))
+      .writeStream.outputMode("append").format("memory").queryName("d41_sink").start()
+    try {
+      stream.addData(ev.sortBy(e => (e.id * 40503L) % 65537))
+      q.processAllAvailable()
+      stream.addData(Seq(AsofEvent(999999999L, 0L,
+        maxTs + 2 * tol, is_right = true)))
+      q.processAllAvailable()
+      val got = spark.table("d41_sink")
+        .filter(col("key") =!= 999999999L).collect()
+        .map(r => r.getAs[Long]("left_id") ->
+          ((r.getAs[Long]("key"), r.getAs[Long]("left_ts_us"),
+            Option(r.getAs[java.lang.Long]("right_id")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("right_ts_us")).map(_.longValue()))))
+        .toMap
+      val want = graft.operators.Relational.b22AsofForward(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("click_id") ->
+          ((r.getAs[Long]("user_id"), r.getAs[Long]("click_ts_us"),
+            Option(r.getAs[java.lang.Long]("purchase_id")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("purchase_ts_us")).map(_.longValue()))))
+        .toMap
+      assert(got.size == want.size,
+        s"sealed ${got.size} lefts, batch b22 has ${want.size}")
+      got.foreach { case (id, v) =>
+        assert(v == want(id), s"click $id stream vs batch forward as-of")
+      }
+      // a forward match seals as soon as the watermark passes ITS time —
+      // before the left's whole window has elapsed (the early-seal
+      // optimization); matched and unmatched lefts must both exist
+      assert(got.values.exists(_._3.isDefined) && got.values.exists(_._3.isEmpty))
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
