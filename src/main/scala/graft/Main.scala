@@ -443,7 +443,12 @@ object Main {
     val trained = opt(args, "--artifact").isEmpty
     val art: Seq[(String, Long)] = opt(args, "--artifact") match {
       case Some(p) =>
-        spark.read.parquet(p).collect()
+        val a = spark.read.parquet(p)
+        require(Seq("bucket", "lr_fx").forall(a.columns.contains),
+          s"--artifact $p must be a (bucket, lr_fx) table (Main select " +
+            s"--save-artifact writes one), found " +
+            a.columns.mkString("(", ", ", ")"))
+        a.collect()
           .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("lr_fx")))
           .sortBy(_._1).toIndexedSeq
       case None =>

@@ -890,6 +890,10 @@ object StreamOps {
                      nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(codebook.nonEmpty, "codebook must be non-empty")
+    require(Seq("cell", "neighbor_id", "rv").forall(candidates.columns.contains),
+      "candidates must be a reconstructCandidates frame " +
+        s"(cell, neighbor_id, rv), found " +
+        candidates.columns.mkString("(", ", ", ")"))
     val v = col("embedding").cast("array<double>")
     val scored = codebook.sortBy(_._1).map { case (cell, cv) =>
       struct(
