@@ -106,6 +106,7 @@ object SparkEntry {
     "c83_minhash_recall" -> ((s: SparkSession, d: String) => Dedup.c83MinhashRecall(s, d)),
     "c84_tokenizer_report" -> ((s: SparkSession, d: String) => TextOps.c84TokenizerReport(s, d)),
     "c85_global_rank" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c85GlobalRank(s, d)),
+    "c87_media_card" -> (Multimodal.c87MediaCard _),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -707,7 +708,23 @@ object SparkEntry {
         // side deliberately avoids — identical ranks because the sort
         // key is total (that equivalence is what the gate verifies)
         + ("c85_global_rank" -> c85OracleSql(base("c41_freq_score")))
-        + ("c86_curriculum" -> c86OracleSql(base("c41_freq_score"))),
+        + ("c86_curriculum" -> c86OracleSql(base("c41_freq_score")))
+        // c87 folds the c12 SQL as a subquery (c58's rule: the card must
+        // summarize exactly the decoded frame the gate verifies).
+        // Substitute AFTER stripMargin: the c12 text has SQL `||` concat
+        // at line starts, which an outer stripMargin would eat one pipe of
+        + ("c87_media_card" ->
+          """SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(sum(n_units) AS BIGINT) AS total_units,
+             |  CAST(min(v_min) AS BIGINT) AS v_min,
+             |  CAST(max(v_max) AS BIGINT) AS v_max,
+             |  CAST(sum(v_sum) AS BIGINT) AS v_sum,
+             |  CAST((2*sum(n_bytes)*1000000 + count(*)) // (2*count(*))
+             |    AS DOUBLE) / 1000000 AS avg_bytes_r
+             |FROM (%%C12%%)
+             |GROUP BY media_type ORDER BY media_type""".stripMargin
+            .replace("%%C12%%", base("c12_multimodal"))),
       Map("c52_bpe_tokenize" -> (() => c52OracleSql(dir)),
         "c54_pca_project" -> (() => c54OracleSql(dir)),
         "c66_bpe_fertility" -> (() => c66OracleSql(dir)),

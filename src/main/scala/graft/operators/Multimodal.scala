@@ -349,6 +349,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** c87: media corpus card — c61's release-card pattern applied to the
+    * multimodal side: one row per modality folding c12's decoded frame
+    * (doc count, payload bytes, decoded units, value range, checksum,
+    * 6-dp mean payload size) — the table a curation team reads before
+    * shipping a media corpus, and the fold that catches a decoder
+    * regression corpus-wide (one flipped sample moves v_sum). Folds the
+    * SAME c12 projection the gate verifies (c58's composed-eval rule —
+    * the oracle embeds the c12 SQL as a subquery); the mean rounds by
+    * the exact-integer half-away-from-zero rule (c80's lesson). One
+    * decode pass, map-side-combinable fold to three rows. */
+  def c87MediaCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    c12Multimodal(spark, dir)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_units")).as("total_units"),
+        min(col("v_min")).as("v_min"),
+        max(col("v_max")).as("v_max"),
+        sum(col("v_sum")).as("v_sum"))
+      .withColumn("avg_bytes_r",
+        expr("(2*total_bytes*1000000 + n_docs) div (2*n_docs)")
+          .cast("double") / 1e6)
+      .orderBy("media_type")
+  }
+
   /** ImageIO decode with the FAILFAST contract the other decoders keep:
     * malformed or non-image bytes throw (ImageIO.read signals failure by
     * returning null). Shared by the c51 decode and the PNG resize path

@@ -1062,6 +1062,29 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c87 media card folds exactly the c12 decoded frame") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.c12Multimodal(spark, sfDir).collect()
+    val expected = rows.groupBy(_.getAs[String]("media_type")).map { case (m, rs) =>
+      val nd = rs.length.toLong
+      val tb = rs.map(_.getAs[Long]("n_bytes")).sum
+      m -> ((nd, tb, rs.map(_.getAs[Long]("n_units")).sum,
+        rs.map(_.getAs[Long]("v_min")).min, rs.map(_.getAs[Long]("v_max")).max,
+        rs.map(_.getAs[Long]("v_sum")).sum,
+        ((2 * tb * 1000000L + nd) / (2 * nd)).toDouble / 1e6))
+    }
+    val got = Multimodal.c87MediaCard(spark, sfDir).collect().map { r =>
+      r.getAs[String]("media_type") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("total_units"), r.getAs[Long]("v_min"),
+          r.getAs[Long]("v_max"), r.getAs[Long]("v_sum"),
+          r.getAs[Double]("avg_bytes_r")))
+    }.toMap
+    assert(got == expected)
+    assert(got.keySet == Set("image", "audio", "video"),
+      "every modality must appear in the card")
+  }
+
   test("c12 multimodal features decode from real PGM/WAV payloads") {
     val feats = Multimodal.c12Multimodal(spark, sfDir).collect()
     assert(feats.length == Tables.documents(spark, sfDir).count())
