@@ -341,13 +341,8 @@ object Multimodal {
     * binary parsers (PGM/WAV); the oracle recomputes every feature from
     * the closed-form generation formulas, so a decoder that mis-parses a
     * single header byte or sample hash-fails the gate. */
-  def c12Multimodal(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .mapPartitions(_.map(decode))
-      .toDF()
-      .orderBy("doc_id")
-  }
+  def c12Multimodal(spark: SparkSession, dir: String): DataFrame =
+    decodeDs(mediaTable(spark, dir)).orderBy("doc_id")
 
   /** c87: media corpus card — c61's release-card pattern applied to the
     * multimodal side: one row per modality folding c12's decoded frame
@@ -359,9 +354,18 @@ object Multimodal {
     * the oracle embeds the c12 SQL as a subquery); the mean rounds by
     * the exact-integer half-away-from-zero rule (c80's lesson). One
     * decode pass, map-side-combinable fold to three rows. */
-  def c87MediaCard(spark: SparkSession, dir: String): DataFrame = {
+  def c87MediaCard(spark: SparkSession, dir: String): DataFrame =
+    cardFold(c12Multimodal(spark, dir)).orderBy("media_type")
+
+  /** The per-modality card fold over a decoded [[MediaFeatures]] frame —
+    * THE summary derivation, shared by construction (d29's rule)
+    * between batch c87 and d42's running dashboard: map-side-combinable
+    * aggregates plus the exact-integer 6-dp mean. Works on batch and
+    * streaming frames alike (no sort — callers order or let the
+    * complete-mode sink re-emit). */
+  private[graft] def cardFold(decoded: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    c12Multimodal(spark, dir)
+    decoded
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
@@ -372,7 +376,14 @@ object Multimodal {
       .withColumn("avg_bytes_r",
         expr("(2*total_bytes*1000000 + n_docs) div (2*n_docs)")
           .cast("double") / 1e6)
-      .orderBy("media_type")
+  }
+
+  /** Decode a [[MediaRecord]] frame to [[MediaFeatures]] — c12's body as
+    * a reusable seam (batch c12/c87 and d42's ingest decode share it). */
+  private[graft] def decodeDs(
+      media: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decode)).toDF()
   }
 
   /** ImageIO decode with the FAILFAST contract the other decoders keep:

@@ -913,6 +913,23 @@ object StreamOps {
           .as("adc_r"))
   }
 
+  /** d42: streaming media card — c87 as the LIVE decoder dashboard: an
+    * arriving media stream decodes at ingest (the SAME MediaRecord →
+    * MediaFeatures map c12/c87 project through — d29's rule; a
+    * mis-parsed byte moves v_sum on the dashboard the moment it
+    * arrives) and folds into the running per-modality card. The result
+    * set is modality-sized (3 rows — BOUNDED), so the running aggregate
+    * re-emits the full card per trigger: d10's COMPLETE-mode argument,
+    * the live view a media-ingest operator watches. State is O(1) per
+    * modality (sums/min/max/count); no watermark (the card is
+    * cumulative by definition). Parity spec pins the drained card ≡
+    * batch c87 row-for-row and the mid-stream card ≡ a batch fold of
+    * the arrived prefix. */
+  def streamMediaCard(
+      media: Dataset[graft.operators.MediaRecord]): DataFrame =
+    graft.operators.Multimodal.cardFold(
+      graft.operators.Multimodal.decodeDs(media))
+
   /** d14: streaming semantic-dedup routing — classify an arriving
     * embedding stream against a STATIC corpus: the embedding twin of
     * d11's text ingest routing, and c43's serving shape. The vector's

@@ -749,6 +749,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d42 streaming media card: mid-stream prefix fold, drained card equals batch c87") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    val records = Multimodal.mediaTable(spark, sfDir).collect().toSeq
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamMediaCard(stream.toDS())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("d42_sink").start()
+    def card(): Map[String, Seq[Any]] =
+      spark.table("d42_sink").collect()
+        .map(r => r.getAs[String]("media_type") -> r.toSeq).toMap
+    def batchFold(rs: Seq[MediaRecord]): Map[String, Seq[Any]] =
+      Multimodal.cardFold(Multimodal.decodeDs(
+          spark.createDataset(rs))).collect()
+        .map(r => r.getAs[String]("media_type") -> r.toSeq).toMap
+    try {
+      val (a, b) = records.splitAt(records.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      assert(card() == batchFold(a),
+        "mid-stream card must fold exactly the arrived prefix")
+      stream.addData(b); q.processAllAvailable()
+      val want = Multimodal.c87MediaCard(spark, sfDir).collect()
+        .map(r => r.getAs[String]("media_type") -> r.toSeq).toMap
+      assert(card() == want, "drained card must equal batch c87")
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
