@@ -1144,12 +1144,16 @@ object StreamOps {
               }.min
               state.setTimeoutTimestamp(
                 math.max(earliestSeal, state.getCurrentWatermarkMs() + 1))
-            } else {
-              // only pruned rights remain: keep them alive one horizon —
-              // a new left can still need them; re-check at the next
-              // watermark advance
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
             }
+            // else: only pruned rights remain — the key's LAST-VALUE
+            // CACHE (what a kdb-style temporal table retains per key
+            // forever; a future left at any event time may still need
+            // the retained best). Deliberately NO timeout: the set
+            // cannot grow while idle (nothing adds to it), and a
+            // re-arm at wm+1 would wake every idle key on every
+            // watermark advance — a per-trigger invocation storm over
+            // millions of idle keys at scale. It re-GCs on the key's
+            // next event.
           }
           answers.iterator
       }
