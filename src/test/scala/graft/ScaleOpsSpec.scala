@@ -112,6 +112,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!p81.contains("CartesianProduct") &&
       !p81.contains("BroadcastNestedLoopJoin"),
       s"c81 must stay equi-join only:\n$p81")
+    // c82: the per-cluster argmax must be a PARTITIONED window (a global
+    // one would single-partition the corpus) and no cartesian anywhere.
+    // (A BroadcastNestedLoopJoin IS present and fine: c41's 1-row
+    // corpus-total broadcast — the c45 1-row-aggregate shape.)
+    val p82 = Dedup.c82BestOfCluster(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p82.contains("CartesianProduct"),
+      s"c82 must not plan a cartesian:\n$p82")
+    // walk the LOGICAL plan (the physical string truncates on wide
+    // plans): the argmax window must carry a partition spec — a global
+    // window would single-partition the corpus
+    val windows = Dedup.c82BestOfCluster(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty, "c82 must rank via a window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"c82 window must partition by cluster_id, never globally: $w"))
   }
 
   test("c85 no-window global rank equals the window formulation and plans no window") {
