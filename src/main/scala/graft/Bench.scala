@@ -24,7 +24,7 @@ object Bench {
     * (MB/s, rows/s) over the wall time from query start to full drain —
     * the wire-in path `graft.Main stream` runs in production. */
   private def benchIngest(spark: org.apache.spark.sql.SparkSession,
-                          sfDir: String): (Double, Double) = {
+                          sfDir: String): (Double, Double, String) = {
     val corpus = StreamPipeline.eventsJsonCorpusPath(spark, sfDir)
     val files = new java.io.File(corpus).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -59,12 +59,16 @@ object Bench {
       Thread.sleep(10)
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // StreamExecution tags every microbatch job with group id = runId, so
+    // the caller can read this query's task CPU from CpuClock by group —
+    // immune to foreign task-end events (r15 channel isolation)
+    val runId = q.runId.toString
     q.stop()
     server.close()
     spark.streams.resetTerminated()
     require(rows.get() == expected,
       s"ingest bench drained ${rows.get()} of $expected rows")
-    (totalBytes / 1e6 / sec, expected / sec)
+    (totalBytes / 1e6 / sec, expected / sec, runId)
   }
 
   def main(args: Array[String]): Unit = {
@@ -195,10 +199,30 @@ object Bench {
     // throughput above it), so a sub-band wall-clock median on a busy
     // box no longer reads like a regression: flat cpu_s + slow wall =
     // weather; rising cpu_s = the code.
+    // R15 isolation: the r14 driver run charged a convert sample 251.87
+    // cpu_s on untouched code — the windowed global-counter delta counts
+    // EVERY task ending in the window, and a previous ingest sample's
+    // streaming stragglers (task-end events still draining when
+    // settled()'s 5 s cap gave up) landed in the next convert window. Each
+    // batch sample now runs under its OWN job group and reads only that
+    // group's counter; the ingest sample reads its streaming query's
+    // runId group (StreamExecution tags microbatch jobs with it). A
+    // foreign task lands in its own bucket, whenever its event arrives.
     val convertC = scala.collection.mutable.ArrayBuffer[Double]()
     val pubC = scala.collection.mutable.ArrayBuffer[Double]()
     val batchedC = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestC = scala.collection.mutable.ArrayBuffer[Double]()
+    // run `body` under a fresh uniquely-named job group; return (wall
+    // seconds of the body alone, bus-settled task-CPU seconds of the
+    // group alone) — no chaining, no windowed delta, and the settle
+    // polling stays OUTSIDE the wall clock
+    def sample(tag: String)(body: => Unit): (Double, Double) = {
+      spark.sparkContext.setJobGroup(tag, s"bench channel sample $tag")
+      val t0 = System.nanoTime()
+      try body finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, cpuClock.settledGroup(tag) / 1e9)
+    }
 
     val msgs =
       if (corpus == null) null
@@ -217,40 +241,41 @@ object Bench {
     }
     for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
-        val c0 = cpuClock.settled()
-        val t0 = System.nanoTime()
-        run(ArrowIpc.serialize(
-          StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
-        convertS += corpus.jsonBytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
-        convertC += (cpuClock.settled() - c0) / 1e9
+        val (wall, cpu) = sample(s"bench-convert-$round") {
+          run(ArrowIpc.serialize(
+            StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
+        }
+        convertS += corpus.jsonBytes / 1e6 / wall
+        convertC += cpu
         ()
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
-        def timeOne(mk: Long => graft.streaming.Publisher): (Double, Double) = {
+        def timeOne(tag: String,
+                    mk: Long => graft.streaming.Publisher): (Double, Double) =
           // scratch wiped per run so file accumulation can't slow later rounds
-          val c0 = cpuClock.settled()
-          val t0 = System.nanoTime()
-          graft.streaming.Publish.run(msgs, () => mk(round.toLong))
-          ((System.nanoTime() - t0) / 1e9, (cpuClock.settled() - c0) / 1e9)
-        }
+          sample(tag) { graft.streaming.Publish.run(msgs, () => mk(round.toLong)) }
         val pubDir = GraftSession.scratchDir("bench-publish").toString
-        val (pw, pc) = timeOne(e => new graft.streaming.FilePublisher(pubDir, e))
+        val (pw, pc) = timeOne(s"bench-publish-$round",
+          e => new graft.streaming.FilePublisher(pubDir, e))
         pubS += nMsgs / pw; pubC += pc
         GraftSession.scratchDir("bench-publish") // clear between modes
-        val (bw, bc) = timeOne(e => new graft.streaming.BatchingFilePublisher(
-          pubDir, graft.streaming.BatchingOptions(
-            maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
+        val (bw, bc) = timeOne(s"bench-publish-batched-$round",
+          e => new graft.streaming.BatchingFilePublisher(
+            pubDir, graft.streaming.BatchingOptions(
+              maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
         batchedS += nMsgs / bw; batchedC += bc
         ()
       }
       // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
       // TCP receive throughput): a local feeder thread blasts the events
       // ND-JSON corpus through a socket; the socket source + full convert
-      // stage drain it — the wire-in path `graft.Main stream` runs.
+      // stage drain it — the wire-in path `graft.Main stream` runs. Its
+      // cpu_s reads the streaming query's runId job group: exactly the
+      // drain path's tasks, not the setup jobs or foreign stragglers.
       fenced(s"ingest#$round", ()) {
-        val c0 = cpuClock.settled()
-        ingestS += benchIngest(spark, sfDir)
-        ingestC += (cpuClock.settled() - c0) / 1e9
+        val (mbps, rps, runId) = benchIngest(spark, sfDir)
+        ingestS += ((mbps, rps))
+        ingestC += cpuClock.settledGroup(runId) / 1e9
         ()
       }
     }

@@ -463,7 +463,7 @@ object Main {
       art.toDF("bucket", "lr_fx").coalesce(1)
         .write.mode("overwrite").parquet(p)
     }
-    Dsir.weightsOf(Dsir.scoreDocs(docs.select("doc_id", "text"), art,
+    Dsir.weightsOf(Dsir.scoreDocsByType(docs.select("doc_id", "text"), art,
         tokenizerOf(args)))
       .orderBy("doc_id")
       .write.mode("overwrite").parquet(out)

@@ -720,8 +720,8 @@ object SparkEntry {
              |  CAST(min(v_min) AS BIGINT) AS v_min,
              |  CAST(max(v_max) AS BIGINT) AS v_max,
              |  CAST(sum(v_sum) AS BIGINT) AS v_sum,
-             |  CAST((2*sum(n_bytes)*1000000 + count(*)) // (2*count(*))
-             |    AS DOUBLE) / 1000000 AS avg_bytes_r
+             |  CAST((2*CAST(sum(n_bytes) AS HUGEINT)*1000000 + count(*))
+             |    // (2*count(*)) AS DOUBLE) / 1000000 AS avg_bytes_r
              |FROM (%%C12%%)
              |GROUP BY media_type ORDER BY media_type""".stripMargin
             .replace("%%C12%%", base("c12_multimodal"))),

@@ -61,10 +61,14 @@ object Verify {
       case c => c.toString
     } + "\""
     // scale-adaptive oracle text (c11's LSH plane count) must be rendered
-    // against the same data the queries just ran on
-    val json = SparkEntry.oracleSqlFor(sfDir)
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // against the same data the queries just ran on. Filter by KEY before
+    // fetching values: Map.filter would iterate the LazyOracleMap and
+    // force every artifact-trained entry (BPE, unigram, DSIR, tree) even
+    // for queries a single-row rehearsal excluded.
+    val oracle = SparkEntry.oracleSqlFor(sfDir)
+    val json = oracle.keySet.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+      .map(k => s"${q(k)}: ${q(oracle(k))}").mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val nFail = failed.size
     val nOk = names.size - nFail

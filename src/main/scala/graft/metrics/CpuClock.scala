@@ -1,8 +1,10 @@
 package graft.metrics
 
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerTaskEnd}
 
 /** Cumulative task-CPU clock: sums TaskMetrics.executorCpuTime (ns)
   * across every completed task in the application.
@@ -16,6 +18,20 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * themselves burn), so each channel sample now carries its cpu_s next
   * to the wall-clock figure and one round settles the question.
   *
+  * R15 — JOB-GROUP attribution: the r14 driver run produced a convert
+  * cpu_s sample of 251.87 s on untouched convert code, because the
+  * windowed-delta reading (settle, run, settle, subtract) charges a
+  * sample with EVERY task that happens to complete inside its window —
+  * including stragglers from a previous channel's streaming query whose
+  * task-end events were still draining off the async listener bus when
+  * [[settled]]'s 5 s cap gave up. The fix is attribution, not timing:
+  * [[onJobStart]] records each stage's owning job group
+  * (`spark.jobGroup.id`, set by `SparkContext.setJobGroup` for batch
+  * samples and by StreamExecution to the query's runId for streaming),
+  * [[onTaskEnd]] credits the task's CPU to that group, and a channel
+  * sample reads ONLY its own group's counter — a foreign task can
+  * arrive whenever it likes and it lands in its own bucket.
+  *
   * Task-end events arrive on the ASYNC listener bus; by the time a
   * caller snapshots, the producing jobs have completed (run()/foreach
   * are blocking) and only bus drain latency remains — [[settled]] polls
@@ -25,28 +41,58 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * measures the task path, the thing that scales with executors. */
 final class CpuClock extends SparkListener {
   private val cpuNs = new AtomicLong(0L)
+  private val stageGroup = new ConcurrentHashMap[Int, String]()
+  private val groupNs = new ConcurrentHashMap[String, AtomicLong]()
+
+  override def onJobStart(ev: SparkListenerJobStart): Unit = {
+    val gid = Option(ev.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+    gid.foreach { g =>
+      ev.stageIds.foreach(sid => stageGroup.put(sid, g))
+    }
+  }
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
     val m = ev.taskMetrics
-    if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+    if (m != null) {
+      val ns = m.executorCpuTime
+      cpuNs.addAndGet(ns)
+      val g = stageGroup.get(ev.stageId)
+      if (g != null) {
+        groupNs.computeIfAbsent(g, _ => new AtomicLong(0L)).addAndGet(ns)
+        ()
+      }
+    }
   }
 
-  /** Current cumulative CPU ns, after the listener bus has gone quiet
-    * (stable for 100 ms, polled at 25 ms). Bounded: if concurrent Spark
-    * activity (e.g. a lingering streaming query) keeps completing tasks
-    * so the counter never stabilizes, give up after 5 s total and
-    * return the latest value — a slightly-early snapshot beats an
-    * unbounded spin. */
-  def settled(): Long = {
-    var prev = cpuNs.get()
+  private def groupGet(group: String): Long = {
+    val c = groupNs.get(group)
+    if (c == null) 0L else c.get()
+  }
+
+  /** Poll `read` until it is stable for 100 ms (25 ms steps), give up
+    * after 5 s: a slightly-early snapshot beats an unbounded spin when
+    * concurrent activity keeps the counter moving. */
+  private def settle(read: () => Long): Long = {
+    var prev = read()
     var stableMs = 0
     var totalMs = 0
     while (stableMs < 100 && totalMs < 5000) {
       Thread.sleep(25)
       totalMs += 25
-      val cur = cpuNs.get()
+      val cur = read()
       if (cur == prev) stableMs += 25 else { prev = cur; stableMs = 0 }
     }
-    cpuNs.get()
+    read()
   }
+
+  /** Current cumulative CPU ns across ALL tasks, after the listener bus
+    * has gone quiet. The per-query suite uses this chained (nothing else
+    * runs concurrently there); channel samples use [[settledGroup]]. */
+  def settled(): Long = settle(() => cpuNs.get())
+
+  /** Cumulative CPU ns attributed to one job group, bus-settled. Reads
+    * only tasks whose stage belongs to `group` — immune to foreign
+    * task-end events landing in the sample's wall window. */
+  def settledGroup(group: String): Long = settle(() => groupGet(group))
 }

@@ -752,9 +752,31 @@ object Dedup {
     * frequency — right for an eval corpus/sample, never the production
     * path (which stays c2's banding). Thresholds compare the ROUNDED
     * 6-dp jaccard on both sides (c37's threshold rule). */
+  /** Ceiling on per-shingle document frequency before c83's truth side
+    * may expand pairs (r15: the eval contract became a runtime refusal).
+    * The shared-shingle expansion is Σ df² over shingles — one
+    * boilerplate shingle with df = 10⁶ is 10¹² pairs; at the cap the
+    * worst single shingle contributes ≤ 5×10⁷, an eval-sized cost. */
+  private[graft] val TruthDfCap = 10000L
+
+  /** One aggregate over the (doc_id, shingle) table BEFORE any pair
+    * expansion: a corpus with a hot shingle refuses loudly instead of
+    * detonating a quadratic join ("never the production path", enforced
+    * at runtime — r15). */
+  private[graft] def requireTruthDfCap(sh: DataFrame,
+                                       cap: Long = TruthDfCap): Unit = {
+    val maxDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    require(maxDf <= cap,
+      s"c83's exact truth expands shared-shingle pairs quadratically in " +
+        s"per-shingle df: max df $maxDf > cap $cap — run the " +
+        "recall gate on an eval corpus/sample, never a production corpus")
+  }
+
   def c83MinhashRecall(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame = {
     val sh = spark.read.parquet(shingleTablePath(spark, dir))
+    requireTruthDfCap(sh)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")

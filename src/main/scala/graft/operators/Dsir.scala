@@ -35,10 +35,13 @@ import org.apache.spark.sql.functions._
   * corpus size); scoring is a stateless ROW-LOCAL fold per document —
   * the artifact ships as plan literals (d13's bounded-artifact rule),
   * the md5-bucket lookup runs inside one projection, zero exchanges
-  * beyond the gate sort. Buckets unseen at train time score a neutral
-  * 0 (the add-1-smoothed ratio of two absent counts), which is what
-  * lets the SAME artifact score NEW documents at ingest (d37's twin)
-  * without retraining. Ref: bolson has no selection surface
+  * beyond the gate sort. Buckets unseen at train time score 0 — a
+  * DELIBERATE neutral fallback, not the smoothed value (the add-1-
+  * smoothed LR of an absent bucket would be ln((nr+v)/(nt+v)) > 0
+  * whenever the target is a strict subset, which would reward every
+  * novel bucket); the oracle mirrors the same coalesce-to-0, and the
+  * fallback is what lets the SAME artifact score NEW documents at
+  * ingest (d37's twin) without retraining. Ref: bolson has no selection surface
   * (src/bolson/bench.cpp:40-291 measures, never filters); this row
   * extends the LLM-pipeline family.
   */
@@ -84,6 +87,13 @@ object Dsir {
       .collect()
       .map(r => (r.getString(0), r.getAs[Long]("cr"), r.getAs[Long]("ct")))
     require(counts.nonEmpty, "DSIR training needs a non-empty corpus")
+    // a misspelled --target-lang (or a corpus lacking the value) would
+    // otherwise train silently on an empty target slice: nt=0, every
+    // log-ratio negative, keep=false for every document — garbage that
+    // LOOKS like a trained artifact. Refuse loudly instead.
+    require(counts.exists(_._3 > 0),
+      s"DSIR target slice '$target' matched no tokens — " +
+        "check the target value against the corpus' lang column")
     val nr = counts.map(_._2).sum
     val nt = counts.map(_._3).sum
     // Laplace smoothing over the OBSERVED bucket support, not the 4096-
@@ -113,26 +123,66 @@ object Dsir {
     dsirMemo.computeIfAbsent(dir,
       _ => trainDsirOn(graft.Tables.documents(spark, dir)))
 
+  /** The artifact as a plan-literal map and the per-WORD log-ratio
+    * expression — the shared scoring subtree (d29's rule): both the
+    * row-local fold ([[scoreDocs]], d37's per-arrival shape) and the
+    * word-type join ([[scoreDocsByType]], the batch corpus shape) price a
+    * word through exactly these expressions, so the two formulations
+    * cannot drift. Buckets outside the artifact contribute 0 (the
+    * deliberate neutral fallback — see the class doc). */
+  private[graft] def lrMapOf(artifact: Seq[(String, Long)]): Column = {
+    require(artifact.nonEmpty, "DSIR artifact must contain buckets")
+    map(artifact.flatMap { case (b, s) => Seq(lit(b), lit(s)) }: _*)
+  }
+  private[graft] def lrOf(m: Column, w: Column): Column =
+    coalesce(element_at(m, bucketOf(w)), lit(0L))
+
   /** (doc_id, n_tokens, sum_lr) scoring projection of a (doc_id, text)
-    * frame under a trained artifact — THE scoring derivation, shared by
-    * construction (d29's shared-subtree rule) between the c80 gate row
-    * and d37's streaming twin. Row-local fold over the token array with
-    * the artifact as a plan-literal map; buckets outside the artifact
-    * contribute 0. Zero-token docs are absent (c66's row-set rule; also
-    * what keeps the average's divisor nonzero). */
+    * frame under a trained artifact — the ROW-LOCAL fold over the token
+    * array with the artifact as a plan-literal map. This is d37's shape
+    * (one doc per arrival: zero exchanges, zero state) — for a batch
+    * CORPUS scan use [[scoreDocsByType]], which prices each distinct
+    * word type once instead of re-running the interpreted HOF lambda
+    * (md5 + a linear scan of the 4096-entry map literal) per corpus
+    * token — the §8l c78 lesson, 10–25× on HOF-bound scorers. Zero-token
+    * docs are absent (c66's row-set rule; also what keeps the average's
+    * divisor nonzero). */
   def scoreDocs(docs: DataFrame, artifact: Seq[(String, Long)],
                 tokens: Column => Column = defaultTokens): DataFrame = {
-    require(artifact.nonEmpty, "DSIR artifact must contain buckets")
-    val m = map(artifact.flatMap { case (b, s) => Seq(lit(b), lit(s)) }: _*)
+    val m = lrMapOf(artifact)
     val ws = filter(tokens(col("text")), w => length(w) >= 1)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"),
         size(col("ws")).cast("bigint").as("n_tokens"),
-        aggregate(col("ws"), lit(0L),
-          (acc, w) => acc + coalesce(element_at(m, bucketOf(w)), lit(0L)))
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + lrOf(m, w))
           .as("sum_lr"))
+  }
+
+  /** [[scoreDocs]]' output, computed the batch-corpus way (§8l's
+    * word-type-join rule, applied here after r14's verdict called the
+    * per-token HOF out): `bucketOf(w)` is word-type-stable, so the
+    * md5 + artifact lookup runs ONCE per distinct word type (codegen'd,
+    * not inside an interpreted lambda), the (type → lr) table broadcasts,
+    * and per-doc sums fold map-side before the one groupBy(doc_id)
+    * exchange. The type table is vocabulary-sized (heavy-tailed, far
+    * smaller than the corpus); if a corpus' vocabulary ever outgrew the
+    * broadcast budget the hint comes off and the same equi-join shuffles
+    * — the semantics don't move. Output is row-for-row identical to
+    * [[scoreDocs]] (parity spec-pinned): same row set (explode drops
+    * zero-token docs), same exact-integer sums. */
+  def scoreDocsByType(docs: DataFrame, artifact: Seq[(String, Long)],
+                      tokens: Column => Column = defaultTokens): DataFrame = {
+    val m = lrMapOf(artifact)
+    val ws = filter(tokens(col("text")), w => length(w) >= 1)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(ws).as("w"))
+    val types = toks.select(col("w")).distinct()
+      .select(col("w"), lrOf(m, col("w")).as("__lr"))
+    toks.join(broadcast(types), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("sum_lr"))
   }
 
   /** The weight/verdict projection over [[scoreDocs]]' output, shared
@@ -156,10 +206,11 @@ object Dsir {
       .drop("avg_fx")
       .withColumn("keep", col("sum_lr") > 0L)
 
-  /** c80 gate row: score every document under the memoized artifact. */
+  /** c80 gate row: score every document under the memoized artifact —
+    * the word-type-join formulation (this IS a batch corpus scan). */
   def c80DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val art = trainDsir(spark, dir)
-    weightsOf(scoreDocs(graft.Tables.documents(spark, dir), art))
+    weightsOf(scoreDocsByType(graft.Tables.documents(spark, dir), art))
       .orderBy("doc_id")
   }
 }

@@ -373,8 +373,15 @@ object Multimodal {
         min(col("v_min")).as("v_min"),
         max(col("v_max")).as("v_max"),
         sum(col("v_sum")).as("v_sum"))
+      // the ×1e6 scale-up runs in decimal(38,0): total_bytes is a corpus-
+      // wide per-modality BIGINT sum, so 2*total_bytes*1000000 on bigint
+      // silently wraps (non-ANSI Spark) past ~4.6 TB of payload per
+      // modality — exactly the corpus size this card exists for. The
+      // DuckDB oracle's sum() is already HUGEINT-exact; the decimal cast
+      // keeps both engines exact at any corpus size.
       .withColumn("avg_bytes_r",
-        expr("(2*total_bytes*1000000 + n_docs) div (2*n_docs)")
+        expr("(2*cast(total_bytes as decimal(38,0))*1000000 + n_docs)" +
+            " div (2*n_docs)")
           .cast("double") / 1e6)
   }
 

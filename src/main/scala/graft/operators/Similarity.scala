@@ -1442,13 +1442,26 @@ object Similarity {
     spark.read.parquet(bandedPairsTablePath(spark, dir, threshold))
       .orderBy("vec_a", "vec_b")
 
+  /** Ceiling on the frame an exact all-pairs truth may expand (r15:
+    * "eval corpus/sample, never the production path" is now a runtime
+    * refusal, not a comment). 100k rows ⇒ ≤ 5×10⁹ candidate pairs — an
+    * eval-sized cost; a corpus pointed here by accident refuses before
+    * the cross join is even planned. */
+  private[graft] val ExactPairsRowCap = 100000L
+
   /** Exact ≥-threshold pair TRUTH over an embedding frame — the
     * all-pairs baseline c72 measures recall against. Deliberately
     * quadratic: this is an EVAL operator and runs on the (sampled)
     * frame it is given, never corpus-wide at scale (c58's rule — the
-    * sampling lives in the caller's frame definition). */
+    * sampling lives in the caller's frame definition); the row-cap
+    * require enforces that contract at runtime. */
   private[graft] def exactPairsOn(embs: DataFrame,
                                   threshold: Double): DataFrame = {
+    val n = embs.count()
+    require(n <= ExactPairsRowCap,
+      s"exact pair truth is quadratic and eval-confined: frame has $n " +
+        s"rows > cap $ExactPairsRowCap — point it at an eval sample, " +
+        "never a production corpus (c72's rule)")
     val v = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     v.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .crossJoin(v.select(col("vec_id").as("vec_b"), col("v").as("vb")))

@@ -42,4 +42,32 @@ class MetricsSpec extends SparkSpec {
       assert(sum("trigger_ms_max") >= sum("trigger_ms_avg"))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("CpuClock attributes task CPU by job group (r15 channel isolation)") {
+    import spark.implicits._
+    val clock = new graft.metrics.CpuClock()
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      def burn(): Unit = spark.range(0, 2000000, 1, 4)
+        .select(sum(crc32(md5(col("id").cast("string"))))).collect()
+      spark.sparkContext.setJobGroup("grp-a", "a")
+      burn()
+      spark.sparkContext.clearJobGroup()
+      val aAfterA = clock.settledGroup("grp-a")
+      assert(aAfterA > 0L, "group-a work must be credited to group a")
+      // foreign work — another group AND untagged — must not move group a:
+      // this is exactly the r14 convert-sample contamination shape
+      spark.sparkContext.setJobGroup("grp-b", "b")
+      burn()
+      spark.sparkContext.clearJobGroup()
+      burn() // untagged
+      assert(clock.settledGroup("grp-b") > 0L)
+      assert(clock.settledGroup("grp-a") == aAfterA,
+        "foreign task-end events must land in their own bucket")
+      // the global counter still sees everything (query-suite chaining)
+      assert(clock.settled() >= aAfterA + clock.settledGroup("grp-b"))
+      // an unknown group reads zero, not a crash
+      assert(clock.settledGroup("never-used") == 0L)
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
 }

@@ -810,6 +810,45 @@ class OperatorsSpec extends SparkSpec {
       "mixed doc must rank between pure-target and pure-off-target")
   }
 
+  test("c80 word-type-join scorer is row-for-row the row-local fold (shared lrOf subtree)") {
+    import graft.operators.Dsir
+    // batch formulation (type-join, the gate path) vs d37's row-local
+    // HOF fold: same artifact, same corpus — identical (doc_id,
+    // n_tokens, sum_lr) sets, exact-integer equality
+    val docs = Tables.documents(spark, sfDir)
+    val art = Dsir.trainDsir(spark, sfDir)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_lr")))).toMap
+    val byType = asMap(Dsir.scoreDocsByType(docs, art))
+    val byFold = asMap(Dsir.scoreDocs(docs, art))
+    assert(byType == byFold)
+    assert(byType.nonEmpty)
+    // plan shape: the type table must broadcast — the corpus tokens are
+    // joined map-side, never shuffled to the vocabulary
+    val plan = Dsir.scoreDocsByType(docs, art).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"type join must broadcast the vocabulary side:\n$plan")
+  }
+
+  test("c80 training refuses an empty target slice instead of an all-negative artifact") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val frame = Seq(
+      (1L, "alpha beta", "fr"),
+      (2L, "gamma delta", "es")
+    ).toDF("doc_id", "text", "lang")
+    // a misspelled --target-lang must refuse loudly, not train keep=false-
+    // for-everything garbage (nt=0 makes every smoothed log-ratio negative)
+    val e = intercept[IllegalArgumentException] {
+      Dsir.trainDsirOn(frame, target = "enn")
+    }
+    assert(e.getMessage.contains("matched no tokens"), e.getMessage)
+    // the overflow-adjacent sanity: the same corpus with a REAL target works
+    assert(Dsir.trainDsirOn(frame, target = "fr").nonEmpty)
+  }
+
   test("c84 tokenizer report folds exactly the three fertility gate frames") {
     import graft.operators.{TextOps, Unigram}
     def foldOf(rows: Array[org.apache.spark.sql.Row], units: String) = {

@@ -54,6 +54,28 @@ class ScaleOpsSpec extends SparkSpec {
       "sanity: the naive predicate really does plan a nested loop")
   }
 
+  test("eval-confined quadratic truth sides refuse over-cap corpora at runtime (r15)") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    // c83's truth guard: one shingle shared by 6 docs, cap 5 → refusal
+    val hot = (1L to 6L).map(d => (d, "the-same-shingle")).toDF("doc_id", "shingle")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.requireTruthDfCap(hot, cap = 5L)
+    }
+    assert(e1.getMessage.contains("eval corpus/sample"), e1.getMessage)
+    Dedup.requireTruthDfCap(hot, cap = 6L) // at the cap: allowed
+    // c72's truth guard: a frame over the row cap refuses BEFORE the
+    // cross join is planned (the count() fires first)
+    val big = spark.range(0, Similarity.ExactPairsRowCap + 1)
+      .select(col("id").as("vec_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.exactPairsOn(big, 0.3)
+    }
+    assert(e2.getMessage.contains("eval sample"), e2.getMessage)
+    // the production gates stay under their caps on the test corpus
+    assert(Dedup.c83MinhashRecall(spark, sfDir).count() == 1)
+  }
+
   test("new c-series operators keep scale-safe plan shapes") {
     import graft.operators.{Dedup, TextOps}
     // c19: candidate generation + clustering must never plan a cross join
