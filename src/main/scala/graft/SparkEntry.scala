@@ -60,6 +60,7 @@ object SparkEntry {
     "b20_unpivot" -> (Relational.b20Unpivot _),
     "b21_window_dedup" -> ((s: SparkSession, d: String) => Relational.b21WindowDedup(s, d)),
     "b22_asof_forward" -> ((s: SparkSession, d: String) => Relational.b22AsofForward(s, d)),
+    "b23_asof_row" -> (Relational.b23AsofRow _),
     // C-series: training-data pipeline
     "c1_dedup_exact" -> (Dedup.c1DedupExact _),
     "c2_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.c2DedupMinhash(s, d)),
@@ -1684,6 +1685,20 @@ object SparkEntry {
         |      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_us >= c.ts_us
         |                        AND p.ts_us <= c.ts_us + 1800000000)
         |SELECT click_id, user_id, click_ts_us, purchase_id, purchase_ts_us
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    // b23 carries the matched right ROW: the oracle projects the same
+    // fields out of the row_number pick (b14's formulation), value/type
+    // straight from parquet — no arithmetic, exact parity
+    "b23_asof_row" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts_us, event_type, value FROM e WHERE event_type <> 'click'),
+        |j AS (SELECT c.event_id AS click_id, c.user_id, c.ts_us AS click_ts_us,
+        |        p.event_id AS prev_id, p.event_type AS prev_type,
+        |        p.value AS prev_value, p.ts_us AS prev_ts_us,
+        |        row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
+        |SELECT click_id, user_id, click_ts_us, prev_id, prev_type, prev_value, prev_ts_us
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "b15_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),

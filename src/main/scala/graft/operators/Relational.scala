@@ -217,65 +217,101 @@ object Relational {
     * temporal joins use internally). Right rows at EQUAL time are visible
     * to the left row in both directions (≤ / ≥, not strict — `__tag`
     * ordering); equal-time ties among right rows resolve to the largest
-    * `valueCol` backward and the SMALLEST forward (each direction's
+    * tie-break value backward and the SMALLEST forward (each direction's
     * frame-edge pick, matched by the oracles). `toleranceUs` (in
     * `timeCol`'s own unit) nulls a match farther than the tolerance —
     * production as-of joins are almost always tolerance-bounded, and the
-    * post-filter keeps the plan single-pass. */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
-               valueCol: String, asofName: String, asofTime: String,
-               direction: String = "backward",
-               toleranceUs: Option[Long] = None): DataFrame = {
+    * post-filter keeps the plan single-pass.
+    *
+    * R15: the payload rides the window as a STRUCT (matched time + value),
+    * so the value may be ANY type — double prices, string labels, or the
+    * whole matched row ([[asofJoinRow]], what kdb `aj` returns). The r14
+    * integral-only require existed because the old implementation carried
+    * the value through a bigint cast; nothing casts now. */
+  private[graft] def asofCore(left: DataFrame, right: DataFrame, key: String,
+      timeCol: String, tie: Column,
+      tieType: org.apache.spark.sql.types.DataType, value: Column,
+      valueType: org.apache.spark.sql.types.DataType, direction: String,
+      toleranceUs: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     require(direction == "backward" || direction == "forward",
       s"asofJoin direction must be backward|forward, got '$direction'")
     require(toleranceUs.forall(_ >= 0), s"tolerance must be >= 0")
-    // the bigint cast below would silently corrupt a non-integral valueCol:
-    // non-numerics go all-null, double/decimal get truncated (both the
-    // returned value and the tie-break ranking) — fail loudly instead
-    val vt = right.schema(valueCol).dataType
-    val integral = Set[org.apache.spark.sql.types.DataType](
-      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-    require(integral.contains(vt),
-      s"asofJoin valueCol '$valueCol' must be integral (byte/short/int/long), " +
-        s"got ${vt.simpleString}")
+    val payType = StructType(Seq(
+      StructField("vt", right.schema(timeCol).dataType),
+      StructField("v", valueType)))
     val l = left.select(col(key), col(timeCol), lit(1).as("__tag"),
-      lit(null).cast("bigint").as("__v"), lit(null).cast("bigint").as("__vt"),
+      lit(null).cast(tieType).as("__ord"),
+      lit(null).cast(payType).as("__pay"),
       struct(left.columns.map(col): _*).as("__row"))
     val r = right.select(col(key), col(timeCol), lit(0).as("__tag"),
-      col(valueCol).cast("bigint").as("__v"), col(timeCol).as("__vt"),
+      tie.as("__ord"),
+      struct(col(timeCol).as("vt"), value.as("v")).as("__pay"),
       lit(null).cast(l.schema("__row").dataType).as("__row"))
     val merged = l.unionByName(r)
     val asofd =
       if (direction == "backward") {
         val w = Window.partitionBy(key)
-          .orderBy(col(timeCol), col("__tag"), col("__v"))
+          .orderBy(col(timeCol), col("__tag"), col("__ord"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        merged
-          .withColumn(asofName, last(col("__v"), ignoreNulls = true).over(w))
-          .withColumn(asofTime, last(col("__vt"), ignoreNulls = true).over(w))
+        merged.withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       } else {
         // forward: rights at equal time must sort AFTER the left row so
         // the current→following frame sees them; first non-null = the
-        // earliest right ≥ the left time, smallest __v on equal-time ties
+        // earliest right ≥ the left time, smallest tie on equal-time ties
         val w = Window.partitionBy(key)
-          .orderBy(col(timeCol), col("__tag").desc, col("__v"))
+          .orderBy(col(timeCol), col("__tag").desc, col("__ord"))
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        merged
-          .withColumn(asofName, first(col("__v"), ignoreNulls = true).over(w))
-          .withColumn(asofTime, first(col("__vt"), ignoreNulls = true).over(w))
+        merged.withColumn("__m", first(col("__pay"), ignoreNulls = true).over(w))
       }
     val bounded = toleranceUs match {
       case None => asofd
-      case Some(tol) =>
-        val inTol = abs(col(asofTime) - col(timeCol)) <= tol
-        asofd
-          .withColumn(asofName, when(inTol, col(asofName)))
-          .withColumn(asofTime, when(inTol, col(asofTime)))
+      case Some(tol) => asofd.withColumn("__m",
+        when(abs(col("__m.vt") - col(timeCol)) <= tol, col("__m")))
     }
     bounded
       .filter(col("__tag") === 1)
-      .select(col("__row.*"), col(asofName), col(asofTime))
+      .select(col("__row.*"), col("__m"))
+  }
+
+  /** Value-projecting as-of join (the b14/b22 shape): appends the matched
+    * right row's `valueCol` as `asofName` and its time as `asofTime`.
+    * `valueCol` doubles as the equal-time tie-break and may be any
+    * orderable type — string, double, decimal, timestamp all work (r15;
+    * integral-only was an implementation artifact, see [[asofCore]]). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
+               valueCol: String, asofName: String, asofTime: String,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    val vt = right.schema(valueCol).dataType
+    asofCore(left, right, key, timeCol, col(valueCol), vt, col(valueCol), vt,
+        direction, toleranceUs)
+      .withColumn(asofName, col("__m.v"))
+      .withColumn(asofTime, col("__m.vt"))
+      .drop("__m")
+  }
+
+  /** Whole-row as-of join — what kdb `aj` returns: appends the ENTIRE
+    * matched right row as one struct column `matchedName` (null when no
+    * match, or none within tolerance). Equal-time ties among right rows
+    * resolve by `tieCol` (largest backward / smallest forward — the same
+    * frame-edge rule as [[asofJoin]]); pass a unique column (an event id)
+    * for a deterministic pick. Same single-shuffle tagged-union window
+    * plan: the struct rides the partial window frame, bodies shuffle
+    * once, no candidate expansion. */
+  def asofJoinRow(left: DataFrame, right: DataFrame, key: String,
+                  timeCol: String, tieCol: String, matchedName: String,
+                  direction: String = "backward",
+                  toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rowType = StructType(right.schema.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
+    asofCore(left, right, key, timeCol, col(tieCol),
+        right.schema(tieCol).dataType,
+        struct(right.columns.map(col): _*), rowType, direction, toleranceUs)
+      .withColumnRenamed("__m", "__m0")
+      .withColumn(matchedName, col("__m0.v"))
+      .drop("__m0")
   }
 
   /** b14: as-of join — each click event paired with the same user's most
@@ -313,6 +349,29 @@ object Relational {
       direction = "forward", toleranceUs = Some(withinUs))
       .select(col("click_id"), col("user_id"), col("ts_us").as("click_ts_us"),
         col("purchase_id"), col("purchase_ts_us"))
+      .orderBy("click_id")
+  }
+
+  /** b23: whole-row as-of join with a non-integral payload — the first
+    * thing a real user does with an as-of join (r14 verdict's gap): each
+    * click paired with the same user's most recent PRIOR event of any
+    * other type, carrying the matched row whole — its type (string), its
+    * value (double), its id and time — not an integral surrogate. The
+    * doubles pass through untouched (no arithmetic ⇒ exact parity with
+    * the oracle reading the same parquet); equal-time ties resolve by
+    * event_id, b14's rule. Same single-shuffle tagged-union window plan
+    * as b14/b22 — the payload struct rides the frame, rows shuffle once. */
+  def b23AsofRow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val others = ev.filter(col("event_type") =!= "click")
+    asofJoinRow(clicks, others, key = "user_id", timeCol = "ts_us",
+        tieCol = "event_id", matchedName = "m")
+      .select(col("click_id"), col("user_id"), col("ts_us").as("click_ts_us"),
+        col("m.event_id").as("prev_id"), col("m.event_type").as("prev_type"),
+        col("m.value").as("prev_value"), col("m.ts_us").as("prev_ts_us"))
       .orderBy("click_id")
   }
 

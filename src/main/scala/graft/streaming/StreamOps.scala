@@ -27,17 +27,30 @@ case class SessionState(start_us: Long, end_us: Long, n: Long)
   * early. Bounded by the watermark delay: O(delay / gap) entries. */
 case class SessionsState(sessions: List[SessionState])
 
-/** One side-tagged event of d40's streaming as-of join. */
-case class AsofEvent(key: Long, id: Long, ts_us: Long, is_right: Boolean)
+/** A right row's non-integral carriage through the streaming as-of —
+  * batch b23's (string, double) payload mirrored (r15: the Long-only
+  * AsofEvent was the same implementation artifact as batch asofJoin's
+  * old integral require). Rights may omit it (None); it rides the state
+  * and the match untouched, never ranked or cast. */
+case class AsofPayload(label: String, value: Double)
 
-/** d40 per-key state: unsealed lefts + the candidate right set. */
-case class AsofState(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+/** One side-tagged event of d40's streaming as-of join. */
+case class AsofEvent(key: Long, id: Long, ts_us: Long, is_right: Boolean,
+                     payload: Option[AsofPayload] = None)
+
+/** d40 per-key state: unsealed lefts + the candidate right set
+  * (ts, id, payload). */
+case class AsofState(lefts: List[(Long, Long)],
+                     rights: List[(Long, Long, Option[AsofPayload])])
 
 /** One sealed as-of answer: the latest right at-or-before the left's
   * time (b14's backward contract), None when the key has no such
-  * right. */
+  * right; the matched right's payload (when it carried one) rides
+  * along whole. */
 case class AsofMatch(key: Long, left_id: Long, left_ts_us: Long,
-                     right_id: Option[Long], right_ts_us: Option[Long])
+                     right_id: Option[Long], right_ts_us: Option[Long],
+                     right_label: Option[String] = None,
+                     right_value: Option[Double] = None)
 
 /** One per-bucket verdict of the d6 near-dup filter (4 per doc, one per
   * simhash segment). dup_of = Long.MaxValue ⇔ no prior near-dup in this
@@ -1050,7 +1063,10 @@ object StreamOps {
     * horizon, NOT the stream. Timeout re-arms at the earliest unsealed
     * left's seal instant (sessionize's pattern) so sealed answers flush
     * without waiting for new same-key data. Append mode; emissions
-    * sorted by (left ts, id) per flush. */
+    * sorted by (left ts, id) per flush. Rights may carry an
+    * [[AsofPayload]] (string label + double value — batch b23's
+    * non-integral carriage, r15): it rides state and answer whole,
+    * never ranked, never cast. */
   def streamAsof(events: Dataset[AsofEvent],
                  watermarkDelay: String = "10 minutes",
                  direction: String = "backward",
@@ -1070,11 +1086,13 @@ object StreamOps {
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", watermarkDelay)
-      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
+      .as[(Long, Long, Long, Boolean, Option[AsofPayload], java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AsofState, AsofMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Boolean, java.sql.Timestamp)],
+        (key: Long,
+         rows: Iterator[(Long, Long, Long, Boolean, Option[AsofPayload],
+           java.sql.Timestamp)],
          state: GroupState[AsofState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
@@ -1082,15 +1100,17 @@ object StreamOps {
             if (state.hasTimedOut) (Nil, Nil) // timeout delivers no rows
             else {
               val rs = rows.toList
-              (rs.filter(_._4).map(r => (r._3, r._2)),
+              (rs.filter(_._4).map(r => (r._3, r._2, r._5)),
                 rs.filterNot(_._4).map(r => (r._3, r._2)))
             }
           val rights = prev.rights ++ newR
+          // ranking is ALWAYS (ts, id) — the payload rides, never ranks
+          def byTsId(r: (Long, Long, Option[AsofPayload])) = (r._1, r._2)
           // forward best: earliest right in [t, t+tol], ties -> SMALLEST
           // id (b22's rule)
-          def fwdBest(lts: Long): Option[(Long, Long)] =
+          def fwdBest(lts: Long): Option[(Long, Long, Option[AsofPayload])] =
             rights.filter(r => r._1 >= lts && r._1 <= lts + toleranceUs.get)
-              .sorted.headOption
+              .sortBy(byTsId).headOption
           // seal rules. Backward: strictly below the watermark (a future
           // right AT wmUs is admissible and would qualify ts <= left ts
           // for a left sitting there). Forward: once the watermark is
@@ -1102,7 +1122,7 @@ object StreamOps {
           def sealedNow(lts: Long): Boolean =
             if (!fwd) lts < wmUs
             else fwdBest(lts) match {
-              case Some((bts, _)) => wmUs > bts
+              case Some((bts, _, _)) => wmUs > bts
               case None => wmUs > lts + toleranceUs.get
             }
           val (flushed, open) = (prev.lefts ++ newL).partition(l => sealedNow(l._1))
@@ -1112,9 +1132,10 @@ object StreamOps {
               // b14's argmax: max right ts <= left ts, ties -> max id;
               // tolerance nulls a match farther than the bound (b22's
               // post-filter, mirrored)
-              else rights.filter(_._1 <= lts).sorted.lastOption
+              else rights.filter(_._1 <= lts).sortBy(byTsId).lastOption
                 .filter(b => toleranceUs.forall(t => lts - b._1 <= t))
-            AsofMatch(key, lid, lts, best.map(_._2), best.map(_._1))
+            AsofMatch(key, lid, lts, best.map(_._2), best.map(_._1),
+              best.flatMap(_._3).map(_.label), best.flatMap(_._3).map(_.value))
           }
           // right-set GC. Backward: rights older than the best
           // at-or-before the watermark can never win for any remaining
@@ -1124,7 +1145,7 @@ object StreamOps {
           val keptRights =
             if (!fwd)
               rights.filter(_._1 >= wmUs) ++
-                rights.filter(_._1 < wmUs).sorted.lastOption.toList
+                rights.filter(_._1 < wmUs).sortBy(byTsId).lastOption.toList
             else {
               val minT = (open.map(_._1) :+ wmUs).min
               rights.filter(_._1 >= minT)

@@ -151,13 +151,65 @@ class RelationalSpec extends SparkSpec {
       direction = "forward").select("av").collect().head.getLong(0) == 50L)
   }
 
-  test("asofJoin rejects non-integral valueCols instead of silently truncating") {
+  test("asofJoin carries non-integral values exactly (r15: the integral require is gone)") {
     import spark.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")
-    val r = Seq((1L, 5L, 1.75)).toDF("k", "t", "price")
-    val e = intercept[IllegalArgumentException](
-      Relational.asofJoin(l, r, "k", "t", "price", "asof_price", "asof_t"))
-    assert(e.getMessage.contains("integral"))
+    // double payload survives untruncated, native type preserved
+    val r = Seq((1L, 5L, 1.75), (1L, 5L, 2.25), (1L, 20L, 9.5))
+      .toDF("k", "t", "price")
+    val b = Relational.asofJoin(l, r, "k", "t", "price", "asof_price", "asof_t")
+      .select("asof_price", "asof_t").collect().head
+    assert(b.getDouble(0) == 2.25 && b.getLong(1) == 5L,
+      "backward equal-time tie resolves to the LARGEST value, exactly")
+    val f = Relational.asofJoin(l, r, "k", "t", "price", "asof_price", "asof_t",
+      direction = "forward").select("asof_price").collect().head
+    assert(f.getDouble(0) == 9.5)
+    // string payload: label lookup, ties by binary order
+    val rs = Seq((1L, 5L, "alpha"), (1L, 5L, "beta")).toDF("k", "t", "label")
+    val s = Relational.asofJoin(l, rs, "k", "t", "label", "asof_label", "asof_t")
+      .select("asof_label").collect().head.getString(0)
+    assert(s == "beta", "backward tie picks the largest label")
+  }
+
+  test("asofJoinRow returns the whole matched right row, null past tolerance") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "left-a"), (2L, 10L, "left-b")).toDF("k", "t", "tag")
+    val r = Seq((1L, 4L, 100L, "view", 1.5), (1L, 8L, 101L, "buy", 2.5),
+        (1L, 8L, 102L, "view", 3.5))
+      .toDF("k", "t", "id", "kind", "value")
+    val got = Relational.asofJoinRow(l, r, "k", "t", tieCol = "id",
+        matchedName = "m")
+      .select(col("k"), col("tag"), col("m.id"), col("m.kind"),
+        col("m.value"), col("m.t").as("mt"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // key 1: latest right at t=8; equal-time tie → largest id (102)
+    val m1 = got(1L)
+    assert(m1.getString(1) == "left-a" && m1.getLong(2) == 102L &&
+      m1.getString(3) == "view" && m1.getDouble(4) == 3.5 &&
+      m1.getLong(5) == 8L)
+    // key 2: no right rows at all → whole struct null
+    val m2 = got(2L)
+    assert(m2.isNullAt(2) && m2.isNullAt(3) && m2.isNullAt(4))
+    // tolerance: key 1's nearest right is 2 units away — a 1-unit bound nulls it
+    val tol = Relational.asofJoinRow(l, r, "k", "t", "id", "m",
+        toleranceUs = Some(1L))
+      .select(col("k"), col("m")).collect().map(x => x.getLong(0) -> x).toMap
+    assert(tol(1L).isNullAt(1), "match past tolerance must null the row")
+    // full-replay parity with the value flavor: same pick on the b14 corpus
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val viaRow = Relational.asofJoinRow(clicks, buys, "user_id", "ts_us",
+        "event_id", "m")
+      .select(col("click_id"), col("m.event_id").as("purchase_id"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val viaVal = Relational.b14AsofJoin(spark, sfDir)
+      .select("click_id", "purchase_id")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(viaRow == viaVal, "row flavor must pick exactly b14's rows")
   }
 
   test("b15 range join pairs all satisfy the interval predicate, and none are missed") {

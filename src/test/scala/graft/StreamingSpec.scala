@@ -685,16 +685,22 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("d40_late").isEmpty, "left emitted before its seal")
       // batch 2: a LATE right at t=4m (>= watermark 2m — admissible) that
-      // must become the answer, then a clock push sealing the left
+      // must become the answer — carrying b23's non-integral payload
+      // (string label + double value, r15) — then a clock push sealing
+      // the left
       stream.addData(Seq(
-        AsofEvent(1L, 11L, 4 * M, is_right = true),
+        AsofEvent(1L, 11L, 4 * M, is_right = true,
+          payload = Some(graft.streaming.AsofPayload("buy", 19.75))),
         AsofEvent(2L, 0L, 30 * M, is_right = true)))
       q.processAllAvailable()
-      val out = spark.table("d40_late").collect()
+      val out = spark.table("d40_late").filter(col("key") === 1L).collect()
       assert(out.length == 1)
       assert(out.head.getAs[Long]("left_id") == 100L)
       assert(out.head.getAs[java.lang.Long]("right_id") == 11L,
         s"late-but-admissible right must win: ${out.head}")
+      // the matched right's payload rides the answer whole and exact
+      assert(out.head.getAs[String]("right_label") == "buy")
+      assert(out.head.getAs[Double]("right_value") == 19.75)
     } finally q.stop()
   }
 
