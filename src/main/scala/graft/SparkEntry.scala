@@ -347,7 +347,12 @@ object SparkEntry {
        |            pieces := list_append(r.bests[CAST(i AS INT) + 1].pieces,
        |              substr(r.w, CAST(i AS INT) + 1, CAST(r.j + 1 - i AS INT))))),
        |        c -> c.negscore IS NOT NULL))[1] AS best_j
-       |    FROM rec r WHERE r.j < len(r.w)))""".stripMargin
+       |    FROM rec r WHERE r.j < len(r.w))),
+       |wseg AS (
+       |  SELECT w, wcnt, bests[len(w) + 1].np AS np,
+       |    CAST(len(list_filter(bests[len(w) + 1].pieces,
+       |      p -> map_extract($m, p)[1] IS NULL)) AS BIGINT) AS nunk
+       |  FROM rec WHERE j = len(w))""".stripMargin
   }
 
   /** DuckDB rendering of c82: c19's transitive-closure cluster CTEs +
@@ -427,20 +432,42 @@ object SparkEntry {
        |FROM g""".stripMargin
 
   /** DuckDB rendering of c84: the three fertility oracles as
-    * subqueries, each folded to its corpus-level row. */
+    * subqueries, each folded to its corpus-level row, plus the r15
+    * OOV/coverage column — char-BPE re-derives the alphabet-miss count
+    * against the SAME memoized alphabet the Spark row inlines (c52's
+    * drift-pinning rule), unigram counts UnkScore-fallback pieces from
+    * the shared Viterbi CTEs' wseg leg, byte-BPE emits the 0.0 the
+    * staging alphabet guarantees by construction. */
   private def c84OracleSql(dir: String): String = {
-    def leg(sql: String, units: String, name: String): String =
+    val alpha = graft.operators.TextOps.bpeAlphabet(renderSession, dir)
+      .map(sqlLit).mkString("[", ", ", "]")
+    def fold(sql: String, units: String, name: String): String =
       s"""SELECT '$name' AS tokenizer, count(*) AS n_docs,
          |  CAST(sum($units) AS BIGINT) AS n_units,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(n_tokens) AS DOUBLE) / sum($units), 6) AS fertility_r
          |FROM (${sql.replace("\n", "\n  ")})""".stripMargin
+    def withOov(foldSql: String, oovSql: String): String =
+      s"""SELECT f.tokenizer, f.n_docs, f.n_units, f.n_tokens, f.fertility_r,
+         |  round(CAST(o.n_oov AS DOUBLE) / f.n_tokens, 6) AS oov_share_r
+         |FROM ($foldSql) f CROSS JOIN ($oovSql) o""".stripMargin
+    val charOov =
+      s"""SELECT CAST(coalesce(sum(wcnt * len(list_filter(range(1, len(w) + 1),
+         |    i -> NOT list_contains($alpha, substr(w, CAST(i AS INT), 1))))), 0)
+         |  AS BIGINT) AS n_oov
+         |FROM (SELECT w, count(*) AS wcnt
+         |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |      WHERE len(w) >= 1 GROUP BY w)""".stripMargin
+    val unkOov =
+      s"""WITH RECURSIVE ${unigramViterbiCtes(dir)}
+         |SELECT CAST(coalesce(sum(wcnt * nunk), 0) AS BIGINT) AS n_oov FROM wseg""".stripMargin
     s"""SELECT * FROM (
-       |${leg(c66OracleSql(dir), "n_words", "bpe_char")}
+       |${withOov(fold(c66OracleSql(dir), "n_words", "bpe_char"), charOov)}
        |UNION ALL
-       |${leg(c73OracleSql(dir), "n_pretokens", "bpe_byte")}
+       |SELECT *, CAST(0 AS DOUBLE) AS oov_share_r FROM (
+       |${fold(c73OracleSql(dir), "n_pretokens", "bpe_byte")})
        |UNION ALL
-       |${leg(c78OracleSql(dir), "n_words", "unigram")}
+       |${withOov(fold(c78OracleSql(dir), "n_words", "unigram"), unkOov)}
        |) ORDER BY tokenizer""".stripMargin
   }
 
@@ -486,8 +513,7 @@ object SparkEntry {
     * engines (c66's row-set rule). */
   private def c78OracleSql(dir: String): String =
     s"""WITH RECURSIVE ${unigramViterbiCtes(dir)},
-       |wnp AS (SELECT w, bests[len(w) + 1].np AS np
-       |        FROM rec WHERE j = len(w)),
+       |wnp AS (SELECT w, np FROM wseg),
        |dw AS (SELECT doc_id, w FROM
        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
        |     FROM documents WHERE text IS NOT NULL)

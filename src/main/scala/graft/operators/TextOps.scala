@@ -931,6 +931,28 @@ object TextOps {
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
 
+  private val alphabetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** The char-BPE training ALPHABET: every distinct character of the
+    * word-type corpus — char-BPE's implicit base vocabulary (a single
+    * char emits as itself whenever no merge covers it, so an emitted
+    * token is out-of-vocabulary iff it is a char outside this set).
+    * Artifact-sized by construction (≤ distinct chars, not words);
+    * memoized per dir exactly like [[trainBpe]] — the c84 gate row and
+    * its oracle renderer must see the identical set. */
+  private[graft] def bpeAlphabet(spark: SparkSession, dir: String): Seq[String] =
+    alphabetMemo.computeIfAbsent(dir, _ =>
+      wordTypes(spark, dir)
+        .select(explode(split(col("w"), "")).as("c")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted)
+
+  /** Chars of a word column outside an alphabet — char-BPE's OOV token
+    * count for the word (an uncovered char can join no merge, so it
+    * surfaces as exactly one lone token). */
+  private[graft] def charOovCount(w: Column, alphabet: Seq[String]): Column =
+    size(filter(split(w, ""), c => !c.isin(alphabet: _*))).cast("bigint")
+
   /** A word staged as a BPE symbol sequence: symbols joined AND fenced by
     * DOUBLE spaces ("ab" → "␣␣a␣␣b␣␣"). The double-space delimiter is
     * what makes merge application a single literal `replace` per merge
@@ -1212,11 +1234,34 @@ object TextOps {
           col("n_units"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("n_units"), 6)
             .as("fertility_r"))
-    fold(c66BpeFertility(spark, dir), "n_words", "bpe_char")
-      .unionByName(fold(c73ByteFertility(spark, dir), "n_pretokens", "bpe_byte"))
-      .unionByName(fold(
+    // r15 OOV/coverage column: per tokenizer, the share of emitted
+    // tokens a production deployment would surface as <unk>/uncovered.
+    // Derived word-TYPE-side (vocab-bounded jobs, never corpus tokens):
+    // char-BPE counts chars outside the training alphabet, unigram
+    // counts UnkScore-fallback pieces; byte-BPE is 0.0 BY CONSTRUCTION
+    // (the GPT-2 staging alphabet covers every byte — that is the whole
+    // point of byte-level tokenizers) and emits the literal both here
+    // and in the oracle. Self-trained on the gate corpus, all three
+    // read 0 — the discriminating (shifted-corpus) behavior is
+    // spec-pinned, the gate verifies the derivations.
+    val wt = wordTypes(spark, dir)
+    def oovFold(cnt: Column): DataFrame =
+      wt.agg(coalesce(sum(col("wcnt") * cnt), lit(0L)).as("n_oov"))
+    def withOov(row: DataFrame, oov: DataFrame): DataFrame =
+      row.crossJoin(oov)
+        .withColumn("oov_share_r",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .drop("n_oov")
+    val charOov = oovFold(charOovCount(col("w"), bpeAlphabet(spark, dir)))
+    val unkOov = oovFold(graft.operators.Unigram.unkCount(col("w"),
+      graft.operators.Unigram.trainUnigram(spark, dir)))
+    withOov(fold(c66BpeFertility(spark, dir), "n_words", "bpe_char"), charOov)
+      .unionByName(
+        fold(c73ByteFertility(spark, dir), "n_pretokens", "bpe_byte")
+          .withColumn("oov_share_r", lit(0.0)))
+      .unionByName(withOov(fold(
         graft.operators.Unigram.c78UnigramFertility(spark, dir),
-        "n_words", "unigram"))
+        "n_words", "unigram"), unkOov))
       .orderBy("tokenizer")
   }
 

@@ -113,6 +113,20 @@ object Unigram {
     element_at(states, len + 1).getField("pieces")
   }
 
+  /** UNK-fallback piece count of one word under a trained artifact: the
+    * pieces of [[segment]]'s best path that are NOT in the vocabulary —
+    * the single chars the [[UnkScore]] coverage fallback admitted
+    * (SentencePiece's UNK surface). Zero whenever the word's alphabet is
+    * covered (always true when scoring the training corpus itself);
+    * nonzero exactly where a production tokenizer would emit <unk>.
+    * Feeds c84's per-tokenizer oov_share_r column (r15). */
+  def unkCount(w: Column, artifact: Seq[(String, Long)]): Column = {
+    require(artifact.nonEmpty, "unigram artifact must contain pieces")
+    val m = map(artifact.flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*)
+    size(filter(segment(w, artifact), p => element_at(m, p).isNull))
+      .cast("bigint")
+  }
+
   /** One vocabulary selection: every single char (coverage, smoothed to
     * count ≥ 1) plus the top `multis` multi-char pieces by the
     * (count desc, piece asc) total order. Selection runs DISTRIBUTED

@@ -870,6 +870,30 @@ class OperatorsSpec extends SparkSpec {
     // every family emits at least one token per unit
     got.values.foreach { case (_, _, _, f) => assert(f >= 1.0, s"fertility $f < 1") }
     info(got.map { case (k, v) => f"$k ${v._4}%.3f" }.mkString("c84 fertility: ", ", ", ""))
+    // r15 OOV column: self-trained on the gate corpus, every tokenizer
+    // covers itself — all three shares must be exactly 0.0 (byte-BPE by
+    // construction, char-BPE/unigram by derivation)
+    val oov = TextOps.c84TokenizerReport(spark, sfDir).collect()
+      .map(r => r.getAs[String]("tokenizer") -> r.getAs[Double]("oov_share_r"))
+      .toMap
+    assert(oov == Map("bpe_char" -> 0.0, "bpe_byte" -> 0.0, "unigram" -> 0.0), oov)
+  }
+
+  test("c84 OOV derivations discriminate on a distribution-shifted apply corpus") {
+    import spark.implicits._
+    import graft.operators.{TextOps, Unigram}
+    // train on an {a,b}-alphabet corpus, apply to words carrying 'x':
+    // char-BPE counts the uncovered chars, unigram counts UNK fallbacks
+    val trainWt = Seq(("ab", 3L), ("ba", 2L), ("aa", 1L)).toDF("w", "wcnt")
+    val art = Unigram.trainUnigramOn(trainWt)
+    val unk = Seq("axa", "ab", "xxx").toDF("w")
+      .select(col("w"), Unigram.unkCount(col("w"), art).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unk == Map("axa" -> 1L, "ab" -> 0L, "xxx" -> 3L), unk.toString)
+    val chOov = Seq("axa", "ab", "xxx").toDF("w")
+      .select(col("w"), TextOps.charOovCount(col("w"), Seq("a", "b")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chOov == Map("axa" -> 1L, "ab" -> 0L, "xxx" -> 3L), chOov.toString)
   }
 
   /** Brute winnowing (Schleimer et al. 2003) under c57's value-set
