@@ -719,12 +719,24 @@ object Main {
     * raw floats land in the artifact. New vec_ids must be disjoint
     * from the index (a duplicate would serve twice) — checked, loud.
     * `--m`/`--codebook-from` are build-time knobs and are rejected with
-    * `--add` (m is read from the existing codes). */
+    * `--add` (m is read from the existing codes).
+    *
+    * `--remove` (r15) deletes vectors from the at-rest index — the
+    * right-to-erasure operation a training-data index owner must run:
+    * `--in` names a (vec_id) parquet of ids to erase; the codes table
+    * anti-joins them out and REWRITES (filter-and-compact — no
+    * tombstones a query path would have to honor), the codebook stays
+    * frozen (survivors' quantization is untouched, so add-then-remove
+    * ≡ never-added row-for-row). The rewrite stages to a sibling
+    * directory and swaps via the path's FileSystem, so a crash
+    * mid-write leaves the old codes intact, never a half directory. */
   private def indexCmd(args: Array[String]): Unit = {
     import graft.operators.Similarity
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val add = args.contains("--add")
+    val remove = args.contains("--remove")
+    require(!(add && remove), "--add and --remove are mutually exclusive")
     val spark = GraftSession.get()
     def embFrame(path: String) = {
       val e = spark.read.parquet(path)
@@ -733,7 +745,32 @@ object Main {
           s"found ${e.columns.mkString("(", ", ", ")")}")
       e
     }
-    if (add) {
+    if (remove) {
+      require(opt(args, "--m").isEmpty && opt(args, "--codebook-from").isEmpty,
+        "--remove filters the existing codes and never retrains: " +
+          "--m/--codebook-from are build-only flags")
+      val ids = spark.read.parquet(in)
+      require(ids.columns.contains("vec_id"),
+        s"--remove input $in must have a vec_id column, " +
+          s"found ${ids.columns.mkString("(", ", ", ")")}")
+      val codes = spark.read.parquet(s"$out/codes")
+      val before = codes.count()
+      val kept = codes.join(ids.select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+      // stage -> swap: the anti-join materializes fully into the sibling
+      // dir BEFORE the live codes directory is touched
+      val tmp = s"$out/codes__compact"
+      kept.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val codesPath = new org.apache.hadoop.fs.Path(s"$out/codes")
+      fs.delete(codesPath, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), codesPath),
+        s"failed to swap compacted codes into place at $codesPath")
+      val after = spark.read.parquet(s"$out/codes").count()
+      println(s"""{"removed":${before - after},"vectors":$after,""" +
+        s""""out":${jsonStr(out)}}""")
+    } else if (add) {
       require(opt(args, "--m").isEmpty && opt(args, "--codebook-from").isEmpty,
         "--add derives m from the existing index and never retrains: " +
           "--m/--codebook-from are build-only flags")

@@ -640,6 +640,64 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("already present"))
   }
 
+  test("index --remove: erasure compacts the codes; add-then-remove equals never-added") {
+    val tmp = Files.createTempDirectory("graft-cli-vrm-").toString
+    val full = Tables.embeddings(spark, sfDir)
+    full.filter(col("vec_id") >= 5 && col("vec_id") < 300)
+      .write.parquet(s"$tmp/batch0.parquet")
+    full.filter(col("vec_id") >= 300).write.parquet(s"$tmp/batch1.parquet")
+    full.filter(col("vec_id") >= 300).select("vec_id")
+      .write.parquet(s"$tmp/erase.parquet")
+    full.filter(col("vec_id") < 5).write.parquet(s"$tmp/queries.parquet")
+    Main.main(Array("index", "--in", s"$tmp/batch0.parquet",
+      "--out", s"$tmp/idx", "--codebook-from", s"$sfDir/embeddings.parquet"))
+    val beforeAdd = spark.read.parquet(s"$tmp/idx/codes")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val cbBefore = spark.read.parquet(s"$tmp/idx/codebook")
+      .orderBy("cell").collect().map(_.toSeq)
+    // add a batch, then erase exactly it: the codes table must be
+    // row-for-row what it was before the add (right-to-erasure leaves
+    // no residue, and the survivors' quantization is untouched)
+    Main.main(Array("index", "--add", "--in", s"$tmp/batch1.parquet",
+      "--out", s"$tmp/idx"))
+    Main.main(Array("index", "--remove", "--in", s"$tmp/erase.parquet",
+      "--out", s"$tmp/idx"))
+    val afterRemove = spark.read.parquet(s"$tmp/idx/codes")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(afterRemove.toSeq == beforeAdd.toSeq,
+      "add-then-remove must equal never-added")
+    // the codebook is frozen through the erasure
+    val cbAfter = spark.read.parquet(s"$tmp/idx/codebook")
+      .orderBy("cell").collect().map(_.toSeq)
+    assert(cbAfter.toSeq == cbBefore.toSeq, "codebook must stay frozen")
+    // no compaction staging directory left behind
+    assert(!new java.io.File(s"$tmp/idx/codes__compact").exists())
+    // query-after-remove: no erased id is ever served
+    Main.main(Array("query", "--index", s"$tmp/idx",
+      "--queries", s"$tmp/queries.parquet", "--out", s"$tmp/res_rm",
+      "--nprobe", "10"))
+    val served = spark.read.parquet(s"$tmp/res_rm")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && served.forall(_ < 300),
+      s"erased vectors served: ${served.filter(_ >= 300)}")
+    // removing ids that are absent is a harmless no-op
+    Main.main(Array("index", "--remove", "--in", s"$tmp/erase.parquet",
+      "--out", s"$tmp/idx"))
+    assert(spark.read.parquet(s"$tmp/idx/codes").count() ==
+      beforeAdd.length.toLong)
+    // build-only flags are rejected with --remove, and --add/--remove clash
+    val e1 = intercept[IllegalArgumentException] {
+      Main.main(Array("index", "--remove", "--in", s"$tmp/erase.parquet",
+        "--out", s"$tmp/idx", "--m", "4"))
+    }
+    assert(e1.getMessage.contains("build-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      Main.main(Array("index", "--add", "--remove",
+        "--in", s"$tmp/erase.parquet", "--out", s"$tmp/idx"))
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-bpe-").toString
