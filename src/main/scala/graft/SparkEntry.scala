@@ -108,6 +108,7 @@ object SparkEntry {
     "c84_tokenizer_report" -> ((s: SparkSession, d: String) => TextOps.c84TokenizerReport(s, d)),
     "c85_global_rank" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c85GlobalRank(s, d)),
     "c87_media_card" -> (Multimodal.c87MediaCard _),
+    "c88_image_phash" -> (Multimodal.c88ImagePhash _),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -1251,6 +1252,30 @@ object SparkEntry {
         |  CAST(list_sum(l) AS BIGINT)
         |FROM vid
         |ORDER BY doc_id""".stripMargin,
+    // c88 (r15): the dHash is recomputed CLOSED-FORM — pixel (r,c) of
+    // the 8x8 nearest-neighbor thumbnail is the generation formula at
+    // sampled index (r*h//8)*w + (c*w//8), bit r*7+c set iff the pixel
+    // is darker than its right neighbor; the Spark side runs the REAL
+    // PGM parse + the shared nnIdx sampler, so a header off-by-one or a
+    // sampler drift hash-fails here. 56 bits keep the hash positive in
+    // BIGINT on both engines; segments are 14-bit shifts.
+    "c88_image_phash" ->
+      """WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN (doc_id*31 + ((r*h//8)*w + (c*w//8))*7) % 256 <
+        |                  (doc_id*31 + ((r*h//8)*w + ((c+1)*w//8))*7) % 256
+        |             THEN (CAST(1 AS BIGINT) << CAST(r*7 + c AS INT))
+        |             ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM img, range(0, 8) rr(r), range(0, 7) cc(c)),
+        |ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |       FROM b GROUP BY doc_id)
+        |SELECT doc_id, phash,
+        |  CAST((phash >> 0) & 16383 AS BIGINT) AS seg0,
+        |  CAST((phash >> 14) & 16383 AS BIGINT) AS seg1,
+        |  CAST((phash >> 28) & 16383 AS BIGINT) AS seg2,
+        |  CAST((phash >> 42) & 16383 AS BIGINT) AS seg3
+        |FROM ph ORDER BY doc_id""".stripMargin,
     // decoded-raster stats only: the PNG byte length is DEFLATE-
     // implementation-defined and deliberately outside the contract
     "c51_image_codec" ->

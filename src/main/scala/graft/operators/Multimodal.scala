@@ -758,4 +758,150 @@ object Multimodal {
       frames.iterator
     })
   }
+
+  // ---- c88 (r15): perceptual-hash image near-dup — c3's SimHash
+  // ---- machinery pointed at pixels: dHash over the decoded, resized
+  // ---- frame, banded Hamming equi-join, exact per-pixel verify
+  // ---- confined to collided pairs (c81's shape)
+
+  /** 56-bit dHash of an 8×8 grayscale raster: bit r·7+c is set iff
+    * pixel (r,c) < pixel (r,c+1) — the gradient-sign fingerprint
+    * (DCT-free; Krawetz's dHash). 8 rows × 7 adjacent-column
+    * comparisons = 56 bits, which keeps the hash STRICTLY POSITIVE in
+    * a signed 64-bit word — Spark bigint and DuckDB BIGINT carry it
+    * with no sign games (the c3 gate's 32-bit lesson, one size up;
+    * 2⁶³ would wrap). All integer math ⇒ fully oracle-able. */
+  private[graft] def dhash56(gray8: Array[Byte]): Long = {
+    require(gray8.length == 64, s"dhash56 needs an 8x8 raster, got ${gray8.length}")
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if ((gray8(r * 8 + c) & 0xFF) < (gray8(r * 8 + c + 1) & 0xFF))
+          hash |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Decoded 8×8 grayscale thumbnail of an image payload — PGM through
+    * the raw-raster parse, PNG/JPEG through the JDK codecs — via the
+    * SAME nnIdx nearest-neighbor sampler every resize path uses (one
+    * sampler, so a PGM and its lossless PNG transcode thumbnail
+    * pixel-identically — the re-encode-stability spec's anchor). */
+  private[graft] def gray8Of(docId: Long, mediaType: String,
+                             payload: Array[Byte]): Array[Byte] = mediaType match {
+    case "image" =>
+      val (w, h, off) = pgmGeometry(docId, payload)
+      scalePlane(payload, off, w, h, 8, 8)
+    case "png" | "jpeg" =>
+      val img = readImage(docId, payload)
+      val cm = img.getColorModel
+      require(cm.getNumComponents == 1 && cm.getComponentSize(0) <= 8,
+        s"doc $docId: expected 8-bit single-band grayscale, got " +
+          s"${cm.getNumComponents} band(s) of ${cm.getComponentSize(0)} bits")
+      val in = img.getRaster
+      val out = new Array[Byte](64)
+      var y = 0
+      while (y < 8) {
+        val sy = nnIdx(y, 8, img.getHeight)
+        var x = 0
+        while (x < 8) {
+          out(y * 8 + x) = in.getSample(nnIdx(x, 8, img.getWidth), sy, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    case other => throw new IllegalArgumentException(
+      s"doc $docId: perceptual hash is image-only, got media_type '$other'")
+  }
+
+  /** The perceptual hash of one image record — THE hash derivation,
+    * shared by construction (d29's rule) between batch c88 and d43's
+    * streaming router. */
+  private[graft] def phashOf(docId: Long, mediaType: String,
+                             payload: Array[Byte]): Long =
+    dhash56(gray8Of(docId, mediaType, payload))
+
+  /** Band j (of 4) of a 56-bit phash: 14-bit segments — pigeonhole: a
+    * pair at Hamming ≤ 3 leaves at least one of 4 segments intact, so
+    * the segment equi-join finds ALL such pairs (simhashPairs' bound,
+    * same argument). */
+  private[graft] def phashSeg(h: org.apache.spark.sql.Column,
+                              j: Int): org.apache.spark.sql.Column =
+    shiftright(h, j * 14).bitwiseAND(0x3FFFL)
+
+  /** Per-image (doc_id, phash, gray) frames: the REAL decode → resample
+    * → hash pass (the oracle recomputes every bit closed-form from the
+    * generation formula, so one mis-parsed header byte or a sampler
+    * off-by-one hash-fails the gate). Scan-side doc_id % 3 predicate
+    * ahead of the codec mapPartitions (c51's plan shape); gray rides
+    * along for the exact-pixel verify. */
+  private[graft] def imagePhashFrames(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val g = gray8Of(id, "image", pgmPayload(id))
+        (id, dhash56(g), g.map(b => (b & 0xFF).toLong).toSeq)
+      })
+      .toDF("doc_id", "phash", "gray")
+  }
+
+  /** c88 gate row: per image doc, the 56-bit dHash + its 4 Hamming-band
+    * segments (c3's gate shape — per-doc hashes are the deterministic,
+    * always-nonempty surface; the PAIR machinery is [[phashPairs]],
+    * spec-pinned like simhashPairs). */
+  def c88ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    imagePhashFrames(spark, dir)
+      .select(col("doc_id") +: col("phash") +:
+        (0 until 4).map(j => phashSeg(col("phash"), j).as(s"seg$j")): _*)
+      .orderBy("doc_id")
+
+  /** Perceptual near-dup pairs: banded Hamming equi-join (candidates =
+    * pairs sharing ≥ 1 of 4 segments — complete for hamming ≤ 3 by
+    * pigeonhole, O(n·bands) never all-pairs) + EXACT per-pixel verify
+    * confined to the collided pairs (c81's shape): pix_l1 is the exact
+    * integer L1 distance over the two 8×8 thumbnails, the number a
+    * dedup policy thresholds when the hash alone is too coarse. */
+  private[graft] def phashPairs(frames: DataFrame,
+                                maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
+    val seg = frames.select(col("doc_id"), col("phash"), col("gray"),
+        posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*)))
+      .toDF("doc_id", "phash", "gray", "seg_idx", "seg")
+    seg.select(col("seg_idx"), col("seg"), col("doc_id").as("doc_a"),
+        col("phash").as("ha"), col("gray").as("ga"))
+      .join(seg.select(col("seg_idx"), col("seg"), col("doc_id").as("doc_b"),
+        col("phash").as("hb"), col("gray").as("gb")), Seq("seg_idx", "seg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"),
+        aggregate(zip_with(col("ga"), col("gb"), (x, y) => abs(x - y)),
+          lit(0L), (a, x) => a + x).as("pix_l1"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):
+    * the corpus hash table d43's streaming router equi-joins against —
+    * at scale a parquet table bucketed by segment. */
+  private val phashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def phashIndexTablePath(spark: SparkSession,
+                                         dir: String): String =
+    phashCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"phash-index-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      c88ImagePhash(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    })
 }

@@ -943,6 +943,49 @@ object StreamOps {
     graft.operators.Multimodal.cardFold(
       graft.operators.Multimodal.decodeDs(media))
 
+  /** d43 (r15): streaming perceptual-hash routing — c88's serving twin,
+    * the ingest-side image near-dup check: each arriving image record
+    * decodes and hashes ROW-LOCALLY through the SAME
+    * [[graft.operators.Multimodal.phashOf]] derivation the batch gate
+    * runs (d29's shared-subtree rule — a sampler off-by-one diverges
+    * both or neither), explodes into its 4 Hamming-band segments, and
+    * equi-joins ONE stream-static segment index materialized from the
+    * batch c88 frame (d11/d25's materialized-table rule — at scale
+    * bucketed by segment, so an arrival touches 4 buckets, never the
+    * corpus). Emits RAW per-segment hit rows at hamming ≤ maxHamming
+    * (d26's rule: append mode cannot dedup multi-segment collisions;
+    * the distinct fold is batch's job — the parity spec folds and
+    * compares to [[graft.operators.Multimodal.phashPairs]]). Zero
+    * state, no watermark. */
+  def streamPhashRoute(media: Dataset[graft.operators.MediaRecord],
+                       index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
+    require(Seq("doc_id", "phash").forall(index.columns.contains),
+      "index must be a c88 phash frame (doc_id, phash), found " +
+        index.columns.mkString("(", ", ", ")"))
+    import media.sparkSession.implicits._
+    def segs(h: Column): Column =
+      array((0 until 4).map(j =>
+        graft.operators.Multimodal.phashSeg(h, j)): _*)
+    val arrivals = media
+      .mapPartitions(_.map(r => (r.doc_id,
+        graft.operators.Multimodal.phashOf(r.doc_id, r.media_type, r.payload))))
+      .toDF("doc_id", "phash")
+      .select(col("doc_id"), col("phash"), posexplode(segs(col("phash"))))
+      .toDF("doc_id", "phash", "seg_idx", "seg")
+    val idx = index
+      .select(col("doc_id").as("corpus_doc"), col("phash").as("cph"),
+        posexplode(segs(col("phash"))))
+      .toDF("corpus_doc", "cph", "seg_idx", "seg")
+    arrivals.join(idx, Seq("seg_idx", "seg"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select(col("doc_id"), col("seg_idx"), col("corpus_doc"),
+        bit_count(col("phash").bitwiseXOR(col("cph"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** d14: streaming semantic-dedup routing — classify an arriving
     * embedding stream against a STATIC corpus: the embedding twin of
     * d11's text ingest routing, and c43's serving shape. The vector's

@@ -772,6 +772,89 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("c88 phash equals the closed-form re-derivation; segments are the hash's 14-bit bands") {
+    // driver brute force straight from the generation + sampler formulas
+    // (what the DuckDB oracle also derives): one divergence anywhere in
+    // the real PGM parse -> nnIdx resample -> dHash chain fails here
+    def brute(id: Long): Long = {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      def px(r: Int, c: Int): Long = {
+        val i = (r * h / 8) * w + (c * w / 8)
+        (id * 31 + i * 7) % 256
+      }
+      (0 until 8).flatMap(r => (0 until 7).map(c =>
+        if (px(r, c) < px(r, c + 1)) 1L << (r * 7 + c) else 0L)).sum
+    }
+    val got = Multimodal.c88ImagePhash(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ph = r.getAs[Long]("phash")
+      assert(id % 3 == 0, s"non-image doc $id in the phash frame")
+      assert(ph == brute(id), s"doc $id: decode-path phash != closed form")
+      assert(ph >= 0L, s"doc $id: 56-bit hash must stay positive")
+      (0 until 4).foreach(j =>
+        assert(r.getAs[Long](s"seg$j") == ((ph >> (j * 14)) & 0x3FFF),
+          s"doc $id seg$j"))
+    }
+    // the hash must discriminate on this corpus
+    assert(got.map(_.getAs[Long]("phash")).distinct.length > 1,
+      "all-equal hashes test nothing")
+  }
+
+  test("c88 phash is stable under re-encode: PNG exact, JPEG within a small Hamming ball") {
+    var worstJpeg = 0L
+    for (id <- Seq(0L, 3L, 12L, 33L, 60L, 90L)) {
+      val pgm = Multimodal.pgmPayload(id)
+      val ref = Multimodal.phashOf(id, "image", pgm)
+      // lossless: the PNG transcode decodes to the identical raster, and
+      // the shared nnIdx sampler makes the thumbnail — hence the hash —
+      // EXACTLY equal (the survivor-pair property a dedup policy relies on)
+      val png = Multimodal.phashOf(id, "png", Multimodal.pngTranscode(id, pgm))
+      assert(png == ref, s"doc $id: PNG re-encode moved the phash")
+      // lossy: JPEG error is bounded (c53's tol), so only near-tie
+      // gradient signs can flip — the pair must stay inside the banded
+      // join's reach on these noise rasters (the codec's worst case)
+      val jpg = Multimodal.phashOf(id, "jpeg",
+        Multimodal.rasterTranscode(id, pgm, "jpeg"))
+      val ham = java.lang.Long.bitCount(ref ^ jpg).toLong
+      worstJpeg = math.max(worstJpeg, ham)
+    }
+    info(s"c88 worst JPEG re-encode hamming: $worstJpeg / 56 bits")
+    assert(worstJpeg <= 20L,
+      s"JPEG re-encode moved a phash by $worstJpeg bits — not perceptual")
+    // non-image payloads refuse loudly (the decode dispatch contract)
+    intercept[IllegalArgumentException] {
+      Multimodal.phashOf(1L, "audio", Multimodal.wavPayload(1L))
+    }
+  }
+
+  test("c88 banded pairs are complete at hamming <= 3 and verify exact pixel L1") {
+    val frames = Multimodal.imagePhashFrames(spark, sfDir)
+    val rows = frames.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("phash"), r.getSeq[Long](2).toVector))
+    // brute-force all-pairs truth over the collected hashes (eval-sized:
+    // the image slice of the gate corpus)
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      ham = java.lang.Long.bitCount(a._2 ^ b._2).toLong if ham <= 3
+    } yield (a._1, b._1, ham,
+      a._3.zip(b._3).map { case (x, y) => math.abs(x - y) }.sum)).toSet
+    val got = Multimodal.phashPairs(frames).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("pix_l1"))).toSet
+    assert(got == want,
+      s"banded-only=${got -- want}, brute-only=${want -- got}")
+    info(s"c88 pairs at hamming<=3 on the gate corpus: ${got.size}")
+    // the plan must be a banded equi-join, never all-pairs
+    val plan = Multimodal.phashPairs(frames).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash pairs must band, not cross join:\n$plan")
+    // the radius bound is enforced, not documented
+    intercept[IllegalArgumentException] { Multimodal.phashPairs(frames, 4) }
+  }
+
   test("c53 JPEG transcode is a real lossy codec loop with bounded error") {
     for (id <- Seq(1L, 4L, 13L, 34L)) { // the c53 subset (doc_id % 3 == 1)
       val pgm = Multimodal.pgmPayload(id)

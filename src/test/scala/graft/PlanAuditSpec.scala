@@ -211,6 +211,14 @@ class PlanAuditSpec extends SparkSpec {
       s"hash exchange crept into the row-local codec pipeline:\n$s")
   }
 
+  test("c88 plan: scan-side type filter before the hash mapPartitions; band join is equi") {
+    val s = executedPlanOf(graft.operators.Multimodal.c88ImagePhash(spark, sfDir))
+    // doc_id % 3 evaluates scan-side, BEFORE the decode+hash mapPartitions
+    assert(s.contains("pmod"), s"type filter missing from the scan stage:\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"hash exchange crept into the row-local hash pipeline:\n$s")
+  }
+
   test("c52 plan: token counts aggregate partially; the cut is TakeOrderedAndProject") {
     val s = executedPlanOf(graft.operators.TextOps.c52BpeTokenize(spark, sfDir))
     // the top-k cut must never be a global sort

@@ -783,6 +783,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d43 streaming phash routing folds to the corpus-index hamming matches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    // the at-rest index: the batch c88 frame, materialized once
+    val index = spark.read.parquet(Multimodal.phashIndexTablePath(spark, sfDir))
+    val corpus = index.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    // arrivals: fresh ids (re-crawls), payloads = PGM and lossless-PNG
+    // re-encodes of known corpus images — the router must surface their
+    // corpus twins (PNG hash equality makes hamming 0 by the stability spec)
+    val baseIds = Seq(0L, 3L, 12L, 33L)
+    val arrivals = baseIds.map(id => MediaRecord(id + 5000000L, "image",
+        Multimodal.pgmPayload(id))) ++
+      baseIds.map(id => MediaRecord(id + 6000000L, "png",
+        Multimodal.pngTranscode(id, Multimodal.pgmPayload(id))))
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamPhashRoute(stream.toDS(), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d43_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      // fold the raw per-segment hits (d26's rule) and compare to the
+      // driver-side brute hamming scan of the whole index
+      val got = spark.table("d43_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc"),
+          r.getAs[Long]("hamming"))).toSet
+      val want = (for {
+        a <- arrivals
+        ph = Multimodal.phashOf(a.doc_id, a.media_type, a.payload)
+        (cd, cph) <- corpus
+        ham = java.lang.Long.bitCount(ph ^ cph).toLong if ham <= 3
+      } yield (a.doc_id, cd, ham)).toSet
+      assert(got == want, s"stream-only=${got -- want}, brute-only=${want -- got}")
+      // every arrival's own corpus twin is found at hamming 0
+      baseIds.foreach { id =>
+        assert(got.contains((id + 5000000L, id, 0L)), s"PGM twin of $id missed")
+        assert(got.contains((id + 6000000L, id, 0L)), s"PNG twin of $id missed")
+      }
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
