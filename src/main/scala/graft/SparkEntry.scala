@@ -109,6 +109,8 @@ object SparkEntry {
     "c85_global_rank" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c85GlobalRank(s, d)),
     "c87_media_card" -> (Multimodal.c87MediaCard _),
     "c88_image_phash" -> (Multimodal.c88ImagePhash _),
+    "c89_phash_pairs" -> (Multimodal.c89PhashPairs _),
+    "c90_audio_phash" -> (Multimodal.c90AudioPhash _),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -432,6 +434,37 @@ object SparkEntry {
        |  round(CAST(sum(e * b) AS DOUBLE) / sum(e), 6) AS recall_r
        |FROM g""".stripMargin
 
+  /** DuckDB rendering of c89: the c88 hash SQL feeds the 14-bit band
+    * self-join (candidates = pairs sharing any segment), hamming is
+    * bit_count(xor) on the two BIGINT hashes, and pix_l1 re-derives
+    * from the closed-form 8×8 thumbnails — the full banding + exact
+    * verify surface, engine-checked. */
+  private def c89OracleSql(c88Sql: String): String =
+    s"""WITH hs AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |sg AS (SELECT doc_id, phash, j,
+       |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
+       |       FROM hs, range(0, 4) jj(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.phash AS ha, b.phash AS hb
+       |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
+       |                            AND a.doc_id < b.doc_id),
+       |img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+       |        FROM documents WHERE doc_id % 3 = 0),
+       |px AS (SELECT doc_id, r, x,
+       |         (doc_id*31 + ((r*h//8)*w + (x*w//8))*7) % 256 AS p
+       |       FROM img, range(0, 8) rr(r), range(0, 8) xx(x)),
+       |pl AS (SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(abs(pa.p - pb.p)) AS BIGINT) AS pix_l1
+       |       FROM cand c
+       |       JOIN px pa ON pa.doc_id = c.doc_a
+       |       JOIN px pb ON pb.doc_id = c.doc_b AND pa.r = pb.r AND pa.x = pb.x
+       |       GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming, pl.pix_l1
+       |FROM cand c JOIN pl ON pl.doc_a = c.doc_a AND pl.doc_b = c.doc_b
+       |WHERE bit_count(xor(c.ha, c.hb)) <= 3
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
   /** DuckDB rendering of c84: the three fertility oracles as
     * subqueries, each folded to its corpus-level row, plus the r15
     * OOV/coverage column — char-BPE re-derives the alphabet-miss count
@@ -732,6 +765,9 @@ object SparkEntry {
         // score the gate verifies — re-written SQL could drift)
         + ("c82_best_of_cluster" -> c82OracleSql(base("c41_freq_score")))
         + ("c83_minhash_recall" -> c83OracleSql(base("c2_dedup_minhash")))
+        // c89 composes the c88 hash SQL for the banding (c58's rule) and
+        // re-derives the exact pixel L1 from the closed-form thumbnails
+        + ("c89_phash_pairs" -> c89OracleSql(base("c88_image_phash")))
         // c85/c86's oracle IS the single-window formulation the Spark
         // side deliberately avoids — identical ranks because the sort
         // key is total (that equivalence is what the gate verifies)
@@ -1268,6 +1304,28 @@ object SparkEntry {
         |             THEN (CAST(1 AS BIGINT) << CAST(r*7 + c AS INT))
         |             ELSE CAST(0 AS BIGINT) END AS bit
         |      FROM img, range(0, 8) rr(r), range(0, 7) cc(c)),
+        |ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |       FROM b GROUP BY doc_id)
+        |SELECT doc_id, phash,
+        |  CAST((phash >> 0) & 16383 AS BIGINT) AS seg0,
+        |  CAST((phash >> 14) & 16383 AS BIGINT) AS seg1,
+        |  CAST((phash >> 28) & 16383 AS BIGINT) AS seg2,
+        |  CAST((phash >> 42) & 16383 AS BIGINT) AS seg3
+        |FROM ph ORDER BY doc_id""".stripMargin,
+    // c90 (r15): the audio delta-sign hash recomputed closed-form —
+    // sample i of the WAV data is ((doc_id*131 + i*17) % 65536) - 32768,
+    // resampled at (j*n)//57 by the shared nnIdx floor rule; the Spark
+    // side runs the REAL RIFF/PCM chunk walk, so a desynced chunk parse
+    // or a resampler drift hash-fails here
+    "c90_audio_phash" ->
+      """WITH aud AS (SELECT doc_id, 64 + doc_id % 129 AS n
+        |             FROM documents WHERE doc_id % 3 = 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN ((doc_id*131 + ((j*n)//57)*17) % 65536) - 32768 <
+        |                  ((doc_id*131 + (((j+1)*n)//57)*17) % 65536) - 32768
+        |             THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |             ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM aud, range(0, 56) jj(j)),
         |ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
         |       FROM b GROUP BY doc_id)
         |SELECT doc_id, phash,

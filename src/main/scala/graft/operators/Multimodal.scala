@@ -820,12 +820,40 @@ object Multimodal {
       s"doc $docId: perceptual hash is image-only, got media_type '$other'")
   }
 
-  /** The perceptual hash of one image record — THE hash derivation,
-    * shared by construction (d29's rule) between batch c88 and d43's
-    * streaming router. */
+  /** 56-bit delta-sign hash of a 57-point sample sequence — the 1-D
+    * dHash (c90's audio analogue of the image gradient hash): bit j is
+    * set iff sample j < sample j+1. Same positive-BIGINT carriage and
+    * banding as [[dhash56]]. */
+  private[graft] def dhashSeq56(vals: Array[Int]): Long = {
+    require(vals.length == 57, s"dhashSeq56 needs 57 points, got ${vals.length}")
+    var hash = 0L
+    var j = 0
+    while (j < 56) {
+      if (vals(j) < vals(j + 1)) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Audio perceptual hash: the REAL RIFF/PCM parse → nnIdx resample to
+    * 57 samples → delta-sign bits. The coarse envelope shape survives
+    * resampling/re-encoding the way image gradients survive re-encode —
+    * the 1-D member of the perceptual-dedup family. */
+  private[graft] def audioPhashOf(docId: Long, payload: Array[Byte]): Long = {
+    val (_, s) = wavSamples(docId, payload)
+    dhashSeq56(Array.tabulate(57)(j => s(nnIdx(j, 57, s.length)).toInt))
+  }
+
+  /** The perceptual hash of one media record — THE hash derivation,
+    * shared by construction (d29's rule) between the batch gates
+    * (c88 image, c90 audio) and d43's streaming router: images through
+    * the 2-D gradient dHash, audio through the 1-D delta-sign hash.
+    * Video refuses (no perceptual hash is defined for it here). */
   private[graft] def phashOf(docId: Long, mediaType: String,
-                             payload: Array[Byte]): Long =
-    dhash56(gray8Of(docId, mediaType, payload))
+                             payload: Array[Byte]): Long = mediaType match {
+    case "audio" => audioPhashOf(docId, payload)
+    case _       => dhash56(gray8Of(docId, mediaType, payload))
+  }
 
   /** Band j (of 4) of a 56-bit phash: 14-bit segments — pigeonhole: a
     * pair at Hamming ≤ 3 leaves at least one of 4 segments intact, so
@@ -889,6 +917,30 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** c89 gate row: the perceptual near-dup PAIR surface, oracled — the
+    * banded candidates + exact per-pixel verify of [[phashPairs]],
+    * promoted from spec-only to a DuckDB-gated row (the oracle composes
+    * the c88 hash SQL for the banding and re-derives pix_l1 from the
+    * closed-form thumbnails — c58's composed-eval rule). */
+  def c89PhashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(imagePhashFrames(spark, dir))
+
+  /** c90 gate row: per audio doc, the 56-bit delta-sign perceptual hash
+    * + its 4 Hamming-band segments — c88's shape for the 1-D modality
+    * (the REAL RIFF parse feeds the hash; the oracle recomputes every
+    * bit closed-form from the sample-generation formula). */
+  def c90AudioPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+      .mapPartitions(_.map(id => (id, audioPhashOf(id, wavPayload(id)))))
+      .toDF("doc_id", "phash")
+      .select(col("doc_id") +: col("phash") +:
+        (0 until 4).map(j => phashSeg(col("phash"), j).as(s"seg$j")): _*)
+      .orderBy("doc_id")
   }
 
   /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):

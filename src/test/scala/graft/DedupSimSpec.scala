@@ -823,10 +823,42 @@ class DedupSimSpec extends SparkSpec {
     info(s"c88 worst JPEG re-encode hamming: $worstJpeg / 56 bits")
     assert(worstJpeg <= 20L,
       s"JPEG re-encode moved a phash by $worstJpeg bits — not perceptual")
-    // non-image payloads refuse loudly (the decode dispatch contract)
+    // video has no perceptual hash here — refuse loudly (the decode
+    // dispatch contract); audio routes to the 1-D delta-sign hash
     intercept[IllegalArgumentException] {
-      Multimodal.phashOf(1L, "audio", Multimodal.wavPayload(1L))
+      Multimodal.phashOf(2L, "video", Multimodal.y4mPayload(2L))
     }
+    assert(Multimodal.phashOf(1L, "audio", Multimodal.wavPayload(1L)) ==
+      Multimodal.audioPhashOf(1L, Multimodal.wavPayload(1L)))
+  }
+
+  test("c90 audio phash equals the closed-form re-derivation; c89 pairs are the spec'd surface") {
+    // 1-D delta-sign hash straight from the WAV generation + resample
+    // formulas (what the DuckDB oracle derives): a desynced RIFF chunk
+    // walk or a resampler off-by-one fails here
+    def brute(id: Long): Long = {
+      val n = (64 + id % 129).toInt
+      def s(i: Int): Int = (((id * 131 + i * 17) % 65536) - 32768).toInt
+      (0 until 56).map(j =>
+        if (s((j * n / 57).toInt) < s(((j + 1) * n / 57).toInt)) 1L << j
+        else 0L).sum
+    }
+    val got = Multimodal.c90AudioPhash(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 3 == 1, s"non-audio doc $id in the audio phash frame")
+      assert(r.getAs[Long]("phash") == brute(id),
+        s"doc $id: RIFF-parse phash != closed form")
+      assert(r.getAs[Long]("phash") >= 0L)
+    }
+    assert(got.map(_.getAs[Long]("phash")).distinct.length > 1,
+      "all-equal audio hashes test nothing")
+    // c89 is exactly the spec'd pair surface, now oracled
+    val viaGate = Multimodal.c89PhashPairs(spark, sfDir).collect().map(_.toSeq)
+    val viaSpec = Multimodal.phashPairs(
+      Multimodal.imagePhashFrames(spark, sfDir)).collect().map(_.toSeq)
+    assert(viaGate.toSeq == viaSpec.toSeq)
   }
 
   test("c88 banded pairs are complete at hamming <= 3 and verify exact pixel L1") {
