@@ -111,6 +111,7 @@ object SparkEntry {
     "c88_image_phash" -> (Multimodal.c88ImagePhash _),
     "c89_phash_pairs" -> (Multimodal.c89PhashPairs _),
     "c90_audio_phash" -> (Multimodal.c90AudioPhash _),
+    "c91_video_phash" -> (Multimodal.c91VideoPhash _),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -1334,6 +1335,25 @@ object SparkEntry {
         |  CAST((phash >> 28) & 16383 AS BIGINT) AS seg2,
         |  CAST((phash >> 42) & 16383 AS BIGINT) AS seg3
         |FROM ph ORDER BY doc_id""".stripMargin,
+    // c91 (r15): per-frame luma dHash recomputed closed-form — frame f's
+    // luma byte i is (doc_id*7 + f*101 + i*13) % 256, thumbnailed by the
+    // shared (r*h//8)*w + (x*w//8) floor rule; the Spark side runs the
+    // REAL Y4M demux, so a marker desync or plane-offset slip hash-fails
+    "c91_video_phash" ->
+      """WITH vid AS (SELECT doc_id, 8 + 2*(doc_id % 5) AS w,
+        |               8 + 2*(doc_id % 4) AS h, 3 + doc_id % 6 AS frames
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, f
+        |       FROM vid, range(0, 8) ff(f) WHERE f < frames),
+        |b AS (SELECT doc_id, f,
+        |        CASE WHEN (doc_id*7 + f*101 + ((r*h//8)*w + (x*w//8))*13) % 256 <
+        |                  (doc_id*7 + f*101 + ((r*h//8)*w + ((x+1)*w//8))*13) % 256
+        |             THEN (CAST(1 AS BIGINT) << CAST(r*7 + x AS INT))
+        |             ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM fr, range(0, 8) rr(r), range(0, 7) xx(x))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(sum(bit) AS BIGINT) AS phash
+        |FROM b GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
     // decoded-raster stats only: the PNG byte length is DEFLATE-
     // implementation-defined and deliberately outside the contract
     "c51_image_codec" ->

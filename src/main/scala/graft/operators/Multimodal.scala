@@ -902,20 +902,32 @@ object Multimodal {
                                 maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
-    val seg = frames.select(col("doc_id"), col("phash"), col("gray"),
+    // stage 1 — candidates on HASHES ONLY: a pair colliding in k of 4
+    // segments appears k times here, so everything per-joined-row must
+    // be cheap (one codegen'd bit_count) and the 64-px thumbnails must
+    // NOT ride the join/distinct (they'd be carried and compared up to
+    // 4x). The hamming filter runs BEFORE distinct — fewer rows shuffle.
+    val seg = frames.select(col("doc_id"), col("phash"),
         posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*)))
-      .toDF("doc_id", "phash", "gray", "seg_idx", "seg")
-    seg.select(col("seg_idx"), col("seg"), col("doc_id").as("doc_a"),
-        col("phash").as("ha"), col("gray").as("ga"))
-      .join(seg.select(col("seg_idx"), col("seg"), col("doc_id").as("doc_b"),
-        col("phash").as("hb"), col("gray").as("gb")), Seq("seg_idx", "seg"))
+      .toDF("doc_id", "phash", "seg_idx", "seg")
+    val cand = seg.select(col("seg_idx"), col("seg"),
+        col("doc_id").as("doc_a"), col("phash").as("ha"))
+      .join(seg.select(col("seg_idx"), col("seg"),
+        col("doc_id").as("doc_b"), col("phash").as("hb")), Seq("seg_idx", "seg"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    // stage 2 — the exact per-pixel verify, ONCE per surviving pair
+    // (c81's confinement): grays join back by doc id
+    val g = frames.select(col("doc_id"), col("gray"))
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("gray").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("gray").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
         aggregate(zip_with(col("ga"), col("gb"), (x, y) => abs(x - y)),
           lit(0L), (a, x) => a + x).as("pix_l1"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -941,6 +953,47 @@ object Multimodal {
       .select(col("doc_id") +: col("phash") +:
         (0 until 4).map(j => phashSeg(col("phash"), j).as(s"seg$j")): _*)
       .orderBy("doc_id")
+  }
+
+  /** c91 gate row: per-FRAME video perceptual hash — [[dhash56]] of each
+    * frame's 8×8-resampled LUMA plane, one row per (video doc, frame):
+    * the keyframe-level member of the perceptual family (video near-dup
+    * in practice matches sampled frames, not containers — frameSample's
+    * explode shape feeding c88's hash; a clipped or re-encoded video
+    * still collides on its surviving frames). The REAL Y4M demux walks
+    * the FRAME markers with decodeY4m's validation; the oracle
+    * recomputes every bit closed-form from the frame-generation
+    * formula. Chroma planes are deliberately outside the hash (luma
+    * carries the perceptual structure — the standard choice). */
+  def c91VideoPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val payload = y4mPayload(id)
+        val (w, h, fs, start) = y4mGeometry(id, payload)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var pos = start
+        var f = 0L
+        while (pos < payload.length) {
+          var eol = pos
+          while (eol < payload.length && payload(eol) != '\n') eol += 1
+          val marker = new String(payload, pos, eol - pos, "US-ASCII")
+          require(eol < payload.length &&
+            (marker == "FRAME" || marker.startsWith("FRAME ")),
+            s"doc $id: expected FRAME marker at byte $pos")
+          pos = eol + 1
+          require(payload.length - pos >= fs,
+            s"doc $id: frame $f truncated (${payload.length - pos} of $fs bytes)")
+          out += ((id, f, dhash56(scalePlane(payload, pos, w, h, 8, 8))))
+          pos += fs
+          f += 1
+        }
+        out.iterator
+      })
+      .toDF("doc_id", "frame_idx", "phash")
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):

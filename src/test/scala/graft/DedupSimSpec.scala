@@ -861,6 +861,38 @@ class DedupSimSpec extends SparkSpec {
     assert(viaGate.toSeq == viaSpec.toSeq)
   }
 
+  test("c91 per-frame video phash equals the closed-form re-derivation") {
+    // frame f's luma thumbnail from the generation + sampler formulas
+    def brute(id: Long, f: Long): Long = {
+      val w = (8 + 2 * (id % 5)).toInt; val h = (8 + 2 * (id % 4)).toInt
+      def px(r: Int, x: Int): Long = {
+        val i = (r * h / 8) * w + (x * w / 8)
+        (id * 7 + f * 101 + i * 13) % 256
+      }
+      (0 until 8).flatMap(r => (0 until 7).map(x =>
+        if (px(r, x) < px(r, x + 1)) 1L << (r * 7 + x) else 0L)).sum
+    }
+    val got = Multimodal.c91VideoPhash(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      assert(id % 3 == 2, s"non-video doc $id in the frame phash table")
+      // the demux found EVERY frame: indices are 0..frames-1
+      assert(rows.map(_.getAs[Long]("frame_idx")).sorted.toSeq ==
+        (0L until (3 + id % 6)).toSeq, s"doc $id frame set")
+      rows.foreach { r =>
+        val f = r.getAs[Long]("frame_idx")
+        assert(r.getAs[Long]("phash") == brute(id, f),
+          s"doc $id frame $f: demux phash != closed form")
+      }
+    }
+    // frames within one video differ (the +101 phase shifts gradients) —
+    // the per-frame hash is not a per-container constant
+    assert(byDoc.values.exists(rows =>
+      rows.map(_.getAs[Long]("phash")).distinct.length > 1),
+      "every video's frames hashed identically — frame_idx is dead weight")
+  }
+
   test("c88 banded pairs are complete at hamming <= 3 and verify exact pixel L1") {
     val frames = Multimodal.imagePhashFrames(spark, sfDir)
     val rows = frames.collect().map(r => (r.getAs[Long]("doc_id"),

@@ -825,6 +825,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d43 routes AUDIO arrivals against an audio phash index through the same dispatch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    // the audio index: the batch c90 frame (same (doc_id, phash) shape —
+    // the router is modality-agnostic once the hash dispatch agrees)
+    val index = Multimodal.c90AudioPhash(spark, sfDir)
+    val corpus = index.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val baseIds = Seq(1L, 4L, 13L, 34L) // audio docs (doc_id % 3 == 1)
+    val arrivals = baseIds.map(id =>
+      MediaRecord(id + 7000000L, "audio", Multimodal.wavPayload(id)))
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamPhashRoute(stream.toDS(), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d43_audio_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d43_audio_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc"),
+          r.getAs[Long]("hamming"))).toSet
+      val want = (for {
+        a <- arrivals
+        ph = Multimodal.audioPhashOf(a.doc_id, a.payload)
+        (cd, cph) <- corpus
+        ham = java.lang.Long.bitCount(ph ^ cph).toLong if ham <= 3
+      } yield (a.doc_id, cd, ham)).toSet
+      assert(got == want, s"stream-only=${got -- want}, brute-only=${want -- got}")
+      baseIds.foreach(id => assert(got.contains((id + 7000000L, id, 0L)),
+        s"audio twin of $id missed"))
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
