@@ -90,6 +90,7 @@ object Main {
     case Some("query") => queryCmd(args.drop(1))
     case Some("select") => selectCmd(args.drop(1))
     case Some("contain") => contain(args.drop(1))
+    case Some("phash") => phashCmd(args.drop(1))
     case Some("curriculum") => curriculum(args.drop(1))
     case Some("bpe-train") => bpeTrain(args.drop(1))
     case Some("unigram-train") => unigramTrain(args.drop(1))
@@ -99,7 +100,7 @@ object Main {
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
-          "select|contain|curriculum|bpe-train|unigram-train|tokenize ...")
+          "select|contain|phash|curriculum|bpe-train|unigram-train|tokenize ...")
       sys.exit(2)
   }
 
@@ -495,6 +496,53 @@ object Main {
       .agg(count(lit(1)), count(when(col("contained"), lit(1)))).head()
     println(s"""{"pairs":${stats.getLong(0)},"contained":${stats.getLong(1)},""" +
       s""""threshold":$threshold,"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main phash --in MEDIA_PARQUET --out OUT [--pairs]
+    * [--max-hamming H]` — the perceptual-dedup surface over any
+    * (doc_id, media_type, payload) parquet: per record the 56-bit
+    * perceptual hash ([[graft.operators.Multimodal.phashOf]]'s
+    * dispatch — image/png/jpeg → 2-D gradient dHash, audio → 1-D
+    * delta-sign; video refuses — hash its FRAMES via the c91 shape
+    * instead) plus the 4 Hamming-band segments; `--pairs` writes the
+    * banded near-dup candidates (doc_a, doc_b, hamming ≤ H) instead,
+    * banded PER MODALITY — an image gradient hash and an audio
+    * envelope hash must never pair. One JSON stats line. */
+  private def phashCmd(args: Array[String]): Unit = {
+    import graft.operators.Multimodal
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val pairs = args.contains("--pairs")
+    val maxHamming = opt(args, "--max-hamming").map(_.toInt).getOrElse(3)
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val media = spark.read.parquet(in)
+    require(Seq("doc_id", "media_type", "payload").forall(media.columns.contains),
+      s"input $in must have (doc_id, media_type, payload) columns, " +
+        s"found ${media.columns.mkString("(", ", ", ")")}")
+    val hashes = media.select("doc_id", "media_type", "payload")
+      .as[graft.operators.MediaRecord]
+      .mapPartitions(_.map(r => (r.doc_id, r.media_type,
+        Multimodal.phashOf(r.doc_id, r.media_type, r.payload))))
+      .toDF("doc_id", "media_type", "phash")
+    if (pairs) {
+      Multimodal.phashCandidates(hashes, maxHamming, keyCols = Seq("media_type"))
+        .orderBy("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .agg(count(lit(1)), count(when(col("hamming") === 0, lit(1)))).head()
+      println(s"""{"pairs":${stats.getLong(0)},"exact":${stats.getLong(1)},""" +
+        s""""max_hamming":$maxHamming,"out":${jsonStr(out)}}""")
+    } else {
+      hashes.select(col("doc_id") +: col("media_type") +: col("phash") +:
+          (0 until 4).map(j => Multimodal.phashSeg(col("phash"), j).as(s"seg$j")): _*)
+        .orderBy("doc_id")
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .agg(count(lit(1)), count_distinct(col("phash"))).head()
+      println(s"""{"docs":${stats.getLong(0)},"distinct_hashes":${stats.getLong(1)},""" +
+        s""""out":${jsonStr(out)}}""")
+    }
   }
 
   /** `graft.Main curriculum --in PARQUET --out OUT [--phases N]` —

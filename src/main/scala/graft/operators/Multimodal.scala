@@ -898,27 +898,39 @@ object Multimodal {
     * confined to the collided pairs (c81's shape): pix_l1 is the exact
     * integer L1 distance over the two 8×8 thumbnails, the number a
     * dedup policy thresholds when the hash alone is too coarse. */
-  private[graft] def phashPairs(frames: DataFrame,
-                                maxHamming: Int = 3): DataFrame = {
+  /** Stage 1 of the perceptual pair surface — banded Hamming candidates
+    * on HASHES ONLY: a pair colliding in k of 4 segments appears k times
+    * in the join, so everything per-joined-row must be cheap (one
+    * codegen'd bit_count) and payloads/thumbnails must NOT ride the
+    * join/distinct (the first c89 cut carried the 64-px arrays and paid
+    * the L1 up to 4× per pair — 6.1 s at sf0.1). The hamming filter
+    * runs BEFORE distinct so fewer rows shuffle. `keyCols` adds extra
+    * equi-keys to the banding (the CLI bands per media_type — an image
+    * gradient hash and an audio envelope hash must never pair). Shared
+    * by [[phashPairs]] and `Main phash --pairs` (d29's rule). */
+  private[graft] def phashCandidates(hashes: DataFrame, maxHamming: Int,
+                                     keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
-    // stage 1 — candidates on HASHES ONLY: a pair colliding in k of 4
-    // segments appears k times here, so everything per-joined-row must
-    // be cheap (one codegen'd bit_count) and the 64-px thumbnails must
-    // NOT ride the join/distinct (they'd be carried and compared up to
-    // 4x). The hamming filter runs BEFORE distinct — fewer rows shuffle.
-    val seg = frames.select(col("doc_id"), col("phash"),
-        posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*)))
-      .toDF("doc_id", "phash", "seg_idx", "seg")
-    val cand = seg.select(col("seg_idx"), col("seg"),
-        col("doc_id").as("doc_a"), col("phash").as("ha"))
-      .join(seg.select(col("seg_idx"), col("seg"),
-        col("doc_id").as("doc_b"), col("phash").as("hb")), Seq("seg_idx", "seg"))
+    val seg = hashes.select(Seq(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*))) ++
+        keyCols.map(col): _*)
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val keys = Seq("seg_idx", "seg") ++ keyCols
+    seg.select((Seq(col("doc_id").as("doc_a"), col("phash").as("ha")) ++
+        keys.map(col)): _*)
+      .join(seg.select((Seq(col("doc_id").as("doc_b"), col("phash").as("hb")) ++
+        keys.map(col)): _*), keys)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  private[graft] def phashPairs(frames: DataFrame,
+                                maxHamming: Int = 3): DataFrame = {
+    val cand = phashCandidates(frames.select("doc_id", "phash"), maxHamming)
     // stage 2 — the exact per-pixel verify, ONCE per surviving pair
     // (c81's confinement): grays join back by doc id
     val g = frames.select(col("doc_id"), col("gray"))

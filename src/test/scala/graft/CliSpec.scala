@@ -698,6 +698,43 @@ class CliSpec extends SparkSpec {
     assert(e2.getMessage.contains("mutually exclusive"))
   }
 
+  test("phash subcommand: hashes + per-modality pairs over a media parquet") {
+    import graft.operators.Multimodal
+    val tmp = Files.createTempDirectory("graft-cli-phash-").toString
+    // a mixed image/audio media parquet (video refuses by contract —
+    // its perceptual surface is c91's per-frame table)
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(r => r.media_type != "video").collect().toSeq
+    import spark.implicits._
+    spark.createDataset(recs).write.parquet(s"$tmp/media.parquet")
+    Main.main(Array("phash", "--in", s"$tmp/media.parquet",
+      "--out", s"$tmp/hashes"))
+    val got = spark.read.parquet(s"$tmp/hashes").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("media_type"), r.getAs[Long]("phash")))).toMap
+    val want = recs.map(r => r.doc_id ->
+      ((r.media_type, Multimodal.phashOf(r.doc_id, r.media_type, r.payload)))).toMap
+    assert(got == want, "CLI hashes diverge from the shared phashOf dispatch")
+    // pairs: banded per modality — never a cross-modality pair, hamming
+    // verified against the driver brute force
+    Main.main(Array("phash", "--in", s"$tmp/media.parquet",
+      "--out", s"$tmp/pairs", "--pairs"))
+    val pairs = spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val brute = (for {
+      a <- recs; b <- recs if a.doc_id < b.doc_id
+      if a.media_type == b.media_type
+      ham = java.lang.Long.bitCount(want(a.doc_id)._2 ^ want(b.doc_id)._2).toLong
+      if ham <= 3
+    } yield (a.doc_id, b.doc_id, ham)).toSet
+    assert(pairs == brute,
+      s"cli-only=${pairs -- brute}, brute-only=${brute -- pairs}")
+    assert(pairs.forall { case (a, b, _) =>
+      want(a)._1 == want(b)._1 }, "cross-modality pair escaped the banding")
+    assert(pairs.nonEmpty)
+  }
+
   test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-bpe-").toString
