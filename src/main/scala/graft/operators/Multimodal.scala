@@ -977,32 +977,42 @@ object Multimodal {
     * recomputes every bit closed-form from the frame-generation
     * formula. Chroma planes are deliberately outside the hash (luma
     * carries the perceptual structure — the standard choice). */
+  /** Per-frame luma dHash of one Y4M payload — THE frame-hash walk,
+    * shared by construction (d29's rule) between batch c91 and d44's
+    * streaming frame router: the real demux (decodeY4m's marker/
+    * truncation validation) with each frame's luma plane thumbnailed
+    * through the shared sampler and hashed. Returns (frame_idx, hash)
+    * pairs in stream order. */
+  private[graft] def videoFramePhashes(docId: Long,
+                                       payload: Array[Byte]): Seq[(Long, Long)] = {
+    val (w, h, fs, start) = y4mGeometry(docId, payload)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var pos = start
+    var f = 0L
+    while (pos < payload.length) {
+      var eol = pos
+      while (eol < payload.length && payload(eol) != '\n') eol += 1
+      val marker = new String(payload, pos, eol - pos, "US-ASCII")
+      require(eol < payload.length &&
+        (marker == "FRAME" || marker.startsWith("FRAME ")),
+        s"doc $docId: expected FRAME marker at byte $pos")
+      pos = eol + 1
+      require(payload.length - pos >= fs,
+        s"doc $docId: frame $f truncated (${payload.length - pos} of $fs bytes)")
+      out += ((f, dhash56(scalePlane(payload, pos, w, h, 8, 8))))
+      pos += fs
+      f += 1
+    }
+    out.toSeq
+  }
+
   def c91VideoPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 2)
       .as[Long]
       .mapPartitions(_.flatMap { id =>
-        val payload = y4mPayload(id)
-        val (w, h, fs, start) = y4mGeometry(id, payload)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-        var pos = start
-        var f = 0L
-        while (pos < payload.length) {
-          var eol = pos
-          while (eol < payload.length && payload(eol) != '\n') eol += 1
-          val marker = new String(payload, pos, eol - pos, "US-ASCII")
-          require(eol < payload.length &&
-            (marker == "FRAME" || marker.startsWith("FRAME ")),
-            s"doc $id: expected FRAME marker at byte $pos")
-          pos = eol + 1
-          require(payload.length - pos >= fs,
-            s"doc $id: frame $f truncated (${payload.length - pos} of $fs bytes)")
-          out += ((id, f, dhash56(scalePlane(payload, pos, w, h, 8, 8))))
-          pos += fs
-          f += 1
-        }
-        out.iterator
+        videoFramePhashes(id, y4mPayload(id)).map { case (f, ph) => (id, f, ph) }
       })
       .toDF("doc_id", "frame_idx", "phash")
       .orderBy("doc_id", "frame_idx")

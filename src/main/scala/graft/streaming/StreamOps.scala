@@ -986,6 +986,56 @@ object StreamOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** d44 (r15): streaming VIDEO frame routing — c91's serving twin and
+    * the third modality of the perceptual ingest story (d43 routes
+    * whole images/audio): each arriving video demuxes and hashes its
+    * frames ROW-LOCALLY through the SAME
+    * [[graft.operators.Multimodal.videoFramePhashes]] walk the batch
+    * gate runs (d29's rule), explodes each frame hash into its 4
+    * Hamming-band segments, and equi-joins ONE stream-static segment
+    * index materialized from the batch c91 frame table (d11/d25's rule
+    * — at scale bucketed by segment). Emits RAW per-segment hit rows
+    * at hamming ≤ maxHamming — (arrival doc, arrival frame, corpus
+    * doc, corpus frame, hamming) — d26's rule: the any-frame-collision
+    * fold that decides "this video is a near-dup of that one" is
+    * batch's job. Zero state, no watermark. */
+  def streamVideoPhashRoute(media: Dataset[graft.operators.MediaRecord],
+                            frameIndex: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
+    require(Seq("doc_id", "frame_idx", "phash").forall(frameIndex.columns.contains),
+      "frameIndex must be a c91 frame table (doc_id, frame_idx, phash), found " +
+        frameIndex.columns.mkString("(", ", ", ")"))
+    import media.sparkSession.implicits._
+    def segs(h: Column): Column =
+      array((0 until 4).map(j =>
+        graft.operators.Multimodal.phashSeg(h, j)): _*)
+    val arrivals = media
+      .mapPartitions(_.flatMap { r =>
+        require(r.media_type == "video",
+          s"doc ${r.doc_id}: frame routing is video-only, got '${r.media_type}'")
+        graft.operators.Multimodal.videoFramePhashes(r.doc_id, r.payload)
+          .map { case (f, ph) => (r.doc_id, f, ph) }
+      })
+      .toDF("doc_id", "frame_idx", "phash")
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        posexplode(segs(col("phash"))))
+      .toDF("doc_id", "frame_idx", "phash", "seg_idx", "seg")
+    val idx = frameIndex
+      .select(col("doc_id").as("corpus_doc"),
+        col("frame_idx").as("corpus_frame"), col("phash").as("cph"),
+        posexplode(segs(col("phash"))))
+      .toDF("corpus_doc", "corpus_frame", "cph", "seg_idx", "seg")
+    arrivals.join(idx, Seq("seg_idx", "seg"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select(col("doc_id"), col("frame_idx"), col("seg_idx"),
+        col("corpus_doc"), col("corpus_frame"),
+        bit_count(col("phash").bitwiseXOR(col("cph"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** d14: streaming semantic-dedup routing — classify an arriving
     * embedding stream against a STATIC corpus: the embedding twin of
     * d11's text ingest routing, and c43's serving shape. The vector's

@@ -858,6 +858,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d44 routes video arrivals frame-by-frame against the c91 frame index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    val index = Multimodal.c91VideoPhash(spark, sfDir)
+    val corpus = index.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("phash")))
+    val baseIds = Seq(2L, 5L, 14L, 35L) // video docs (doc_id % 3 == 2)
+    val arrivals = baseIds.map(id =>
+      MediaRecord(id + 8000000L, "video", Multimodal.y4mPayload(id)))
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamVideoPhashRoute(stream.toDS(), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d44_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d44_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+          r.getAs[Long]("corpus_doc"), r.getAs[Long]("corpus_frame"),
+          r.getAs[Long]("hamming"))).toSet
+      val want = (for {
+        a <- arrivals
+        (f, ph) <- Multimodal.videoFramePhashes(a.doc_id, a.payload)
+        (cd, cf, cph) <- corpus
+        ham = java.lang.Long.bitCount(ph ^ cph).toLong if ham <= 3
+      } yield (a.doc_id, f, cd, cf, ham)).toSet
+      assert(got == want, s"stream-only=${(got -- want).take(5)}, " +
+        s"brute-only=${(want -- got).take(5)}")
+      // every arrival's own corpus twin collides frame-for-frame at 0
+      baseIds.foreach { id =>
+        val nFrames = 3 + id % 6
+        (0L until nFrames).foreach(f =>
+          assert(got.contains((id + 8000000L, f, id, f, 0L)),
+            s"frame twin ($id, $f) missed"))
+      }
+      // non-video arrivals refuse loudly (the dispatch contract)
+      val e = intercept[Exception] {
+        StreamOps.streamVideoPhashRoute(
+          spark.createDataset(Seq(MediaRecord(1L, "image",
+            Multimodal.pgmPayload(1L)))).as[MediaRecord], index)
+          .collect()
+      }
+      assert(e.getMessage != null)
+    } finally q.stop()
+  }
+
   test("d11 streaming ingest hits fold to c37's exact statuses and dup_of") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
