@@ -63,6 +63,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd exact-integer L1 (Manhattan) distance over two
+  * `array<bigint>` columns — Σ |a_i − b_i| over the common prefix.
+  *
+  * Why native (r15, c89's lesson): the `aggregate ∘ zip_with`
+  * formulation evaluates an interpreted lambda per element; on the
+  * perceptual pair verify that is 64 interpreted ops per candidate
+  * pair, the hot loop of the suite's most expensive row. This is the
+  * integer sibling of [[CosineSimilarity]] — one fused loop inside
+  * whole-stage codegen, exact long arithmetic (inputs are pixel/sample
+  * values, |diff| ≤ 255·64 here — no overflow at any realistic width). */
+case class L1Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_l1"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.abs(x.getLong(i) - y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Math.abs($a.getLong($i) - $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L1Distance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd random-hyperplane LSH bucket (SURVEY §2 c6/c11): one char per
   * plane, '1' iff the vector's dot product with that plane is ≥ 0. The
   * embedding is first quantized to fixed-point 1e-4 integers (half away
@@ -459,6 +508,13 @@ object VectorFunctions {
     }
   }
 
+  /** Exact-integer L1 distance of two `array<bigint>` columns (see
+    * [[L1Distance]]). */
+  def l1(a: Column, b: Column): Column =
+    ColumnBridge.column(L1Distance(
+      ColumnBridge.expression(a.cast("array<bigint>")),
+      ColumnBridge.expression(b.cast("array<bigint>"))))
+
   /** Random-hyperplane LSH bucket of an embedding column (see
     * [[HyperplaneBucket]]). */
   def hyperplaneBucket(emb: Column, planes: Array[Array[Long]]): Column =
@@ -495,6 +551,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, "graft_cosine", 2, 2)
         CosineSimilarity(
           castToDoubleArray(children.head), castToDoubleArray(children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l1"),
+      new ExpressionInfo(classOf[L1Distance].getName, "graft_l1"),
+      (children: Seq[Expression]) => {
+        arity(children, "graft_l1", 2, 2)
+        L1Distance(
+          castToLongArray(children.head), castToLongArray(children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
@@ -667,6 +731,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def castToDoubleArray(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.ArrayType(DoubleType))
+
+  private def castToLongArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
 
   /** Upcasts a codebook's centroid field to array<double> (keeping the
     * cell field's type), so the documented SQL recipe — folding float32

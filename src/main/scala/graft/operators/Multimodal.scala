@@ -932,14 +932,16 @@ object Multimodal {
                                 maxHamming: Int = 3): DataFrame = {
     val cand = phashCandidates(frames.select("doc_id", "phash"), maxHamming)
     // stage 2 — the exact per-pixel verify, ONCE per surviving pair
-    // (c81's confinement): grays join back by doc id
+    // (c81's confinement): grays join back by doc id; the L1 is the
+    // native codegen'd graft_l1 (one fused long loop — the interpreted
+    // aggregate∘zip_with lambda was the hot loop of the suite's most
+    // expensive row; exact integer math, value-identical)
     val g = frames.select(col("doc_id"), col("gray"))
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("gray").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("gray").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"),
-        aggregate(zip_with(col("ga"), col("gb"), (x, y) => abs(x - y)),
-          lit(0L), (a, x) => a + x).as("pix_l1"))
+        graft.functions.VectorFunctions.l1(col("ga"), col("gb")).as("pix_l1"))
       .orderBy("doc_a", "doc_b")
   }
 

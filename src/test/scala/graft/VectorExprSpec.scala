@@ -31,6 +31,48 @@ class VectorExprSpec extends SparkSpec {
       s"guard must route to the matrix-free path: ${e.getMessage}")
   }
 
+  test("graft_l1 equals the HOF formulation exactly, via Column API and SQL, codegen'd") {
+    import spark.implicits._
+    val rows = (0L until 200L).map { i =>
+      (i, (0 until 64).map(j => (i * 31 + j * 7) % 256),
+        (0 until 64).map(j => (i * 13 + j * 11) % 256))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // exact-integer parity with the interpreted aggregate∘zip_with it replaces
+    val got = df.select(col("id"),
+        VectorFunctions.l1(col("a"), col("b")).as("n"),
+        aggregate(zip_with(col("a").cast("array<bigint>"),
+            col("b").cast("array<bigint>"), (x, y) => abs(x - y)),
+          lit(0L), (acc, x) => acc + x).as("h"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+    assert(got.exists(_.getLong(1) > 0), "degenerate all-zero distances")
+    // SQL registration (GraftExtensions) — int arrays upcast in the builder
+    df.createOrReplaceTempView("l1_probe")
+    val viaSql = spark.sql(
+      "SELECT id, graft_l1(a, b) AS n FROM l1_probe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(viaSql(r.getLong(0)) == r.getLong(1)))
+    // the fused loop must appear in GENERATED code on its real consumer
+    // (c89's verify stage) — codegenStringSeq compiles each subtree, so
+    // a Janino error or an interpreted fallback both fail here
+    val pairs = graft.operators.Multimodal.phashPairs(
+      graft.operators.Multimodal.imagePhashFrames(spark, sfDir))
+    pairs.collect() // settle AQE on the final plan
+    val pplan = pairs.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(pplan)
+    assert(subtrees.exists(t =>
+      t._2.contains("Math.abs") && t._2.contains("getLong(")),
+      "graft_l1's fused long loop must appear in generated code")
+    // null in, null out (BinaryExpression null-safety)
+    val nulls = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(nulls.select(VectorFunctions.l1(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("cosine expression matches a hand-computed value and the HOF formulation") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("a", "b")
