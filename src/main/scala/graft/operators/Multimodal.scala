@@ -759,10 +759,14 @@ object Multimodal {
     })
   }
 
-  // ---- c88 (r15): perceptual-hash image near-dup — c3's SimHash
-  // ---- machinery pointed at pixels: dHash over the decoded, resized
-  // ---- frame, banded Hamming equi-join, exact per-pixel verify
-  // ---- confined to collided pairs (c81's shape)
+  // ---- c88–c91 (r15): perceptual-hash media near-dup — c3's SimHash
+  // ---- machinery pointed at pixels/samples/frames: dHash over the
+  // ---- decoded, resized frame, banded Hamming equi-join, exact
+  // ---- per-pixel verify confined to collided pairs (c81's shape).
+  // ---- Ref: bolson has no media or dedup surface (its payloads stop
+  // ---- at Arrow conversion, src/bolson/convert/*); this family
+  // ---- extends the LLM-pipeline side (Krawetz's dHash, the standard
+  // ---- multimodal training-data dedup primitive).
 
   /** 56-bit dHash of an 8×8 grayscale raster: bit r·7+c is set iff
     * pixel (r,c) < pixel (r,c+1) — the gradient-sign fingerprint
