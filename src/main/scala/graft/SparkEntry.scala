@@ -112,6 +112,7 @@ object SparkEntry {
     "c89_phash_pairs" -> (Multimodal.c89PhashPairs _),
     "c90_audio_phash" -> (Multimodal.c90AudioPhash _),
     "c91_video_phash" -> (Multimodal.c91VideoPhash _),
+    "c92_soft_dedup" -> ((s: SparkSession, d: String) => Dedup.c92SoftDedup(s, d)),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -377,6 +378,21 @@ object SparkEntry {
        |SELECT j.doc_id, j.cluster_id, j.mean_prob_r, cn.canonical_id,
        |  j.doc_id = cn.canonical_id AS is_canonical
        |FROM j JOIN cn USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** DuckDB rendering of c92: c19's cluster CTEs + per-cluster size +
+    * the exact-integer half-up 6-dp inverse — the same composition the
+    * Spark side runs off the memoized cluster table. */
+  private def c92OracleSql: String =
+    s"""$clusterCte,
+       |cl AS (SELECT d.doc_id,
+       |         CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+       |       FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY cluster_id)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  CAST((2*1000000 + sz.cluster_size) // (2*sz.cluster_size) AS DOUBLE)
+       |    / 1000000 AS weight_r
+       |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of c85: the global window formulation over the
     * c41 score subquery. */
@@ -769,6 +785,9 @@ object SparkEntry {
         // c89 composes the c88 hash SQL for the banding (c58's rule) and
         // re-derives the exact pixel L1 from the closed-form thumbnails
         + ("c89_phash_pairs" -> c89OracleSql(base("c88_image_phash")))
+        // c92 composes c19's cluster CTEs (c82's rule: the weights must
+        // discount exactly the clusters the gate verifies)
+        + ("c92_soft_dedup" -> c92OracleSql)
         // c85/c86's oracle IS the single-window formulation the Spark
         // side deliberately avoids — identical ranks because the sort
         // key is total (that equivalence is what the gate verifies)

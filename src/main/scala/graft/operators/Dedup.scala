@@ -624,6 +624,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** c92 (r15): SOFT dedup — repetition discounting instead of dropping:
+    * every document keeps its row but carries weight 1/|cluster|, so a
+    * near-dup cluster contributes ~one document of gradient mass while
+    * its unique tails survive (the loss-weighting alternative to hard
+    * dedup — what keeps boilerplate-heavy sources from dominating a
+    * training mix without deleting their variants). Composes the
+    * MEMOIZED cluster table (c19's rule — ONE CC pass serves
+    * c19/c30/c82/c92); singletons weight exactly 1.0. The 6-dp weight
+    * rounds by the exact-integer half-up rule — round6(1/n) ≡
+    * ((2·10⁶ + n) div 2n)/10⁶ — so both engines agree on every tie
+    * (the c80 rounding lesson). Scale shape: one doc_id equi-join +
+    * one cluster_id count + one join back — O(docs) rows of two
+    * bigints through each exchange, nothing corpus-quadratic. */
+  def c92SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val comp = spark.read.parquet(clusterTablePath(spark, dir))
+      .select(col("node").as("doc_id"), col("cluster_id").as("cc"))
+    val members = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+    val sizes = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    members.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (expr("(2*1000000 + cluster_size) div (2*cluster_size)")
+          .cast("double") / 1e6).as("weight_r"))
+      .orderBy("doc_id")
+  }
+
   /** c30: leakage-safe train/val/test split — c14's content-hash split
     * keyed by the near-dup CLUSTER's canonical text instead of each doc's
     * own. c14 hashes per-doc, so two near-duplicates (one word apart)

@@ -641,6 +641,32 @@ class DedupSimSpec extends SparkSpec {
       s"diverges from min-id in ${expectedCanon.count { case (cc, id) => minIdCanon(cc) != id }} (diverges=$diverges)")
   }
 
+  test("c92 soft dedup weights are exactly the inverse cluster sizes, clusters mass ~1") {
+    // driver re-derivation from the oracle-pinned c19 clusters
+    val clusters = Dedup.c19DedupCluster(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val sizes = clusters.groupBy(_._2).map { case (cc, ms) => cc -> ms.size.toLong }
+    def w(n: Long): Double = ((2L * 1000000L + n) / (2L * n)).toDouble / 1e6
+    val got = Dedup.c92SoftDedup(spark, sfDir).collect()
+    assert(got.length == clusters.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cc = r.getAs[Long]("cluster_id")
+      assert(cc == clusters(id), s"doc $id cluster")
+      assert(r.getAs[Long]("cluster_size") == sizes(cc), s"doc $id size")
+      assert(r.getAs[Double]("weight_r") == w(sizes(cc)), s"doc $id weight")
+    }
+    // singletons keep full weight; real clusters are discounted
+    val byW = got.groupBy(_.getAs[Long]("cluster_size"))
+    assert(byW(1L).forall(_.getAs[Double]("weight_r") == 1.0))
+    assert(byW.keys.exists(_ > 1L), "no multi-doc cluster — discounting untested")
+    // each cluster's total mass is ~1 (exactly size * round6(1/size))
+    clusters.groupBy(_._2).foreach { case (cc, ms) =>
+      val mass = ms.size * w(sizes(cc))
+      assert(math.abs(mass - 1.0) < 1e-3, s"cluster $cc mass $mass")
+    }
+  }
+
   test("c83 minhash recall gate equals the driver-side truth; banded is a verified subset") {
     val docs = Tables.documents(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"),
