@@ -101,23 +101,31 @@ object Bench {
     // r14: per-query task-CPU seconds alongside wall (extending r13's
     // channel de-weathering to the query suite — the c37 question: a
     // 1.56× wall move on untouched code is weather iff its cpu_s held).
-    // The clock snapshots CHAIN (each query-run's end snapshot is the
-    // next run's start), so the listener-bus settle is paid once per
-    // run, outside the wall-clock window.
+    // R16: each timed run executes under its OWN job group and reads
+    // only that group's counter (the r15 channel isolation, extended to
+    // the query suite the r15 verdict flagged) — the old chained global
+    // deltas charged a query with whatever task-end events drained into
+    // its window, including scratch-table rebuilds triggered elsewhere;
+    // the c24/c27/c68 "2× cpu on untouched code" anomaly was exactly
+    // that shape. The settle polling stays OUTSIDE the wall clock.
     val cpuClock = new graft.metrics.CpuClock()
     spark.sparkContext.addSparkListener(cpuClock)
+    // run `body` under a fresh uniquely-named job group; return (wall
+    // seconds of the body alone, bus-settled task-CPU seconds of the
+    // group alone) — no chaining, no windowed delta
+    def sample(tag: String)(body: => Unit): (Double, Double) = {
+      spark.sparkContext.setJobGroup(tag, s"bench sample $tag")
+      val t0 = System.nanoTime()
+      try body finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, cpuClock.settledGroup(tag) / 1e9)
+    }
     val best = scala.collection.mutable.Map[String, Double]()
     val bestCpu = scala.collection.mutable.Map[String, Double]()
     val flaky = scala.collection.mutable.Set[String]()
-    var lastCpuNs = cpuClock.settled()
-    for (_ <- 1 to 3; (name, fn) <- names if !failed(name)) {
+    for (pass <- 1 to 3; (name, fn) <- names if !failed(name)) {
       try {
-        val t0 = System.nanoTime()
-        run(fn(spark, sfDir))
-        val sec = (System.nanoTime() - t0) / 1e9
-        val c1 = cpuClock.settled()
-        val cpu = (c1 - lastCpuNs) / 1e9
-        lastCpuNs = c1
+        val (sec, cpu) = sample(s"bench-q-$name-$pass") { run(fn(spark, sfDir)) }
         if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
         if (cpu < bestCpu.getOrElse(name, Double.MaxValue)) bestCpu(name) = cpu
       } catch {
@@ -128,9 +136,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           failed += name
           if (best.contains(name)) flaky += name
-          // re-baseline the chained clock: a failed run's partial cpu
-          // must not be charged to the NEXT query's delta
-          lastCpuNs = cpuClock.settled()
+        // a failed run's partial cpu lives in its own group — nothing to
+        // re-baseline, the next query's group starts at zero
       }
     }
     val results = names.map { case (name, _) =>
@@ -212,16 +219,25 @@ object Bench {
     val pubC = scala.collection.mutable.ArrayBuffer[Double]()
     val batchedC = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestC = scala.collection.mutable.ArrayBuffer[Double]()
-    // run `body` under a fresh uniquely-named job group; return (wall
-    // seconds of the body alone, bus-settled task-CPU seconds of the
-    // group alone) — no chaining, no windowed delta, and the settle
-    // polling stays OUTSIDE the wall clock
-    def sample(tag: String)(body: => Unit): (Double, Double) = {
-      spark.sparkContext.setJobGroup(tag, s"bench channel sample $tag")
-      val t0 = System.nanoTime()
+    // R16 self-diagnosis: every channel sample also records its group's
+    // LEDGER — {cpu_s, task count, input rows, input bytes} — so a
+    // breaching cpu_s sample SHOWS whether its tasks did extra work
+    // (an evicted-cache recompute = more tasks + parquet-sized input)
+    // instead of leaving the §6 band question to argument. The r15
+    // job-group fix removed FOREIGN contamination; the ledger plus the
+    // pre-sample re-materialization below remove the SELF-inflation
+    // ambiguity that kept convert `weak (perf-watch)` two rounds.
+    import graft.metrics.CpuClock.GroupLedger
+    val convertL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
+    val pubL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
+    val batchedL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
+    val ingestL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
+    // re-materialize a cached frame under a THROWAWAY group immediately
+    // before a sample: a cache eviction's recompute (to_json+explode×8
+    // for the corpus) lands here, never inside the measured group
+    def rematerialize(tag: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobGroup(tag, s"bench re-materialize $tag")
       try body finally spark.sparkContext.clearJobGroup()
-      val wall = (System.nanoTime() - t0) / 1e9
-      (wall, cpuClock.settledGroup(tag) / 1e9)
     }
 
     val msgs =
@@ -241,29 +257,38 @@ object Bench {
     }
     for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
-        val (wall, cpu) = sample(s"bench-convert-$round") {
+        rematerialize(s"bench-warm-convert-$round") { corpus.lines.count(); () }
+        val tag = s"bench-convert-$round"
+        val (wall, _) = sample(tag) {
           run(ArrowIpc.serialize(
             StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
         }
+        val led = cpuClock.settledGroupLedger(tag)
         convertS += corpus.jsonBytes / 1e6 / wall
-        convertC += cpu
+        convertC += led.cpuNs / 1e9
+        convertL += led
         ()
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
+        rematerialize(s"bench-warm-publish-$round") { msgs.count(); () }
         def timeOne(tag: String,
-                    mk: Long => graft.streaming.Publisher): (Double, Double) =
+                    mk: Long => graft.streaming.Publisher)
+            : (Double, GroupLedger) = {
           // scratch wiped per run so file accumulation can't slow later rounds
-          sample(tag) { graft.streaming.Publish.run(msgs, () => mk(round.toLong)) }
+          val (wall, _) =
+            sample(tag) { graft.streaming.Publish.run(msgs, () => mk(round.toLong)) }
+          (wall, cpuClock.settledGroupLedger(tag))
+        }
         val pubDir = GraftSession.scratchDir("bench-publish").toString
-        val (pw, pc) = timeOne(s"bench-publish-$round",
+        val (pw, pl) = timeOne(s"bench-publish-$round",
           e => new graft.streaming.FilePublisher(pubDir, e))
-        pubS += nMsgs / pw; pubC += pc
+        pubS += nMsgs / pw; pubC += pl.cpuNs / 1e9; pubL += pl
         GraftSession.scratchDir("bench-publish") // clear between modes
-        val (bw, bc) = timeOne(s"bench-publish-batched-$round",
+        val (bw, bl) = timeOne(s"bench-publish-batched-$round",
           e => new graft.streaming.BatchingFilePublisher(
             pubDir, graft.streaming.BatchingOptions(
               maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
-        batchedS += nMsgs / bw; batchedC += bc
+        batchedS += nMsgs / bw; batchedC += bl.cpuNs / 1e9; batchedL += bl
         ()
       }
       // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
@@ -272,10 +297,16 @@ object Bench {
       // stage drain it — the wire-in path `graft.Main stream` runs. Its
       // cpu_s reads the streaming query's runId job group: exactly the
       // drain path's tasks, not the setup jobs or foreign stragglers.
+      // Its ledger's task count scales with microbatch count — which
+      // scales with wall time under contention — so a high-cpu ingest
+      // sample with proportionally more tasks but the same input rows
+      // reads as microbatch overhead, not a convert-path regression.
       fenced(s"ingest#$round", ()) {
         val (mbps, rps, runId) = benchIngest(spark, sfDir)
+        val led = cpuClock.settledGroupLedger(runId)
         ingestS += ((mbps, rps))
-        ingestC += cpuClock.settledGroup(runId) / 1e9
+        ingestC += led.cpuNs / 1e9
+        ingestL += led
         ()
       }
     }
@@ -289,9 +320,19 @@ object Bench {
         s""""min":${fmt(s.head)},"median":${fmt(s(s.size / 2))},""" +
           s""""max":${fmt(s.last)}"""
       }
-    def statsJson(samples: Seq[Double], cpus: Seq[Double]): String =
+    // per-sample ledger, in round order (NOT sorted): a breaching cpu_s
+    // sample can be matched to its own task count / input volume
+    def ledgerJson(ledgers: Seq[GroupLedger]): String =
+      ledgers.map { l =>
+        f"""{"cpu_s":${l.cpuNs / 1e9}%.2f,"tasks":${l.tasks},""" +
+          s""""input_rows":${l.inputRows},"input_mb":""" +
+          f"${l.inputBytes / 1e6}%.1f}"
+      }.mkString("[", ",", "]")
+    def statsJson(samples: Seq[Double], cpus: Seq[Double],
+                  ledgers: Seq[GroupLedger]): String =
       s"{${triple(samples, v => f"$v%.1f")}," +
-        s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}}}"""
+        s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}},""" +
+        s""""samples":${ledgerJson(ledgers)}}"""
     def medianOf(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
     // band floors from the SURVEY §6 channel-band history (lowest healthy
@@ -300,22 +341,25 @@ object Bench {
     // task-CPU seconds (r13): the cpu_s band is the contention-immune
     // verdict on whether a wall-clock dip is weather or regression.
     val bandLow = Seq(
-      ("convert_mb_per_s", 280.0, convertS.toSeq, convertC.toSeq),
-      ("publish_msgs_per_s", 20000.0, pubS.toSeq, pubC.toSeq),
-      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq, batchedC.toSeq),
-      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq, ingestC.toSeq))
+      ("convert_mb_per_s", 280.0, convertS.toSeq, convertC.toSeq,
+        convertL.toSeq),
+      ("publish_msgs_per_s", 20000.0, pubS.toSeq, pubC.toSeq, pubL.toSeq),
+      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq, batchedC.toSeq,
+        batchedL.toSeq),
+      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq, ingestC.toSeq,
+        ingestL.toSeq))
     // the floors are calibrated at the driver's bench scale (sf0.1) —
     // at smaller SFs fixed job overhead dominates every channel and the
     // annotation would be pure noise
     val bandsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val weak = bandLow.collect {
-      case (name, low, samples, _)
+      case (name, low, samples, _, _)
         if bandsApply && samples.nonEmpty && medianOf(samples) < low => name
     }
     weak.foreach(w => System.err.println(
       s"[bench] WEAK CHANNEL: $w median below its band floor"))
-    val channelStats = bandLow.map { case (name, _, samples, cpus) =>
-      s""""$name":${statsJson(samples, cpus)}"""
+    val channelStats = bandLow.map { case (name, _, samples, cpus, ledgers) =>
+      s""""$name":${statsJson(samples, cpus, ledgers)}"""
     }.mkString("{", ",", "}")
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
 

@@ -776,8 +776,11 @@ object Main {
     * tombstones a query path would have to honor), the codebook stays
     * frozen (survivors' quantization is untouched, so add-then-remove
     * ≡ never-added row-for-row). The rewrite stages to a sibling
-    * directory and swaps via the path's FileSystem, so a crash
-    * mid-write leaves the old codes intact, never a half directory. */
+    * directory and swaps via the path's FileSystem in rename-aside
+    * order (codes → codes__old, compact → codes, delete codes__old):
+    * a crash mid-write leaves the old codes intact, and a crash
+    * mid-swap leaves a complete directory under `codes` or both
+    * complete siblings — never a half directory, never data loss. */
   private def indexCmd(args: Array[String]): Unit = {
     import graft.operators.Similarity
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
@@ -806,15 +809,25 @@ object Main {
       val kept = codes.join(ids.select("vec_id").distinct(),
         Seq("vec_id"), "left_anti")
       // stage -> swap: the anti-join materializes fully into the sibling
-      // dir BEFORE the live codes directory is touched
+      // dir BEFORE the live codes directory is touched. Swap order is
+      // rename-aside, rename-in, delete (r16, ADVICE): the previous
+      // delete-then-rename had a crash window with NO live codes dir.
+      // Now a crash at any instant leaves either a complete live codes
+      // (before/after the middle rename) or both complete siblings
+      // (codes__old + codes__compact) — recovery is renaming one back.
       val tmp = s"$out/codes__compact"
       kept.write.mode("overwrite").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val codesPath = new org.apache.hadoop.fs.Path(s"$out/codes")
-      fs.delete(codesPath, true)
+      val oldPath = new org.apache.hadoop.fs.Path(s"$out/codes__old")
+      fs.delete(oldPath, true) // leftover from a prior crashed swap
+      require(fs.rename(codesPath, oldPath),
+        s"failed to move live codes aside to $oldPath")
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp), codesPath),
-        s"failed to swap compacted codes into place at $codesPath")
+        s"failed to swap compacted codes into place at $codesPath " +
+          s"(previous codes preserved at $oldPath)")
+      fs.delete(oldPath, true)
       val after = spark.read.parquet(s"$out/codes").count()
       println(s"""{"removed":${before - after},"vectors":$after,""" +
         s""""out":${jsonStr(out)}}""")

@@ -64,7 +64,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Codegen'd exact-integer L1 (Manhattan) distance over two
-  * `array<bigint>` columns — Σ |a_i − b_i| over the common prefix.
+  * `array<bigint>` columns — Σ |a_i − b_i|.
   *
   * Why native (r15, c89's lesson): the `aggregate ∘ zip_with`
   * formulation evaluates an interpreted lambda per element; on the
@@ -72,7 +72,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * pair, the hot loop of the suite's most expensive row. This is the
   * integer sibling of [[CosineSimilarity]] — one fused loop inside
   * whole-stage codegen, exact long arithmetic (inputs are pixel/sample
-  * values, |diff| ≤ 255·64 here — no overflow at any realistic width). */
+  * values, |diff| ≤ 255·64 here — no overflow at any realistic width).
+  *
+  * Loud, not lossy (r16, ADVICE): unequal lengths or a null element
+  * throw rather than silently summing a prefix / reading garbage —
+  * the HOF twin returns null there, and a value-identity claim that
+  * silently diverges on edge inputs is worse than a refusal. */
 case class L1Distance(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -82,10 +87,16 @@ case class L1Distance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_l1: array lengths differ ($n vs ${y.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_l1: null element at index $i")
       s += math.abs(x.getLong(i) - y.getLong(i))
       i += 1
     }
@@ -98,9 +109,18 @@ case class L1Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_l1: array lengths differ (" + $n + " vs " +
+         |      $b.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_l1: null element at index " + $i);
+         |  }
          |  $s += java.lang.Math.abs($a.getLong($i) - $b.getLong($i));
          |}
          |${ev.value} = $s;

@@ -3,8 +3,8 @@ package graft.metrics
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
-  SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Cumulative task-CPU clock: sums TaskMetrics.executorCpuTime (ns)
   * across every completed task in the application.
@@ -42,14 +42,39 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
 final class CpuClock extends SparkListener {
   private val cpuNs = new AtomicLong(0L)
   private val stageGroup = new ConcurrentHashMap[Int, String]()
+  private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
+  // group counters are CUMULATIVE for the listener's lifetime — a
+  // caller reads a group after its jobs finish, so they cannot be
+  // evicted on job end; the bench creates O(samples) groups, bounded.
   private val groupNs = new ConcurrentHashMap[String, AtomicLong]()
+  // r16 per-sample ledger: task count and input volume per group, so a
+  // breaching cpu_s sample SHOWS whether it did extra work (an evicted
+  // cache recompute = more tasks + parquet-sized input rows) rather
+  // than leaving weather-vs-code to argument. Input metrics count both
+  // file reads and block-manager (cache) reads.
+  private val groupTasks = new ConcurrentHashMap[String, AtomicLong]()
+  private val groupRows = new ConcurrentHashMap[String, AtomicLong]()
+  private val groupBytes = new ConcurrentHashMap[String, AtomicLong]()
 
   override def onJobStart(ev: SparkListenerJobStart): Unit = {
     val gid = Option(ev.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
     gid.foreach { g =>
       ev.stageIds.foreach(sid => stageGroup.put(sid, g))
+      jobStages.put(ev.jobId, ev.stageIds)
+      ()
     }
+  }
+
+  /** Evict the finished job's stage→group entries (r16, ADVICE: the
+    * maps grew unboundedly over a long-lived context). The listener
+    * bus delivers events in post order, so a job's task-end events
+    * precede its job-end; only a cancelled/speculative straggler can
+    * end after eviction, and it falls back to the global counter only
+    * — exactly the samples a cancelled job shouldn't be charged for. */
+  override def onJobEnd(ev: SparkListenerJobEnd): Unit = {
+    val sids = jobStages.remove(ev.jobId)
+    if (sids != null) sids.foreach(stageGroup.remove(_))
   }
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
@@ -59,8 +84,14 @@ final class CpuClock extends SparkListener {
       cpuNs.addAndGet(ns)
       val g = stageGroup.get(ev.stageId)
       if (g != null) {
-        groupNs.computeIfAbsent(g, _ => new AtomicLong(0L)).addAndGet(ns)
-        ()
+        def bump(map: ConcurrentHashMap[String, AtomicLong], v: Long): Unit = {
+          map.computeIfAbsent(g, _ => new AtomicLong(0L)).addAndGet(v)
+          ()
+        }
+        bump(groupNs, ns)
+        bump(groupTasks, 1L)
+        bump(groupRows, m.inputMetrics.recordsRead)
+        bump(groupBytes, m.inputMetrics.bytesRead)
       }
     }
   }
@@ -95,4 +126,24 @@ final class CpuClock extends SparkListener {
     * only tasks whose stage belongs to `group` — immune to foreign
     * task-end events landing in the sample's wall window. */
   def settledGroup(group: String): Long = settle(() => groupGet(group))
+
+  /** Bus-settled per-group ledger: cpu + task count + input volume.
+    * Settles on the cpu counter (every task-end bumps all four maps in
+    * one listener call, so a stable cpu counter means the others are
+    * stable too). */
+  def settledGroupLedger(group: String): CpuClock.GroupLedger = {
+    val ns = settle(() => groupGet(group))
+    def get(map: ConcurrentHashMap[String, AtomicLong]): Long = {
+      val c = map.get(group)
+      if (c == null) 0L else c.get()
+    }
+    CpuClock.GroupLedger(ns, get(groupTasks), get(groupRows), get(groupBytes))
+  }
+}
+
+object CpuClock {
+  /** One sample's self-diagnosis record (r16): what the group's tasks
+    * actually did, next to what they cost. */
+  final case class GroupLedger(cpuNs: Long, tasks: Long,
+                               inputRows: Long, inputBytes: Long)
 }

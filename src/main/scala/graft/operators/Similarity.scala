@@ -1457,10 +1457,13 @@ object Similarity {
     * require enforces that contract at runtime. */
   private[graft] def exactPairsOn(embs: DataFrame,
                                   threshold: Double): DataFrame = {
-    val n = embs.count()
+    // limit(cap+1) bounds the guard's own cost by the cap (r16, ADVICE:
+    // a full count() paid a complete scan of an over-cap corpus just to
+    // refuse it) — cap+1 rows decide over/under without counting the rest
+    val n = embs.limit((ExactPairsRowCap + 1).toInt).count()
     require(n <= ExactPairsRowCap,
-      s"exact pair truth is quadratic and eval-confined: frame has $n " +
-        s"rows > cap $ExactPairsRowCap — point it at an eval sample, " +
+      s"exact pair truth is quadratic and eval-confined: frame has more " +
+        s"than cap $ExactPairsRowCap rows — point it at an eval sample, " +
         "never a production corpus (c72's rule)")
     val v = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     v.select(col("vec_id").as("vec_a"), col("v").as("va"))

@@ -70,4 +70,34 @@ class MetricsSpec extends SparkSpec {
       assert(clock.settledGroup("never-used") == 0L)
     } finally spark.sparkContext.removeSparkListener(clock)
   }
+
+  test("CpuClock group ledger records tasks + input volume (r16 self-diagnosis)") {
+    val clock = new graft.metrics.CpuClock()
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val ev = Tables.events(spark, sfDir)
+      val expected = ev.count() // outside any group
+      spark.sparkContext.setJobGroup("grp-ledger", "ledger")
+      val n = ev.select(sum(crc32(col("event_type")))).collect()
+      spark.sparkContext.clearJobGroup()
+      assert(n.length == 1)
+      val led = clock.settledGroupLedger("grp-ledger")
+      assert(led.tasks > 0L, "the group's tasks must be counted")
+      assert(led.cpuNs == clock.settledGroup("grp-ledger"),
+        "ledger cpu and the scalar group counter are the same number")
+      // a parquet scan's rows land in the ledger's input metrics — this
+      // is what lets a breaching bench sample SHOW a cache-recompute
+      assert(led.inputRows >= expected,
+        s"scan of $expected rows must appear in input_rows, got ${led.inputRows}")
+      assert(led.inputBytes > 0L)
+      // job-end eviction (ADVICE r16) prunes stage→group entries only:
+      // the cumulative group counters survive for late readers
+      val again = clock.settledGroupLedger("grp-ledger")
+      assert(again == led, "ledger is stable after the jobs ended")
+      // unknown group: an all-zero ledger, not a crash
+      val none = clock.settledGroupLedger("never-used")
+      assert(none.cpuNs == 0L && none.tasks == 0L &&
+        none.inputRows == 0L && none.inputBytes == 0L)
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
 }
