@@ -88,7 +88,16 @@ object Bench {
     // suite runs end-to-end 3 times and each query's samples are separated
     // by a whole pass of other work — one contended stretch of wall-clock
     // can no longer sink every sample of a query
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 (r16): isolated rehearsal of the
+    // named queries under the exact per-query machinery (warmup + min-of-3
+    // interleaved passes + job-group cpu_s) — the tool the c24/c27/c68
+    // weather-vs-code question called for. Channel micro-benches are
+    // skipped in rehearsal mode; the emitted JSON is shaped identically.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(names.nonEmpty, s"no queries match SPARK_GRAFT_BENCH_ONLY=$only")
     val failed = scala.collection.mutable.Set[String]()
     names.foreach { case (name, fn) =>
       try run(fn(spark, sfDir))
@@ -168,7 +177,7 @@ object Bench {
     // failed fence can't pin the 8× corpus through the ingest bench.
     case class Corpus(lines: DataFrame, jsonBytes: Long,
                       schema: org.apache.spark.sql.types.StructType)
-    val corpus = fenced("corpus", null: Corpus) {
+    val corpus = if (only.nonEmpty) null else fenced("corpus", null: Corpus) {
       val ev = Tables.events(spark, sfDir).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
@@ -255,7 +264,7 @@ object Bench {
       run(ArrowIpc.serialize(
         StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
     }
-    for (round <- 1 to 3) {
+    if (only.isEmpty) for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
         rematerialize(s"bench-warm-convert-$round") { corpus.lines.count(); () }
         val tag = s"bench-convert-$round"

@@ -113,6 +113,8 @@ object SparkEntry {
     "c90_audio_phash" -> (Multimodal.c90AudioPhash _),
     "c91_video_phash" -> (Multimodal.c91VideoPhash _),
     "c92_soft_dedup" -> ((s: SparkSession, d: String) => Dedup.c92SoftDedup(s, d)),
+    "c93_audio_pairs" -> (Multimodal.c93AudioPairs _),
+    "c94_video_pairs" -> (Multimodal.c94VideoPairs _),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -482,6 +484,78 @@ object SparkEntry {
        |WHERE bit_count(xor(c.ha, c.hb)) <= 3
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  /** DuckDB rendering of c93 (r16): c89's composition for the audio
+    * modality — the c90 hash SQL feeds the 14-bit band self-join,
+    * hamming is bit_count(xor), and env_l1 re-derives from the
+    * closed-form 57-point resampled envelope (sample i of the WAV is
+    * ((doc_id·131 + i·17) mod 65536) − 32768, resampled at (j·n)//57 —
+    * the SAME points the hash's delta signs were built from). */
+  private def c93OracleSql(c90Sql: String): String =
+    s"""WITH hs AS (SELECT doc_id, phash FROM (${c90Sql.replace("\n", "\n  ")})),
+       |sg AS (SELECT doc_id, phash, j,
+       |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
+       |       FROM hs, range(0, 4) jj(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.phash AS ha, b.phash AS hb
+       |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
+       |                            AND a.doc_id < b.doc_id),
+       |aud AS (SELECT doc_id, 64 + doc_id % 129 AS n
+       |        FROM documents WHERE doc_id % 3 = 1),
+       |ev AS (SELECT doc_id, j,
+       |         ((doc_id*131 + ((j*n)//57)*17) % 65536) - 32768 AS p
+       |       FROM aud, range(0, 57) jj(j)),
+       |el AS (SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(abs(ea.p - eb.p)) AS BIGINT) AS env_l1
+       |       FROM cand c
+       |       JOIN ev ea ON ea.doc_id = c.doc_a
+       |       JOIN ev eb ON eb.doc_id = c.doc_b AND ea.j = eb.j
+       |       GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming, el.env_l1
+       |FROM cand c JOIN el ON el.doc_a = c.doc_a AND el.doc_b = c.doc_b
+       |WHERE bit_count(xor(c.ha, c.hb)) <= 3
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  /** DuckDB rendering of c94 (r16): c89's composition at FRAME grain —
+    * the c91 per-frame hash SQL packs into composite fid = doc·8 +
+    * frame keys for the band self-join, and luma_l1 re-derives from
+    * the closed-form 8×8 frame thumbnails (luma byte i of frame f is
+    * (doc_id·7 + f·101 + i·13) mod 256, thumbnailed by the shared
+    * floor sampler). */
+  private def c94OracleSql(c91Sql: String): String =
+    s"""WITH hs AS (SELECT doc_id, frame_idx, phash
+       |            FROM (${c91Sql.replace("\n", "\n  ")})),
+       |fid AS (SELECT doc_id*8 + frame_idx AS fid, phash FROM hs),
+       |sg AS (SELECT fid, phash, j,
+       |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
+       |       FROM fid, range(0, 4) jj(j)),
+       |cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb,
+       |                a.phash AS ha, b.phash AS hb
+       |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
+       |                            AND a.fid < b.fid),
+       |vid AS (SELECT doc_id, 8 + 2*(doc_id % 5) AS w,
+       |               8 + 2*(doc_id % 4) AS h, 3 + doc_id % 6 AS frames
+       |        FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (SELECT doc_id, w, h, f
+       |       FROM vid, range(0, 8) ff(f) WHERE f < frames),
+       |th AS (SELECT doc_id*8 + f AS fid, r*8 + x AS pt,
+       |         (doc_id*7 + f*101 + ((r*h//8)*w + (x*w//8))*13) % 256 AS p
+       |       FROM fr, range(0, 8) rr(r), range(0, 8) xx(x)),
+       |pl AS (SELECT c.fa, c.fb,
+       |         CAST(sum(abs(ta.p - tb.p)) AS BIGINT) AS luma_l1
+       |       FROM cand c
+       |       JOIN th ta ON ta.fid = c.fa
+       |       JOIN th tb ON tb.fid = c.fb AND ta.pt = tb.pt
+       |       GROUP BY c.fa, c.fb)
+       |SELECT CAST(c.fa // 8 AS BIGINT) AS doc_a,
+       |  CAST(c.fa % 8 AS BIGINT) AS frame_a,
+       |  CAST(c.fb // 8 AS BIGINT) AS doc_b,
+       |  CAST(c.fb % 8 AS BIGINT) AS frame_b,
+       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming, pl.luma_l1
+       |FROM cand c JOIN pl ON pl.fa = c.fa AND pl.fb = c.fb
+       |WHERE bit_count(xor(c.ha, c.hb)) <= 3
+       |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
+
   /** DuckDB rendering of c84: the three fertility oracles as
     * subqueries, each folded to its corpus-level row, plus the r15
     * OOV/coverage column — char-BPE re-derives the alphabet-miss count
@@ -785,6 +859,12 @@ object SparkEntry {
         // c89 composes the c88 hash SQL for the banding (c58's rule) and
         // re-derives the exact pixel L1 from the closed-form thumbnails
         + ("c89_phash_pairs" -> c89OracleSql(base("c88_image_phash")))
+        // c93/c94 (r16): the same banding+verify composition on the
+        // audio hash SQL (exact verify = envelope L1 over the same 57
+        // resampled points) and the per-frame video hash SQL (composite
+        // fid = doc·8 + frame keys; exact verify = luma thumbnail L1)
+        + ("c93_audio_pairs" -> c93OracleSql(base("c90_audio_phash")))
+        + ("c94_video_pairs" -> c94OracleSql(base("c91_video_phash")))
         // c92 composes c19's cluster CTEs (c82's rule: the weights must
         // discount exactly the clusters the gate verifies)
         + ("c92_soft_dedup" -> c92OracleSql)

@@ -839,14 +839,22 @@ object Multimodal {
     hash
   }
 
+  /** The 57-point nnIdx-resampled envelope of one WAV payload — THE
+    * envelope derivation (d29's rule), shared by the hash ([[audioPhashOf]])
+    * and c93's exact pair verify: the hash is the envelope's delta signs,
+    * so the L1 the pair surface thresholds is over the SAME points the
+    * colliding hashes were built from. */
+  private[graft] def audioEnv57(docId: Long, payload: Array[Byte]): Array[Int] = {
+    val (_, s) = wavSamples(docId, payload)
+    Array.tabulate(57)(j => s(nnIdx(j, 57, s.length)).toInt)
+  }
+
   /** Audio perceptual hash: the REAL RIFF/PCM parse → nnIdx resample to
     * 57 samples → delta-sign bits. The coarse envelope shape survives
     * resampling/re-encoding the way image gradients survive re-encode —
     * the 1-D member of the perceptual-dedup family. */
-  private[graft] def audioPhashOf(docId: Long, payload: Array[Byte]): Long = {
-    val (_, s) = wavSamples(docId, payload)
-    dhashSeq56(Array.tabulate(57)(j => s(nnIdx(j, 57, s.length)).toInt))
-  }
+  private[graft] def audioPhashOf(docId: Long, payload: Array[Byte]): Long =
+    dhashSeq56(audioEnv57(docId, payload))
 
   /** The perceptual hash of one media record — THE hash derivation,
     * shared by construction (d29's rule) between the batch gates
@@ -906,9 +914,9 @@ object Multimodal {
     * on HASHES ONLY: a pair colliding in k of 4 segments appears k times
     * in the join, so everything per-joined-row must be cheap (one
     * codegen'd bit_count) and payloads/thumbnails must NOT ride the
-    * join/distinct (the first c89 cut carried the 64-px arrays and paid
-    * the L1 up to 4× per pair — 6.1 s at sf0.1). The hamming filter
-    * runs BEFORE distinct so fewer rows shuffle. `keyCols` adds extra
+    * join (the first c89 cut carried the 64-px arrays and paid the L1
+    * up to 4× per pair — 6.1 s at sf0.1); the canonical-band filter
+    * below dedups WITHOUT a distinct shuffle. `keyCols` adds extra
     * equi-keys to the banding (the CLI bands per media_type — an image
     * gradient hash and an audio envelope hash must never pair). Shared
     * by [[phashPairs]] and `Main phash --pairs` (d29's rule). */
@@ -916,36 +924,59 @@ object Multimodal {
                                      keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
+    // explicit-N repartition on the join keys: the hash table is tiny
+    // byte-wise (a few MB even at sf0.1), so AQE coalesces its shuffle
+    // to ONE partition — and then the join's 10⁷-row OUTPUT explosion
+    // runs in one task (measured: c94's 15M joined rows single-threaded,
+    // wall ≈ cpu on a 32-thread box). An explicit partition count is
+    // exempt from AQE coalescing; join-output size is invisible to AQE's
+    // input-byte heuristics, so sizing must come from the operator.
+    val n = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val seg = hashes.select(Seq(col("doc_id"), col("phash"),
         posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*))) ++
         keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .repartition(n, (Seq("seg_idx", "seg") ++ keyCols).map(col): _*)
     val keys = Seq("seg_idx", "seg") ++ keyCols
+    // canonical band (r16): a pair colliding in k of 4 segments used to
+    // appear k times and get folded by a distinct — a full extra shuffle
+    // of the pre-dedup candidate set, 4× the output on identical-hash
+    // clusters (c93's complete-graph corpus). Instead each pair is
+    // emitted ONLY at its first matching segment: the hashes already
+    // ride the join, so "no earlier band matched" is a codegen'd filter
+    // (for every k < seg_idx, segment k must differ), and the emitted
+    // set is exactly the old distinct's — each qualifying pair once.
+    val noEarlierBand = (0 until 3).map(k =>
+      (col("seg_idx") <= lit(k)) ||
+        (phashSeg(col("ha"), k) =!= phashSeg(col("hb"), k))).reduce(_ && _)
     seg.select((Seq(col("doc_id").as("doc_a"), col("phash").as("ha")) ++
         keys.map(col)): _*)
       .join(seg.select((Seq(col("doc_id").as("doc_b"), col("phash").as("hb")) ++
         keys.map(col)): _*), keys)
       .filter(col("doc_a") < col("doc_b"))
+      .filter(noEarlierBand)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   private[graft] def phashPairs(frames: DataFrame,
-                                maxHamming: Int = 3): DataFrame = {
+                                maxHamming: Int = 3,
+                                valueCol: String = "gray",
+                                l1Name: String = "pix_l1"): DataFrame = {
     val cand = phashCandidates(frames.select("doc_id", "phash"), maxHamming)
-    // stage 2 — the exact per-pixel verify, ONCE per surviving pair
-    // (c81's confinement): grays join back by doc id; the L1 is the
-    // native codegen'd graft_l1 (one fused long loop — the interpreted
-    // aggregate∘zip_with lambda was the hot loop of the suite's most
-    // expensive row; exact integer math, value-identical)
-    val g = frames.select(col("doc_id"), col("gray"))
+    // stage 2 — the exact per-point verify, ONCE per surviving pair
+    // (c81's confinement): the value arrays (pixel thumbnails / audio
+    // envelopes) join back by doc id; the L1 is the native codegen'd
+    // graft_l1 (one fused long loop — the interpreted aggregate∘zip_with
+    // lambda was the hot loop of the suite's most expensive row;
+    // exact integer math, value-identical)
+    val g = frames.select(col("doc_id"), col(valueCol))
     cand
-      .join(g.select(col("doc_id").as("doc_a"), col("gray").as("ga")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("gray").as("gb")), "doc_b")
+      .join(g.select(col("doc_id").as("doc_a"), col(valueCol).as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col(valueCol).as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"),
-        graft.functions.VectorFunctions.l1(col("ga"), col("gb")).as("pix_l1"))
+        graft.functions.VectorFunctions.l1(col("ga"), col("gb")).as(l1Name))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -973,6 +1004,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-audio (doc_id, phash, env) frames for the pair surface: the
+    * REAL RIFF parse → shared 57-point envelope → delta-sign hash; the
+    * envelope rides along (as array<bigint>) for c93's exact verify —
+    * imagePhashFrames' shape for the 1-D modality. */
+  private[graft] def audioPhashFrames(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val env = audioEnv57(id, wavPayload(id))
+        (id, dhashSeq56(env), env.map(_.toLong).toSeq)
+      })
+      .toDF("doc_id", "phash", "env")
+  }
+
+  /** c93 gate row (r16): the AUDIO perceptual near-dup pair surface,
+    * oracled — c89's banded-candidates + exact-verify composition on
+    * c90's delta-sign hashes: 4×14-bit pigeonhole banding (complete at
+    * Hamming ≤ 3) on HASHES only, then the exact envelope L1 (native
+    * graft_l1 over the SAME 57 resampled points the hash was built
+    * from) once per surviving pair. env_l1 is the number an audio dedup
+    * policy thresholds when the hash alone is too coarse. */
+  def c93AudioPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(audioPhashFrames(spark, dir),
+      valueCol = "env", l1Name = "env_l1")
+
   /** c91 gate row: per-FRAME video perceptual hash — [[dhash56]] of each
     * frame's 8×8-resampled LUMA plane, one row per (video doc, frame):
     * the keyframe-level member of the perceptual family (video near-dup
@@ -989,10 +1048,10 @@ object Multimodal {
     * truncation validation) with each frame's luma plane thumbnailed
     * through the shared sampler and hashed. Returns (frame_idx, hash)
     * pairs in stream order. */
-  private[graft] def videoFramePhashes(docId: Long,
-                                       payload: Array[Byte]): Seq[(Long, Long)] = {
+  private[graft] def videoFrameThumbs(docId: Long, payload: Array[Byte])
+      : Seq[(Long, Array[Byte])] = {
     val (w, h, fs, start) = y4mGeometry(docId, payload)
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     var pos = start
     var f = 0L
     while (pos < payload.length) {
@@ -1005,12 +1064,16 @@ object Multimodal {
       pos = eol + 1
       require(payload.length - pos >= fs,
         s"doc $docId: frame $f truncated (${payload.length - pos} of $fs bytes)")
-      out += ((f, dhash56(scalePlane(payload, pos, w, h, 8, 8))))
+      out += ((f, scalePlane(payload, pos, w, h, 8, 8)))
       pos += fs
       f += 1
     }
     out.toSeq
   }
+
+  private[graft] def videoFramePhashes(docId: Long,
+                                       payload: Array[Byte]): Seq[(Long, Long)] =
+    videoFrameThumbs(docId, payload).map { case (f, t) => (f, dhash56(t)) }
 
   def c91VideoPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1022,6 +1085,39 @@ object Multimodal {
       })
       .toDF("doc_id", "frame_idx", "phash")
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** c94 gate row (r16): the VIDEO frame-level near-dup pair surface,
+    * oracled — c89's banded-candidates + exact-verify composition on
+    * c91's per-frame luma hashes. The banding unit is the FRAME: each
+    * (doc, frame) packs into a composite key doc_id·8 + frame_idx
+    * (frames ≤ 8 by the corpus geometry, so the packing is exact and
+    * order-preserving), rides the SAME 4×14-bit pigeonhole machinery,
+    * and unpacks on output. Intra-video pairs are kept — adjacent
+    * near-identical frames ARE dup spans a video dedup policy weighs;
+    * luma_l1 is the exact 8×8-thumbnail L1 (native graft_l1) once per
+    * surviving pair. */
+  def c94VideoPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        videoFrameThumbs(id, y4mPayload(id)).map { case (f, t) =>
+          (id * 8 + f, dhash56(t), t.map(b => (b & 0xFF).toLong).toSeq)
+        }
+      })
+      .toDF("doc_id", "phash", "luma")
+    phashPairs(frames, valueCol = "luma", l1Name = "luma_l1")
+      // unpack the composite keys: frame_idx < 8, so the /8 split is
+      // exact bit arithmetic and fid order ≡ (doc, frame) lexicographic
+      .select(
+        shiftright(col("doc_a"), 3).as("doc_a"),
+        col("doc_a").bitwiseAND(lit(7L)).as("frame_a"),
+        shiftright(col("doc_b"), 3).as("doc_b"),
+        col("doc_b").bitwiseAND(lit(7L)).as("frame_b"),
+        col("hamming"), col("luma_l1"))
+      .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
   }
 
   /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):

@@ -735,6 +735,28 @@ class CliSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("c93 gate row ≡ Main phash --pairs on an audio-only media parquet") {
+    import graft.operators.Multimodal
+    val tmp = Files.createTempDirectory("graft-cli-phash-audio-").toString
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(r => r.media_type == "audio").collect().toSeq
+    import spark.implicits._
+    spark.createDataset(recs).write.parquet(s"$tmp/media.parquet")
+    Main.main(Array("phash", "--in", s"$tmp/media.parquet",
+      "--out", s"$tmp/pairs", "--pairs"))
+    val cli = spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // the oracled c93 gate row and the CLI surface are the same banding
+    // on the same shared hash — c93 additionally verifies env_l1
+    val gate = Multimodal.c93AudioPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(cli == gate,
+      s"cli-only=${(cli -- gate).take(3)}, gate-only=${(gate -- cli).take(3)}")
+    assert(cli.nonEmpty)
+  }
+
   test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-bpe-").toString

@@ -945,6 +945,73 @@ class DedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.phashPairs(frames, 4) }
   }
 
+  test("c93 audio pairs are banding-complete at hamming <= 3 with exact envelope L1") {
+    val frames = Multimodal.audioPhashFrames(spark, sfDir)
+    val rows = frames.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("phash"), r.getSeq[Long](2).toVector))
+    rows.foreach { case (id, ph, env) =>
+      assert(id % 3 == 1, s"non-audio doc $id in the audio pair frame")
+      assert(env.length == 57, s"doc $id: envelope is not the 57-point resample")
+      // the hash IS the envelope's delta signs — shared derivation (d29)
+      assert(ph == Multimodal.audioPhashOf(id, Multimodal.wavPayload(id)))
+    }
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      ham = java.lang.Long.bitCount(a._2 ^ b._2).toLong if ham <= 3
+    } yield (a._1, b._1, ham,
+      a._3.zip(b._3).map { case (x, y) => math.abs(x - y) }.sum)).toSet
+    val got = Multimodal.c93AudioPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("env_l1"))).toSet
+    assert(got == want,
+      s"banded-only=${(got -- want).take(3)}, brute-only=${(want -- got).take(3)}")
+    assert(got.nonEmpty)
+    // the plan must be a banded equi-join, never all-pairs — even though
+    // the ramp-shaped synthetic audio makes the OUTPUT a near-complete
+    // graph (the corpus's envelopes really are near-identical)
+    val plan = Multimodal.c93AudioPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"audio pairs must band, not cross join:\n$plan")
+  }
+
+  test("c94 video frame pairs are banding-complete at hamming <= 3 with exact luma L1") {
+    import spark.implicits._
+    // brute truth at frame grain, straight off the shared demux + sampler
+    val frames = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2).as[Long].collect()
+      .flatMap { id =>
+        Multimodal.videoFrameThumbs(id, Multimodal.y4mPayload(id)).map {
+          case (f, t) => (id, f, Multimodal.dhash56(t),
+            t.map(b => (b & 0xFF).toLong).toVector)
+        }
+      }
+    val want = (for {
+      a <- frames; b <- frames
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      ham = java.lang.Long.bitCount(a._3 ^ b._3).toLong if ham <= 3
+    } yield (a._1, a._2, b._1, b._2, ham,
+      a._4.zip(b._4).map { case (x, y) => math.abs(x - y) }.sum)).toSet
+    val got = Multimodal.c94VideoPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("frame_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("frame_b"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("luma_l1"))).toSet
+    assert(got == want,
+      s"banded-only=${(got -- want).take(3)}, brute-only=${(want -- got).take(3)}")
+    // intra-video pairs are kept (adjacent near-identical frames ARE dup
+    // spans) and cross-video matches exist (offset-congruent rasters)
+    assert(got.exists { case (da, _, db, _, _, _) => da == db },
+      "no intra-video frame pair found — the fid packing dropped them")
+    assert(got.exists { case (da, _, db, _, _, _) => da != db },
+      "no cross-video frame pair found")
+    val plan = Multimodal.c94VideoPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame pairs must band, not cross join:\n$plan")
+  }
+
   test("c53 JPEG transcode is a real lossy codec loop with bounded error") {
     for (id <- Seq(1L, 4L, 13L, 34L)) { // the c53 subset (doc_id % 3 == 1)
       val pgm = Multimodal.pgmPayload(id)
