@@ -95,13 +95,53 @@ object Main {
     case Some("bpe-train") => bpeTrain(args.drop(1))
     case Some("unigram-train") => unigramTrain(args.drop(1))
     case Some("tokenize") => tokenize(args.drop(1))
+    case Some("cluster-update") => clusterUpdate(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
-          "select|contain|phash|curriculum|bpe-train|unigram-train|tokenize ...")
+          "select|contain|phash|curriculum|bpe-train|unigram-train|" +
+          "tokenize|cluster-update ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main cluster-update --new NEW_PARQUET --corpus CORPUS_PARQUET
+    * --labels LABELS_PARQUET --out OUT [--threshold T]` — incremental
+    * cluster maintenance (SURVEY §2 c95): unions the new crawl's
+    * verified near-dup edges into the FROZEN (node, cluster_id) label
+    * table and re-runs connected components confined to touched
+    * components; untouched labels pass through verbatim. The output is
+    * the maintained label table — equal, row for row, to a full
+    * re-cluster of the merged corpus (the equivalence c95's oracle
+    * checks every round), at per-crawl cost that scales with the batch
+    * plus touched components, never the corpus. One JSON stats line. */
+  private def clusterUpdate(args: Array[String]): Unit = {
+    import graft.operators.Dedup
+    val newIn = opt(args, "--new").getOrElse(sys.error("--new required"))
+    val corpusIn = opt(args, "--corpus").getOrElse(sys.error("--corpus required"))
+    val labelsIn = opt(args, "--labels").getOrElse(sys.error("--labels required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
+    val spark = GraftSession.get()
+    def docsFrame(path: String) = {
+      val d = spark.read.parquet(path)
+      require(Seq("doc_id", "text").forall(d.columns.contains),
+        s"input $path must have (doc_id, text) columns, " +
+          s"found ${d.columns.mkString("(", ", ", ")")}")
+      d.select("doc_id", "text")
+    }
+    val labels = spark.read.parquet(labelsIn)
+    require(Seq("node", "cluster_id").forall(labels.columns.contains),
+      s"label table $labelsIn must have (node, cluster_id) columns, " +
+        s"found ${labels.columns.mkString("(", ", ", ")")}")
+    val before = labels.count()
+    Dedup.incrementalClusters(docsFrame(newIn), docsFrame(corpusIn),
+        labels, threshold)
+      .write.mode("overwrite").parquet(out)
+    val after = spark.read.parquet(out).count()
+    println(s"""{"labels_before":$before,"labels_after":$after,""" +
+      s""""threshold":$threshold,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main bpe-train --in PARQUET --out MERGES [--rounds N]

@@ -115,6 +115,7 @@ object SparkEntry {
     "c92_soft_dedup" -> ((s: SparkSession, d: String) => Dedup.c92SoftDedup(s, d)),
     "c93_audio_pairs" -> (Multimodal.c93AudioPairs _),
     "c94_video_pairs" -> (Multimodal.c94VideoPairs _),
+    "c95_incr_clusters" -> ((s: SparkSession, d: String) => Dedup.c95IncrClusters(s, d)),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -719,8 +720,14 @@ object SparkEntry {
       |          ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rnk
       |      FROM s)""".stripMargin
 
-  private def clusterCte: String =
-    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+  private def clusterCte: String = "WITH RECURSIVE " + clusterCteBody("documents")
+
+  /** c19's cluster CTE chain over an arbitrary (doc_id, text) relation
+    * (r16: c95 runs it over the MERGED corpus — documents ∪ re-keyed
+    * recrawls). No `WITH RECURSIVE` prefix so a caller can prepend its
+    * own CTEs. */
+  private def clusterCteBody(rel: String): String =
+    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM $rel),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
       |       FROM tok, UNNEST(range(1, len(tk)-1)) AS u(i)),
       |shl AS (SELECT doc_id, count(*) AS ns, list(shingle) AS sl FROM sh GROUP BY doc_id),
@@ -747,6 +754,24 @@ object SparkEntry {
       |reach AS (SELECT u, v FROM ed
       |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
       |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)""".stripMargin
+
+  /** DuckDB rendering of c95 (r16): the FULL re-cluster of the merged
+    * corpus (documents ∪ re-keyed recrawls) in c19's surface shape. The
+    * Spark side runs the INCREMENTAL maintenance (frozen labels + new
+    * edges + confined CC), so this gate row engine-checks the
+    * add-then-maintain ≡ full-re-cluster equivalence every round. */
+  private def c95OracleSql: String =
+    s"""WITH RECURSIVE dm AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000000, text FROM documents
+       |  WHERE doc_id % 11 = 5 AND doc_id % 7 != 3),
+       |${clusterCteBody("dm")}
+       |SELECT d.doc_id,
+       |  CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
+       |  least(COALESCE(l.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+       |FROM dm d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB rendering of the c6/c11 LSH bucket: the SAME seeded plane
     * matrix the Spark expression uses (VectorFunctions.lshPlanes),
@@ -865,6 +890,11 @@ object SparkEntry {
         // fid = doc·8 + frame keys; exact verify = luma thumbnail L1)
         + ("c93_audio_pairs" -> c93OracleSql(base("c90_audio_phash")))
         + ("c94_video_pairs" -> c94OracleSql(base("c91_video_phash")))
+        // c95 (r16): the oracle is the FULL re-cluster of the merged
+        // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
+        // side maintains the frozen labels incrementally — the gate row
+        // IS the add-then-maintain ≡ full-re-cluster equivalence check
+        + ("c95_incr_clusters" -> c95OracleSql)
         // c92 composes c19's cluster CTEs (c82's rule: the weights must
         // discount exactly the clusters the gate verifies)
         + ("c92_soft_dedup" -> c92OracleSql)

@@ -309,6 +309,190 @@ object Dedup {
     incrementalDedup(incoming, existing, threshold, existingShingles = Some(shEx))
   }
 
+  /** Incremental CLUSTER maintenance (r16, SURVEY §2 c95) — the gap the
+    * r15 verdict ranked #2: [[incrementalDedup]] classifies each new doc
+    * but the cluster label table behind c19/c30/c82/c92 was batch-only,
+    * forcing a full corpus re-cluster per crawl. This unions the new
+    * crawl's verified edges into the FROZEN label table and re-runs
+    * connected components confined to TOUCHED components only:
+    *
+    *  1. new-touching candidate pairs via the SAME banding as c2
+    *     (new-vs-new self-join + new-vs-corpus join against the at-rest
+    *     band keys), exact-jaccard verified at the 6-dp threshold;
+    *  2. touched components = existing clusters containing any endpoint
+    *     of a new edge (one equi-join against the label table);
+    *  3. CC (large-star/small-star) over {new edges} ∪ {touched
+    *     components' star edges} — the star set preserves those
+    *     components' connectivity exactly, so the confined pass computes
+    *     the SAME merged components a full re-cluster would;
+    *  4. untouched components' labels pass through VERBATIM.
+    *
+    * Because labels are canonical (cluster_id = component minimum), the
+    * result EQUALS the full re-cluster of the merged corpus row for row
+    * — not merely isomorphic (equivalence spec + the c95 oracle, which
+    * IS the full-recluster SQL over the merged corpus). Existing docs
+    * that were singletons (absent from the label table) are handled by
+    * construction: a new edge reaching one carries it into the confined
+    * CC directly. Per-crawl cost scales with the batch + touched
+    * components, never the corpus: the corpus-side shingles/band keys
+    * are at-rest artifacts (inject via `existingShingles`), the label
+    * joins are O(labels) equi-joins on bigints, and the CC input is the
+    * touched-star + new-edge set. New doc_ids must be disjoint from the
+    * corpus (a clash would corrupt the shingle union) — checked, loud. */
+  def incrementalClusters(newDocs: DataFrame, existing: DataFrame,
+                          existingLabels: DataFrame, threshold: Double = 0.5,
+                          k: Int = 8, bands: Int = 4,
+                          existingShingles: Option[DataFrame] = None,
+                          newShingles: Option[DataFrame] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val clash = newDocs.select("doc_id")
+      .join(existing.select("doc_id"), "doc_id").limit(1).count()
+    require(clash == 0L,
+      "incrementalClusters: new doc_ids overlap the existing corpus — " +
+        "re-key the crawl (recrawl replays arrive re-keyed, c37's rule)")
+    val runId = ingestRuns.incrementAndGet()
+    val shNew = newShingles.getOrElse {
+      val p = graft.GraftSession
+        .scratchDir(s"incr-cluster-shingles-$runId").toString
+      shingleRows(newDocs.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val shEx = existingShingles.getOrElse(
+      shingleRows(existing.select(col("doc_id"), col("text"))))
+    val mhNew = minhashAgg(shNew, k)
+    val mhEx = minhashAgg(shEx, k)
+    val bkNew = bandKeysOf(mhNew, k, bands)
+    val bkEx = bandKeysOf(mhEx, k, bands)
+    // candidates touching ≥ 1 new doc; (doc_a, doc_b) normalized to
+    // (min, max) so the union dedups and the verify join stays canonical
+    val candNN = bkNew.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bkNew.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val candNE = bkNew.select(col("band"), col("key"), col("doc_id").as("n"))
+      .join(bkEx.select(col("band"), col("key"), col("doc_id").as("e")),
+        Seq("band", "key"))
+      .select(least(col("n"), col("e")).as("doc_a"),
+        greatest(col("n"), col("e")).as("doc_b"))
+    val cand = candNN.unionAll(candNE).distinct()
+    // exact-jaccard verify over the union shingle store (c2's contract:
+    // the 6-dp ROUNDED value thresholds, so engines agree on membership)
+    val sh = shNew.unionByName(shEx)
+    val sizes = mhNew.select(col("doc_id"), col("ns"))
+      .unionByName(mhEx.select(col("doc_id"), col("ns")))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    val newEdgesDf = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .filter(jaccardCol(col("ni"), col("na"), col("nb")) >= threshold)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // the edge set feeds two consumers (touched-component lookup + the
+    // CC input) — materialize it once, like the shingle seam above
+    val edgePath = graft.GraftSession
+      .scratchDir(s"incr-cluster-edges-$runId").toString
+    newEdgesDf.write.mode("overwrite").parquet(edgePath)
+    val newEdges = spark.read.parquet(edgePath)
+    val lbl = existingLabels.select(col("node"), col("cluster_id"))
+    val touchedRoots = newEdges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .join(lbl, "node").select("cluster_id").distinct()
+    val touchedStars = lbl.join(touchedRoots, "cluster_id")
+      .select(col("node").as("u"), col("cluster_id").as("v"))
+    val (relabels, _) =
+      connectedComponentsAlternating(newEdges.unionAll(touchedStars))
+    lbl.join(touchedRoots, Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+      .unionByName(relabels.select(col("node"), col("cluster_id")))
+  }
+
+  /** Per-JVM memoized FROZEN label table of the c37 split's existing
+    * corpus (doc_id % 7 ≠ 3): c2 pairs confined to the slice fed through
+    * the alternating CC — the at-rest artifact [[c95IncrClusters]]
+    * maintains, so the gate row's per-run work is exactly the
+    * incremental pass (the production shape: labels are an at-rest
+    * table, only the crawl is processed per run). */
+  private val incrBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def incrBaseLabelsPath(spark: SparkSession, dir: String,
+                                        threshold: Double = 0.5): String =
+    incrBaseCache.computeIfAbsent(s"$dir#$threshold", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"incr-base-labels-$threshold-${graft.sources.JsonConvert.pathKey(dir)}")
+        .toString
+      val shEx = spark.read.parquet(shingleTablePath(spark, dir))
+        .filter(col("doc_id") % 7 =!= 3)
+      val pairs = c2DedupMinhash(spark, dir, shingleTable = Some(shEx))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      connectedComponentsAlternating(pairs)._1
+        .select(col("node"), col("cluster_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c95 gate row (r16): [[incrementalClusters]] over c37's split —
+    * existing corpus = doc_id % 7 ≠ 3 with its frozen label table;
+    * incoming = the % 7 = 3 slice plus re-keyed byte-identical recrawls
+    * (jaccard-1 bridges that force real cluster merges) — surfaced in
+    * c19's shape over the MERGED corpus (every doc labeled, singletons
+    * self-labeled). The ORACLE is the full re-cluster of the merged
+    * corpus (c19's cluster CTEs over documents ∪ recrawls): the gate
+    * therefore engine-checks the add-then-maintain ≡ full-re-cluster
+    * equivalence itself, every round. */
+  /** Per-JVM memoized MAINTAINED label table (c19's one-CC-pass rule,
+    * applied to the incremental pass): the add-then-maintain run
+    * executes once per (dir, threshold) and the gate row reads its
+    * at-rest result — the production shape, where maintenance runs once
+    * per crawl and every downstream consumer reads the updated table. */
+  private val incrResultCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def incrClustersTablePath(spark: SparkSession, dir: String,
+                                           threshold: Double = 0.5): String =
+    incrResultCache.computeIfAbsent(s"$dir#$threshold", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"incr-clusters-$threshold-${graft.sources.JsonConvert.pathKey(dir)}")
+        .toString
+      val docs = Tables.documents(spark, dir)
+      val existing = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs
+          .filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+      val lbl = spark.read.parquet(incrBaseLabelsPath(spark, dir, threshold))
+      val shEx = spark.read.parquet(shingleTablePath(spark, dir))
+        .filter(col("doc_id") % 7 =!= 3)
+      incrementalClusters(incoming, existing, lbl, threshold,
+        existingShingles = Some(shEx))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  def c95IncrClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inc = spark.read
+      .parquet(incrClustersTablePath(spark, dir, threshold))
+    val merged = docs.select(col("doc_id"))
+      .unionAll(docs
+        .filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+        .select((col("doc_id") + 1000000000000L).as("doc_id")))
+    merged
+      .join(inc.select(col("node").as("doc_id"), col("cluster_id").as("cc")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over a (doc_id, text) frame: each distinct lowercase
     * token votes ±1 on every bit of its xxhash64; the sign of each bit's
     * vote total becomes that simhash bit. Computed by the native codegen'd

@@ -757,6 +757,33 @@ class CliSpec extends SparkSpec {
     assert(cli.nonEmpty)
   }
 
+  test("cluster-update subcommand maintains the at-rest label table incrementally") {
+    import graft.operators.Dedup
+    val tmp = Files.createTempDirectory("graft-cli-clupd-").toString
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // the c37 split: existing corpus + its frozen labels at rest, a new
+    // crawl (genuinely new docs + re-keyed byte-identical recrawls)
+    docs.filter(col("doc_id") % 7 =!= 3).write.parquet(s"$tmp/corpus.parquet")
+    docs.filter(col("doc_id") % 7 === 3)
+      .unionAll(docs.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+      .write.parquet(s"$tmp/crawl.parquet")
+    spark.read.parquet(Dedup.incrBaseLabelsPath(spark, sfDir))
+      .write.parquet(s"$tmp/labels.parquet")
+    Main.main(Array("cluster-update", "--new", s"$tmp/crawl.parquet",
+      "--corpus", s"$tmp/corpus.parquet", "--labels", s"$tmp/labels.parquet",
+      "--out", s"$tmp/updated"))
+    val got = spark.read.parquet(s"$tmp/updated").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("cluster_id"))).toSet
+    // the CLI runs exactly the library maintenance pass — whose result
+    // the c95 equivalence spec pins to the full re-cluster
+    val want = spark.read.parquet(Dedup.incrClustersTablePath(spark, sfDir))
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("cluster_id"))).toSet
+    assert(got == want,
+      s"cli-only=${(got -- want).take(5)}, lib-only=${(want -- got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-bpe-").toString

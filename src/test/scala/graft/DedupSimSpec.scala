@@ -945,6 +945,54 @@ class DedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.phashPairs(frames, 4) }
   }
 
+  test("c95 incremental cluster maintenance ≡ full re-cluster on the merged corpus") {
+    // the theorem the operator rests on, proved in Spark terms: frozen
+    // labels + new-touching edges + CC confined to touched components
+    // EQUALS a from-scratch re-cluster of the merged corpus — exactly,
+    // not just isomorphic, because labels are canonical component minima
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val merged = docs.unionAll(
+      docs.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+    val fullLabels = Dedup.connectedComponentsAlternating(
+      Dedup.c2DedupMinhash(spark, sfDir,
+          shingleTable = Some(Dedup.shingleRows(merged)))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = spark.read
+      .parquet(Dedup.incrClustersTablePath(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == fullLabels,
+      s"inc-only=${(inc -- fullLabels).take(5)}, " +
+        s"full-only=${(fullLabels -- inc).take(5)}")
+    // the merge machinery was exercised: recrawl replays (re-keyed ids)
+    // are jaccard-1 bridges, so clustered recrawl nodes must exist
+    assert(inc.exists(_._1 >= 1000000000000L),
+      "no recrawl node was clustered — the bridges tested nothing")
+    // canonical stability: at least one frozen label survives verbatim
+    // (untouched components pass through) — and the pass-through is not
+    // vacuous (some frozen label was superseded by a merge)
+    val base = spark.read
+      .parquet(Dedup.incrBaseLabelsPath(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((base intersect inc).nonEmpty,
+      "no untouched component survived — confinement untestable here")
+    // a node can only ever move to a SMALLER label (merges lower minima)
+    val incByNode = inc.toMap
+    base.foreach { case (node, lblId) =>
+      assert(incByNode(node) <= lblId,
+        s"node $node label rose $lblId -> ${incByNode(node)}")
+    }
+    // overlapping ids refuse loudly (a clash corrupts the shingle union)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalClusters(
+        docs.limit(5), docs,
+        spark.read.parquet(Dedup.incrBaseLabelsPath(spark, sfDir)))
+    }
+  }
+
   test("c93 audio pairs are banding-complete at hamming <= 3 with exact envelope L1") {
     val frames = Multimodal.audioPhashFrames(spark, sfDir)
     val rows = frames.collect().map(r => (r.getAs[Long]("doc_id"),
