@@ -836,6 +836,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** At-rest (text-md5 → weight_r) index for d45's streaming soft-dedup
+    * weights: c92's weights keyed by CONTENT hash, so a byte-identical
+    * replay arriving at ingest inherits its cluster's loss weight
+    * without any id coordination (recrawls arrive re-keyed — c37's
+    * rule). Identical texts are jaccard-1 near-dups, so they share a
+    * cluster and therefore a weight — the distinct is exact, never
+    * lossy. d11/d25's materialized-table rule: corpus-sized, at scale
+    * bucketed by h so the per-batch probe joins are co-located. */
+  def softWeightIndexOf(spark: SparkSession, dir: String): DataFrame =
+    c92SoftDedup(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id")
+      .select(md5(col("text")).as("h"), col("weight_r"))
+      .distinct()
+
   /** c30: leakage-safe train/val/test split — c14's content-hash split
     * keyed by the near-dup CLUSTER's canonical text instead of each doc's
     * own. c14 hashes per-doc, so two near-duplicates (one word apart)

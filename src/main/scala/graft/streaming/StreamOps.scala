@@ -1510,6 +1510,24 @@ object StreamOps {
       .unionByName(streamDupStarts(docs, strongIndex, strongN)
         .withColumn("strong", lit(true)))
 
+  /** d45: streaming SOFT-DEDUP weights at ingest — c92's serving twin
+    * (r16): each arriving doc gets the loss weight a trainer should
+    * apply, by probing the at-rest (text-md5 → weight_r) index
+    * ([[graft.operators.Dedup.softWeightIndexOf]] materialized as
+    * parquet — d11/d25's table rule, at scale bucketed by h). A
+    * byte-identical replay of a corpus doc inherits 1/|its cluster|;
+    * an unseen doc weights exactly 1.0 (it IS a singleton until the
+    * next batch maintenance pass — c95's job — folds it in). Stateless
+    * zero-state stream-static equi-join; the arrival-side md5 is the
+    * SAME expression the index is built from (d29's shared-subtree
+    * rule), so the hash contract holds by construction. */
+  def streamSoftWeight(docs: DataFrame, weightIndex: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(weightIndex.select(col("h"), col("weight_r").as("w")),
+        Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("w"), lit(1.0)).as("weight_r"))
+
   /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
     * d14's lexical analogue: each arriving doc is routed to the
     * existing substring-duplication group(s) it belongs to, by probing

@@ -1839,6 +1839,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d45 streaming soft-dedup weights: replays inherit 1/|cluster|, unseen docs weight 1.0") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-d45-idx-").toString
+    Dedup.softWeightIndexOf(spark, sfDir).write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    // a corpus doc KNOWN to sit in a non-singleton cluster: its replay
+    // must inherit a weight strictly below 1.0
+    val clustered = Dedup.c92SoftDedup(spark, sfDir)
+      .filter(col("cluster_size") > 1).head()
+    val srcId = clustered.getAs[Long]("doc_id")
+    val srcW = clustered.getAs[Double]("weight_r")
+    assert(srcW < 1.0)
+    val srcText = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === srcId).head().getAs[String]("text")
+    val arrivals = Seq(
+      (70001L, srcText),                                  // replay → 1/|cluster|
+      (70002L, "genuinely new material never seen before"), // unseen → 1.0
+      (70003L, null.asInstanceOf[String]))                // null → filtered
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamSoftWeight(
+        stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d45_sink").start()
+    try {
+      stream.addData(arrivals.take(1)); q.processAllAvailable()
+      stream.addData(arrivals.drop(1)); q.processAllAvailable()
+      val got = spark.table("d45_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("weight_r"))).toMap
+      assert(got == Map(70001L -> srcW, 70002L -> 1.0),
+        s"expected replay at $srcW and unseen at 1.0, got $got")
+      // full-replay parity: the stream result ≡ the batch probe of the
+      // same arrivals through the same expression
+      val batch = StreamOps.streamSoftWeight(
+          arrivals.toDF("doc_id", "text"), index)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Double]("weight_r"))).toMap
+      assert(got == batch, "stream must equal the batch probe")
+    } finally q.stop()
+  }
+
   test("d31 streaming byte-level tokenize: stream ≡ batch, any byte sequence round-trips") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
