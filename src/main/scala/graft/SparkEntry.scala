@@ -116,6 +116,8 @@ object SparkEntry {
     "c93_audio_pairs" -> (Multimodal.c93AudioPairs _),
     "c94_video_pairs" -> (Multimodal.c94VideoPairs _),
     "c95_incr_clusters" -> ((s: SparkSession, d: String) => Dedup.c95IncrClusters(s, d)),
+    "c96_domain_cap" -> ((s: SparkSession, d: String) => graft.operators.Curation.c96DomainCap(s, d)),
+    "c97_domain_stats" -> ((s: SparkSession, d: String) => graft.operators.Curation.c97DomainStats(s, d)),
     "c86_curriculum" -> ((s: SparkSession, d: String) => graft.operators.Curriculum.c86Curriculum(s, d)),
     "c39_chunk" -> ((s: SparkSession, d: String) => TextOps.c39Chunk(s, d)),
     "c40_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.c40ShuffleShard(s, d)),
@@ -557,6 +559,53 @@ object SparkEntry {
        |WHERE bit_count(xor(c.ha, c.hb)) <= 3
        |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
 
+  /** The derived-URL CTE chain shared by the curation oracles (r16,
+    * c96/c97): the SAME (source, lang, doc_id) → messy-URL derivation
+    * Curation.urlCol builds, then the SAME host-capture + www-strip
+    * regex extraction — engine-checked end-to-end. */
+  private def urlCtes: String =
+    """u AS (SELECT doc_id, text,
+      |        'https://www.' || source || '.example.com/' || lang ||
+      |        '/article-' || CAST(doc_id AS VARCHAR) ||
+      |        '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      |      FROM documents),
+      |dom AS (SELECT doc_id, text,
+      |          regexp_replace(regexp_extract(url, '^https?://([^/]+)/', 1),
+      |                         '^www\.', '') AS domain
+      |        FROM u)""".stripMargin
+
+  /** DuckDB rendering of c96: the derived-URL extraction + c41's score
+    * subquery + the single per-domain rank window (equal to the Spark
+    * side's salted two-phase top-k because the sort key is total). */
+  private def c96OracleSql(c41Sql: String): String =
+    s"""WITH $urlCtes,
+       |sc AS (SELECT doc_id, mean_prob_r FROM (${c41Sql.replace("\n", "\n  ")})),
+       |r AS (SELECT dom.domain, dom.doc_id, sc.mean_prob_r,
+       |        CAST(row_number() OVER (PARTITION BY dom.domain
+       |          ORDER BY sc.mean_prob_r DESC, dom.doc_id ASC) AS BIGINT) AS rnk
+       |      FROM dom JOIN sc ON sc.doc_id = dom.doc_id)
+       |SELECT domain, rnk, doc_id, mean_prob_r
+       |FROM r WHERE rnk <= 10 ORDER BY domain, rnk""".stripMargin
+
+  /** DuckDB rendering of c97: the derived-URL extraction + per-domain
+    * doc/token mass, exact-integer half-away 6-dp share, and the
+    * inlined blocklist literal (the c52 drift-pinning rule applied to
+    * policy). */
+  private def c97OracleSql: String = {
+    val block = graft.operators.Curation.DefaultBlocklist
+      .map(d => s"'$d'").mkString(", ")
+    s"""WITH $urlCtes,
+       |g AS (SELECT domain, count(*) AS n_docs,
+       |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |      FROM dom GROUP BY domain),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM g)
+       |SELECT domain, n_docs, n_tokens,
+       |  CAST((2*n_docs*1000000 + total_docs) // (2*total_docs) AS DOUBLE)
+       |    / 1000000 AS share_r,
+       |  domain IN ($block) AS is_blocked
+       |FROM g, t ORDER BY domain""".stripMargin
+  }
+
   /** DuckDB rendering of c84: the three fertility oracles as
     * subqueries, each folded to its corpus-level row, plus the r15
     * OOV/coverage column — char-BPE re-derives the alphabet-miss count
@@ -895,6 +944,10 @@ object SparkEntry {
         // side maintains the frozen labels incrementally — the gate row
         // IS the add-then-maintain ≡ full-re-cluster equivalence check
         + ("c95_incr_clusters" -> c95OracleSql)
+        // c96 composes c41's score SQL (c50's rule); the oracle keeps
+        // the single-window formulation the Spark side salts around
+        + ("c96_domain_cap" -> c96OracleSql(base("c41_freq_score")))
+        + ("c97_domain_stats" -> c97OracleSql)
         // c92 composes c19's cluster CTEs (c82's rule: the weights must
         // discount exactly the clusters the gate verifies)
         + ("c92_soft_dedup" -> c92OracleSql)

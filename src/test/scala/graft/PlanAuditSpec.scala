@@ -193,6 +193,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s"cartesian in grouped top-k:\n$s")
   }
 
+  test("c96 plan: per-domain cap rides the salted two-phase top-k (c50's shield)") {
+    val s = executedPlanOf(graft.operators.Curation.c96DomainCap(spark, sfDir))
+    // the skew shield matters MOST here: the pathological hot domain is
+    // exactly what a per-domain cap exists for — the first window must
+    // partition on (domain, pmod(doc_id, salts))
+    assert(s.contains("pmod"), s"salted window partitioning missing:\n$s")
+    val domOnly = "hashpartitioning\\(domain#\\d+, \\d+\\)".r
+    val m = domOnly.findAllMatchIn(s).toSeq
+    assert(m.nonEmpty, s"per-domain final window exchange missing:\n$s")
+    assert(m.head.start < s.indexOf("pmod"),
+      s"domain-only window does not sit above the salted pass:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in domain cap:\n$s")
+  }
+
   test("c51 plan: type filter precedes the codec loop; no shuffle before the output sort") {
     val s = executedPlanOf(graft.operators.Multimodal.c51ImageCodec(spark, sfDir))
     // the doc_id % 3 predicate must evaluate scan-side, BEFORE the

@@ -241,6 +241,61 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("c96/c97 domain curation: extraction round-trips, caps bind, blocklist exact") {
+    import graft.operators.Curation
+    // the derived provenance extraction recovers exactly the source-based
+    // registrable domain for every doc — the regex ran over a messy URL
+    val prov = Curation.provenance(spark, sfDir)
+      .select("doc_id", "url", "domain").collect()
+    assert(prov.nonEmpty)
+    prov.foreach { r =>
+      val url = r.getAs[String]("url")
+      assert(url.startsWith("https://www.") && url.contains("?ref="),
+        s"derived url lost its messy parts: $url")
+      val host = url.stripPrefix("https://").takeWhile(_ != '/')
+      assert(r.getAs[String]("domain") == host.stripPrefix("www."),
+        s"extraction diverged for $url")
+    }
+    // c96: salting is invisible (salts=1 degenerates to the plain window)
+    val salted = Curation.c96DomainCap(spark, sfDir, k = 10, salts = 8)
+    val plain = Curation.c96DomainCap(spark, sfDir, k = 10, salts = 1)
+    assert(salted.collect().toSeq == plain.collect().toSeq,
+      "salting changed the selected per-domain top-k")
+    val rows = salted.collect()
+    rows.groupBy(_.getAs[String]("domain")).foreach { case (dom, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length).toSeq, s"ranks not dense for $dom")
+      assert(sorted.length <= 10, s"cap exceeded for $dom")
+    }
+    // every kept doc outscores (or tie-breaks below) every dropped doc of
+    // its domain — the cap keeps the BEST k, not an arbitrary k
+    val kept = rows.map(r => (r.getAs[String]("domain"),
+      r.getAs[Long]("doc_id"))).toSet
+    val worstKept = rows.groupBy(_.getAs[String]("domain")).map { case (d, rs) =>
+      d -> rs.map(r => (r.getAs[Double]("mean_prob_r"),
+        -r.getAs[Long]("doc_id"))).min
+    }
+    Curation.provenance(spark, sfDir).select("doc_id", "domain")
+      .join(graft.operators.TextOps.c41FreqScore(spark, sfDir)
+        .select("doc_id", "mean_prob_r"), "doc_id")
+      .collect()
+      .filterNot(r => kept((r.getAs[String]("domain"), r.getAs[Long]("doc_id"))))
+      .foreach { r =>
+        val d = r.getAs[String]("domain")
+        val dropped = (r.getAs[Double]("mean_prob_r"), -r.getAs[Long]("doc_id"))
+        assert(Ordering[(Double, Long)].lteq(dropped, worstKept(d)),
+          s"dropped doc ${r.getAs[Long]("doc_id")} outranks a kept doc in $d")
+      }
+    // c97: blocklist flags exactly the policy list; shares sum to ~1
+    val stats = Curation.c97DomainStats(spark, sfDir).collect()
+    assert(stats.filter(_.getAs[Boolean]("is_blocked"))
+      .map(_.getAs[String]("domain")).toSet ==
+      Curation.DefaultBlocklist.toSet)
+    val shareSum = stats.map(_.getAs[Double]("share_r")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"domain shares sum to $shareSum")
+  }
+
   test("c50 salted grouped top-k equals the plain single-window reference") {
     import graft.operators.TextOps
     val salted = TextOps.c50GroupBudget(spark, sfDir, k = 50, salts = 8)
