@@ -466,25 +466,28 @@ object SparkEntry {
        |sg AS (SELECT doc_id, phash, j,
        |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
        |       FROM hs, range(0, 4) jj(j)),
+       |-- hamming pushed INTO the candidate set (r16): the exact-verify
+       |-- stage must only ever see the ≤-radius survivors, not the full
+       |-- band-collision set (8× bigger on the clustered corpora)
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.phash AS ha, b.phash AS hb
        |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
-       |                            AND a.doc_id < b.doc_id),
+       |                            AND a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
        |img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
        |        FROM documents WHERE doc_id % 3 = 0),
-       |px AS (SELECT doc_id, r, x,
+       |px AS (SELECT doc_id, r*8 + x AS pt,
        |         (doc_id*31 + ((r*h//8)*w + (x*w//8))*7) % 256 AS p
        |       FROM img, range(0, 8) rr(r), range(0, 8) xx(x)),
-       |pl AS (SELECT c.doc_a, c.doc_b,
-       |         CAST(sum(abs(pa.p - pb.p)) AS BIGINT) AS pix_l1
-       |       FROM cand c
-       |       JOIN px pa ON pa.doc_id = c.doc_a
-       |       JOIN px pb ON pb.doc_id = c.doc_b AND pa.r = pb.r AND pa.x = pb.x
-       |       GROUP BY c.doc_a, c.doc_b)
+       |tl AS (SELECT doc_id, list(p ORDER BY pt) AS lv FROM px GROUP BY doc_id)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming, pl.pix_l1
-       |FROM cand c JOIN pl ON pl.doc_a = c.doc_a AND pl.doc_b = c.doc_b
-       |WHERE bit_count(xor(c.ha, c.hb)) <= 3
+       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> abs(la.lv[CAST(i AS INT)] - lb.lv[CAST(i AS INT)])))
+       |    AS BIGINT) AS pix_l1
+       |FROM cand c
+       |JOIN tl la ON la.doc_id = c.doc_a
+       |JOIN tl lb ON lb.doc_id = c.doc_b
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
   /** DuckDB rendering of c93 (r16): c89's composition for the audio
@@ -498,25 +501,26 @@ object SparkEntry {
        |sg AS (SELECT doc_id, phash, j,
        |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
        |       FROM hs, range(0, 4) jj(j)),
+       |-- hamming pushed INTO cand (r16): see c89OracleSql
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.phash AS ha, b.phash AS hb
        |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
-       |                            AND a.doc_id < b.doc_id),
+       |                            AND a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
        |aud AS (SELECT doc_id, 64 + doc_id % 129 AS n
        |        FROM documents WHERE doc_id % 3 = 1),
        |ev AS (SELECT doc_id, j,
        |         ((doc_id*131 + ((j*n)//57)*17) % 65536) - 32768 AS p
        |       FROM aud, range(0, 57) jj(j)),
-       |el AS (SELECT c.doc_a, c.doc_b,
-       |         CAST(sum(abs(ea.p - eb.p)) AS BIGINT) AS env_l1
-       |       FROM cand c
-       |       JOIN ev ea ON ea.doc_id = c.doc_a
-       |       JOIN ev eb ON eb.doc_id = c.doc_b AND ea.j = eb.j
-       |       GROUP BY c.doc_a, c.doc_b)
+       |tl AS (SELECT doc_id, list(p ORDER BY j) AS lv FROM ev GROUP BY doc_id)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming, el.env_l1
-       |FROM cand c JOIN el ON el.doc_a = c.doc_a AND el.doc_b = c.doc_b
-       |WHERE bit_count(xor(c.ha, c.hb)) <= 3
+       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming,
+       |  CAST(list_sum(list_transform(range(1, 58),
+       |    i -> abs(la.lv[CAST(i AS INT)] - lb.lv[CAST(i AS INT)])))
+       |    AS BIGINT) AS env_l1
+       |FROM cand c
+       |JOIN tl la ON la.doc_id = c.doc_a
+       |JOIN tl lb ON lb.doc_id = c.doc_b
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
   /** DuckDB rendering of c94 (r16): c89's composition at FRAME grain —
@@ -532,10 +536,14 @@ object SparkEntry {
        |sg AS (SELECT fid, phash, j,
        |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
        |       FROM fid, range(0, 4) jj(j)),
+       |-- hamming pushed INTO cand (r16): the band-collision set here is
+       |-- 12.8M pairs at sf0.1 but only 1.6M survive the radius — the
+       |-- exact verify must never run on the other 11M (516 s → 4 s)
        |cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb,
        |                a.phash AS ha, b.phash AS hb
        |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
-       |                            AND a.fid < b.fid),
+       |                            AND a.fid < b.fid
+       |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
        |vid AS (SELECT doc_id, 8 + 2*(doc_id % 5) AS w,
        |               8 + 2*(doc_id % 4) AS h, 3 + doc_id % 6 AS frames
        |        FROM documents WHERE doc_id % 3 = 2),
@@ -544,19 +552,18 @@ object SparkEntry {
        |th AS (SELECT doc_id*8 + f AS fid, r*8 + x AS pt,
        |         (doc_id*7 + f*101 + ((r*h//8)*w + (x*w//8))*13) % 256 AS p
        |       FROM fr, range(0, 8) rr(r), range(0, 8) xx(x)),
-       |pl AS (SELECT c.fa, c.fb,
-       |         CAST(sum(abs(ta.p - tb.p)) AS BIGINT) AS luma_l1
-       |       FROM cand c
-       |       JOIN th ta ON ta.fid = c.fa
-       |       JOIN th tb ON tb.fid = c.fb AND ta.pt = tb.pt
-       |       GROUP BY c.fa, c.fb)
+       |tl AS (SELECT fid, list(p ORDER BY pt) AS lv FROM th GROUP BY fid)
        |SELECT CAST(c.fa // 8 AS BIGINT) AS doc_a,
        |  CAST(c.fa % 8 AS BIGINT) AS frame_a,
        |  CAST(c.fb // 8 AS BIGINT) AS doc_b,
        |  CAST(c.fb % 8 AS BIGINT) AS frame_b,
-       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming, pl.luma_l1
-       |FROM cand c JOIN pl ON pl.fa = c.fa AND pl.fb = c.fb
-       |WHERE bit_count(xor(c.ha, c.hb)) <= 3
+       |  CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS hamming,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> abs(la.lv[CAST(i AS INT)] - lb.lv[CAST(i AS INT)])))
+       |    AS BIGINT) AS luma_l1
+       |FROM cand c
+       |JOIN tl la ON la.fid = c.fa
+       |JOIN tl lb ON lb.fid = c.fb
        |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
 
   /** The derived-URL CTE chain shared by the curation oracles (r16,
