@@ -96,14 +96,53 @@ object Main {
     case Some("unigram-train") => unigramTrain(args.drop(1))
     case Some("tokenize") => tokenize(args.drop(1))
     case Some("cluster-update") => clusterUpdate(args.drop(1))
+    case Some("domains") => domainsCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
-          "tokenize|cluster-update ...")
+          "tokenize|cluster-update|domains ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main domains --in PARQUET --out OUT [--cap K]
+    * [--block d1,d2,...]` — the per-domain curation surface (SURVEY §2
+    * c96/c97) over any (doc_id, url, text) parquet with REAL URLs:
+    * without `--cap`, writes the per-domain report (doc count, token
+    * mass, corpus share, blocklist verdict — what a corpus owner
+    * reviews); with `--cap K`, writes the capped survivor list (at most
+    * K docs per registrable domain, best-first by quality score — the
+    * C4/RefinedWeb anti-dominance stage). One JSON stats line. */
+  private def domainsCmd(args: Array[String]): Unit = {
+    import graft.operators.Curation
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val cap = opt(args, "--cap").map(_.toInt)
+    val block = opt(args, "--block")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Curation.DefaultBlocklist)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "url", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, url, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    cap match {
+      case Some(k) =>
+        Curation.domainCapOn(docs, k).write.mode("overwrite").parquet(out)
+        val stats = spark.read.parquet(out)
+          .agg(count(lit(1)), count_distinct(col("domain"))).head()
+        println(s"""{"kept":${stats.getLong(0)},"domains":${stats.getLong(1)},""" +
+          s""""cap":$k,"out":${jsonStr(out)}}""")
+      case None =>
+        Curation.domainStatsOn(docs, block).write.mode("overwrite").parquet(out)
+        val stats = spark.read.parquet(out)
+          .agg(count(lit(1)),
+            count(when(col("is_blocked"), lit(1)))).head()
+        println(s"""{"domains":${stats.getLong(0)},"blocked":${stats.getLong(1)},""" +
+          s""""out":${jsonStr(out)}}""")
+    }
   }
 
   /** `graft.Main cluster-update --new NEW_PARQUET --corpus CORPUS_PARQUET

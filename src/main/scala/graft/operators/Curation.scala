@@ -58,12 +58,17 @@ object Curation {
     * pathological domain is exactly the one the cap exists for. The
     * oracle keeps the single-window formulation (equal because the sort
     * key is total — the SeqColumn rule). */
-  def c96DomainCap(spark: SparkSession, dir: String, k: Int = 10,
-                   salts: Int = 8): DataFrame = {
+  /** Generic per-domain cap over any (doc_id, url, text) frame — the
+    * production shape, where URLs are real. Quality is c41's score
+    * computed over the given frame (words∘lower — the same tokens fn
+    * the gate's corpus scorer uses), so the gate row and a real-URL
+    * pipeline share the policy by construction. */
+  def domainCapOn(docs: DataFrame, k: Int = 10, salts: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = provenance(spark, dir).select("doc_id", "domain")
-      .join(TextOps.c41FreqScore(spark, dir).select("doc_id", "mean_prob_r"),
-        "doc_id")
+    val scored = docs.select(col("doc_id"), domainOf(col("url")).as("domain"))
+      .join(TextOps.freqScoreOn(docs.select(col("doc_id"), col("text")),
+          t => TextOps.words(lower(t)))
+        .select("doc_id", "mean_prob_r"), "doc_id")
     val local = Window.partitionBy(col("domain"), pmod(col("doc_id"), lit(salts)))
       .orderBy(desc("mean_prob_r"), asc("doc_id"))
     val global = Window.partitionBy("domain")
@@ -76,6 +81,10 @@ object Curation {
       .select(col("domain"), col("rnk"), col("doc_id"), col("mean_prob_r"))
       .orderBy("domain", "rnk")
   }
+
+  def c96DomainCap(spark: SparkSession, dir: String, k: Int = 10,
+                   salts: Int = 8): DataFrame =
+    domainCapOn(provenance(spark, dir), k, salts)
 
   /** Blocklisted domains — an at-rest policy artifact in production;
     * inlined as a literal here so the oracle pins the same list (the
@@ -91,10 +100,12 @@ object Curation {
     * O(domains) output, map-side combinable, nothing corpus-quadratic;
     * the filter stage a pipeline derives from this report is one
     * `isin`/anti-join on the domain column. */
-  def c97DomainStats(spark: SparkSession, dir: String,
-                     blocklist: Seq[String] = DefaultBlocklist): DataFrame = {
-    val base = provenance(spark, dir)
-      .select(col("domain"),
+  /** Generic per-domain report over any (doc_id, url, text) frame —
+    * the production shape; see [[c97DomainStats]]. */
+  def domainStatsOn(docs: DataFrame,
+                    blocklist: Seq[String] = DefaultBlocklist): DataFrame = {
+    val base = docs
+      .select(domainOf(col("url")).as("domain"),
         size(TextOps.words(col("text"))).cast("bigint").as("n_tokens"))
     val perDomain = base.groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
@@ -106,4 +117,8 @@ object Curation {
         col("domain").isin(blocklist: _*).as("is_blocked"))
       .orderBy("domain")
   }
+
+  def c97DomainStats(spark: SparkSession, dir: String,
+                     blocklist: Seq[String] = DefaultBlocklist): DataFrame =
+    domainStatsOn(provenance(spark, dir), blocklist)
 }

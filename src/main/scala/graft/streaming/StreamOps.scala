@@ -1510,6 +1510,24 @@ object StreamOps {
       .unionByName(streamDupStarts(docs, strongIndex, strongN)
         .withColumn("strong", lit(true)))
 
+  /** d46: streaming DOMAIN CURATION at ingest — c96/c97's serving twin
+    * (r16): each arriving (doc_id, url) extracts its registrable domain
+    * ROW-LOCALLY through the SAME host-capture + www-strip expressions
+    * the batch rows run ([[graft.operators.Curation.domainOf]] — d29's
+    * shared-subtree rule) and gets the static blocklist verdict — the
+    * one per-row decision a domain policy CAN take at ingest. Zero
+    * state, no watermark, no join; per-domain caps and corpus shares
+    * are corpus-level folds and stay batch (d26's rule — c96/c97's
+    * job). Emitted as a flag, not a filter, so the caller chooses
+    * flag-or-drop. */
+  def streamDomainFilter(docs: DataFrame,
+                         blocklist: Seq[String] =
+                           graft.operators.Curation.DefaultBlocklist): DataFrame =
+    docs.filter(col("url").isNotNull)
+      .select(col("doc_id"), col("url"),
+        graft.operators.Curation.domainOf(col("url")).as("domain"))
+      .withColumn("is_blocked", col("domain").isin(blocklist: _*))
+
   /** d45: streaming SOFT-DEDUP weights at ingest — c92's serving twin
     * (r16): each arriving doc gets the loss weight a trainer should
     * apply, by probing the at-rest (text-md5 → weight_r) index

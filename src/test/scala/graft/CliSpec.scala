@@ -784,6 +784,36 @@ class CliSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("domains subcommand: report + cap over a real-URL parquet equal the library pass") {
+    import graft.operators.Curation
+    val tmp = Files.createTempDirectory("graft-cli-domains-").toString
+    // a (doc_id, url, text) parquet with REAL (derived) URLs — the
+    // production shape the CLI contract requires
+    Curation.provenance(spark, sfDir).select("doc_id", "url", "text")
+      .write.parquet(s"$tmp/docs.parquet")
+    val docs = spark.read.parquet(s"$tmp/docs.parquet")
+    Main.main(Array("domains", "--in", s"$tmp/docs.parquet",
+      "--out", s"$tmp/report"))
+    val gotReport = spark.read.parquet(s"$tmp/report").collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_docs"),
+        r.getAs[Boolean]("is_blocked"))).toSet
+    val wantReport = Curation.domainStatsOn(docs).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_docs"),
+        r.getAs[Boolean]("is_blocked"))).toSet
+    assert(gotReport == wantReport)
+    assert(gotReport.exists(_._3), "default blocklist flagged nothing")
+    Main.main(Array("domains", "--in", s"$tmp/docs.parquet",
+      "--out", s"$tmp/capped", "--cap", "5"))
+    val gotCap = spark.read.parquet(s"$tmp/capped").collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))).toSet
+    val wantCap = Curation.domainCapOn(docs, 5).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(gotCap == wantCap)
+    assert(gotCap.groupBy(_._1).values.forall(_.size <= 5), "cap exceeded")
+  }
+
   test("bpe-train/tokenize subcommands: at-rest tokenizer equals the trained artifact") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-bpe-").toString

@@ -1882,6 +1882,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d46 streaming domain curation: row-local extraction + blocklist verdict, stream ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Curation
+    val arrivals = Seq(
+      (80001L, "https://www.src3.example.com/en/article-1?ref=0"), // blocked
+      (80002L, "https://www.src4.example.com/de/article-2?ref=1"), // clean
+      (80003L, "http://news.example.org/path/x"),                  // no www, http
+      (80004L, null.asInstanceOf[String]))                         // null → filtered
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamDomainFilter(
+        stream.toDF().toDF("doc_id", "url"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d46_sink").start()
+    try {
+      stream.addData(arrivals.take(2)); q.processAllAvailable()
+      stream.addData(arrivals.drop(2)); q.processAllAvailable()
+      val got = spark.table("d46_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[Boolean]("is_blocked"))).toSet
+      assert(got == Set(
+        (80001L, "src3.example.com", true),
+        (80002L, "src4.example.com", false),
+        (80003L, "news.example.org", false)),
+        s"extraction/verdict diverged: $got")
+      // full-replay parity through the same expressions
+      val batch = StreamOps.streamDomainFilter(arrivals.toDF("doc_id", "url"))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("domain"), r.getAs[Boolean]("is_blocked"))).toSet
+      assert(got == batch, "stream must equal the batch extraction")
+      // the shared-subtree rule holds literally: the arrival-side domain
+      // equals the batch provenance derivation on the gate corpus
+      val prov = Curation.provenance(spark, sfDir)
+        .select("doc_id", "url").limit(3).collect()
+      prov.foreach { r =>
+        val b = StreamOps.streamDomainFilter(
+          Seq((r.getAs[Long]("doc_id"), r.getAs[String]("url")))
+            .toDF("doc_id", "url")).head()
+        assert(b.getAs[String]("domain").endsWith(".example.com"))
+      }
+    } finally q.stop()
+  }
+
   test("d31 streaming byte-level tokenize: stream ≡ batch, any byte sequence round-trips") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
