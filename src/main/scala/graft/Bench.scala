@@ -99,7 +99,12 @@ object Bench {
     // which is exactly the comparison a level question needs).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val channelsOnly = only.contains(Set("__channels__"))
+    val channelsOnly = only.exists(_.contains("__channels__"))
+    // `__channels__` mixed with query names would be silently half-obeyed
+    // (the sentinel matches no query) — refuse loudly instead
+    require(!channelsOnly || only.contains(Set("__channels__")),
+      "SPARK_GRAFT_BENCH_ONLY=__channels__ must be used alone, not " +
+        s"mixed with query names: $only")
     val names =
       if (channelsOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -233,10 +238,6 @@ object Bench {
     // group's counter; the ingest sample reads its streaming query's
     // runId group (StreamExecution tags microbatch jobs with it). A
     // foreign task lands in its own bucket, whenever its event arrives.
-    val convertC = scala.collection.mutable.ArrayBuffer[Double]()
-    val pubC = scala.collection.mutable.ArrayBuffer[Double]()
-    val batchedC = scala.collection.mutable.ArrayBuffer[Double]()
-    val ingestC = scala.collection.mutable.ArrayBuffer[Double]()
     // R16 self-diagnosis: every channel sample also records its group's
     // LEDGER — {cpu_s, task count, input rows, input bytes} — so a
     // breaching cpu_s sample SHOWS whether its tasks did extra work
@@ -250,6 +251,16 @@ object Bench {
     val pubL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
     val batchedL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
     val ingestL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
+    // cpu_s per channel derives from the ledgers (one source of truth,
+    // one bus settle per sample — the old parallel cpu buffers paid a
+    // second >=100 ms settle poll per sample for the same number)
+    def sampleLedger(tag: String)(body: => Unit): (Double, GroupLedger) = {
+      spark.sparkContext.setJobGroup(tag, s"bench sample $tag")
+      val t0 = System.nanoTime()
+      try body finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, cpuClock.settledGroupLedger(tag))
+    }
     // re-materialize a cached frame under a THROWAWAY group immediately
     // before a sample: a cache eviction's recompute (to_json+explode×8
     // for the corpus) lands here, never inside the measured group
@@ -276,14 +287,11 @@ object Bench {
     if (runChannels) for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
         rematerialize(s"bench-warm-convert-$round") { corpus.lines.count(); () }
-        val tag = s"bench-convert-$round"
-        val (wall, _) = sample(tag) {
+        val (wall, led) = sampleLedger(s"bench-convert-$round") {
           run(ArrowIpc.serialize(
             StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
         }
-        val led = cpuClock.settledGroupLedger(tag)
         convertS += corpus.jsonBytes / 1e6 / wall
-        convertC += led.cpuNs / 1e9
         convertL += led
         ()
       }
@@ -291,22 +299,19 @@ object Bench {
         rematerialize(s"bench-warm-publish-$round") { msgs.count(); () }
         def timeOne(tag: String,
                     mk: Long => graft.streaming.Publisher)
-            : (Double, GroupLedger) = {
+            : (Double, GroupLedger) =
           // scratch wiped per run so file accumulation can't slow later rounds
-          val (wall, _) =
-            sample(tag) { graft.streaming.Publish.run(msgs, () => mk(round.toLong)) }
-          (wall, cpuClock.settledGroupLedger(tag))
-        }
+          sampleLedger(tag) { graft.streaming.Publish.run(msgs, () => mk(round.toLong)) }
         val pubDir = GraftSession.scratchDir("bench-publish").toString
         val (pw, pl) = timeOne(s"bench-publish-$round",
           e => new graft.streaming.FilePublisher(pubDir, e))
-        pubS += nMsgs / pw; pubC += pl.cpuNs / 1e9; pubL += pl
+        pubS += nMsgs / pw; pubL += pl
         GraftSession.scratchDir("bench-publish") // clear between modes
         val (bw, bl) = timeOne(s"bench-publish-batched-$round",
           e => new graft.streaming.BatchingFilePublisher(
             pubDir, graft.streaming.BatchingOptions(
               maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
-        batchedS += nMsgs / bw; batchedC += bl.cpuNs / 1e9; batchedL += bl
+        batchedS += nMsgs / bw; batchedL += bl
         ()
       }
       // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
@@ -321,10 +326,8 @@ object Bench {
       // reads as microbatch overhead, not a convert-path regression.
       fenced(s"ingest#$round", ()) {
         val (mbps, rps, runId) = benchIngest(spark, sfDir)
-        val led = cpuClock.settledGroupLedger(runId)
         ingestS += ((mbps, rps))
-        ingestC += led.cpuNs / 1e9
-        ingestL += led
+        ingestL += cpuClock.settledGroupLedger(runId)
         ()
       }
     }
@@ -358,13 +361,15 @@ object Bench {
     // Each channel carries its wall-clock throughput samples AND their
     // task-CPU seconds (r13): the cpu_s band is the contention-immune
     // verdict on whether a wall-clock dip is weather or regression.
+    def cpus(ledgers: Seq[GroupLedger]): Seq[Double] =
+      ledgers.map(_.cpuNs / 1e9)
     val bandLow = Seq(
-      ("convert_mb_per_s", 280.0, convertS.toSeq, convertC.toSeq,
+      ("convert_mb_per_s", 280.0, convertS.toSeq, cpus(convertL.toSeq),
         convertL.toSeq),
-      ("publish_msgs_per_s", 20000.0, pubS.toSeq, pubC.toSeq, pubL.toSeq),
-      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq, batchedC.toSeq,
-        batchedL.toSeq),
-      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq, ingestC.toSeq,
+      ("publish_msgs_per_s", 20000.0, pubS.toSeq, cpus(pubL.toSeq), pubL.toSeq),
+      ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq,
+        cpus(batchedL.toSeq), batchedL.toSeq),
+      ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq, cpus(ingestL.toSeq),
         ingestL.toSeq))
     // the floors are calibrated at the driver's bench scale (sf0.1) —
     // at smaller SFs fixed job overhead dominates every channel and the
@@ -411,8 +416,14 @@ object Bench {
     // per-query times to the stdout-tail clip, so the full map must land
     // in a file the repo keeps regardless of how stdout is captured
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo")
-    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-      s"$repoRoot/bench_queries.json").foreach { outPath =>
+    // rehearsal runs (BENCH_ONLY set) must NOT clobber the repo-root
+    // round artifact with a partial line — they keep the env-pointed
+    // sidecar only (r16: a mid-round weather rehearsal destroyed the
+    // full run's per-query ledger until git restored it)
+    val sidecars =
+      Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")) ++
+        (if (only.isEmpty) Seq(s"$repoRoot/bench_queries.json") else Nil)
+    sidecars.foreach { outPath =>
       try
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
           (line + "\n").getBytes("UTF-8"))

@@ -146,7 +146,8 @@ object Main {
   }
 
   /** `graft.Main cluster-update --new NEW_PARQUET --corpus CORPUS_PARQUET
-    * --labels LABELS_PARQUET --out OUT [--threshold T]` — incremental
+    * --labels LABELS_PARQUET --out OUT [--threshold T]
+    * [--shingles SHINGLES_PARQUET]` — incremental
     * cluster maintenance (SURVEY §2 c95): unions the new crawl's
     * verified near-dup edges into the FROZEN (node, cluster_id) label
     * table and re-runs connected components confined to touched
@@ -154,7 +155,10 @@ object Main {
     * the maintained label table — equal, row for row, to a full
     * re-cluster of the merged corpus (the equivalence c95's oracle
     * checks every round), at per-crawl cost that scales with the batch
-    * plus touched components, never the corpus. One JSON stats line. */
+    * plus touched components, never the corpus. `--shingles` injects
+    * the corpus's at-rest (doc_id, shingle) artifact — the production
+    * path; without it the corpus is shingled once per run (materialized
+    * to scratch, never scanned per consumer). One JSON stats line. */
   private def clusterUpdate(args: Array[String]): Unit = {
     import graft.operators.Dedup
     val newIn = opt(args, "--new").getOrElse(sys.error("--new required"))
@@ -174,9 +178,16 @@ object Main {
     require(Seq("node", "cluster_id").forall(labels.columns.contains),
       s"label table $labelsIn must have (node, cluster_id) columns, " +
         s"found ${labels.columns.mkString("(", ", ", ")")}")
+    val shEx = opt(args, "--shingles").map { p =>
+      val sh = spark.read.parquet(p)
+      require(Seq("doc_id", "shingle").forall(sh.columns.contains),
+        s"shingle artifact $p must have (doc_id, shingle) columns, " +
+          s"found ${sh.columns.mkString("(", ", ", ")")}")
+      sh
+    }
     val before = labels.count()
     Dedup.incrementalClusters(docsFrame(newIn), docsFrame(corpusIn),
-        labels, threshold)
+        labels, threshold, existingShingles = shEx)
       .write.mode("overwrite").parquet(out)
     val after = spark.read.parquet(out).count()
     println(s"""{"labels_before":$before,"labels_after":$after,""" +

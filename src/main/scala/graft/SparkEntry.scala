@@ -577,8 +577,9 @@ object SparkEntry {
       |        '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
       |      FROM documents),
       |dom AS (SELECT doc_id, text,
-      |          regexp_replace(regexp_extract(url, '^https?://([^/]+)/', 1),
-      |                         '^www\.', '') AS domain
+      |          lower(regexp_replace(
+      |            regexp_extract(url, '(?i)^https?://([^/?#]+)', 1),
+      |            '(?i)^www\.', '')) AS domain
       |        FROM u)""".stripMargin
 
   /** DuckDB rendering of c96: the derived-URL extraction + c41's score

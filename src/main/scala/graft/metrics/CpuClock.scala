@@ -128,16 +128,20 @@ final class CpuClock extends SparkListener {
   def settledGroup(group: String): Long = settle(() => groupGet(group))
 
   /** Bus-settled per-group ledger: cpu + task count + input volume.
-    * Settles on the cpu counter (every task-end bumps all four maps in
-    * one listener call, so a stable cpu counter means the others are
-    * stable too). */
+    * Settles on cpuNs PLUS the task counter: a task reporting zero
+    * executorCpuTime (legitimately possible for a near-empty task)
+    * bumps tasks/rows/bytes without moving cpu, so settling on cpu
+    * alone could return while such events still drain. Both counters
+    * only increase, so a stable sum means both are stable — and every
+    * task-end moves it. */
   def settledGroupLedger(group: String): CpuClock.GroupLedger = {
-    val ns = settle(() => groupGet(group))
     def get(map: ConcurrentHashMap[String, AtomicLong]): Long = {
       val c = map.get(group)
       if (c == null) 0L else c.get()
     }
-    CpuClock.GroupLedger(ns, get(groupTasks), get(groupRows), get(groupBytes))
+    settle(() => groupGet(group) + get(groupTasks))
+    CpuClock.GroupLedger(groupGet(group), get(groupTasks),
+      get(groupRows), get(groupBytes))
   }
 }
 

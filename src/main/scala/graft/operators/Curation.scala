@@ -36,10 +36,16 @@ object Curation {
 
   /** Registrable domain from a messy URL: host capture + www strip —
     * the extraction a real pipeline runs (both engines evaluate the
-    * same regexes over the same string). */
+    * same regexes over the same string). Case-insensitive scheme/www,
+    * and the host ends at `/`, `?`, `#` OR end-of-string — a path-less
+    * `https://src3.example.com` must still resolve to its (possibly
+    * blocklisted) domain, not silently to ''. The domain lowercases
+    * (DNS names are case-insensitive — `Src13.Example.Com` must not
+    * escape a lowercase blocklist). Non-URL strings yield '' (an
+    * "unknown provenance" pseudo-domain a policy can block on). */
   private[graft] def domainOf(url: Column): Column =
-    regexp_replace(regexp_extract(url, "^https?://([^/]+)/", 1),
-      "^www\\.", "")
+    lower(regexp_replace(regexp_extract(url, "(?i)^https?://([^/?#]+)", 1),
+      "(?i)^www\\.", ""))
 
   /** (doc_id, url, domain) provenance frame — the scan-side projection
     * every curation operator starts from. */

@@ -358,8 +358,19 @@ object Dedup {
         .write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
-    val shEx = existingShingles.getOrElse(
-      shingleRows(existing.select(col("doc_id"), col("text"))))
+    // the corpus-side fallback materializes too (r16 review): shEx feeds
+    // TWO consumers (the minhash/band branch and the exact-verify union),
+    // so a lazy frame would scan+shingle the whole corpus twice per
+    // crawl — against this operator's own cost contract. Production
+    // injects the at-rest shingle artifact via `existingShingles` and
+    // skips this entirely.
+    val shEx = existingShingles.getOrElse {
+      val p = graft.GraftSession
+        .scratchDir(s"incr-cluster-ex-shingles-$runId").toString
+      shingleRows(existing.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
     val mhNew = minhashAgg(shNew, k)
     val mhEx = minhashAgg(shEx, k)
     val bkNew = bandKeysOf(mhNew, k, bands)

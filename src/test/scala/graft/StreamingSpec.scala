@@ -1890,7 +1890,10 @@ class StreamingSpec extends SparkSpec {
       (80001L, "https://www.src3.example.com/en/article-1?ref=0"), // blocked
       (80002L, "https://www.src4.example.com/de/article-2?ref=1"), // clean
       (80003L, "http://news.example.org/path/x"),                  // no www, http
-      (80004L, null.asInstanceOf[String]))                         // null → filtered
+      (80004L, null.asInstanceOf[String]),                         // null → filtered
+      (80005L, "https://src7.example.com"),          // path-less, blocked host
+      (80006L, "HTTPS://WWW.Src13.example.com?q=1"), // shouty scheme/www, blocked
+      (80007L, "not a url at all"))                  // garbage → '' pseudo-domain
     val stream = MemoryStream[(Long, String)]
     val q = StreamOps.streamDomainFilter(
         stream.toDF().toDF("doc_id", "url"))
@@ -1905,7 +1908,11 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(
         (80001L, "src3.example.com", true),
         (80002L, "src4.example.com", false),
-        (80003L, "news.example.org", false)),
+        (80003L, "news.example.org", false),
+        // a path-less or case-shifted URL must NOT escape the blocklist
+        (80005L, "src7.example.com", true),
+        (80006L, "src13.example.com", true),
+        (80007L, "", false)),
         s"extraction/verdict diverged: $got")
       // full-replay parity through the same expressions
       val batch = StreamOps.streamDomainFilter(arrivals.toDF("doc_id", "url"))
