@@ -94,6 +94,7 @@ object Main {
     case Some("curriculum") => curriculum(args.drop(1))
     case Some("bpe-train") => bpeTrain(args.drop(1))
     case Some("unigram-train") => unigramTrain(args.drop(1))
+    case Some("wordpiece-train") => wordpieceTrain(args.drop(1))
     case Some("tokenize") => tokenize(args.drop(1))
     case Some("cluster-update") => clusterUpdate(args.drop(1))
     case Some("domains") => domainsCmd(args.drop(1))
@@ -103,7 +104,7 @@ object Main {
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
-          "tokenize|cluster-update|domains ...")
+          "wordpiece-train|tokenize|cluster-update|domains ...")
       sys.exit(2)
   }
 
@@ -271,6 +272,73 @@ object Main {
       s""""out":${jsonStr(out)}}""")
   }
 
+  /** `graft.Main wordpiece-train --in PARQUET --out VOCAB [--rounds R]`
+    * — learn a WordPiece vocabulary over any (doc_id, text) parquet
+    * (c98's training phase as an at-rest artifact step): writes the
+    * canonical single-column (piece) vocabulary — plain first-position
+    * pieces and "##"-marked continuations, the tokenizer file
+    * `tokenize --wordpiece` greedy-matches against — plus one JSON
+    * line. */
+  private def wordpieceTrain(args: Array[String]): Unit = {
+    import graft.operators.Wordpiece
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val rounds = opt(args, "--rounds").map(_.toInt).getOrElse(Wordpiece.WpRounds)
+    require(rounds >= 1, s"--rounds must be >= 1, got $rounds")
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val docs = spark.read.parquet(in)
+    require(docs.columns.contains("text"),
+      s"input $in must have a text column, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val wt = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val vocab = Wordpiece.trainWordpieceOn(wt, rounds)
+    vocab.toDF("piece")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    println(s"""{"pieces":${vocab.length},""" +
+      s""""multis":${vocab.count(p => p.stripPrefix("##").length > 1)},""" +
+      s""""rounds":$rounds,"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main tokenize --wordpiece --in PARQUET --vocab VOCAB --out
+    * OUT` — apply a `wordpiece-train` artifact: each doc's words
+    * segment by greedy longest-match-first under the inlined vocabulary
+    * (row-local, zero exchanges — d13's plan-literal artifact rule;
+    * unmatched words emit the single [UNK]); writes the family's common
+    * (doc_id, n_words, n_tokens, tokens) shape. */
+  private def tokenizeWordpiece(args: Array[String]): Unit = {
+    import graft.operators.Wordpiece
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val vocabPath = opt(args, "--vocab")
+      .getOrElse(sys.error("--vocab required with --wordpiece"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    require(!args.contains("--bytes") && !args.contains("--gpt2-pre"),
+      "--wordpiece is the word-level greedy path; --bytes/--gpt2-pre are BPE flags")
+    val spark = GraftSession.get()
+    val vf = spark.read.parquet(vocabPath)
+    require(vf.columns.contains("piece"),
+      s"vocab $vocabPath must have a piece column, " +
+        s"found ${vf.columns.mkString("(", ", ", ")")}")
+    val vocab = vf.orderBy("piece").collect()
+      .map(_.getAs[String]("piece")).toSeq
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    // THE shared derivation (d29's rule): the CLI, the c98/c99 gate rows
+    // and d47's stream twin all project through Wordpiece.tokenizeDocs
+    Wordpiece.tokenizeDocs(docs, vocab)
+      .write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val stats = written.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L))).head()
+    println(s"""{"docs":${stats.getLong(0)},"total_tokens":${stats.getLong(1)},""" +
+      s""""pieces":${vocab.length},"wordpiece":true,"out":${jsonStr(out)}}""")
+  }
+
   /** `graft.Main tokenize --in PARQUET --merges MERGES --out OUT
     * [--bytes]` — apply a `bpe-train` artifact to a corpus through the native
     * [[graft.functions.ApplyBpe]] expression (one fused plan node at ANY
@@ -281,6 +349,7 @@ object Main {
     * the model artifact (vocab-sized, like d21's plan literals). */
   private def tokenize(args: Array[String]): Unit = {
     if (args.contains("--unigram")) { tokenizeUnigram(args); return }
+    if (args.contains("--wordpiece")) { tokenizeWordpiece(args); return }
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val mergesPath = opt(args, "--merges").getOrElse(sys.error("--merges required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
@@ -337,6 +406,8 @@ object Main {
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     require(!args.contains("--bytes") && !args.contains("--gpt2-pre"),
       "--unigram is the word-level unigram path; --bytes/--gpt2-pre are BPE flags")
+    require(!args.contains("--wordpiece"),
+      "--unigram and --wordpiece are mutually exclusive tokenizer modes")
     val spark = GraftSession.get()
     val pf = spark.read.parquet(piecesPath)
     require(Seq("piece", "score").forall(pf.columns.contains),

@@ -159,6 +159,8 @@ object SparkEntry {
     "c76_pack_ffd" -> ((s: SparkSession, d: String) => TextOps.c76PackFfd(s, d)),
     "c77_pack_report" -> ((s: SparkSession, d: String) => TextOps.c77PackReport(s, d)),
     "c78_unigram_fertility" -> ((s: SparkSession, d: String) => graft.operators.Unigram.c78UnigramFertility(s, d)),
+    "c98_wordpiece_tokenize" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c98WordpieceTokenize(s, d)),
+    "c99_wordpiece_fertility" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c99WordpieceFertility(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -364,6 +366,81 @@ object SparkEntry {
        |      p -> map_extract($m, p)[1] IS NULL)) AS BIGINT) AS nunk
        |  FROM rec WHERE j = len(w))""".stripMargin
   }
+
+  /** Shared DuckDB greedy longest-match segmentation (word-type CTE
+    * `wt` + recursive per-type matcher CTE `rec` + terminal-state CTE
+    * `wpseg`) under the dir's MEMOIZED WordPiece vocabulary inlined as
+    * a VARCHAR[] literal (c52's drift-pinning rule) — composed by BOTH
+    * the c98 and c99 oracles, exactly as the Spark side shares
+    * [[graft.operators.Wordpiece.segment]]. One position advance per
+    * iteration: the longest in-vocab (marked) prefix wins; no match →
+    * the word's terminal row is the single [UNK] (BERT's whole-word
+    * unknown, np = 1 in both engines by construction). */
+  private def wordpieceGreedyCtes(dir: String): String = {
+    val vocab = graft.operators.Wordpiece.trainWordpiece(renderSession, dir)
+    val v = vocab.map(sqlLit).mkString("[", ", ", "]")
+    val L = graft.operators.Wordpiece.MaxPieceLen
+    s"""wt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM
+       |    (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |     FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       |rec AS (
+       |  SELECT w, wcnt, CAST(1 AS BIGINT) AS pos,
+       |    CAST([] AS VARCHAR[]) AS toks, false AS failed
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT w, wcnt,
+       |    CAST(CASE WHEN bestl IS NULL THEN len(w) + 1
+       |              ELSE pos + bestl END AS BIGINT) AS pos,
+       |    CASE WHEN bestl IS NULL THEN toks
+       |         ELSE list_append(toks, pref || substr(w, CAST(pos AS INT),
+       |                CAST(bestl AS INT))) END AS toks,
+       |    bestl IS NULL AS failed
+       |  FROM (
+       |    SELECT w, wcnt, pos, toks,
+       |      CASE WHEN pos = 1 THEN '' ELSE '##' END AS pref,
+       |      list_max(list_filter(
+       |        list_transform(range(1, least($L, len(w) - pos + 1) + 1),
+       |          l -> CAST(l AS INT)),
+       |        l -> list_contains($v,
+       |          (CASE WHEN pos = 1 THEN '' ELSE '##' END) ||
+       |            substr(w, CAST(pos AS INT), l)))) AS bestl
+       |    FROM rec WHERE NOT failed AND pos <= len(w))),
+       |wpseg AS (
+       |  SELECT w, wcnt,
+       |    CASE WHEN failed THEN ['${graft.operators.Wordpiece.Unk}']
+       |         ELSE toks END AS toks,
+       |    CAST(CASE WHEN failed THEN 1 ELSE len(toks) END AS BIGINT) AS np,
+       |    CAST(CASE WHEN failed THEN 1 ELSE 0 END AS BIGINT) AS nunk
+       |  FROM rec WHERE failed OR pos > len(w))""".stripMargin
+  }
+
+  /** DuckDB rendering of c98: the shared greedy CTEs' terminal token
+    * lists, exploded and folded to the corpus token-frequency table —
+    * c75's gate shape on the fourth trainer. */
+  private def c98OracleSql(dir: String): String =
+    s"""WITH RECURSIVE ${wordpieceGreedyCtes(dir)}
+       |SELECT token, CAST(sum(wcnt) AS BIGINT) AS cnt FROM
+       |  (SELECT unnest(toks) AS token, wcnt FROM wpseg)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+
+  /** DuckDB rendering of c99: the shared greedy CTEs give each word
+    * TYPE its piece count, then the corpus word stream joins that
+    * type-level table and folds per doc — c78's word-type-join shape
+    * verbatim. */
+  private def c99OracleSql(dir: String): String =
+    s"""WITH RECURSIVE ${wordpieceGreedyCtes(dir)},
+       |wnp AS (SELECT w, np FROM wpseg),
+       |dw AS (SELECT doc_id, w FROM
+       |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |     FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) >= 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS fertility_r
+       |FROM dw JOIN wnp USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of c82: c19's transitive-closure cluster CTEs +
     * c41's score SQL embedded as a subquery + the per-cluster argmax
@@ -644,6 +721,9 @@ object SparkEntry {
     val unkOov =
       s"""WITH RECURSIVE ${unigramViterbiCtes(dir)}
          |SELECT CAST(coalesce(sum(wcnt * nunk), 0) AS BIGINT) AS n_oov FROM wseg""".stripMargin
+    val wpOov =
+      s"""WITH RECURSIVE ${wordpieceGreedyCtes(dir)}
+         |SELECT CAST(coalesce(sum(wcnt * nunk), 0) AS BIGINT) AS n_oov FROM wpseg""".stripMargin
     s"""SELECT * FROM (
        |${withOov(fold(c66OracleSql(dir), "n_words", "bpe_char"), charOov)}
        |UNION ALL
@@ -651,6 +731,8 @@ object SparkEntry {
        |${fold(c73OracleSql(dir), "n_pretokens", "bpe_byte")})
        |UNION ALL
        |${withOov(fold(c78OracleSql(dir), "n_words", "unigram"), unkOov)}
+       |UNION ALL
+       |${withOov(fold(c99OracleSql(dir), "n_words", "wordpiece"), wpOov)}
        |) ORDER BY tokenizer""".stripMargin
   }
 
@@ -992,6 +1074,8 @@ object SparkEntry {
         "c74_quality_classifier" -> (() => c74OracleSql(dir)),
         "c75_unigram_tokenize" -> (() => c75OracleSql(dir)),
         "c78_unigram_fertility" -> (() => c78OracleSql(dir)),
+        "c98_wordpiece_tokenize" -> (() => c98OracleSql(dir)),
+        "c99_wordpiece_fertility" -> (() => c99OracleSql(dir)),
         "c80_dsir_weights" -> (() => c80OracleSql(dir)),
         // c84 composes the three fertility oracles (two of them
         // artifact-trained) as subqueries — render on demand

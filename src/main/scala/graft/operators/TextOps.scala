@@ -1255,6 +1255,10 @@ object TextOps {
     val charOov = oovFold(charOovCount(col("w"), bpeAlphabet(spark, dir)))
     val unkOov = oovFold(graft.operators.Unigram.unkCount(col("w"),
       graft.operators.Unigram.trainUnigram(spark, dir)))
+    // r16: the fourth family — WordPiece counts whole-word [UNK]
+    // emissions (BERT's unknown surface: 0 or 1 per word type)
+    val wpOov = oovFold(graft.operators.Wordpiece.unkCount(col("w"),
+      graft.operators.Wordpiece.trainWordpiece(spark, dir)))
     withOov(fold(c66BpeFertility(spark, dir), "n_words", "bpe_char"), charOov)
       .unionByName(
         fold(c73ByteFertility(spark, dir), "n_pretokens", "bpe_byte")
@@ -1262,6 +1266,9 @@ object TextOps {
       .unionByName(withOov(fold(
         graft.operators.Unigram.c78UnigramFertility(spark, dir),
         "n_words", "unigram"), unkOov))
+      .unionByName(withOov(fold(
+        graft.operators.Wordpiece.c99WordpieceFertility(spark, dir),
+        "n_words", "wordpiece"), wpOov))
       .orderBy("tokenizer")
   }
 

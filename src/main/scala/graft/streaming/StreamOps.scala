@@ -719,6 +719,25 @@ object StreamOps {
                             artifact: Seq[(String, Long)]): DataFrame =
     graft.operators.Unigram.tokenizeDocs(docs, artifact)
 
+  /** d47: streaming WORDPIECE tokenization — c98's APPLY phase at
+    * ingest, the tokenizer family's FOURTH serving twin (next to
+    * d21/d30 char-BPE, d31 byte-BPE, d36 unigram): each arriving doc
+    * segments by greedy longest-match-first against the STATIC trained
+    * vocabulary, shipped as plan literals (d13's rule — a stream cannot
+    * re-train; `Main wordpiece-train` builds the artifact at rest). The
+    * body IS [[graft.operators.Wordpiece.tokenizeDocs]] — the same
+    * expression subtree `Main tokenize --wordpiece` and the gate rows
+    * project through (d29's shared-subtree rule: batch and stream
+    * tokenization cannot drift), emitting the family's common (doc_id,
+    * n_words, n_tokens, tokens) schema. Row-local (greedy window
+    * bounded by MaxPieceLen), zero state, no watermark; a word with no
+    * matchable prefix emits the single [UNK] token instead of erroring
+    * — the parity spec pins stream ≡ batch row-for-row including
+    * those. */
+  def streamWordpieceTokenize(docs: DataFrame,
+                              vocab: Seq[String]): DataFrame =
+    graft.operators.Wordpiece.tokenizeDocs(docs, vocab)
+
   /** d33: streaming vector-index ADD — `Main index --add`'s serving
     * twin, closing the incremental-index loop (batch `--add` backfills,
     * this ingests live): each arriving vector assigns to its nearest

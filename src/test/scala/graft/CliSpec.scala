@@ -950,6 +950,47 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--bytes/--gpt2-pre are BPE flags"))
   }
 
+  test("wordpiece-train/tokenize --wordpiece: artifact equals c98's, " +
+      "markers tile back") {
+    import graft.operators.Wordpiece
+    val tmp = Files.createTempDirectory("graft-cli-wp-").toString
+    Main.main(Array("wordpiece-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/vocab"))
+    val vocab = spark.read.parquet(s"$tmp/vocab").orderBy("piece").collect()
+      .map(_.getAs[String]("piece")).toSeq
+    assert(vocab == Wordpiece.trainWordpiece(spark, sfDir),
+      "CLI-trained vocabulary diverges from the c98 memoized artifact")
+    Main.main(Array("tokenize", "--wordpiece", "--in",
+      s"$sfDir/documents.parquet", "--vocab", s"$tmp/vocab",
+      "--out", s"$tmp/toks"))
+    val toks = spark.read.parquet(s"$tmp/toks")
+    // the token table must reproduce the c98 gate's frequency cut
+    val freq = toks.select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gate = Wordpiece.c98WordpieceTokenize(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(freq == gate, "CLI --wordpiece token frequencies diverge from c98")
+    // pieces of each doc, continuation markers stripped, concatenate
+    // back to its space-stripped words (no UNK on the self corpus)
+    val bad = toks
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .filter(concat_ws("", transform(col("tokens"),
+          t => regexp_replace(t, "^##", ""))) =!=
+        concat_ws("", filter(split(lower(col("text")), " "),
+          w => length(w) >= 1)))
+      .count()
+    assert(bad == 0L, s"$bad docs failed the wordpiece tiling check")
+    // mixing tokenizer modes is a usage error
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("tokenize", "--unigram", "--wordpiece",
+        "--in", s"$sfDir/documents.parquet",
+        "--pieces", s"$tmp/vocab", "--out", s"$tmp/t2"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("score subcommand: ASCII default equals c41; --unicode/--quality run") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-score-").toString

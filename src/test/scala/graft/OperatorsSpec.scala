@@ -849,8 +849,8 @@ class OperatorsSpec extends SparkSpec {
     assert(Dsir.trainDsirOn(frame, target = "fr").nonEmpty)
   }
 
-  test("c84 tokenizer report folds exactly the three fertility gate frames") {
-    import graft.operators.{TextOps, Unigram}
+  test("c84 tokenizer report folds exactly the four fertility gate frames") {
+    import graft.operators.{TextOps, Unigram, Wordpiece}
     def foldOf(rows: Array[org.apache.spark.sql.Row], units: String) = {
       val nd = rows.length.toLong
       val nu = rows.map(_.getAs[Long](units)).sum
@@ -860,7 +860,8 @@ class OperatorsSpec extends SparkSpec {
     val expected = Map(
       "bpe_char" -> foldOf(TextOps.c66BpeFertility(spark, sfDir).collect(), "n_words"),
       "bpe_byte" -> foldOf(TextOps.c73ByteFertility(spark, sfDir).collect(), "n_pretokens"),
-      "unigram" -> foldOf(Unigram.c78UnigramFertility(spark, sfDir).collect(), "n_words"))
+      "unigram" -> foldOf(Unigram.c78UnigramFertility(spark, sfDir).collect(), "n_words"),
+      "wordpiece" -> foldOf(Wordpiece.c99WordpieceFertility(spark, sfDir).collect(), "n_words"))
     val got = TextOps.c84TokenizerReport(spark, sfDir).collect().map { r =>
       r.getAs[String]("tokenizer") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_units"),
@@ -871,12 +872,13 @@ class OperatorsSpec extends SparkSpec {
     got.values.foreach { case (_, _, _, f) => assert(f >= 1.0, s"fertility $f < 1") }
     info(got.map { case (k, v) => f"$k ${v._4}%.3f" }.mkString("c84 fertility: ", ", ", ""))
     // r15 OOV column: self-trained on the gate corpus, every tokenizer
-    // covers itself — all three shares must be exactly 0.0 (byte-BPE by
-    // construction, char-BPE/unigram by derivation)
+    // covers itself — all four shares must be exactly 0.0 (byte-BPE by
+    // construction, char-BPE/unigram/wordpiece by derivation)
     val oov = TextOps.c84TokenizerReport(spark, sfDir).collect()
       .map(r => r.getAs[String]("tokenizer") -> r.getAs[Double]("oov_share_r"))
       .toMap
-    assert(oov == Map("bpe_char" -> 0.0, "bpe_byte" -> 0.0, "unigram" -> 0.0), oov)
+    assert(oov == Map("bpe_char" -> 0.0, "bpe_byte" -> 0.0,
+      "unigram" -> 0.0, "wordpiece" -> 0.0), oov)
   }
 
   test("c84 OOV derivations discriminate on a distribution-shifted apply corpus") {
