@@ -161,6 +161,7 @@ object SparkEntry {
     "c78_unigram_fertility" -> ((s: SparkSession, d: String) => graft.operators.Unigram.c78UnigramFertility(s, d)),
     "c98_wordpiece_tokenize" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c98WordpieceTokenize(s, d)),
     "c99_wordpiece_fertility" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c99WordpieceFertility(s, d)),
+    "c100_cms_topk" -> ((s: SparkSession, d: String) => graft.operators.Sketch.c100CmsTopk(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -2184,6 +2185,30 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY tf DESC, term ASC
         |LIMIT 100""".stripMargin,
+    // c100: the counter grid is a pure function of the corpus (md5-
+    // prefix buckets, c80's rule), so the oracle re-derives the WHOLE
+    // sketch — counters, min-estimates, the cut — from scratch; any
+    // drift in Spark's fold/collect/lookup path hash-fails
+    "c100_cms_topk" ->
+      s"""WITH wt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM
+         |    (SELECT unnest(string_split(lower(text), ' ')) AS w
+         |     FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |ctr AS (
+         |  SELECT i, substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 2) AS b,
+         |         CAST(sum(wcnt) AS BIGINT) AS c
+         |  FROM wt, range(0, ${graft.operators.Sketch.CmsDepth}) ii(i)
+         |  GROUP BY i, b),
+         |est AS (
+         |  SELECT wt.w AS token, CAST(min(ctr.c) AS BIGINT) AS est_cnt,
+         |         wt.wcnt AS true_cnt
+         |  FROM wt JOIN ctr
+         |    ON ctr.b = substr(md5(CAST(ctr.i AS VARCHAR) || ':' || wt.w), 1, 2)
+         |  GROUP BY wt.w, wt.wcnt)
+         |SELECT token, est_cnt, true_cnt, est_cnt = true_cnt AS exact
+         |FROM est
+         |ORDER BY est_cnt DESC, token LIMIT ${graft.operators.Sketch.CmsTopK}""".stripMargin,
     "c35_quality_filter" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),

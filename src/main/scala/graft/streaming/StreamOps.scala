@@ -738,6 +738,30 @@ object StreamOps {
                               vocab: Seq[String]): DataFrame =
     graft.operators.Wordpiece.tokenizeDocs(docs, vocab)
 
+  /** d48: streaming CMS frequency estimation at ingest — c100's serving
+    * twin: each arriving doc's distinct tokens read their corpus
+    * frequency estimate off the FROZEN counter grid (the at-rest sketch
+    * c100's pass 1 folds), answering "is this token a corpus heavy
+    * hitter" per arrival without touching the corpus. Zero state, no
+    * watermark: the grid ships as plan literals (d13's bounded-artifact
+    * rule — d·w longs), the estimate is the SAME
+    * [[graft.operators.Sketch.estimateOf]] min-of-d-lookups expression
+    * the batch row reads (d29's shared-subtree rule), so a replayed
+    * corpus doc reads the identical estimates the batch top-k was cut
+    * from (parity spec). Emits (doc_id, token, est_cnt) per distinct
+    * token per doc. */
+  def streamCmsEstimate(docs: DataFrame,
+                        grid: Map[String, Long]): DataFrame = {
+    val ws = filter(graft.operators.TextOps.words(lower(col("text"))),
+      w => length(w) >= 1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(ws)).as("token"))
+      .select(col("doc_id"), col("token"),
+        graft.operators.Sketch.estimateOf(col("token"), grid).as("est_cnt"))
+  }
+
   /** d33: streaming vector-index ADD — `Main index --add`'s serving
     * twin, closing the incremental-index loop (batch `--add` backfills,
     * this ingests live): each arriving vector assigns to its nearest

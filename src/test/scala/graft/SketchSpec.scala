@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketch
+
+/** c100 Count-Min-Sketch specs: the Spark sketch pinned against an
+  * INDEPENDENT driver-side implementation (md5-prefix buckets, counter
+  * fold, min-of-d estimate), the one-sided error law on EVERY word type
+  * (not just the surfaced top-k), grid boundedness, partition
+  * invariance, and the d48 ingest twin. */
+class SketchSpec extends SparkSpec {
+
+  // ---- independent driver-side reference implementation ----
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def refBucket(i: Int, token: String): String =
+    md5hex(s"$i:$token").substring(0, 2)
+
+  private def refGrid(wt: Seq[(String, Long)]): Map[String, Long] =
+    (for {
+      (w, c) <- wt
+      i <- 0 until Sketch.CmsDepth
+    } yield (s"$i:${refBucket(i, w)}", c))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+
+  private def refEstimate(token: String, grid: Map[String, Long]): Long =
+    (0 until Sketch.CmsDepth)
+      .map(i => grid(s"$i:${refBucket(i, token)}")).min
+
+  private def corpusWordTypes: Seq[(String, Long)] =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  // ---- specs ----
+
+  test("c100 grid, estimates and the top-k cut equal the driver sketch") {
+    val wt = corpusWordTypes
+    val grid = refGrid(wt)
+    val sparkGrid = Sketch.cmsGrid(spark, sfDir)
+    assert(sparkGrid == grid, "counter grid must match the driver fold")
+    assert(sparkGrid.size <= Sketch.CmsDepth * Sketch.CmsWidth,
+      s"grid must stay bounded: ${sparkGrid.size}")
+    val want = wt.map { case (w, c) => (w, refEstimate(w, grid), c) }
+      .sortBy { case (w, e, _) => (-e, w) }
+      .take(Sketch.CmsTopK)
+      .map { case (w, e, c) => (w, e, c, e == c) }
+    val got = Sketch.c100CmsTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == want, "c100 must equal the driver sketch cut")
+  }
+
+  test("CMS one-sided error law holds on EVERY word type") {
+    import spark.implicits._
+    val wt = corpusWordTypes
+    val grid = Sketch.cmsGrid(spark, sfDir)
+    val rows = wt.toDF("w", "wcnt")
+      .select(col("w"), Sketch.estimateOf(col("w"), grid).as("est"),
+        col("wcnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (w, est, c) =>
+      assert(est >= c, s"CMS must never underestimate: '$w' est $est < $c")
+    }
+    // the sketch is useful, not vacuous: at gate scale most estimates
+    // are exact and at least one collision exists (d·w ≪ corpus types
+    // would make this flip — the widths are chosen so both sides show)
+    val exact = rows.count { case (_, e, c) => e == c }
+    info(s"c100: ${rows.length} types, $exact exact, " +
+      s"${rows.length - exact} overestimated")
+    assert(exact > rows.length / 2, "most estimates should be exact")
+    if (rows.length > Sketch.CmsWidth)
+      assert(exact < rows.length,
+        "more types than buckets must produce at least one collision")
+  }
+
+  test("collisions overestimate and never underestimate (pigeonhole corpus)") {
+    import spark.implicits._
+    // 1000 distinct types into 256 buckets per row: collisions are
+    // guaranteed by pigeonhole, so the overestimate leg — invisible on
+    // the gate corpus's ~31-type vocabulary — actually executes here
+    val wt = (0 until 1000).map(i => (s"tok$i", (i % 7 + 1).toLong))
+    val grid = Sketch.counterGrid(wt.toDF("w", "wcnt"))
+    assert(grid == refGrid(wt), "synthetic grid must match the driver fold")
+    val rows = wt.toDF("w", "wcnt")
+      .select(col("w"), Sketch.estimateOf(col("w"), grid).as("est"), col("wcnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (w, est, c) =>
+      assert(est >= c, s"'$w' est $est < true $c")
+      assert(est == refEstimate(w, grid), s"'$w' estimate drift")
+    }
+    val over = rows.count { case (_, e, c) => e > c }
+    info(s"synthetic: ${rows.length} types, $over overestimated")
+    assert(over > 0, "1000 types in 256 buckets must collide somewhere")
+  }
+
+  test("c100 is partition-invariant (the sketch is a pure data function)") {
+    import spark.implicits._
+    val wt = corpusWordTypes.toDF("w", "wcnt")
+    val a = Sketch.counterGrid(wt.repartition(1))
+    val b = Sketch.counterGrid(wt.repartition(32))
+    assert(a == b, "the grid must not depend on partitioning")
+  }
+
+  test("d48 streaming CMS estimates equal the batch grid on replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val grid = Sketch.cmsGrid(spark, sfDir)
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val edge = Seq((9301L, null.asInstanceOf[String]), (9302L, ""))
+    val want = corpus.filter(_._2 != null).flatMap { case (id, t) =>
+      t.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+        .map(w => (id, w, refEstimate(w, grid)))
+    }.sorted
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamCmsEstimate(
+        stream.toDS().toDF("doc_id", "text"), grid)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d48_sink").start()
+    try {
+      stream.addData(corpus ++ edge); q.processAllAvailable()
+      val got = spark.table("d48_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(got == want, "stream estimates must equal the batch sketch")
+      assert(!got.exists(_._1 >= 9301L),
+        "null/empty docs must not emit rows")
+    } finally q.stop()
+    ()
+  }
+}
