@@ -668,9 +668,23 @@ object Main {
     * instead) plus the 4 Hamming-band segments; `--pairs` writes the
     * banded near-dup candidates (doc_a, doc_b, hamming ≤ H) instead,
     * banded PER MODALITY — an image gradient hash and an audio
-    * envelope hash must never pair. One JSON stats line. */
+    * envelope hash must never pair. One JSON stats line.
+    *
+    * Lifecycle (r16 — the hash table is the at-rest index d43/d44
+    * route against, so it needs the same add/erase story the vector
+    * index got): `--add --index IDX --in NEW_MEDIA` hashes the new
+    * records through the SAME dispatch and appends (doc_ids must be
+    * disjoint — a duplicate would route twice, checked loud);
+    * `--remove --index IDX --in IDS` (a doc_id parquet) is
+    * right-to-erasure: anti-join filter-and-compact, staged to a
+    * sibling dir and swapped in rename-aside order ([[stagedSwap]]) —
+    * add-then-remove ≡ never-added row-for-row (CLI-spec-pinned). */
   private def phashCmd(args: Array[String]): Unit = {
     import graft.operators.Multimodal
+    val add = args.contains("--add")
+    val remove = args.contains("--remove")
+    require(!(add && remove), "--add and --remove are mutually exclusive")
+    if (add || remove) { phashLifecycle(args, add); return }
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val pairs = args.contains("--pairs")
@@ -703,6 +717,61 @@ object Main {
         .agg(count(lit(1)), count_distinct(col("phash"))).head()
       println(s"""{"docs":${stats.getLong(0)},"distinct_hashes":${stats.getLong(1)},""" +
         s""""out":${jsonStr(out)}}""")
+    }
+  }
+
+  /** The phash index add/erase verbs (see [[phashCmd]]'s doc). */
+  private def phashLifecycle(args: Array[String], add: Boolean): Unit = {
+    import graft.operators.Multimodal
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val idx = opt(args, "--index").getOrElse(
+      sys.error("--index required with --add/--remove"))
+    require(!args.contains("--pairs"),
+      "--pairs is a read path; run it against the index after --add/--remove")
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val existing = spark.read.parquet(idx)
+    require(Seq("doc_id", "media_type", "phash", "seg0").forall(
+      existing.columns.contains),
+      s"--index $idx is not a phash hash table, " +
+        s"found ${existing.columns.mkString("(", ", ", ")")}")
+    if (add) {
+      val media = spark.read.parquet(in)
+      require(Seq("doc_id", "media_type", "payload").forall(media.columns.contains),
+        s"--add input $in must have (doc_id, media_type, payload) columns, " +
+          s"found ${media.columns.mkString("(", ", ", ")")}")
+      val clash = media.select("doc_id")
+        .join(existing.select("doc_id"), "doc_id").count()
+      require(clash == 0L,
+        s"--add: $clash doc_ids are already present in the index " +
+          s"(a duplicate would route twice); re-id or drop them first")
+      // the SAME dispatch + seg projection the build path runs — a
+      // stream-added row is byte-identical to a built one
+      val hashes = media.select("doc_id", "media_type", "payload")
+        .as[graft.operators.MediaRecord]
+        .mapPartitions(_.map(r => (r.doc_id, r.media_type,
+          Multimodal.phashOf(r.doc_id, r.media_type, r.payload))))
+        .toDF("doc_id", "media_type", "phash")
+      hashes.select(col("doc_id") +: col("media_type") +: col("phash") +:
+          (0 until 4).map(j => Multimodal.phashSeg(col("phash"), j).as(s"seg$j")): _*)
+        .write.mode("append").parquet(idx)
+      val after = spark.read.parquet(idx).count()
+      println(s"""{"added":${media.count()},"records":$after,""" +
+        s""""index":${jsonStr(idx)}}""")
+    } else {
+      val ids = spark.read.parquet(in)
+      require(ids.columns.contains("doc_id"),
+        s"--remove input $in must have a doc_id column, " +
+          s"found ${ids.columns.mkString("(", ", ", ")")}")
+      val before = existing.count()
+      val kept = existing.join(ids.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      val tmp = s"${idx.stripSuffix("/")}__compact"
+      kept.write.mode("overwrite").parquet(tmp)
+      stagedSwap(spark, live = idx.stripSuffix("/"), staged = tmp)
+      val after = spark.read.parquet(idx).count()
+      println(s"""{"removed":${before - after},"records":$after,""" +
+        s""""index":${jsonStr(idx)}}""")
     }
   }
 
@@ -942,6 +1011,29 @@ object Main {
     * a crash mid-write leaves the old codes intact, and a crash
     * mid-swap leaves a complete directory under `codes` or both
     * complete siblings — never a half directory, never data loss. */
+  /** Rename-aside staged swap of an at-rest parquet directory (the r16
+    * ADVICE ordering): live → live__old, staged → live, delete
+    * live__old. A crash at any instant leaves either a complete live
+    * directory (before/after the middle rename) or both complete
+    * siblings (live__old + the staged dir) — never a half directory,
+    * never data loss; recovery is renaming one back. Shared by the
+    * vector-index and phash-index `--remove` compactions. */
+  private def stagedSwap(spark: org.apache.spark.sql.SparkSession,
+                         live: String, staged: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val oldPath = new org.apache.hadoop.fs.Path(live + "__old")
+    fs.delete(oldPath, true) // leftover from a prior crashed swap
+    require(fs.rename(livePath, oldPath),
+      s"failed to move live directory aside to $oldPath")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), livePath),
+      s"failed to swap staged directory into place at $livePath " +
+        s"(previous contents preserved at $oldPath)")
+    fs.delete(oldPath, true)
+    ()
+  }
+
   private def indexCmd(args: Array[String]): Unit = {
     import graft.operators.Similarity
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
@@ -978,17 +1070,7 @@ object Main {
       // (codes__old + codes__compact) — recovery is renaming one back.
       val tmp = s"$out/codes__compact"
       kept.write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val codesPath = new org.apache.hadoop.fs.Path(s"$out/codes")
-      val oldPath = new org.apache.hadoop.fs.Path(s"$out/codes__old")
-      fs.delete(oldPath, true) // leftover from a prior crashed swap
-      require(fs.rename(codesPath, oldPath),
-        s"failed to move live codes aside to $oldPath")
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), codesPath),
-        s"failed to swap compacted codes into place at $codesPath " +
-          s"(previous codes preserved at $oldPath)")
-      fs.delete(oldPath, true)
+      stagedSwap(spark, live = s"$out/codes", staged = tmp)
       val after = spark.read.parquet(s"$out/codes").count()
       println(s"""{"removed":${before - after},"vectors":$after,""" +
         s""""out":${jsonStr(out)}}""")

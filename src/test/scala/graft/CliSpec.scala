@@ -735,6 +735,58 @@ class CliSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("phash --add/--remove: the media hash index gets the vector index's " +
+      "lifecycle; add-then-remove ≡ never-added") {
+    import graft.operators.Multimodal
+    val tmp = Files.createTempDirectory("graft-cli-phash-life-").toString
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(r => r.media_type != "video").collect().toSeq
+    import spark.implicits._
+    val (baseRecs, newRecs) = recs.partition(_.doc_id % 2 == 0)
+    spark.createDataset(baseRecs).write.parquet(s"$tmp/base.parquet")
+    spark.createDataset(newRecs).write.parquet(s"$tmp/new.parquet")
+    spark.createDataset(recs).write.parquet(s"$tmp/all.parquet")
+    def rowsOf(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+        r.getAs[Long]("phash"), r.getAs[Long]("seg0"), r.getAs[Long]("seg1"),
+        r.getAs[Long]("seg2"), r.getAs[Long]("seg3"))).sortBy(_._1).toSeq
+    // build over the base, --add the rest: must equal a from-scratch
+    // build over the union (the same dispatch + seg projection)
+    Main.main(Array("phash", "--in", s"$tmp/base.parquet", "--out", s"$tmp/idx"))
+    Main.main(Array("phash", "--add", "--index", s"$tmp/idx",
+      "--in", s"$tmp/new.parquet"))
+    Main.main(Array("phash", "--in", s"$tmp/all.parquet", "--out", s"$tmp/idx_all"))
+    assert(rowsOf(s"$tmp/idx") == rowsOf(s"$tmp/idx_all"),
+      "build+add must equal the from-scratch build over the union")
+    // right-to-erasure: --remove the added ids restores the base build
+    newRecs.map(_.doc_id).toDF("doc_id").write.parquet(s"$tmp/erase.parquet")
+    Main.main(Array("phash", "--remove", "--index", s"$tmp/idx",
+      "--in", s"$tmp/erase.parquet"))
+    Main.main(Array("phash", "--in", s"$tmp/base.parquet", "--out", s"$tmp/idx_base"))
+    assert(rowsOf(s"$tmp/idx") == rowsOf(s"$tmp/idx_base"),
+      "add-then-remove must equal never-added row-for-row")
+    // the compaction staging must not linger
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/idx__compact")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/idx__old")))
+    // duplicate doc_ids refuse loudly (a duplicate would route twice)
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("phash", "--add", "--index", s"$tmp/idx",
+        "--in", s"$tmp/base.parquet"))
+    }
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    // flag hygiene: the lifecycle verbs are not read paths
+    val e2 = intercept[IllegalArgumentException] {
+      Main.main(Array("phash", "--add", "--remove", "--index", s"$tmp/idx",
+        "--in", s"$tmp/new.parquet"))
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+    val e3 = intercept[IllegalArgumentException] {
+      Main.main(Array("phash", "--add", "--pairs", "--index", s"$tmp/idx",
+        "--in", s"$tmp/new.parquet"))
+    }
+    assert(e3.getMessage.contains("read path"))
+  }
+
   test("c93 gate row ≡ Main phash --pairs on an audio-only media parquet") {
     import graft.operators.Multimodal
     val tmp = Files.createTempDirectory("graft-cli-phash-audio-").toString
