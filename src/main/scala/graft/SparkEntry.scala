@@ -162,6 +162,7 @@ object SparkEntry {
     "c98_wordpiece_tokenize" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c98WordpieceTokenize(s, d)),
     "c99_wordpiece_fertility" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c99WordpieceFertility(s, d)),
     "c100_cms_topk" -> ((s: SparkSession, d: String) => graft.operators.Sketch.c100CmsTopk(s, d)),
+    "c101_tokenizer_matrix" -> ((s: SparkSession, d: String) => TextOps.c101TokenizerMatrix(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1077,6 +1078,22 @@ object SparkEntry {
         "c78_unigram_fertility" -> (() => c78OracleSql(dir)),
         "c98_wordpiece_tokenize" -> (() => c98OracleSql(dir)),
         "c99_wordpiece_fertility" -> (() => c99OracleSql(dir)),
+        // c101 joins the four already-verified fertility oracles on
+        // doc_id (c84's composition rule: the matrix cannot disagree
+        // with the per-family gates)
+        "c101_tokenizer_matrix" -> (() =>
+          s"""SELECT a.doc_id,
+             |  a.n_tokens AS nt_bpe_char, b.n_tokens AS nt_bpe_byte,
+             |  u.n_tokens AS nt_unigram, w.n_tokens AS nt_wordpiece,
+             |  round(CAST(greatest(a.n_tokens, b.n_tokens, u.n_tokens, w.n_tokens)
+             |      AS DOUBLE) /
+             |    least(a.n_tokens, b.n_tokens, u.n_tokens, w.n_tokens), 6)
+             |    AS spread_r
+             |FROM (${c66OracleSql(dir).replace("\n", "\n  ")}) a
+             |JOIN (${c73OracleSql(dir).replace("\n", "\n  ")}) b USING (doc_id)
+             |JOIN (${c78OracleSql(dir).replace("\n", "\n  ")}) u USING (doc_id)
+             |JOIN (${c99OracleSql(dir).replace("\n", "\n  ")}) w USING (doc_id)
+             |ORDER BY a.doc_id""".stripMargin),
         "c80_dsir_weights" -> (() => c80OracleSql(dir)),
         // c84 composes the three fertility oracles (two of them
         // artifact-trained) as subqueries — render on demand

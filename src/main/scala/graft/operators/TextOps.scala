@@ -1272,6 +1272,42 @@ object TextOps {
       .orderBy("tokenizer")
   }
 
+  /** c101: the tokenizer MIGRATION matrix — per doc, its token budget
+    * under all FOUR trained tokenizers (char-BPE c52, byte-BPE c70,
+    * unigram c75, WordPiece c98) plus the max/min spread: the table a
+    * pipeline owner reads before SWAPPING tokenizers, because a new
+    * tokenizer changes every downstream budget (sequence lengths,
+    * packing density, training cost) and the docs with the largest
+    * spread are where the migration bites. Composes the four fertility
+    * derivations AS THEY ARE (c66/c73/c78/c99 — d29's shared-subtree
+    * rule: this row cannot disagree with the per-family gates), so the
+    * oracle is the join of the four already-verified oracle texts. Row
+    * set = docs present in all four frames (each family's documented
+    * empty-doc rule, identical in both engines by construction).
+    *
+    * Scale shape: the four branches are the per-family gate plans
+    * (memoized artifacts, word-type joins / row-local HOFs) and the
+    * matrix is three doc_id equi-joins of per-doc aggregates — O(docs)
+    * rows, AQE-sized exchanges, nothing new materializes. */
+  def c101TokenizerMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val a = c66BpeFertility(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("nt_bpe_char"))
+    val b = c73ByteFertility(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("nt_bpe_byte"))
+    val u = graft.operators.Unigram.c78UnigramFertility(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("nt_unigram"))
+    val w = graft.operators.Wordpiece.c99WordpieceFertility(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("nt_wordpiece"))
+    val hi = greatest(col("nt_bpe_char"), col("nt_bpe_byte"),
+      col("nt_unigram"), col("nt_wordpiece"))
+    val lo = least(col("nt_bpe_char"), col("nt_bpe_byte"),
+      col("nt_unigram"), col("nt_wordpiece"))
+    a.join(b, "doc_id").join(u, "doc_id").join(w, "doc_id")
+      .withColumn("spread_r",
+        round(hi.cast("double") / lo.cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   // ---- lexical retrieval (c55): Okapi BM25 over an inverted per-doc
   // ---- statistics pass (Robertson & Walker; the standard lexical ranker
   // ---- a retrieval-augmented training pipeline mines hard positives with)

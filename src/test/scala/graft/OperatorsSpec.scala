@@ -881,6 +881,29 @@ class OperatorsSpec extends SparkSpec {
       "unigram" -> 0.0, "wordpiece" -> 0.0), oov)
   }
 
+  test("c101 tokenizer matrix joins exactly the four fertility gate frames") {
+    import graft.operators.{TextOps, Unigram, Wordpiece}
+    def ntOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val a = ntOf(TextOps.c66BpeFertility(spark, sfDir).collect())
+    val b = ntOf(TextOps.c73ByteFertility(spark, sfDir).collect())
+    val u = ntOf(Unigram.c78UnigramFertility(spark, sfDir).collect())
+    val w = ntOf(Wordpiece.c99WordpieceFertility(spark, sfDir).collect())
+    val ids = a.keySet intersect b.keySet intersect u.keySet intersect w.keySet
+    val want = ids.toSeq.sorted.map { id =>
+      val nts = Seq(a(id), b(id), u(id), w(id))
+      (id, a(id), b(id), u(id), w(id),
+        r6(nts.max.toDouble / nts.min.toDouble))
+    }
+    val got = TextOps.c101TokenizerMatrix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want, "the matrix must be the join of the four gates")
+    // the migration signal exists: tokenizers genuinely disagree
+    assert(got.exists(_._6 > 1.0), "some doc must show a spread")
+    assert(got.forall(_._6 >= 1.0), "spread is max/min, never below 1")
+  }
+
   test("c84 OOV derivations discriminate on a distribution-shifted apply corpus") {
     import spark.implicits._
     import graft.operators.{TextOps, Unigram}
