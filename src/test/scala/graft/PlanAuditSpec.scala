@@ -380,6 +380,41 @@ class PlanAuditSpec extends SparkSpec {
       s"codegen'd argmax missing from the quantize plan:\n$s")
   }
 
+  test("c98/c99 plans: greedy match runs vocab-side; the type table broadcasts") {
+    // c98: the cut is TakeOrderedAndProject over the vocab-side token
+    // counts — never a global sort
+    val s98 = executedPlanOf(
+      graft.operators.Wordpiece.c98WordpieceTokenize(spark, sfDir))
+    assert(s98.contains("TakeOrderedAndProject"),
+      s"c98 top-k must plan as TakeOrderedAndProject:\n$s98")
+    assert(!s98.contains("Sort ["), s"c98 global sort crept in:\n$s98")
+    // c99: the word-type → np table must BROADCAST into the corpus word
+    // stream (corpus tokens never shuffle; only per-doc partials do)
+    val s99 = executedPlanOf(
+      graft.operators.Wordpiece.c99WordpieceFertility(spark, sfDir))
+    assert(s99.contains("BroadcastHashJoin"),
+      s"c99 type table must broadcast:\n$s99")
+    assert(!s99.contains("SortMergeJoin"),
+      s"c99 must not sort-merge-join the corpus:\n$s99")
+  }
+
+  test("c100 plan: estimates are plan-literal lookups — no join, cut is TakeOrdered") {
+    val s = executedPlanOf(graft.operators.Sketch.c100CmsTopk(spark, sfDir))
+    // the grid collected as a bounded artifact and shipped back as
+    // literals: the estimate pass must contain NO join at all
+    assert(!s.contains("Join"), s"c100 estimate pass must be join-free:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"c100 cut must plan as TakeOrderedAndProject:\n$s")
+    assert(!s.contains("Sort ["), s"c100 global sort crept in:\n$s")
+  }
+
+  test("c101 plan: the matrix is equi-joins of per-doc aggregates, no product") {
+    val s = executedPlanOf(
+      graft.operators.TextOps.c101TokenizerMatrix(spark, sfDir))
+    assert(!s.contains("CartesianProduct"), s"cartesian in the matrix:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested loop in the matrix:\n$s")
+  }
+
   test("c65 plan: confirm join is a doc_id equi-join over sparse frames, no product") {
     // audit the LIVE plan (dupSpansMin shares every expression with the
     // memoized gate path, which reads the materialized span table)
