@@ -98,13 +98,14 @@ object Main {
     case Some("tokenize") => tokenize(args.drop(1))
     case Some("cluster-update") => clusterUpdate(args.drop(1))
     case Some("domains") => domainsCmd(args.drop(1))
+    case Some("sketch") => sketchCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
-          "wordpiece-train|tokenize|cluster-update|domains ...")
+          "wordpiece-train|tokenize|cluster-update|domains|sketch ...")
       sys.exit(2)
   }
 
@@ -143,6 +144,57 @@ object Main {
             count(when(col("is_blocked"), lit(1)))).head()
         println(s"""{"domains":${stats.getLong(0)},"blocked":${stats.getLong(1)},""" +
           s""""out":${jsonStr(out)}}""")
+    }
+  }
+
+  /** `graft.Main sketch --in PARQUET --out GRID` — fold a (doc_id,
+    * text) corpus into the at-rest CMS counter grid (SURVEY §2 c100's
+    * pass 1 as an artifact step): writes the (i, b, c) counter table —
+    * d·w rows regardless of corpus size, the sketch file d48's ingest
+    * twin probes. `--estimate --grid GRID` instead reads a previously
+    * written grid and emits (doc_id, token, est_cnt) for each doc's
+    * distinct tokens — the batch run of exactly d48's projection (the
+    * shared estimateOf expression; CLI-spec-pinned). One JSON line. */
+  private def sketchCmd(args: Array[String]): Unit = {
+    import graft.operators.Sketch
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    import spark.implicits._
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      s"input $in must have (doc_id, text) columns, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    if (args.contains("--estimate")) {
+      val gridPath = opt(args, "--grid")
+        .getOrElse(sys.error("--grid required with --estimate"))
+      val gf = spark.read.parquet(gridPath)
+      require(Seq("i", "b", "c").forall(gf.columns.contains),
+        s"grid $gridPath must have (i, b, c) columns, " +
+          s"found ${gf.columns.mkString("(", ", ", ")")}")
+      val grid = gf.collect()
+        .map(r => s"${r.getAs[Int]("i")}:${r.getAs[String]("b")}" ->
+          r.getAs[Long]("c")).toMap
+      graft.streaming.StreamOps.streamCmsEstimate(
+          docs.select("doc_id", "text"), grid)
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .agg(count(lit(1)), coalesce(max(col("est_cnt")), lit(0L))).head()
+      println(s"""{"rows":${stats.getLong(0)},"max_est":${stats.getLong(1)},""" +
+        s""""out":${jsonStr(out)}}""")
+    } else {
+      val wt = docs
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      val grid = Sketch.counterGrid(wt)
+      grid.toSeq.sortBy(_._1)
+        .map { case (k, c) =>
+          val Array(i, b) = k.split(":", 2); (i.toInt, b, c) }
+        .toDF("i", "b", "c")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      println(s"""{"cells":${grid.size},"depth":${Sketch.CmsDepth},""" +
+        s""""width":${Sketch.CmsWidth},"out":${jsonStr(out)}}""")
     }
   }
 

@@ -1043,6 +1043,35 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
+  test("sketch subcommand: grid equals c100's fold; --estimate equals the d48 twin") {
+    import graft.operators.Sketch
+    val tmp = Files.createTempDirectory("graft-cli-sketch-").toString
+    Main.main(Array("sketch", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/grid"))
+    val grid = spark.read.parquet(s"$tmp/grid").collect()
+      .map(r => s"${r.getAs[Int]("i")}:${r.getAs[String]("b")}" ->
+        r.getAs[Long]("c")).toMap
+    assert(grid == Sketch.cmsGrid(spark, sfDir),
+      "CLI grid diverges from the c100 fold")
+    assert(grid.size <= Sketch.CmsDepth * Sketch.CmsWidth)
+    Main.main(Array("sketch", "--estimate", "--grid", s"$tmp/grid",
+      "--in", s"$sfDir/documents.parquet", "--out", s"$tmp/est"))
+    val got = spark.read.parquet(s"$tmp/est").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val want = graft.streaming.StreamOps.streamCmsEstimate(
+        Tables.documents(spark, sfDir).select("doc_id", "text"), grid)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got == want, "CLI estimates diverge from the shared projection")
+    // every estimate is a real grid read: >= the token's presence
+    assert(got.forall(_._3 >= 1L))
+    val e = intercept[RuntimeException] {
+      Main.main(Array("sketch", "--estimate",
+        "--in", s"$sfDir/documents.parquet", "--out", s"$tmp/e2"))
+    }
+    assert(e.getMessage.contains("--grid required"), e.getMessage)
+  }
+
   test("score subcommand: ASCII default equals c41; --unicode/--quality run") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-score-").toString
