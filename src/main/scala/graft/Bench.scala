@@ -24,7 +24,7 @@ object Bench {
     * (MB/s, rows/s) over the wall time from query start to full drain —
     * the wire-in path `graft.Main stream` runs in production. */
   private def benchIngest(spark: org.apache.spark.sql.SparkSession,
-                          sfDir: String): (Double, Double, String) = {
+                          sfDir: String): (Double, Double, String, Double) = {
     val corpus = StreamPipeline.eventsJsonCorpusPath(spark, sfDir)
     val files = new java.io.File(corpus).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -68,7 +68,7 @@ object Bench {
     spark.streams.resetTerminated()
     require(rows.get() == expected,
       s"ingest bench drained ${rows.get()} of $expected rows")
-    (totalBytes / 1e6 / sec, expected / sec, runId)
+    (totalBytes / 1e6 / sec, expected / sec, runId, sec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -247,10 +247,19 @@ object Bench {
     // pre-sample re-materialization below remove the SELF-inflation
     // ambiguity that kept convert `weak (perf-watch)` two rounds.
     import graft.metrics.CpuClock.GroupLedger
-    val convertL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
-    val pubL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
-    val batchedL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
-    val ingestL = scala.collection.mutable.ArrayBuffer[GroupLedger]()
+    // each ledger rides with ITS OWN wall seconds (r16 probe finding:
+    // on this microVM infrastructure cpu_s itself co-inflates with wall
+    // under hypervisor/neighbor steal — graft.tools.CpuProbe measured a
+    // byte-identical convert sample at wall 0.5 s / 6 cpu_s and wall
+    // 2.1 s / 52 cpu_s with process CPU agreeing and GC flat, on an
+    // idle guest — so a breaching sample is adjudicated by its LEDGER
+    // (identical tasks/rows/bytes + co-inflated wall ⇒ environment;
+    // extra tasks/input ⇒ code), and the wall must sit next to the cpu
+    // it explains, unpaired sorted triples can't show the co-movement)
+    val convertL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
+    val pubL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
+    val batchedL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
+    val ingestL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
     // cpu_s per channel derives from the ledgers (one source of truth,
     // one bus settle per sample — the old parallel cpu buffers paid a
     // second >=100 ms settle poll per sample for the same number)
@@ -292,7 +301,7 @@ object Bench {
             StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
         }
         convertS += corpus.jsonBytes / 1e6 / wall
-        convertL += led
+        convertL += ((wall, led))
         ()
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
@@ -305,13 +314,13 @@ object Bench {
         val pubDir = GraftSession.scratchDir("bench-publish").toString
         val (pw, pl) = timeOne(s"bench-publish-$round",
           e => new graft.streaming.FilePublisher(pubDir, e))
-        pubS += nMsgs / pw; pubL += pl
+        pubS += nMsgs / pw; pubL += ((pw, pl))
         GraftSession.scratchDir("bench-publish") // clear between modes
         val (bw, bl) = timeOne(s"bench-publish-batched-$round",
           e => new graft.streaming.BatchingFilePublisher(
             pubDir, graft.streaming.BatchingOptions(
               maxMessages = 1000, maxBytes = 4L * 1024 * 1024, maxDelayMs = 1000L), e))
-        batchedS += nMsgs / bw; batchedL += bl
+        batchedS += nMsgs / bw; batchedL += ((bw, bl))
         ()
       }
       // ingest micro-bench (≙ bolson `bench client`, src/bolson/bench.cpp:
@@ -325,9 +334,9 @@ object Bench {
       // sample with proportionally more tasks but the same input rows
       // reads as microbatch overhead, not a convert-path regression.
       fenced(s"ingest#$round", ()) {
-        val (mbps, rps, runId) = benchIngest(spark, sfDir)
+        val (mbps, rps, runId, sec) = benchIngest(spark, sfDir)
         ingestS += ((mbps, rps))
-        ingestL += cpuClock.settledGroupLedger(runId)
+        ingestL += ((sec, cpuClock.settledGroupLedger(runId)))
         ()
       }
     }
@@ -342,15 +351,19 @@ object Bench {
           s""""max":${fmt(s.last)}"""
       }
     // per-sample ledger, in round order (NOT sorted): a breaching cpu_s
-    // sample can be matched to its own task count / input volume
-    def ledgerJson(ledgers: Seq[GroupLedger]): String =
-      ledgers.map { l =>
-        f"""{"cpu_s":${l.cpuNs / 1e9}%.2f,"tasks":${l.tasks},""" +
+    // sample can be matched to its own wall + task count + input volume
+    // — wall_s sits next to the cpu_s it explains because on this
+    // infrastructure the two CO-INFLATE under hypervisor/neighbor steal
+    // (the CpuProbe finding above): identical work ledger + co-inflated
+    // wall/cpu ⇒ environment, extra tasks/input ⇒ code
+    def ledgerJson(ledgers: Seq[(Double, GroupLedger)]): String =
+      ledgers.map { case (w, l) =>
+        f"""{"wall_s":$w%.2f,"cpu_s":${l.cpuNs / 1e9}%.2f,"tasks":${l.tasks},""" +
           s""""input_rows":${l.inputRows},"input_mb":""" +
           f"${l.inputBytes / 1e6}%.1f}"
       }.mkString("[", ",", "]")
     def statsJson(samples: Seq[Double], cpus: Seq[Double],
-                  ledgers: Seq[GroupLedger]): String =
+                  ledgers: Seq[(Double, GroupLedger)]): String =
       s"{${triple(samples, v => f"$v%.1f")}," +
         s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}},""" +
         s""""samples":${ledgerJson(ledgers)}}"""
@@ -361,8 +374,8 @@ object Bench {
     // Each channel carries its wall-clock throughput samples AND their
     // task-CPU seconds (r13): the cpu_s band is the contention-immune
     // verdict on whether a wall-clock dip is weather or regression.
-    def cpus(ledgers: Seq[GroupLedger]): Seq[Double] =
-      ledgers.map(_.cpuNs / 1e9)
+    def cpus(ledgers: Seq[(Double, GroupLedger)]): Seq[Double] =
+      ledgers.map(_._2.cpuNs / 1e9)
     val bandLow = Seq(
       ("convert_mb_per_s", 280.0, convertS.toSeq, cpus(convertL.toSeq),
         convertL.toSeq),

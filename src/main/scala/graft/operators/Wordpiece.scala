@@ -88,7 +88,11 @@ object Wordpiece {
     * one codegen'd literal replace per merge (bpeSeqOf's fence argument
     * — a pattern can only match whole symbols, back-to-back occurrences
     * both match). Training-internal only: APPLY never replays merges
-    * (see [[segment]]). */
+    * (see [[segment]]), so unlike BPE the replace chain never reaches a
+    * serving path. At [[WpRounds]] = 12 the chain plans fine; a
+    * production ~30k-merge WordPiece trainer would fuse this loop into
+    * a native expression exactly as ApplyBpe (functions/Bpe.scala) did
+    * for the BPE chain — same fix, different merged-symbol rule. */
   private def applyWpMerges(s: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(s) { case (c, (a, b)) =>
       replace(c, lit(s" $a  $b "), lit(s" ${mergedSym(a, b)} "))
