@@ -163,6 +163,7 @@ object SparkEntry {
     "c99_wordpiece_fertility" -> ((s: SparkSession, d: String) => graft.operators.Wordpiece.c99WordpieceFertility(s, d)),
     "c100_cms_topk" -> ((s: SparkSession, d: String) => graft.operators.Sketch.c100CmsTopk(s, d)),
     "c101_tokenizer_matrix" -> ((s: SparkSession, d: String) => TextOps.c101TokenizerMatrix(s, d)),
+    "c102_media_clusters" -> (Multimodal.c102MediaClusters _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -568,6 +569,36 @@ object SparkEntry {
        |JOIN tl la ON la.doc_id = c.doc_a
        |JOIN tl lb ON lb.doc_id = c.doc_b
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  /** DuckDB rendering of c102 (r16): the c88 hash SQL → the SAME
+    * banded-candidate set c89 verifies (hamming ≤ 3 pushed into cand) →
+    * transitive closure (c19's reach CTE pattern) → labels as component
+    * minima → every image doc with its cluster, size, and the min-id
+    * canonical flag. Clustering drift on either side hash-fails. */
+  private def c102OracleSql(c88Sql: String): String =
+    s"""WITH RECURSIVE hs AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |sg AS (SELECT doc_id, phash, j,
+       |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
+       |       FROM hs, range(0, 4) jj(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
+       |                            AND a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |ed AS (SELECT doc_a AS u, doc_b AS v FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT u, v FROM ed
+       |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+       |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+       |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+       |cl AS (SELECT i.doc_id,
+       |         CAST(least(COALESCE(l.mn, i.doc_id), i.doc_id) AS BIGINT)
+       |           AS cluster_id
+       |       FROM img i LEFT JOIN lbl l ON l.doc_id = i.doc_id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY cluster_id)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  cl.doc_id = cl.cluster_id AS is_canonical
+       |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
 
   /** DuckDB rendering of c93 (r16): c89's composition for the audio
     * modality — the c90 hash SQL feeds the 14-bit band self-join,
@@ -1025,6 +1056,7 @@ object SparkEntry {
         // c89 composes the c88 hash SQL for the banding (c58's rule) and
         // re-derives the exact pixel L1 from the closed-form thumbnails
         + ("c89_phash_pairs" -> c89OracleSql(base("c88_image_phash")))
+        + ("c102_media_clusters" -> c102OracleSql(base("c88_image_phash")))
         // c93/c94 (r16): the same banding+verify composition on the
         // audio hash SQL (exact verify = envelope L1 over the same 57
         // resampled points) and the per-frame video hash SQL (composite

@@ -1120,6 +1120,44 @@ object Multimodal {
       .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
   }
 
+  /** c102: media near-dup CLUSTERS — the pair surfaces (c89/c93/c94)
+    * ENUMERATE near-dups, but a dedup policy needs to DECIDE: one
+    * canonical per component, the rest droppable — exactly the step
+    * c19/c82 supply for text. Edges are c89's complete banded image
+    * pairs at hamming ≤ 3; components come from the SAME memoized
+    * large-star/small-star machinery the text clusters run
+    * (Dedup.connectedComponentsAlternating — O(log n) rounds on any
+    * diameter, labels = component minima); every image doc appears
+    * (singletons as their own cluster); survivorship is MIN-DOC-ID
+    * (images carry no c41 quality score — the deterministic id rule,
+    * where c82 uses quality argmax for text). is_canonical ⇔ doc_id =
+    * cluster_id because labels are component minima by construction.
+    *
+    * Scale shape: the pair graph is O(n·bands) by banding, each CC
+    * round shuffles O(edges) (bigint, bigint) rows, the label join and
+    * size count are O(images). The oracle re-derives the components by
+    * transitive closure over the SAME banded-candidate SQL (c19's reach
+    * CTE pattern), so clustering drift hash-fails. Audio/video-frame
+    * cluster tables are the same composition over c93/c94's edges
+    * (documented, not separate gate rows — one composition, one proof). */
+  def c102MediaClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = c89PhashPairs(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labels = graft.operators.Dedup.connectedComponentsAlternating(edges)._1
+    val imgs = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val cl = imgs
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
+          .as("cluster_id"))
+    val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cl.join(sz, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):
     * the corpus hash table d43's streaming router equi-joins against —
     * at scale a parquet table bucketed by segment. */

@@ -945,6 +945,49 @@ class DedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.phashPairs(frames, 4) }
   }
 
+  test("c102 media clusters equal a driver union-find over the verified pairs") {
+    // driver union-find over the collected c89 edge set — the
+    // independent re-derivation of the component structure
+    val edges = Multimodal.c89PhashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val imgs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val parent = scala.collection.mutable.Map(imgs.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = imgs.map(i => i -> find(i)).toMap
+    val size = label.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val want = imgs.map(i =>
+      (i, label(i), size(label(i)), i == label(i))).toSeq
+    val got = Multimodal.c102MediaClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == want, "c102 must equal the driver union-find")
+    // decision-surface invariants: every image present, exactly one
+    // canonical per cluster and it IS the min id, sizes partition the set
+    assert(got.map(_._1) == imgs.toSeq)
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $cid canonicals")
+      assert(rows.filter(_._4).head._1 == rows.map(_._1).min &&
+        cid == rows.map(_._1).min, s"cluster $cid canonical is not min")
+      assert(rows.forall(_._3 == rows.size.toLong), s"cluster $cid size")
+    }
+    assert(byCluster.values.map(_.size).sum == imgs.length)
+    // the corpus genuinely exercises both legs
+    assert(got.exists(_._3 > 1) && (got.count(_._3 == 1L) >= 0))
+    info(s"c102: ${imgs.length} images, ${byCluster.size} clusters, " +
+      s"largest ${byCluster.values.map(_.size).max}")
+  }
+
   test("c95 incremental cluster maintenance ≡ full re-cluster on the merged corpus") {
     // the theorem the operator rests on, proved in Spark terms: frozen
     // labels + new-touching edges + CC confined to touched components
