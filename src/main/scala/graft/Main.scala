@@ -720,7 +720,10 @@ object Main {
     * instead) plus the 4 Hamming-band segments; `--pairs` writes the
     * banded near-dup candidates (doc_a, doc_b, hamming ≤ H) instead,
     * banded PER MODALITY — an image gradient hash and an audio
-    * envelope hash must never pair. One JSON stats line.
+    * envelope hash must never pair; `--clusters` writes the c102
+    * DECISION surface instead (per-modality connected components over
+    * the banded pairs: doc_id, media_type, cluster_id, cluster_size,
+    * is_canonical — min-id survivorship). One JSON stats line.
     *
     * Lifecycle (r16 — the hash table is the at-rest index d43/d44
     * route against, so it needs the same add/erase story the vector
@@ -752,7 +755,35 @@ object Main {
       .mapPartitions(_.map(r => (r.doc_id, r.media_type,
         Multimodal.phashOf(r.doc_id, r.media_type, r.payload))))
       .toDF("doc_id", "media_type", "phash")
-    if (pairs) {
+    if (args.contains("--clusters")) {
+      // the c102 decision surface over ANY media parquet: per-modality
+      // banded pairs (an image hash never pairs an audio hash) → the
+      // shared CC machinery → (doc_id, media_type, cluster_id,
+      // cluster_size, is_canonical), min-id survivorship
+      require(!pairs, "--pairs and --clusters are mutually exclusive outputs")
+      val edges = Multimodal.phashCandidates(hashes, maxHamming,
+          keyCols = Seq("media_type"))
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val labels = graft.operators.Dedup
+        .connectedComponentsAlternating(edges)._1
+      val cl = hashes.select("doc_id", "media_type")
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("media_type"),
+          least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
+            .as("cluster_id"))
+      val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cl.join(sz, "cluster_id")
+        .select(col("doc_id"), col("media_type"), col("cluster_id"),
+          col("cluster_size"), (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .agg(count(lit(1)), count_distinct(col("cluster_id")),
+          count(when(col("is_canonical"), lit(1)))).head()
+      println(s"""{"docs":${stats.getLong(0)},"clusters":${stats.getLong(1)},""" +
+        s""""canonicals":${stats.getLong(2)},"max_hamming":$maxHamming,""" +
+        s""""out":${jsonStr(out)}}""")
+    } else if (pairs) {
       Multimodal.phashCandidates(hashes, maxHamming, keyCols = Seq("media_type"))
         .orderBy("doc_a", "doc_b")
         .write.mode("overwrite").parquet(out)

@@ -787,6 +787,51 @@ class CliSpec extends SparkSpec {
     assert(e3.getMessage.contains("read path"))
   }
 
+  test("phash --clusters: per-modality components with min-id survivorship") {
+    import graft.operators.Multimodal
+    val tmp = Files.createTempDirectory("graft-cli-phash-cl-").toString
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(r => r.media_type != "video").collect().toSeq
+    import spark.implicits._
+    spark.createDataset(recs).write.parquet(s"$tmp/media.parquet")
+    Main.main(Array("phash", "--in", s"$tmp/media.parquet",
+      "--out", s"$tmp/clusters", "--clusters"))
+    val got = spark.read.parquet(s"$tmp/clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Boolean]("is_canonical"))).sortBy(_._1).toSeq
+    // driver union-find over the per-modality brute pairs
+    val hash = recs.map(r =>
+      r.doc_id -> ((r.media_type,
+        Multimodal.phashOf(r.doc_id, r.media_type, r.payload)))).toMap
+    val parent = scala.collection.mutable.Map(recs.map(r => r.doc_id -> r.doc_id): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for {
+      a <- recs; b <- recs if a.doc_id < b.doc_id
+      if a.media_type == b.media_type
+      if java.lang.Long.bitCount(hash(a.doc_id)._2 ^ hash(b.doc_id)._2) <= 3
+    } {
+      val (ra, rb) = (find(a.doc_id), find(b.doc_id))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = recs.map(r => r.doc_id -> find(r.doc_id)).toMap
+    val size = label.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val want = recs.map(r => (r.doc_id, r.media_type, label(r.doc_id),
+      size(label(r.doc_id)), r.doc_id == label(r.doc_id))).sortBy(_._1).toSeq
+    assert(got == want, "CLI clusters diverge from the driver union-find")
+    // a cluster never spans modalities (the band key includes media_type)
+    got.groupBy(_._3).values.foreach { rows =>
+      assert(rows.map(_._2).distinct.size == 1,
+        s"cross-modality cluster: $rows")
+    }
+    assert(got.exists(_._4 > 1))
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("phash", "--in", s"$tmp/media.parquet",
+        "--out", s"$tmp/x", "--clusters", "--pairs"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("c93 gate row ≡ Main phash --pairs on an audio-only media parquet") {
     import graft.operators.Multimodal
     val tmp = Files.createTempDirectory("graft-cli-phash-audio-").toString
