@@ -220,6 +220,34 @@ object Main {
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
     val spark = GraftSession.get()
+    // --media (r16): maintain a MEDIA label table at hash grain — --new
+    // and --corpus name (doc_id, phash) parquets (`phash` output), the
+    // edges are new-touching banded pairs at --max-hamming, the core is
+    // the same maintainLabels the text path rides (c103)
+    if (args.contains("--media")) {
+      require(opt(args, "--threshold").isEmpty && opt(args, "--shingles").isEmpty,
+        "--media maintains a phash label table: --threshold/--shingles are text flags")
+      val maxHamming = opt(args, "--max-hamming").map(_.toInt).getOrElse(3)
+      def hashFrame(path: String) = {
+        val h = spark.read.parquet(path)
+        require(Seq("doc_id", "phash").forall(h.columns.contains),
+          s"input $path must have (doc_id, phash) columns, " +
+            s"found ${h.columns.mkString("(", ", ", ")")}")
+        h.select("doc_id", "phash")
+      }
+      val labels = spark.read.parquet(labelsIn)
+      require(Seq("node", "cluster_id").forall(labels.columns.contains),
+        s"label table $labelsIn must have (node, cluster_id) columns, " +
+          s"found ${labels.columns.mkString("(", ", ", ")")}")
+      val before = labels.count()
+      graft.operators.Multimodal.incrementalMediaClusters(
+          hashFrame(newIn), hashFrame(corpusIn), labels, maxHamming)
+        .write.mode("overwrite").parquet(out)
+      val after = spark.read.parquet(out).count()
+      println(s"""{"labels_before":$before,"labels_after":$after,""" +
+        s""""max_hamming":$maxHamming,"media":true,"out":${jsonStr(out)}}""")
+      return
+    }
     def docsFrame(path: String) = {
       val d = spark.read.parquet(path)
       require(Seq("doc_id", "text").forall(d.columns.contains),

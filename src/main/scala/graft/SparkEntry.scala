@@ -164,6 +164,7 @@ object SparkEntry {
     "c100_cms_topk" -> ((s: SparkSession, d: String) => graft.operators.Sketch.c100CmsTopk(s, d)),
     "c101_tokenizer_matrix" -> ((s: SparkSession, d: String) => TextOps.c101TokenizerMatrix(s, d)),
     "c102_media_clusters" -> (Multimodal.c102MediaClusters _),
+    "c103_media_clusters_incr" -> (Multimodal.c103MediaClustersIncr _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -577,7 +578,34 @@ object SparkEntry {
     * canonical flag. Clustering drift on either side hash-fails. */
   private def c102OracleSql(c88Sql: String): String =
     s"""WITH RECURSIVE hs AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
-       |sg AS (SELECT doc_id, phash, j,
+       |${mediaClusterCtes("img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)")}""".stripMargin
+
+  /** DuckDB rendering of c103 (r16): the FULL re-cluster of the merged
+    * hash set — corpus image hashes ∪ the re-keyed recrawl's (hash
+    * unchanged: the payload is byte-identical, only the id moved). The
+    * Spark side runs the INCREMENTAL maintenance (frozen labels + new-
+    * touching edges + confined CC), so this row engine-checks
+    * add-then-maintain ≡ full-re-cluster — c95's equivalence at media
+    * grain. */
+  private def c103OracleSql(c88Sql: String): String =
+    s"""WITH RECURSIVE hs0 AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |hs AS (SELECT doc_id, phash FROM hs0
+       |       UNION ALL
+       |       SELECT doc_id + 1000000000000, phash FROM hs0
+       |       WHERE doc_id % 5 = 0),
+       |${mediaClusterCtes(
+      """img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        |        UNION ALL
+        |        SELECT doc_id + 1000000000000 FROM documents
+        |        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)""".stripMargin)}""".stripMargin
+
+  /** The shared media-cluster CTE chain over a prepended `hs` (doc_id,
+    * phash) relation and a caller-supplied image-universe CTE: banded
+    * candidates at hamming ≤ 3 → transitive closure (c19's reach
+    * pattern) → labels as component minima → the c102 decision-surface
+    * shape. */
+  private def mediaClusterCtes(imgCte: String): String =
+    s"""sg AS (SELECT doc_id, phash, j,
        |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
        |       FROM hs, range(0, 4) jj(j)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -589,7 +617,7 @@ object SparkEntry {
        |reach AS (SELECT u, v FROM ed
        |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
        |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
-       |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+       |$imgCte,
        |cl AS (SELECT i.doc_id,
        |         CAST(least(COALESCE(l.mn, i.doc_id), i.doc_id) AS BIGINT)
        |           AS cluster_id
@@ -1057,6 +1085,7 @@ object SparkEntry {
         // re-derives the exact pixel L1 from the closed-form thumbnails
         + ("c89_phash_pairs" -> c89OracleSql(base("c88_image_phash")))
         + ("c102_media_clusters" -> c102OracleSql(base("c88_image_phash")))
+        + ("c103_media_clusters_incr" -> c103OracleSql(base("c88_image_phash")))
         // c93/c94 (r16): the same banding+verify composition on the
         // audio hash SQL (exact verify = envelope L1 over the same 57
         // resampled points) and the per-frame video hash SQL (composite

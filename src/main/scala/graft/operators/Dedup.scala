@@ -408,7 +408,23 @@ object Dedup {
     val edgePath = graft.GraftSession
       .scratchDir(s"incr-cluster-edges-$runId").toString
     newEdgesDf.write.mode("overwrite").parquet(edgePath)
-    val newEdges = spark.read.parquet(edgePath)
+    maintainLabels(spark.read.parquet(edgePath), existingLabels)
+  }
+
+  /** The GENERIC incremental-maintenance core (r16, factored out of
+    * [[incrementalClusters]] so the media cluster table can ride it at
+    * hash grain): union a crawl's verified new-touching edges (u, v)
+    * into a FROZEN (node, cluster_id) label table and re-run CC
+    * confined to touched components — untouched labels pass through
+    * verbatim, and because labels are canonical component minima the
+    * result EQUALS a full re-cluster of the merged graph row for row
+    * (c95's theorem; the media twin's gate row engine-checks it too).
+    * Callers materialize `newEdges` first (it feeds the touched-root
+    * lookup AND the CC input). Edge-less new nodes stay absent, exactly
+    * like singletons in a from-scratch CC (consumers coalesce to own
+    * id). */
+  private[graft] def maintainLabels(newEdges: DataFrame,
+                                    existingLabels: DataFrame): DataFrame = {
     val lbl = existingLabels.select(col("node"), col("cluster_id"))
     val touchedRoots = newEdges
       .select(explode(array(col("u"), col("v"))).as("node"))

@@ -960,6 +960,73 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** New-touching banded candidates at hash grain (r16, c103): the
+    * LEFT side is the crawl only, the RIGHT side is crawl ∪ corpus —
+    * so corpus×corpus pairs are never formed (the maintenance cost
+    * contract: per-crawl work scales with the batch, never the corpus
+    * squared). Same canonical-band emission and explicit-N repartition
+    * as [[phashCandidates]]; NN pairs dedup by doc_a < doc_b, NE pairs
+    * appear once by construction (the corpus never sits on the left).
+    * Returns normalized (u, v) edges at hamming ≤ maxHamming. */
+  private[graft] def phashCandidatesSplit(newHashes: DataFrame,
+                                          corpusHashes: DataFrame,
+                                          maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
+    val n = newHashes.sparkSession.sessionState.conf.numShufflePartitions
+    def segOf(hashes: DataFrame): DataFrame = hashes
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*)))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val keys = Seq("seg_idx", "seg")
+    val left = segOf(newHashes)
+      .select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+        col("seg_idx"), col("seg"))
+      .repartition(n, keys.map(col): _*)
+    val right = segOf(newHashes).withColumn("is_new", lit(true))
+      .unionByName(segOf(corpusHashes).withColumn("is_new", lit(false)))
+      .select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+        col("seg_idx"), col("seg"), col("is_new"))
+      .repartition(n, keys.map(col): _*)
+    val noEarlierBand = (0 until 3).map(k =>
+      (col("seg_idx") <= lit(k)) ||
+        (phashSeg(col("ha"), k) =!= phashSeg(col("hb"), k))).reduce(_ && _)
+    left.join(right, keys)
+      .filter(!col("is_new") || col("doc_a") < col("doc_b"))
+      .filter(noEarlierBand)
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+  }
+
+  /** Incremental MEDIA cluster maintenance (r16, c103 — c95's theorem
+    * at hash grain): union a crawl's new-touching verified edges into
+    * the FROZEN media label table and re-run CC confined to touched
+    * components via the SAME [[graft.operators.Dedup.maintainLabels]]
+    * core the text table uses. Because labels are canonical component
+    * minima, add-then-maintain EQUALS a full re-cluster of the merged
+    * hash set row for row — the c103 gate row's ORACLE is that full
+    * re-cluster, so the equivalence is engine-checked every round. */
+  def incrementalMediaClusters(newHashes: DataFrame,
+                               corpusHashes: DataFrame,
+                               frozenLabels: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    val spark = newHashes.sparkSession
+    val clash = newHashes.select("doc_id")
+      .join(corpusHashes.select("doc_id"), "doc_id").limit(1).count()
+    require(clash == 0L,
+      "incrementalMediaClusters: new doc_ids overlap the corpus — " +
+        "re-key the crawl (recrawl replays arrive re-keyed, c37's rule)")
+    // materialize the edges once (they feed the touched-root lookup AND
+    // the CC input — incrementalClusters' seam rule)
+    val p = graft.GraftSession.scratchDir(
+      s"incr-media-edges-${mediaIngestRuns.incrementAndGet()}").toString
+    phashCandidatesSplit(newHashes, corpusHashes, maxHamming)
+      .write.mode("overwrite").parquet(p)
+    graft.operators.Dedup.maintainLabels(spark.read.parquet(p), frozenLabels)
+  }
+  private val mediaIngestRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def phashPairs(frames: DataFrame,
                                 maxHamming: Int = 3,
                                 valueCol: String = "gray",
@@ -1141,12 +1208,18 @@ object Multimodal {
     * cluster tables are the same composition over c93/c94's edges
     * (documented, not separate gate rows — one composition, one proof). */
   def c102MediaClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = c89PhashPairs(spark, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val labels = graft.operators.Dedup.connectedComponentsAlternating(edges)._1
+    val labels = spark.read.parquet(mediaLabelTablePath(spark, dir))
     val imgs = Tables.documents(spark, dir).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 0)
-    val cl = imgs
+    clusterSurface(imgs, labels)
+  }
+
+  /** The (doc_id, cluster_id, cluster_size, is_canonical) decision
+    * surface over a node universe + a (node, cluster_id) label table —
+    * c102's shape, shared with c103 (singletons coalesce to their own
+    * id; canonical ⇔ the component-minimum label). */
+  private def clusterSurface(nodes: DataFrame, labels: DataFrame): DataFrame = {
+    val cl = nodes
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
@@ -1156,6 +1229,47 @@ object Multimodal {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("doc_id")
+  }
+
+  /** Per-JVM memoized FROZEN media label table (clusterTablePath's rule
+    * at hash grain): c89's verified pair graph fed through the
+    * alternating CC, materialized once to scratch — the at-rest
+    * artifact c102 surfaces and c103's maintenance starts from. */
+  private val mediaLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mediaLabelTablePath(spark: SparkSession,
+                                         dir: String): String =
+    mediaLabelCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"media-labels-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val edges = c89PhashPairs(spark, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Dedup.connectedComponentsAlternating(edges)._1
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c103 gate row: incremental MEDIA cluster maintenance — a crawl of
+    * re-keyed byte-identical recrawls (every image with doc_id % 5 = 0,
+    * re-keyed +10¹², hash unchanged because the payload is unchanged)
+    * folds into the FROZEN c102 label table via
+    * [[incrementalMediaClusters]], and the maintained table surfaces in
+    * c102's shape over the MERGED image universe. The oracle is the
+    * FULL re-cluster of the merged hash set (c102's SQL over corpus ∪
+    * re-keyed hashes), so add-then-maintain ≡ full-re-cluster is
+    * engine-checked every round — c95's proof, media grain. */
+  def c103MediaClustersIncr(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = imagePhashFrames(spark, dir).select("doc_id", "phash")
+    val crawl = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"), col("phash"))
+    val frozen = spark.read.parquet(mediaLabelTablePath(spark, dir))
+    val maintained = incrementalMediaClusters(crawl, corpus, frozen)
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val merged = base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id")))
+    clusterSurface(merged, maintained)
   }
 
   /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):

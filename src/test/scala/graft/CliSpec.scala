@@ -854,6 +854,42 @@ class CliSpec extends SparkSpec {
     assert(cli.nonEmpty)
   }
 
+  test("cluster-update --media maintains the phash label table at hash grain") {
+    import graft.operators.{Dedup, Multimodal}
+    val tmp = Files.createTempDirectory("graft-cli-clupd-media-").toString
+    val corpus = Multimodal.imagePhashFrames(spark, sfDir)
+      .select("doc_id", "phash")
+    corpus.write.parquet(s"$tmp/corpus")
+    corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("phash"))
+      .write.parquet(s"$tmp/crawl")
+    val frozenPath = Multimodal.mediaLabelTablePath(spark, sfDir)
+    Main.main(Array("cluster-update", "--media", "--new", s"$tmp/crawl",
+      "--corpus", s"$tmp/corpus", "--labels", frozenPath,
+      "--out", s"$tmp/maintained"))
+    val got = spark.read.parquet(s"$tmp/maintained").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("cluster_id"))).toSet
+    val want = Multimodal.incrementalMediaClusters(
+        spark.read.parquet(s"$tmp/crawl"), corpus,
+        spark.read.parquet(frozenPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "CLI maintenance diverges from the library pass")
+    // full-re-cluster equivalence holds through the CLI artifact too
+    val full = Dedup.connectedComponentsAlternating(
+        Multimodal.phashCandidates(
+          corpus.unionAll(spark.read.parquet(s"$tmp/crawl")), 3)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full)
+    // text flags refuse with --media
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("cluster-update", "--media", "--threshold", "0.5",
+        "--new", s"$tmp/crawl", "--corpus", s"$tmp/corpus",
+        "--labels", frozenPath, "--out", s"$tmp/x"))
+    }
+    assert(e.getMessage.contains("text flags"))
+  }
+
   test("cluster-update subcommand maintains the at-rest label table incrementally") {
     import graft.operators.Dedup
     val tmp = Files.createTempDirectory("graft-cli-clupd-").toString

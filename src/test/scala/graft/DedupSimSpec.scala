@@ -988,6 +988,43 @@ class DedupSimSpec extends SparkSpec {
       s"largest ${byCluster.values.map(_.size).max}")
   }
 
+  test("c103 incremental media maintenance ≡ full re-cluster of the merged hashes") {
+    // the c95 theorem at hash grain, proved Spark-side (the gate row's
+    // oracle engine-checks it against DuckDB's full re-cluster too)
+    val corpus = Multimodal.imagePhashFrames(spark, sfDir)
+      .select("doc_id", "phash")
+    val crawl = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("phash"))
+    val frozen = spark.read.parquet(
+      Multimodal.mediaLabelTablePath(spark, sfDir))
+    val maintained = Multimodal
+      .incrementalMediaClusters(crawl, corpus, frozen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponentsAlternating(
+        Multimodal.phashCandidates(corpus.unionAll(crawl).select("doc_id", "phash"), 3)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == full,
+      s"maintained-only=${(maintained -- full).take(5)}, " +
+        s"full-only=${(full -- maintained).take(5)}")
+    // every recrawl is byte-identical to its source → hamming 0 → it
+    // must land in its source's cluster
+    val byNode = maintained.toMap
+    corpus.filter(col("doc_id") % 5 === 0).collect().map(_.getLong(0))
+      .foreach { src =>
+        val re = src + 1000000000000L
+        val srcLbl = byNode.getOrElse(src, src)
+        assert(byNode.get(re).contains(srcLbl),
+          s"recrawl $re must join source $src's cluster $srcLbl")
+      }
+    // overlapping ids refuse loudly (recrawls arrive re-keyed)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.incrementalMediaClusters(corpus.limit(1), corpus, frozen)
+        .collect()
+    }
+    assert(e.getMessage.contains("re-key"), e.getMessage)
+  }
+
   test("c95 incremental cluster maintenance ≡ full re-cluster on the merged corpus") {
     // the theorem the operator rests on, proved in Spark terms: frozen
     // labels + new-touching edges + CC confined to touched components
