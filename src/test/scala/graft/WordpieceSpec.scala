@@ -251,6 +251,36 @@ class WordpieceSpec extends SparkSpec {
     ()
   }
 
+  test("property: trainer and matcher equal the reference on random corpora") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora (no Random: the repo's
+    // reproducibility rule) — word shapes from a small alphabet with
+    // heavy repetition so merges chain, across 5 distinct seeds
+    for (seed <- 1 to 5) {
+      val alpha = "abcd"
+      val words = (0 until 24).map { i =>
+        val h = (seed * 1000003 + i * 7919)
+        val len = 1 + (h % 6 + 6) % 6
+        (0 until len).map(j =>
+          alpha(((h >> (j * 2)) & 15) % alpha.length)).mkString
+      }
+      val wt = words.zipWithIndex
+        .map { case (w, i) => (w, (i % 5 + 1).toLong) }
+        .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      val vocab = Wordpiece.trainWordpieceOn(wt.toDF("w", "wcnt"), rounds = 6)
+      assert(vocab == refTrain(wt, 6), s"seed $seed trainer drift")
+      val vs = vocab.toSet
+      val got = wt.map(_._1).toDF("w")
+        .select(col("w"), Wordpiece.segment(col("w"), vocab).as("ts"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+      got.foreach { case (w, ts) =>
+        assert(ts == refGreedy(w, vs), s"seed $seed, word '$w'")
+        assert(ts.map(_.stripPrefix("##")).mkString("") == w,
+          s"seed $seed '$w' tiling")
+      }
+    }
+  }
+
   test("wordpiece staging fences: merged pieces only fuse whole symbols") {
     import spark.implicits._
     // 'aaa' stages to [a, ##a, ##a]: merging (a, ##a) must fuse ONLY the
