@@ -221,19 +221,23 @@ object Main {
     val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
     val spark = GraftSession.get()
     // --media (r16): maintain a MEDIA label table at hash grain — --new
-    // and --corpus name (doc_id, phash) parquets (`phash` output), the
-    // edges are new-touching banded pairs at --max-hamming, the core is
-    // the same maintainLabels the text path rides (c103)
+    // and --corpus name (doc_id, media_type, phash) parquets (`phash`
+    // output), the edges are new-touching banded pairs at --max-hamming
+    // BANDED PER MODALITY (an image gradient hash and an audio envelope
+    // hash must never pair — the same key rule every other phash
+    // surface enforces), the core is the same maintainLabels the text
+    // path rides (c103)
     if (args.contains("--media")) {
       require(opt(args, "--threshold").isEmpty && opt(args, "--shingles").isEmpty,
         "--media maintains a phash label table: --threshold/--shingles are text flags")
       val maxHamming = opt(args, "--max-hamming").map(_.toInt).getOrElse(3)
       def hashFrame(path: String) = {
         val h = spark.read.parquet(path)
-        require(Seq("doc_id", "phash").forall(h.columns.contains),
-          s"input $path must have (doc_id, phash) columns, " +
+        require(Seq("doc_id", "media_type", "phash").forall(h.columns.contains),
+          s"input $path must have (doc_id, media_type, phash) columns " +
+            s"(`phash` output; the modality keys the banding), " +
             s"found ${h.columns.mkString("(", ", ", ")")}")
-        h.select("doc_id", "phash")
+        h.select("doc_id", "media_type", "phash")
       }
       val labels = spark.read.parquet(labelsIn)
       require(Seq("node", "cluster_id").forall(labels.columns.contains),
@@ -241,7 +245,8 @@ object Main {
           s"found ${labels.columns.mkString("(", ", ", ")")}")
       val before = labels.count()
       graft.operators.Multimodal.incrementalMediaClusters(
-          hashFrame(newIn), hashFrame(corpusIn), labels, maxHamming)
+          hashFrame(newIn), hashFrame(corpusIn), labels, maxHamming,
+          keyCols = Seq("media_type"))
         .write.mode("overwrite").parquet(out)
       val after = spark.read.parquet(out).count()
       println(s"""{"labels_before":$before,"labels_after":$after,""" +
@@ -794,16 +799,10 @@ object Main {
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       val labels = graft.operators.Dedup
         .connectedComponentsAlternating(edges)._1
-      val cl = hashes.select("doc_id", "media_type")
-        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("media_type"),
-          least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
-            .as("cluster_id"))
-      val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      cl.join(sz, "cluster_id")
-        .select(col("doc_id"), col("media_type"), col("cluster_id"),
-          col("cluster_size"), (col("doc_id") === col("cluster_id")).as("is_canonical"))
-        .orderBy("doc_id")
+      // the SAME decision-surface derivation the c102/c103 gate rows
+      // run (one survivorship semantics — media_type carried through)
+      Multimodal.clusterSurface(hashes.select("doc_id", "media_type"),
+          labels, carryCols = Seq("media_type"))
         .write.mode("overwrite").parquet(out)
       val stats = spark.read.parquet(out)
         .agg(count(lit(1)), count_distinct(col("cluster_id")),
@@ -856,6 +855,11 @@ object Main {
       require(clash == 0L,
         s"--add: $clash doc_ids are already present in the index " +
           s"(a duplicate would route twice); re-id or drop them first")
+      // duplicates WITHIN the batch would append twice just the same
+      val selfDup = media.count() - media.select("doc_id").distinct().count()
+      require(selfDup == 0L,
+        s"--add: $selfDup duplicate doc_ids inside the batch itself " +
+          s"(a duplicate would route twice); dedupe the crawl first")
       // the SAME dispatch + seg projection the build path runs — a
       // stream-added row is byte-identical to a built one
       val hashes = media.select("doc_id", "media_type", "payload")
@@ -1089,6 +1093,29 @@ object Main {
     }
   }
 
+  /** Rename-aside staged swap of an at-rest parquet directory (the r16
+    * ADVICE ordering): live → live__old, staged → live, delete
+    * live__old. A crash at any instant leaves either a complete live
+    * directory (before/after the middle rename) or both complete
+    * siblings (live__old + the staged dir) — never a half directory,
+    * never data loss; recovery is renaming one back. Shared by the
+    * vector-index and phash-index `--remove` compactions. */
+  private def stagedSwap(spark: org.apache.spark.sql.SparkSession,
+                         live: String, staged: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val oldPath = new org.apache.hadoop.fs.Path(live + "__old")
+    fs.delete(oldPath, true) // leftover from a prior crashed swap
+    require(fs.rename(livePath, oldPath),
+      s"failed to move live directory aside to $oldPath")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), livePath),
+      s"failed to swap staged directory into place at $livePath " +
+        s"(previous contents preserved at $oldPath)")
+    fs.delete(oldPath, true)
+    ()
+  }
+
   /** `graft.Main index --in EMB_PARQUET --out IDXDIR [--m M]
     * [--codebook-from EMB_PARQUET]` — build the at-rest IVF-PQ index of
     * an embedding corpus (the artifact a vector-serving system ships —
@@ -1122,29 +1149,6 @@ object Main {
     * a crash mid-write leaves the old codes intact, and a crash
     * mid-swap leaves a complete directory under `codes` or both
     * complete siblings — never a half directory, never data loss. */
-  /** Rename-aside staged swap of an at-rest parquet directory (the r16
-    * ADVICE ordering): live → live__old, staged → live, delete
-    * live__old. A crash at any instant leaves either a complete live
-    * directory (before/after the middle rename) or both complete
-    * siblings (live__old + the staged dir) — never a half directory,
-    * never data loss; recovery is renaming one back. Shared by the
-    * vector-index and phash-index `--remove` compactions. */
-  private def stagedSwap(spark: org.apache.spark.sql.SparkSession,
-                         live: String, staged: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(live)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val livePath = new org.apache.hadoop.fs.Path(live)
-    val oldPath = new org.apache.hadoop.fs.Path(live + "__old")
-    fs.delete(oldPath, true) // leftover from a prior crashed swap
-    require(fs.rename(livePath, oldPath),
-      s"failed to move live directory aside to $oldPath")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), livePath),
-      s"failed to swap staged directory into place at $livePath " +
-        s"(previous contents preserved at $oldPath)")
-    fs.delete(oldPath, true)
-    ()
-  }
-
   private def indexCmd(args: Array[String]): Unit = {
     import graft.operators.Similarity
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
@@ -1198,6 +1202,11 @@ object Main {
       require(clash == 0L,
         s"--add: $clash vec_ids are already present in the index " +
           s"(a duplicate would be served twice); re-id or drop them first")
+      // duplicates WITHIN the batch would append twice just the same
+      val selfDup = newEmbs.count() - newEmbs.select("vec_id").distinct().count()
+      require(selfDup == 0L,
+        s"--add: $selfDup duplicate vec_ids inside the batch itself " +
+          s"(a duplicate would be served twice); dedupe the batch first")
       val added = Similarity.quantizeAgainstCodebook(newEmbs, cb, m)
       added.write.mode("append").parquet(s"$out/codes")
       val stats = spark.read.parquet(s"$out/codes")

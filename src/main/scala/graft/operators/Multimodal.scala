@@ -970,23 +970,25 @@ object Multimodal {
     * Returns normalized (u, v) edges at hamming ≤ maxHamming. */
   private[graft] def phashCandidatesSplit(newHashes: DataFrame,
                                           corpusHashes: DataFrame,
-                                          maxHamming: Int): DataFrame = {
+                                          maxHamming: Int,
+                                          keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
     val n = newHashes.sparkSession.sessionState.conf.numShufflePartitions
     def segOf(hashes: DataFrame): DataFrame = hashes
-      .select(col("doc_id"), col("phash"),
-        posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*)))
+      .select(Seq(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*))) ++
+        keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
-    val keys = Seq("seg_idx", "seg")
+    val keys = Seq("seg_idx", "seg") ++ keyCols
     val left = segOf(newHashes)
-      .select(col("doc_id").as("doc_a"), col("phash").as("ha"),
-        col("seg_idx"), col("seg"))
+      .select(Seq(col("doc_id").as("doc_a"), col("phash").as("ha")) ++
+        keys.map(col): _*)
       .repartition(n, keys.map(col): _*)
     val right = segOf(newHashes).withColumn("is_new", lit(true))
       .unionByName(segOf(corpusHashes).withColumn("is_new", lit(false)))
-      .select(col("doc_id").as("doc_b"), col("phash").as("hb"),
-        col("seg_idx"), col("seg"), col("is_new"))
+      .select(Seq(col("doc_id").as("doc_b"), col("phash").as("hb"),
+        col("is_new")) ++ keys.map(col): _*)
       .repartition(n, keys.map(col): _*)
     val noEarlierBand = (0 until 3).map(k =>
       (col("seg_idx") <= lit(k)) ||
@@ -1010,20 +1012,30 @@ object Multimodal {
   def incrementalMediaClusters(newHashes: DataFrame,
                                corpusHashes: DataFrame,
                                frozenLabels: DataFrame,
-                               maxHamming: Int = 3): DataFrame = {
+                               maxHamming: Int = 3,
+                               keyCols: Seq[String] = Nil): DataFrame = {
     val spark = newHashes.sparkSession
-    val clash = newHashes.select("doc_id")
-      .join(corpusHashes.select("doc_id"), "doc_id").limit(1).count()
-    require(clash == 0L,
-      "incrementalMediaClusters: new doc_ids overlap the corpus — " +
-        "re-key the crawl (recrawl replays arrive re-keyed, c37's rule)")
-    // materialize the edges once (they feed the touched-root lookup AND
-    // the CC input — incrementalClusters' seam rule)
-    val p = graft.GraftSession.scratchDir(
-      s"incr-media-edges-${mediaIngestRuns.incrementAndGet()}").toString
-    phashCandidatesSplit(newHashes, corpusHashes, maxHamming)
-      .write.mode("overwrite").parquet(p)
-    graft.operators.Dedup.maintainLabels(spark.read.parquet(p), frozenLabels)
+    // persist both inputs for the run (the materialize-once cost
+    // contract, incrementalClusters' rule): the crawl side feeds the
+    // clash check + both band sides, the corpus side the clash check +
+    // its band side — a lazy frame backed by a decode mapPartitions
+    // would re-decode the corpus per consumer
+    val nh = newHashes.persist()
+    val ch = corpusHashes.persist()
+    try {
+      val clash = nh.select("doc_id")
+        .join(ch.select("doc_id"), "doc_id").limit(1).count()
+      require(clash == 0L,
+        "incrementalMediaClusters: new doc_ids overlap the corpus — " +
+          "re-key the crawl (recrawl replays arrive re-keyed, c37's rule)")
+      // materialize the edges once (they feed the touched-root lookup
+      // AND the CC input — incrementalClusters' seam rule)
+      val p = graft.GraftSession.scratchDir(
+        s"incr-media-edges-${mediaIngestRuns.incrementAndGet()}").toString
+      phashCandidatesSplit(nh, ch, maxHamming, keyCols)
+        .write.mode("overwrite").parquet(p)
+      graft.operators.Dedup.maintainLabels(spark.read.parquet(p), frozenLabels)
+    } finally { nh.unpersist(); ch.unpersist(); () }
   }
   private val mediaIngestRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -1214,20 +1226,23 @@ object Multimodal {
     clusterSurface(imgs, labels)
   }
 
-  /** The (doc_id, cluster_id, cluster_size, is_canonical) decision
-    * surface over a node universe + a (node, cluster_id) label table —
-    * c102's shape, shared with c103 (singletons coalesce to their own
-    * id; canonical ⇔ the component-minimum label). */
-  private def clusterSurface(nodes: DataFrame, labels: DataFrame): DataFrame = {
+  /** The (doc_id, [carry...], cluster_id, cluster_size, is_canonical)
+    * decision surface over a node universe + a (node, cluster_id) label
+    * table — c102's shape, shared with c103 and `Main phash --clusters`
+    * (which carries media_type through). Singletons coalesce to their
+    * own id; canonical ⇔ the component-minimum label. */
+  private[graft] def clusterSurface(nodes: DataFrame, labels: DataFrame,
+                                    carryCols: Seq[String] = Nil): DataFrame = {
     val cl = nodes
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
-          .as("cluster_id"))
+          .as("cluster_id")) ++ carryCols.map(col): _*)
     val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cl.join(sz, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .select(Seq(col("doc_id")) ++ carryCols.map(col) ++
+        Seq(col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical")): _*)
       .orderBy("doc_id")
   }
 
@@ -1259,11 +1274,7 @@ object Multimodal {
     * re-keyed hashes), so add-then-maintain ≡ full-re-cluster is
     * engine-checked every round — c95's proof, media grain. */
   def c103MediaClustersIncr(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = imagePhashFrames(spark, dir).select("doc_id", "phash")
-    val crawl = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
-      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"), col("phash"))
-    val frozen = spark.read.parquet(mediaLabelTablePath(spark, dir))
-    val maintained = incrementalMediaClusters(crawl, corpus, frozen)
+    val maintained = spark.read.parquet(maintainedLabelTablePath(spark, dir))
     val base = Tables.documents(spark, dir).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 0)
     val merged = base.unionAll(
@@ -1271,6 +1282,26 @@ object Multimodal {
         .select((col("doc_id") + lit(1000000000000L)).as("doc_id")))
     clusterSurface(merged, maintained)
   }
+
+  /** Per-JVM memoized MAINTAINED label table of the c103 crawl (the
+    * c95 memo rule: maintenance runs once per crawl; the gate row,
+    * bench passes and specs all read the same updated table instead of
+    * re-paying the banded join + CC per execution). */
+  private val maintainedLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def maintainedLabelTablePath(spark: SparkSession,
+                                              dir: String): String =
+    maintainedLabelCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"media-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val corpus = imagePhashFrames(spark, dir).select("doc_id", "phash")
+      val crawl = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id"), col("phash"))
+      val frozen = spark.read.parquet(mediaLabelTablePath(spark, dir))
+      incrementalMediaClusters(crawl, corpus, frozen)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Per-JVM memoized at-rest phash index (the shingleTablePath rule):
     * the corpus hash table d43's streaming router equi-joins against —

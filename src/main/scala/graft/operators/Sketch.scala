@@ -77,14 +77,18 @@ object Sketch {
   /** CMS estimate of one token column under a collected counter grid:
     * min over the d rows of the token's bucket counter, via d
     * plan-literal map lookups — row-local, zero exchanges (d13's
-    * bounded-artifact rule). A token absent from every grid cell (never
-    * possible for corpus tokens) would read null; callers estimate
-    * corpus types only. */
+    * bounded-artifact rule). An untouched counter READS ZERO (the
+    * textbook CMS: the min ranges over all d counters including empty
+    * ones), so a token the folded corpus never saw — possible when a
+    * stored grid is applied to a DIFFERENT corpus (`sketch --estimate`,
+    * d48) — estimates 0-or-collision, never null and never a partial
+    * min over only its non-empty buckets. */
   def estimateOf(token: Column, grid: Map[String, Long]): Column = {
     val m = map(grid.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val reads = (0 until CmsDepth).map(i =>
-      element_at(m, concat(lit(s"$i:"), bucketOf(i, token))))
+      coalesce(element_at(m, concat(lit(s"$i:"), bucketOf(i, token))),
+        lit(0L)))
     least(reads: _*)
   }
 

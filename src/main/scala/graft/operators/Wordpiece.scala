@@ -112,7 +112,10 @@ object Wordpiece {
     * rows, the CLI, and the d47 stream twin from ONE expression. */
   def segment(w: Column, vocab: Seq[String]): Column = {
     require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
-    val m = map(vocab.flatMap(p => Seq(lit(p), lit(1))): _*)
+    // the vocab is a SET: dedupe before the map literal (a repeated
+    // piece in a user-assembled vocab parquet would otherwise throw
+    // Spark's duplicate-map-key runtime error mid-query)
+    val m = map(vocab.distinct.flatMap(p => Seq(lit(p), lit(1))): _*)
     val len = length(w)
     val init = struct(lit(1).as("pos"),
       array().cast("array<string>").as("toks"), lit(false).as("failed"))

@@ -854,38 +854,56 @@ class CliSpec extends SparkSpec {
     assert(cli.nonEmpty)
   }
 
-  test("cluster-update --media maintains the phash label table at hash grain") {
+  test("cluster-update --media maintains a MIXED-modality phash label table; " +
+      "clusters never cross modalities") {
     import graft.operators.{Dedup, Multimodal}
     val tmp = Files.createTempDirectory("graft-cli-clupd-media-").toString
-    val corpus = Multimodal.imagePhashFrames(spark, sfDir)
-      .select("doc_id", "phash")
-    corpus.write.parquet(s"$tmp/corpus")
+    // a real mixed image+audio hash table via the phash CLI itself
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(r => r.media_type != "video").collect().toSeq
+    import spark.implicits._
+    spark.createDataset(recs).write.parquet(s"$tmp/media.parquet")
+    Main.main(Array("phash", "--in", s"$tmp/media.parquet",
+      "--out", s"$tmp/corpus"))
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id", "media_type", "phash")
     corpus.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("phash"))
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
+        col("media_type"), col("phash"))
       .write.parquet(s"$tmp/crawl")
-    val frozenPath = Multimodal.mediaLabelTablePath(spark, sfDir)
+    val crawl = spark.read.parquet(s"$tmp/crawl")
+    // frozen labels: per-modality CC over the corpus-only pairs
+    Dedup.connectedComponentsAlternating(
+        Multimodal.phashCandidates(corpus, 3, keyCols = Seq("media_type"))
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))._1
+      .write.parquet(s"$tmp/frozen")
     Main.main(Array("cluster-update", "--media", "--new", s"$tmp/crawl",
-      "--corpus", s"$tmp/corpus", "--labels", frozenPath,
+      "--corpus", s"$tmp/corpus", "--labels", s"$tmp/frozen",
       "--out", s"$tmp/maintained"))
     val got = spark.read.parquet(s"$tmp/maintained").collect()
       .map(r => (r.getAs[Long]("node"), r.getAs[Long]("cluster_id"))).toSet
-    val want = Multimodal.incrementalMediaClusters(
-        spark.read.parquet(s"$tmp/crawl"), corpus,
-        spark.read.parquet(frozenPath))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == want, "CLI maintenance diverges from the library pass")
-    // full-re-cluster equivalence holds through the CLI artifact too
+    // add-then-maintain == full per-modality re-cluster of the merged set
     val full = Dedup.connectedComponentsAlternating(
-        Multimodal.phashCandidates(
-          corpus.unionAll(spark.read.parquet(s"$tmp/crawl")), 3)
+        Multimodal.phashCandidates(corpus.unionAll(crawl), 3,
+          keyCols = Seq("media_type"))
           .select(col("doc_a").as("u"), col("doc_b").as("v")))._1
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == full)
+    assert(got == full,
+      s"got-only=${(got -- full).take(5)}, full-only=${(full -- got).take(5)}")
+    // a cluster never spans modalities, even though image and audio
+    // hashes share the table (the banding is keyed by media_type)
+    val modality = corpus.unionAll(crawl).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("media_type")).toMap
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => modality(m._1)).size >= 1 &&
+        members.map(m => modality(m._1)).toSeq.distinct.size == 1,
+        s"cross-modality cluster: ${members.take(6)}")
+    }
     // text flags refuse with --media
     val e = intercept[IllegalArgumentException] {
       Main.main(Array("cluster-update", "--media", "--threshold", "0.5",
         "--new", s"$tmp/crawl", "--corpus", s"$tmp/corpus",
-        "--labels", frozenPath, "--out", s"$tmp/x"))
+        "--labels", s"$tmp/frozen", "--out", s"$tmp/x"))
     }
     assert(e.getMessage.contains("text flags"))
   }

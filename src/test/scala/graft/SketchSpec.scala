@@ -31,7 +31,7 @@ class SketchSpec extends SparkSpec {
 
   private def refEstimate(token: String, grid: Map[String, Long]): Long =
     (0 until Sketch.CmsDepth)
-      .map(i => grid(s"$i:${refBucket(i, token)}")).min
+      .map(i => grid.getOrElse(s"$i:${refBucket(i, token)}", 0L)).min
 
   private def corpusWordTypes: Seq[(String, Long)] =
     Tables.documents(spark, sfDir)
@@ -100,6 +100,30 @@ class SketchSpec extends SparkSpec {
     val over = rows.count { case (_, e, c) => e > c }
     info(s"synthetic: ${rows.length} types, $over overestimated")
     assert(over > 0, "1000 types in 256 buckets must collide somewhere")
+  }
+
+  test("foreign-corpus tokens read min-including-zero, never null or a partial min") {
+    import spark.implicits._
+    // a tiny grid leaves most cells untouched: an unseen token whose
+    // buckets were never written must estimate 0 (textbook CMS), and a
+    // token sharing SOME buckets with real mass must take the min over
+    // ALL d counters including the empty ones
+    val grid = Sketch.counterGrid(Seq(("alpha", 7L)).toDF("w", "wcnt"))
+    assert(grid.size == Sketch.CmsDepth)
+    val probes = (0 until 200).map(i => s"probe$i") :+ "alpha"
+    val rows = probes.toDF("w")
+      .select(col("w"), Sketch.estimateOf(col("w"), grid).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("alpha") == 7L)
+    probes.filterNot(_ == "alpha").foreach { p =>
+      assert(rows(p) == refEstimate(p, grid), s"'$p' estimate drift")
+      // with only 4 touched cells, a 4-way all-collision is wildly
+      // unlikely — at least SOME probe must read a hard zero
+      ()
+    }
+    assert(probes.exists(p => rows(p) == 0L),
+      "an unseen token with untouched buckets must estimate 0")
+    assert(rows.values.forall(_ != null), "estimates are never null")
   }
 
   test("c100 is partition-invariant (the sketch is a pure data function)") {
