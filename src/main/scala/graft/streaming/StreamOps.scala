@@ -1589,6 +1589,67 @@ object StreamOps {
         Seq("h"), "left")
       .select(col("doc_id"), coalesce(col("w"), lit(1.0)).as("weight_r"))
 
+  /** d49: streaming MEDIA cluster inheritance at ingest — c102/c103's
+    * serving twin and d45's media analogue (r16): each arriving media
+    * record hashes row-locally (the SAME
+    * [[graft.operators.Multimodal.phashOf]] dispatch), band-probes the
+    * materialized corpus hash index, and every near-dup hit carries the
+    * CLUSTER the frozen label table assigns that corpus doc — the
+    * per-row decision a media dedup policy can take at ingest (route
+    * the arrival to cluster C, weight it, or drop it). Emits one
+    * (doc_id, corpus_doc, hamming, cluster_id) row per (arrival,
+    * near-dup) pair — canonical-band emission makes that exact without
+    * state (for every band before the matching one, the hashes differ
+    * — the same codegen'd filter the batch pair surface runs); an
+    * arrival with NO rows is new material (its own singleton until the
+    * next `cluster-update --media` pass — c103's job, d26's rule: the
+    * min/distinct fold across hits is a batch decision downstream). A
+    * corpus doc absent from the label table is its own cluster minimum
+    * (the c102 singleton convention). Zero state, no watermark;
+    * stream-static equi-join on the band keys — at scale the index is
+    * bucketed by segment. */
+  def streamMediaClusterAssign(media: Dataset[graft.operators.MediaRecord],
+                               index: DataFrame, labels: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
+    require(Seq("doc_id", "phash").forall(index.columns.contains),
+      "index must be a c88 phash frame (doc_id, phash), found " +
+        index.columns.mkString("(", ", ", ")"))
+    require(Seq("node", "cluster_id").forall(labels.columns.contains),
+      "labels must be a (node, cluster_id) table, found " +
+        labels.columns.mkString("(", ", ", ")"))
+    import media.sparkSession.implicits._
+    def segs(h: Column): Column =
+      array((0 until 4).map(j =>
+        graft.operators.Multimodal.phashSeg(h, j)): _*)
+    val arrivals = media
+      .mapPartitions(_.map(r => (r.doc_id,
+        graft.operators.Multimodal.phashOf(r.doc_id, r.media_type, r.payload))))
+      .toDF("doc_id", "phash")
+      .select(col("doc_id"), col("phash"), posexplode(segs(col("phash"))))
+      .toDF("doc_id", "phash", "seg_idx", "seg")
+    val idx = index
+      .select(col("doc_id").as("corpus_doc"), col("phash").as("cph"),
+        posexplode(segs(col("phash"))))
+      .toDF("corpus_doc", "cph", "seg_idx", "seg")
+    val noEarlierBand = (0 until 3).map(k =>
+      (col("seg_idx") <= lit(k)) ||
+        (graft.operators.Multimodal.phashSeg(col("phash"), k) =!=
+          graft.operators.Multimodal.phashSeg(col("cph"), k))).reduce(_ && _)
+    arrivals.join(idx, Seq("seg_idx", "seg"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .filter(noEarlierBand)
+      .filter(bit_count(col("phash").bitwiseXOR(col("cph"))) <= maxHamming)
+      .join(labels.select(col("node").as("corpus_doc"),
+        col("cluster_id").as("lbl")), Seq("corpus_doc"), "left")
+      .select(col("doc_id"), col("corpus_doc"),
+        bit_count(col("phash").bitwiseXOR(col("cph"))).cast("bigint")
+          .as("hamming"),
+        least(coalesce(col("lbl"), col("corpus_doc")), col("corpus_doc"))
+          .as("cluster_id"))
+  }
+
   /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
     * d14's lexical analogue: each arriving doc is routed to the
     * existing substring-duplication group(s) it belongs to, by probing

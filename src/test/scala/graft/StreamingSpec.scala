@@ -825,6 +825,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d49 streaming media cluster inheritance: arrivals inherit their " +
+      "near-dups' frozen clusters, once per pair") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    val index = spark.read.parquet(Multimodal.phashIndexTablePath(spark, sfDir))
+    val labels = spark.read.parquet(Multimodal.mediaLabelTablePath(spark, sfDir))
+    val corpus = index.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val lbl = labels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    val c102 = Multimodal.c102MediaClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseIds = Seq(0L, 3L, 12L, 33L)
+    val arrivals = baseIds.map(id =>
+      MediaRecord(id + 5000000L, "image", Multimodal.pgmPayload(id)))
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamMediaClusterAssign(stream.toDS(), index, labels)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d49_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d49_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc"),
+          r.getAs[Long]("hamming"), r.getAs[Long]("cluster_id"))).toSeq
+      // EXACTLY once per (arrival, near-dup) pair — the canonical-band
+      // emission is the stateless dedup
+      assert(got.size == got.distinct.size, "duplicate pair rows")
+      val want = (for {
+        a <- arrivals
+        ph = Multimodal.phashOf(a.doc_id, a.media_type, a.payload)
+        (cd, cph) <- corpus
+        ham = java.lang.Long.bitCount(ph ^ cph).toLong if ham <= 3
+      } yield (a.doc_id, cd, ham,
+        math.min(lbl.getOrElse(cd, cd), cd))).toSet
+      assert(got.toSet == want,
+        s"stream-only=${(got.toSet -- want).take(4)}, " +
+          s"brute-only=${(want -- got.toSet).take(4)}")
+      // each replayed corpus image inherits ITS OWN c102 cluster:
+      // the min inherited label across its hits equals the gate row's
+      baseIds.foreach { id =>
+        val inherited = got.filter(_._1 == id + 5000000L).map(_._4)
+        assert(inherited.nonEmpty && inherited.min == c102(id),
+          s"arrival of $id inherited ${inherited.sorted.take(3)}, " +
+            s"c102 says ${c102(id)}")
+      }
+    } finally q.stop()
+    ()
+  }
+
   test("d43 routes AUDIO arrivals against an audio phash index through the same dispatch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
