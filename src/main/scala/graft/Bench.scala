@@ -362,10 +362,18 @@ object Bench {
           s""""input_rows":${l.inputRows},"input_mb":""" +
           f"${l.inputBytes / 1e6}%.1f}"
       }.mkString("[", ",", "]")
+    // the ONE number §6's differential rule reads first: the cpu_s of
+    // the sample with the SMALLEST wall — the sample least touched by
+    // steal/contention; a band breach THERE is the only cpu-level
+    // signal that indicts the code (see the CpuProbe finding)
+    def minWallCpu(ledgers: Seq[(Double, GroupLedger)]): Double =
+      if (ledgers.isEmpty) -1.0
+      else ledgers.minBy(_._1)._2.cpuNs / 1e9
     def statsJson(samples: Seq[Double], cpus: Seq[Double],
                   ledgers: Seq[(Double, GroupLedger)]): String =
       s"{${triple(samples, v => f"$v%.1f")}," +
         s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}},""" +
+        f""""minwall_cpu_s":${minWallCpu(ledgers)}%.2f,""" +
         s""""samples":${ledgerJson(ledgers)}}"""
     def medianOf(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
