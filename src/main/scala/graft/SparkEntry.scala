@@ -165,6 +165,7 @@ object SparkEntry {
     "c101_tokenizer_matrix" -> ((s: SparkSession, d: String) => TextOps.c101TokenizerMatrix(s, d)),
     "c102_media_clusters" -> (Multimodal.c102MediaClusters _),
     "c103_media_clusters_incr" -> (Multimodal.c103MediaClustersIncr _),
+    "c104_audio_clusters" -> (Multimodal.c104AudioClusters _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1086,6 +1087,12 @@ object SparkEntry {
         + ("c89_phash_pairs" -> c89OracleSql(base("c88_image_phash")))
         + ("c102_media_clusters" -> c102OracleSql(base("c88_image_phash")))
         + ("c103_media_clusters_incr" -> c103OracleSql(base("c88_image_phash")))
+        // c104: the SAME cluster CTE chain over the c90 AUDIO hash SQL
+        // and the audio universe (doc_id % 3 = 1)
+        + ("c104_audio_clusters" -> (s"""WITH RECURSIVE hs AS (SELECT doc_id, phash FROM (${
+          base("c90_audio_phash").replace("\n", "\n  ")})),
+           |${mediaClusterCtes(
+          "img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)")}""".stripMargin))
         // c93/c94 (r16): the same banding+verify composition on the
         // audio hash SQL (exact verify = envelope L1 over the same 57
         // resampled points) and the per-frame video hash SQL (composite

@@ -1283,6 +1283,42 @@ object Multimodal {
     clusterSurface(merged, maintained)
   }
 
+  /** c104: AUDIO near-dup clusters — c102's decision surface for the
+    * 1-D modality (the r15 precedent: once the image pair surface was
+    * oracled, the audio one followed — same rule for the cluster
+    * surface): CC over c93's verified banded pairs through the shared
+    * star machinery, min-id survivorship, every audio doc present.
+    * Because the synthetic audio corpus is ramp-shaped its pair graph
+    * is near-complete and the surface collapses toward one giant
+    * cluster — the PLAN is still O(n·bands) + O(log n) CC rounds
+    * (c93's documented property; the oracle's closure runs over the
+    * same banded candidates). VIDEO stays at the pair surface (c94):
+    * frame-grain components conflate within-video shot similarity with
+    * cross-video duplication, so the per-frame pair list IS the policy
+    * input there — documented, not clustered. */
+  def c104AudioClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = spark.read.parquet(audioLabelTablePath(spark, dir))
+    val auds = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+    clusterSurface(auds, labels)
+  }
+
+  /** Per-JVM memoized FROZEN audio label table (mediaLabelTablePath's
+    * twin for the 1-D modality). */
+  private val audioLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def audioLabelTablePath(spark: SparkSession,
+                                         dir: String): String =
+    audioLabelCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"audio-labels-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val edges = c93AudioPairs(spark, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Dedup.connectedComponentsAlternating(edges)._1
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** Per-JVM memoized MAINTAINED label table of the c103 crawl (the
     * c95 memo rule: maintenance runs once per crawl; the gate row,
     * bench passes and specs all read the same updated table instead of

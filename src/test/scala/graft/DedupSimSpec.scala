@@ -988,6 +988,33 @@ class DedupSimSpec extends SparkSpec {
       s"largest ${byCluster.values.map(_.size).max}")
   }
 
+  test("c104 audio clusters equal a driver union-find over the c93 pairs") {
+    val edges = Multimodal.c93AudioPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val auds = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val parent = scala.collection.mutable.Map(auds.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = auds.map(i => i -> find(i)).toMap
+    val size = label.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val want = auds.map(i => (i, label(i), size(label(i)), i == label(i))).toSeq
+    val got = Multimodal.c104AudioClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == want, "c104 must equal the driver union-find")
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._4) == 1 && cid == rows.map(_._1).min,
+        s"cluster $cid canonical invariant")
+    }
+    info(s"c104: ${auds.length} audio docs, ${byCluster.size} clusters")
+  }
+
   test("c103 incremental media maintenance ≡ full re-cluster of the merged hashes") {
     // the c95 theorem at hash grain, proved Spark-side (the gate row's
     // oracle engine-checks it against DuckDB's full re-cluster too)
