@@ -172,9 +172,25 @@ object Main {
       require(Seq("i", "b", "c").forall(gf.columns.contains),
         s"grid $gridPath must have (i, b, c) columns, " +
           s"found ${gf.columns.mkString("(", ", ", ")")}")
+      // loud TYPE check next to the name check (r17 ADVICE): a grid
+      // written by another engine may carry bigint i — accept any
+      // integer width via Number instead of a ClassCastException
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      gf.schema.fields.foreach { f =>
+        if (Set("i", "c")(f.name))
+          require(integral(f.dataType),
+            s"grid $gridPath column ${f.name} must be an integer type, " +
+              s"found ${f.dataType.simpleString}")
+        if (f.name == "b")
+          require(f.dataType == StringType,
+            s"grid $gridPath column b must be string, " +
+              s"found ${f.dataType.simpleString}")
+      }
       val grid = gf.collect()
-        .map(r => s"${r.getAs[Int]("i")}:${r.getAs[String]("b")}" ->
-          r.getAs[Long]("c")).toMap
+        .map(r => s"${r.getAs[Number]("i").intValue()}:${r.getAs[String]("b")}" ->
+          r.getAs[Number]("c").longValue()).toMap
       graft.streaming.StreamOps.streamCmsEstimate(
           docs.select("doc_id", "text"), grid)
         .write.mode("overwrite").parquet(out)
@@ -183,10 +199,9 @@ object Main {
       println(s"""{"rows":${stats.getLong(0)},"max_est":${stats.getLong(1)},""" +
         s""""out":${jsonStr(out)}}""")
     } else {
-      val wt = docs
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      // THE shared word-type convention (TextOps.wordTypeCounts — r17
+      // ADVICE: no inline re-derivation that could drift from the gates)
+      val wt = graft.operators.TextOps.wordTypeCounts(docs)
       val grid = Sketch.counterGrid(wt)
       grid.toSeq.sortBy(_._1)
         .map { case (k, c) =>
@@ -376,10 +391,9 @@ object Main {
     require(docs.columns.contains("text"),
       s"input $in must have a text column, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    val wt = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    // THE shared word-type convention (TextOps.wordTypeCounts — r17
+    // ADVICE: no inline re-derivation that could drift from the gates)
+    val wt = graft.operators.TextOps.wordTypeCounts(docs)
     val vocab = Wordpiece.trainWordpieceOn(wt, rounds)
     vocab.toDF("piece")
       .coalesce(1).write.mode("overwrite").parquet(out)
@@ -409,6 +423,15 @@ object Main {
         s"found ${vf.columns.mkString("(", ", ", ")")}")
     val vocab = vf.orderBy("piece").collect()
       .map(_.getAs[String]("piece")).toSeq
+    // mirror the trainer's MaxPieceLen filter LOUDLY (r17 ADVICE): the
+    // greedy matcher only probes prefixes up to MaxPieceLen chars, so a
+    // hand-assembled piece longer than that would be silently unmatchable
+    val tooLong = vocab.filter(p =>
+      p.stripPrefix("##").length > Wordpiece.MaxPieceLen)
+    require(tooLong.isEmpty,
+      s"vocab $vocabPath has ${tooLong.length} piece(s) whose surface exceeds " +
+        s"the matcher's MaxPieceLen=${Wordpiece.MaxPieceLen} and can never " +
+        s"match: ${tooLong.take(5).mkString("(", ", ", ")")}")
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +

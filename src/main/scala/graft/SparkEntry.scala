@@ -166,6 +166,8 @@ object SparkEntry {
     "c102_media_clusters" -> (Multimodal.c102MediaClusters _),
     "c103_media_clusters_incr" -> (Multimodal.c103MediaClustersIncr _),
     "c104_audio_clusters" -> (Multimodal.c104AudioClusters _),
+    "c105_video_pairs" -> (Multimodal.c105VideoPairs _),
+    "c106_video_clusters" -> (Multimodal.c106VideoClusters _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -613,7 +615,16 @@ object SparkEntry {
        |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
        |                            AND a.doc_id < b.doc_id
        |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
-       |ed AS (SELECT doc_a AS u, doc_b AS v FROM cand
+       |${componentSurfaceCtes(imgCte)}""".stripMargin
+
+  /** The closure half of the cluster-surface CTE chain over a prepended
+    * `cand` (doc_a, doc_b) edge relation and a caller-supplied node
+    * universe CTE named `img`: transitive closure (c19's reach pattern)
+    * → labels as component minima → the c102 decision-surface shape.
+    * Shared by [[mediaClusterCtes]] (banded hash edges) and the c106
+    * renderer (thresholded video-containment edges) — r17. */
+  private def componentSurfaceCtes(imgCte: String): String =
+    s"""ed AS (SELECT doc_a AS u, doc_b AS v FROM cand
        |       UNION ALL SELECT doc_b, doc_a FROM cand),
        |reach AS (SELECT u, v FROM ed
        |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
@@ -628,6 +639,51 @@ object SparkEntry {
        |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
        |  cl.doc_id = cl.cluster_id AS is_canonical
        |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
+
+  /** The shared c105 fold CTE chain over a prepended `vp` (doc_a,
+    * frame_a, doc_b, frame_b) relation: cross-video pairs only →
+    * conservative matched-frame count min(|distinct frame_a|,
+    * |distinct frame_b|) → closed-form per-video frame counts
+    * (3 + doc_id % 6 — the generator formula the Spark side's real
+    * demux must reproduce). Shared by the c105 and c106 renderers. */
+  private def videoFoldCtes: String =
+    """fold AS (SELECT doc_a, doc_b,
+      |           least(count(DISTINCT frame_a), count(DISTINCT frame_b)) AS m
+      |         FROM vp WHERE doc_a <> doc_b GROUP BY doc_a, doc_b),
+      |vidn AS (SELECT doc_id, 3 + doc_id % 6 AS n
+      |         FROM documents WHERE doc_id % 3 = 2)""".stripMargin
+
+  /** DuckDB rendering of c105 (r17): c94's banded+verified frame-pair
+    * SQL as a subquery → the video-level fold → frame-containment
+    * score m / min(n_a, n_b) with the 0.5 duplicate verdict. Both
+    * engines compute the score as one IEEE division of exact integers,
+    * so the doubles are bit-identical. */
+  private def c105OracleSql(c94Sql: String): String =
+    s"""WITH vp AS (SELECT doc_a, frame_a, doc_b, frame_b
+       |            FROM (${c94Sql.replace("\n", "\n  ")})),
+       |$videoFoldCtes
+       |SELECT f.doc_a, f.doc_b, CAST(f.m AS BIGINT) AS matched,
+       |  CAST(va.n AS BIGINT) AS n_a, CAST(vb.n AS BIGINT) AS n_b,
+       |  f.m / least(va.n, vb.n) AS score,
+       |  f.m / least(va.n, vb.n) >= 0.5 AS is_dup
+       |FROM fold f JOIN vidn va ON va.doc_id = f.doc_a
+       |            JOIN vidn vb ON vb.doc_id = f.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB rendering of c106 (r17): the c105 fold's thresholded edges
+    * feed the SAME transitive-closure → decision-surface chain c102
+    * uses, over the video universe — the whole three-stage pipeline
+    * (banding+verify → fold → clustering) is re-derived end-to-end. */
+  private def c106OracleSql(c94Sql: String): String =
+    s"""WITH RECURSIVE vp AS (SELECT doc_a, frame_a, doc_b, frame_b
+       |            FROM (${c94Sql.replace("\n", "\n  ")})),
+       |$videoFoldCtes,
+       |cand AS (SELECT f.doc_a, f.doc_b
+       |         FROM fold f JOIN vidn va ON va.doc_id = f.doc_a
+       |                     JOIN vidn vb ON vb.doc_id = f.doc_b
+       |         WHERE f.m / least(va.n, vb.n) >= 0.5),
+       |${componentSurfaceCtes(
+      "img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2)")}""".stripMargin
 
   /** DuckDB rendering of c93 (r16): c89's composition for the audio
     * modality — the c90 hash SQL feeds the 14-bit band self-join,
@@ -1099,6 +1155,11 @@ object SparkEntry {
         // fid = doc·8 + frame keys; exact verify = luma thumbnail L1)
         + ("c93_audio_pairs" -> c93OracleSql(base("c90_audio_phash")))
         + ("c94_video_pairs" -> c94OracleSql(base("c91_video_phash")))
+        // c105/c106 (r17): the video-LEVEL decision — c94's banded SQL
+        // composed with the containment fold (c105) and the closure
+        // chain at video grain (c106)
+        + ("c105_video_pairs" -> c105OracleSql(c94OracleSql(base("c91_video_phash"))))
+        + ("c106_video_clusters" -> c106OracleSql(c94OracleSql(base("c91_video_phash"))))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

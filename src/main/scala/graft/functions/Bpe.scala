@@ -46,7 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reference's `split(w, "")` compiles to) does not split surrogate
   * pairs, and neither does this.
   */
-final class BpeApplier(merges: Seq[(String, String)]) extends Serializable {
+final class BpeApplier(merges: Seq[(String, String)],
+                       wordpiece: Boolean = false) extends Serializable {
   require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
     "BPE merge sides must be non-empty")
   require(merges.forall { case (a, b) =>
@@ -55,7 +56,11 @@ final class BpeApplier(merges: Seq[(String, String)]) extends Serializable {
 
   private val as: Array[String] = merges.map(_._1).toArray
   private val bs: Array[String] = merges.map(_._2).toArray
-  private val abs: Array[String] = merges.map { case (a, b) => a + b }.toArray
+  // WordPiece's merged-symbol rule absorbs the RIGHT side's continuation
+  // marker (Wordpiece.mergedSym: "a"+"##b" → "ab"); BPE concatenates
+  private val abs: Array[String] = merges.map { case (a, b) =>
+    if (wordpiece && b.startsWith("##")) a + b.substring(2) else a + b
+  }.toArray
 
   /** side symbol → ascending ranks of merges using it (as a OR b). */
   private val bySide: java.util.HashMap[String, Array[Int]] = {
@@ -95,7 +100,11 @@ final class BpeApplier(merges: Seq[(String, String)]) extends Serializable {
     var j = 0
     while (i < str.length) {
       val next = str.offsetByCodePoints(i, 1)
-      syms(j) = str.substring(i, next)
+      // WordPiece stages continuation positions "##"-marked
+      // (Wordpiece.wpSeqOf): "abc" → ["a", "##b", "##c"]
+      syms(j) =
+        if (wordpiece && j > 0) "##" + str.substring(i, next)
+        else str.substring(i, next)
       j += 1
       i = next
     }
@@ -234,10 +243,57 @@ case class ApplyBpe(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Codegen'd WordPiece TRAINER staging (SURVEY §2 c98, r17).
+  *
+  * Why native: `Wordpiece.applyWpMerges` chains one literal replace per
+  * learned merge, so each training round's staging plan is
+  * O(merges-so-far) nodes deep — O(rounds²) plan work across a training
+  * run, the exact pre-r11 BPE shape [[ApplyBpe]] fused. Same fix, the
+  * WordPiece differences folded in: continuation positions stage
+  * "##"-marked (wpSeqOf's encoding) and a merge absorbs the right
+  * side's marker (mergedSym's rule). Everything else — fenced
+  * greedy-pass semantics, rank-ascending visits, the side-symbol index
+  * that makes per-word cost scale with the word — is [[BpeApplier]]
+  * with `wordpiece = true`. Plan depth is 1 at any merge count, so the
+  * trainer holds constant per-round plan work at production depths
+  * (100+ rounds spec-pinned). The replace chain stays in Wordpiece as
+  * the independent parity reference.
+  *
+  * Serving is untouched: WordPiece APPLY never replays merges (greedy
+  * longest-match against the final vocab — Wordpiece.segment); this
+  * expression exists for the trainer's staged re-derivation only. */
+case class ApplyWordpiece(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  // eager construction: loud plan-time validation (the ApplyBpe rule)
+  private val applier = new BpeApplier(merges, wordpiece = true)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_apply_wordpiece"
+
+  override def nullSafeEval(input: Any): Any =
+    applier.apply(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpApplier", applier,
+      classOf[BpeApplier].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.apply($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ApplyWordpiece =
+    copy(child = newChild)
+}
+
 /** Column-API entry point. */
 object BpeFunctions {
   /** Token array of a space-free word column under an ordered BPE merge
     * list — the fused equivalent of TextOps.applyBpeMerges. */
   def applyBpe(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(ApplyBpe(ColumnBridge.expression(word), merges))
+
+  /** Staged WordPiece symbol array of a space-free word column under an
+    * ordered merge list — the fused equivalent of
+    * split(trim(Wordpiece.applyWpMerges(wpSeqOf(w), merges)), "  "). */
+  def applyWordpiece(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(ApplyWordpiece(ColumnBridge.expression(word), merges))
 }

@@ -1352,4 +1352,99 @@ object Multimodal {
       c88ImagePhash(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
+
+  /** Frame-containment threshold for the VIDEO-level duplicate verdict
+    * (c105): a pair is a duplicate when the matched-frame count covers
+    * at least half of the SHORTER video. min(n_a, n_b) in the
+    * denominator makes the score clipping-robust — a 4-frame excerpt
+    * of an 8-frame video still reads 1.0, which is exactly the case a
+    * video dedup policy must catch. */
+  private[graft] val VideoDupThreshold = 0.5
+
+  /** Per-JVM memoized at-rest table of c94's VERIFIED frame pairs (the
+    * mediaLabelTablePath rule): c105's fold and c106's edges both read
+    * the materialized pair surface instead of re-paying the banded
+    * join + exact verify per execution — at scale this is the at-rest
+    * pair table a nightly dedup job maintains. */
+  private val videoPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def videoPairTablePath(spark: SparkSession,
+                                        dir: String): String =
+    videoPairCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"video-pairs-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      c94VideoPairs(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c105 gate row (r17): the VIDEO-level near-dup decision surface —
+    * the fold the r16 family stopped short of. c94 ENUMERATES verified
+    * frame pairs; a dedup policy needs a per-VIDEO-PAIR verdict, and
+    * frame-grain clustering can't supply it (it conflates within-video
+    * shot similarity with cross-video duplication — c104's scaladoc).
+    * The fold: keep CROSS-video frame pairs only, count the distinct
+    * matched frames on each side, take the conservative
+    * min(|distinct frame_a|, |distinct frame_b|) as the matched-frame
+    * count (a one-to-many frame hit never inflates the verdict), and
+    * score by frame containment matched / min(n_frames_a, n_frames_b)
+    * — robust to clipped excerpts. is_dup thresholds at
+    * [[VideoDupThreshold]]. n_frames comes from the REAL Y4M demux
+    * (c91's frame walk), never the generator formula — the oracle
+    * re-derives it closed-form, which is what makes the row a check.
+    *
+    * Scale shape: the fold is one O(pairs) hash aggregate on 16-byte
+    * (doc, doc) keys over the at-rest verified-pair table, then two
+    * O(videos) equi-joins for the frame counts; nothing corpus² ever
+    * forms (the pair surface itself is O(n·bands) by c94's banding). */
+  def c105VideoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = spark.read.parquet(videoPairTablePath(spark, dir))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val folded = fp.groupBy("doc_a", "doc_b").agg(
+      least(countDistinct(col("frame_a")), countDistinct(col("frame_b")))
+        .as("matched"))
+    // per-video frame counts from the real demux (c91's walk)
+    val nf = c91VideoPhash(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val score = col("matched") / least(col("n_a"), col("n_b"))
+    folded
+      .join(nf.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("matched"),
+        col("n_a"), col("n_b"), score.as("score"),
+        (score >= lit(VideoDupThreshold)).as("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-JVM memoized FROZEN video label table (mediaLabelTablePath's
+    * twin at VIDEO grain): c105's thresholded duplicate edges fed
+    * through the shared alternating CC. */
+  private val videoLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def videoLabelTablePath(spark: SparkSession,
+                                         dir: String): String =
+    videoLabelCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"video-labels-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val edges = c105VideoPairs(spark, dir).filter(col("is_dup"))
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Dedup.connectedComponentsAlternating(edges)._1
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c106 gate row (r17): VIDEO near-dup clusters — c102's decision
+    * surface at VIDEO grain, which closes the media dedup family: now
+    * that the unit is the whole video (c105's containment verdict),
+    * the shot-similarity objection that kept video at the pair surface
+    * dissolves. CC over c105's is_dup edges through the shared star
+    * machinery, min-id survivorship, every video doc present. The
+    * oracle composes c94's banded SQL → c105's fold → transitive
+    * closure, so a drift anywhere in the three-stage pipeline
+    * hash-fails the row. */
+  def c106VideoClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = spark.read.parquet(videoLabelTablePath(spark, dir))
+    val vids = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+    clusterSurface(vids, labels)
+  }
 }

@@ -21,18 +21,30 @@ import org.apache.spark.sql.functions._
   * estimates, and the top-k cut from scratch; a drifting hash or fold
   * hash-fails the gate.
   *
-  * 100 TB shape: pass 1 is ONE corpus scan exploding each token
-  * occurrence into its d (i, bucket) cells, map-side-combined into at
-  * most d·w partial rows per task before a shuffle whose ENTIRE key
-  * domain is d·w = 1024 — the sketch is the aggregation state, which is
-  * the whole point (exact top-k's shuffle key domain is the unbounded
-  * token-type vocabulary). The counter grid collects as a bounded model
-  * artifact (trainCodebook's rule) and ships back as a plan-literal map;
-  * pass 2 estimates each word TYPE row-locally (c44's bounded-vocabulary
-  * trick) and cuts top-k via TakeOrderedAndProject. At a true 100 TB
-  * vocabulary the candidate set itself would come from a per-partition
-  * heap, not the full type table — documented, not needed at gate
-  * scale. */
+  * 100 TB shape (the r16 candidate gap closed in r17 — NOTHING on this
+  * row shuffles a vocabulary-sized key domain anymore):
+  *   - GRID: one corpus scan exploding each token OCCURRENCE into its d
+  *     (i, bucket) cells, map-side-combined into at most d·w partial
+  *     rows per task before a shuffle whose ENTIRE key domain is
+  *     d·w = 1024 — the sketch is the aggregation state, which is the
+  *     whole point (exact top-k's shuffle key domain is the unbounded
+  *     token-type vocabulary). The grid collects as a bounded model
+  *     artifact (trainCodebook's rule) and ships back as plan literals.
+  *   - CANDIDATES: a bounded per-partition Misra-Gries summary
+  *     ([[misraGries]], capacity [[MgCapacity]] — Misra & Gries 1982,
+  *     the SpaceSaving family) over the raw token stream, cut to the
+  *     global [[CmsCandidatePool]] by TakeOrderedAndProject (top-N per
+  *     partition merged on the driver — no exchange at all). A global
+  *     heavy hitter's best-partition count survives MG's ≤ n_p/cap
+  *     undercount by orders of magnitude, so the pool ⊇ the true top-k
+  *     (spec-pinned, and the gate's oracle — which still ranks the FULL
+  *     type table in DuckDB — hash-fails the row if inclusion ever
+  *     broke on the gate corpora).
+  *   - TRUTH: exact counts for the ≤ pool candidates only — the stream
+  *     filters by the broadcast candidate set row-locally, so the count
+  *     shuffle's key domain is the candidate pool, not the vocabulary.
+  *   - Estimates are row-local plan-literal lookups; the final cut is
+  *     TakeOrderedAndProject. */
 object Sketch {
 
   /** Sketch depth: number of independent hash rows. */
@@ -50,14 +62,85 @@ object Sketch {
   private[graft] def bucketOf(i: Int, token: Column): Column =
     substring(md5(concat(lit(s"$i:"), token)), 1, 2)
 
-  /** The corpus token stream as (w, wcnt) word types — c34's exact
-    * counting convention (lowercased, space-split, length ≥ 1), shared
-    * so est and truth count the SAME stream. */
-  private def tokenTypes(spark: SparkSession, dir: String): DataFrame =
+  /** Per-partition Misra-Gries summary capacity for the candidate
+    * pass: bounded memory AND bounded emission per partition, with
+    * undercount ≤ partition_tokens / capacity — far below any real
+    * heavy hitter's count. */
+  val MgCapacity = 8192
+
+  /** Global candidate pool: the TakeOrdered cut over the per-partition
+    * summaries — 10× the heavy-hitter cut, so rank jitter from MG's
+    * one-sided undercount can never push a true top-k token out. */
+  val CmsCandidatePool = 512
+
+  /** The corpus token OCCURRENCE stream (one row per token) — c34's
+    * exact counting convention (lowercased, space-split, length ≥ 1),
+    * shared so the grid, the candidates and the truth counts all read
+    * the SAME stream. */
+  private[graft] def tokenStream(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir)
       .select(explode(TextOps.words(lower(col("text")))).as("w"))
       .filter(length(col("w")) >= 1)
+
+  /** The corpus token stream as (w, wcnt) word types — kept for the
+    * at-rest grid derivations (`Main sketch`, [[cmsGrid]]); the c100
+    * candidate path no longer touches it (r17). */
+  private def tokenTypes(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /** One Misra-Gries pass over a partition's token iterator: at most
+    * `cap` live counters; a token outside a full summary decrements
+    * every counter (dropping zeros) instead of entering — the classic
+    * frequent-items guarantee: any token with partition count
+    * > n_p / (cap+1) survives, and a survivor's counter undercounts its
+    * true partition count by at most n_p / (cap+1). Emits the summary
+    * as (token, lower-bound count) — ≤ cap rows per partition. */
+  private[graft] def misraGries(it: Iterator[String],
+                                cap: Int): Iterator[(String, Long)] = {
+    require(cap >= 1, s"Misra-Gries capacity must be >= 1, got $cap")
+    val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+    while (it.hasNext) {
+      val w = it.next()
+      val c = m.get(w)
+      if (c != null) m.put(w, c + 1L)
+      else if (m.size < cap) m.put(w, 1L)
+      else {
+        // the decrement step: amortized O(1) per arrival (each paid
+        // decrement is matched by a prior increment)
+        val jt = m.entrySet().iterator()
+        while (jt.hasNext) {
+          val e = jt.next()
+          if (e.getValue == 1L) jt.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    val out = new Array[(String, Long)](m.size)
+    var i = 0
+    val kt = m.entrySet().iterator()
+    while (kt.hasNext) {
+      val e = kt.next(); out(i) = (e.getKey, e.getValue.longValue); i += 1
+    }
+    out.iterator
+  }
+
+  /** The bounded candidate pool (r17 — the scale path for the
+    * heavy-hitter cut): per-partition Misra-Gries summaries over the
+    * raw token stream, globally cut to `pool` by (count desc, token
+    * asc) via TakeOrderedAndProject. No shuffle anywhere: the summary
+    * is a row-local partition fold, the cut merges per-partition top-N
+    * on the driver. Returns the sorted distinct candidate tokens —
+    * ≤ pool of them, a bounded artifact at any corpus size. */
+  private[graft] def heavyCandidates(spark: SparkSession, dir: String,
+                                     pool: Int = CmsCandidatePool): Seq[String] = {
+    import spark.implicits._
+    tokenStream(spark, dir).as[String]
+      .mapPartitions(it => misraGries(it, MgCapacity))
+      .toDF("w", "pcnt")
+      .orderBy(desc("pcnt"), asc("w")).limit(pool)
+      .select("w").collect().map(_.getString(0)).distinct.sorted.toSeq
+  }
 
   /** The d×w counter grid of a (w, wcnt) type frame, as a Map from
     * "i:bucket" to counter. At most [[CmsDepth]]·[[CmsWidth]] entries —
@@ -97,16 +180,26 @@ object Sketch {
   def cmsGrid(spark: SparkSession, dir: String): Map[String, Long] =
     counterGrid(tokenTypes(spark, dir))
 
-  /** c100 gate row: fold the corpus into the counter grid, estimate
-    * every word type, and emit the top-[[CmsTopK]] heavy hitters by
-    * (est desc, token asc) with the sketch estimate NEXT TO the exact
-    * count — the overestimate the one-sided error law allows is thereby
-    * engine-checked, not asserted. */
+  /** c100 gate row: fold the corpus occurrence stream into the counter
+    * grid (1024-key shuffle), derive the bounded candidate pool from
+    * per-partition Misra-Gries summaries (no shuffle), count the
+    * candidates exactly (candidate-domain shuffle), and emit the
+    * top-[[CmsTopK]] heavy hitters by (est desc, token asc) with the
+    * sketch estimate NEXT TO the exact count — the overestimate the
+    * one-sided error law allows is thereby engine-checked, not
+    * asserted. The ORACLE still ranks the full type table in DuckDB,
+    * so this row ALSO engine-checks candidate-pool ⊇ top-k every
+    * round: a pool miss would hash-fail the gate. */
   def c100CmsTopk(spark: SparkSession, dir: String,
                   topK: Int = CmsTopK): DataFrame = {
-    val types = tokenTypes(spark, dir)
-    val grid = counterGrid(types)
-    types
+    val stream = tokenStream(spark, dir)
+    // the grid folds OCCURRENCES (wcnt = 1 per row): identical counters
+    // to the type-table fold, without the vocabulary-sized shuffle
+    val grid = counterGrid(stream.select(col("w"), lit(1L).as("wcnt")))
+    val cands = heavyCandidates(spark, dir)
+    stream
+      .filter(col("w").isin(cands: _*)) // row-local bounded-set probe
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
       .select(col("w").as("token"),
         estimateOf(col("w"), grid).as("est_cnt"),
         col("wcnt").as("true_cnt"))

@@ -926,7 +926,15 @@ object TextOps {
     * corpus), so each training round costs one vocab scan, and the only
     * corpus-sized pass is the map-side-combinable word count itself. */
   private[graft] def wordTypes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    wordTypeCounts(Tables.documents(spark, dir))
+
+  /** The (w, wcnt) word-type frame over an ARBITRARY (.., text) docs
+    * frame — THE shared word-type convention (lowercased ASCII
+    * single-space split, length ≥ 1), factored so the CLI verbs
+    * (`sketch`, `wordpiece-train`) and the gate rows cannot silently
+    * drift if the convention ever changes (r17 ADVICE). */
+  private[graft] def wordTypeCounts(docs: DataFrame): DataFrame =
+    docs
       .select(explode(words(lower(col("text")))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))

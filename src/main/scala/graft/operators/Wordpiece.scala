@@ -85,15 +85,16 @@ object Wordpiece {
     a + (if (b.startsWith("##")) b.substring(2) else b)
 
   /** Apply an ordered WordPiece merge list to a fenced symbol sequence:
-    * one codegen'd literal replace per merge (bpeSeqOf's fence argument
-    * — a pattern can only match whole symbols, back-to-back occurrences
-    * both match). Training-internal only: APPLY never replays merges
-    * (see [[segment]]), so unlike BPE the replace chain never reaches a
-    * serving path. At [[WpRounds]] = 12 the chain plans fine; a
-    * production ~30k-merge WordPiece trainer would fuse this loop into
-    * a native expression exactly as ApplyBpe (functions/Bpe.scala) did
-    * for the BPE chain — same fix, different merged-symbol rule. */
-  private def applyWpMerges(s: Column, merges: Seq[(String, String)]): Column =
+    * one literal replace per merge (bpeSeqOf's fence argument — a
+    * pattern can only match whole symbols, back-to-back occurrences
+    * both match). PARITY REFERENCE ONLY (r17): the trainer stages
+    * through the fused native ApplyWordpiece (functions/Bpe.scala —
+    * plan depth 1 at any merge count, where this chain is
+    * O(merges-so-far) nodes per round ⇒ O(rounds²) plan work across
+    * training, the exact pre-r11 BPE shape ApplyBpe fixed); the spec
+    * pins the two formulations equal on trained and adversarial merge
+    * lists, exactly as TextOps.applyBpeMerges pins ApplyBpe. */
+  private[graft] def applyWpMerges(s: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(s) { case (c, (a, b)) =>
       replace(c, lit(s" $a  $b "), lit(s" ${mergedSym(a, b)} "))
     }
@@ -155,27 +156,39 @@ object Wordpiece {
   def trainWordpieceOn(wordCounts: DataFrame,
                        rounds: Int = WpRounds): Seq[String] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val base = wordCounts
-      .select(col("wcnt"), wpSeqOf(col("w")).as("s")).persist()
+    val base = wordCounts.select(col("wcnt"), col("w")).persist()
     try {
       base.count() // materialize once; every round re-reads the cache
       var merges = Vector.empty[(String, String)]
       var alphabet = Seq.empty[String]
       var exhausted = false
       while (merges.length < rounds && !exhausted) {
+        // fused native staging (r17): ONE plan node regardless of the
+        // merge count, so per-round plan work is constant at production
+        // training depths — see ApplyWordpiece's scaladoc
         val staged = base.select(col("wcnt"),
-          split(trim(applyWpMerges(col("s"), merges)), "  ").as("ts"))
-        val symCnt = staged
-          .select(col("wcnt"), explode(col("ts")).as("sym"))
-          .groupBy("sym").agg(sum(col("wcnt")).as("cnt"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        if (merges.isEmpty) alphabet = symCnt.keys.toSeq.sorted
-        val pairs = staged.filter(size(col("ts")) >= 2)
-          .select(col("wcnt"), explode(pairsOf(col("ts"))).as("p"))
+          graft.functions.BpeFunctions.applyWordpiece(col("w"), merges)
+            .as("ts"))
+        // ONE pass per round (r17 ADVICE — this is the trainer's hot
+        // loop): explode each occurrence as (sym, next-or-null) so the
+        // symbol counts (Σ over next) and the pair counts (next ≠ null)
+        // both fall out of a single artifact-bounded aggregate, instead
+        // of re-executing the merge-replay chain twice per round.
+        val grouped = staged
+          .select(col("wcnt"), explode(transform(
+            sequence(lit(1), size(col("ts"))), i =>
+              struct(element_at(col("ts"), i).as("a"),
+                when(i < size(col("ts")), element_at(col("ts"), i + 1))
+                  .as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("wcnt")).as("cnt"))
           .collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        val symCnt = grouped.groupBy(_._1)
+          .map { case (s, rs) => s -> rs.map(_._3).sum }
+        if (merges.isEmpty) alphabet = symCnt.keys.toSeq.sorted
+        val pairs = grouped
+          .collect { case (a, Some(b), cnt) => (a, b, cnt) }
           .filter { case (a, b, _) =>
             mergedSym(a, b).stripPrefix("##").length <= MaxPieceLen }
         if (pairs.isEmpty) exhausted = true

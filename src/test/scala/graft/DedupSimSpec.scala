@@ -1015,6 +1015,72 @@ class DedupSimSpec extends SparkSpec {
     info(s"c104: ${auds.length} audio docs, ${byCluster.size} clusters")
   }
 
+  test("c105 video-level fold equals a driver brute over the c94 frame pairs") {
+    // independent re-derivation: collect c94's verified frame pairs and
+    // fold them per ordered video pair with a hand-rolled count
+    val fp = Multimodal.c94VideoPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("frame_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("frame_b")))
+      .filter(t => t._1 != t._3)
+    val nFrames = Multimodal.c91VideoPhash(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id")).map { case (d, rs) => d -> rs.length.toLong }
+    val want = fp.groupBy(t => (t._1, t._3)).toSeq.sortBy(_._1).map {
+      case ((a, b), hits) =>
+        val m = math.min(hits.map(_._2).distinct.length,
+          hits.map(_._4).distinct.length).toLong
+        val (na, nb) = (nFrames(a), nFrames(b))
+        val score = m.toDouble / math.min(na, nb)
+        (a, b, m, na, nb, score, score >= 0.5)
+    }
+    val got = Multimodal.c105VideoPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSeq
+    assert(got == want, "c105 must equal the driver fold")
+    // decision-surface invariants: ordered pairs, containment bounds,
+    // and the corpus genuinely exercises both verdicts
+    got.foreach { case (a, b, m, na, nb, s, dup) =>
+      assert(a < b, s"pair ($a,$b) must be ordered")
+      assert(m >= 1 && m <= math.min(na, nb), s"matched $m out of [$na,$nb]")
+      assert(s > 0.0 && s <= 1.0 && dup == (s >= 0.5))
+    }
+    assert(got.exists(_._7) && got.exists(!_._7),
+      "corpus must exercise both is_dup verdicts")
+    info(s"c105: ${got.length} video pairs, ${got.count(_._7)} duplicates")
+  }
+
+  test("c106 video clusters equal a driver union-find over c105's dup edges") {
+    val edges = Multimodal.c105VideoPairs(spark, sfDir)
+      .filter(col("is_dup")).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val vids = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val parent = scala.collection.mutable.Map(vids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = vids.map(i => i -> find(i)).toMap
+    val size = label.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val want = vids.map(i => (i, label(i), size(label(i)), i == label(i))).toSeq
+    val got = Multimodal.c106VideoClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == want, "c106 must equal the driver union-find")
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._4) == 1 && cid == rows.map(_._1).min,
+        s"cluster $cid canonical invariant")
+    }
+    // video grain ≠ frame grain: sub-threshold pairs must NOT merge, so
+    // the surface keeps genuine singletons next to real clusters
+    assert(got.exists(_._3 > 1) && got.exists(_._3 == 1L),
+      "corpus must exercise both cluster legs at video grain")
+    info(s"c106: ${vids.length} videos, ${byCluster.size} clusters, " +
+      s"largest ${byCluster.values.map(_.size).max}")
+  }
+
   test("c103 incremental media maintenance ≡ full re-cluster of the merged hashes") {
     // the c95 theorem at hash grain, proved Spark-side (the gate row's
     // oracle engine-checks it against DuckDB's full re-cluster too)

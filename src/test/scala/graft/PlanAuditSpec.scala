@@ -415,6 +415,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s"nested loop in the matrix:\n$s")
   }
 
+  test("c105/c106 plans: the video fold is equi-joins over the at-rest pair table, no product") {
+    val s5 = executedPlanOf(
+      graft.operators.Multimodal.c105VideoPairs(spark, sfDir))
+    // the fold: one hash aggregate over the materialized pair surface,
+    // then two equi-joins for the frame counts — never a product
+    assert(!s5.contains("CartesianProduct") &&
+      !s5.contains("BroadcastNestedLoopJoin"),
+      s"c105 fold must never go all-pairs:\n$s5")
+    assert(s5.contains("HashAggregate"), s"c105 fold must hash-aggregate:\n$s5")
+    val s6 = executedPlanOf(
+      graft.operators.Multimodal.c106VideoClusters(spark, sfDir))
+    // the surface reads the FROZEN label table — no banded join, no CC
+    // rounds in the per-query plan (the mediaLabelTablePath memo rule)
+    assert(s6.contains("Scan parquet") || s6.contains("FileScan"),
+      s"c106 must read the at-rest label table:\n$s6")
+    assert(!s6.contains("CartesianProduct") &&
+      !s6.contains("BroadcastNestedLoopJoin"),
+      s"c106 surface must stay equi-join:\n$s6")
+  }
+
   test("c65 plan: confirm join is a doc_id equi-join over sparse frames, no product") {
     // audit the LIVE plan (dupSpansMin shares every expression with the
     // memoized gate path, which reads the materialized span table)

@@ -59,6 +59,67 @@ class SketchSpec extends SparkSpec {
     assert(got == want, "c100 must equal the driver sketch cut")
   }
 
+  test("heap candidate pool contains the exact top-k AND the estimate top-k (r17)") {
+    val wt = corpusWordTypes
+    val cands = Sketch.heavyCandidates(spark, sfDir).toSet
+    assert(cands.size <= Sketch.CmsCandidatePool,
+      s"pool must stay bounded: ${cands.size}")
+    // ⊇ the true top-k: the done-bar's one-sided inclusion
+    val trueTop = wt.sortBy { case (w, c) => (-c, w) }
+      .take(Sketch.CmsTopK).map(_._1)
+    val missTrue = trueTop.filterNot(cands)
+    assert(missTrue.isEmpty, s"pool missed true top-k tokens: $missTrue")
+    // ⊇ the ESTIMATE top-k: what output equality with the full-table
+    // oracle actually requires (the cut ranks by est desc)
+    val grid = refGrid(wt)
+    val estTop = wt.map { case (w, c) => (w, refEstimate(w, grid)) }
+      .sortBy { case (w, e) => (-e, w) }.take(Sketch.CmsTopK).map(_._1)
+    val missEst = estTop.filterNot(cands)
+    assert(missEst.isEmpty, s"pool missed estimate top-k tokens: $missEst")
+  }
+
+  test("Misra-Gries summary: bounded, lower-bound counts, frequent items survive") {
+    // deterministic synthetic stream: token i of 40 appears 40-i times,
+    // shuffled by a fixed stride so arrivals interleave adversarially
+    val arrivals = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"t$i"))
+    val stream = arrivals.indices.map(j =>
+      arrivals((j * 7919) % arrivals.length))
+    val n = stream.length
+    val cap = 8
+    val mg = Sketch.misraGries(stream.iterator, cap).toMap
+    assert(mg.size <= cap, s"summary must stay within capacity: ${mg.size}")
+    val truth = stream.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    mg.foreach { case (w, c) =>
+      assert(c <= truth(w), s"$w: MG count $c must lower-bound ${truth(w)}")
+      assert(truth(w) - c <= n / (cap + 1),
+        s"$w: undercount ${truth(w) - c} exceeds n/(cap+1) = ${n / (cap + 1)}")
+    }
+    // the frequent-items guarantee: count > n/(cap+1) ⇒ in the summary
+    truth.filter(_._2 > n / (cap + 1)).keys.foreach(w =>
+      assert(mg.contains(w), s"frequent item $w dropped from the summary"))
+    // degenerate capacities behave
+    assert(Sketch.misraGries(Iterator.empty, 4).isEmpty)
+    intercept[IllegalArgumentException] {
+      Sketch.misraGries(Iterator("a"), 0)
+    }
+  }
+
+  test("candidate path plans shuffle-free: partition fold + TakeOrdered, no exchange") {
+    import spark.implicits._
+    val partials = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .as[String]
+      .mapPartitions(it => Sketch.misraGries(it, Sketch.MgCapacity))
+      .toDF("w", "pcnt")
+      .orderBy(desc("pcnt"), asc("w")).limit(Sketch.CmsCandidatePool)
+    val plan = partials.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate cut must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"candidate path must not shuffle (vocabulary-sized or otherwise):\n$plan")
+  }
+
   test("CMS one-sided error law holds on EVERY word type") {
     import spark.implicits._
     val wt = corpusWordTypes

@@ -281,6 +281,77 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  test("native ApplyWordpiece staging equals the replace-chain reference") {
+    import spark.implicits._
+    // adversarial inputs: overlapping repeats (non-overlapping pass
+    // semantics), marker-bearing alphabets ('#' words), re-enabled
+    // sides, single chars, and the empty-adjacent shapes
+    val words = Seq("aaa", "aaaa", "aaaaa", "abab", "ababab", "bbbb",
+      "abcabc", "#ab", "##", "###", "a", "x", "aabbaabb", "cabcab")
+      .toDF("w")
+    val lists = Seq(
+      Seq.empty[(String, String)],
+      Seq(("a", "##a")),
+      // chained re-merges: a later rank consumes an earlier product
+      Seq(("a", "##a"), ("aa", "##a"), ("aaa", "##a")),
+      Seq(("a", "##b"), ("ab", "##a"), ("ab", "##ab"), ("b", "##b")),
+      // marker-bearing surfaces: '#' in the ALPHABET (the scaladoc
+      // caveat) must behave identically in both formulations
+      Seq(("#", "###"), ("##", "###")),
+      // sides that reappear AFTER their rank had its turn (sequential
+      // semantics: rank m is never revisited)
+      Seq(("b", "##b"), ("a", "##a"), ("aa", "##bb")))
+    lists.foreach { merges =>
+      val got = words.select(col("w"),
+        graft.functions.BpeFunctions.applyWordpiece(col("w"), merges)
+          .as("ts")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      val want = words.select(col("w"),
+        split(trim(Wordpiece.applyWpMerges(
+          Wordpiece.wpSeqOf(col("w")), merges)), "  ").as("ts")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      assert(got == want, s"native/reference drift under merges=$merges")
+    }
+  }
+
+  test("trainer sustains production merge depth with constant per-round plan work") {
+    import spark.implicits._
+    // 300 distinct 4-8 char words over 20 letters: pair diversity far
+    // beyond 100 merges, every merged surface within MaxPieceLen — the
+    // depth the replace-chain staging could not plan (O(rounds²))
+    val alpha = "abcdefghijklmnopqrst"
+    val words = (0 until 300).map { i =>
+      val h = i * 2654435761L + 11
+      val len = 4 + Math.floorMod(h, 5L).toInt
+      (0 until len).map(j =>
+        alpha(Math.floorMod(h >> (j * 3), alpha.length.toLong).toInt)).mkString
+    }.distinct
+    val wt = words.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+    val vocab = Wordpiece.trainWordpieceOn(wt.toDF("w", "wcnt"), rounds = 100)
+    // 100 rounds genuinely ran: ≥ 100 multi-char pieces were minted
+    // (each round adds one merged symbol; distinct can only collapse
+    // symbols that equal an existing one, rare under this alphabet)
+    assert(vocab.count(_.stripPrefix("##").length > 1) >= 95,
+      s"expected ~100 multi-char pieces, got ${vocab.count(_.stripPrefix("##").length > 1)}")
+    assert(vocab.forall(_.stripPrefix("##").length <= Wordpiece.MaxPieceLen))
+    // the plan-depth claim itself: staging under a DEEP merge list is
+    // ONE expression node — no replace chain anywhere in the plan
+    val deep = (0 until 1000).map(i =>
+      (s"${alpha(i % 20)}", s"##${alpha((i / 20) % 20)}"))
+    val staged = words.toDF("w").select(
+      graft.functions.BpeFunctions.applyWordpiece(col("w"), deep).as("ts"))
+    // analyzed plan (the optimizer constant-folds a local relation into
+    // a LocalTableScan — which itself proves the 1000-merge expression
+    // EVALUATED; the analyzed tree shows its shape)
+    val plan = staged.queryExecution.analyzed.toString
+    assert(plan.contains("graft_apply_wordpiece"), plan.take(2000))
+    assert(!plan.contains("replace("),
+      s"replace chain leaked into the fused staging plan:\n${plan.take(2000)}")
+    // and it EXECUTES at that depth (the replace chain would have
+    // thrown codegen past the 64KB method limit long before 1000)
+    assert(staged.collect().length == words.length)
+  }
+
   test("wordpiece staging fences: merged pieces only fuse whole symbols") {
     import spark.implicits._
     // 'aaa' stages to [a, ##a, ##a]: merging (a, ##a) must fuse ONLY the
