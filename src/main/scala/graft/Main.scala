@@ -155,12 +155,63 @@ object Main {
     * written grid and emits (doc_id, token, est_cnt) for each doc's
     * distinct tokens — the batch run of exactly d48's projection (the
     * shared estimateOf expression; CLI-spec-pinned). One JSON line. */
+  /** Read + LOUDLY validate an at-rest CMS grid parquet: (i, b, c)
+    * columns with integer i/c of any width (a grid written by another
+    * engine may carry bigint — r17 ADVICE) and string b. */
+  private def validatedGrid(spark: org.apache.spark.sql.SparkSession,
+                            gridPath: String): org.apache.spark.sql.DataFrame = {
+    val gf = spark.read.parquet(gridPath)
+    require(Seq("i", "b", "c").forall(gf.columns.contains),
+      s"grid $gridPath must have (i, b, c) columns, " +
+        s"found ${gf.columns.mkString("(", ", ", ")")}")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    gf.schema.fields.foreach { f =>
+      if (Set("i", "c")(f.name))
+        require(integral(f.dataType),
+          s"grid $gridPath column ${f.name} must be an integer type, " +
+            s"found ${f.dataType.simpleString}")
+      if (f.name == "b")
+        require(f.dataType == StringType,
+          s"grid $gridPath column b must be string, " +
+            s"found ${f.dataType.simpleString}")
+    }
+    gf
+  }
+
   private def sketchCmd(args: Array[String]): Unit = {
     import graft.operators.Sketch
-    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val spark = GraftSession.get()
     import spark.implicits._
+    if (args.contains("--merge")) {
+      // `sketch --merge --grid-a A --grid-b B --out O` (r17): the CMS's
+      // defining property is MERGEABILITY — counter grids from disjoint
+      // corpus partitions (or separate crawls) sum element-wise into
+      // exactly the grid of the union, because every cell is a plain
+      // sum over the stream (CLI-spec'd: merge(grid(A), grid(B)) ≡
+      // grid(A ∪ B), integer-exact). Missing cells read 0 (estimateOf's
+      // untouched-counter rule) via the full outer join.
+      val pa = opt(args, "--grid-a").getOrElse(sys.error("--grid-a required with --merge"))
+      val pb = opt(args, "--grid-b").getOrElse(sys.error("--grid-b required with --merge"))
+      val a = validatedGrid(spark, pa)
+        .select(col("i").cast("int").as("i"), col("b"),
+          col("c").cast("bigint").as("ca"))
+      val b = validatedGrid(spark, pb)
+        .select(col("i").cast("int").as("i"), col("b"),
+          col("c").cast("bigint").as("cb"))
+      val merged = a.join(b, Seq("i", "b"), "full_outer")
+        .select(col("i"), col("b"),
+          (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c"))
+        .orderBy("i", "b")
+      merged.coalesce(1).write.mode("overwrite").parquet(out)
+      val cells = spark.read.parquet(out).count()
+      println(s"""{"cells":$cells,"merged":[${jsonStr(pa)},${jsonStr(pb)}],""" +
+        s""""out":${jsonStr(out)}}""")
+      return
+    }
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
@@ -168,26 +219,7 @@ object Main {
     if (args.contains("--estimate")) {
       val gridPath = opt(args, "--grid")
         .getOrElse(sys.error("--grid required with --estimate"))
-      val gf = spark.read.parquet(gridPath)
-      require(Seq("i", "b", "c").forall(gf.columns.contains),
-        s"grid $gridPath must have (i, b, c) columns, " +
-          s"found ${gf.columns.mkString("(", ", ", ")")}")
-      // loud TYPE check next to the name check (r17 ADVICE): a grid
-      // written by another engine may carry bigint i — accept any
-      // integer width via Number instead of a ClassCastException
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-      val integral: Set[org.apache.spark.sql.types.DataType] =
-        Set(ByteType, ShortType, IntegerType, LongType)
-      gf.schema.fields.foreach { f =>
-        if (Set("i", "c")(f.name))
-          require(integral(f.dataType),
-            s"grid $gridPath column ${f.name} must be an integer type, " +
-              s"found ${f.dataType.simpleString}")
-        if (f.name == "b")
-          require(f.dataType == StringType,
-            s"grid $gridPath column b must be string, " +
-              s"found ${f.dataType.simpleString}")
-      }
+      val gf = validatedGrid(spark, gridPath)
       val grid = gf.collect()
         .map(r => s"${r.getAs[Number]("i").intValue()}:${r.getAs[String]("b")}" ->
           r.getAs[Number]("c").longValue()).toMap
@@ -1718,13 +1750,39 @@ object Main {
     // the exact clustering the canonicals came from
     val splits = Dedup.c30ClusterSplit(spark, in, threshold)
       .select("doc_id", "split")
-    afterDecontam.join(splits, "doc_id")
-      .write.mode("overwrite").parquet(out)
+    val curatedBase = afterDecontam.join(splits, "doc_id")
+    // optional terminal stages (r17 — the full training-data pipeline in
+    // one verb): --shards L appends the c40 shard assignment columns
+    // (h, shard, pos) to the curated output; --pack-budget B +
+    // --pack-out P writes the c76 FFD pack table of the curated set
+    val shardLen = opt(args, "--shards").map(_.toInt)
+    val packBudget = opt(args, "--pack-budget").map(_.toLong)
+    val packOut = opt(args, "--pack-out")
+    require(packBudget.isDefined == packOut.isDefined,
+      "--pack-budget and --pack-out must be given together")
+    val curated = shardLen match {
+      case Some(l) => TextOps.shuffleShard(curatedBase, l)
+      case None => curatedBase
+    }
+    curated.write.mode("overwrite").parquet(out)
     val nOut = spark.read.parquet(out).count()
+    val shardJson = shardLen.map { _ =>
+      val n = spark.read.parquet(out).select("shard").distinct().count()
+      s""","shards":$n"""
+    }.getOrElse("")
+    val packJson = (packBudget, packOut) match {
+      case (Some(b), Some(p)) =>
+        TextOps.packFfdOn(curatedBase.select("doc_id", "text"), b)
+          .write.mode("overwrite").parquet(p)
+        val packed = spark.read.parquet(p)
+        val nPacks = packed.select("shard", "pack_id").distinct().count()
+        s""","packs":$nPacks,"pack_budget":$b,"pack_out":${jsonStr(p)}"""
+      case _ => ""
+    }
     Seq(afterQuality, afterDedup, afterDecontam).foreach(_.unpersist())
     println(s"""{"docs":$total,"after_quality":$nQuality,""" +
       s""""after_dedup":$nDedup,"after_decontam":$nClean,""" +
-      s""""curated":$nOut,"out":${jsonStr(out)}}""")
+      s""""curated":$nOut$shardJson$packJson,"out":${jsonStr(out)}}""")
   }
 
   private def stream(args: Array[String]): Unit = {

@@ -168,6 +168,7 @@ object SparkEntry {
     "c104_audio_clusters" -> (Multimodal.c104AudioClusters _),
     "c105_video_pairs" -> (Multimodal.c105VideoPairs _),
     "c106_video_clusters" -> (Multimodal.c106VideoClusters _),
+    "c107_joint_dedup" -> (Multimodal.c107JointDedup _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -761,6 +762,39 @@ object SparkEntry {
        |JOIN tl lb ON lb.fid = c.fb
        |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
 
+  /** DuckDB rendering of c107 (r17): BOTH closures re-derived from
+    * scratch — c19's shingle-band text clustering (clusterCteBody) and
+    * c102's hash-band media clustering (media CTEs renamed m* to
+    * coexist) — then the per-doc joint verdict over the image slice.
+    * The Spark side reads the two MEMOIZED label tables, so this row
+    * engine-checks the composed decision end-to-end. */
+  private def c107OracleSql(c88Sql: String): String =
+    s"""WITH RECURSIVE hs AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |${clusterCteBody("documents")},
+       |sg AS (SELECT doc_id, phash, j,
+       |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
+       |       FROM hs, range(0, 4) jj(j)),
+       |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
+       |                             AND a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |med AS (SELECT doc_a AS u, doc_b AS v FROM mcand
+       |        UNION ALL SELECT doc_b, doc_a FROM mcand),
+       |mreach AS (SELECT u, v FROM med
+       |           UNION SELECT r.u, e.v FROM mreach r JOIN med e ON r.v = e.u),
+       |mlbl AS (SELECT u AS doc_id, min(v) AS mn FROM mreach GROUP BY u),
+       |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+       |SELECT i.doc_id,
+       |  CAST(least(COALESCE(tl.mn, i.doc_id), i.doc_id) AS BIGINT) AS text_cluster_id,
+       |  CAST(least(COALESCE(ml.mn, i.doc_id), i.doc_id) AS BIGINT) AS media_cluster_id,
+       |  least(COALESCE(tl.mn, i.doc_id), i.doc_id) <> i.doc_id AS dup_by_text,
+       |  least(COALESCE(ml.mn, i.doc_id), i.doc_id) <> i.doc_id AS dup_by_media,
+       |  (least(COALESCE(tl.mn, i.doc_id), i.doc_id) <> i.doc_id
+       |   OR least(COALESCE(ml.mn, i.doc_id), i.doc_id) <> i.doc_id) AS dup_any
+       |FROM img i LEFT JOIN lbl tl ON tl.doc_id = i.doc_id
+       |           LEFT JOIN mlbl ml ON ml.doc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   /** The derived-URL CTE chain shared by the curation oracles (r16,
     * c96/c97): the SAME (source, lang, doc_id) → messy-URL derivation
     * Curation.urlCol builds, then the SAME host-capture + www-strip
@@ -1160,6 +1194,9 @@ object SparkEntry {
         // chain at video grain (c106)
         + ("c105_video_pairs" -> c105OracleSql(c94OracleSql(base("c91_video_phash"))))
         + ("c106_video_clusters" -> c106OracleSql(c94OracleSql(base("c91_video_phash"))))
+        // c107 (r17): both closures re-derived — c19's text CTEs +
+        // c102's media CTEs — composed into the joint per-doc verdict
+        + ("c107_joint_dedup" -> c107OracleSql(base("c88_image_phash")))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

@@ -1447,4 +1447,42 @@ object Multimodal {
       .filter(pmod(col("doc_id"), lit(3)) === 2)
     clusterSurface(vids, labels)
   }
+
+  /** c107 gate row (r17): the JOINT text+media dedup verdict — the
+    * decision a multimodal pipeline actually takes on a doc that
+    * carries BOTH modalities (here the image slice: every doc has
+    * text, doc_id % 3 = 0 additionally carries an image payload). A
+    * doc can be a text near-dup without being a media near-dup
+    * (template page, fresh image) and vice versa (re-hosted image
+    * under a rewritten caption); dropping on either signal alone
+    * over- or under-deletes. Composes the MEMOIZED c19 text label
+    * table (corpus-wide — a doc's text twin may live outside the
+    * slice) and the frozen c102 media label table into one per-doc
+    * row: both cluster ids, per-modality droppable flags
+    * (non-canonical membership), and the either-verdict. Two O(docs)
+    * doc_id equi-joins over at-rest label tables — no re-clustering,
+    * nothing corpus². The same composition serves audio (c104 labels)
+    * and video (c106 labels) — one shape, documented here (the c102
+    * precedent: one composition, one proof). The ORACLE re-derives
+    * BOTH closures from scratch (c19's shingle-band CTEs + c102's
+    * hash-band CTEs), so drift in either pipeline hash-fails. */
+  def c107JointDedup(spark: SparkSession, dir: String): DataFrame = {
+    val text = spark.read
+      .parquet(graft.operators.Dedup.clusterTablePath(spark, dir))
+      .select(col("node").as("doc_id"), col("cluster_id").as("tc"))
+    val media = spark.read.parquet(mediaLabelTablePath(spark, dir))
+      .select(col("node").as("doc_id"), col("cluster_id").as("mc"))
+    val tCl = least(coalesce(col("tc"), col("doc_id")), col("doc_id"))
+    val mCl = least(coalesce(col("mc"), col("doc_id")), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .join(text, Seq("doc_id"), "left")
+      .join(media, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        tCl.as("text_cluster_id"), mCl.as("media_cluster_id"),
+        (tCl =!= col("doc_id")).as("dup_by_text"),
+        (mCl =!= col("doc_id")).as("dup_by_media"),
+        (tCl =!= col("doc_id") || mCl =!= col("doc_id")).as("dup_any"))
+      .orderBy("doc_id")
+  }
 }

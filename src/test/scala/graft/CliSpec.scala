@@ -470,6 +470,49 @@ class CliSpec extends SparkSpec {
     assert(shared >= 1, "planted near-dup pair must share an index fingerprint")
   }
 
+  test("curate --shards/--pack-budget: terminal stages equal the c40/c76 operators") {
+    val out = Files.createTempDirectory("graft-curate-ps-").toString
+    val packOut = Files.createTempDirectory("graft-curate-pk-").toString + "/packs"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.main(Array("curate", "--in", sfDir, "--out", out,
+        "--shards", "1", "--pack-budget", "256", "--pack-out", packOut))
+    }
+    val manifest = buf.toString("UTF-8").trim
+    val curated = spark.read.parquet(out)
+    // shard stage ≡ the c40 library derivation over the curated frame:
+    // h = md5(doc_id:text), shard = prefix, pos dense per shard
+    assert(Seq("h", "shard", "pos").forall(curated.columns.contains),
+      s"curated output must carry the shard assignment: ${curated.columns.toSeq}")
+    val bad = curated.filter(
+      col("h") =!= md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))) ||
+      col("shard") =!= substring(col("h"), 1, 1)).count()
+    assert(bad == 0, "shard columns must re-derive from the c40 hash rule")
+    val posOk = curated.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1).count()
+    assert(posOk == 0, "pos must be dense 0..n-1 within every shard")
+    // pack stage ≡ packFfdOn over exactly the curated (pre-shard) docs
+    val packs = spark.read.parquet(packOut)
+    val want = graft.operators.TextOps
+      .packFfdOn(curated.select("doc_id", "text"), 256)
+    assert(packs.exceptAll(want).count() == 0 &&
+      want.exceptAll(packs).count() == 0,
+      "CLI pack table diverges from packFfdOn over the curated set")
+    // manifest counts ≡ the written artifacts
+    val nShards = curated.select("shard").distinct().count()
+    val nPacks = packs.select("shard", "pack_id").distinct().count()
+    assert(manifest.contains(s""""curated":${curated.count()}"""), manifest)
+    assert(manifest.contains(s""""shards":$nShards"""), manifest)
+    assert(manifest.contains(s""""packs":$nPacks,"pack_budget":256"""), manifest)
+    // flag hygiene: --pack-budget without --pack-out refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("curate", "--in", sfDir, "--out", out,
+        "--pack-budget", "256"))
+    }
+    assert(e.getMessage.contains("--pack-out"), e.getMessage)
+  }
+
   test("plan subcommand: prints lshPlan's pick; c2's defaults at threshold 0.5") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
@@ -1169,6 +1212,39 @@ class CliSpec extends SparkSpec {
         "--in", s"$sfDir/documents.parquet", "--out", s"$tmp/e2"))
     }
     assert(e.getMessage.contains("--grid required"), e.getMessage)
+  }
+
+  test("sketch --merge: merged grids equal the union corpus's grid exactly") {
+    val tmp = Files.createTempDirectory("graft-cli-skmerge-").toString
+    // two disjoint slices of the corpus, each sketched independently
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/a")
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$tmp/b")
+    Main.main(Array("sketch", "--in", s"$tmp/a", "--out", s"$tmp/ga"))
+    Main.main(Array("sketch", "--in", s"$tmp/b", "--out", s"$tmp/gb"))
+    Main.main(Array("sketch", "--merge", "--grid-a", s"$tmp/ga",
+      "--grid-b", s"$tmp/gb", "--out", s"$tmp/gm"))
+    def gridOf(p: String): Map[String, Long] =
+      spark.read.parquet(p).collect()
+        .map(r => s"${r.getAs[Int]("i")}:${r.getAs[String]("b")}" ->
+          r.getAs[Long]("c")).toMap
+    // the mergeability law, integer-exact: grid(A) ⊕ grid(B) = grid(A∪B)
+    assert(gridOf(s"$tmp/gm") == graft.operators.Sketch.cmsGrid(spark, sfDir),
+      "merged grid must equal the union corpus's grid")
+    // merge is symmetric and zero-preserving: re-merging with an empty
+    // grid (sketch of an empty slice) is the identity
+    docs.filter(lit(false)).write.parquet(s"$tmp/e")
+    Main.main(Array("sketch", "--in", s"$tmp/e", "--out", s"$tmp/ge"))
+    Main.main(Array("sketch", "--merge", "--grid-a", s"$tmp/gm",
+      "--grid-b", s"$tmp/ge", "--out", s"$tmp/gi"))
+    assert(gridOf(s"$tmp/gi") == gridOf(s"$tmp/gm"),
+      "merging with an empty grid must be the identity")
+    // flag hygiene
+    val e = intercept[RuntimeException] {
+      Main.main(Array("sketch", "--merge", "--grid-a", s"$tmp/ga",
+        "--out", s"$tmp/bad"))
+    }
+    assert(e.getMessage.contains("--grid-b required"), e.getMessage)
   }
 
   test("score subcommand: ASCII default equals c41; --unicode/--quality run") {

@@ -1081,6 +1081,33 @@ class DedupSimSpec extends SparkSpec {
       s"largest ${byCluster.values.map(_.size).max}")
   }
 
+  test("c107 joint verdict equals the composition of the c19 and c102 surfaces") {
+    // independent re-derivation: compose the two already-verified
+    // decision surfaces driver-side and compare row-for-row
+    val text = Dedup.c19DedupCluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val media = Multimodal.c102MediaClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val imgs = media.keys.toSeq.sorted
+    val want = imgs.map { d =>
+      val (tc, mc) = (text(d), media(d))
+      (d, tc, mc, tc != d, mc != d, tc != d || mc != d)
+    }
+    val got = Multimodal.c107JointDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSeq
+    assert(got == want, "c107 must equal the composed surfaces")
+    // the row's reason to exist: the two signals DISAGREE on real docs
+    // (media-dup under fresh text, or vice versa) — dropping on either
+    // alone would over- or under-delete
+    assert(got.exists(r => r._4 != r._5),
+      "corpus must exercise a text/media disagreement quadrant")
+    assert(got.exists(r => !r._6) && got.exists(r => r._6),
+      "corpus must exercise both dup_any verdicts")
+    val quadrants = got.groupBy(r => (r._4, r._5)).view.mapValues(_.size).toMap
+    info(s"c107: ${got.length} both-modality docs, quadrants $quadrants")
+  }
+
   test("c103 incremental media maintenance ≡ full re-cluster of the merged hashes") {
     // the c95 theorem at hash grain, proved Spark-side (the gate row's
     // oracle engine-checks it against DuckDB's full re-cluster too)
