@@ -169,6 +169,7 @@ object SparkEntry {
     "c105_video_pairs" -> (Multimodal.c105VideoPairs _),
     "c106_video_clusters" -> (Multimodal.c106VideoClusters _),
     "c107_joint_dedup" -> (Multimodal.c107JointDedup _),
+    "c108_phash_recall" -> (Multimodal.c108PhashRecall _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -795,6 +796,35 @@ object SparkEntry {
        |           LEFT JOIN mlbl ml ON ml.doc_id = i.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
+  /** DuckDB rendering of c108 (r17): the EXACT all-pairs truth count
+    * per modality (hashes only, a.doc_id < b.doc_id, bit_count ≤ 3) —
+    * and the THEOREM's answer for the banded side: the 4×14-bit
+    * pigeonhole is complete at radius 3, so n_banded = n_hit = n_exact
+    * and recall is exactly 1.0. The oracle asserts that answer from
+    * the brute alone; the Spark side must REACH it through the real
+    * banded pipeline, so any banding defect hash-fails the row. */
+  private def c108OracleSql(c88Sql: String, c90Sql: String,
+                            c91Sql: String): String =
+    s"""WITH hi AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |hau AS (SELECT doc_id, phash FROM (${c90Sql.replace("\n", "\n  ")})),
+       |hv AS (SELECT doc_id*8 + frame_idx AS doc_id, phash
+       |       FROM (${c91Sql.replace("\n", "\n  ")})),
+       |xi AS (SELECT count(*) AS n FROM hi a JOIN hi b
+       |       ON a.doc_id < b.doc_id
+       |       AND bit_count(xor(a.phash, b.phash)) <= 3),
+       |xa AS (SELECT count(*) AS n FROM hau a JOIN hau b
+       |       ON a.doc_id < b.doc_id
+       |       AND bit_count(xor(a.phash, b.phash)) <= 3),
+       |xv AS (SELECT count(*) AS n FROM hv a JOIN hv b
+       |       ON a.doc_id < b.doc_id
+       |       AND bit_count(xor(a.phash, b.phash)) <= 3)
+       |SELECT 'audio' AS modality, CAST(n AS BIGINT) AS n_exact,
+       |  CAST(n AS BIGINT) AS n_banded, CAST(n AS BIGINT) AS n_hit,
+       |  round(CAST(n AS DOUBLE) / n, 6) AS recall_r FROM xa
+       |UNION ALL SELECT 'image', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xi
+       |UNION ALL SELECT 'video', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xv
+       |ORDER BY modality""".stripMargin
+
   /** The derived-URL CTE chain shared by the curation oracles (r16,
     * c96/c97): the SAME (source, lang, doc_id) → messy-URL derivation
     * Curation.urlCol builds, then the SAME host-capture + www-strip
@@ -1197,6 +1227,11 @@ object SparkEntry {
         // c107 (r17): both closures re-derived — c19's text CTEs +
         // c102's media CTEs — composed into the joint per-doc verdict
         + ("c107_joint_dedup" -> c107OracleSql(base("c88_image_phash")))
+        // c108 (r17): the per-modality brute truth; the banded columns
+        // carry the pigeonhole theorem's answer the Spark side must
+        // reach through the real banding
+        + ("c108_phash_recall" -> c108OracleSql(base("c88_image_phash"),
+          base("c90_audio_phash"), base("c91_video_phash")))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

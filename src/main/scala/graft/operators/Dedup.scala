@@ -878,6 +878,23 @@ object Dedup {
       .select(md5(col("text")).as("h"), col("weight_r"))
       .distinct()
 
+  /** The at-rest (text-md5 → cluster_id) EXACT-replay index d50 probes
+    * (r17) — [[softWeightIndexOf]]'s shape with the frozen c19 LABEL
+    * as the payload: a byte-identical replay inherits its corpus text
+    * cluster. Identical texts always share a cluster (full shingle
+    * overlap ⇒ jaccard-1 pairs in every band), so min() is a
+    * determinism guard, not a choice. O(docs) rows, at scale bucketed
+    * by h. */
+  private[graft] def textClusterIndexOf(docs: DataFrame,
+                                        labels: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("h"),
+        least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
+          .as("cl"))
+      .groupBy("h").agg(min("cl").as("cluster_id"))
+
   /** c30: leakage-safe train/val/test split — c14's content-hash split
     * keyed by the near-dup CLUSTER's canonical text instead of each doc's
     * own. c14 hashes per-doc, so two near-duplicates (one word apart)

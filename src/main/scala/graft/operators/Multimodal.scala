@@ -33,6 +33,11 @@ case class ResizedMedia(doc_id: Long, media_type: String,
 /** One sampled frame of a video payload. */
 case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
 
+/** One multimodal arrival for the d50 joint-verdict router (r17): a
+  * doc carrying BOTH its text and its media payload. */
+case class JointRecord(doc_id: Long, text: String,
+                       media_type: String, payload: Array[Byte])
+
 /** Multimodal-column pipeline (SURVEY §2 c12).
   *
   * The Spark-side shape is real: a typed `Dataset[MediaRecord]` with a
@@ -1447,6 +1452,82 @@ object Multimodal {
       .filter(pmod(col("doc_id"), lit(3)) === 2)
     clusterSurface(vids, labels)
   }
+
+  /** Max hash rows the c108 exact truth side may cross-compare — the
+    * c83 refusal at media grain: the brute is O(n²) in HASHES (8-byte
+    * longs, never payloads); an eval corpus fits, a production corpus
+    * must never run it silently. */
+  private[graft] val RecallHashCap = 20000L
+
+  /** One modality's recall fold (c83's outer-union shape): the exact
+    * all-pairs truth at hamming ≤ maxHamming vs the banded pipeline's
+    * candidate set, folded to one (modality, n_exact, n_banded, n_hit,
+    * recall_r) row. Cap-guarded. */
+  private[graft] def phashRecallOf(modality: String, hs: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
+    val h = hs.select(col("doc_id"), col("phash"))
+    val n = h.count()
+    require(n <= RecallHashCap,
+      s"c108's exact truth cross-compares O(n²) hashes: $modality has " +
+        s"$n > cap $RecallHashCap — run the recall gate on an eval " +
+        "corpus/sample, never a production corpus")
+    val truth = h.select(col("doc_id").as("da"), col("phash").as("pa"))
+      .join(h.select(col("doc_id").as("db"), col("phash").as("pb")),
+        col("da") < col("db") &&
+          bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+      .select("da", "db")
+    val banded = phashCandidates(h, maxHamming)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    truth.withColumn("e", lit(1)).withColumn("b", lit(0))
+      .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))
+      .groupBy("da", "db")
+      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
+      .agg(sum(col("e")).cast("bigint").as("n_exact"),
+        sum(col("b")).cast("bigint").as("n_banded"),
+        sum(col("e") * col("b")).cast("bigint").as("n_hit"))
+      .select(lit(modality).as("modality"),
+        col("n_exact"), col("n_banded"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6)
+          .as("recall_r"))
+  }
+
+  /** c108 gate row (r17): banding-completeness EVAL for the whole
+    * perceptual family — c72/c83's eval-as-operator rule at media
+    * grain. Per modality (image / audio / video-frame): the exact
+    * all-pairs truth at hamming ≤ 3 next to the banded candidate
+    * pipeline's pair set. The 4×14-bit pigeonhole is COMPLETE at
+    * radius 3 (splitting 56 bits into 4 segments, ≤ 3 differing bits
+    * leave at least one segment untouched), so recall_r must read
+    * EXACTLY 1.0 — this row turns that pigeonhole argument into an
+    * engine-checked invariant: the ORACLE computes the exact truth
+    * count and asserts the theorem's answer; a banding bug on the
+    * Spark side (a wrong shift, a lost segment, the r16 AQE
+    * one-partition coalesce) reads n_banded < n_exact and hash-fails.
+    * Truth side is cap-refused ([[RecallHashCap]]) — eval corpora
+    * only, the c83 discipline. */
+  def c108PhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val vid = c91VideoPhash(spark, dir)
+      .select((col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
+        col("phash"))
+    phashRecallOf("audio", audioPhashFrames(spark, dir))
+      .unionByName(phashRecallOf("image", imagePhashFrames(spark, dir)))
+      .unionByName(phashRecallOf("video", vid))
+      .orderBy("modality")
+  }
+
+  /** The at-rest (phash → cluster_id) EXACT-replay index d50 probes
+    * (r17): every distinct corpus hash with the frozen cluster its
+    * docs belong to. Docs sharing a hash are hamming-0 pairs, hence
+    * ONE cluster by construction — min() is a determinism guard, not
+    * a choice. O(images) rows, at scale bucketed by phash. */
+  private[graft] def mediaClusterIndexOf(index: DataFrame,
+                                         labels: DataFrame): DataFrame =
+    index
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("phash"),
+        least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
+          .as("cl"))
+      .groupBy("phash").agg(min("cl").as("cluster_id"))
 
   /** c107 gate row (r17): the JOINT text+media dedup verdict — the
     * decision a multimodal pipeline actually takes on a doc that

@@ -1650,6 +1650,48 @@ object StreamOps {
           .as("cluster_id"))
   }
 
+  /** d50: streaming JOINT text+media dedup verdict at ingest — c107's
+    * serving twin (r17): each arriving doc carrying BOTH modalities
+    * probes two at-rest EXACT-replay indexes row-locally — (text-md5 →
+    * frozen c19 cluster, [[graft.operators.Dedup.textClusterIndexOf]])
+    * and (phash → frozen c102 cluster,
+    * [[graft.operators.Multimodal.mediaClusterIndexOf]]) — and emits
+    * the per-arrival verdict: the inherited cluster ids (null = new
+    * material on that modality, d49's no-hit convention) and the three
+    * dup flags. REPLAY grade by design: a byte-identical replay
+    * inherits both clusters exactly; NEAR-dup routing (hamming 1-3,
+    * jaccard < 1) stays d49/d6's per-hit business, and folding fresh
+    * material into the label tables is c95/c103's batch job (d26's
+    * rule). Zero state, no watermark, two stream-static equi-joins on
+    * 16-byte / 8-byte keys; the arrival-side hashes are the SAME
+    * expressions the indexes are built from (d29's shared-subtree
+    * rule), so the contracts hold by construction. */
+  def streamJointVerdict(recs: Dataset[graft.operators.JointRecord],
+                         textIndex: DataFrame,
+                         mediaIndex: DataFrame): DataFrame = {
+    require(Seq("h", "cluster_id").forall(textIndex.columns.contains),
+      "textIndex must be a (h, cluster_id) table, found " +
+        textIndex.columns.mkString("(", ", ", ")"))
+    require(Seq("phash", "cluster_id").forall(mediaIndex.columns.contains),
+      "mediaIndex must be a (phash, cluster_id) table, found " +
+        mediaIndex.columns.mkString("(", ", ", ")"))
+    import recs.sparkSession.implicits._
+    recs
+      .mapPartitions(_.map(r => (r.doc_id, r.text,
+        graft.operators.Multimodal.phashOf(r.doc_id, r.media_type, r.payload))))
+      .toDF("doc_id", "text", "phash")
+      .select(col("doc_id"), md5(col("text")).as("h"), col("phash"))
+      .join(textIndex.select(col("h"), col("cluster_id").as("tc")),
+        Seq("h"), "left")
+      .join(mediaIndex.select(col("phash"), col("cluster_id").as("mc")),
+        Seq("phash"), "left")
+      .select(col("doc_id"),
+        col("tc").as("text_cluster_id"), col("mc").as("media_cluster_id"),
+        col("tc").isNotNull.as("dup_by_text"),
+        col("mc").isNotNull.as("dup_by_media"),
+        (col("tc").isNotNull || col("mc").isNotNull).as("dup_any"))
+  }
+
   /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
     * d14's lexical analogue: each arriving doc is routed to the
     * existing substring-duplication group(s) it belongs to, by probing

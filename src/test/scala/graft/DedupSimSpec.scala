@@ -1108,6 +1108,35 @@ class DedupSimSpec extends SparkSpec {
     info(s"c107: ${got.length} both-modality docs, quadrants $quadrants")
   }
 
+  test("c108 recall gate: banding is complete at hamming ≤ 3 — recall exactly 1.0") {
+    val got = Multimodal.c108PhashRecall(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Seq("audio", "image", "video"), got.toString)
+    got.foreach { case (m, ne, nb, nh, rec) =>
+      assert(ne > 0, s"$m must have exact pairs at gate scale")
+      assert(ne == nb && nb == nh && rec == 1.0,
+        s"$m pigeonhole completeness broke: exact=$ne banded=$nb hit=$nh")
+    }
+    // the truth side agrees with a driver brute (image modality)
+    val hs = Multimodal.imagePhashFrames(spark, sfDir)
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, pa) <- hs; (b, pb) <- hs
+      if a < b && java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield 1).size.toLong
+    assert(got.find(_._1 == "image").get._2 == brute,
+      s"truth side ${got.find(_._1 == "image").get._2} vs driver brute $brute")
+    // the O(n²) truth refuses production-sized hash frames loudly
+    val big = spark.range(Multimodal.RecallHashCap + 1)
+      .select(col("id").as("doc_id"), lit(0L).as("phash"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashRecallOf("synthetic", big)
+    }
+    assert(e.getMessage.contains("cap"), e.getMessage)
+  }
+
   test("c103 incremental media maintenance ≡ full re-cluster of the merged hashes") {
     // the c95 theorem at hash grain, proved Spark-side (the gate row's
     // oracle engine-checks it against DuckDB's full re-cluster too)

@@ -875,6 +875,68 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("d50 streaming joint verdict: replays inherit BOTH frozen clusters; " +
+      "fresh material reads null") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, JointRecord, Multimodal}
+    val docs = Tables.documents(spark, sfDir)
+    val textIdx = Dedup.textClusterIndexOf(
+      docs.select("doc_id", "text"),
+      spark.read.parquet(Dedup.clusterTablePath(spark, sfDir)))
+    val mediaIdx = Multimodal.mediaClusterIndexOf(
+      spark.read.parquet(Multimodal.phashIndexTablePath(spark, sfDir)),
+      spark.read.parquet(Multimodal.mediaLabelTablePath(spark, sfDir)))
+    val c107 = Multimodal.c107JointDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val baseIds = Seq(0L, 3L, 12L, 33L) // image docs: doc_id % 3 = 0
+    val textOf = docs.filter(col("doc_id").isin(baseIds: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    // replays re-keyed far out of the corpus + one fresh arrival whose
+    // text is unseen and whose payload is an out-of-corpus generator id
+    val freshPayloadId = 7777777L
+    val arrivals = baseIds.map(id =>
+      JointRecord(id + 7000000L, textOf(id), "image",
+        Multimodal.pgmPayload(id))) :+
+      JointRecord(99999999L, "zqxv unseen gibberish wopr", "image",
+        Multimodal.pgmPayload(freshPayloadId))
+    val stream = MemoryStream[JointRecord]
+    val q = StreamOps.streamJointVerdict(stream.toDS(), textIdx, mediaIdx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d50_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d50_sink").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+      assert(got.size == arrivals.size, "one verdict row per arrival")
+      // every replay inherits EXACTLY its c107 cluster pair — the
+      // serving twin and the gate row answer with one voice
+      baseIds.foreach { id =>
+        val (tc, mc) = c107(id)
+        val v = got(id + 7000000L)
+        assert(v == ((Some(tc), Some(mc), true, true, true)),
+          s"replay of $id read $v, c107 says ($tc, $mc)")
+      }
+      // the fresh arrival: unseen text reads null / false; the media
+      // verdict equals a driver probe of the same index (no assumption
+      // about hash collisions — the index decides)
+      val freshHash = Multimodal.phashOf(99999999L, "image",
+        Multimodal.pgmPayload(freshPayloadId))
+      val idxMap = mediaIdx.collect()
+        .map(r => r.getAs[Long]("phash") -> r.getAs[Long]("cluster_id")).toMap
+      val wantMc = idxMap.get(freshHash)
+      val fresh = got(99999999L)
+      assert(fresh._1.isEmpty && !fresh._3, s"fresh text must read null: $fresh")
+      assert(fresh._2 == wantMc && fresh._4 == wantMc.isDefined &&
+        fresh._5 == (wantMc.isDefined || false),
+        s"fresh media verdict $fresh vs index probe $wantMc")
+    } finally q.stop()
+    ()
+  }
+
   test("d43 routes AUDIO arrivals against an audio phash index through the same dispatch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
