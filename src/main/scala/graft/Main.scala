@@ -99,6 +99,7 @@ object Main {
     case Some("cluster-update") => clusterUpdate(args.drop(1))
     case Some("domains") => domainsCmd(args.drop(1))
     case Some("sketch") => sketchCmd(args.drop(1))
+    case Some("joint") => jointCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
@@ -178,6 +179,29 @@ object Main {
             s"found ${f.dataType.simpleString}")
     }
     gf
+  }
+
+  /** `graft.Main joint --in SF_DIR --out DIR` — the c107 JOINT
+    * text+media dedup verdict over a corpus directory: per
+    * both-modality doc its text cluster (c19), media cluster (c102),
+    * per-modality droppable flags, and the either-verdict, plus one
+    * JSON manifest line with the QUADRANT counts — the numbers a
+    * pipeline owner reads before choosing a drop rule (a large
+    * text_only/media_only disagreement quadrant is exactly the case
+    * where dropping on one signal over- or under-deletes). */
+  private def jointCmd(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    graft.operators.Multimodal.c107JointDedup(spark, in)
+      .write.mode("overwrite").parquet(out)
+    val w = spark.read.parquet(out)
+    val q = w.groupBy("dup_by_text", "dup_by_media").count().collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    def g(t: Boolean, m: Boolean) = q.getOrElse((t, m), 0L)
+    println(s"""{"docs":${q.values.sum},"text_only":${g(true, false)},""" +
+      s""""media_only":${g(false, true)},"both":${g(true, true)},""" +
+      s""""clean":${g(false, false)},"out":${jsonStr(out)}}""")
   }
 
   private def sketchCmd(args: Array[String]): Unit = {

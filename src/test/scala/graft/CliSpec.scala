@@ -1247,6 +1247,25 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--grid-b required"), e.getMessage)
   }
 
+  test("joint subcommand: verdict surface and quadrant manifest equal c107") {
+    val out = Files.createTempDirectory("graft-cli-joint-").toString + "/joint"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.main(Array("joint", "--in", sfDir, "--out", out))
+    }
+    val manifest = buf.toString("UTF-8").trim
+    val got = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
+    val want = graft.operators.Multimodal.c107JointDedup(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI joint diverges from the c107 gate")
+    val rows = want.map(r => (r(3).asInstanceOf[Boolean], r(4).asInstanceOf[Boolean]))
+    def n(t: Boolean, m: Boolean) = rows.count(_ == ((t, m)))
+    assert(manifest.contains(s""""docs":${want.length}""") &&
+      manifest.contains(s""""media_only":${n(false, true)}""") &&
+      manifest.contains(s""""both":${n(true, true)}""") &&
+      manifest.contains(s""""clean":${n(false, false)}"""), manifest)
+  }
+
   test("score subcommand: ASCII default equals c41; --unicode/--quality run") {
     import graft.operators.TextOps
     val tmp = Files.createTempDirectory("graft-cli-score-").toString
