@@ -170,6 +170,7 @@ object SparkEntry {
     "c106_video_clusters" -> (Multimodal.c106VideoClusters _),
     "c107_joint_dedup" -> (Multimodal.c107JointDedup _),
     "c108_phash_recall" -> (Multimodal.c108PhashRecall _),
+    "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -648,12 +649,19 @@ object SparkEntry {
     * |distinct frame_b|) → closed-form per-video frame counts
     * (3 + doc_id % 6 — the generator formula the Spark side's real
     * demux must reproduce). Shared by the c105 and c106 renderers. */
-  private def videoFoldCtes: String =
-    """fold AS (SELECT doc_a, doc_b,
-      |           least(count(DISTINCT frame_a), count(DISTINCT frame_b)) AS m
-      |         FROM vp WHERE doc_a <> doc_b GROUP BY doc_a, doc_b),
-      |vidn AS (SELECT doc_id, 3 + doc_id % 6 AS n
-      |         FROM documents WHERE doc_id % 3 = 2)""".stripMargin
+  private def videoFoldCtes: String = videoFoldCtes(
+    """vidn AS (SELECT doc_id, 3 + doc_id % 6 AS n
+      |         FROM documents WHERE doc_id % 3 = 2)""".stripMargin)
+
+  /** The fold with a caller-supplied `vidn` (doc_id, n) frame-count CTE
+    * — c109 passes the MERGED universe (corpus ∪ re-keyed recrawls,
+    * whose counts derive from the SOURCE id: the payload is
+    * byte-identical, only the key moved). */
+  private def videoFoldCtes(vidnCte: String): String =
+    s"""fold AS (SELECT doc_a, doc_b,
+       |           least(count(DISTINCT frame_a), count(DISTINCT frame_b)) AS m
+       |         FROM vp WHERE doc_a <> doc_b GROUP BY doc_a, doc_b),
+       |$vidnCte""".stripMargin
 
   /** DuckDB rendering of c105 (r17): c94's banded+verified frame-pair
     * SQL as a subquery → the video-level fold → frame-containment
@@ -762,6 +770,49 @@ object SparkEntry {
        |JOIN tl la ON la.fid = c.fa
        |JOIN tl lb ON lb.fid = c.fb
        |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
+
+  /** DuckDB rendering of c109 (r17): the FULL re-cluster of the merged
+    * frame-hash set — corpus frame hashes ∪ the re-keyed recrawls'
+    * (hashes unchanged: payloads are byte-identical, only the video id
+    * moved, fid = (doc + 10¹²)·8 + frame) — through the WHOLE two-stage
+    * pipeline: frame banding → c105's fold (recrawl frame counts
+    * derive from the SOURCE id) → threshold → closure. The Spark side
+    * runs the INCREMENTAL maintenance, so this row engine-checks
+    * add-then-maintain ≡ full-re-cluster at the composed surface. */
+  private def c109OracleSql(c91Sql: String): String =
+    s"""WITH RECURSIVE hv0 AS (SELECT doc_id, frame_idx, phash
+       |            FROM (${c91Sql.replace("\n", "\n  ")})),
+       |hv AS (SELECT doc_id*8 + frame_idx AS fid, phash FROM hv0
+       |       UNION ALL
+       |       SELECT (doc_id + 1000000000000)*8 + frame_idx, phash
+       |       FROM hv0 WHERE doc_id % 5 = 0),
+       |sg AS (SELECT fid, phash, j,
+       |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
+       |       FROM hv, range(0, 4) jj(j)),
+       |fcand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb
+       |          FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
+       |                             AND a.fid < b.fid
+       |          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |vp AS (SELECT fa // 8 AS doc_a, fa % 8 AS frame_a,
+       |              fb // 8 AS doc_b, fb % 8 AS frame_b
+       |       FROM fcand),
+       |${videoFoldCtes(
+      """vidn AS (SELECT doc_id, 3 + doc_id % 6 AS n
+        |         FROM documents WHERE doc_id % 3 = 2
+        |         UNION ALL
+        |         SELECT doc_id + 1000000000000, 3 + doc_id % 6
+        |         FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0)"""
+        .stripMargin)},
+       |cand AS (SELECT f.doc_a, f.doc_b
+       |         FROM fold f JOIN vidn va ON va.doc_id = f.doc_a
+       |                     JOIN vidn vb ON vb.doc_id = f.doc_b
+       |         WHERE f.m / least(va.n, vb.n) >= 0.5),
+       |${componentSurfaceCtes(
+      """img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+        |        UNION ALL
+        |        SELECT doc_id + 1000000000000 FROM documents
+        |        WHERE doc_id % 3 = 2 AND doc_id % 5 = 0)""".stripMargin)}"""
+      .stripMargin
 
   /** DuckDB rendering of c107 (r17): BOTH closures re-derived from
     * scratch — c19's shingle-band text clustering (clusterCteBody) and
@@ -1232,6 +1283,9 @@ object SparkEntry {
         // reach through the real banding
         + ("c108_phash_recall" -> c108OracleSql(base("c88_image_phash"),
           base("c90_audio_phash"), base("c91_video_phash")))
+        // c109 (r17): the FULL two-stage re-cluster of the merged
+        // frame-hash set — the Spark side maintains incrementally
+        + ("c109_video_clusters_incr" -> c109OracleSql(base("c91_video_phash")))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

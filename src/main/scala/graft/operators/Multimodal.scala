@@ -1529,6 +1529,123 @@ object Multimodal {
           .as("cl"))
       .groupBy("phash").agg(min("cl").as("cluster_id"))
 
+  /** The corpus's video FRAME-hash frame under composite fid keys
+    * (doc·8 + frame — c94's packing), column-named doc_id so the
+    * shared band machinery applies unchanged. */
+  private[graft] def videoFidFrames(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        videoFramePhashes(id, y4mPayload(id)).map { case (f, ph) =>
+          (id * 8 + f, ph)
+        }
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** VIDEO-pair duplicate edges from a frame-grain (fid, fid) pair
+    * frame + the fid frame-hash table the counts derive from: unpack
+    * the composite keys, drop intra-video pairs, fold per ordered
+    * video pair (c105's conservative matched-frame count), threshold
+    * at [[VideoDupThreshold]]. Shared by [[incrementalVideoClusters]]
+    * and the c109 equivalence spec's full-re-cluster side. */
+  private[graft] def videoEdgesOf(fidPairs: DataFrame,
+                                  fidFrames: DataFrame): DataFrame = {
+    val vp = fidPairs
+      .select(shiftright(col("u"), 3).as("da"),
+        col("u").bitwiseAND(lit(7L)).as("fa"),
+        shiftright(col("v"), 3).as("db"),
+        col("v").bitwiseAND(lit(7L)).as("fb"))
+      .filter(col("da") =!= col("db"))
+    val counts = fidFrames
+      .select(shiftright(col("doc_id"), 3).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    vp.groupBy("da", "db")
+      .agg(least(countDistinct(col("fa")), countDistinct(col("fb"))).as("m"))
+      .join(counts.select(col("d").as("da"), col("n").as("na")), "da")
+      .join(counts.select(col("d").as("db"), col("n").as("nb")), "db")
+      .filter(col("m") / least(col("na"), col("nb")) >=
+        lit(VideoDupThreshold))
+      .select(least(col("da"), col("db")).as("u"),
+        greatest(col("da"), col("db")).as("v"))
+  }
+
+  /** Incremental VIDEO cluster maintenance (r17, c109 — the c103
+    * theorem at the COMPOSED two-stage surface): a crawl's frame
+    * hashes band against crawl ∪ corpus at FRAME grain (split-sided —
+    * corpus×corpus never forms), the surviving fid pairs fold into
+    * per-video-pair containment verdicts (c105's fold — complete for
+    * every crawl-touching video pair, because all of such a pair's
+    * frame pairs have a crawl side), and the thresholded edges feed
+    * the SAME maintainLabels core. Per-crawl cost scales with the
+    * crawl, never the corpus squared. */
+  def incrementalVideoClusters(crawlFrames: DataFrame,
+                               corpusFrames: DataFrame,
+                               frozenLabels: DataFrame): DataFrame = {
+    val spark = crawlFrames.sparkSession
+    val nh = crawlFrames.persist()
+    val ch = corpusFrames.persist()
+    try {
+      val clash = nh.select(shiftright(col("doc_id"), 3).as("d")).distinct()
+        .join(ch.select(shiftright(col("doc_id"), 3).as("d")).distinct(), "d")
+        .limit(1).count()
+      require(clash == 0L,
+        "incrementalVideoClusters: crawl video ids overlap the corpus — " +
+          "re-key the crawl (recrawl replays arrive re-keyed, c37's rule)")
+      val p = graft.GraftSession.scratchDir(
+        s"incr-video-edges-${mediaIngestRuns.incrementAndGet()}").toString
+      videoEdgesOf(phashCandidatesSplit(nh, ch, 3), nh.unionByName(ch))
+        .write.mode("overwrite").parquet(p)
+      graft.operators.Dedup.maintainLabels(spark.read.parquet(p), frozenLabels)
+    } finally { nh.unpersist(); ch.unpersist(); () }
+  }
+
+  /** Per-JVM memoized MAINTAINED video label table of the c109 crawl
+    * (maintainedLabelTablePath's rule at video grain). */
+  private val videoMaintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def maintainedVideoLabelTablePath(spark: SparkSession,
+                                                   dir: String): String =
+    videoMaintCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"video-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val corpus = videoFidFrames(spark, dir)
+      // re-key at VIDEO grain: doc → doc + 10¹² ⇒ fid → fid + 8·10¹²
+      val crawl = corpus
+        .filter(pmod(shiftright(col("doc_id"), 3), lit(5)) === 0)
+        .select((col("doc_id") + lit(8000000000000L)).as("doc_id"),
+          col("phash"))
+      val frozen = spark.read.parquet(videoLabelTablePath(spark, dir))
+      incrementalVideoClusters(crawl, corpus, frozen)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c109 gate row (r17): incremental VIDEO cluster maintenance — the
+    * c103 equivalence check at the composed surface: a crawl of
+    * re-keyed byte-identical video recrawls (every video with
+    * doc_id % 5 = 0, re-keyed +10¹², frame hashes unchanged) folds
+    * into the FROZEN c106 label table via
+    * [[incrementalVideoClusters]], surfaced in c102's shape over the
+    * MERGED video universe. The ORACLE is the FULL re-cluster of the
+    * merged frame-hash set (banding → fold → threshold → closure over
+    * corpus ∪ recrawls), so add-then-maintain ≡ full-re-cluster is
+    * engine-checked every round — through BOTH pipeline stages, not
+    * just the hash-band one c103 proves. */
+  def c109VideoClustersIncr(spark: SparkSession, dir: String): DataFrame = {
+    val maintained =
+      spark.read.parquet(maintainedVideoLabelTablePath(spark, dir))
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+    val merged = base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id")))
+    clusterSurface(merged, maintained)
+  }
+
   /** c107 gate row (r17): the JOINT text+media dedup verdict — the
     * decision a multimodal pipeline actually takes on a doc that
     * carries BOTH modalities (here the image slice: every doc has

@@ -1137,6 +1137,49 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
+  test("c109 incremental video maintenance ≡ full re-cluster through both stages") {
+    // the c103 theorem at the COMPOSED surface: frame banding → c105's
+    // containment fold → threshold → confined CC must equal the
+    // from-scratch two-stage re-cluster of the merged frame hashes
+    val corpus = Multimodal.videoFidFrames(spark, sfDir)
+    val crawl = corpus
+      .filter(shiftright(col("doc_id"), 3) % 5 === 0)
+      .select((col("doc_id") + 8000000000000L).as("doc_id"), col("phash"))
+    val frozen = spark.read.parquet(
+      Multimodal.videoLabelTablePath(spark, sfDir))
+    val maintained = Multimodal
+      .incrementalVideoClusters(crawl, corpus, frozen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = corpus.unionAll(crawl)
+    val fullEdges = Multimodal.videoEdgesOf(
+      Multimodal.phashCandidates(merged.select("doc_id", "phash"), 3)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")),
+      merged)
+    val full = Dedup.connectedComponentsAlternating(fullEdges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == full,
+      s"maintained-only=${(maintained -- full).take(5)}, " +
+        s"full-only=${(full -- maintained).take(5)}")
+    // a re-keyed byte-identical recrawl is containment-1.0 with its
+    // source (every frame matches) → it must land in the source's cluster
+    val byNode = maintained.toMap
+    val srcVideos = corpus.select(shiftright(col("doc_id"), 3).as("d"))
+      .distinct().filter(col("d") % 5 === 0)
+      .collect().map(_.getLong(0))
+    srcVideos.foreach { src =>
+      val re = src + 1000000000000L
+      val srcLbl = byNode.getOrElse(src, src)
+      assert(byNode.get(re).contains(srcLbl),
+        s"recrawl $re must join source $src's cluster $srcLbl")
+    }
+    // overlapping video ids refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.incrementalVideoClusters(corpus.limit(1), corpus, frozen)
+        .collect()
+    }
+    assert(e.getMessage.contains("re-key"), e.getMessage)
+  }
+
   test("c103 incremental media maintenance ≡ full re-cluster of the merged hashes") {
     // the c95 theorem at hash grain, proved Spark-side (the gate row's
     // oracle engine-checks it against DuckDB's full re-cluster too)
