@@ -422,7 +422,7 @@ object Bench {
         if bandsApply && samples.nonEmpty && samples.max < low => name
     }
     weak.foreach(w => System.err.println(
-      s"[bench] WEAK CHANNEL: $w median below its band floor"))
+      s"[bench] WEAK CHANNEL: $w best sample below its band floor"))
     val channelStats = bandLow.map { case (name, _, samples, cpus, ledgers) =>
       s""""$name":${statsJson(samples, cpus, ledgers)}"""
     }.mkString("{", ",", "}")

@@ -178,6 +178,20 @@ object Main {
           s"grid $gridPath column b must be string, " +
             s"found ${f.dataType.simpleString}")
     }
+    // GEOMETRY check (r17 review): a grid built at a different depth /
+    // width / bucket encoding would merge or estimate silently into
+    // UNDERESTIMATES (missing cells read 0 — the min would break the
+    // CMS one-sided law). Refuse loudly instead.
+    val badGeom = gf.filter(
+      col("i").cast("long") < 0 ||
+        col("i").cast("long") >= graft.operators.Sketch.CmsDepth ||
+        !col("b").rlike("^[0-9a-f]{2}$")).limit(1).collect()
+    require(badGeom.isEmpty,
+      s"grid $gridPath cell (i=${badGeom.headOption.map(_.get(0)).orNull}, " +
+        s"b=${badGeom.headOption.map(_.getAs[String]("b")).orNull}) is outside " +
+        s"this engine's ${graft.operators.Sketch.CmsDepth}x" +
+        s"${graft.operators.Sketch.CmsWidth} two-hex-char geometry — " +
+        "grids from a different CMS configuration cannot merge or estimate here")
     gf
   }
 
@@ -1780,6 +1794,12 @@ object Main {
     // (h, shard, pos) to the curated output; --pack-budget B +
     // --pack-out P writes the c76 FFD pack table of the curated set
     val shardLen = opt(args, "--shards").map(_.toInt)
+    // --shards is a hex-prefix LENGTH (16^L shards), not a shard count
+    // — say so loudly before shuffleShard's generic bound fires (r17
+    // review: `--shards 16` must not read like "16 shards")
+    shardLen.foreach(l => require(l >= 1 && l <= 8,
+      s"--shards is the shard-key HEX PREFIX LENGTH (16^L shards: " +
+        s"1→16, 2→256, ...), must be in [1, 8], got $l"))
     val packBudget = opt(args, "--pack-budget").map(_.toLong)
     val packOut = opt(args, "--pack-out")
     require(packBudget.isDefined == packOut.isDefined,

@@ -1407,8 +1407,12 @@ object Multimodal {
     val folded = fp.groupBy("doc_a", "doc_b").agg(
       least(countDistinct(col("frame_a")), countDistinct(col("frame_b")))
         .as("matched"))
-    // per-video frame counts from the real demux (c91's walk)
-    val nf = c91VideoPhash(spark, dir)
+    // per-video frame counts from the real demux (c91's walk), read
+    // off the memoized at-rest fid table — the demux ran ONCE when the
+    // memo was built (r17 review: the live c91 call re-demuxed every
+    // video per execution)
+    val nf = spark.read.parquet(videoFidTablePath(spark, dir))
+      .select(shiftright(col("doc_id"), 3).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val score = col("matched") / least(col("n_a"), col("n_b"))
     folded
@@ -1452,6 +1456,31 @@ object Multimodal {
       .filter(pmod(col("doc_id"), lit(3)) === 2)
     clusterSurface(vids, labels)
   }
+
+  /** Per-JVM memoized (doc_id, phash) hash tables for the non-image
+    * modalities (phashIndexTablePath's rule — r17 review: c105/c108
+    * were re-running the decode-heavy demux per consumer; the memo
+    * pays it once per dir and every consumer reads the at-rest
+    * table). Keyed "<modality>#<dir>". */
+  private val modalHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def audioHashTablePath(spark: SparkSession,
+                                        dir: String): String =
+    modalHashCache.computeIfAbsent(s"audio#$dir", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"audio-hash-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      audioPhashFrames(spark, dir).select("doc_id", "phash")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+  private[graft] def videoFidTablePath(spark: SparkSession,
+                                       dir: String): String =
+    modalHashCache.computeIfAbsent(s"video#$dir", _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"video-fid-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      videoFidFrames(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Max hash rows the c108 exact truth side may cross-compare — the
     * c83 refusal at media grain: the brute is O(n²) in HASHES (8-byte
@@ -1506,12 +1535,16 @@ object Multimodal {
     * Truth side is cap-refused ([[RecallHashCap]]) — eval corpora
     * only, the c83 discipline. */
   def c108PhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val vid = c91VideoPhash(spark, dir)
-      .select((col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
-        col("phash"))
-    phashRecallOf("audio", audioPhashFrames(spark, dir))
-      .unionByName(phashRecallOf("image", imagePhashFrames(spark, dir)))
-      .unionByName(phashRecallOf("video", vid))
+    // all three modalities read their MEMOIZED at-rest hash tables
+    // (r17 review: the live frames re-ran the full media decode for
+    // the count, the truth side AND the banded side — 3× per modality)
+    phashRecallOf("audio",
+        spark.read.parquet(audioHashTablePath(spark, dir)))
+      .unionByName(phashRecallOf("image",
+        spark.read.parquet(phashIndexTablePath(spark, dir))
+          .select("doc_id", "phash")))
+      .unionByName(phashRecallOf("video",
+        spark.read.parquet(videoFidTablePath(spark, dir))))
       .orderBy("modality")
   }
 
@@ -1612,7 +1645,7 @@ object Multimodal {
     videoMaintCache.computeIfAbsent(dir, _ => {
       val p = graft.GraftSession.scratchDir(
         s"video-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
-      val corpus = videoFidFrames(spark, dir)
+      val corpus = spark.read.parquet(videoFidTablePath(spark, dir))
       // re-key at VIDEO grain: doc → doc + 10¹² ⇒ fid → fid + 8·10¹²
       val crawl = corpus
         .filter(pmod(shiftright(col("doc_id"), 3), lit(5)) === 0)

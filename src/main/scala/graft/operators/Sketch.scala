@@ -127,17 +127,25 @@ object Sketch {
 
   /** The bounded candidate pool (r17 — the scale path for the
     * heavy-hitter cut): per-partition Misra-Gries summaries over the
-    * raw token stream, globally cut to `pool` by (count desc, token
-    * asc) via TakeOrderedAndProject. No shuffle anywhere: the summary
-    * is a row-local partition fold, the cut merges per-partition top-N
-    * on the driver. Returns the sorted distinct candidate tokens —
-    * ≤ pool of them, a bounded artifact at any corpus size. */
+    * raw token stream, MERGED per token (sum of the per-partition
+    * lower bounds — itself a valid global lower bound), then cut to
+    * `pool` by (count desc, token asc) via TakeOrderedAndProject.
+    * The merge step matters at scale (r17 review finding): without
+    * it the pool limit counts per-partition summary ROWS, so on a
+    * 1000-partition corpus a handful of stopwords' duplicate rows
+    * would crowd every other token out of the cut. The merge's
+    * shuffle is SUMMARY-sized — its input is ≤ cap·partitions skinny
+    * rows by the MG emission bound, never the corpus's token
+    * occurrences or full vocabulary. Returns the sorted distinct
+    * candidate tokens — ≤ pool of them, a bounded artifact at any
+    * corpus size. */
   private[graft] def heavyCandidates(spark: SparkSession, dir: String,
                                      pool: Int = CmsCandidatePool): Seq[String] = {
     import spark.implicits._
     tokenStream(spark, dir).as[String]
       .mapPartitions(it => misraGries(it, MgCapacity))
       .toDF("w", "pcnt")
+      .groupBy("w").agg(sum("pcnt").as("pcnt"))
       .orderBy(desc("pcnt"), asc("w")).limit(pool)
       .select("w").collect().map(_.getString(0)).distinct.sorted.toSeq
   }

@@ -72,11 +72,17 @@ object Wordpiece {
     * Index-walked (not split-joined) so no trailing zero-width split
     * artifact can mint a phantom "##" symbol. */
   private[graft] def wpSeqOf(w: Column): Column =
-    concat(lit("  "), array_join(
-      transform(sequence(lit(1), length(w)), i =>
-        concat(when(i === 1, lit("")).otherwise(lit("##")),
-          w.substr(i, lit(1)))), "  "),
-      lit("  "))
+    // empty-word guard (r17): Spark's sequence(1, 0) steps DOWN to
+    // [1, 0], which would mint exactly the phantom "##" symbol the
+    // index walk exists to prevent; the empty word stages to the
+    // single empty symbol instead (BpeApplier's split("","")=[""]
+    // convention, parity-spec'd against the native staging)
+    when(length(w) === 0, lit("    ")).otherwise(
+      concat(lit("  "), array_join(
+        transform(sequence(lit(1), length(w)), i =>
+          concat(when(i === 1, lit("")).otherwise(lit("##")),
+            w.substr(i, lit(1)))), "  "),
+        lit("  ")))
 
   /** WordPiece merge of two symbols: the continuation marker of the
     * RIGHT side is absorbed ("a" + "##b" → "ab", "##b" + "##c" →

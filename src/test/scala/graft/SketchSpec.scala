@@ -104,7 +104,7 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("candidate path plans shuffle-free: partition fold + TakeOrdered, no exchange") {
+  test("candidate path: summary-sized merge exchange only, cut is TakeOrdered") {
     import spark.implicits._
     val partials = Tables.documents(spark, sfDir)
       .select(explode(split(lower(col("text")), " ")).as("w"))
@@ -112,12 +112,20 @@ class SketchSpec extends SparkSpec {
       .as[String]
       .mapPartitions(it => Sketch.misraGries(it, Sketch.MgCapacity))
       .toDF("w", "pcnt")
+      .groupBy("w").agg(sum("pcnt").as("pcnt"))
       .orderBy(desc("pcnt"), asc("w")).limit(Sketch.CmsCandidatePool)
     val plan = partials.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"candidate cut must be TakeOrderedAndProject:\n$plan")
-    assert(!plan.contains("Exchange"),
-      s"candidate path must not shuffle (vocabulary-sized or otherwise):\n$plan")
+    // exactly ONE exchange, and it must sit ABOVE the Misra-Gries
+    // partition fold (parents print first): its input is the bounded
+    // per-partition summary union (≤ cap·partitions rows), never the
+    // raw token stream or the full vocabulary
+    assert(plan.split("Exchange").length == 2,
+      s"candidate path must have exactly one (summary-merge) exchange:\n$plan")
+    assert(plan.indexOf("Exchange") >= 0 &&
+      plan.indexOf("Exchange") < plan.indexOf("MapPartitions"),
+      s"the one exchange must consume the MG summary, not the stream:\n$plan")
   }
 
   test("CMS one-sided error law holds on EVERY word type") {

@@ -286,8 +286,12 @@ class WordpieceSpec extends SparkSpec {
     // adversarial inputs: overlapping repeats (non-overlapping pass
     // semantics), marker-bearing alphabets ('#' words), re-enabled
     // sides, single chars, and the empty-adjacent shapes
+    // "" included deliberately: both formulations stage the empty word
+    // to the single empty symbol [""] (BpeApplier's documented empty-
+    // word parity; the fenced chain's trim+split yields the same), so
+    // a caller that skips wordTypeCounts' length filter still trains
     val words = Seq("aaa", "aaaa", "aaaaa", "abab", "ababab", "bbbb",
-      "abcabc", "#ab", "##", "###", "a", "x", "aabbaabb", "cabcab")
+      "abcabc", "#ab", "##", "###", "a", "x", "aabbaabb", "cabcab", "")
       .toDF("w")
     val lists = Seq(
       Seq.empty[(String, String)],
