@@ -106,7 +106,7 @@ object Main {
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
-          "wordpiece-train|tokenize|cluster-update|domains|sketch ...")
+          "wordpiece-train|tokenize|cluster-update|domains|sketch|joint ...")
       sys.exit(2)
   }
 
