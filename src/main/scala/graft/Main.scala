@@ -100,13 +100,15 @@ object Main {
     case Some("domains") => domainsCmd(args.drop(1))
     case Some("sketch") => sketchCmd(args.drop(1))
     case Some("joint") => jointCmd(args.drop(1))
+    case Some("recipe") => recipeCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
           "ingest|chunk|shard|semdedup|whiten|diff|moments|codec|search|" +
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
-          "wordpiece-train|tokenize|cluster-update|domains|sketch|joint ...")
+          "wordpiece-train|tokenize|cluster-update|domains|sketch|joint|" +
+          "recipe ...")
       sys.exit(2)
   }
 
@@ -216,6 +218,29 @@ object Main {
     println(s"""{"docs":${q.values.sum},"text_only":${g(true, false)},""" +
       s""""media_only":${g(false, true)},"both":${g(true, true)},""" +
       s""""clean":${g(false, false)},"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main recipe --in SF_DIR --out DIR` — the c110 data-recipe
+    * plan over a corpus directory: per-source quality-weighted
+    * epoch/budget allocation, written as the plan table plus one JSON
+    * manifest line (total budget, the most- and least-epoched
+    * sources) — what a pipeline owner reviews before a run. */
+  private def recipeCmd(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val spark = GraftSession.get()
+    graft.operators.TextOps.c110DataRecipe(spark, in)
+      .write.mode("overwrite").parquet(out)
+    val rows = spark.read.parquet(out)
+      .select("source", "planned_tokens", "epochs_r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val top = rows.maxBy(_._3)
+    val bottom = rows.minBy(_._3)
+    println(s"""{"sources":${rows.length},""" +
+      s""""budget_tokens":${rows.map(_._2).sum},""" +
+      s""""max_epochs":{"source":${jsonStr(top._1)},"epochs":${top._3}},""" +
+      s""""min_epochs":{"source":${jsonStr(bottom._1)},"epochs":${bottom._3}},""" +
+      s""""out":${jsonStr(out)}}""")
   }
 
   private def sketchCmd(args: Array[String]): Unit = {

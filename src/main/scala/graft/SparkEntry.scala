@@ -171,6 +171,7 @@ object SparkEntry {
     "c107_joint_dedup" -> (Multimodal.c107JointDedup _),
     "c108_phash_recall" -> (Multimodal.c108PhashRecall _),
     "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
+    "c110_data_recipe" -> (TextOps.c110DataRecipe _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -771,6 +772,38 @@ object SparkEntry {
        |JOIN tl lb ON lb.fid = c.fb
        |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
 
+  /** DuckDB rendering of c110 (r17): the recipe re-derived in HUGEINT —
+    * c35's keep SQL composed as the quality subtree, per-source
+    * aggregates, then the SAME capped-allocation and half-away-6dp
+    * integer formulas the Spark side computes in BigInt. */
+  private def c110OracleSql(c35Sql: String): String =
+    s"""WITH q AS (SELECT doc_id, keep FROM (${c35Sql.replace("\n", "\n  ")})),
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |      FROM documents),
+       |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(d.nt) AS BIGINT) AS tokens,
+       |          CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS keep_docs
+       |        FROM d JOIN q USING (doc_id) GROUP BY d.source),
+       |tot AS (SELECT CAST(sum(tokens) AS HUGEINT) AS t,
+       |               CAST(sum(keep_docs) AS HUGEINT) AS k FROM per),
+       |pl AS (SELECT source, n_docs, tokens, keep_docs,
+       |         CAST(least(4 * CAST(tokens AS HUGEINT),
+       |           (2 * t * keep_docs) // k) AS BIGINT) AS planned_tokens
+       |       FROM per, tot),
+       |pt AS (SELECT CAST(sum(planned_tokens) AS HUGEINT) AS p FROM pl)
+       |SELECT source, n_docs, tokens, keep_docs,
+       |  CAST((2 * CAST(keep_docs AS HUGEINT) * 1000000 + k) // (2 * k)
+       |    AS DOUBLE) / 1e6 AS weight_r,
+       |  planned_tokens,
+       |  CAST((2 * CAST(planned_tokens AS HUGEINT) * 1000000 + tokens)
+       |    // (2 * CAST(tokens AS HUGEINT)) AS DOUBLE) / 1e6 AS epochs_r,
+       |  CAST((2 * CAST(planned_tokens AS HUGEINT) * 1000000 + p) // (2 * p)
+       |    AS DOUBLE) / 1e6 AS budget_share_r
+       |FROM pl, tot, pt
+       |ORDER BY source""".stripMargin
+
   /** DuckDB rendering of c109 (r17): the FULL re-cluster of the merged
     * frame-hash set — corpus frame hashes ∪ the re-keyed recrawls'
     * (hashes unchanged: payloads are byte-identical, only the video id
@@ -1286,6 +1319,9 @@ object SparkEntry {
         // c109 (r17): the FULL two-stage re-cluster of the merged
         // frame-hash set — the Spark side maintains incrementally
         + ("c109_video_clusters_incr" -> c109OracleSql(base("c91_video_phash")))
+        // c110 (r17): the recipe composes c35's keep SQL (c50's rule —
+        // the weighting must judge exactly the verdict the gate checks)
+        + ("c110_data_recipe" -> c110OracleSql(base("c35_quality_filter")))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

@@ -494,6 +494,76 @@ object TextOps {
     * integer, must fall under ⌊rate·65536⌋ — computed as a hex-string
     * cutoff so both engines compare strings, never parse hex. Language
     * counts arrive via a broadcast tiny aggregate, never a collect. */
+  /** Target corpus budget as a multiple of the total token mass, and
+    * the per-source epoch ceiling (over-epoching a small high-quality
+    * source memorizes it — the standard recipe constraint). */
+  val RecipeBudgetFactor = 2L
+  val RecipeMaxEpochs = 4L
+
+  /** c110 gate row (r17): the DATA RECIPE — per-source epoch/budget
+    * allocation, the mixing decision a pretraining run takes BEFORE
+    * sampling (the DoReMi/Llama-style source-weighting stage, made
+    * deterministic): weight each source by its quality-keep share
+    * (c35's verdicts — quality-weighted budget), give it
+    * budget·weight tokens capped at [[RecipeMaxEpochs]]× its own
+    * mass, and surface the plan a run executes: per source its doc
+    * count, token mass, keep count, weight, planned tokens, epochs
+    * and realized budget share. c25 resamples WITHIN a run's arrival
+    * stream; this row PLANS the run.
+    *
+    * Exactness and scale: the per-source aggregate is distributed
+    * (one groupBy(source) composing c35's shared subtree — O(docs)
+    * through two narrow shuffles); the recipe arithmetic then runs
+    * driver-side over the BOUNDED source table in BigInt (the
+    * trainCodebook bounded-artifact rule) — exact at ANY corpus size
+    * (2·T·keep overflows int64 on a real corpus; BigInt never does),
+    * with every 6-dp ratio by the exact-integer half-away rule
+    * (c80/c92). The ORACLE re-derives the whole plan in HUGEINT, so
+    * both engines agree bit-for-bit at every scale factor. */
+  def c110DataRecipe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keep = c35QualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val per = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("bigint").as("nt"))
+      .join(keep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("keep_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    recipeRows(per.toSeq)
+      .toDF("source", "n_docs", "tokens", "keep_docs", "weight_r",
+        "planned_tokens", "epochs_r", "budget_share_r")
+  }
+
+  /** The recipe arithmetic over a collected (source, n_docs, tokens,
+    * keep_docs) table — pure BigInt, exact at any magnitude; factored
+    * so the spec can drive the 4×-cap leg with a skewed synthetic
+    * table the gate corpora don't produce. */
+  private[graft] def recipeRows(per: Seq[(String, Long, Long, Long)])
+      : Seq[(String, Long, Long, Long, Double, Long, Double, Double)] = {
+    val totalKeep = per.map(x => BigInt(x._4)).sum
+    val totalTokens = per.map(x => BigInt(x._3)).sum
+    require(totalKeep > 0,
+      "data recipe needs at least one quality-keep doc to weight by")
+    // round6(p/q) by the exact-integer half-away rule (c80/c92)
+    def r6(p: BigInt, q: BigInt): Double =
+      ((BigInt(2) * p * 1000000 + q) / (BigInt(2) * q)).toDouble / 1e6
+    val planned = per.map { case (s, nd, tk, kp) =>
+      require(tk > 0, s"source $s has zero token mass — nothing to epoch")
+      val pl = (BigInt(RecipeBudgetFactor) * totalTokens * kp / totalKeep)
+        .min(BigInt(RecipeMaxEpochs) * tk)
+      (s, nd, tk, kp, pl)
+    }
+    val totalPlanned = planned.map(_._5).sum
+    require(totalPlanned > 0, "planned budget folded to zero")
+    planned.map { case (s, nd, tk, kp, pl) =>
+      (s, nd, tk, kp, r6(kp, totalKeep), pl.toLong,
+        r6(pl, BigInt(tk)), r6(pl, totalPlanned))
+    }.sortBy(_._1)
+  }
+
   def c25MixtureResample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

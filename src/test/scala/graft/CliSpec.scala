@@ -1247,6 +1247,22 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--grid-b required"), e.getMessage)
   }
 
+  test("recipe subcommand: plan table and manifest equal the c110 gate") {
+    val out = Files.createTempDirectory("graft-cli-recipe-").toString + "/plan"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.main(Array("recipe", "--in", sfDir, "--out", out))
+    }
+    val manifest = buf.toString("UTF-8").trim
+    val got = spark.read.parquet(out).orderBy("source").collect().map(_.toSeq)
+    val want = graft.operators.TextOps.c110DataRecipe(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI recipe diverges from the c110 gate")
+    val budget = want.map(_(5).asInstanceOf[Long]).sum
+    assert(manifest.contains(s""""sources":${want.length}""") &&
+      manifest.contains(s""""budget_tokens":$budget"""), manifest)
+  }
+
   test("joint subcommand: verdict surface and quadrant manifest equal c107") {
     val out = Files.createTempDirectory("graft-cli-joint-").toString + "/joint"
     val buf = new java.io.ByteArrayOutputStream()

@@ -178,6 +178,48 @@ class OperatorsSpec extends SparkSpec {
       "and leave some benchmark item clean - else the report is trivial")
   }
 
+  test("c110 data recipe equals a driver recompute; caps, shares and refusals hold") {
+    // independent re-derivation from the verified c35 verdicts + raw docs
+    val keep = TextOps.c35QualityFilter(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val per = docs.groupBy(_._2).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._3).sum, xs.count(d => keep(d._1)).toLong)
+    }.toSeq
+    val want = TextOps.recipeRows(per)
+    val got = TextOps.c110DataRecipe(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == want, "c110 must equal the driver recompute")
+    // plan invariants: epoch ceiling respected, shares sum to ~1 (each
+    // 6-dp rounding contributes ≤ 5e-7 of drift), budget is non-trivial
+    got.foreach { case (s, _, tk, _, _, pl, ep, _) =>
+      assert(pl <= TextOps.RecipeMaxEpochs * tk, s"$s over-epochs")
+      assert(ep <= TextOps.RecipeMaxEpochs.toDouble + 1e-9, s"$s epochs_r")
+    }
+    assert(math.abs(got.map(_._5).sum - 1.0) <= got.size * 5e-7, "weights")
+    assert(math.abs(got.map(_._8).sum - 1.0) <= got.size * 5e-7, "shares")
+    // the 4x cap leg, on the skew the gate corpus doesn't produce: a
+    // tiny all-keep source next to a huge barely-kept one must cap at
+    // exactly MaxEpochs x its own mass
+    val skew = TextOps.recipeRows(Seq(
+      ("tiny", 99L, 100L, 99L), ("huge", 1000L, 100000L, 1L)))
+    val tiny = skew.find(_._1 == "tiny").get
+    assert(tiny._6 == TextOps.RecipeMaxEpochs * 100L &&
+      tiny._7 == TextOps.RecipeMaxEpochs.toDouble,
+      s"tiny source must cap at ${TextOps.RecipeMaxEpochs}x: $tiny")
+    // refusals: no keeps / zero-mass source
+    assert(intercept[IllegalArgumentException] {
+      TextOps.recipeRows(Seq(("s", 1L, 10L, 0L)))
+    }.getMessage.contains("quality-keep"))
+    assert(intercept[IllegalArgumentException] {
+      TextOps.recipeRows(Seq(("a", 1L, 10L, 1L), ("z", 1L, 0L, 1L)))
+    }.getMessage.contains("zero token mass"))
+  }
+
   test("c25 mixture resample: rarest language keeps ~everything, head flattens toward it") {
     val before = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
