@@ -172,6 +172,7 @@ object SparkEntry {
     "c108_phash_recall" -> (Multimodal.c108PhashRecall _),
     "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
+    "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -804,6 +805,26 @@ object SparkEntry {
        |FROM pl, tot, pt
        |ORDER BY source""".stripMargin
 
+  /** DuckDB rendering of c111 (r17): c110's plan SQL composed as a
+    * subquery (c50's rule — the execution must sample exactly the plan
+    * the gate verifies), per-source full-epoch counts + HUGEINT 16-bit
+    * fractional cutoffs, then the c25 deterministic md5-prefix
+    * membership per doc. */
+  private def c111OracleSql(c110Sql: String): String =
+    s"""WITH rp AS (SELECT source, tokens, planned_tokens
+       |            FROM (${c110Sql.replace("\n", "\n  ")})),
+       |cut AS (SELECT source,
+       |          CAST(planned_tokens // tokens AS BIGINT) AS fe,
+       |          lpad(lower(hex(
+       |            ((CAST(planned_tokens AS HUGEINT) % tokens) * 65536)
+       |              // tokens)), 4, '0') AS ch
+       |        FROM rp)
+       |SELECT d.doc_id, d.source,
+       |  CAST(c.fe + CASE WHEN substr(md5(d.text), 1, 4) < c.ch
+       |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM documents d JOIN cut c USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB rendering of c109 (r17): the FULL re-cluster of the merged
     * frame-hash set — corpus frame hashes ∪ the re-keyed recrawls'
     * (hashes unchanged: payloads are byte-identical, only the video id
@@ -1322,6 +1343,9 @@ object SparkEntry {
         // c110 (r17): the recipe composes c35's keep SQL (c50's rule —
         // the weighting must judge exactly the verdict the gate checks)
         + ("c110_data_recipe" -> c110OracleSql(base("c35_quality_filter")))
+        // c111 (r17): the execution samples exactly the verified plan
+        + ("c111_recipe_sample" ->
+          c111OracleSql(c110OracleSql(base("c35_quality_filter"))))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

@@ -564,6 +564,58 @@ object TextOps {
     }.sortBy(_._1)
   }
 
+  /** c111 gate row (r17): recipe EXECUTION — the sampled multiset a
+    * training run actually reads, materializing c110's plan at doc
+    * grain: every doc of source s carries n_copies = ⌊epochs_s⌋ full
+    * copies plus membership in the FRACTIONAL epoch, decided by the
+    * c25 deterministic content-hash rule (substr(md5(text),1,4) under
+    * a per-source 16-bit cutoff = ⌊frac·65536⌋, exact integers) — so
+    * the mix is a pure function of the corpus: no RNG, identical on
+    * every engine and every run, and byte-identical near-dup texts
+    * co-travel through the fractional epoch by construction.
+    *
+    * Scale shape: the plan is a bounded artifact (c110's collected
+    * source table) shipped back as two plan-literal maps (d13's rule);
+    * the doc pass is ONE row-local projection — zero joins, zero
+    * shuffles beyond the presentation sort. The oracle composes
+    * c110's SQL and re-derives the cutoffs in HUGEINT. */
+  def c111RecipeSample(spark: SparkSession, dir: String): DataFrame =
+    recipeCopies(Tables.documents(spark, dir), recipePlanOf(spark, dir))
+      .orderBy("doc_id")
+
+  /** c110's plan folded to the per-source (full epochs, 16-bit
+    * fractional cutoff hex) pairs the doc-grain projection needs — a
+    * bounded artifact (exact BigInt arithmetic driver-side). */
+  private[graft] def recipePlanOf(spark: SparkSession,
+                                  dir: String): Seq[(String, Long, String)] =
+    c110DataRecipe(spark, dir).collect().map { r =>
+      val tk = BigInt(r.getAs[Long]("tokens"))
+      val pl = BigInt(r.getAs[Long]("planned_tokens"))
+      (r.getString(0), (pl / tk).toLong,
+        f"${((pl % tk) * 65536 / tk).toLong}%04x")
+    }.toSeq
+
+  /** THE per-doc copy-count projection over an arbitrary (doc_id,
+    * source, text) frame and a collected plan — row-local, the plan as
+    * two plan-literal maps (d13's bounded-artifact rule), zero
+    * exchanges; shared by construction (d29's rule) between the c111
+    * gate row and d51's streaming router. A source absent from the
+    * plan reads NULL copies (new material — re-planning is c110's
+    * batch job). */
+  private[graft] def recipeCopies(docs: DataFrame,
+                                  plan: Seq[(String, Long, String)]): DataFrame = {
+    require(plan.nonEmpty, "recipe plan is empty — run c110 first")
+    val fullMap = map(plan.flatMap { case (s, f, _) =>
+      Seq(lit(s), lit(f)) }: _*)
+    val cutMap = map(plan.flatMap { case (s, _, c) =>
+      Seq(lit(s), lit(c)) }: _*)
+    docs.select(col("doc_id"), col("source"),
+      (element_at(fullMap, col("source")) +
+        when(substring(md5(col("text")), 1, 4) <
+          element_at(cutMap, col("source")), lit(1L)).otherwise(lit(0L)))
+        .as("n_copies"))
+  }
+
   def c25MixtureResample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

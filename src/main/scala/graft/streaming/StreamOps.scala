@@ -1692,6 +1692,20 @@ object StreamOps {
         (col("tc").isNotNull || col("mc").isNotNull).as("dup_any"))
   }
 
+  /** d51: streaming RECIPE ROUTING at ingest — c111's serving twin
+    * (r17): each arriving (doc_id, source, text) reads its source's
+    * full-epoch count and fractional-epoch membership off the c110
+    * plan — the per-arrival mix decision (how many copies of this doc
+    * the run should read), via THE SAME
+    * [[graft.operators.TextOps.recipeCopies]] projection the batch
+    * row executes (d29's shared-subtree rule). Zero state, no
+    * watermark, no join — the plan is a bounded plan-literal map
+    * (d13); an arrival from a source outside the plan reads NULL (new
+    * material — re-planning is c110's batch job, d26's rule). */
+  def streamRecipeRoute(docs: DataFrame,
+                        plan: Seq[(String, Long, String)]): DataFrame =
+    graft.operators.TextOps.recipeCopies(docs, plan)
+
   /** d29: streaming CLUSTER ROUTING at ingest — c69's serving twin and
     * d14's lexical analogue: each arriving doc is routed to the
     * existing substring-duplication group(s) it belongs to, by probing

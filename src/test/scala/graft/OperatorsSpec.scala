@@ -220,6 +220,45 @@ class OperatorsSpec extends SparkSpec {
     }.getMessage.contains("zero token mass"))
   }
 
+  test("c111 recipe sample materializes exactly the c110 plan, both fractional legs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val plan = TextOps.c110DataRecipe(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("planned_tokens"))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.map { case (d, s, t) =>
+      val (tk, pl) = plan(s)
+      val cut = f"${((BigInt(pl) % tk) * 65536 / tk).toLong}%04x"
+      (d, s, pl / tk + (if (md5hex(t).take(4) < cut) 1L else 0L))
+    }.sortBy(_._1).toSeq
+    val got = TextOps.c111RecipeSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, "c111 must equal the driver materialization")
+    // every copy count is ⌊epochs⌋ or ⌊epochs⌋+1, and the fractional
+    // epoch genuinely splits some source (both legs execute)
+    val byS = got.groupBy(_._2)
+    byS.foreach { case (s, rows) =>
+      val full = plan(s)._2 / plan(s)._1
+      assert(rows.forall(r => r._3 == full || r._3 == full + 1),
+        s"$s copies outside {⌊e⌋, ⌊e⌋+1}")
+    }
+    assert(byS.exists { case (_, rows) => rows.map(_._3).distinct.size == 2 },
+      "no source's fractional epoch split — the sampling leg never ran")
+    // the realized token mass lands within one source-mass of the plan
+    val tokensOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plan.foreach { case (s, (tk, pl)) =>
+      val realized = got.filter(_._2 == s).map(r => r._3 * tokensOf(r._1)).sum
+      assert(math.abs(realized - pl) <= tk,
+        s"$s realized $realized vs planned $pl (mass $tk)")
+    }
+  }
+
   test("c25 mixture resample: rarest language keeps ~everything, head flattens toward it") {
     val before = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

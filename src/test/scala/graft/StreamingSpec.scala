@@ -875,6 +875,38 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("d51 streaming recipe routing equals the batch c111 rows; unknown source reads null") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    val plan = TextOps.recipePlanOf(spark, sfDir)
+    val c111 = TextOps.c111RecipeSample(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val replayIds = Seq(1L, 7L, 42L, 333L)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(replayIds: _*))
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val arrivals = docs :+ ((99999999L, "src-not-in-plan", "some fresh text"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamRecipeRoute(
+        stream.toDS().toDF("doc_id", "source", "text"), plan)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d51_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d51_sink").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+      replayIds.foreach(id =>
+        assert(got(id).contains(c111(id)),
+          s"arrival $id read ${got(id)}, c111 says ${c111(id)}"))
+      assert(got(99999999L).isEmpty,
+        "a source outside the plan must read null (new material)")
+    } finally q.stop()
+    ()
+  }
+
   test("d50 streaming joint verdict: replays inherit BOTH frozen clusters; " +
       "fresh material reads null") {
     import spark.implicits._
