@@ -1589,13 +1589,21 @@ object Main {
       .persist() // feeds the write AND the stats counts below
     try {
       sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+      // optional RELEASE MANIFEST (r17 — c112's surface): per shard its
+      // doc count, token mass and order-invariant content digests, the
+      // artifact a consumer verifies a downloaded shard against
+      val manifestJson = opt(args, "--manifest").map { mp =>
+        graft.operators.TextOps.shardManifestOn(docs, prefixLen)
+          .coalesce(1).write.mode("overwrite").parquet(mp)
+        s""","manifest":${jsonStr(mp)}"""
+      }.getOrElse("")
       // stats from the pre-write frame: a read-back would re-infer the
       // partition column's type and can coerce digit-only hex shards to
       // numbers (merging '07' and '7')
       val stats = sharded
         .agg(count(lit(1)), count_distinct(col("shard"))).head()
       println(s"""{"docs":${stats.getLong(0)},"shards":${stats.getLong(1)},""" +
-        s""""prefix_len":$prefixLen,"out":${jsonStr(out)}}""")
+        s""""prefix_len":$prefixLen$manifestJson,"out":${jsonStr(out)}}""")
     } finally sharded.unpersist()
   }
 

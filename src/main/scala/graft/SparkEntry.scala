@@ -173,6 +173,7 @@ object SparkEntry {
     "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
+    "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -825,6 +826,32 @@ object SparkEntry {
        |FROM documents d JOIN cut c USING (source)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** DuckDB rendering of c112 (r17): c40's hash/shard derivation, the
+    * hex→int halves re-derived DIGIT-WISE with shift arithmetic in
+    * HUGEINT (the repo's oracles never parse hex numerically any other
+    * way — strpos over the hex alphabet, shifted by nibble position),
+    * exact sums, mod 2⁶¹−1. */
+  private def c112OracleSql: String =
+    """WITH h AS (SELECT doc_id,
+      |        md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |      FROM documents),
+      |s AS (SELECT substr(h, 1, 1) AS shard, nt,
+      |        list_sum(list_transform(range(1, 16), i ->
+      |          CAST(strpos('0123456789abcdef',
+      |            substr(h, CAST(i AS INT), 1)) - 1 AS HUGEINT)
+      |            << CAST(4 * (15 - i) AS INT))) AS h1,
+      |        list_sum(list_transform(range(1, 16), i ->
+      |          CAST(strpos('0123456789abcdef',
+      |            substr(h, CAST(i + 16 AS INT), 1)) - 1 AS HUGEINT)
+      |            << CAST(4 * (15 - i) AS INT))) AS h2
+      |      FROM h)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(h1) % 2305843009213693951 AS BIGINT) AS digest1,
+      |  CAST(sum(h2) % 2305843009213693951 AS BIGINT) AS digest2
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   /** DuckDB rendering of c109 (r17): the FULL re-cluster of the merged
     * frame-hash set — corpus frame hashes ∪ the re-keyed recrawls'
     * (hashes unchanged: payloads are byte-identical, only the video id
@@ -1346,6 +1373,9 @@ object SparkEntry {
         // c111 (r17): the execution samples exactly the verified plan
         + ("c111_recipe_sample" ->
           c111OracleSql(c110OracleSql(base("c35_quality_filter"))))
+        // c112 (r17): c40's hash/shard derivation + digit-wise hex
+        // halves + exact mod-2⁶¹−1 digests
+        + ("c112_shard_manifest" -> c112OracleSql)
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

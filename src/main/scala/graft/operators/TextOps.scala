@@ -616,6 +616,51 @@ object TextOps {
         .as("n_copies"))
   }
 
+  /** Digest modulus: 2⁶¹ − 1 (Mersenne) — the order-invariant shard
+    * digest folds exactly in decimal(38,0) (≤ 10³⁸ headroom at any
+    * shard size) and ships as a BIGINT remainder. */
+  private[graft] val DigestMod = 2305843009213693951L
+
+  /** c112 gate row (r17): the per-shard RELEASE MANIFEST — what a
+    * dataset publisher ships next to c40's shards so a consumer can
+    * verify a download without trusting the pipe: per shard its doc
+    * count, token mass, and an ORDER-INVARIANT content digest — the
+    * exact decimal(38,0) sums of each member's two 60-bit
+    * md5(doc_id:text) halves (chars 1-15 and 17-31), reduced mod
+    * 2⁶¹−1. Any missing, duplicated, altered or foreign doc moves a
+    * digest; matching (n_docs, n_tokens, digest1, digest2) certifies
+    * the shard byte-for-byte at doc grain.
+    *
+    * Scale shape: sums are associative/commutative — map-side
+    * combinable, independent of row order and partitioning — where a
+    * concat-of-sorted-hashes digest would materialize a shard's whole
+    * hash list (corpus-sized aggregation state at 100 TB). One
+    * groupBy(shard) over c40's assignment; the oracle re-derives the
+    * hex→int halves digit-wise with shift arithmetic (HUGEINT) —
+    * engine-exact, no float anywhere. */
+  def c112ShardManifest(spark: SparkSession, dir: String,
+                        prefixLen: Int = 1): DataFrame =
+    shardManifestOn(
+      Tables.documents(spark, dir).select("doc_id", "text"), prefixLen)
+
+  /** [[c112ShardManifest]] over an arbitrary (doc_id, text) frame —
+    * the library entry point `Main shard --manifest` publishes next
+    * to the sharded output. */
+  def shardManifestOn(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
+    val sh = shuffleShard(docs.select("doc_id", "text"), prefixLen)
+    sh.select(col("shard"),
+        size(words(col("text"))).cast("bigint").as("nt"),
+        expr("cast(conv(substr(h, 1, 15), 16, 10) as decimal(38,0))")
+          .as("h1"),
+        expr("cast(conv(substr(h, 17, 15), 16, 10) as decimal(38,0))")
+          .as("h2"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        expr(s"cast(sum(h1) % ${DigestMod}L as bigint)").as("digest1"),
+        expr(s"cast(sum(h2) % ${DigestMod}L as bigint)").as("digest2"))
+      .orderBy("shard")
+  }
+
   def c25MixtureResample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

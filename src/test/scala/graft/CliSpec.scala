@@ -237,6 +237,34 @@ class CliSpec extends SparkSpec {
     assert(got.exists(_._2 == "added") && got.exists(_._2 == "changed"))
   }
 
+  test("shard --manifest: the release manifest equals the c112 gate over the input") {
+    val base = Files.createTempDirectory("graft-cli-shman-").toString
+    Main.main(Array("shard", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$base/shards", "--manifest", s"$base/manifest"))
+    val got = spark.read.parquet(s"$base/manifest").orderBy("shard")
+      .collect().map(_.toSeq)
+    val want = graft.operators.TextOps.c112ShardManifest(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "CLI manifest diverges from the c112 gate")
+    // the manifest certifies the WRITTEN shards: re-derive each shard's
+    // doc count from the partitioned output and compare
+    val written = spark.read.parquet(s"$base/shards")
+      .groupBy("shard").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    want.foreach { r =>
+      // partition-column read-back can coerce digit-only hex ('07'→7):
+      // compare under that coercion, the write layout's known quirk
+      val s = r(0).asInstanceOf[String]
+      val k = if (written.contains(s)) s else s.dropWhile(_ == '0') match {
+        case "" => "0"
+        case x => x
+      }
+      assert(written(k) == r(1).asInstanceOf[Long],
+        s"shard $s doc count mismatch vs written output")
+    }
+  }
+
   test("shard subcommand: partitioned-by-shard layout, dense positions, full columns carried") {
     val inDir = Files.createTempDirectory("graft-shard-in-").toString
     Tables.documents(spark, sfDir)

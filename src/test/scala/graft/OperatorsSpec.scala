@@ -259,6 +259,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c112 shard manifest equals a driver recompute; order-invariant and tamper-evident") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val M = BigInt("2305843009213693951")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def manifestOf(ds: Seq[(Long, String)]) =
+      ds.map { case (d, t) =>
+        val h = md5hex(s"$d:$t")
+        (h.take(1), t.split(" ", -1).length.toLong,
+          BigInt(h.substring(0, 15), 16), BigInt(h.substring(16, 31), 16))
+      }.groupBy(_._1).map { case (s, xs) =>
+        (s, xs.length.toLong, xs.map(_._2).sum,
+          (xs.map(_._3).sum % M).toLong, (xs.map(_._4).sum % M).toLong)
+      }.toSeq.sortBy(_._1)
+    val want = manifestOf(docs.toSeq)
+    val got = TextOps.c112ShardManifest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, "c112 must equal the driver recompute")
+    assert(got.map(_._2).sum == docs.length, "shards must partition the corpus")
+    // order invariance: the digest is a pure multiset function
+    assert(manifestOf(docs.reverse.toSeq) == want, "digest must ignore row order")
+    // tamper evidence: altering ONE doc's text moves exactly its
+    // shard's manifest row (hash moves; the doc may also change shard)
+    val tampered = manifestOf(docs.toSeq.updated(0,
+      (docs(0)._1, docs(0)._2 + " x")))
+    assert(tampered != want, "a one-doc edit must move the manifest")
+    assert(tampered.count(r => !want.contains(r)) <= 2,
+      "an edit touches at most the source and destination shards")
+  }
+
   test("c25 mixture resample: rarest language keeps ~everything, head flattens toward it") {
     val before = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
