@@ -171,6 +171,7 @@ object SparkEntry {
     "c107_joint_dedup" -> (Multimodal.c107JointDedup _),
     "c108_phash_recall" -> (Multimodal.c108PhashRecall _),
     "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
+    "c113_audio_clusters_incr" -> (Multimodal.c113AudioClustersIncr _),
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
     "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
@@ -607,6 +608,26 @@ object SparkEntry {
         |        UNION ALL
         |        SELECT doc_id + 1000000000000 FROM documents
         |        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)""".stripMargin)}""".stripMargin
+
+  /** DuckDB rendering of c113 (r18): c103's full-re-cluster shape for
+    * the 1-D modality — the merged AUDIO hash set (c90's hashes ∪ the
+    * every-5th re-keyed recrawl's, hash unchanged) clustered from
+    * scratch through the shared banded-candidate + closure CTE chain,
+    * over the merged audio universe (doc_id % 3 = 1). The Spark side
+    * runs INCREMENTAL maintenance against the frozen c104 labels, so
+    * this row engine-checks add-then-maintain ≡ full-re-cluster at
+    * audio grain. */
+  private def c113OracleSql(c90Sql: String): String =
+    s"""WITH RECURSIVE hs0 AS (SELECT doc_id, phash FROM (${c90Sql.replace("\n", "\n  ")})),
+       |hs AS (SELECT doc_id, phash FROM hs0
+       |       UNION ALL
+       |       SELECT doc_id + 1000000000000, phash FROM hs0
+       |       WHERE doc_id % 5 = 0),
+       |${mediaClusterCtes(
+      """img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+        |        UNION ALL
+        |        SELECT doc_id + 1000000000000 FROM documents
+        |        WHERE doc_id % 3 = 1 AND doc_id % 5 = 0)""".stripMargin)}""".stripMargin
 
   /** The shared media-cluster CTE chain over a prepended `hs` (doc_id,
     * phash) relation and a caller-supplied image-universe CTE: banded
@@ -1367,6 +1388,11 @@ object SparkEntry {
         // c109 (r17): the FULL two-stage re-cluster of the merged
         // frame-hash set — the Spark side maintains incrementally
         + ("c109_video_clusters_incr" -> c109OracleSql(base("c91_video_phash")))
+        // c113 (r18): c103's full-re-cluster oracle shape at AUDIO
+        // grain — the merged hash set (corpus ∪ every-5th re-keyed
+        // recrawl, hash unchanged) re-clustered from scratch while the
+        // Spark side maintains the frozen c104 labels incrementally
+        + ("c113_audio_clusters_incr" -> c113OracleSql(base("c90_audio_phash")))
         // c110 (r17): the recipe composes c35's keep SQL (c50's rule —
         // the weighting must judge exactly the verdict the gate checks)
         + ("c110_data_recipe" -> c110OracleSql(base("c35_quality_filter")))

@@ -1324,6 +1324,55 @@ object Multimodal {
       p
     })
 
+  /** Per-JVM memoized MAINTAINED audio label table of the c113 crawl —
+    * maintainedLabelTablePath's twin for the 1-D modality: the same
+    * every-5th re-keyed byte-identical recrawl convention (hash
+    * unchanged because the payload is unchanged), folded into the
+    * FROZEN c104 labels via the modality-generic
+    * [[incrementalMediaClusters]] (its banding reads only (doc_id,
+    * phash), and the audio hash is the same 56-bit/4-segment shape). */
+  private val maintainedAudioLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def maintainedAudioLabelTablePath(spark: SparkSession,
+                                                   dir: String): String =
+    maintainedAudioLabelCache.computeIfAbsent(dir, _ => {
+      val p = graft.GraftSession.scratchDir(
+        s"audio-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      val corpus = spark.read.parquet(audioHashTablePath(spark, dir))
+      val crawl = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+          col("phash"))
+      val frozen = spark.read.parquet(audioLabelTablePath(spark, dir))
+      incrementalMediaClusters(crawl, corpus, frozen)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** c113 gate row (r18): incremental AUDIO cluster maintenance — the
+    * missing cell of the 3-modality maintenance matrix (c103 proved
+    * add-then-maintain ≡ full-re-cluster at image grain, c109 at video
+    * grain through both pipeline stages; audio had clusters (c104) but
+    * no maintenance row). A crawl of re-keyed byte-identical audio
+    * recrawls (every audio doc with doc_id % 5 = 0, re-keyed +10¹²,
+    * hash unchanged) folds into the FROZEN c104 label table via the
+    * SAME [[incrementalMediaClusters]] core, and the maintained table
+    * surfaces in c102's decision shape over the merged audio universe.
+    * The ORACLE is the FULL re-cluster of the merged hash set (c104's
+    * SQL over corpus ∪ re-keyed hashes), so the equivalence is
+    * engine-checked every round. Per-crawl cost scales with the crawl
+    * (split-sided banding — corpus×corpus never forms), never corpus².
+    */
+  def c113AudioClustersIncr(spark: SparkSession, dir: String): DataFrame = {
+    val maintained =
+      spark.read.parquet(maintainedAudioLabelTablePath(spark, dir))
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+    val merged = base.unionAll(
+      base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id")))
+    clusterSurface(merged, maintained)
+  }
+
   /** Per-JVM memoized MAINTAINED label table of the c103 crawl (the
     * c95 memo rule: maintenance runs once per crawl; the gate row,
     * bench passes and specs all read the same updated table instead of

@@ -1217,6 +1217,39 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("re-key"), e.getMessage)
   }
 
+  test("c113 incremental audio maintenance ≡ full re-cluster of the merged hashes") {
+    // the c103 theorem at AUDIO grain (r18) — the last cell of the
+    // 3-modality maintenance matrix: same crawl convention (every 5th
+    // doc re-keyed +10¹², hash unchanged), same generic core, proved
+    // Spark-side next to the gate row's DuckDB full-re-cluster oracle
+    val corpus = spark.read.parquet(
+      Multimodal.audioHashTablePath(spark, sfDir))
+    val crawl = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("phash"))
+    val frozen = spark.read.parquet(
+      Multimodal.audioLabelTablePath(spark, sfDir))
+    val maintained = Multimodal
+      .incrementalMediaClusters(crawl, corpus, frozen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponentsAlternating(
+        Multimodal.phashCandidates(
+            corpus.unionAll(crawl).select("doc_id", "phash"), 3)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == full,
+      s"maintained-only=${(maintained -- full).take(5)}, " +
+        s"full-only=${(full -- maintained).take(5)}")
+    // byte-identical recrawl → hamming 0 → joins its source's cluster
+    val byNode = maintained.toMap
+    corpus.filter(col("doc_id") % 5 === 0).collect().map(_.getLong(0))
+      .foreach { src =>
+        val re = src + 1000000000000L
+        val srcLbl = byNode.getOrElse(src, src)
+        assert(byNode.get(re).contains(srcLbl),
+          s"recrawl $re must join source $src's cluster $srcLbl")
+      }
+  }
+
   test("c95 incremental cluster maintenance ≡ full re-cluster on the merged corpus") {
     // the theorem the operator rests on, proved in Spark terms: frozen
     // labels + new-touching edges + CC confined to touched components
