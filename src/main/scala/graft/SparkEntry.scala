@@ -172,6 +172,7 @@ object SparkEntry {
     "c108_phash_recall" -> (Multimodal.c108PhashRecall _),
     "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
     "c113_audio_clusters_incr" -> (Multimodal.c113AudioClustersIncr _),
+    "c114_recall_split" -> (Multimodal.c114PhashRecallSplit _),
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
     "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
@@ -978,6 +979,43 @@ object SparkEntry {
        |UNION ALL SELECT 'video', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xv
        |ORDER BY modality""".stripMargin
 
+  /** DuckDB rendering of c114 (r18): per modality, the exact count of
+    * NEW-TOUCHING hamming ≤ 3 pairs in the merged hash set (corpus ∪
+    * each maintenance row's every-5th re-keyed crawl, hash unchanged)
+    * — and the banded/hit columns assert the pigeonhole theorem's
+    * answer (n_banded = n_hit = n_exact, recall 1.0), which the Spark
+    * side must reach through the REAL split candidate path. */
+  private def c114OracleSql(c88Sql: String, c90Sql: String,
+                            c91Sql: String): String =
+    s"""WITH hi0 AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |hau0 AS (SELECT doc_id, phash FROM (${c90Sql.replace("\n", "\n  ")})),
+       |hv0 AS (SELECT doc_id*8 + frame_idx AS doc_id, phash
+       |        FROM (${c91Sql.replace("\n", "\n  ")})),
+       |hi AS (SELECT doc_id, phash, 0 AS nw FROM hi0
+       |       UNION ALL SELECT doc_id + 1000000000000, phash, 1 FROM hi0
+       |       WHERE doc_id % 5 = 0),
+       |hau AS (SELECT doc_id, phash, 0 AS nw FROM hau0
+       |        UNION ALL SELECT doc_id + 1000000000000, phash, 1 FROM hau0
+       |        WHERE doc_id % 5 = 0),
+       |hv AS (SELECT doc_id, phash, 0 AS nw FROM hv0
+       |       UNION ALL SELECT doc_id + 8000000000000, phash, 1 FROM hv0
+       |       WHERE (doc_id // 8) % 5 = 0),
+       |xi AS (SELECT count(*) AS n FROM hi a JOIN hi b
+       |       ON a.doc_id < b.doc_id AND a.nw + b.nw >= 1
+       |       AND bit_count(xor(a.phash, b.phash)) <= 3),
+       |xa AS (SELECT count(*) AS n FROM hau a JOIN hau b
+       |       ON a.doc_id < b.doc_id AND a.nw + b.nw >= 1
+       |       AND bit_count(xor(a.phash, b.phash)) <= 3),
+       |xv AS (SELECT count(*) AS n FROM hv a JOIN hv b
+       |       ON a.doc_id < b.doc_id AND a.nw + b.nw >= 1
+       |       AND bit_count(xor(a.phash, b.phash)) <= 3)
+       |SELECT 'audio' AS modality, CAST(n AS BIGINT) AS n_exact,
+       |  CAST(n AS BIGINT) AS n_banded, CAST(n AS BIGINT) AS n_hit,
+       |  round(CAST(n AS DOUBLE) / n, 6) AS recall_r FROM xa
+       |UNION ALL SELECT 'image', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xi
+       |UNION ALL SELECT 'video', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xv
+       |ORDER BY modality""".stripMargin
+
   /** The derived-URL CTE chain shared by the curation oracles (r16,
     * c96/c97): the SAME (source, lang, doc_id) → messy-URL derivation
     * Curation.urlCol builds, then the SAME host-capture + www-strip
@@ -1393,6 +1431,12 @@ object SparkEntry {
         // recrawl, hash unchanged) re-clustered from scratch while the
         // Spark side maintains the frozen c104 labels incrementally
         + ("c113_audio_clusters_incr" -> c113OracleSql(base("c90_audio_phash")))
+        // c114 (r18): the split-path banding completeness — the exact
+        // NEW-TOUCHING truth per modality; the banded columns carry
+        // the pigeonhole theorem's answer the Spark side must reach
+        // through the real split candidates
+        + ("c114_recall_split" -> c114OracleSql(base("c88_image_phash"),
+          base("c90_audio_phash"), base("c91_video_phash")))
         // c110 (r17): the recipe composes c35's keep SQL (c50's rule —
         // the weighting must judge exactly the verdict the gate checks)
         + ("c110_data_recipe" -> c110OracleSql(base("c35_quality_filter")))

@@ -1597,6 +1597,84 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** One modality's SPLIT-path recall fold (r18 — [[phashRecallOf]]'s
+    * shape for the incremental pipeline): the exact NEW-TOUCHING truth
+    * (every hamming ≤ maxHamming pair of the merged set with at least
+    * one crawl side) vs [[phashCandidatesSplit]]'s candidate set,
+    * folded to one (modality, n_exact, n_banded, n_hit, recall_r) row.
+    * Cap-guarded on the merged hash count (c83's refusal). */
+  private[graft] def phashRecallSplitOf(modality: String, crawl: DataFrame,
+                                        corpus: DataFrame,
+                                        maxHamming: Int = 3): DataFrame = {
+    val nh = crawl.select(col("doc_id"), col("phash"))
+    val ch = corpus.select(col("doc_id"), col("phash"))
+    val merged = nh.unionAll(ch)
+    val n = merged.count()
+    require(n <= RecallHashCap,
+      s"c114's exact truth cross-compares O(crawl·n) hashes: $modality " +
+        s"has $n > cap $RecallHashCap — run the recall gate on an eval " +
+        "corpus/sample, never a production corpus")
+    // truth: brute crawl×merged — every new-touching pair, canonicalized
+    val truth = nh.select(col("doc_id").as("a"), col("phash").as("pa"))
+      .join(merged.select(col("doc_id").as("b"), col("phash").as("pb")),
+        col("a") =!= col("b") &&
+          bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+      .select(least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"))
+    val banded = phashCandidatesSplit(nh, ch, maxHamming)
+      .select(col("u").as("da"), col("v").as("db"))
+    truth.withColumn("e", lit(1)).withColumn("b", lit(0))
+      .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))
+      .groupBy("da", "db")
+      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
+      .agg(sum(col("e")).cast("bigint").as("n_exact"),
+        sum(col("b")).cast("bigint").as("n_banded"),
+        sum(col("e") * col("b")).cast("bigint").as("n_hit"))
+      .select(lit(modality).as("modality"),
+        col("n_exact"), col("n_banded"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6)
+          .as("recall_r"))
+  }
+
+  /** c114 gate row (r18): banding-completeness EVAL for the SPLIT
+    * (incremental) candidate path — c108's invariant where the
+    * maintenance rows actually ride. c108 proves [[phashCandidates]]
+    * complete; the c103/c109/c113 maintenance rows ride
+    * [[phashCandidatesSplit]], whose completeness was until now only
+    * checked INDIRECTLY (through the full-re-cluster oracles). This
+    * row makes it local: per modality, the exact new-touching truth
+    * (each maintenance row's own crawl convention — every 5th doc
+    * re-keyed, hash unchanged) next to the split path's candidates.
+    * The split left side is the crawl alone and the right side is
+    * crawl ∪ corpus, so candidates = new-touching pairs exactly, and
+    * the 4×14-bit pigeonhole forces recall_r = EXACTLY 1.0 — the
+    * oracle asserts the theorem's answer; a wrong split side, a lost
+    * band, or a broken is_new dedup reads n_banded ≠ n_exact and
+    * hash-fails. Truth side cap-refused ([[RecallHashCap]]) — eval
+    * corpora only, the c83 discipline. */
+  def c114PhashRecallSplit(spark: SparkSession, dir: String): DataFrame = {
+    def rekeyed(h: DataFrame): DataFrame =
+      h.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+          col("phash"))
+    val au = spark.read.parquet(audioHashTablePath(spark, dir))
+      .select("doc_id", "phash")
+    val im = spark.read.parquet(phashIndexTablePath(spark, dir))
+      .select("doc_id", "phash")
+    // video crawls at VIDEO grain: every 5th video's frames, re-keyed
+    // fid + 8·10¹² (c109's convention — doc → doc + 10¹² ⇒ fid = doc·8
+    // + frame → fid + 8·10¹²)
+    val vf = spark.read.parquet(videoFidTablePath(spark, dir))
+      .select("doc_id", "phash")
+    val vcrawl = vf.filter(pmod(shiftright(col("doc_id"), 3), lit(5)) === 0)
+      .select((col("doc_id") + lit(8000000000000L)).as("doc_id"),
+        col("phash"))
+    phashRecallSplitOf("audio", rekeyed(au), au)
+      .unionByName(phashRecallSplitOf("image", rekeyed(im), im))
+      .unionByName(phashRecallSplitOf("video", vcrawl, vf))
+      .orderBy("modality")
+  }
+
   /** The at-rest (phash → cluster_id) EXACT-replay index d50 probes
     * (r17): every distinct corpus hash with the frozen cluster its
     * docs belong to. Docs sharing a hash are hamming-0 pairs, hence

@@ -1137,6 +1137,44 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
+  test("c114 split-path recall gate: incremental banding is complete — recall exactly 1.0") {
+    // c108's invariant where the maintenance rows actually ride (r18):
+    // the split candidate path must find EVERY new-touching hamming ≤ 3
+    // pair — and nothing else
+    val got = Multimodal.c114PhashRecallSplit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Seq("audio", "image", "video"), got.toString)
+    got.foreach { case (m, ne, nb, nh, rec) =>
+      assert(ne > 0, s"$m must have new-touching pairs at gate scale " +
+        "(every recrawl is hamming-0 with its source)")
+      assert(ne == nb && nb == nh && rec == 1.0,
+        s"$m split completeness broke: exact=$ne banded=$nb hit=$nh")
+    }
+    // the truth side agrees with a driver brute (image modality): all
+    // new-touching pairs of the merged re-keyed set
+    val hs = Multimodal.imagePhashFrames(spark, sfDir)
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val mergedHs = hs ++ hs.collect {
+      case (d, p) if d % 5 == 0 => (d + 1000000000000L, p)
+    }
+    val brute = (for {
+      (a, pa) <- mergedHs; (b, pb) <- mergedHs
+      if a < b && (a >= 1000000000000L || b >= 1000000000000L) &&
+        java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield 1).size.toLong
+    assert(got.find(_._1 == "image").get._2 == brute,
+      s"truth side ${got.find(_._1 == "image").get._2} vs driver brute $brute")
+    // the O(crawl·n) truth refuses production-sized hash frames loudly
+    val big = spark.range(Multimodal.RecallHashCap + 1)
+      .select(col("id").as("doc_id"), lit(0L).as("phash"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashRecallSplitOf("synthetic", big.limit(1), big)
+    }
+    assert(e.getMessage.contains("cap"), e.getMessage)
+  }
+
   test("c109 incremental video maintenance ≡ full re-cluster through both stages") {
     // the c103 theorem at the COMPOSED surface: frame banding → c105's
     // containment fold → threshold → confined CC must equal the
