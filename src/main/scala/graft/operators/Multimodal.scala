@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -37,6 +37,11 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
   * doc carrying BOTH its text and its media payload. */
 case class JointRecord(doc_id: Long, text: String,
                        media_type: String, payload: Array[Byte])
+
+/** One demuxed (frame_idx, phash) of a video — the array element the
+  * d52 signature expression folds (field names are the contract: the
+  * index side builds the same struct from the at-rest fid table). */
+case class FrameHash(frame_idx: Long, phash: Long)
 
 /** Multimodal-column pipeline (SURVEY §2 c12).
   *
@@ -1674,6 +1679,41 @@ object Multimodal {
       .unionByName(phashRecallSplitOf("video", vcrawl, vf))
       .orderBy("modality")
   }
+
+  /** The order-invariant VIDEO SIGNATURE over an
+    * array<struct<frame_idx, phash>> column (r18, d52's replay key):
+    * md5 of the frame hashes joined in frame order. ONE Column subtree
+    * renders both the at-rest index (from the fid table) and the
+    * arrival probe (from the row-local demux) — d29's shared-subtree
+    * rule — so replay equality holds by construction. sort_array on
+    * the struct orders by frame_idx (unique per video), making the
+    * signature independent of collect_list's arrival order. */
+  private[graft] def videoSigExpr(frames: Column): Column =
+    md5(array_join(
+      transform(sort_array(frames),
+        f => concat_ws(":", f.getField("frame_idx"), f.getField("phash"))),
+      "|"))
+
+  /** The at-rest (sig → cluster_id) EXACT-replay VIDEO index d52
+    * probes (r18 — [[mediaClusterIndexOf]]'s shape at video grain):
+    * every corpus video's signature with the frozen c106 cluster it
+    * belongs to. Videos sharing a signature are frame-for-frame
+    * hamming-0 duplicates — containment 1.0, thresholded edge, hence
+    * ONE cluster by construction; min() is a determinism guard, not a
+    * choice. O(videos) rows; at scale bucketed by sig. */
+  private[graft] def videoClusterIndexOf(fidFrames: DataFrame,
+                                         labels: DataFrame): DataFrame =
+    fidFrames
+      .select(shiftright(col("doc_id"), 3).as("doc_id"),
+        struct(col("doc_id").bitwiseAND(lit(7L)).as("frame_idx"),
+          col("phash")).as("fr"))
+      .groupBy("doc_id").agg(collect_list("fr").as("frames"))
+      .select(col("doc_id"), videoSigExpr(col("frames")).as("sig"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("sig"),
+        least(coalesce(col("cluster_id"), col("doc_id")), col("doc_id"))
+          .as("cl"))
+      .groupBy("sig").agg(min("cl").as("cluster_id"))
 
   /** The at-rest (phash → cluster_id) EXACT-replay index d50 probes
     * (r17): every distinct corpus hash with the frozen cluster its

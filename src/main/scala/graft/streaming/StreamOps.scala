@@ -1701,6 +1701,49 @@ object StreamOps {
         (col("tc").isNotNull || col("mc").isNotNull).as("seen_any"))
   }
 
+  /** d52: streaming VIDEO cluster inheritance at ingest — d50's
+    * exact-replay shape at VIDEO grain (r18, closing the r17 verdict's
+    * streaming gap: a video arrival got raw frame hits (d44) but no
+    * video-grain verdict against the frozen c106 labels). Each
+    * arriving video demuxes and hashes its frames ROW-LOCALLY (the
+    * SAME [[graft.operators.Multimodal.videoFramePhashes]] walk d44
+    * and the batch gate run), folds them row-locally into the
+    * frame-order signature (the SAME
+    * [[graft.operators.Multimodal.videoSigExpr]] subtree the at-rest
+    * index is built from — d29's rule), and probes the (sig → frozen
+    * c106 cluster) index with ONE stream-static equi-join on a 32-byte
+    * key: the inherited video-grain cluster, null = new material
+    * (d49's no-hit convention), plus the seen_video flag (d50's seen_*
+    * semantics: "this exact frame sequence is indexed"). REPLAY grade
+    * by design: a byte-identical replay inherits exactly its source's
+    * c106 label; clipped excerpts and near-dup variants stay d44's
+    * per-frame-hit business (d26's rule), and folding fresh material
+    * into the labels is c109's batch job. Zero state, no watermark. */
+  def streamVideoClusterInherit(media: Dataset[graft.operators.MediaRecord],
+                                index: DataFrame): DataFrame = {
+    require(Seq("sig", "cluster_id").forall(index.columns.contains),
+      "index must be a (sig, cluster_id) table " +
+        "(Multimodal.videoClusterIndexOf), found " +
+        index.columns.mkString("(", ", ", ")"))
+    import media.sparkSession.implicits._
+    media
+      .mapPartitions(_.map { r =>
+        require(r.media_type == "video",
+          s"doc ${r.doc_id}: video cluster inheritance is video-only, " +
+            s"got '${r.media_type}'")
+        (r.doc_id,
+          graft.operators.Multimodal.videoFramePhashes(r.doc_id, r.payload)
+            .map { case (f, ph) => graft.operators.FrameHash(f, ph) })
+      })
+      .toDF("doc_id", "frames")
+      .select(col("doc_id"),
+        graft.operators.Multimodal.videoSigExpr(col("frames")).as("sig"))
+      .join(index.select(col("sig"), col("cluster_id").as("vc")),
+        Seq("sig"), "left")
+      .select(col("doc_id"), col("vc").as("video_cluster_id"),
+        col("vc").isNotNull.as("seen_video"))
+  }
+
   /** d51: streaming RECIPE ROUTING at ingest — c111's serving twin
     * (r17): each arriving (doc_id, source, text) reads its source's
     * full-epoch count and fractional-epoch membership off the c110

@@ -969,6 +969,55 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("d52 streaming video cluster inheritance: replays inherit EXACTLY the " +
+      "frozen c106 label; fresh material reads null") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    val index = Multimodal.videoClusterIndexOf(
+      spark.read.parquet(Multimodal.videoFidTablePath(spark, sfDir)),
+      spark.read.parquet(Multimodal.videoLabelTablePath(spark, sfDir)))
+    val c106 = Multimodal.c106VideoClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseIds = Seq(2L, 5L, 14L, 35L) // video docs: doc_id % 3 = 2
+    // replays re-keyed far out of the corpus (payload byte-identical —
+    // the hash walk reads only the bytes) + one fresh arrival from an
+    // out-of-corpus generator id
+    val arrivals = baseIds.map(id =>
+      MediaRecord(id + 7000000L, "video", Multimodal.y4mPayload(id))) :+
+      MediaRecord(99999999L, "video", Multimodal.y4mPayload(7777777L))
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamVideoClusterInherit(stream.toDS(), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d52_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d52_sink").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getBoolean(2))).toMap
+      assert(got.size == arrivals.size, "one verdict row per arrival")
+      // every replay inherits EXACTLY its source's c106 cluster — the
+      // serving twin and the gate row answer with one voice
+      baseIds.foreach { id =>
+        assert(got(id + 7000000L) == ((Some(c106(id)), true)),
+          s"replay of $id read ${got(id + 7000000L)}, c106 says ${c106(id)}")
+      }
+      assert(got(99999999L) == ((None, false)),
+        s"fresh material must read null: ${got(99999999L)}")
+      // a non-video arrival refuses loudly (the d44 dispatch rule)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val s2 = MemoryStream[MediaRecord]
+        val q2 = StreamOps.streamVideoClusterInherit(s2.toDS(), index)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("d52_bad").start()
+        try { s2.addData(MediaRecord(1L, "image", Multimodal.pgmPayload(0L)))
+          q2.processAllAvailable() } finally q2.stop()
+      }
+      assert(e.getMessage != null)
+    } finally q.stop()
+    ()
+  }
+
   test("d43 routes AUDIO arrivals against an audio phash index through the same dispatch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
