@@ -101,6 +101,7 @@ object Main {
     case Some("sketch") => sketchCmd(args.drop(1))
     case Some("joint") => jointCmd(args.drop(1))
     case Some("recipe") => recipeCmd(args.drop(1))
+    case Some("publish") => publishCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
@@ -108,7 +109,7 @@ object Main {
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
           "wordpiece-train|tokenize|cluster-update|domains|sketch|joint|" +
-          "recipe ...")
+          "recipe|publish ...")
       sys.exit(2)
   }
 
@@ -243,6 +244,77 @@ object Main {
       s""""budget_tokens":${rows.map(_._2).sum},""" +
       s""""max_epochs":{"source":${jsonStr(top._1)},"epochs":${top._3}},""" +
       s""""min_epochs":{"source":${jsonStr(bottom._1)},"epochs":${bottom._3}},""" +
+      s""""out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main publish --in SF_DIR --out DIR [--shards L]
+    * [--pack-budget B]` — the ONE-VERB dataset publisher (r18): chains
+    * the oracled release stages — recipe planning (c110) →
+    * deterministic sampling (c111's copy projection, kept docs =
+    * n_copies ≥ 1) → FFD packing (c76) → sharding (c40) → per-shard
+    * release manifests (c112) — writing each stage's table under OUT
+    * (plan/ shards/ packs/ manifest/) plus ONE combined JSON manifest
+    * line with the release-level order-invariant digest (the fold of
+    * the per-shard digest sums mod 2⁶¹−1 — still order-invariant,
+    * still map-side combinable). Every stage is the SAME library call
+    * its gate row runs (CliSpec pins the composition ≡ the
+    * components), so the one-verb path cannot drift from the verified
+    * operators. */
+  private def publishCmd(args: Array[String]): Unit = {
+    import graft.operators.TextOps
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val shardLen = opt(args, "--shards").map(_.toInt).getOrElse(1)
+    require(shardLen >= 1 && shardLen <= 8,
+      s"--shards is the shard-key HEX PREFIX LENGTH (16^L shards: " +
+        s"1→16, 2→256, ...), must be in [1, 8], got $shardLen")
+    val packBudget = opt(args, "--pack-budget").map(_.toLong).getOrElse(2048L)
+    require(packBudget > 0, s"--pack-budget must be positive, got $packBudget")
+    val spark = GraftSession.get()
+    // stage 1 — the plan (c110): bounded per-source table, written for
+    // review; its collected form drives the sampling projection
+    TextOps.c110DataRecipe(spark, in).write.mode("overwrite")
+      .parquet(s"$out/plan")
+    val planRows = TextOps.recipePlanOf(spark, in)
+    val budget = spark.read.parquet(s"$out/plan")
+      .agg(sum(col("planned_tokens"))).head.getLong(0)
+    // stage 2 — deterministic sampling (c111): the run's readable set =
+    // docs with at least one planned copy; n_copies rides along as the
+    // loader's repeat count. One row-local projection + one doc_id
+    // equi-join to re-attach text (recipeCopies' output is the shared
+    // d51 projection — (doc_id, source, n_copies) only)
+    val docs = Tables.documents(spark, in)
+    val sampled = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(TextOps.recipeCopies(docs, planRows)
+        .filter(col("n_copies") >= 1).select("doc_id", "n_copies"),
+        "doc_id")
+      .persist()
+    // stage 3 — sharding (c40) over the sampled set, n_copies carried
+    TextOps.shuffleShard(sampled, shardLen)
+      .write.mode("overwrite").parquet(s"$out/shards")
+    // stage 4 — FFD packing (c76) of the sampled docs
+    TextOps.packFfdOn(sampled.select("doc_id", "text"), packBudget)
+      .write.mode("overwrite").parquet(s"$out/packs")
+    // stage 5 — the per-shard release manifest (c112), same prefix
+    TextOps.shardManifestOn(sampled.select("doc_id", "text"), shardLen)
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    val m = spark.read.parquet(s"$out/manifest")
+    // fold the per-shard digests in decimal(38,0): 16⁸ shards × 2⁶¹
+    // would overflow a bigint accumulator (the c112 headroom rule)
+    val agg = m.agg(count(lit(1)), sum(col("n_docs")), sum(col("n_tokens")),
+      expr(s"cast(sum(cast(digest1 as decimal(38,0))) % " +
+        s"${TextOps.DigestMod}L as bigint)"),
+      expr(s"cast(sum(cast(digest2 as decimal(38,0))) % " +
+        s"${TextOps.DigestMod}L as bigint)")).head
+    val copies = sampled.agg(sum(col("n_copies"))).head.getLong(0)
+    val nPacks = spark.read.parquet(s"$out/packs")
+      .select("shard", "pack_id").distinct().count()
+    sampled.unpersist()
+    println(s"""{"sources":${planRows.length},"budget_tokens":$budget,""" +
+      s""""sampled_docs":${agg.getLong(1)},"total_copies":$copies,""" +
+      s""""n_tokens":${agg.getLong(2)},"shards":${agg.getLong(0)},""" +
+      s""""packs":$nPacks,"pack_budget":$packBudget,""" +
+      s""""digest1":${agg.getLong(3)},"digest2":${agg.getLong(4)},""" +
       s""""out":${jsonStr(out)}}""")
   }
 

@@ -1291,6 +1291,63 @@ class CliSpec extends SparkSpec {
       manifest.contains(s""""budget_tokens":$budget"""), manifest)
   }
 
+  test("publish subcommand: every stage table equals its component operator " +
+      "over exactly the sampled set") {
+    import graft.operators.TextOps
+    val out = Files.createTempDirectory("graft-cli-publish-").toString + "/rel"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.main(Array("publish", "--in", sfDir, "--out", out,
+        "--shards", "1", "--pack-budget", "512"))
+    }
+    val manifest = buf.toString("UTF-8").trim
+    // stage 1: the plan table IS c110's
+    val gotPlan = spark.read.parquet(s"$out/plan")
+      .orderBy("source").collect().map(_.toSeq)
+    val wantPlan = TextOps.c110DataRecipe(spark, sfDir).collect().map(_.toSeq)
+    assert(gotPlan.toSeq == wantPlan.toSeq,
+      "publish plan diverges from the c110 gate")
+    // the expected sampled set: c111's copy projection, kept = n_copies ≥ 1
+    val docs = graft.Tables.documents(spark, sfDir)
+    val expectSampled = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(TextOps.recipeCopies(docs, TextOps.recipePlanOf(spark, sfDir))
+        .filter(col("n_copies") >= 1).select("doc_id", "n_copies"), "doc_id")
+    // stage 3: shards ≡ c40 over the sampled set
+    val gotShards = spark.read.parquet(s"$out/shards")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val wantShards = TextOps.shuffleShard(expectSampled, 1)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(gotShards.toSeq == wantShards.toSeq,
+      "publish shards diverge from shuffleShard over the sampled set")
+    // stage 4: packs ≡ c76 over the sampled docs
+    val gotPacks = spark.read.parquet(s"$out/packs")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val wantPacks = TextOps.packFfdOn(
+        expectSampled.select("doc_id", "text"), 512L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(gotPacks.toSeq == wantPacks.toSeq,
+      "publish packs diverge from packFfdOn over the sampled set")
+    // stage 5: manifest ≡ c112 over the sampled docs
+    val gotMan = spark.read.parquet(s"$out/manifest")
+      .orderBy("shard").collect().map(_.toSeq)
+    val wantMan = TextOps.shardManifestOn(
+        expectSampled.select("doc_id", "text"), 1)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(gotMan.toSeq == wantMan.toSeq,
+      "publish manifest diverges from shardManifestOn over the sampled set")
+    // the combined JSON line carries the release-level totals
+    val nSampled = expectSampled.count()
+    val copies = expectSampled.agg(sum(col("n_copies"))).head.getLong(0)
+    assert(manifest.contains(s""""sampled_docs":$nSampled""") &&
+      manifest.contains(s""""total_copies":$copies""") &&
+      manifest.contains(s""""sources":${wantPlan.length}""") &&
+      manifest.contains(""""digest1":"""), manifest)
+    // the recipe really epochs (RecipeBudgetFactor ≥ 2 ⇒ the multiset
+    // is bigger than the doc set) — a publish that read copies == docs
+    // wouldn't be executing the plan
+    assert(nSampled > 0 && copies > nSampled, s"sampled=$nSampled copies=$copies")
+  }
+
   test("joint subcommand: verdict surface and quadrant manifest equal c107") {
     val out = Files.createTempDirectory("graft-cli-joint-").toString + "/joint"
     val buf = new java.io.ByteArrayOutputStream()
