@@ -10,6 +10,7 @@ Usage: python3 tools/check.py <outDir> [sfDir]
   magnitude when unequal).
 """
 import json
+import os
 import math
 import sys
 
@@ -42,7 +43,12 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver tables are single files; Spark-generated rehearsal
+        # corpora (tools.GenData) are <t>.parquet/ directories of parts
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
