@@ -173,6 +173,7 @@ object SparkEntry {
     "c109_video_clusters_incr" -> (Multimodal.c109VideoClustersIncr _),
     "c113_audio_clusters_incr" -> (Multimodal.c113AudioClustersIncr _),
     "c114_recall_split" -> (Multimodal.c114PhashRecallSplit _),
+    "c115_video_sig_index" -> (Multimodal.c115VideoSigIndex _),
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
     "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
@@ -1016,6 +1017,27 @@ object SparkEntry {
        |UNION ALL SELECT 'video', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xv
        |ORDER BY modality""".stripMargin
 
+  /** DuckDB rendering of c115 (r18): per video, the frame-order
+    * signature — string_agg of frame_idx:phash ordered by frame_idx,
+    * '|'-joined, md5'd (the exact string videoSigExpr's
+    * concat_ws/array_join renders: BIGINTs print decimally in both
+    * engines) — joined to the composed c106 closure's cluster, folded
+    * per signature with min() (same-signature videos are frame-for-
+    * frame hamming-0 dups in ONE cluster; min is the determinism
+    * guard on both sides). */
+  private def c115OracleSql(c91Sql: String, c106Sql: String): String =
+    s"""WITH hv AS (SELECT doc_id, frame_idx, phash
+       |      FROM (${c91Sql.replace("\n", "\n  ")})),
+       |sigs AS (SELECT doc_id,
+       |           md5(string_agg(frame_idx || ':' || phash, '|'
+       |             ORDER BY frame_idx)) AS sig
+       |         FROM hv GROUP BY doc_id),
+       |cl AS (SELECT doc_id, cluster_id
+       |       FROM (${c106Sql.replace("\n", "\n  ")}))
+       |SELECT s.sig AS sig, CAST(min(c.cluster_id) AS BIGINT) AS cluster_id
+       |FROM sigs s JOIN cl c ON c.doc_id = s.doc_id
+       |GROUP BY s.sig ORDER BY sig""".stripMargin
+
   /** The derived-URL CTE chain shared by the curation oracles (r16,
     * c96/c97): the SAME (source, lang, doc_id) → messy-URL derivation
     * Curation.urlCol builds, then the SAME host-capture + www-strip
@@ -1437,6 +1459,11 @@ object SparkEntry {
         // through the real split candidates
         + ("c114_recall_split" -> c114OracleSql(base("c88_image_phash"),
           base("c90_audio_phash"), base("c91_video_phash")))
+        // c115 (r18): the d52 serving index — signatures re-derived
+        // from the c91 hash SQL, clusters from the composed c106
+        // closure (c58's composed-eval rule)
+        + ("c115_video_sig_index" -> c115OracleSql(base("c91_video_phash"),
+          c106OracleSql(c94OracleSql(base("c91_video_phash")))))
         // c110 (r17): the recipe composes c35's keep SQL (c50's rule —
         // the weighting must judge exactly the verdict the gate checks)
         + ("c110_data_recipe" -> c110OracleSql(base("c35_quality_filter")))

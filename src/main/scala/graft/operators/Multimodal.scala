@@ -1715,6 +1715,23 @@ object Multimodal {
           .as("cl"))
       .groupBy("sig").agg(min("cl").as("cluster_id"))
 
+  /** c115 gate row (r18): the at-rest VIDEO-SIGNATURE index — d52's
+    * serving artifact promoted from spec-only to oracle-gated (the c89
+    * precedent: once a serving path ships, its at-rest decision table
+    * gets a DuckDB row so drift on EITHER side of the probe
+    * hash-fails). Exactly [[videoClusterIndexOf]] over the memoized
+    * fid table and the frozen c106 labels, presentation-ordered by
+    * sig. The ORACLE recomputes every signature from the c91 hash SQL
+    * (string_agg of frame_idx:phash in frame order → md5 — the same
+    * rendering videoSigExpr's concat_ws/array_join produces) and every
+    * cluster from the composed c106 closure, so the whole
+    * demux → hash → signature → label chain is engine-checked. */
+  def c115VideoSigIndex(spark: SparkSession, dir: String): DataFrame =
+    videoClusterIndexOf(
+      spark.read.parquet(videoFidTablePath(spark, dir)),
+      spark.read.parquet(videoLabelTablePath(spark, dir)))
+      .orderBy("sig")
+
   /** The at-rest (phash → cluster_id) EXACT-replay index d50 probes
     * (r17): every distinct corpus hash with the frozen cluster its
     * docs belong to. Docs sharing a hash are hamming-0 pairs, hence

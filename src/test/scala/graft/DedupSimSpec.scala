@@ -1175,6 +1175,34 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
+  test("c115 video signature index ≡ a driver re-derivation of sig → min c106 cluster") {
+    // the d52 serving artifact, checked against an INDEPENDENT driver
+    // md5 of the frame-order signature string (r18)
+    val idx = Multimodal.c115VideoSigIndex(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c106 = Multimodal.c106VideoClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fid = spark.read
+      .parquet(Multimodal.videoFidTablePath(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = fid.groupBy(_._1 >> 3).toSeq
+      .map { case (vid, frames) =>
+        val sig = md5hex(frames
+          .map { case (f, ph) => ((f & 7L), ph) }.sortBy(_._1)
+          .map { case (fr, ph) => s"$fr:$ph" }.mkString("|"))
+        (sig, vid)
+      }
+      .groupBy(_._1).view
+      .mapValues(vs => vs.map(v => c106(v._2)).min).toMap
+    assert(idx == want,
+      s"idx-only=${(idx.toSet -- want.toSet).take(3)}, " +
+        s"want-only=${(want.toSet -- idx.toSet).take(3)}")
+    assert(idx.nonEmpty && idx.size == want.size)
+  }
+
   test("c109 incremental video maintenance ≡ full re-cluster through both stages") {
     // the c103 theorem at the COMPOSED surface: frame banding → c105's
     // containment fold → threshold → confined CC must equal the
