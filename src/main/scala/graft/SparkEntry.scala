@@ -177,6 +177,7 @@ object SparkEntry {
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
     "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
+    "c116_recipe_audit" -> ((s: SparkSession, d: String) => TextOps.c116RecipeAudit(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -849,6 +850,26 @@ object SparkEntry {
        |FROM documents d JOIN cut c USING (source)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** DuckDB rendering of c116 (r18): the composed c110 plan joined to
+    * the realized token mass of the composed c111 multiset —
+    * Σ n_copies · len(split(text)) per source, drift as a signed
+    * BIGINT (all-integer output; no rounding seam). */
+  private def c116OracleSql(c110Sql: String, c111Sql: String): String =
+    s"""WITH plan AS (SELECT source, planned_tokens
+       |             FROM (${c110Sql.replace("\n", "\n  ")})),
+       |cp AS (SELECT doc_id, source, n_copies
+       |       FROM (${c111Sql.replace("\n", "\n  ")})),
+       |rl AS (SELECT cp.source,
+       |         CAST(sum(cp.n_copies *
+       |           len(string_split(d.text, ' '))) AS BIGINT)
+       |           AS realized_tokens
+       |       FROM cp JOIN documents d USING (doc_id)
+       |       GROUP BY cp.source)
+       |SELECT p.source, p.planned_tokens, rl.realized_tokens,
+       |  rl.realized_tokens - p.planned_tokens AS drift_tokens
+       |FROM plan p JOIN rl USING (source)
+       |ORDER BY p.source""".stripMargin
+
   /** DuckDB rendering of c112 (r17): c40's hash/shard derivation, the
     * hex→int halves re-derived DIGIT-WISE with shift arithmetic in
     * HUGEINT (the repo's oracles never parse hex numerically any other
@@ -1473,6 +1494,11 @@ object SparkEntry {
         // c112 (r17): c40's hash/shard derivation + digit-wise hex
         // halves + exact mod-2⁶¹−1 digests
         + ("c112_shard_manifest" -> c112OracleSql)
+        // c116 (r18): the planned-vs-realized fold over the composed
+        // c110 + c111 renderings — exact integers end to end
+        + ("c116_recipe_audit" ->
+          c116OracleSql(c110OracleSql(base("c35_quality_filter")),
+            c111OracleSql(c110OracleSql(base("c35_quality_filter")))))
         // c95 (r16): the oracle is the FULL re-cluster of the merged
         // corpus (c19's CTEs over documents ∪ recrawls) while the Spark
         // side maintains the frozen labels incrementally — the gate row

@@ -647,7 +647,10 @@ object TextOps {
     * the library entry point `Main shard --manifest` publishes next
     * to the sharded output. */
   def shardManifestOn(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
-    val sh = shuffleShard(docs.select("doc_id", "text"), prefixLen)
+    // withShardKey, NOT shuffleShard (r18): the manifest needs h +
+    // shard only — the old path paid shuffleShard's per-shard
+    // row_number sort window for a column the fold never read
+    val sh = withShardKey(docs.select("doc_id", "text"), prefixLen)
     sh.select(col("shard"),
         size(words(col("text"))).cast("bigint").as("nt"),
         expr("cast(conv(substr(h, 1, 15), 16, 10) as decimal(38,0))")
@@ -659,6 +662,37 @@ object TextOps {
         expr(s"cast(sum(h1) % ${DigestMod}L as bigint)").as("digest1"),
         expr(s"cast(sum(h2) % ${DigestMod}L as bigint)").as("digest2"))
       .orderBy("shard")
+  }
+
+  /** c116 gate row (r18): the recipe AUDIT — did the sampled multiset
+    * actually read what the plan said? Per source: c110's
+    * planned_tokens next to the REALIZED token mass of c111's multiset
+    * (Σ n_copies · doc tokens) and their signed integer drift. The
+    * sampler's fractional epoch picks docs by content hash, so the
+    * realized mass only approximates frac·tokens — but the drift is
+    * PROVABLY bounded by one source's token mass (realized − ⌊e⌋·tokens
+    * ∈ [0, tokens], planned − ⌊e⌋·tokens ∈ [0, tokens)), and this row
+    * puts the actual number in front of the pipeline owner instead of
+    * the bound. All-integer output (no ratios) — the c45 lesson:
+    * engine-exact at any scale, no float rounding seam.
+    *
+    * Scale shape: ONE groupBy(source) over the row-local c111
+    * projection joined to the per-doc token counts (a narrow
+    * O(docs) aggregate onto the bounded source table); the plan side
+    * is the collected bounded artifact. ORACLE composes the c110 and
+    * c111 renderings and re-derives the fold in exact integers. */
+  def c116RecipeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val realized = recipeCopies(docs, recipePlanOf(spark, dir))
+      .join(docs.select(col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("nt")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_copies") * col("nt")).as("realized_tokens"))
+    c110DataRecipe(spark, dir).select("source", "planned_tokens")
+      .join(realized, "source")
+      .select(col("source"), col("planned_tokens"), col("realized_tokens"),
+        (col("realized_tokens") - col("planned_tokens")).as("drift_tokens"))
+      .orderBy("source")
   }
 
   def c25MixtureResample(spark: SparkSession, dir: String): DataFrame = {
@@ -842,19 +876,28 @@ object TextOps {
     * ids and pay a second corpus shuffle just to reattach columns).
     * Duplicate doc_ids are legal: each row still gets its own dense
     * position. Unordered: a writer partitions the output by `shard`. */
-  def shuffleShard(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** THE shard-key derivation — h = md5(doc_id:text), shard = its
+    * prefixLen-char hex prefix — factored (r18) so [[shuffleShard]],
+    * [[shardManifestOn]] and d54's streaming digest contributions
+    * cannot drift (the wordTypeCounts rule applied to sharding). */
+  private[graft] def withShardKey(docs: DataFrame,
+                                  prefixLen: Int): DataFrame = {
     require(prefixLen >= 1 && prefixLen <= 8,
       s"prefixLen must be in [1, 8], got $prefixLen")
     val reserved = docs.columns.toSet.intersect(Set("h", "shard", "pos"))
     require(reserved.isEmpty,
       s"input already has column(s) ${reserved.mkString(", ")} — rename " +
-        "them first (shuffleShard appends h, shard and pos)")
-    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        "them first (the shard derivation appends h and shard)")
     docs
       .withColumn("h",
         md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
       .withColumn("shard", substring(col("h"), 1, prefixLen))
+  }
+
+  def shuffleShard(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    withShardKey(docs, prefixLen)
       .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
   }
 

@@ -1744,6 +1744,31 @@ object StreamOps {
         col("vc").isNotNull.as("seen_video"))
   }
 
+  /** d54: streaming RELEASE-DIGEST contributions at ingest — c112's
+    * serving twin (r18), built on the digest's defining property (the
+    * sums are associative/commutative): each arriving doc emits its
+    * row-local manifest CONTRIBUTION — (doc_id, shard, n_tokens,
+    * digest1, digest2): the two 60-bit md5(doc_id:text) halves (each
+    * already < 2⁶¹−1, so per-doc mod is the identity) — via THE SAME
+    * shard-key and hex-half expressions the batch c112 row folds
+    * (TextOps.withShardKey — d29's shared-subtree rule). Zero state,
+    * no watermark, no join; the per-shard merge (sum counts, sum
+    * digests mod 2⁶¹−1) is the consumer's batch fold (d26's rule) and
+    * equals the batch manifest on ANY replay partitioning — exactly
+    * the map-side-combinability c112's scaladoc claims, here doing
+    * real streaming work. */
+  def streamShardDigest(docs: DataFrame, prefixLen: Int = 1): DataFrame = {
+    import graft.operators.TextOps
+    TextOps.withShardKey(docs.select(col("doc_id"), col("text")), prefixLen)
+      .select(col("doc_id"), col("shard"),
+        size(graft.operators.TextOps.words(col("text"))).cast("bigint")
+          .as("n_tokens"),
+        expr(s"cast(cast(conv(substr(h, 1, 15), 16, 10) as decimal(38,0))" +
+          s" % ${TextOps.DigestMod}L as bigint)").as("digest1"),
+        expr(s"cast(cast(conv(substr(h, 17, 15), 16, 10) as decimal(38,0))" +
+          s" % ${TextOps.DigestMod}L as bigint)").as("digest2"))
+  }
+
   /** d51: streaming RECIPE ROUTING at ingest — c111's serving twin
     * (r17): each arriving (doc_id, source, text) reads its source's
     * full-epoch count and fractional-epoch membership off the c110

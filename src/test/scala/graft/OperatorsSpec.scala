@@ -259,6 +259,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c116 recipe audit: realized mass equals the driver fold; drift bounded by source mass") {
+    val plan = TextOps.c110DataRecipe(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("planned_tokens"))).toMap
+    val sample = TextOps.c111RecipeSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = sample.groupBy(_._2).view
+      .mapValues(_.map(r => r._3 * nt(r._1)).sum).toMap
+    val got = TextOps.c116RecipeAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == plan.keys.toSeq.sorted,
+      "one audit row per planned source, source-ordered")
+    got.foreach { case (s, pl, rl, dr) =>
+      assert(pl == plan(s)._2 && rl == want(s) && dr == rl - pl,
+        s"$s: ($pl, $rl, $dr) vs plan ${plan(s)._2} / driver ${want(s)}")
+      // the provable bound: the fractional epoch can miss the planned
+      // fraction by at most one source's token mass
+      assert(math.abs(dr) <= plan(s)._1,
+        s"$s drift $dr exceeds source mass ${plan(s)._1}")
+    }
+    assert(got.exists(_._4 != 0L),
+      "corpus must exercise a nonzero drift (the audit's reason to exist)")
+  }
+
   test("c112 shard manifest equals a driver recompute; order-invariant and tamper-evident") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -969,6 +969,92 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("d53 streaming AUDIO cluster inheritance: the d49 machinery over the " +
+      "audio index inherits c104's frozen clusters") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaRecord, Multimodal}
+    val index = spark.read.parquet(Multimodal.audioHashTablePath(spark, sfDir))
+    val labels = spark.read.parquet(Multimodal.audioLabelTablePath(spark, sfDir))
+    val corpus = index.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val lbl = labels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    val c104 = Multimodal.c104AudioClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseIds = Seq(1L, 4L, 13L, 34L) // audio docs: doc_id % 3 = 1
+    val arrivals = baseIds.map(id =>
+      MediaRecord(id + 5000000L, "audio", Multimodal.wavPayload(id)))
+    val stream = MemoryStream[MediaRecord]
+    val q = StreamOps.streamMediaClusterAssign(stream.toDS(), index, labels)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d53_sink").start()
+    try {
+      stream.addData(arrivals); q.processAllAvailable()
+      val got = spark.table("d53_sink").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc"),
+          r.getAs[Long]("hamming"), r.getAs[Long]("cluster_id"))).toSeq
+      assert(got.size == got.distinct.size, "duplicate pair rows")
+      val want = (for {
+        a <- arrivals
+        ph = Multimodal.phashOf(a.doc_id, a.media_type, a.payload)
+        (cd, cph) <- corpus
+        ham = java.lang.Long.bitCount(ph ^ cph).toLong if ham <= 3
+      } yield (a.doc_id, cd, ham,
+        math.min(lbl.getOrElse(cd, cd), cd))).toSet
+      assert(got.toSet == want,
+        s"stream-only=${(got.toSet -- want).take(4)}, " +
+          s"brute-only=${(want -- got.toSet).take(4)}")
+      // each replayed corpus audio inherits ITS OWN c104 cluster
+      baseIds.foreach { id =>
+        val inherited = got.filter(_._1 == id + 5000000L).map(_._4)
+        assert(inherited.nonEmpty && inherited.min == c104(id),
+          s"arrival of $id inherited ${inherited.sorted.take(3)}, " +
+            s"c104 says ${c104(id)}")
+      }
+    } finally q.stop()
+    ()
+  }
+
+  test("d54 streaming shard-digest contributions: any-partitioned replay " +
+      "folds to EXACTLY the batch c112 manifest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamShardDigest(
+        stream.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d54_sink").start()
+    try {
+      // replay the corpus in three microbatches, shuffled — the fold
+      // must not care about arrival order or batch boundaries
+      val shuffled = docs.sortBy(d => d._1 * 2654435761L % 1000)
+      shuffled.grouped(math.max(1, shuffled.length / 3)).foreach { b =>
+        stream.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val M = BigInt("2305843009213693951")
+      val folded = spark.table("d54_sink").collect()
+        .map(r => (r.getAs[String]("shard"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("digest1"), r.getAs[Long]("digest2")))
+        .groupBy(_._1).view.mapValues { rows =>
+          (rows.size.toLong, rows.map(_._2).sum,
+            (rows.map(r => BigInt(r._3)).sum % M).toLong,
+            (rows.map(r => BigInt(r._4)).sum % M).toLong)
+        }.toMap
+      val want = TextOps.c112ShardManifest(spark, sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+      assert(folded == want,
+        s"fold-only=${(folded.toSet -- want.toSet).take(3)}, " +
+          s"gate-only=${(want.toSet -- folded.toSet).take(3)}")
+    } finally q.stop()
+    ()
+  }
+
   test("d52 streaming video cluster inheritance: replays inherit EXACTLY the " +
       "frozen c106 label; fresh material reads null") {
     import spark.implicits._
