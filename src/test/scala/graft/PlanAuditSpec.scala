@@ -158,6 +158,26 @@ class PlanAuditSpec extends SparkSpec {
       s"product join in the release audit:\n$s")
   }
 
+  test("c116 plan: the recipe audit is narrow equi-joins onto the bounded source table — no product, no corpus sort") {
+    val s = executedPlanOf(graft.operators.TextOps.c116RecipeAudit(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"product join in the recipe audit:\n$s")
+  }
+
+  test("c112/d54 plan: the manifest fold has NO window — withShardKey dropped shuffleShard's row_number (r18)") {
+    val s = executedPlanOf(graft.operators.TextOps.c112ShardManifest(spark, sfDir))
+    assert(!s.contains("Window"),
+      s"the manifest fold must not pay a per-shard sort window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"product in the manifest:\n$s")
+  }
+
+  test("c115 plan: the signature index is one label equi-join over a per-video fold — no product") {
+    val s = executedPlanOf(
+      graft.operators.Multimodal.c115VideoSigIndex(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"product join in the signature index:\n$s")
+  }
+
   test("c48 plan: exact-count sample is TakeOrderedAndProject, never a global sort") {
     val s = executedPlanOf(graft.operators.TextOps.c48SampleExact(spark, sfDir))
     assert(s.contains("TakeOrderedAndProject"),
