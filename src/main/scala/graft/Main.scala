@@ -1652,6 +1652,7 @@ object Main {
     * and the write path that keeps each shard's file reducer-local).
     * Reproducible across re-runs and engines: no RNG state anywhere. */
   private def shard(args: Array[String]): Unit = {
+    if (args.contains("--verify")) { shardVerify(args); return }
     val in = opt(args, "--in").getOrElse(sys.error("--in required"))
     val out = opt(args, "--out").getOrElse(sys.error("--out required"))
     val prefixLen = opt(args, "--prefix-len").map(_.toInt).getOrElse(1)
@@ -1679,6 +1680,36 @@ object Main {
       println(s"""{"docs":${stats.getLong(0)},"shards":${stats.getLong(1)},""" +
         s""""prefix_len":$prefixLen$manifestJson,"out":${jsonStr(out)}}""")
     } finally sharded.unpersist()
+  }
+
+  /** `graft.Main shard --verify --in DOCS --manifest MANIFEST
+    * [--prefix-len L]` — the CONSUMER half of the c112 release story
+    * (r18): recompute the per-shard manifest from the downloaded docs
+    * (shard re-DERIVED from content via the shared withShardKey
+    * convention — a doc moved to the wrong shard directory is caught,
+    * not trusted) and diff against the publisher's manifest. Prints
+    * one JSON verdict line: ok, per-side shard counts, and up to 10
+    * offending shard keys — any missing, duplicated, altered or
+    * foreign doc moves a digest, so `"ok":true` certifies the download
+    * at doc grain. */
+  private def shardVerify(args: Array[String]): Unit = {
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val mp = opt(args, "--manifest")
+      .getOrElse(sys.error("--verify requires --manifest"))
+    val prefixLen = opt(args, "--prefix-len").map(_.toInt).getOrElse(1)
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in).select("doc_id", "text")
+    val got = graft.operators.TextOps.shardManifestOn(docs, prefixLen)
+    val want = spark.read.parquet(mp)
+    val cols = Seq("n_docs", "n_tokens", "digest1", "digest2")
+    val bad = got.as("g").join(want.as("w"), Seq("shard"), "full_outer")
+      .filter(cols.map(c => !(col(s"g.$c") <=> col(s"w.$c"))).reduce(_ || _))
+      .select("shard").collect().map(_.getString(0)).sorted
+    val nGot = got.count(); val nWant = want.count()
+    println(s"""{"ok":${bad.isEmpty},"shards_data":$nGot,""" +
+      s""""shards_manifest":$nWant,"bad":${bad.length},""" +
+      s""""bad_shards":${bad.take(10).map(jsonStr).mkString("[", ",", "]")},""" +
+      s""""in":${jsonStr(in)},"manifest":${jsonStr(mp)}}""")
   }
 
   /** `graft.Main vocab --in DATA_DIR --out OUT_DIR [--k N]` — c34's

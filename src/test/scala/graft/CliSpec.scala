@@ -265,6 +265,41 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("shard --verify: a clean download certifies; one altered doc flags its shard") {
+    val base = Files.createTempDirectory("graft-cli-shver-").toString
+    Main.main(Array("shard", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$base/shards", "--manifest", s"$base/manifest"))
+    def verify(inPath: String): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.main(Array("shard", "--verify", "--in", inPath,
+          "--manifest", s"$base/manifest"))
+      }
+      buf.toString("UTF-8").trim
+    }
+    // the publisher's own output verifies clean (shard re-derived from
+    // content, so the partition layout's hex coercion is irrelevant)
+    val ok = verify(s"$base/shards")
+    assert(ok.contains("\"ok\":true") && ok.contains("\"bad\":0"), ok)
+    // one altered doc: exactly that doc's shard flags (the tamper moves
+    // its digest AND its token mass; doc/shard membership is unchanged
+    // because the shard key hashes doc_id:text — the altered text moves
+    // the doc to a DIFFERENT shard, so up to 2 shards flag)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    tampered.write.mode("overwrite").parquet(s"$base/tampered")
+    val badOut = verify(s"$base/tampered")
+    assert(badOut.contains("\"ok\":false"), badOut)
+    val nBad = "\"bad\":(\\d+)".r.findFirstMatchIn(badOut).get.group(1).toInt
+    assert(nBad >= 1 && nBad <= 2, s"one-doc tamper must flag 1-2 shards: $badOut")
+    // a missing doc also flags (delete instead of alter)
+    val missing = docs.filter(col("doc_id") =!= 7L)
+    missing.write.mode("overwrite").parquet(s"$base/missing")
+    assert(verify(s"$base/missing").contains("\"ok\":false"))
+  }
+
   test("shard subcommand: partitioned-by-shard layout, dense positions, full columns carried") {
     val inDir = Files.createTempDirectory("graft-shard-in-").toString
     Tables.documents(spark, sfDir)
