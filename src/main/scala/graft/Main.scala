@@ -1808,6 +1808,24 @@ object Main {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"--max-hamming must be 0..3 (4x16-bit segment banding), got $maxHamming")
     val spark = GraftSession.get()
+    // --pairs (r18): write the near-dup PAIR surface instead of the
+    // survivor set — the audit view (which docs matched which, at what
+    // similarity) a dedup-policy review reads, and the diagnostic for
+    // candidate-density questions at scale (SURVEY §8p: the c2 wall is
+    // pair-count-driven; this verb puts the count next to the claim)
+    if (args.contains("--pairs")) {
+      require(mode == "minhash",
+        s"--pairs currently supports --mode minhash, got $mode")
+      val pairs = graft.operators.Dedup.c2DedupMinhash(spark, in)
+      pairs.write.mode("overwrite").parquet(out)
+      val written = spark.read.parquet(out)
+      val n = written.count()
+      val above = written.filter(col("jaccard") >= threshold).count()
+      println(s"""{"mode":"$mode","pairs":$n,""" +
+        s""""pairs_at_threshold":$above,"threshold":$threshold,""" +
+        s""""out":${jsonStr(out)}}""")
+      return
+    }
     val survivors = graft.operators.Dedup.dedupDocuments(
       spark, in, mode, threshold, maxHamming)
     survivors.write.mode("overwrite").parquet(out)

@@ -265,6 +265,21 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("dedup --pairs: the audit surface equals the c2 gate row") {
+    val out = Files.createTempDirectory("graft-cli-pairs-").toString + "/p"
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.main(Array("dedup", "--pairs", "--in", sfDir, "--out", out))
+    }
+    val got = spark.read.parquet(out)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq)
+    val want = graft.operators.Dedup.c2DedupMinhash(spark, sfDir)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "CLI pair surface diverges from c2")
+    assert(buf.toString("UTF-8").contains(s""""pairs":${want.length}"""),
+      buf.toString("UTF-8"))
+  }
+
   test("shard --verify: a clean download certifies; one altered doc flags its shard") {
     val base = Files.createTempDirectory("graft-cli-shver-").toString
     Main.main(Array("shard", "--in", s"$sfDir/documents.parquet",
