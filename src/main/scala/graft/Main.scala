@@ -280,14 +280,12 @@ object Main {
       .agg(sum(col("planned_tokens"))).head.getLong(0)
     // stage 2 — deterministic sampling (c111): the run's readable set =
     // docs with at least one planned copy; n_copies rides along as the
-    // loader's repeat count. One row-local projection + one doc_id
-    // equi-join to re-attach text (recipeCopies' output is the shared
-    // d51 projection — (doc_id, source, n_copies) only)
+    // loader's repeat count. ONE row-local projection — text carried
+    // through the shared d51 projection (r18: no doc_id join-back)
     val docs = Tables.documents(spark, in)
-    val sampled = docs.select(col("doc_id"), col("source"), col("text"))
-      .join(TextOps.recipeCopies(docs, planRows)
-        .filter(col("n_copies") >= 1).select("doc_id", "n_copies"),
-        "doc_id")
+    val sampled = TextOps.recipeCopies(docs, planRows, Seq("text"))
+      .filter(col("n_copies") >= 1)
+      .select("doc_id", "source", "text", "n_copies")
       .persist()
     // stage 3 — sharding (c40) over the sampled set, n_copies carried
     TextOps.shuffleShard(sampled, shardLen)

@@ -603,17 +603,22 @@ object TextOps {
     * plan reads NULL copies (new material — re-planning is c110's
     * batch job). */
   private[graft] def recipeCopies(docs: DataFrame,
-                                  plan: Seq[(String, Long, String)]): DataFrame = {
+                                  plan: Seq[(String, Long, String)],
+                                  carry: Seq[String] = Nil): DataFrame = {
     require(plan.nonEmpty, "recipe plan is empty — run c110 first")
     val fullMap = map(plan.flatMap { case (s, f, _) =>
       Seq(lit(s), lit(f)) }: _*)
     val cutMap = map(plan.flatMap { case (s, _, c) =>
       Seq(lit(s), lit(c)) }: _*)
-    docs.select(col("doc_id"), col("source"),
+    // `carry` rides extra input columns through the one row-local pass
+    // (r18): c116 carries the per-doc token count and `publish` the
+    // text — without it each paid an O(docs) doc_id join-back for
+    // columns that were already in hand
+    docs.select(Seq(col("doc_id"), col("source"),
       (element_at(fullMap, col("source")) +
         when(substring(md5(col("text")), 1, 4) <
           element_at(cutMap, col("source")), lit(1L)).otherwise(lit(0L)))
-        .as("n_copies"))
+        .as("n_copies")) ++ carry.map(col): _*)
   }
 
   /** Digest modulus: 2⁶¹ − 1 (Mersenne) — the order-invariant shard
@@ -683,9 +688,8 @@ object TextOps {
     * c111 renderings and re-derives the fold in exact integers. */
   def c116RecipeAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val realized = recipeCopies(docs, recipePlanOf(spark, dir))
-      .join(docs.select(col("doc_id"),
-        size(words(col("text"))).cast("bigint").as("nt")), "doc_id")
+      .withColumn("nt", size(words(col("text"))).cast("bigint"))
+    val realized = recipeCopies(docs, recipePlanOf(spark, dir), Seq("nt"))
       .groupBy("source")
       .agg(sum(col("n_copies") * col("nt")).as("realized_tokens"))
     c110DataRecipe(spark, dir).select("source", "planned_tokens")

@@ -158,10 +158,14 @@ class PlanAuditSpec extends SparkSpec {
       s"product join in the release audit:\n$s")
   }
 
-  test("c116 plan: the recipe audit is narrow equi-joins onto the bounded source table — no product, no corpus sort") {
+  test("c116 plan: one row-local corpus pass onto the bounded source table — no doc_id exchange, no product") {
     val s = executedPlanOf(graft.operators.TextOps.c116RecipeAudit(spark, sfDir))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"product join in the recipe audit:\n$s")
+    // the r18 carry refactor: token counts ride the recipeCopies
+    // projection, so the corpus is never re-joined to itself by doc_id
+    assert(!s.contains("hashpartitioning(doc_id"),
+      s"doc_id exchange crept back into the audit:\n$s")
   }
 
   test("c112/d54 plan: the manifest fold has NO window — withShardKey dropped shuffleShard's row_number (r18)") {
