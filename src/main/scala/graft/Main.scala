@@ -1697,17 +1697,22 @@ object Main {
     val prefixLen = opt(args, "--prefix-len").map(_.toInt).getOrElse(1)
     val spark = GraftSession.get()
     val docs = spark.read.parquet(in).select("doc_id", "text")
-    val got = graft.operators.TextOps.shardManifestOn(docs, prefixLen)
-    val want = spark.read.parquet(mp)
-    val cols = Seq("n_docs", "n_tokens", "digest1", "digest2")
-    val bad = got.as("g").join(want.as("w"), Seq("shard"), "full_outer")
-      .filter(cols.map(c => !(col(s"g.$c") <=> col(s"w.$c"))).reduce(_ || _))
-      .select("shard").collect().map(_.getString(0)).sorted
-    val nGot = got.count(); val nWant = want.count()
-    println(s"""{"ok":${bad.isEmpty},"shards_data":$nGot,""" +
-      s""""shards_manifest":$nWant,"bad":${bad.length},""" +
-      s""""bad_shards":${bad.take(10).map(jsonStr).mkString("[", ",", "]")},""" +
-      s""""in":${jsonStr(in)},"manifest":${jsonStr(mp)}}""")
+    // persist the recomputed manifest (r19 ADVICE): it is one shard-grain
+    // aggregate over the whole download — without the persist the join
+    // and each count() would re-scan the corpus
+    val got = graft.operators.TextOps.shardManifestOn(docs, prefixLen).persist()
+    val want = spark.read.parquet(mp).persist()
+    try {
+      val cols = Seq("n_docs", "n_tokens", "digest1", "digest2")
+      val bad = got.as("g").join(want.as("w"), Seq("shard"), "full_outer")
+        .filter(cols.map(c => !(col(s"g.$c") <=> col(s"w.$c"))).reduce(_ || _))
+        .select("shard").collect().map(_.getString(0)).sorted
+      val nGot = got.count(); val nWant = want.count()
+      println(s"""{"ok":${bad.isEmpty},"shards_data":$nGot,""" +
+        s""""shards_manifest":$nWant,"bad":${bad.length},""" +
+        s""""bad_shards":${bad.take(10).map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""in":${jsonStr(in)},"manifest":${jsonStr(mp)}}""")
+    } finally { got.unpersist(); want.unpersist() }
   }
 
   /** `graft.Main vocab --in DATA_DIR --out OUT_DIR [--k N]` — c34's

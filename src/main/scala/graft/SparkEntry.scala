@@ -3136,8 +3136,10 @@ object SparkEntry {
         |SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt
         |FROM p GROUP BY a, b
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
-    // c45: fixed-point integer sums per dim (engine-exact), derived
-    // doubles as single expression chains over those integers
+    // c45: fixed-point integer sums per dim (engine-exact); the 6-dp
+    // renders are exact integer half-away division (the c80 rule) —
+    // mean6 = intRound(200·sum_v4/(2n)), var6 from the HUGEINT
+    // numerator n·Σx₄²−(Σx₄)² (≥ 0, so // ≡ half-away here)
     "c45_embed_moments" ->
       """WITH x AS (SELECT i - 1 AS pos,
         |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v4
@@ -3147,10 +3149,11 @@ object SparkEntry {
         |      FROM x GROUP BY pos)
         |SELECT CAST(pos AS INT) AS pos, n, sum_v4,
         |  CAST(sq AS VARCHAR) AS sum_sq4, min_v4, max_v4,
-        |  round(CAST(sum_v4 AS DOUBLE) / 10000.0 / n, 6) AS mean_r,
-        |  round(CAST(sq AS DOUBLE) / 1e8 / n -
-        |    (CAST(sum_v4 AS DOUBLE) / 10000.0 / n) *
-        |    (CAST(sum_v4 AS DOUBLE) / 10000.0 / n), 6) AS var_r
+        |  CAST(CASE WHEN sum_v4 >= 0 THEN (200*sum_v4 + n) // (2*n)
+        |       ELSE -((200*(-sum_v4) + n) // (2*n)) END AS DOUBLE) / 1e6
+        |    AS mean_r,
+        |  CAST((2*(n*sq - sum_v4*sum_v4) + 100*n*n) // (200*n*n) AS DOUBLE)
+        |    / 1e6 AS var_r
         |FROM g ORDER BY pos""".stripMargin,
     // c46: per-row ⟨x,v0⟩ with the ±1 dim-parity start vector, then the
     // per-dim contribution sum — every term an exact BIGINT; the

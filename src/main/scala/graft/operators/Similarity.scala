@@ -928,9 +928,9 @@ object Similarity {
     * max per dimension, the inputs to whitening / normalization /
     * drift monitoring. All aggregation runs on FIXED-POINT integers
     * (c15's 1e-4 contract): integer sums are partial-aggregation-order
-    * independent and engine-exact, and the derived doubles (mean,
-    * variance via E[x²]−E[x]²) are single expression chains over those
-    * exact integers, identical in any IEEE engine, rounded to 6 dp.
+    * independent and engine-exact, and the derived 6-dp mean/variance
+    * are EXACT INTEGER half-away divisions over those sums (the c80
+    * rule, r19) — no float round anywhere, identical on any engine.
     * One posexplode + one map-side-combinable groupBy on a dim key whose
     * domain is the embedding width — state is O(dim), never O(corpus). */
   /** The fixed-point moment sums over an arbitrary embedding frame —
@@ -955,8 +955,25 @@ object Similarity {
         sum(col("v4").cast("decimal(38,0)") * col("v4")).as("sum_sq4"),
         min(col("v4")).as("min_v4"), max(col("v4")).as("max_v4"))
 
-  def c45EmbedMoments(spark: SparkSession, dir: String): DataFrame =
+  def c45EmbedMoments(spark: SparkSession, dir: String): DataFrame = {
+    // 6-dp renders by EXACT INTEGER half-away division (r19 — the c80
+    // rule applied here after the one GenData-corpus oracle diff:
+    // round(double, 6) lands on engine-dependent ULP ties under a
+    // different summation order, where intRound(sum·100/n)/1e6 is
+    // engine-exact). mean6 stays in BIGINT (200·|sum_v4| ≤ 8e6·n —
+    // wraps only past ~10¹² vectors); var6 runs in DECIMAL(38,0)
+    // (n·sum_sq4 ≤ 1.6e9·n² needs >int64 at real corpus scale) with
+    // num = n·Σx₄² − (Σx₄)² ≥ 0 by Cauchy-Schwarz, so the positive
+    // div branch alone is exact (truncate ≡ floor on non-negatives).
+    val mean6 = when(col("sum_v4") >= 0L,
+        expr("(200*sum_v4 + n) div (2*n)"))
+      .otherwise(-expr("(200*(-sum_v4) + n) div (2*n)"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     fixedPointMoments(Tables.embeddings(spark, dir))
+      .withColumn("__vnum", dec(col("n")) * col("sum_sq4") -
+        dec(col("sum_v4")) * dec(col("sum_v4")))
+      .withColumn("__vden", dec(lit(100L)) * dec(col("n")) * dec(col("n")))
+      .withColumn("__var6", expr("(2*__vnum + __vden) div (2*__vden)"))
       // the exact square sum travels as a STRING of the decimal: a
       // decimal column reaches pandas as object on one engine and
       // float64 on the other (hash mismatch), and a double would lose
@@ -965,11 +982,10 @@ object Similarity {
       .select(col("pos"), col("n"), col("sum_v4"),
         col("sum_sq4").cast("string").as("sum_sq4"),
         col("min_v4"), col("max_v4"),
-        round(col("sum_v4").cast("double") / 10000.0 / col("n"), 6).as("mean_r"),
-        round(col("sum_sq4").cast("double") / 1e8 / col("n") -
-          (col("sum_v4").cast("double") / 10000.0 / col("n")) *
-          (col("sum_v4").cast("double") / 10000.0 / col("n")), 6).as("var_r"))
+        (mean6.cast("double") / 1e6).as("mean_r"),
+        (col("__var6").cast("double") / 1e6).as("var_r"))
       .orderBy("pos")
+  }
 
   /** c46: one power-iteration step — the distributed building block of
     * PCA / spectral embedding analysis: given a fixed start direction

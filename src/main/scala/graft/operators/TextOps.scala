@@ -606,6 +606,12 @@ object TextOps {
                                   plan: Seq[(String, Long, String)],
                                   carry: Seq[String] = Nil): DataFrame = {
     require(plan.nonEmpty, "recipe plan is empty — run c110 first")
+    // withShardKey's reserved-column rule (r19 ADVICE): a carried name
+    // colliding with an emitted column would silently produce a
+    // duplicate-named, ambiguous output
+    val reserved = carry.toSet.intersect(Set("doc_id", "source", "n_copies"))
+    require(reserved.isEmpty,
+      s"carry columns collide with recipeCopies output: ${reserved.mkString(", ")}")
     val fullMap = map(plan.flatMap { case (s, f, _) =>
       Seq(lit(s), lit(f)) }: _*)
     val cutMap = map(plan.flatMap { case (s, _, c) =>

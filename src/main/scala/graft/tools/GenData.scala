@@ -57,8 +57,27 @@ object GenData {
   }
 
   def generate(spark: SparkSession, sf: Double, out: String): Unit = {
-    // driver parity: the reference tables ship timestamp[us]
+    // Scoped session conf (r19 ADVICE): TIMESTAMP_MICROS for driver
+    // parity (the reference tables ship timestamp[us]) and UTC so the
+    // instant→NTZ casts below store the same wall-clock values on any
+    // box — both saved and restored so an in-process caller
+    // (GenDataSpec, future tools) doesn't inherit the settings.
+    val prevTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try generateInner(spark, sf, out)
+    finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.parquet.outputTimestampType", prevTs)
+      restore("spark.sql.session.timeZone", prevTz)
+    }
+  }
+
+  private def generateInner(spark: SparkSession, sf: Double, out: String): Unit = {
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
     val nCust = n(150000); val nSupp = n(10000); val nPart = n(200000)
     val nOrders = n(1500000); val nLine = nOrders * 4
