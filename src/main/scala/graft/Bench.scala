@@ -18,6 +18,35 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Spark-free substrate probe (r19, the §8p three-instrument case
+    * folded INTO the artifact): single-threaded raw file creation —
+    * tools/fsprobe.py's loop, byte-identical work per call (n files of
+    * the bench's mean .arrow message size) — run immediately before
+    * each channel window and recorded in channel_stats, so a weak flag
+    * ships WITH its box-state evidence instead of in ledger prose. On
+    * this microVM infrastructure the probe oscillated 7.4k→29.5k
+    * files/s across identical r18 trials; a sub-floor channel median
+    * next to an oscillating/low substrate sample reads ENVIRONMENT, a
+    * breach on a steady-high substrate indicts the code. Driver-side
+    * only, no JVM warmup sensitivity (pure syscalls), ~0.1–0.5 s. */
+  private def substrateProbe(nFiles: Int = 1500, size: Int = 11000): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-substrate")
+    val payload = Array.fill[Byte](size)('x')
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < nFiles) {
+      java.nio.file.Files.write(dir.resolve(s"m$i.bin"), payload)
+      i += 1
+    }
+    val fps = nFiles / ((System.nanoTime() - t0) / 1e9)
+    var j = 0
+    while (j < nFiles) {
+      java.nio.file.Files.deleteIfExists(dir.resolve(s"m$j.bin")); j += 1
+    }
+    java.nio.file.Files.deleteIfExists(dir)
+    fps
+  }
+
   /** Socket ingest micro-bench (≙ bolson `bench client`): a feeder thread
     * streams the pre-materialized events ND-JSON corpus through a local TCP
     * socket; the socket source + convert stage drain it. Returns
@@ -260,6 +289,11 @@ object Bench {
     val pubL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
     val batchedL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
     val ingestL = scala.collection.mutable.ArrayBuffer[(Double, GroupLedger)]()
+    // r19: one substrate probe per channel window, recorded next to the
+    // window's samples (publish and batched share a window — one probe)
+    val subConvert = scala.collection.mutable.ArrayBuffer[Double]()
+    val subPub = scala.collection.mutable.ArrayBuffer[Double]()
+    val subIngest = scala.collection.mutable.ArrayBuffer[Double]()
     // cpu_s per channel derives from the ledgers (one source of truth,
     // one bus settle per sample — the old parallel cpu buffers paid a
     // second >=100 ms settle poll per sample for the same number)
@@ -295,6 +329,7 @@ object Bench {
     }
     if (runChannels) for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
+        subConvert += substrateProbe()
         rematerialize(s"bench-warm-convert-$round") { corpus.lines.count(); () }
         val (wall, led) = sampleLedger(s"bench-convert-$round") {
           run(ArrowIpc.serialize(
@@ -305,6 +340,7 @@ object Bench {
         ()
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
+        subPub += substrateProbe()
         rematerialize(s"bench-warm-publish-$round") { msgs.count(); () }
         def timeOne(tag: String,
                     mk: Long => graft.streaming.Publisher)
@@ -334,6 +370,7 @@ object Bench {
       // sample with proportionally more tasks but the same input rows
       // reads as microbatch overhead, not a convert-path regression.
       fenced(s"ingest#$round", ()) {
+        subIngest += substrateProbe()
         val (mbps, rps, runId, sec) = benchIngest(spark, sfDir)
         ingestS += ((mbps, rps))
         ingestL += ((sec, cpuClock.settledGroupLedger(runId)))
@@ -369,11 +406,16 @@ object Bench {
     def minWallCpu(ledgers: Seq[(Double, GroupLedger)]): Double =
       if (ledgers.isEmpty) -1.0
       else ledgers.minBy(_._1)._2.cpuNs / 1e9
+    // substrate probe samples ride in ROUND ORDER (unsorted, like the
+    // ledgers): sample i of a channel pairs with probe i of its window
     def statsJson(samples: Seq[Double], cpus: Seq[Double],
-                  ledgers: Seq[(Double, GroupLedger)]): String =
+                  ledgers: Seq[(Double, GroupLedger)],
+                  substrate: Seq[Double]): String =
       s"{${triple(samples, v => f"$v%.1f")}," +
         s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}},""" +
         f""""minwall_cpu_s":${minWallCpu(ledgers)}%.2f,""" +
+        s""""substrate_files_per_s":${
+          substrate.map(v => f"$v%.0f").mkString("[", ",", "]")},""" +
         s""""samples":${ledgerJson(ledgers)}}"""
     def medianOf(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
@@ -386,7 +428,7 @@ object Bench {
       ledgers.map(_._2.cpuNs / 1e9)
     val bandLow = Seq(
       ("convert_mb_per_s", 280.0, convertS.toSeq, cpus(convertL.toSeq),
-        convertL.toSeq),
+        convertL.toSeq, subConvert.toSeq),
       // per-message publish floor RECALIBRATED 20k → 12k (r17, the §8o
       // evidence): the 20k floor predated the r16 measurement overhaul
       // and was never cleared again on ANY box — r16 driver 7.2k
@@ -397,11 +439,12 @@ object Bench {
       // windows proving the gap is the box). 12k sits below every
       // healthy best-sample reading and still trips on a 2× code
       // regression of this one-file-per-message fs-bound path.
-      ("publish_msgs_per_s", 12000.0, pubS.toSeq, cpus(pubL.toSeq), pubL.toSeq),
+      ("publish_msgs_per_s", 12000.0, pubS.toSeq, cpus(pubL.toSeq), pubL.toSeq,
+        subPub.toSeq),
       ("publish_batched_msgs_per_s", 100000.0, batchedS.toSeq,
-        cpus(batchedL.toSeq), batchedL.toSeq),
+        cpus(batchedL.toSeq), batchedL.toSeq, subPub.toSeq),
       ("ingest_mb_per_s", 9.0, ingestS.map(_._1).toSeq, cpus(ingestL.toSeq),
-        ingestL.toSeq))
+        ingestL.toSeq, subIngest.toSeq))
     // the floors are calibrated at the driver's bench scale (sf0.1) —
     // at smaller SFs fixed job overhead dominates every channel and the
     // annotation would be pure noise
@@ -418,7 +461,7 @@ object Bench {
     // r16→r17 per-message publish history). Medians still ship in
     // channel_stats for cross-round reading.
     val weak = bandLow.collect {
-      case (name, low, samples, _, _)
+      case (name, low, samples, _, _, _)
         if bandsApply && samples.nonEmpty && samples.max < low => name
     }
     weak.foreach(w => System.err.println(
@@ -432,14 +475,15 @@ object Bench {
     // median that stays breached across rounds while the best sample
     // passes reads as bimodality to investigate, not silence.
     val weakMedian = bandLow.collect {
-      case (name, low, samples, _, _)
+      case (name, low, samples, _, _, _)
         if bandsApply && samples.nonEmpty && medianOf(samples) < low => name
     }
     weakMedian.foreach(w => System.err.println(
       s"[bench] WARN (median): $w median sample below its band floor " +
         "(warn-only; the weak flag reads the best sample)"))
-    val channelStats = bandLow.map { case (name, _, samples, cpus, ledgers) =>
-      s""""$name":${statsJson(samples, cpus, ledgers)}"""
+    val channelStats = bandLow.map {
+      case (name, _, samples, cpus, ledgers, substrate) =>
+        s""""$name":${statsJson(samples, cpus, ledgers, substrate)}"""
     }.mkString("{", ",", "}")
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
     val weakMedianJson = weakMedian.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -35,6 +35,16 @@ object GraftSession {
       // constantly; size it to hold the whole working set (static conf,
       // must be set before the first session)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // r19: the sf1.0 heap cliff (§8p caveat) — Tungsten sizes task
+      // memory pages from heap/cores, so a 32-thread local JVM driving
+      // 139M-row pair sorts and no-partition window evals reached
+      // multi-GiB single allocations and OOM'd the 8g default heap.
+      // Capping the page size makes the big consumers acquire memory in
+      // grants the UnifiedMemoryManager can actually arbitrate — sorts
+      // SPILL under pressure instead of dying. On a real cluster the
+      // same cap keeps executor sizing linear in partition count rather
+      // than hostage to the largest single sort.
+      .config("spark.buffer.pageSize", "16m")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -502,8 +502,17 @@ object Main {
     merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "a", "b")
       .coalesce(1).write.mode("overwrite").parquet(out)
+    // --export PATH (r19): the portable tokenizers-json artifact next to
+    // the parquet one — the train→SHIP step non-JVM consumers read
+    val exported = opt(args, "--export").map { ep =>
+      graft.sources.TokenizerJson.write(ep,
+        graft.sources.TokenizerJson.BpeArtifact(merges, byteLevel = bytes,
+          meta = Map("rounds" -> rounds.toString,
+            "gpt2_pre" -> gpt2Pre.toString, "trained_on" -> in)))
+      s""","export":${jsonStr(ep)}"""
+    }.getOrElse("")
     println(s"""{"merges":${merges.length},"rounds":$rounds,""" +
-      s""""bytes":$bytes,"gpt2_pre":$gpt2Pre,"out":${jsonStr(out)}}""")
+      s""""bytes":$bytes,"gpt2_pre":$gpt2Pre,"out":${jsonStr(out)}$exported}""")
   }
 
   /** `graft.Main unigram-train --in PARQUET --out PIECES
@@ -534,9 +543,17 @@ object Main {
     val art = Unigram.trainUnigramOn(wt, seedMultis, vocabMultis, rounds)
     art.toDF("piece", "score")
       .coalesce(1).write.mode("overwrite").parquet(out)
+    val exported = opt(args, "--export").map { ep =>
+      graft.sources.TokenizerJson.write(ep,
+        graft.sources.TokenizerJson.UnigramArtifact(art,
+          meta = Map("seed_multis" -> seedMultis.toString,
+            "vocab_multis" -> vocabMultis.toString,
+            "rounds" -> rounds.toString, "trained_on" -> in)))
+      s""","export":${jsonStr(ep)}"""
+    }.getOrElse("")
     println(s"""{"pieces":${art.length},""" +
       s""""multis":${art.count(_._1.length > 1)},"rounds":$rounds,""" +
-      s""""out":${jsonStr(out)}}""")
+      s""""out":${jsonStr(out)}$exported}""")
   }
 
   /** `graft.Main wordpiece-train --in PARQUET --out VOCAB [--rounds R]`
@@ -564,9 +581,15 @@ object Main {
     val vocab = Wordpiece.trainWordpieceOn(wt, rounds)
     vocab.toDF("piece")
       .coalesce(1).write.mode("overwrite").parquet(out)
+    val exported = opt(args, "--export").map { ep =>
+      graft.sources.TokenizerJson.write(ep,
+        graft.sources.TokenizerJson.WordpieceArtifact(vocab,
+          meta = Map("rounds" -> rounds.toString, "trained_on" -> in)))
+      s""","export":${jsonStr(ep)}"""
+    }.getOrElse("")
     println(s"""{"pieces":${vocab.length},""" +
       s""""multis":${vocab.count(p => p.stripPrefix("##").length > 1)},""" +
-      s""""rounds":$rounds,"out":${jsonStr(out)}}""")
+      s""""rounds":$rounds,"out":${jsonStr(out)}$exported}""")
   }
 
   /** `graft.Main tokenize --wordpiece --in PARQUET --vocab VOCAB --out
@@ -584,12 +607,21 @@ object Main {
     require(!args.contains("--bytes") && !args.contains("--gpt2-pre"),
       "--wordpiece is the word-level greedy path; --bytes/--gpt2-pre are BPE flags")
     val spark = GraftSession.get()
-    val vf = spark.read.parquet(vocabPath)
-    require(vf.columns.contains("piece"),
-      s"vocab $vocabPath must have a piece column, " +
-        s"found ${vf.columns.mkString("(", ", ", ")")}")
-    val vocab = vf.orderBy("piece").collect()
-      .map(_.getAs[String]("piece")).toSeq
+    val vocab =
+      if (vocabPath.endsWith(".json")) {
+        graft.sources.TokenizerJson.read(vocabPath) match {
+          case a: graft.sources.TokenizerJson.WordpieceArtifact => a.vocab
+          case other => sys.error(
+            s"artifact $vocabPath is kind '${other.kind}', expected wordpiece")
+        }
+      } else {
+        val vf = spark.read.parquet(vocabPath)
+        require(vf.columns.contains("piece"),
+          s"vocab $vocabPath must have a piece column, " +
+            s"found ${vf.columns.mkString("(", ", ", ")")}")
+        vf.orderBy("piece").collect()
+          .map(_.getAs[String]("piece")).toSeq
+      }
     // mirror the trainer's MaxPieceLen filter LOUDLY (r17 ADVICE): the
     // greedy matcher only probes prefixes up to MaxPieceLen chars, so a
     // hand-assembled piece longer than that would be silently unmatchable
@@ -632,12 +664,29 @@ object Main {
     val gpt2Pre = args.contains("--gpt2-pre")
     require(!gpt2Pre || bytes, "--gpt2-pre requires --bytes")
     val spark = GraftSession.get()
-    val mf = spark.read.parquet(mergesPath)
-    require(Seq("rank", "a", "b").forall(mf.columns.contains),
-      s"merges $mergesPath must have (rank, a, b) columns, " +
-        s"found ${mf.columns.mkString("(", ", ", ")")}")
-    val merges = mf.orderBy("rank").collect()
-      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    // a .json artifact (bpe-train --export) loads through the portable
+    // reader; the kind must agree with the requested staging mode — a
+    // word-level merge list applied to byte-staged pretokens (or vice
+    // versa) would silently tokenize garbage
+    val merges =
+      if (mergesPath.endsWith(".json")) {
+        graft.sources.TokenizerJson.read(mergesPath) match {
+          case a: graft.sources.TokenizerJson.BpeArtifact =>
+            require(a.byteLevel == bytes,
+              s"artifact $mergesPath is kind '${a.kind}' but the requested " +
+                s"mode is ${if (bytes) "byte_bpe (--bytes)" else "bpe"}")
+            a.merges
+          case other => sys.error(
+            s"artifact $mergesPath is kind '${other.kind}', expected bpe/byte_bpe")
+        }
+      } else {
+        val mf = spark.read.parquet(mergesPath)
+        require(Seq("rank", "a", "b").forall(mf.columns.contains),
+          s"merges $mergesPath must have (rank, a, b) columns, " +
+            s"found ${mf.columns.mkString("(", ", ", ")")}")
+        mf.orderBy("rank").collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      }
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +
@@ -684,12 +733,21 @@ object Main {
     require(!args.contains("--wordpiece"),
       "--unigram and --wordpiece are mutually exclusive tokenizer modes")
     val spark = GraftSession.get()
-    val pf = spark.read.parquet(piecesPath)
-    require(Seq("piece", "score").forall(pf.columns.contains),
-      s"pieces $piecesPath must have (piece, score) columns, " +
-        s"found ${pf.columns.mkString("(", ", ", ")")}")
-    val art = pf.orderBy("piece").collect()
-      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("score"))).toSeq
+    val art =
+      if (piecesPath.endsWith(".json")) {
+        graft.sources.TokenizerJson.read(piecesPath) match {
+          case a: graft.sources.TokenizerJson.UnigramArtifact => a.pieces
+          case other => sys.error(
+            s"artifact $piecesPath is kind '${other.kind}', expected unigram")
+        }
+      } else {
+        val pf = spark.read.parquet(piecesPath)
+        require(Seq("piece", "score").forall(pf.columns.contains),
+          s"pieces $piecesPath must have (piece, score) columns, " +
+            s"found ${pf.columns.mkString("(", ", ", ")")}")
+        pf.orderBy("piece").collect()
+          .map(r => (r.getAs[String]("piece"), r.getAs[Long]("score"))).toSeq
+      }
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       s"input $in must have (doc_id, text) columns, " +

@@ -178,6 +178,8 @@ object SparkEntry {
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
     "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
     "c116_recipe_audit" -> ((s: SparkSession, d: String) => TextOps.c116RecipeAudit(s, d)),
+    "c117_html_extract" -> ((s: SparkSession, d: String) => graft.operators.Extract.c117HtmlExtract(s, d)),
+    "c118_encoding_flag" -> ((s: SparkSession, d: String) => graft.operators.Extract.c118EncodingFlag(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -3155,6 +3157,34 @@ object SparkEntry {
         |  CAST((2*(n*sq - sum_v4*sum_v4) + 100*n*n) // (200*n*n) AS DOUBLE)
         |    / 1e6 AS var_r
         |FROM g ORDER BY pos""".stripMargin,
+    // c117: the closed-form gate-markup expectation (c12's discipline —
+    // Spark runs the REAL extractor over synthesized markup; the oracle
+    // recomputes what extraction must produce: boilerplate lines all sit
+    // under the 4-word density floor, malformed %13 docs refuse to "")
+    "c117_html_extract" ->
+      """SELECT doc_id,
+        |  doc_id % 13 <> 0 AS well_formed,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_lines,
+        |  CASE WHEN doc_id % 13 = 0 THEN ''
+        |       ELSE 'intro ' || CAST(doc_id AS VARCHAR) || ' ' || text
+        |            || ' & fin' END AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // c118: the planted-corruption expectation — disjoint closed-form
+    // plants (%11 → U+FFFD, %13 → BEL, %7 → mojibake digraph) on a
+    // clean-ASCII corpus, so each count is exactly its plant
+    "c118_encoding_flag" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_fffd,
+        |  CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 = 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_ctrl,
+        |  CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+        |       AND doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_moji,
+        |  (doc_id % 11 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 <> 0) AS ok,
+        |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 = 0
+        |       THEN text || ' Ã©' ELSE text END AS repaired
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // c46: per-row ⟨x,v0⟩ with the ±1 dim-parity start vector, then the
     // per-dim contribution sum — every term an exact BIGINT; the
     // normalizer is the order-independent max |component|

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Raw-web extraction + encoding validity (SURVEY §2 c117–c118) — the
+  * two stages every web-crawl pipeline runs BEFORE anything else in
+  * this inventory touches text: HTML→text extraction with boilerplate
+  * removal (the WET/CCNet stage), then mojibake/encoding-damage
+  * flagging on the extracted text. The r18 verdict ranked the missing
+  * extraction stage the #1 gap a real user would hit.
+  *
+  * Reference scope: bolson (reference stream.cpp:117-190) ingests
+  * ND-JSON, never raw markup — this is capability-superset territory;
+  * the rules follow the public WET extraction + CCNet/jusText
+  * line-density heuristics (Wenzek et al. 2020).
+  *
+  * Both operators are single row-local codegen'd expression chains —
+  * zero joins, zero shuffles, no UDFs — so they scan-parallelize
+  * perfectly: at 100 TB the cost is exactly one pass over the raw
+  * bytes, and Catalyst prunes the scan to the markup column.
+  *
+  * Gate discipline (c12's closed-form-payload rule): TESTDATA ships no
+  * markup column and the corpus contract is frozen, so the gate rows
+  * SYNTHESIZE markup/corruption from (doc_id, text) identically in
+  * both engines — Spark runs the REAL extractor/detector over the
+  * synthesized payload, and the DuckDB oracle recomputes the expected
+  * output in closed form. Every-13th doc's markup is malformed
+  * (unterminated <script>), so the refusal path is itself oracled.
+  * The generic `*On` entry points take arbitrary frames and are pinned
+  * by adversarial specs (nested/uppercase/attribute-heavy markup,
+  * planted control bytes) — the c96 domainCapOn pattern. */
+object Extract {
+
+  // ---------------------------------------------------------------- c117
+
+  /** Block-level tags, OPENING and closing (plus <br>/<hr>): replaced
+    * with newlines so the document's LINE structure survives tag
+    * stripping — the unit the boilerplate density rule judges. Inline
+    * tags (<a>, <b>, <em>, <span>, …) strip to a space instead, so they
+    * never split a line. Longer names precede their prefixes in the
+    * alternation (header before head) — with `[^>]*>` consuming
+    * attributes, a prefix match on a longer inline name (<u> vs ul) is
+    * impossible because the tail chars must still reach `>`. */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|nav|footer|header|section|article|aside|main|title|" +
+      "head|body|html|h[1-6]|hr|br|li|ul|ol|tr|td|thead|tbody|tfoot|th|" +
+      "table|blockquote|pre|form)[^>]*>"
+
+  /** Known limitation (documented, spec-pinned): tag recognition is
+    * regex-based — an attribute value containing a literal `>` ends the
+    * tag early and leaks the remainder as text. The damage is contained
+    * to one line (usually dropped by the density rule); a full HTML5
+    * tokenizer is out of scope for a deterministic engine-exact gate. */
+  private def stripTags(c: Column): Column =
+    regexp_replace(regexp_replace(c, BlockTagRe, "\n"), "<[^>]*>", " ")
+
+  /** Minimal entity decode — the half-dozen entities that dominate real
+    * markup; runs AFTER tag stripping (a decoded `&lt;` must not look
+    * like a tag) with `&amp;` last (never double-decode). */
+  private def decodeEntities(c: Column): Column = {
+    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&copy;" -> "©",
+      "&amp;" -> "&")
+    pairs.foldLeft(c) { case (acc, (k, v)) => regexp_replace(acc, k, v) }
+  }
+
+  /** THE extraction operator over an arbitrary (… , markupCol) frame —
+    * deterministic pure-JVM WET-stage extraction:
+    *
+    *  1. scrub comments and terminated <script>/<style> blocks;
+    *  2. REFUSAL: if an unterminated <script>/<style>/<!-- survives,
+    *     flag `well_formed = false` and truncate from the open marker —
+    *     script/style payload must never leak into training text;
+    *  3. block-level closing tags → newline, remaining tags → space;
+    *  4. entity decode;
+    *  5. per line: trim + collapse whitespace, then the CCNet-style
+    *     line-density boilerplate rule — drop lines under `minWords`
+    *     words (nav crumbs, copyright lines, ad-unit labels).
+    *
+    * Emits the input columns minus the markup, plus `well_formed`,
+    * `n_lines` (kept) and `extracted` (kept lines joined by \n).
+    * Null markup rows drop (the corpus explode convention). Every stage
+    * is a staged column (the d11 rule: each regex pass runs once per
+    * row, not once per downstream reference). */
+  def htmlExtractOn(docs: DataFrame, markupCol: String = "html",
+                    minWords: Int = 4): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val keep = docs.columns.filterNot(_ == markupCol).map(col).toSeq
+    docs
+      .filter(col(markupCol).isNotNull)
+      .withColumn("__x1", regexp_replace(col(markupCol), "(?s)<!--.*?-->", " "))
+      .withColumn("__x2", regexp_replace(col("__x1"),
+        "(?is)<script\\b[^>]*>.*?</script\\s*>", " "))
+      .withColumn("__x3", regexp_replace(col("__x2"),
+        "(?is)<style\\b[^>]*>.*?</style\\s*>", " "))
+      .withColumn("well_formed",
+        !col("__x3").rlike("(?is)<script\\b|<style\\b|<!--"))
+      .withColumn("__x4", regexp_replace(col("__x3"),
+        "(?is)(?:<script\\b|<style\\b|<!--).*$", " "))
+      .withColumn("__lines",
+        filter(
+          transform(split(decodeEntities(stripTags(col("__x4"))), "\n"),
+            l => trim(regexp_replace(l, "\\s+", " "))),
+          l => l =!= "" && size(split(l, " ")) >= minWords))
+      .select(keep ++ Seq(col("well_formed"),
+        size(col("__lines")).cast("bigint").as("n_lines"),
+        array_join(col("__lines"), "\n").as("extracted")): _*)
+  }
+
+  /** The synthesized gate markup — a closed-form function of
+    * (doc_id, text) both engines can render: head boilerplate (title,
+    * style, script), nav crumbs, the body text behind inline tags and
+    * an entity, an ad div and an entity-bearing footer. Every 13th doc
+    * leaves its <script> unterminated — the refusal branch, oracled. */
+  private[graft] def gateMarkup: Column = {
+    val id = col("doc_id").cast("string")
+    val scriptClose =
+      when(pmod(col("doc_id"), lit(13L)) === 0, lit("")) // malformed
+        .otherwise(lit("</script>"))
+    concat(
+      lit("<html><head><title>doc "), id,
+      lit("</title><style>p{margin:0}</style><script>var id="), id,
+      lit(";"), scriptClose,
+      lit("</head><body><nav><a href=\"/\">home</a> <a href=\"/top\">top</a></nav><p><em>intro "),
+      id, lit("</em> "), col("text"),
+      lit(" &amp; fin</p><div class=\"ad\">ad unit "), id,
+      lit("</div><footer>&copy; site "), id,
+      lit("</footer></body></html>"))
+  }
+
+  /** c117 gate row: synthesize markup from every document, run the real
+    * extractor, present (doc_id, well_formed, n_lines, extracted).
+    * Boilerplate head/nav/ad/footer lines all sit under the 4-word
+    * density floor, so a well-formed doc extracts exactly its body line
+    * "intro {id} {text} & fin"; a malformed doc refuses to "" — both
+    * recomputed in closed form by the oracle. */
+  def c117HtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlExtractOn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), gateMarkup.as("html")))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- c118
+
+  /** Encoding-damage character classes. `CtrlClass`: C0 controls minus
+    * \t\n\r, DEL, and the C1 range U+0080–U+009F — the bytes cp1252
+    * round-trips smuggle in. `MojiRe`: the UTF-8-read-as-latin1
+    * signatures — a 2-byte lead (Ã=0xC3, Â=0xC2) or 3-byte lead
+    * (â=0xE2) followed by continuation bytes decoded as U+0080–U+00BF
+    * chars ("Ã©", "â€™", "Â·" — the ftfy top offenders). */
+  private val CtrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]"
+  private val MojiRe = "[\\xC2\\xC3][\\x80-\\xBF]|\\xE2[\\x80-\\xBF]{2}"
+
+  /** THE encoding-validity operator over an arbitrary (…, textCol)
+    * frame — the quality gate real pipelines run right after
+    * extraction: per row the replacement-character count (a decoder
+    * already gave up once per U+FFFD), the control-character count
+    * (CtrlClass), and the mojibake-signature count (MojiRe). `ok` is
+    * the all-zero verdict; `repaired` scrubs what is mechanically safe
+    * to scrub (U+FFFD + controls carry no recoverable content) and
+    * deliberately KEEPS mojibake — those chars still encode the
+    * original bytes, and a wrong latin1 guess would destroy them, so
+    * repair-vs-reflag is the downstream policy's call (the ftfy rule).
+    * Counts are exact integers (the c45 lesson); everything row-local
+    * and codegen'd. */
+  def encodingFlagOn(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .filter(t.isNotNull)
+      .withColumn("n_fffd", regexp_count(t, lit("�")).cast("bigint"))
+      .withColumn("n_ctrl", regexp_count(t, lit(CtrlClass)).cast("bigint"))
+      .withColumn("n_moji", regexp_count(t, lit(MojiRe)).cast("bigint"))
+      .withColumn("ok",
+        col("n_fffd") === 0 && col("n_ctrl") === 0 && col("n_moji") === 0)
+      // the ($MojiRe) self-replacement group keeps mojibake sequences
+      // intact even when their continuation chars are C1 controls
+      // (â€™'s U+0080/U+0099): the alternation matches the digraph
+      // first and rewrites it unchanged; only BARE controls scrub
+      .withColumn("repaired",
+        regexp_replace(t, s"($MojiRe)|�|$CtrlClass", "$1"))
+  }
+
+  /** The planted gate corruption — closed-form from doc_id (disjoint
+    * branches so each count is oracled independently): every 11th doc
+    * gains a U+FFFD, every 13th (not 11th) a BEL control, every 7th
+    * (not 11th/13th) the " Ã©" mojibake digraph. The gate corpora are
+    * clean ASCII (30-word vocabulary), so the planted damage is the
+    * ONLY damage — the closed form the oracle recomputes. */
+  private[graft] def gateCorruption: Column =
+    when(pmod(col("doc_id"), lit(11L)) === 0, concat(col("text"), lit("�")))
+      .when(pmod(col("doc_id"), lit(13L)) === 0, concat(col("text"), lit("\u0007")))
+      .when(pmod(col("doc_id"), lit(7L)) === 0, concat(col("text"), lit(" Ã©")))
+      .otherwise(col("text"))
+
+  /** c118 gate row: plant closed-form corruption on every document, run
+    * the real detector, present counts + verdict + repaired text. */
+  def c118EncodingFlag(spark: SparkSession, dir: String): DataFrame =
+    encodingFlagOn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), gateCorruption.as("text")))
+      .select("doc_id", "n_fffd", "n_ctrl", "n_moji", "ok", "repaired")
+      .orderBy("doc_id")
+}

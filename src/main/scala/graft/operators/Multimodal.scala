@@ -66,17 +66,44 @@ object Multimodal {
   // ---- deterministic payload generation (closed-form in doc_id, so the
   // ---- DuckDB oracle recomputes decoded features without parsing binary)
 
+  /** r19 rehearsal knob (§8p follow-up): the default closed-form
+    * payloads are LOW-DIVERSITY by design (small linear patterns the
+    * DuckDB oracle recomputes exactly), which makes perceptual-hash
+    * pair graphs near-COMPLETE on large synthetic corpora — the pair
+    * surfaces rehearse their worst case instead of a real corpus's.
+    * With SPARK_GRAFT_MEDIA_DIVERSE=1 every payload byte instead mixes
+    * through splitmix64 — still a pure function of (doc_id, position),
+    * still deterministic across runs and engines, but rasters/envelopes/
+    * frames decorrelate like real media, so pair density tracks the
+    * PLANTED duplicate structure only. Rehearsal-only: gate oracles
+    * recompute the DEFAULT closed form and would fail loudly under the
+    * env — which is the guard, not a bug. */
+  private[graft] def mediaDiverse: Boolean =
+    sys.env.get("SPARK_GRAFT_MEDIA_DIVERSE")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** splitmix64 finalizer — the standard public-domain mixer. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   private[graft] def imageDims(docId: Long): (Int, Int) =
     ((8 + docId % 9).toInt, (8 + docId % 7).toInt)
 
-  private[graft] def pgmPayload(docId: Long): Array[Byte] = {
+  private[graft] def pgmPayload(docId: Long,
+                                diverse: Boolean = mediaDiverse): Array[Byte] = {
     val (w, h) = imageDims(docId)
     val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + w * h)
     System.arraycopy(header, 0, out, 0, header.length)
     var i = 0
     while (i < w * h) {
-      out(header.length + i) = ((docId * 31 + i * 7) % 256).toByte
+      out(header.length + i) =
+        if (diverse) (mix64(docId * 0x100000001B3L + i) & 0xFF).toByte
+        else ((docId * 31 + i * 7) % 256).toByte
       i += 1
     }
     out
@@ -87,7 +114,8 @@ object Multimodal {
 
   private[graft] def audioSampleCount(docId: Long): Int = (64 + docId % 129).toInt
 
-  private[graft] def wavPayload(docId: Long): Array[Byte] = {
+  private[graft] def wavPayload(docId: Long,
+                                diverse: Boolean = mediaDiverse): Array[Byte] = {
     val n = audioSampleCount(docId)
     val dataBytes = 2 * n
     val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
@@ -104,7 +132,9 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     var i = 0
     while (i < n) {
-      bb.putShort((((docId * 131 + i * 17) % 65536) - 32768).toShort)
+      bb.putShort(
+        if (diverse) ((mix64(docId * 0x100000001B3L + i) & 0xFFFF) - 32768).toShort
+        else (((docId * 131 + i * 17) % 65536) - 32768).toShort)
       i += 1
     }
     bb.array()
@@ -122,7 +152,8 @@ object Multimodal {
   /** Raster bytes per 4:2:0 frame: full-res luma + two quarter-res chroma. */
   private[graft] def y4mFrameSize(w: Int, h: Int): Int = w * h + 2 * (w / 2) * (h / 2)
 
-  private[graft] def y4mPayload(docId: Long): Array[Byte] = {
+  private[graft] def y4mPayload(docId: Long,
+                                diverse: Boolean = mediaDiverse): Array[Byte] = {
     val (w, h) = videoDims(docId)
     val frames = videoFrameCount(docId)
     val fs = y4mFrameSize(w, h)
@@ -137,7 +168,10 @@ object Multimodal {
       pos += marker.length
       var i = 0
       while (i < fs) {
-        out(pos + i) = ((docId * 7 + f * 101 + i * 13) % 256).toByte
+        out(pos + i) =
+          if (diverse)
+            (mix64((docId * 61L + f) * 0x100000001B3L + i) & 0xFF).toByte
+          else ((docId * 7 + f * 101 + i * 13) % 256).toByte
         i += 1
       }
       pos += fs

@@ -1817,6 +1817,29 @@ object StreamOps {
     * ([[graft.operators.TextOps.contamReportOfHits]]) is a batch pass
     * downstream (d26's rule) — clean items produce NO stream rows, so
     * the fold's total side comes from the arrival log, not the hits. */
+  /** d55: streaming WET extraction at ingest — c117's serving twin
+    * (r19): raw markup arrives (the crawl firehose is exactly where
+    * extraction runs in production) and each row extracts through THE
+    * SAME [[graft.operators.Extract.htmlExtractOn]] chain the batch
+    * gate row runs (d29's shared-subtree rule — density floor, refusal
+    * truncation and entity tables cannot drift). Row-local regex math
+    * only: zero state, no watermark, no join, any stream length; a
+    * malformed arrival flags `well_formed = false` with its
+    * script/style payload truncated, never leaked downstream. */
+  def streamExtract(docs: DataFrame, markupCol: String = "html",
+                    minWords: Int = 4): DataFrame =
+    graft.operators.Extract.htmlExtractOn(docs, markupCol, minWords)
+
+  /** d56: streaming encoding-validity flagging at ingest — c118's
+    * serving twin (r19), the stage that runs immediately after d55 in a
+    * real crawl pipeline: each arriving doc gets its replacement-char /
+    * control-char / mojibake counts, verdict and mechanically-safe
+    * repair via THE SAME [[graft.operators.Extract.encodingFlagOn]]
+    * chain as the batch gate row. Stateless row-local counting — no
+    * watermark, no state, any stream length. */
+  def streamEncodingFlag(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.operators.Extract.encodingFlagOn(docs, textCol)
+
   def streamContamProbe(docs: DataFrame, corpusIndex: DataFrame,
                         n: Int = 8): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")

@@ -46,17 +46,33 @@ object GenData {
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window")
 
+  /** Open-vocabulary word count (r19 realism knob): ~50k hash-derived
+    * words — a real corpus's shingle space is effectively unbounded, so
+    * minhash band collisions track TRUE similarity; the 30-word mode's
+    * ~27k possible 3-shingles made unrelated docs share band values at
+    * a density no real corpus has (the §8p c2 candidate-surface
+    * artifact, 3.83× candidates on 2× docs). Prime, so pmod spreads. */
+  private val OpenVocabSize = 50021L
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenData <sf> <outDir>")
+    require(args.length >= 2, "usage: GenData <sf> <outDir> [--open-vocab|--closed-vocab]")
     val sf = args(0).toDouble
     val out = args(1)
     require(sf > 0, s"sf must be positive, got $sf")
+    // default: open vocabulary at rehearsal scale (sf ≥ 1), the driver's
+    // 30-word mode below it (where generated corpora serve as the
+    // oracle-exact second-gate corpus); both overridable
+    val openVocab =
+      if (args.contains("--open-vocab")) true
+      else if (args.contains("--closed-vocab")) false
+      else sf >= 1.0
     val spark = graft.GraftSession.get()
-    generate(spark, sf, out)
+    generate(spark, sf, out, openVocab)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, sf: Double, out: String): Unit = {
+  def generate(spark: SparkSession, sf: Double, out: String,
+               openVocab: Boolean = false): Unit = {
     // Scoped session conf (r19 ADVICE): TIMESTAMP_MICROS for driver
     // parity (the reference tables ship timestamp[us]) and UTC so the
     // instant→NTZ casts below store the same wall-clock values on any
@@ -66,7 +82,7 @@ object GenData {
     val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try generateInner(spark, sf, out)
+    try generateInner(spark, sf, out, openVocab)
     finally {
       def restore(key: String, prev: Option[String]): Unit = prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -77,7 +93,8 @@ object GenData {
     }
   }
 
-  private def generateInner(spark: SparkSession, sf: Double, out: String): Unit = {
+  private def generateInner(spark: SparkSession, sf: Double, out: String,
+                            openVocab: Boolean): Unit = {
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
     val nCust = n(150000); val nSupp = n(10000); val nPart = n(200000)
     val nOrders = n(1500000); val nLine = nOrders * 4
@@ -182,11 +199,17 @@ object GenData {
     val seed = when(isNear || isExact,
       pmod(h("sd", col("id")), lit(nDocs))).otherwise(col("id"))
     val nWords = (lit(10L) + pmod(h("n", col("seed")), lit(91L))).cast("int")
-    val baseText = array_join(
-      transform(sequence(lit(0), nWords - 1),
-        i => element_at(vocabArr,
+    // open mode: hash-derived words over a ~50k space ("w%05d") —
+    // the dup/near-dup seed structure is IDENTICAL in both modes
+    def wordAt(i: Column): Column =
+      if (openVocab)
+        format_string("w%05d", pmod(h("w", col("seed"), i), lit(OpenVocabSize)))
+      else
+        element_at(vocabArr,
           (pmod(h("w", col("seed"), i), lit(Vocab.size.toLong)) + 1)
-            .cast("int"))), " ")
+            .cast("int"))
+    val baseText = array_join(
+      transform(sequence(lit(0), nWords - 1), wordAt(_)), " ")
     val langCut = pmod(h("lg", col("id")), lit(100L))
     write("documents", spark.range(nDocs)
       .select(col("id"), isNear.as("near"), seed.as("seed"))

@@ -1614,4 +1614,71 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, "CLI --fuse diverges from c59")
     assert(want.nonEmpty)
   }
+
+  test("tokenizer --export: JSON artifacts round-trip all four trainers " +
+    "and tokenize accepts them in place of parquet") {
+    import graft.sources.TokenizerJson
+    val tmp = Files.createTempDirectory("graft-cli-tokjson-").toString
+    // char BPE: export next to the parquet artifact, reader ≡ trainer
+    Main.main(Array("bpe-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/merges", "--export", s"$tmp/bpe.json"))
+    val merges = spark.read.parquet(s"$tmp/merges").orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val bpe = TokenizerJson.read(s"$tmp/bpe.json")
+      .asInstanceOf[TokenizerJson.BpeArtifact]
+    assert(!bpe.byteLevel && bpe.merges == merges &&
+      bpe.meta.get("gpt2_pre").contains("false"))
+    // byte BPE: kind byte_bpe, rank order preserved
+    Main.main(Array("bpe-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/bmerges", "--bytes", "--export", s"$tmp/bbpe.json"))
+    val bmerges = spark.read.parquet(s"$tmp/bmerges").orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val bbpe = TokenizerJson.read(s"$tmp/bbpe.json")
+      .asInstanceOf[TokenizerJson.BpeArtifact]
+    assert(bbpe.byteLevel && bbpe.merges == bmerges)
+    // unigram: fixed-point integer scores survive exactly
+    Main.main(Array("unigram-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/pieces", "--export", s"$tmp/uni.json"))
+    val pieces = spark.read.parquet(s"$tmp/pieces").orderBy("piece").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("score"))).toSeq
+    val uni = TokenizerJson.read(s"$tmp/uni.json")
+      .asInstanceOf[TokenizerJson.UnigramArtifact]
+    assert(uni.pieces == pieces)
+    // wordpiece
+    Main.main(Array("wordpiece-train", "--in", s"$sfDir/documents.parquet",
+      "--out", s"$tmp/vocab", "--export", s"$tmp/wp.json"))
+    val vocab = spark.read.parquet(s"$tmp/vocab").orderBy("piece").collect()
+      .map(_.getAs[String]("piece")).toSeq
+    val wp = TokenizerJson.read(s"$tmp/wp.json")
+      .asInstanceOf[TokenizerJson.WordpieceArtifact]
+    assert(wp.vocab == vocab)
+    // tokenize through the JSON artifact ≡ through the parquet artifact
+    Main.main(Array("tokenize", "--in", s"$sfDir/documents.parquet",
+      "--merges", s"$tmp/bpe.json", "--out", s"$tmp/toksj"))
+    Main.main(Array("tokenize", "--in", s"$sfDir/documents.parquet",
+      "--merges", s"$tmp/merges", "--out", s"$tmp/toksp"))
+    val (tj, tp) = (spark.read.parquet(s"$tmp/toksj"),
+      spark.read.parquet(s"$tmp/toksp"))
+    assert(tj.exceptAll(tp).count() == 0 && tp.exceptAll(tj).count() == 0,
+      "tokenize through JSON must equal tokenize through parquet")
+    assert(tj.count() > 0)
+    // kind/mode mismatch refuses loudly: a word-level artifact applied
+    // byte-staged would silently tokenize garbage
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("tokenize", "--in", s"$sfDir/documents.parquet",
+        "--merges", s"$tmp/bpe.json", "--bytes", "--out", s"$tmp/bad"))
+    }
+    assert(e.getMessage.contains("kind"))
+    // escaping: quotes, backslashes, controls and non-ASCII round-trip
+    // byte-for-byte (the reason the format rides a real JSON writer)
+    val nasty = TokenizerJson.WordpieceArtifact(
+      Seq("a\"b", "c\\d", "##e\nf", "©π"), Map("k" -> "v\"w"))
+    TokenizerJson.write(s"$tmp/nasty.json", nasty)
+    assert(TokenizerJson.read(s"$tmp/nasty.json") == nasty)
+    // a non-tokenizer JSON file refuses with the format marker message
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/other.json"),
+      """{"format":"something-else","version":1}""".getBytes("UTF-8"))
+    val e2 = intercept[RuntimeException] { TokenizerJson.read(s"$tmp/other.json") }
+    assert(e2.getMessage.contains("graft-tokenizer"))
+  }
 }

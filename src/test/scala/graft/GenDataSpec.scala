@@ -74,4 +74,38 @@ class GenDataSpec extends SparkSpec {
     docs.unpersist()
     ()
   }
+
+  test("open-vocab mode (r19): ~50k-word space, dup structure preserved, " +
+    "schema unchanged") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-gendata-open-").toString
+    GenData.generate(spark, 0.01, out, openVocab = true)
+    val docs = Tables.documents(spark, out).persist()
+    val drv = Tables.documents(spark, sfDir)
+    assert(docs.schema == drv.schema, "open-vocab mode must not change schema")
+    // the word space must be ORDERS bigger than 30 — the c2 realism knob:
+    // on 500 docs × ~55 words even a few thousand distinct types proves
+    // the 50021-word space is in play (30-word mode caps at 31)
+    val types = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "dup").select("w").distinct().count()
+    assert(types > 5000L, s"open vocab produced only $types word types")
+    assert(docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^w\\d{5}$|^dup$")).count() ==
+      docs.select(explode(split(col("text"), " "))).count(),
+      "open-vocab words must all be w%05d-shaped (plus the dup marker)")
+    // the near-dup structure is mode-independent (same seed mechanism)
+    val n = docs.count()
+    val nears = docs.filter(col("text").endsWith(" dup")).count()
+    assert(nears >= n / 50 && nears <= n / 10, s"near-dup rate off: $nears of $n")
+    val bases = docs.filter(col("text").endsWith(" dup"))
+      .select(expr("substring(text, 1, length(text) - 4)").as("text"))
+    val matched = bases.join(
+      docs.filter(!col("text").endsWith(" dup")).select("text"),
+      Seq("text"), "left_semi").count()
+    assert(matched >= nears * 9 / 10,
+      s"near-dup bases must overlap real docs: $matched of $nears")
+    docs.unpersist()
+    ()
+  }
 }

@@ -474,4 +474,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("windowspecdefinition(doc_id"),
       s"island window must partition by doc_id:\n$s")
   }
+
+  test("c117/c118 plans: row-local regex chains — zero joins, zero aggregates, " +
+    "only the presentation sort") {
+    for (df <- Seq(graft.operators.Extract.c117HtmlExtract(spark, sfDir),
+        graft.operators.Extract.c118EncodingFlag(spark, sfDir))) {
+      val s = executedPlanOf(df)
+      assert(!s.contains("Join") && !s.contains("HashAggregate"),
+        s"extraction must be one row-local pass:\n$s")
+      // ONE exchange: the doc_id presentation sort's range partitioning
+      val exchanges = "Exchange ".r.findAllIn(s).length
+      assert(exchanges == 1, s"expected only the presentation sort, got:\n$s")
+      // column pruning: the scan must not read text's siblings
+      assert(!s.contains("n_chars"), s"scan pruning lost:\n$s")
+    }
+  }
 }

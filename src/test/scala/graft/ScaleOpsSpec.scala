@@ -324,4 +324,47 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("diverse-media payloads (r19): deterministic, container-valid, " +
+    "pair density collapses to the planted structure") {
+    import graft.operators.Multimodal
+    // deterministic per (doc_id, position) — rehearsals must reproduce
+    assert(Multimodal.pgmPayload(7L, diverse = true).toSeq ==
+      Multimodal.pgmPayload(7L, diverse = true).toSeq)
+    assert(Multimodal.wavPayload(8L, diverse = true).toSeq ==
+      Multimodal.wavPayload(8L, diverse = true).toSeq)
+    assert(Multimodal.y4mPayload(9L, diverse = true).toSeq ==
+      Multimodal.y4mPayload(9L, diverse = true).toSeq)
+    // and actually different from the default closed form
+    assert(Multimodal.pgmPayload(7L, diverse = true).toSeq !=
+      Multimodal.pgmPayload(7L, diverse = false).toSeq)
+    def pairsAtH3(hs: Seq[Long]): Int =
+      (for {
+        i <- hs.indices; j <- (i + 1) until hs.size
+        if java.lang.Long.bitCount(hs(i) ^ hs(j)) <= 3
+      } yield 1).size
+    // image: the REAL PGM parse + gradient hash accepts diverse payloads
+    // (container validity), and the ≤3-hamming pair graph collapses from
+    // the default mode's near-complete density to ~the planted dups (none
+    // here — distinct ids) — the §8p pair-surface realism knob
+    val imgIds = (0L until 900L by 3).take(300)
+    val defImg = imgIds.map(id =>
+      Multimodal.phashOf(id, "image", Multimodal.pgmPayload(id, diverse = false)))
+    val divImg = imgIds.map(id =>
+      Multimodal.phashOf(id, "image", Multimodal.pgmPayload(id, diverse = true)))
+    assert(pairsAtH3(defImg) > 1000,
+      s"default image payloads should be near-complete, got ${pairsAtH3(defImg)}")
+    assert(pairsAtH3(divImg) < pairsAtH3(defImg) / 20,
+      s"diverse image pair density must collapse: " +
+        s"${pairsAtH3(divImg)} vs ${pairsAtH3(defImg)}")
+    // audio: same through the RIFF/PCM parse + envelope hash
+    val audIds = (1L until 901L by 3).take(300)
+    val defAud = audIds.map(id =>
+      Multimodal.phashOf(id, "audio", Multimodal.wavPayload(id, diverse = false)))
+    val divAud = audIds.map(id =>
+      Multimodal.phashOf(id, "audio", Multimodal.wavPayload(id, diverse = true)))
+    assert(pairsAtH3(divAud) < math.max(1, pairsAtH3(defAud)) / 2,
+      s"diverse audio pair density must drop: " +
+        s"${pairsAtH3(divAud)} vs ${pairsAtH3(defAud)}")
+  }
 }

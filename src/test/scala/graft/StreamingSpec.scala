@@ -2353,4 +2353,74 @@ class StreamingSpec extends SparkSpec {
         s"stream add leaked floats: $schema")
     } finally q.stop()
   }
+
+  test("d55 streaming WET extraction equals batch c117 row-for-row, refusals included") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Extract
+    // the arrival payload: the same synthesized markup the batch gate
+    // row extracts (malformed %13 docs included), plus a hand-built
+    // unterminated-script arrival and a null-markup arrival
+    val markup = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Extract.gateMarkup.as("html"))
+      .as[(Long, String)].collect().toSeq ++
+      Seq((900001L, "<p>live four word line</p><script>var leak = 1;"),
+        (900002L, null))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamExtract(
+        stream.toDF().toDF("doc_id", "html"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d55_sink").start()
+    try {
+      val (a, b) = markup.splitAt(markup.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val cols = Seq("doc_id", "well_formed", "n_lines", "extracted")
+      val streamed = spark.table("d55_sink").select(cols.map(col): _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val batch = Extract.c117HtmlExtract(spark, sfDir)
+        .select(cols.map(col): _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed.size == markup.size - 1, "null markup must emit no row")
+      assert(!streamed.contains(900002L))
+      batch.foreach { case (id, row) =>
+        assert(streamed(id) == row, s"doc $id stream vs batch extraction")
+      }
+      // the live malformed arrival refuses and never leaks the script
+      val live = streamed(900001L)
+      assert(live(1) == false && live(3) == "live four word line")
+    } finally q.stop()
+  }
+
+  test("d56 streaming encoding flags equal batch c118 row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Extract
+    val corrupted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Extract.gateCorruption.as("text"))
+      .as[(Long, String)].collect().toSeq ++
+      Seq((900001L, "live � arrival"), (900002L, null))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamEncodingFlag(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("d56_sink").start()
+    try {
+      val (a, b) = corrupted.splitAt(corrupted.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val cols = Seq("doc_id", "n_fffd", "n_ctrl", "n_moji", "ok", "repaired")
+      val streamed = spark.table("d56_sink").select(cols.map(col): _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val batch = Extract.c118EncodingFlag(spark, sfDir)
+        .select(cols.map(col): _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed.size == corrupted.size - 1, "null text must emit no row")
+      batch.foreach { case (id, row) =>
+        assert(streamed(id) == row, s"doc $id stream vs batch flags")
+      }
+      assert(streamed(900001L)(1) == 1L &&
+        streamed(900001L)(5) == "live  arrival")
+    } finally q.stop()
+  }
 }
