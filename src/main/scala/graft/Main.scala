@@ -102,6 +102,7 @@ object Main {
     case Some("joint") => jointCmd(args.drop(1))
     case Some("recipe") => recipeCmd(args.drop(1))
     case Some("publish") => publishCmd(args.drop(1))
+    case Some("extract") => extractCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
@@ -109,8 +110,41 @@ object Main {
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
           "wordpiece-train|tokenize|cluster-update|domains|sketch|joint|" +
-          "recipe|publish ...")
+          "recipe|publish|extract ...")
       sys.exit(2)
+  }
+
+  /** `graft.Main extract --in PARQUET --out OUT [--col html]
+    * [--min-words N] [--encoding-flags]` — the WET stage (SURVEY §2
+    * c117): HTML→text extraction with the line-density boilerplate rule
+    * and malformed-markup refusal, over any parquet with a markup
+    * column. With `--encoding-flags` the c118 validity battery runs on
+    * the extracted text in the same pass (counts + ok + repaired).
+    * One JSON stats line: docs in/out, refusals, (flagged). */
+  private def extractCmd(args: Array[String]): Unit = {
+    import graft.operators.Extract
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val colName = opt(args, "--col").getOrElse("html")
+    val minWords = opt(args, "--min-words").map(_.toInt).getOrElse(4)
+    val flags = args.contains("--encoding-flags")
+    val spark = GraftSession.get()
+    val docs = spark.read.parquet(in)
+    require(docs.columns.contains(colName),
+      s"input $in must have a '$colName' column, " +
+        s"found ${docs.columns.mkString("(", ", ", ")")}")
+    val extracted = Extract.htmlExtractOn(docs, colName, minWords)
+    val result =
+      if (flags) Extract.encodingFlagOn(extracted, "extracted")
+      else extracted
+    result.write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val nIn = docs.count()
+    val refused = written.filter(!col("well_formed")).count()
+    val flagged = if (flags) written.filter(!col("ok")).count() else -1L
+    println(s"""{"docs_in":$nIn,"docs_out":${written.count()},""" +
+      s""""refused":$refused,"flagged":$flagged,""" +
+      s""""min_words":$minWords,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main domains --in PARQUET --out OUT [--cap K]

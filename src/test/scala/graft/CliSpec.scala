@@ -1615,6 +1615,29 @@ class CliSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("extract subcommand: WET extraction over a markup parquet ≡ c117, " +
+    "refusals counted, optional encoding flags ride the same pass") {
+    import graft.operators.Extract
+    val tmp = Files.createTempDirectory("graft-cli-extract-").toString
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Extract.gateMarkup.as("html"))
+      .write.parquet(s"$tmp/raw")
+    Main.main(Array("extract", "--in", s"$tmp/raw", "--out", s"$tmp/wet",
+      "--encoding-flags"))
+    val got = spark.read.parquet(s"$tmp/wet")
+    val want = Extract.c117HtmlExtract(spark, sfDir)
+    val cols = Seq("doc_id", "well_formed", "n_lines", "extracted")
+    assert(got.select(cols.map(col): _*).exceptAll(want.select(cols.map(col): _*))
+      .count() == 0 && want.count() == got.count(),
+      "CLI extraction diverges from the c117 gate row")
+    // the clean-markup corpus is all-ok under the encoding battery, and
+    // the refusal count is exactly the malformed %13 docs
+    assert(got.filter(!col("ok")).count() == 0)
+    assert(got.filter(!col("well_formed")).count() ==
+      want.filter(!col("well_formed")).count())
+    assert(got.filter(!col("well_formed")).count() > 0)
+  }
+
   test("tokenizer --export: JSON artifacts round-trip all four trainers " +
     "and tokenize accepts them in place of parquet") {
     import graft.sources.TokenizerJson
