@@ -2178,8 +2178,10 @@ object SparkEntry {
         |sc AS (SELECT doc_id, (c_pair * 1000000000) // c_prefix AS ppb
         |       FROM dp JOIN pc USING (a, b) JOIN pfx USING (a))
         |SELECT doc_id, count(*) AS n_pairs, CAST(sum(ppb) AS BIGINT) AS sum_ppb,
-        |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) AS avg_ppb,
-        |  round(CAST(sum(ppb) AS DOUBLE) / count(*), 6) >= 34500000.0 AS keep
+        |  CAST((2*sum(ppb)*1000000 + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+        |    AS avg_ppb,
+        |  CAST((2*sum(ppb)*1000000 + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+        |    >= 34500000.0 AS keep
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // c62: duplicated-substring spans — positional 5-shingles under md5,
     // repeated-start islands merged per doc by the gap>n break rule;

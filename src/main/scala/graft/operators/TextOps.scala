@@ -1715,8 +1715,14 @@ object TextOps {
         expr("(c_pair * 1000000000L) div c_prefix"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"), sum(col("ppb")).as("sum_ppb"))
+      // 6-dp render by EXACT INTEGER half-away division (r19 — the c45
+      // rule, after a 1-ULP diff surfaced on the GenData sf0.1 gate:
+      // round(double, 6) near a .5·10⁻⁶ boundary is engine-dependent).
+      // sum_ppb ≥ 0 so the positive branch alone is exact; 2·10⁶·sum_ppb
+      // wraps int64 only past ~4.6×10¹² ppb-mass per doc (~10⁵ tokens).
       .withColumn("avg_ppb",
-        round(col("sum_ppb").cast("double") / col("n_pairs"), 6))
+        expr("(2*sum_ppb*1000000 + n_pairs) div (2*n_pairs)")
+          .cast("double") / 1e6)
       .withColumn("keep", col("avg_ppb") >= keepPpb.toDouble)
       .orderBy("doc_id")
   }
