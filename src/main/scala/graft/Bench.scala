@@ -29,13 +29,18 @@ object Bench {
     * next to an oscillating/low substrate sample reads ENVIRONMENT, a
     * breach on a steady-high substrate indicts the code. Driver-side
     * only, no JVM warmup sensitivity (pure syscalls), ~0.1–0.5 s. */
-  private def substrateProbe(nFiles: Int = 1500, size: Int = 11000): Double = {
+  private def substrateProbe(nFiles: Int = 1500, size: Int = 11000,
+                             sync: Boolean = false): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft-substrate")
     val payload = Array.fill[Byte](size)('x')
     val t0 = System.nanoTime()
     var i = 0
     while (i < nFiles) {
-      java.nio.file.Files.write(dir.resolve(s"m$i.bin"), payload)
+      if (sync) {
+        val fos = new java.io.FileOutputStream(dir.resolve(s"m$i.bin").toFile)
+        try { fos.write(payload); fos.getFD.sync() } finally fos.close()
+      } else
+        java.nio.file.Files.write(dir.resolve(s"m$i.bin"), payload)
       i += 1
     }
     val fps = nFiles / ((System.nanoTime() - t0) / 1e9)
@@ -46,6 +51,16 @@ object Bench {
     java.nio.file.Files.deleteIfExists(dir)
     fps
   }
+
+  /** The fsync'd variant (r19 window-3 finding): the per-message publish
+    * channel fsyncs EVERY message, and a window read publish 5.1k next
+    * to a 33k buffered-create substrate sample — buffered creates and
+    * fsync latency degrade INDEPENDENTLY on this microVM, so the publish
+    * channel's box-state evidence must measure the syscall it is
+    * actually bound by. 300 files keeps the probe under ~1 s even on a
+    * degraded disk. */
+  private def substrateFsyncProbe(): Double =
+    substrateProbe(nFiles = 300, sync = true)
 
   /** Socket ingest micro-bench (≙ bolson `bench client`): a feeder thread
     * streams the pre-materialized events ND-JSON corpus through a local TCP
@@ -294,6 +309,9 @@ object Bench {
     val subConvert = scala.collection.mutable.ArrayBuffer[Double]()
     val subPub = scala.collection.mutable.ArrayBuffer[Double]()
     val subIngest = scala.collection.mutable.ArrayBuffer[Double]()
+    // fsync'd probe rides only the publish window (the one fsync-bound
+    // channel); one (buffered, fsync) pair per window
+    val subPubFsync = scala.collection.mutable.ArrayBuffer[Double]()
     // cpu_s per channel derives from the ledgers (one source of truth,
     // one bus settle per sample — the old parallel cpu buffers paid a
     // second >=100 ms settle poll per sample for the same number)
@@ -341,6 +359,7 @@ object Bench {
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
         subPub += substrateProbe()
+        subPubFsync += substrateFsyncProbe()
         rematerialize(s"bench-warm-publish-$round") { msgs.count(); () }
         def timeOne(tag: String,
                     mk: Long => graft.streaming.Publisher)
@@ -410,12 +429,16 @@ object Bench {
     // ledgers): sample i of a channel pairs with probe i of its window
     def statsJson(samples: Seq[Double], cpus: Seq[Double],
                   ledgers: Seq[(Double, GroupLedger)],
-                  substrate: Seq[Double]): String =
+                  substrate: Seq[Double],
+                  fsync: Seq[Double] = Nil): String =
       s"{${triple(samples, v => f"$v%.1f")}," +
         s""""cpu_s":{${triple(cpus, v => f"$v%.2f")}},""" +
         f""""minwall_cpu_s":${minWallCpu(ledgers)}%.2f,""" +
         s""""substrate_files_per_s":${
           substrate.map(v => f"$v%.0f").mkString("[", ",", "]")},""" +
+        (if (fsync.isEmpty) ""
+         else s""""substrate_fsync_per_s":${
+           fsync.map(v => f"$v%.0f").mkString("[", ",", "]")},""") +
         s""""samples":${ledgerJson(ledgers)}}"""
     def medianOf(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
@@ -483,7 +506,9 @@ object Bench {
         "(warn-only; the weak flag reads the best sample)"))
     val channelStats = bandLow.map {
       case (name, _, samples, cpus, ledgers, substrate) =>
-        s""""$name":${statsJson(samples, cpus, ledgers, substrate)}"""
+        val fsync =
+          if (name.startsWith("publish_")) subPubFsync.toSeq else Nil
+        s""""$name":${statsJson(samples, cpus, ledgers, substrate, fsync)}"""
     }.mkString("{", ",", "}")
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
     val weakMedianJson = weakMedian.map("\"" + _ + "\"").mkString("[", ",", "]")
