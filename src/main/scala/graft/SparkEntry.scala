@@ -284,7 +284,8 @@ object SparkEntry {
        |        CAST(len(string_split(trim(${mergesAppliedExpr(merges)}), '  ')) AS BIGINT) AS nt
        |      FROM wf)
        |SELECT doc_id, count(*) AS n_pretokens, CAST(sum(nt) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility_r
+       |  CAST((2000000*sum(nt) + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+       |    AS fertility_r
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
@@ -319,9 +320,12 @@ object SparkEntry {
        |        CAST(sum_ctf * 1000000000 // (fr.n_tokens * tt.total) AS BIGINT)
        |          AS freq_ppb,
        |        ((n_words BETWEEN 10 AND 1000)
-       |          AND round(CAST(n_types AS DOUBLE) / n_words, 6) >= 0.2
-       |          AND round(CAST(max_tc AS DOUBLE) / n_words, 6) <= 0.2
-       |          AND round(CAST(sum_ctf AS DOUBLE) / fr.n_tokens / tt.total, 6)
+       |          AND CAST((2000000*n_types + n_words) // (2*n_words)
+       |              AS DOUBLE) / 1e6 >= 0.2
+       |          AND CAST((2000000*max_tc + n_words) // (2*n_words)
+       |              AS DOUBLE) / 1e6 <= 0.2
+       |          AND CAST((2000000*sum_ctf + fr.n_tokens*tt.total)
+       |              // (2*fr.n_tokens*tt.total) AS DOUBLE) / 1e6
        |            >= 0.033) AS label
        |      FROM q JOIN fr ON q.doc_id = fr.doc_id, tt)
        |SELECT doc_id, len, ttr_ppt, top_ppt, freq_ppb, label,
@@ -457,7 +461,8 @@ object SparkEntry {
        |  WHERE len(w) >= 1)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(np) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS fertility_r
+       |  CAST((2000000*sum(np) + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+       |    AS fertility_r
        |FROM dw JOIN wnp USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -549,7 +554,8 @@ object SparkEntry {
        |SELECT CAST(sum(e) AS BIGINT) AS n_exact,
        |  CAST(sum(b) AS BIGINT) AS n_banded,
        |  CAST(sum(e * b) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(e * b) AS DOUBLE) / sum(e), 6) AS recall_r
+       |  CAST((2000000*sum(e * b) + sum(e)) // (2*sum(e)) AS DOUBLE) / 1e6
+       |    AS recall_r
        |FROM g""".stripMargin
 
   /** DuckDB rendering of c89: the c88 hash SQL feeds the 14-bit band
@@ -1123,7 +1129,8 @@ object SparkEntry {
       s"""SELECT '$name' AS tokenizer, count(*) AS n_docs,
          |  CAST(sum($units) AS BIGINT) AS n_units,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(n_tokens) AS DOUBLE) / sum($units), 6) AS fertility_r
+         |  CAST((2000000*sum(n_tokens) + sum($units)) // (2*sum($units))
+         |       AS DOUBLE) / 1e6 AS fertility_r
          |FROM (${sql.replace("\n", "\n  ")})""".stripMargin
     def withOov(foldSql: String, oovSql: String): String =
       s"""SELECT f.tokenizer, f.n_docs, f.n_units, f.n_tokens, f.fertility_r,
@@ -1203,7 +1210,8 @@ object SparkEntry {
        |  WHERE len(w) >= 1)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(np) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS fertility_r
+       |  CAST((2000000*sum(np) + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+       |    AS fertility_r
        |FROM dw JOIN wnp USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -1220,7 +1228,8 @@ object SparkEntry {
        |        CAST(len(string_split(trim(${bpeAppliedExpr(dir)}), '  ')) AS BIGINT) AS nt
        |      FROM wf)
        |SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility_r
+       |  CAST((2000000*sum(nt) + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+       |    AS fertility_r
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of c28's projection planes: the SAME seeded matrix
@@ -1402,7 +1411,8 @@ object SparkEntry {
        |SELECT CAST(sum(e) AS BIGINT) AS n_exact,
        |  CAST(sum(b) AS BIGINT) AS n_banded,
        |  CAST(sum(e * b) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(e * b) AS DOUBLE) / sum(e), 6) AS recall_r
+       |  CAST((2000000*sum(e * b) + sum(e)) // (2*sum(e)) AS DOUBLE) / 1e6
+       |    AS recall_r
        |FROM g""".stripMargin
 
   /** The SAME plane-count derivation c11EmbedNearDup uses, from the SAME
@@ -1555,10 +1565,11 @@ object SparkEntry {
           s"""SELECT a.doc_id,
              |  a.n_tokens AS nt_bpe_char, b.n_tokens AS nt_bpe_byte,
              |  u.n_tokens AS nt_unigram, w.n_tokens AS nt_wordpiece,
-             |  round(CAST(greatest(a.n_tokens, b.n_tokens, u.n_tokens, w.n_tokens)
-             |      AS DOUBLE) /
-             |    least(a.n_tokens, b.n_tokens, u.n_tokens, w.n_tokens), 6)
-             |    AS spread_r
+             |  CAST((2000000*greatest(a.n_tokens, b.n_tokens, u.n_tokens,
+             |          w.n_tokens)
+             |        + least(a.n_tokens, b.n_tokens, u.n_tokens, w.n_tokens))
+             |       // (2*least(a.n_tokens, b.n_tokens, u.n_tokens, w.n_tokens))
+             |       AS DOUBLE) / 1e6 AS spread_r
              |FROM (${c66OracleSql(dir).replace("\n", "\n  ")}) a
              |JOIN (${c73OracleSql(dir).replace("\n", "\n  ")}) b USING (doc_id)
              |JOIN (${c78OracleSql(dir).replace("\n", "\n  ")}) u USING (doc_id)
@@ -1616,8 +1627,10 @@ object SparkEntry {
        |SELECT b.query_id, b.n_truth,
        |  coalesce(lh.lsh_hits, 0) AS lsh_hits,
        |  coalesce(ih.ivf_hits, 0) AS ivf_hits,
-       |  round(CAST(coalesce(lh.lsh_hits, 0) AS DOUBLE) / b.n_truth, 6) AS lsh_recall_r,
-       |  round(CAST(coalesce(ih.ivf_hits, 0) AS DOUBLE) / b.n_truth, 6) AS ivf_recall_r
+       |  CAST((2000000*coalesce(lh.lsh_hits, 0) + b.n_truth)
+       |       // (2*b.n_truth) AS DOUBLE) / 1e6 AS lsh_recall_r,
+       |  CAST((2000000*coalesce(ih.ivf_hits, 0) + b.n_truth)
+       |       // (2*b.n_truth) AS DOUBLE) / 1e6 AS ivf_recall_r
        |FROM bs b LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
        |ORDER BY query_id""".stripMargin
 
@@ -2237,8 +2250,8 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(coalesce(pd.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
-        |  round(CAST(sum(coalesce(pd.dup_tokens, 0)) AS DOUBLE)
-        |        / sum(n_tokens), 6) AS dup_share_r
+        |  CAST((2000000*sum(coalesce(pd.dup_tokens, 0)) + sum(n_tokens))
+        |       // (2*sum(n_tokens)) AS DOUBLE) / 1e6 AS dup_share_r
         |FROM dt LEFT JOIN pd USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // c65: thresholded variable-length spans — c62's n=5 span CTEs cut
@@ -2706,8 +2719,10 @@ object SparkEntry {
         |         count(*) AS n_types, CAST(max(c) AS BIGINT) AS max_tc
         |       FROM tc GROUP BY doc_id),
         |r AS (SELECT doc_id, n_words, n_types, max_tc,
-        |        round(CAST(n_types AS DOUBLE) / n_words, 6) AS ttr,
-        |        round(CAST(max_tc AS DOUBLE) / n_words, 6) AS top_share,
+        |        CAST((2000000*n_types + n_words) // (2*n_words) AS DOUBLE)
+        |          / 1e6 AS ttr,
+        |        CAST((2000000*max_tc + n_words) // (2*n_words) AS DOUBLE)
+        |          / 1e6 AS top_share,
         |        n_words >= 10 AND n_words <= 1000 AS rule_len
         |      FROM st)
         |SELECT doc_id, n_words, n_types, max_tc, ttr, top_share, rule_len,
@@ -2991,8 +3006,8 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
         |  CAST(COALESCE(n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
         |  CAST(COALESCE(n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
-        |  round(CAST(COALESCE(n_hit_shingles, 0) AS DOUBLE) / n_shingles, 6)
-        |    AS leak_share_r
+        |  CAST((2000000*COALESCE(n_hit_shingles, 0) + n_shingles)
+        |       // (2*n_shingles) AS DOUBLE) / 1e6 AS leak_share_r
         |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     // c27 = c24's bloom-prefiltered twin: the bloom pass only DISCARDS
@@ -3076,8 +3091,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(sum_ctf AS BIGINT) AS sum_ctf,
         |  CAST(total_tokens AS BIGINT) AS total_tokens,
-        |  round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r,
-        |  round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) >= 0.033 AS keep
+        |  CAST((2000000*sum_ctf + n_tokens*total_tokens)
+        |       // (2*n_tokens*total_tokens) AS DOUBLE) / 1e6 AS mean_prob_r,
+        |  CAST((2000000*sum_ctf + n_tokens*total_tokens)
+        |       // (2*n_tokens*total_tokens) AS DOUBLE) / 1e6 >= 0.033 AS keep
         |FROM d, t ORDER BY doc_id""".stripMargin,
     "c42_banded_sample" ->
       """WITH tok AS (SELECT doc_id, substr(md5(text), 1, 2) AS bucket,
@@ -3089,7 +3106,8 @@ object SparkEntry {
         |        sum(ctf) AS sum_ctf
         |      FROM tok JOIN vocab USING (term) GROUP BY doc_id),
         |s AS (SELECT doc_id, bucket,
-        |        round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r
+        |        CAST((2000000*sum_ctf + n_tokens*total_tokens)
+        |          // (2*n_tokens*total_tokens) AS DOUBLE) / 1e6 AS mean_prob_r
         |      FROM d, t),
         |b AS (SELECT doc_id, bucket, mean_prob_r,
         |        CASE WHEN mean_prob_r >= 0.0335 THEN 'head'
@@ -3201,7 +3219,10 @@ object SparkEntry {
         |       FROM x JOIN sv USING (vec_id) GROUP BY pos),
         |mx AS (SELECT max(abs(num)) AS max_abs FROM nm)
         |SELECT CAST(pos AS INT) AS pos, CAST(num AS VARCHAR) AS num,
-        |  round(CAST(num AS DOUBLE) / CAST(max_abs AS DOUBLE), 6) AS r
+        |  CAST(CASE WHEN num >= 0
+        |       THEN (2000000*num + max_abs) // (2*max_abs)
+        |       ELSE -((2000000*(-num) + max_abs) // (2*max_abs)) END
+        |       AS DOUBLE) / 1e6 AS r
         |FROM nm, mx ORDER BY pos""".stripMargin,
     // c47: the c45 moment CTEs, then a per-(vec_id, pos) join applying
     // (x - mean)/sd — Spark does the same math row-locally against a
@@ -3258,7 +3279,8 @@ object SparkEntry {
         |d AS (SELECT doc_id, count(*) AS n_tokens, sum(ctf) AS sum_ctf
         |      FROM tok JOIN vocab USING (term) GROUP BY doc_id),
         |s AS (SELECT doc_id,
-        |        round(CAST(sum_ctf AS DOUBLE) / n_tokens / total_tokens, 6) AS mean_prob_r
+        |        CAST((2000000*sum_ctf + n_tokens*total_tokens)
+        |          // (2*n_tokens*total_tokens) AS DOUBLE) / 1e6 AS mean_prob_r
         |      FROM d, t),
         |r AS (SELECT lang, doc_id, mean_prob_r,
         |        CAST(row_number() OVER (PARTITION BY lang

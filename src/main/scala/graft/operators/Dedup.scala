@@ -1067,8 +1067,9 @@ object Dedup {
       .agg(sum(col("e")).cast("bigint").as("n_exact"),
         sum(col("b")).cast("bigint").as("n_banded"),
         sum(col("e") * col("b")).cast("bigint").as("n_hit"))
-      .withColumn("recall_r",
-        round(col("n_hit").cast("double") / col("n_exact"), 6))
+      .transform(TextOps.ratio6On(_, "recall_r",
+        org.apache.spark.sql.functions.col("n_hit"),
+        org.apache.spark.sql.functions.col("n_exact")))
   }
 
   /** c26: passage-level dedup (the CCNet/C4 paragraph-dedup technique,
@@ -1596,8 +1597,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("dup_tokens")).as("dup_tokens"))
-      .withColumn("dup_share_r",
-        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+      .transform(TextOps.ratio6On(_, "dup_share_r",
+        org.apache.spark.sql.functions.col("dup_tokens"),
+        org.apache.spark.sql.functions.col("n_tokens")))
       .orderBy("lang")
   }
 

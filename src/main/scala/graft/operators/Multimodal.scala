@@ -1603,9 +1603,9 @@ object Multimodal {
         sum(col("b")).cast("bigint").as("n_banded"),
         sum(col("e") * col("b")).cast("bigint").as("n_hit"))
       .select(lit(modality).as("modality"),
-        col("n_exact"), col("n_banded"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 6)
-          .as("recall_r"))
+        col("n_exact"), col("n_banded"), col("n_hit"))
+      .transform(TextOps.ratio6On(_, "recall_r",
+        col("n_hit"), col("n_exact")))
   }
 
   /** c108 gate row (r17): banding-completeness EVAL for the whole
@@ -1670,9 +1670,9 @@ object Multimodal {
         sum(col("b")).cast("bigint").as("n_banded"),
         sum(col("e") * col("b")).cast("bigint").as("n_hit"))
       .select(lit(modality).as("modality"),
-        col("n_exact"), col("n_banded"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 6)
-          .as("recall_r"))
+        col("n_exact"), col("n_banded"), col("n_hit"))
+      .transform(TextOps.ratio6On(_, "recall_r",
+        col("n_hit"), col("n_exact")))
   }
 
   /** c114 gate row (r18): banding-completeness EVAL for the SPLIT

@@ -1035,9 +1035,13 @@ object Similarity {
       // num travels as digits-as-text (c45's sum_sq4 rule: exact at any
       // scale, renders identically in every engine); r derives from the
       // numeric decimal before the stringify
+      // 6-dp render by exact signed half-away division (r19, the c45
+      // rule; abs/negate keeps the floor-vs-truncate div seam out)
+      .withColumn("__r6",
+        expr("(2000000*abs(num) + max_abs) div (2*max_abs)"))
       .select(col("pos"), col("num").cast("string").as("num"),
-        round(col("num").cast("double") / col("max_abs").cast("double"), 6)
-          .as("r"))
+        ((when(col("num") < 0, -col("__r6")).otherwise(col("__r6")))
+          .cast("double") / 1e6).as("r"))
       .orderBy("pos")
   }
 
@@ -1514,8 +1518,8 @@ object Similarity {
       .agg(sum(col("e")).cast("bigint").as("n_exact"),
         sum(col("b")).cast("bigint").as("n_banded"),
         sum(col("e") * col("b")).cast("bigint").as("n_hit"))
-      .withColumn("recall_r",
-        round(col("n_hit").cast("double") / col("n_exact"), 6))
+      .transform(TextOps.ratio6On(_, "recall_r",
+        col("n_hit"), col("n_exact")))
   }
 
   // ---- ANN index evaluation (c58): the recall dashboard a production
@@ -1558,10 +1562,10 @@ object Similarity {
       // approximate search (n_truth = 0 ⇒ null/NaN recall) must not emit
       // a row, because the oracle derives its row set from the truth side
       .filter(col("n_truth") > 0)
-      .withColumn("lsh_recall_r",
-        round(col("lsh_hits").cast("double") / col("n_truth"), 6))
-      .withColumn("ivf_recall_r",
-        round(col("ivf_hits").cast("double") / col("n_truth"), 6))
+      .transform(TextOps.ratio6On(_, "lsh_recall_r",
+        col("lsh_hits"), col("n_truth")))
+      .transform(TextOps.ratio6On(_, "ivf_recall_r",
+        col("ivf_hits"), col("n_truth")))
       .orderBy("query_id")
   }
 }

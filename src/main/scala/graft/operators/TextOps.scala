@@ -384,8 +384,8 @@ object TextOps {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
         coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"))
-      .withColumn("leak_share_r",
-        round(col("n_hit_shingles").cast("double") / col("n_shingles"), 6))
+      .transform(ratio6On(_, "leak_share_r",
+        col("n_hit_shingles"), col("n_shingles")))
       .orderBy("doc_id")
   }
 
@@ -791,17 +791,31 @@ object TextOps {
         max(col("c")).as("max_tc")))
   }
 
+  /** THE 6-dp integer-ratio render (r19): intRound(10⁶·num/den)/10⁶ by
+    * exact half-away division over NON-NEGATIVE integer columns, staged
+    * in DECIMAL(38,0) (corpus-level numerators reach ~10¹³ at 100 TB;
+    * 2·10⁶·num wraps an int64 there — the decimal fails loudly). This
+    * replaced every round(intA/intB, 6) after the first GenData sf0.1
+    * full gate flushed two 1-ULP seams of exactly this class (c45,
+    * c56): round(double, 6) near a .5·10⁻⁶ boundary is
+    * engine-dependent; the integer division is not. */
+  private[graft] def ratio6On(df: DataFrame, out: String,
+                              num: Column, den: Column): DataFrame =
+    df.withColumn("__r6n", num.cast("decimal(38,0)"))
+      .withColumn("__r6d", den.cast("decimal(38,0)"))
+      .withColumn(out,
+        expr("(2000000*__r6n + __r6d) div (2*__r6d)").cast("double") / 1e6)
+      .drop("__r6n", "__r6d")
+
   /** The c35 rule battery over a (doc_id, n_words, n_types, max_tc) frame
     * — THE verdict logic both the batch operator and d12's streaming twin
     * apply, shared (like [[words]]) so batch/stream thresholds can't
-    * drift. Ratios are one double division of exact integers rounded to
-    * 6 dp; every rule thresholds the ROUNDED value. */
+    * drift. Ratios render through [[ratio6On]] (exact integers, r19);
+    * every rule thresholds the ROUNDED value. */
   private[graft] def qualityVerdicts(counts: DataFrame): DataFrame =
-    counts
-      .withColumn("ttr",
-        round(col("n_types").cast("double") / col("n_words"), 6))
-      .withColumn("top_share",
-        round(col("max_tc").cast("double") / col("n_words"), 6))
+    ratio6On(ratio6On(counts,
+        "ttr", col("n_types"), col("n_words")),
+        "top_share", col("max_tc"), col("n_words"))
       .withColumn("rule_len", col("n_words") >= 10 && col("n_words") <= 1000)
       .withColumn("rule_ttr", col("ttr") >= 0.2)
       .withColumn("rule_top_share", col("top_share") <= 0.2)
@@ -959,8 +973,19 @@ object TextOps {
       .agg(min(col("bucket")).as("bucket"),
         count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
       .crossJoin(broadcast(total))
+      // 6-dp render by EXACT INTEGER half-away division (r19 — the
+      // c45/c56 rule applied proactively across the integer-ratio
+      // renders after the first GenData sf0.1 gate flushed two 1-ULP
+      // seams of this class): m6 = intRound(10⁶·sum_ctf/(n_tokens·
+      // total_tokens)), staged in DECIMAL(38,0) — the denominator
+      // reaches ~10¹⁵ on a 100 TB corpus and 2·10⁶·sum_ctf wraps an
+      // int64 there; the decimal fails loudly instead.
+      .withColumn("__den", col("n_tokens").cast("decimal(38,0)") *
+        col("total_tokens").cast("decimal(38,0)"))
       .withColumn("mean_prob_r",
-        round(col("sum_ctf").cast("double") / col("n_tokens") / col("total_tokens"), 6))
+        expr("(2000000*cast(sum_ctf as decimal(38,0)) + __den) div (2*__den)")
+          .cast("double") / 1e6)
+      .drop("__den")
   }
 
   /** c41's keep-verdict form over an arbitrary docs frame + tokenizer —
@@ -1319,8 +1344,7 @@ object TextOps {
         size(flatten(transform(col("ws"),
           w => graft.functions.BpeFunctions.applyBpe(w, merges))))
           .cast("bigint").as("n_tokens"))
-      .withColumn("fertility_r",
-        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .transform(ratio6On(_, "fertility_r", col("n_tokens"), col("n_words")))
       .orderBy("doc_id")
   }
 
@@ -1435,8 +1459,7 @@ object TextOps {
           graft.functions.BpeFunctions.applyBpe(
             graft.functions.ByteBpeFunctions.byteStage(p), merges))))
           .cast("bigint").as("n_tokens"))
-      .withColumn("fertility_r",
-        round(col("n_tokens").cast("double") / col("n_pretokens"), 6))
+      .transform(ratio6On(_, "fertility_r", col("n_tokens"), col("n_pretokens")))
       .orderBy("doc_id")
   }
 
@@ -1459,9 +1482,8 @@ object TextOps {
       df.agg(count(lit(1)).as("n_docs"),
         sum(col(units)).as("n_units"), sum(col("n_tokens")).as("n_tokens"))
         .select(lit(name).as("tokenizer"), col("n_docs"),
-          col("n_units"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("n_units"), 6)
-            .as("fertility_r"))
+          col("n_units"), col("n_tokens"))
+        .transform(ratio6On(_, "fertility_r", col("n_tokens"), col("n_units")))
     // r15 OOV/coverage column: per tokenizer, the share of emitted
     // tokens a production deployment would surface as <unk>/uncovered.
     // Derived word-TYPE-side (vocab-bounded jobs, never corpus tokens):
@@ -1531,8 +1553,7 @@ object TextOps {
     val lo = least(col("nt_bpe_char"), col("nt_bpe_byte"),
       col("nt_unigram"), col("nt_wordpiece"))
     a.join(b, "doc_id").join(u, "doc_id").join(w, "doc_id")
-      .withColumn("spread_r",
-        round(hi.cast("double") / lo.cast("double"), 6))
+      .transform(ratio6On(_, "spread_r", hi, lo))
       .orderBy("doc_id")
   }
 

@@ -242,8 +242,8 @@ object Unigram {
     dw.join(broadcast(types), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_tokens"))
-      .withColumn("fertility_r",
-        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .transform(TextOps.ratio6On(_, "fertility_r",
+        col("n_tokens"), col("n_words")))
       .orderBy("doc_id")
   }
 

@@ -352,8 +352,14 @@ object StreamOps {
         aggregate(
           transform(col("toks"), t => coalesce(element_at(ctfMap, t), lit(0L))),
           lit(0L), (acc, x) => acc + x).as("sum_ctf"))
+      // the batch render's exact-integer form (freqScoredOn, r19) with
+      // the plan-literal total inlined — twins cannot drift on a ULP
+      .withColumn("__den", col("n_tokens").cast("decimal(38,0)") *
+        lit(totalTokens).cast("decimal(38,0)"))
       .withColumn("mean_prob_r",
-        round(col("sum_ctf").cast("double") / col("n_tokens") / lit(totalTokens), 6))
+        expr("(2000000*cast(sum_ctf as decimal(38,0)) + __den) div (2*__den)")
+          .cast("double") / 1e6)
+      .drop("__den")
       .withColumn("keep", col("mean_prob_r") >= minMeanProb)
   }
 
