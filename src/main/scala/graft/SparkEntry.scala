@@ -2408,13 +2408,17 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
         |  UNION ALL SELECT 'n_distinct_texts', CAST(n_distinct AS DOUBLE) FROM t
         |  UNION ALL SELECT 'dup_rate',
-        |    round(CAST(n_docs - n_distinct AS DOUBLE) / n_docs, 6) FROM t
+        |    CAST((2000000*(n_docs - n_distinct) + n_docs) // (2*n_docs)
+        |         AS DOUBLE) / 1e6 FROM t
         |  UNION ALL SELECT 'mean_doc_tokens',
-        |    round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM t
+        |    CAST((2000000*n_tokens + n_docs) // (2*n_docs) AS DOUBLE) / 1e6
+        |    FROM t
         |  UNION ALL SELECT 'quality_keep_rate',
-        |    round(CAST(n_keep AS DOUBLE) / n_docs, 6) FROM t
+        |    CAST((2000000*n_keep + n_docs) // (2*n_docs) AS DOUBLE) / 1e6
+        |    FROM t
         |  UNION ALL SELECT 'lang_share:' || lang,
-        |    round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM t), 6)
+        |    CAST((2000000*count(*) + (SELECT n_docs FROM t))
+        |         // (2*(SELECT n_docs FROM t)) AS DOUBLE) / 1e6
         |  FROM pd GROUP BY lang
         |) ORDER BY metric""".stripMargin,
     // c60: cluster labeling — the c18/c36 label-codebook + argmax
@@ -2440,7 +2444,8 @@ object SparkEntry {
         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |nc AS (SELECT count(DISTINCT cell) AS n_cells FROM tf),
         |s AS (SELECT tf.cell, tf.term, tf.tf, dfx.df,
-        |        round(CAST(tf.tf * nc.n_cells AS DOUBLE) / dfx.df, 6) AS score_r
+        |        CAST((2000000*tf.tf*nc.n_cells + dfx.df) // (2*dfx.df)
+        |             AS DOUBLE) / 1e6 AS score_r
         |      FROM tf JOIN dfx USING (term) CROSS JOIN nc),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
         |        ORDER BY score_r DESC, term ASC) AS BIGINT) AS rnk FROM s)
@@ -2676,7 +2681,8 @@ object SparkEntry {
         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
-        |        round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df, 6) AS score_r
+        |        CAST((2000000*tf.tf*n.n_docs + dfx.df) // (2*dfx.df)
+        |             AS DOUBLE) / 1e6 AS score_r
         |      FROM tf JOIN dfx USING (term) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term ASC) AS rn FROM s)
         |SELECT doc_id, term AS top_term, tf, df, score_r FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,

@@ -115,8 +115,7 @@ object TextOps {
       .orderBy(desc("score_r"), asc("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
-      .withColumn("score_r",
-        round((col("tf") * col("n_docs")).cast("double") / col("df"), 6))
+      .transform(ratio6On(_, "score_r", col("tf") * col("n_docs"), col("df")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"),
@@ -1860,8 +1859,7 @@ object TextOps {
     val w = Window.partitionBy("cell").orderBy(desc("score_r"), asc("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nCells))
-      .withColumn("score_r",
-        round((col("tf") * col("n_cells")).cast("double") / col("df"), 6))
+      .transform(ratio6On(_, "score_r", col("tf") * col("n_cells"), col("df")))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= topT)
       .select(col("cell").cast("bigint").as("cell"), col("rnk"),
@@ -1905,21 +1903,24 @@ object TextOps {
         1L).otherwise(0L)).as("n_keep"))
     def m(name: String, v: Column): Column =
       struct(lit(name).as("metric"), v.cast("double").as("value_r"))
-    val scalar = totals.select(explode(array(
+    // ratio metrics pre-staged through ratio6On (exact integers, r19)
+    val totals6 = ratio6On(ratio6On(ratio6On(totals,
+        "dup_rate", col("n_docs") - col("n_distinct"), col("n_docs")),
+        "mean_doc_tokens", col("n_tokens"), col("n_docs")),
+        "quality_keep_rate", col("n_keep"), col("n_docs"))
+    val scalar = totals6.select(explode(array(
         m("n_docs", col("n_docs")),
         m("n_tokens", col("n_tokens")),
         m("n_distinct_texts", col("n_distinct")),
-        m("dup_rate", round(
-          (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 6)),
-        m("mean_doc_tokens", round(
-          col("n_tokens").cast("double") / col("n_docs"), 6)),
-        m("quality_keep_rate", round(
-          col("n_keep").cast("double") / col("n_docs"), 6)))).as("r"))
+        m("dup_rate", col("dup_rate")),
+        m("mean_doc_tokens", col("mean_doc_tokens")),
+        m("quality_keep_rate", col("quality_keep_rate")))).as("r"))
       .select(col("r.metric").as("metric"), col("r.value_r").as("value_r"))
     val langs = perDoc.groupBy("lang").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .transform(ratio6On(_, "value_r", col("n"), col("n_docs")))
       .select(concat(lit("lang_share:"), col("lang")).as("metric"),
-        round(col("n").cast("double") / col("n_docs"), 6).as("value_r"))
+        col("value_r"))
     scalar.unionByName(langs).orderBy("metric")
   }
 
