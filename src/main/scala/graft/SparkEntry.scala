@@ -544,7 +544,8 @@ object SparkEntry {
        |          GROUP BY a.doc_id, b.doc_id) it
        |       JOIN sz za ON za.doc_id = it.doc_a
        |       JOIN sz zb ON zb.doc_id = it.doc_b
-       |       WHERE round(CAST(it.ni AS DOUBLE) / (za.n + zb.n - it.ni), 6)
+       |       WHERE CAST((2000000*it.ni + (za.n + zb.n - it.ni))
+       |             // (2*(za.n + zb.n - it.ni)) AS DOUBLE) / 1e6
        |             >= 0.5),
        |bd AS (SELECT doc_a, doc_b FROM ($c2Sql) WHERE jaccard >= 0.5),
        |u AS (SELECT doc_a, doc_b, 1 AS e, 0 AS b FROM tr
@@ -1313,8 +1314,10 @@ object SparkEntry {
       |jp AS (SELECT p.doc_a, p.doc_b FROM pr p
       |       JOIN shl za ON za.doc_id = p.doc_a
       |       JOIN shl zb ON zb.doc_id = p.doc_b
-      |       WHERE round(CAST(len(list_filter(za.sl, x -> list_contains(zb.sl, x))) AS DOUBLE)
-      |             / (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))), 6) >= 0.5),
+      |       WHERE CAST((2000000*len(list_filter(za.sl, x -> list_contains(zb.sl, x)))
+      |               + (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))))
+      |             // (2*(za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))))
+      |             AS DOUBLE) / 1e6 >= 0.5),
       |ed AS (SELECT doc_a AS u, doc_b AS v FROM jp
       |       UNION ALL SELECT doc_b, doc_a FROM jp),
       |reach AS (SELECT u, v FROM ed
@@ -1877,8 +1880,10 @@ object SparkEntry {
         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT p.doc_a, p.doc_b,
-        |  round(CAST(len(list_filter(za.sl, x -> list_contains(zb.sl, x))) AS DOUBLE)
-        |        / (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))), 6) AS jaccard
+        |  CAST((2000000*len(list_filter(za.sl, x -> list_contains(zb.sl, x)))
+        |        + (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))))
+        |       // (2*(za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))))
+        |       AS DOUBLE) / 1e6 AS jaccard
         |FROM pr p
         |JOIN shl za ON za.doc_id = p.doc_a
         |JOIN shl zb ON zb.doc_id = p.doc_b
@@ -1934,7 +1939,8 @@ object SparkEntry {
         |         FROM iv
         |         JOIN mhi ON mhi.doc_id = iv.in_id
         |         JOIN mhe ON mhe.doc_id = iv.ex_id
-        |         WHERE round(CAST(iv.ni AS DOUBLE) / (mhi.ns + mhe.ns - iv.ni), 6) >= 0.7
+        |         WHERE CAST((2000000*iv.ni + (mhi.ns + mhe.ns - iv.ni))
+        |               // (2*(mhi.ns + mhe.ns - iv.ni)) AS DOUBLE) / 1e6 >= 0.7
         |         GROUP BY iv.in_id)
         |SELECT i.doc_id,
         |  CASE WHEN x.exact_of IS NOT NULL THEN 'exact_dup'
@@ -1966,8 +1972,10 @@ object SparkEntry {
         |       FROM gx GROUP BY doc_id)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_filter(a.gl, x -> list_contains(b.gl, x))) AS BIGINT) AS n_common,
-        |  round(CAST(len(list_filter(a.gl, x -> list_contains(b.gl, x))) AS DOUBLE)
-        |        / (a.ng + b.ng - len(list_filter(a.gl, x -> list_contains(b.gl, x)))), 6) AS jaccard
+        |  CAST((2000000*len(list_filter(a.gl, x -> list_contains(b.gl, x)))
+        |        + (a.ng + b.ng - len(list_filter(a.gl, x -> list_contains(b.gl, x)))))
+        |       // (2*(a.ng + b.ng - len(list_filter(a.gl, x -> list_contains(b.gl, x)))))
+        |       AS DOUBLE) / 1e6 AS jaccard
         |FROM gr a JOIN gr b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "c6_ann_lsh" ->

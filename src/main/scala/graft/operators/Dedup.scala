@@ -77,11 +77,22 @@ object Dedup {
   private[graft] def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
     shingleCore(docs, n).select("doc_id", "shingle").distinct()
 
-  /** Exact Jaccard from integer set sizes: |A∩B| / (|A| + |B| - |A∩B|) —
-    * identical integer operands in both engines before the single double
-    * division. */
-  private def jaccardCol(ni: Column, na: Column, nb: Column): Column =
-    round(ni.cast("double") / (na + nb - ni), 6)
+  /** Exact Jaccard from integer set sizes: |A∩B| / (|A| + |B| - |A∩B|),
+    * 6-dp render by EXACT integer half-away division (r19, the ratio6On
+    * rule at Column level): m6 = floor((2·10⁶·ni + den)/(2·den))
+    * computed with pmod in pure long arithmetic — the final `/` divides
+    * an exact multiple, so the quotient double is exact. Exact to
+    * ~4×10⁹ shingles per doc (the multiple must stay under 2⁵³); beyond
+    * that the doc itself is pathological. Oracles render the same `//`.
+    * (The spec suite caught the first cut of this form doubling the
+    * numerator IN BOTH ENGINES — the oracle can't see a seam the two
+    * sides share, the invariant jaccard ≤ 1 can.) */
+  private def jaccardCol(ni: Column, na: Column, nb: Column): Column = {
+    val den = na + nb - ni
+    val n2 = lit(2000000L) * ni + den
+    val d2 = lit(2L) * den
+    (((n2 - pmod(n2, d2)) / d2).cast("double") / 1e6)
+  }
 
   /** Per-JVM memoized shingle table: [[shingleRows]] materialized once per
     * data dir to scratch parquet and read back. The shingle subtree feeds
