@@ -345,21 +345,29 @@ object Bench {
       run(ArrowIpc.serialize(
         StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
     }
+    // probes measure the PRE-sample box state but append only after the
+    // sample succeeds: a fenced-swallowed body failure must not leave the
+    // probe buffer longer than the sample buffer (channel_stats pairs
+    // sample i with probe i), and a probe IO failure must cost NaN in the
+    // evidence column, never the channel's real measurement (r20 ADVICE)
+    def safeProbe(p: => Double): Double =
+      try p catch { case scala.util.control.NonFatal(_) => Double.NaN }
     if (runChannels) for (round <- 1 to 3) {
       if (corpus != null) fenced(s"convert#$round", ()) {
-        subConvert += substrateProbe()
+        val probe = safeProbe(substrateProbe())
         rematerialize(s"bench-warm-convert-$round") { corpus.lines.count(); () }
         val (wall, led) = sampleLedger(s"bench-convert-$round") {
           run(ArrowIpc.serialize(
             StreamPipeline.convert(corpus.lines, corpus.schema), maxRows = 4096).toDF())
         }
+        subConvert += probe
         convertS += corpus.jsonBytes / 1e6 / wall
         convertL += ((wall, led))
         ()
       }
       if (msgs != null) fenced(s"publish#$round", ()) {
-        subPub += substrateProbe()
-        subPubFsync += substrateFsyncProbe()
+        val probe = safeProbe(substrateProbe())
+        val probeFsync = safeProbe(substrateFsyncProbe())
         rematerialize(s"bench-warm-publish-$round") { msgs.count(); () }
         def timeOne(tag: String,
                     mk: Long => graft.streaming.Publisher)
@@ -369,6 +377,7 @@ object Bench {
         val pubDir = GraftSession.scratchDir("bench-publish").toString
         val (pw, pl) = timeOne(s"bench-publish-$round",
           e => new graft.streaming.FilePublisher(pubDir, e))
+        subPub += probe; subPubFsync += probeFsync
         pubS += nMsgs / pw; pubL += ((pw, pl))
         GraftSession.scratchDir("bench-publish") // clear between modes
         val (bw, bl) = timeOne(s"bench-publish-batched-$round",
@@ -389,8 +398,9 @@ object Bench {
       // sample with proportionally more tasks but the same input rows
       // reads as microbatch overhead, not a convert-path regression.
       fenced(s"ingest#$round", ()) {
-        subIngest += substrateProbe()
+        val probe = safeProbe(substrateProbe())
         val (mbps, rps, runId, sec) = benchIngest(spark, sfDir)
+        subIngest += probe
         ingestS += ((mbps, rps))
         ingestL += ((sec, cpuClock.settledGroupLedger(runId)))
         ()

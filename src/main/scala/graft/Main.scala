@@ -141,9 +141,14 @@ object Main {
     val written = spark.read.parquet(out)
     val nIn = docs.count()
     val refused = written.filter(!col("well_formed")).count()
-    val flagged = if (flags) written.filter(!col("ok")).count() else -1L
+    // flagged key present ONLY when the battery ran (the train verbs'
+    // conditional-export rule): a -1 sentinel misreads as a count in any
+    // consumer that sums or thresholds it (r20 ADVICE)
+    val flaggedPart =
+      if (flags) s""""flagged":${written.filter(!col("ok")).count()},"""
+      else ""
     println(s"""{"docs_in":$nIn,"docs_out":${written.count()},""" +
-      s""""refused":$refused,"flagged":$flagged,""" +
+      s""""refused":$refused,$flaggedPart""" +
       s""""min_words":$minWords,"out":${jsonStr(out)}}""")
   }
 

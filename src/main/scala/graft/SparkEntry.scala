@@ -1135,7 +1135,8 @@ object SparkEntry {
          |FROM (${sql.replace("\n", "\n  ")})""".stripMargin
     def withOov(foldSql: String, oovSql: String): String =
       s"""SELECT f.tokenizer, f.n_docs, f.n_units, f.n_tokens, f.fertility_r,
-         |  round(CAST(o.n_oov AS DOUBLE) / f.n_tokens, 6) AS oov_share_r
+         |  CAST((2000000*o.n_oov + f.n_tokens) // (2*f.n_tokens)
+         |       AS DOUBLE) / 1e6 AS oov_share_r
          |FROM ($foldSql) f CROSS JOIN ($oovSql) o""".stripMargin
     val charOov =
       s"""SELECT CAST(coalesce(sum(wcnt * len(list_filter(range(1, len(w) + 1),
@@ -2161,8 +2162,9 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_bands, TRUE AS lossy_ok
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin,
     // c55: the log-free exact-rational BM25 (k1=6/5, b=3/4 cleared of
-    // fractions — see TextOps.c55Bm25) — every operand an exact BIGINT,
-    // one double division per term, fixed left-associated sum
+    // fractions — see TextOps.c55Bm25) — operands HUGEINT-staged (the
+    // Spark side is DECIMAL(38,0)), 6-dp render by exact half-away `//`
+    // division, fixed left-associated sum
     "c55_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),
@@ -2171,19 +2173,24 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window,
         |         CAST(sum(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS tf_query
         |       FROM tok GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens,
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS HUGEINT) AS n_tokens,
         |         CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
         |         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
         |         CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query
         |       FROM pd),
+        |nd AS (SELECT doc_id, dl, tf_spark, tf_window, tf_query,
+        |         (2*n_docs - 2*df_spark + 1) * 22 * n_tokens * tf_spark AS n_sp,
+        |         (2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs) AS d_sp,
+        |         (2*n_docs - 2*df_window + 1) * 22 * n_tokens * tf_window AS n_wi,
+        |         (2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs) AS d_wi,
+        |         (2*n_docs - 2*df_query + 1) * 22 * n_tokens * tf_query AS n_qu,
+        |         (2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs) AS d_qu
+        |       FROM pd CROSS JOIN st),
         |sc AS (SELECT doc_id, dl, tf_spark, tf_window, tf_query,
-        |         round(CAST((2*n_docs - 2*df_spark + 1) * 22 * n_tokens * tf_spark AS DOUBLE)
-        |               / ((2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs)), 6) AS s_spark,
-        |         round(CAST((2*n_docs - 2*df_window + 1) * 22 * n_tokens * tf_window AS DOUBLE)
-        |               / ((2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs)), 6) AS s_window,
-        |         round(CAST((2*n_docs - 2*df_query + 1) * 22 * n_tokens * tf_query AS DOUBLE)
-        |               / ((2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs)), 6) AS s_query
-        |       FROM pd CROSS JOIN st)
+        |         CAST((2000000*n_sp + d_sp) // (2*d_sp) AS DOUBLE) / 1e6 AS s_spark,
+        |         CAST((2000000*n_wi + d_wi) // (2*d_wi) AS DOUBLE) / 1e6 AS s_window,
+        |         CAST((2000000*n_qu + d_qu) // (2*d_qu) AS DOUBLE) / 1e6 AS s_query
+        |       FROM nd)
         |SELECT doc_id, dl, tf_spark, tf_window, tf_query, s_spark, s_window, s_query,
         |  s_spark + s_window + s_query AS score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -2470,18 +2477,21 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window,
         |         CAST(sum(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS tf_query
         |       FROM tok GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens,
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS HUGEINT) AS n_tokens,
         |         CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
         |         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
         |         CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query
         |       FROM pd),
         |fx AS (SELECT doc_id,
-        |         round(CAST((2*n_docs - 2*df_spark + 1) * 22 * n_tokens * tf_spark AS DOUBLE)
-        |               / ((2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs)), 6)
-        |         + round(CAST((2*n_docs - 2*df_window + 1) * 22 * n_tokens * tf_window AS DOUBLE)
-        |               / ((2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs)), 6)
-        |         + round(CAST((2*n_docs - 2*df_query + 1) * 22 * n_tokens * tf_query AS DOUBLE)
-        |               / ((2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs)), 6) AS score,
+        |         CAST((2000000*((2*n_docs - 2*df_spark + 1) * 22 * n_tokens * tf_spark)
+        |               + ((2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs)))
+        |            // (2*((2*df_spark + 1) * (10*n_tokens*tf_spark + 3*n_tokens + 9*dl*n_docs))) AS DOUBLE) / 1e6
+        |         + CAST((2000000*((2*n_docs - 2*df_window + 1) * 22 * n_tokens * tf_window)
+        |               + ((2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs)))
+        |            // (2*((2*df_window + 1) * (10*n_tokens*tf_window + 3*n_tokens + 9*dl*n_docs))) AS DOUBLE) / 1e6
+        |         + CAST((2000000*((2*n_docs - 2*df_query + 1) * 22 * n_tokens * tf_query)
+        |               + ((2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs)))
+        |            // (2*((2*df_query + 1) * (10*n_tokens*tf_query + 3*n_tokens + 9*dl*n_docs))) AS DOUBLE) / 1e6 AS score,
         |         ((tf_spark + tf_window + tf_query) * 1000000) // dl AS ql_ppm
         |       FROM pd CROSS JOIN st),
         |a AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
@@ -2882,8 +2892,10 @@ object SparkEntry {
         |dc AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
         |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
         |  CAST(dc.n_distinct AS BIGINT) AS n_distinct,
-        |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) AS dup_ratio,
-        |  round(1 - CAST(dc.n_distinct AS DOUBLE) / t.n_grams, 6) > 0.2 AS flagged
+        |  CAST((2000000*(t.n_grams - dc.n_distinct) + t.n_grams)
+        |       // (2*t.n_grams) AS DOUBLE) / 1e6 AS dup_ratio,
+        |  CAST((2000000*(t.n_grams - dc.n_distinct) + t.n_grams)
+        |       // (2*t.n_grams) AS DOUBLE) / 1e6 > 0.2 AS flagged
         |FROM tot t JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c25_mixture_resample" ->
       """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),

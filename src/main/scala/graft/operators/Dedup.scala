@@ -87,7 +87,7 @@ object Dedup {
     * (The spec suite caught the first cut of this form doubling the
     * numerator IN BOTH ENGINES — the oracle can't see a seam the two
     * sides share, the invariant jaccard ≤ 1 can.) */
-  private def jaccardCol(ni: Column, na: Column, nb: Column): Column = {
+  private[graft] def jaccardCol(ni: Column, na: Column, nb: Column): Column = {
     val den = na + nb - ni
     val n2 = lit(2000000L) * ni + den
     val d2 = lit(2L) * den

@@ -40,14 +40,16 @@ object Extract {
     * with newlines so the document's LINE structure survives tag
     * stripping — the unit the boilerplate density rule judges. Inline
     * tags (<a>, <b>, <em>, <span>, …) strip to a space instead, so they
-    * never split a line. Longer names precede their prefixes in the
-    * alternation (header before head) — with `[^>]*>` consuming
-    * attributes, a prefix match on a longer inline name (<u> vs ul) is
-    * impossible because the tail chars must still reach `>`. */
+    * never split a line. Each name is anchored with a `(?=[\s/>])`
+    * lookahead before the attribute tail (r20, ADVICE fix): without it
+    * a short block name prefix-matched longer unrelated tags — `p`
+    * swallowed <progress>/<param>/<picture>/<path>, `li` swallowed
+    * <link>, `tr` swallowed <track> — turning inline/void tags into
+    * line breaks and shifting density-rule outcomes on real HTML. */
   private val BlockTagRe =
     "(?i)</?(?:p|div|nav|footer|header|section|article|aside|main|title|" +
       "head|body|html|h[1-6]|hr|br|li|ul|ol|tr|td|thead|tbody|tfoot|th|" +
-      "table|blockquote|pre|form)[^>]*>"
+      "table|blockquote|pre|form)(?=[\\s/>])[^>]*>"
 
   /** Known limitation (documented, spec-pinned): tag recognition is
     * regex-based — an attribute value containing a literal `>` ends the
@@ -147,12 +149,20 @@ object Extract {
 
   /** Encoding-damage character classes. `CtrlClass`: C0 controls minus
     * \t\n\r, DEL, and the C1 range U+0080–U+009F — the bytes cp1252
-    * round-trips smuggle in. `MojiRe`: the UTF-8-read-as-latin1
-    * signatures — a 2-byte lead (Ã=0xC3, Â=0xC2) or 3-byte lead
-    * (â=0xE2) followed by continuation bytes decoded as U+0080–U+00BF
-    * chars ("Ã©", "â€™", "Â·" — the ftfy top offenders). */
+    * round-trips smuggle in. `MojiRe`: the UTF-8-misdecode signatures —
+    * a 2-byte lead (Ã=0xC3, Â=0xC2) or 3-byte lead (â=0xE2) followed by
+    * continuation bytes 0x80–0xBF decoded EITHER as latin1 (U+0080–
+    * U+00BF chars: "Ã©", "Â·") OR as cp1252 (r20, ADVICE fix: the far
+    * more common form — 0x80–0x9F map to €‚ƒ„…†‡ˆ‰Š‹ŒŽ''""•–—˜™š›œžŸ,
+    * so "â€™" renders as U+00E2 U+20AC U+2122, the actual ftfy top
+    * offender; the five cp1252 holes 0x81/8D/8F/90/9D pass through as
+    * C1 controls, already inside \x80-\xBF). */
   private val CtrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]"
-  private val MojiRe = "[\\xC2\\xC3][\\x80-\\xBF]|\\xE2[\\x80-\\xBF]{2}"
+  private val MojiCont = "[\\x80-\\xBF\\u20AC\\u201A\\u0192\\u201E\\u2026" +
+    "\\u2020\\u2021\\u02C6\\u2030\\u0160\\u2039\\u0152\\u017D\\u2018\\u2019" +
+    "\\u201C\\u201D\\u2022\\u2013\\u2014\\u02DC\\u2122\\u0161\\u203A\\u0153" +
+    "\\u017E\\u0178]"
+  private val MojiRe = s"[\\xC2\\xC3]$MojiCont|\\xE2$MojiCont{2}"
 
   /** THE encoding-validity operator over an arbitrary (…, textCol)
     * frame — the quality gate real pipelines run right after
@@ -202,5 +212,83 @@ object Extract {
       Tables.documents(spark, dir)
         .select(col("doc_id"), gateCorruption.as("text")))
       .select("doc_id", "n_fffd", "n_ctrl", "n_moji", "ok", "repaired")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- c119
+
+  /** c119's gate markup — [[gateMarkup]]'s structure over an
+    * already-corrupted text, with one deliberate difference: the body
+    * line does NOT embed doc_id ("<em>doc</em> {text}"), so two
+    * documents with identical text produce identical extracted lines
+    * and the pipeline's dedup stage has real duplicates to find
+    * (gateMarkup's "intro {id}" body is md5-unique by construction,
+    * which would make the dedup stage vacuous). */
+  private[graft] def pipelineMarkup: Column = {
+    val id = col("doc_id").cast("string")
+    val scriptClose =
+      when(pmod(col("doc_id"), lit(13L)) === 0, lit("")) // malformed
+        .otherwise(lit("</script>"))
+    concat(
+      lit("<html><head><title>doc "), id,
+      lit("</title><style>p{margin:0}</style><script>var id="), id,
+      lit(";"), scriptClose,
+      lit("</head><body><nav><a href=\"/\">home</a></nav><p><em>doc</em> "),
+      col("text"),
+      lit(" &amp; fin</p><div class=\"ad\">ad unit "), id,
+      lit("</div><footer>&copy; site "), id,
+      lit("</footer></body></html>"))
+  }
+
+  /** THE composed crawl pipeline over an arbitrary (doc_id, `markupCol`)
+    * frame — the one-flow form of the stages a crawl release actually
+    * chains (the r19 verdict's #3 gap: graft had the stages, not the
+    * flow): extract (c117) → encoding validity on the extracted text
+    * (c118) → quality battery on the REPAIRED text (c35's rule stack —
+    * the ftfy rule: repair what is mechanically safe, then score) →
+    * exact dedup among survivors (md5 canonical, min doc_id wins).
+    * Emits one verdict row per input doc: stage verdicts + the final
+    * `kept` (well_formed ∧ enc_ok ∧ q_keep ∧ ¬is_dup).
+    *
+    * Scale shape: extract + encoding are row-local codegen'd chains on
+    * the same pass; quality is c35's two narrow-key shuffles; dedup is
+    * one groupBy on a 32-byte hash + one equi-join back. Nothing
+    * corpus-quadratic, no new shuffle beyond the stages' own — the
+    * composition is exactly the sum of its audited parts. */
+  def crawlPipelineOn(raw: DataFrame, markupCol: String = "html",
+                      minWords: Int = 4): DataFrame = {
+    import graft.operators.TextOps
+    val enc = encodingFlagOn(
+      htmlExtractOn(raw, markupCol, minWords), "extracted")
+      .withColumnRenamed("ok", "enc_ok")
+    val q = TextOps.qualityCounted(
+        enc.select(col("doc_id"), col("repaired").as("text")),
+        t => TextOps.words(lower(t)))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val staged = enc.join(q, Seq("doc_id"), "left")
+      .withColumn("q_keep", coalesce(col("q_keep"), lit(false)))
+      .withColumn("surv", col("well_formed") && col("enc_ok") && col("q_keep"))
+      .withColumn("ck", when(col("surv"), md5(col("repaired"))))
+    val canon = staged.filter(col("surv"))
+      .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
+    staged.join(canon, Seq("ck"), "left")
+      .withColumn("is_dup", col("surv") && col("doc_id") =!= col("canon_id"))
+      .withColumn("kept", col("surv") && !col("is_dup"))
+      .select("doc_id", "well_formed", "enc_ok", "q_keep", "is_dup", "kept")
+  }
+
+  /** c119 gate row: corrupt (c118's closed-form plants) → wrap in
+    * markup ([[pipelineMarkup]]) → run the REAL composed pipeline.
+    * Branch interplay, all oracled in closed form: %13 docs carry BEL
+    * but their markup is malformed, so they exit at the refusal stage
+    * (the ctrl plant is exercised AS the refusal path — extracted is ""
+    * and encoding reads clean); %11 docs' U+FFFD scrubs away in
+    * `repaired`, so a %11 doc whose text equals a clean doc's becomes a
+    * genuine cross-branch duplicate; %7 mojibake is kept by the ftfy
+    * rule and fails enc_ok. */
+  def c119CrawlPipeline(spark: SparkSession, dir: String): DataFrame =
+    crawlPipelineOn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), gateCorruption.as("text"))
+        .select(col("doc_id"), pipelineMarkup.as("html")))
       .orderBy("doc_id")
 }

@@ -166,8 +166,10 @@ object TextOps {
 
   /** Repetition scoring over a (doc_id, text) frame and its distinct-
     * shingle table: duplicate 3-gram fraction (1 − distinct/total), the
-    * Gopher-style repetitious-text quality signal. The ratio is one double
-    * division of exact integers, rounded to 6 dp; the flag thresholds the
+    * Gopher-style repetitious-text quality signal. The ratio is an
+    * integer ratio ((n_grams − n_distinct)/n_grams) rendered through
+    * [[ratio6On]] (exact half-away division — r20, retiring the last
+    * round(double) seam of the c45/c56 class); the flag thresholds the
     * ROUNDED value so row membership can't flip on a last-ulp
     * disagreement. Docs under 3 tokens have no 3-grams and are excluded
     * (in both engines). */
@@ -178,8 +180,8 @@ object TextOps {
         (size(words(lower(col("text")))) - 2).cast("bigint").as("n_grams"))
       .filter(col("n_grams") >= 1)
       .join(distinctCnt, "doc_id")
-      .withColumn("dup_ratio",
-        round(lit(1) - col("n_distinct").cast("double") / col("n_grams"), 6))
+      .transform(ratio6On(_, "dup_ratio",
+        col("n_grams") - col("n_distinct"), col("n_grams")))
       .withColumn("flagged", col("dup_ratio") > 0.2)
       .select("doc_id", "n_grams", "n_distinct", "dup_ratio", "flagged")
       .orderBy("doc_id")
@@ -805,6 +807,20 @@ object TextOps {
       .withColumn(out,
         expr("(2000000*__r6n + __r6d) div (2*__r6d)").cast("double") / 1e6)
       .drop("__r6n", "__r6d")
+
+  /** Column-level [[ratio6On]] (r20): the same exact half-away division
+    * staged in DECIMAL(38,0), but usable INSIDE a projection (streaming
+    * twins can't thread a frame transform through their select). The
+    * quotient is isolated with pmod — (n2 − pmod(n2,d2)) is an exact
+    * multiple of d2, so the decimal division is an exact integer and the
+    * double cast exact — rather than floor(n2/d2), whose 6-dp-rounded
+    * decimal quotient could cross an integer before the floor. */
+  private[graft] def ratio6Col(num: Column, den: Column): Column = {
+    val n = num.cast("decimal(38,0)"); val d = den.cast("decimal(38,0)")
+    val n2 = lit(2000000L).cast("decimal(38,0)") * n + d
+    val d2 = lit(2L).cast("decimal(38,0)") * d
+    ((n2 - pmod(n2, d2)) / d2).cast("double") / 1e6
+  }
 
   /** The c35 rule battery over a (doc_id, n_words, n_types, max_tc) frame
     * — THE verdict logic both the batch operator and d12's streaming twin
@@ -1498,8 +1514,7 @@ object TextOps {
       wt.agg(coalesce(sum(col("wcnt") * cnt), lit(0L)).as("n_oov"))
     def withOov(row: DataFrame, oov: DataFrame): DataFrame =
       row.crossJoin(oov)
-        .withColumn("oov_share_r",
-          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .transform(ratio6On(_, "oov_share_r", col("n_oov"), col("n_tokens")))
         .drop("n_oov")
     val charOov = oovFold(charOovCount(col("w"), bpeAlphabet(spark, dir)))
     val unkOov = oovFold(graft.operators.Unigram.unkCount(col("w"),
@@ -1577,22 +1592,24 @@ object TextOps {
     *   tfPart = tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl))
     *          = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)   (avgdl = T/N)
     *
-    * so score_t = round( (2N−2df+1)·22·T·tf
-    *                    / ((2df+1)·(10·T·tf + 3·T + 9·dl·N)), 6 ) —
-    * every operand an exact long, ONE double division, bit-identical in
-    * any IEEE engine. Per-term scores are saturating and idf-monotone,
-    * so single-term rankings match classic BM25; the total is their sum
-    * in FIXED left-associated column order (s1 + s2 + s3), which both
-    * Spark and DuckDB evaluate identically.
+    * so score_t = ratio6( (2N−2df+1)·22·T·tf,
+    *                      (2df+1)·(10·T·tf + 3·T + 9·dl·N) ) —
+    * every operand an exact DECIMAL(38,0) (r20: staged decimal BEFORE
+    * the products, because T ~ 10¹⁴ corpora wrap int64 there), rendered
+    * by [[ratio6On]]'s exact half-away integer division — engine-exact
+    * at any corpus size, no double division anywhere. Per-term scores
+    * are saturating and idf-monotone, so single-term rankings match
+    * classic BM25; the total is their sum in FIXED left-associated
+    * column order (s1 + s2 + s3), which both Spark and DuckDB evaluate
+    * identically (oracle side: HUGEINT `//`).
     *
     * Scale shape: one exploded-token scan with map-side combine builds
     * per-doc (dl, tf…); corpus stats (N, T, df…) fold to a 1-row
     * broadcast artifact (never a collect); scoring is a row-local
     * projection; the cut is TakeOrderedAndProject — no global sort, no
-    * all-pairs, nothing that grows super-linearly at 100 TB. Gate-scale
-    * products stay far under 2^53 so the double cast is exact; a 100 TB
-    * deployment (T ~ 10^14) lifts num/den into DECIMAL(38,0) — same
-    * expressions, wider type — documented rather than paid here. */
+    * all-pairs, nothing that grows super-linearly at 100 TB. The
+    * DECIMAL(38,0) staging carries a 100 TB deployment (T ~ 10^14)
+    * without int64 wrap — paid here, not just documented (r20). */
   def c55Bm25(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
     bm25Scored(spark, dir)
       .orderBy(desc("score"), asc("doc_id"))
@@ -1625,20 +1642,25 @@ object TextOps {
       (sum(col("dl")).as("n_tokens") +:
         terms.map(t =>
           sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
-    def termScore(t: String): Column = {
-      val tf = col(s"tf_$t"); val df = col(s"df_$t")
-      val num = (lit(2) * col("n_docs") - lit(2) * df + lit(1)) *
-        lit(22) * col("n_tokens") * tf
-      val den = (lit(2) * df + lit(1)) *
-        (lit(10) * col("n_tokens") * tf + lit(3) * col("n_tokens") +
-          lit(9) * col("dl") * col("n_docs"))
-      round(num.cast("double") / den, 6)
-    }
-    perDoc.crossJoin(broadcast(stats))
+    // r20: the promised DECIMAL(38,0) lift — every operand decimal-staged
+    // BEFORE multiplication (T ~ 10^14 corpora wrap int64 in the products)
+    // and the 6-dp render through ratio6On's exact half-away division, so
+    // the score is engine-exact at any corpus size, not just under 2^53.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def termNum(t: String): Column =
+      (lit(2) * dec(col("n_docs")) - lit(2) * dec(col(s"df_$t")) + lit(1)) *
+        lit(22) * dec(col("n_tokens")) * dec(col(s"tf_$t"))
+    def termDen(t: String): Column =
+      (lit(2) * dec(col(s"df_$t")) + lit(1)) *
+        (lit(10) * dec(col("n_tokens")) * dec(col(s"tf_$t")) +
+          lit(3) * dec(col("n_tokens")) +
+          lit(9) * dec(col("dl")) * dec(col("n_docs")))
+    terms.foldLeft(perDoc.crossJoin(broadcast(stats)))((df, t) =>
+        ratio6On(df, s"s_$t", termNum(t), termDen(t)))
       .select(
         (Seq(col("doc_id"), col("dl")) ++
           terms.map(t => col(s"tf_$t")) ++
-          terms.map(t => termScore(t).as(s"s_$t"))): _*)
+          terms.map(t => col(s"s_$t"))): _*)
       .withColumn("score",
         terms.map(t => col(s"s_$t")).reduceLeft(_ + _))
   }

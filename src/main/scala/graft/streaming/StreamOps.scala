@@ -553,8 +553,11 @@ object StreamOps {
       .select(col("doc_id"), col("sl"), posexplode(bandArr).as(Seq("band", "key")))
       .join(bandEx, Seq("band", "key"))
       .withColumn("ni", size(array_intersect(col("sl"), col("ex_sl"))))
+      // r20: share batch's EXACT integer render (Dedup.jaccardCol) so a
+      // .5e-6-boundary pair can't make stream and batch disagree by 1 ULP
+      // and flip threshold membership in the parity specs
       .withColumn("jaccard_r",
-        round(col("ni").cast("double") / (size(col("sl")) + col("ex_ns") - col("ni")), 6))
+        Dedup.jaccardCol(col("ni"), size(col("sl")), col("ex_ns")))
       .filter(col("jaccard_r") >= threshold)
       .select(col("doc_id"), lit("near").as("kind"), col("ex_id"), col("jaccard_r"))
     exact.unionByName(near)
@@ -1374,13 +1377,17 @@ object StreamOps {
     require(stats.nDocs >= 1 && stats.nTokens >= 1,
       s"corpus stats artifact must be non-empty, got $stats")
     require(stats.dfs.nonEmpty, "df artifact must contain at least one term")
-    val n = lit(stats.nDocs); val t = lit(stats.nTokens)
+    // r20: decimal-staged operands + the exact 6-dp render (TextOps
+    // .ratio6Col) — the identical arithmetic batch c55 now uses, so the
+    // parity spec can't seam on a .5e-6 boundary at any corpus size
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val n = dec(lit(stats.nDocs)); val t = dec(lit(stats.nTokens))
     def termScore(tf: Column, dfCount: Long): Column = {
-      val df = lit(dfCount)
-      val num = (lit(2) * n - lit(2) * df + lit(1)) * lit(22) * t * tf
+      val df = dec(lit(dfCount))
+      val num = (lit(2) * n - lit(2) * df + lit(1)) * lit(22) * t * dec(tf)
       val den = (lit(2) * df + lit(1)) *
-        (lit(10) * t * tf + lit(3) * t + lit(9) * col("dl") * n)
-      round(num.cast("double") / den, 6)
+        (lit(10) * t * dec(tf) + lit(3) * t + lit(9) * dec(col("dl")) * n)
+      graft.operators.TextOps.ratio6Col(num, den)
     }
     val tfOf = (term: String) =>
       size(filter(col("tk"), x => x === term)).cast("bigint")

@@ -13,6 +13,7 @@ import json
 import os
 import math
 import sys
+import time
 
 import duckdb
 
@@ -51,11 +52,14 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    timings = {}
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}.parquet'").fetchdf()
+            t0 = time.monotonic()
             want = con.execute(sql).fetchdf()
+            timings[name] = round(time.monotonic() - t0, 2)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -119,8 +123,12 @@ def main():
                   f"(driver hash would mismatch): {rep}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, "
+                  f"oracle {timings.get(name, 0)}s)")
             n_pass += 1
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print("== slowest oracles: "
+          + ", ".join(f"{n}={s}s" for n, s in slow) + " ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
