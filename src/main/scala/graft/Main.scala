@@ -103,6 +103,7 @@ object Main {
     case Some("recipe") => recipeCmd(args.drop(1))
     case Some("publish") => publishCmd(args.drop(1))
     case Some("extract") => extractCmd(args.drop(1))
+    case Some("pipeline") => pipelineCmd(args.drop(1))
     case _ =>
       System.err.println(
         "usage: graft.Main stream|bench|verify|dedup|decontam|curate|vocab|" +
@@ -110,7 +111,7 @@ object Main {
           "fingerprint|card|spans|score|neardup|plan|scrub|index|query|" +
           "select|contain|phash|curriculum|bpe-train|unigram-train|" +
           "wordpiece-train|tokenize|cluster-update|domains|sketch|joint|" +
-          "recipe|publish|extract ...")
+          "recipe|publish|extract|pipeline ...")
       sys.exit(2)
   }
 
@@ -150,6 +151,85 @@ object Main {
     println(s"""{"docs_in":$nIn,"docs_out":${written.count()},""" +
       s""""refused":$refused,$flaggedPart""" +
       s""""min_words":$minWords,"out":${jsonStr(out)}}""")
+  }
+
+  /** `graft.Main pipeline --in PARQUET --out DIR [--col html]
+    * [--min-words N] [--near-dup] [--threshold T] [--shard-prefix P]` —
+    * the COMPOSED crawl release flow (SURVEY §2 c119) as ONE command,
+    * bolson's single-binary client→converter→publisher loop shape
+    * (reference: src/bolson/stream.cpp:117-190) applied to raw web
+    * data: extract (c117) → encoding validity + repair (c118) →
+    * quality battery (c35) → exact dedup (md5 canonical) →
+    * optional near-dup cluster canonical keep (c2/c19's banded
+    * machinery at --threshold) → deterministic shard assignment (c40)
+    * → released docs + c112 shard manifest.
+    *
+    * Writes OUT/released.parquet (doc_id, text, shard),
+    * OUT/manifest.parquet (c112 digests, verifiable by
+    * `Main shard --verify`) and prints one JSON stats line with each
+    * stage's exit counts — the per-stage attrition a release owner
+    * reads first. */
+  private def pipelineCmd(args: Array[String]): Unit = {
+    import graft.operators.{Dedup, Extract, TextOps}
+    val in = opt(args, "--in").getOrElse(sys.error("--in required"))
+    val out = opt(args, "--out").getOrElse(sys.error("--out required"))
+    val colName = opt(args, "--col").getOrElse("html")
+    val minWords = opt(args, "--min-words").map(_.toInt).getOrElse(4)
+    val nearDup = args.contains("--near-dup")
+    val threshold = opt(args, "--threshold").map(_.toDouble).getOrElse(0.5)
+    val prefixLen = opt(args, "--shard-prefix").map(_.toInt).getOrElse(1)
+    val spark = GraftSession.get()
+    val raw = spark.read.parquet(in)
+    require(raw.columns.contains(colName),
+      s"input $in must have a '$colName' column, " +
+        s"found ${raw.columns.mkString("(", ", ", ")")}")
+    val staged = Extract.crawlPipelineStaged(raw, colName, minWords)
+      .select("doc_id", "well_formed", "enc_ok", "q_keep", "is_dup", "kept",
+        "repaired")
+      .persist()
+    val stats = staged.agg(
+      count(lit(1)).as("n_in"),
+      sum(when(!col("well_formed"), 1L).otherwise(0L)).as("refused"),
+      sum(when(col("well_formed") && !col("enc_ok"), 1L).otherwise(0L))
+        .as("enc_flagged"),
+      sum(when(col("well_formed") && col("enc_ok") && !col("q_keep"), 1L)
+        .otherwise(0L)).as("q_dropped"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("exact_dups"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept")).collect()(0)
+    val keptDocs = staged.filter(col("kept"))
+      .select(col("doc_id"), col("repaired").as("text"))
+    // near-dup stage: c2's banded minhash pairs over the survivors'
+    // OWN shingle table (never the corpus-dir memoized one — the
+    // released text differs from the raw corpus), c19's CC labels,
+    // min-id canonical keeps
+    val (released0, nNear) =
+      if (!nearDup) (keptDocs, 0L)
+      else {
+        val sh = Dedup.shingleRows(keptDocs)
+        val edges = Dedup.c2DedupMinhash(spark, in, shingleTable = Some(sh))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val dropIds = Dedup.connectedComponentsAlternating(edges)._1
+          .filter(col("node") =!= col("cluster_id"))
+          .select(col("node").as("doc_id"))
+        val kept2 = keptDocs.join(dropIds, Seq("doc_id"), "left_anti")
+        (kept2, keptDocs.count() - kept2.count())
+      }
+    val released = TextOps.shuffleShard(released0, prefixLen)
+      .select("doc_id", "text", "shard")
+    released.write.mode("overwrite").parquet(s"$out/released.parquet")
+    val written = spark.read.parquet(s"$out/released.parquet")
+    TextOps.shardManifestOn(written.select("doc_id", "text"), prefixLen)
+      .write.mode("overwrite").parquet(s"$out/manifest.parquet")
+    val nShards = spark.read.parquet(s"$out/manifest.parquet").count()
+    staged.unpersist()
+    println(s"""{"docs_in":${stats.getAs[Long]("n_in")},""" +
+      s""""refused":${stats.getAs[Long]("refused")},""" +
+      s""""enc_flagged":${stats.getAs[Long]("enc_flagged")},""" +
+      s""""q_dropped":${stats.getAs[Long]("q_dropped")},""" +
+      s""""exact_dups":${stats.getAs[Long]("exact_dups")},""" +
+      s""""near_dups":$nNear,"released":${written.count()},""" +
+      s""""shards":$nShards,"out":${jsonStr(out)}}""")
   }
 
   /** `graft.Main domains --in PARQUET --out OUT [--cap K]

@@ -180,6 +180,7 @@ object SparkEntry {
     "c116_recipe_audit" -> ((s: SparkSession, d: String) => TextOps.c116RecipeAudit(s, d)),
     "c117_html_extract" -> ((s: SparkSession, d: String) => graft.operators.Extract.c117HtmlExtract(s, d)),
     "c118_encoding_flag" -> ((s: SparkSession, d: String) => graft.operators.Extract.c118EncodingFlag(s, d)),
+    "c119_crawl_pipeline" -> ((s: SparkSession, d: String) => graft.operators.Extract.c119CrawlPipeline(s, d)),
   )
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -3231,6 +3232,45 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 = 0
         |       THEN text || ' Ã©' ELSE text END AS repaired
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // c119: the composed crawl pipeline in closed form — the c117/c118
+    // branch algebra (%13 refuses before its BEL can count; %11's U+FFFD
+    // scrubs away in `repaired`, making cross-branch exact dups real;
+    // %7's kept mojibake fails enc_ok), then c35's rule battery over the
+    // composed repaired line and md5-canonical dedup among survivors
+    "c119_crawl_pipeline" ->
+      """WITH enc AS (SELECT doc_id,
+        |    doc_id % 13 <> 0 AS well_formed,
+        |    (doc_id % 13 = 0 OR (doc_id % 11 <> 0 AND doc_id % 7 <> 0)) AS enc_ok,
+        |    CASE WHEN doc_id % 13 = 0 THEN ''
+        |         WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
+        |           THEN 'doc ' || text || ' Ã© & fin'
+        |         ELSE 'doc ' || text || ' & fin' END AS repaired
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(lower(repaired), ' ')) AS term
+        |        FROM enc),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+        |qq AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         count(*) AS n_types, max(c) AS max_tc
+        |       FROM tc GROUP BY doc_id),
+        |qv AS (SELECT doc_id,
+        |    n_words >= 10 AND n_words <= 1000
+        |    AND CAST((2000000*n_types + n_words) // (2*n_words) AS DOUBLE)/1e6 >= 0.2
+        |    AND CAST((2000000*max_tc + n_words) // (2*n_words) AS DOUBLE)/1e6 <= 0.2
+        |      AS q_keep
+        |  FROM qq),
+        |sv AS (SELECT e.doc_id, e.repaired FROM enc e JOIN qv q USING (doc_id)
+        |       WHERE e.well_formed AND e.enc_ok AND q.q_keep),
+        |cn AS (SELECT md5(repaired) AS ck, min(doc_id) AS canon_id
+        |       FROM sv GROUP BY md5(repaired))
+        |SELECT e.doc_id, e.well_formed, e.enc_ok, q.q_keep,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN e.doc_id <> c.canon_id
+        |       ELSE FALSE END AS is_dup,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN e.doc_id = c.canon_id
+        |       ELSE FALSE END AS kept
+        |FROM enc e JOIN qv q USING (doc_id)
+        |LEFT JOIN sv s ON s.doc_id = e.doc_id
+        |LEFT JOIN cn c ON c.ck = md5(s.repaired)
+        |ORDER BY e.doc_id""".stripMargin,
     // c46: per-row ⟨x,v0⟩ with the ±1 dim-parity start vector, then the
     // per-dim contribution sum — every term an exact BIGINT; the
     // normalizer is the order-independent max |component|

@@ -255,7 +255,16 @@ object Extract {
     * corpus-quadratic, no new shuffle beyond the stages' own — the
     * composition is exactly the sum of its audited parts. */
   def crawlPipelineOn(raw: DataFrame, markupCol: String = "html",
-                      minWords: Int = 4): DataFrame = {
+                      minWords: Int = 4): DataFrame =
+    crawlPipelineStaged(raw, markupCol, minWords)
+      .select("doc_id", "well_formed", "enc_ok", "q_keep", "is_dup", "kept")
+
+  /** [[crawlPipelineOn]] keeping the repaired text — the `Main pipeline`
+    * release flow filters `kept` and ships `repaired` onward (near-dup
+    * stage + sharding); the gate row presents only the verdict surface. */
+  private[graft] def crawlPipelineStaged(raw: DataFrame,
+                                         markupCol: String = "html",
+                                         minWords: Int = 4): DataFrame = {
     import graft.operators.TextOps
     val enc = encodingFlagOn(
       htmlExtractOn(raw, markupCol, minWords), "extracted")
@@ -273,7 +282,6 @@ object Extract {
     staged.join(canon, Seq("ck"), "left")
       .withColumn("is_dup", col("surv") && col("doc_id") =!= col("canon_id"))
       .withColumn("kept", col("surv") && !col("is_dup"))
-      .select("doc_id", "well_formed", "enc_ok", "q_keep", "is_dup", "kept")
   }
 
   /** c119 gate row: corrupt (c118's closed-form plants) → wrap in

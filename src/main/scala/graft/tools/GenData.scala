@@ -224,6 +224,16 @@ object GenData {
         concat(lit("src"), pmod(h("s", col("id")), lit(20L))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("bigint")))
 
+    // raw_web — the at-rest raw-markup corpus (r20): every document's
+    // text behind the c119 pipeline markup with the c118 corruption
+    // plants (%13 malformed, %11 U+FFFD, %7 mojibake), so the composed
+    // crawl flow (`Main pipeline`) rehearses from REAL at-rest HTML at
+    // any scale instead of query-time synthesis. Not part of the
+    // driver's frozen table set — an additional table, schema untouched.
+    write("raw_web", spark.read.parquet(s"$out/documents.parquet")
+      .select(col("doc_id"), graft.operators.Extract.gateCorruption.as("text"))
+      .select(col("doc_id"), graft.operators.Extract.pipelineMarkup.as("html")))
+
     // embeddings — 64-dim L2-normalized vectors in 10 hash-seeded
     // clusters (centers U(-1,1) per (label, dim), noise 0.35×)
     val label = pmod(h("l", col("id")), lit(10L))

@@ -1704,4 +1704,33 @@ class CliSpec extends SparkSpec {
     val e2 = intercept[RuntimeException] { TokenizerJson.read(s"$tmp/other.json") }
     assert(e2.getMessage.contains("graft-tokenizer"))
   }
+
+  test("pipeline subcommand: composed crawl release from at-rest markup — " +
+    "released set ≡ c119 kept docs, manifest digests verify") {
+    import graft.operators.{Extract, TextOps}
+    val tmp = Files.createTempDirectory("graft-cli-pipeline-").toString
+    // the at-rest corpus GenData writes: corruption plants + markup wrap
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Extract.gateCorruption.as("text"))
+      .select(col("doc_id"), Extract.pipelineMarkup.as("html"))
+      .write.parquet(s"$tmp/raw_web")
+    Main.main(Array("pipeline", "--in", s"$tmp/raw_web", "--out", s"$tmp/rel"))
+    val released = spark.read.parquet(s"$tmp/rel/released.parquet")
+    val verdicts = Extract.c119CrawlPipeline(spark, sfDir)
+    // released ids are exactly the gate row's kept ids
+    val keptIds = verdicts.filter(col("kept")).select("doc_id")
+    assert(released.select("doc_id").exceptAll(keptIds).count() == 0)
+    assert(keptIds.exceptAll(released.select("doc_id")).count() == 0)
+    assert(released.count() > 0 && released.count() < verdicts.count())
+    // manifest certifies the released parquet byte-for-byte at doc grain
+    val got = TextOps.shardManifestOn(released.select("doc_id", "text"))
+    val want = spark.read.parquet(s"$tmp/rel/manifest.parquet")
+    assert(got.exceptAll(want).count() == 0 && got.count() == want.count())
+    // --near-dup only removes docs, never adds
+    Main.main(Array("pipeline", "--in", s"$tmp/raw_web",
+      "--out", s"$tmp/rel2", "--near-dup"))
+    val released2 = spark.read.parquet(s"$tmp/rel2/released.parquet")
+    assert(released2.select("doc_id")
+      .exceptAll(released.select("doc_id")).count() == 0)
+  }
 }

@@ -160,4 +160,90 @@ class ExtractSpec extends SparkSpec {
     }
     assert(got.exists(!_.getAs[Boolean]("ok")) && got.exists(_.getAs[Boolean]("ok")))
   }
+
+  test("c117 tags sharing a block-name prefix stay inline (r20 word-boundary fix)") {
+    // <link>/<track>/<progress>/<param> prefix-matched li/tr/p before the
+    // (?=[\s/>]) anchor and became line breaks, splitting real lines into
+    // sub-floor fragments
+    val Seq((ok, n, text)) = extract(
+      "<p>alpha beta <link rel=\"x\"/> gamma <track kind=\"c\"> delta</p>" +
+        "<p>one <progress value=\"1\"> two three <param name=\"p\"> four</p>")
+    assert(ok && n == 2L)
+    assert(text == "alpha beta gamma delta\none two three four")
+  }
+
+  test("c118 detects UTF-8-read-as-cp1252 mojibake and keeps it in repair (r20)") {
+    // â€™ = U+00E2 U+20AC U+2122 (the ftfy top offender) and Ã‰
+    // (É's C3 89 read as cp1252: U+00C3 U+2030) — neither contains a
+    // latin1 continuation char, so the old class missed both
+    val s = "itâ€™s a cafÃ‰ here"
+    val Seq((f, c, m, ok, rep)) = flag(s)
+    assert(f == 0 && c == 0 && m == 2 && !ok)
+    assert(rep == s, "cp1252 mojibake must survive repair byte-for-byte")
+  }
+
+  test("c119 crawlPipelineOn: duplicate extracted lines collapse to the min-id canonical") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrap = (b: String) => s"<html><body><p>$b</p></body></html>"
+    val got = Extract.crawlPipelineOn(
+        Seq((0L, wrap(body)), (1L, wrap(body)), (2L, wrap(body + " lambda")),
+          (3L, "<p>" + body + "</p><script>var x=1;"))
+          .toDF("doc_id", "html"))
+      .orderBy("doc_id")
+      .select("doc_id", "well_formed", "enc_ok", "q_keep", "is_dup", "kept")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(got == Seq(
+      (0L, true, true, true, false, true),  // canonical
+      (1L, true, true, true, true, false),  // exact dup of 0
+      (2L, true, true, true, false, true),  // unique survivor
+      // refused: the pre-script line still extracts (and would pass
+      // quality), but well_formed=false keeps it out of dedup + release
+      (3L, false, true, true, false, false)))
+  }
+
+  test("c119 gate row matches a full JVM recompute of the composed pipeline") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // third-engine recompute: the closed-form branch algebra + c35's
+    // exact-render rule battery + md5-canonical dedup, all in plain JVM
+    def ratio6(num: Long, den: Long): Double =
+      ((2000000L * num + den) / (2L * den)).toDouble / 1e6
+    def repairedOf(id: Long): String =
+      if (id % 13 == 0) ""
+      else if (id % 11 != 0 && id % 7 == 0) s"doc ${docs(id)} Ã© & fin"
+      else s"doc ${docs(id)} & fin"
+    def qKeep(rep: String): Boolean = {
+      val toks = rep.toLowerCase.split(" ", -1)
+      val n = toks.length.toLong
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      n >= 10 && n <= 1000 &&
+        ratio6(counts.size.toLong, n) >= 0.2 && ratio6(counts.max, n) <= 0.2
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wf = docs.keys.map(id => id -> (id % 13 != 0)).toMap
+    val encOk = docs.keys.map(id =>
+      id -> (id % 13 == 0 || (id % 11 != 0 && id % 7 != 0))).toMap
+    val qk = docs.keys.map(id => id -> qKeep(repairedOf(id))).toMap
+    val surv = docs.keys.filter(id => wf(id) && encOk(id) && qk(id)).toSet
+    val canon = surv.groupBy(id => md5hex(repairedOf(id)))
+      .map { case (_, ids) => ids.min -> ids }
+    val canonOf = canon.flatMap { case (c, ids) => ids.map(_ -> c) }
+    val got = graft.operators.Extract.c119CrawlPipeline(spark, sfDir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("well_formed") == wf(id), s"doc $id well_formed")
+      assert(r.getAs[Boolean]("enc_ok") == encOk(id), s"doc $id enc_ok")
+      assert(r.getAs[Boolean]("q_keep") == qk(id), s"doc $id q_keep")
+      val isDup = surv(id) && canonOf(id) != id
+      assert(r.getAs[Boolean]("is_dup") == isDup, s"doc $id is_dup")
+      assert(r.getAs[Boolean]("kept") == (surv(id) && !isDup), s"doc $id kept")
+    }
+  }
 }
