@@ -174,6 +174,7 @@ object SparkEntry {
     "c113_audio_clusters_incr" -> (Multimodal.c113AudioClustersIncr _),
     "c114_recall_split" -> (Multimodal.c114PhashRecallSplit _),
     "c115_video_sig_index" -> (Multimodal.c115VideoSigIndex _),
+    "c120_recall_sampled" -> (Multimodal.c120RecallSampled _),
     "c110_data_recipe" -> (TextOps.c110DataRecipe _),
     "c111_recipe_sample" -> (TextOps.c111RecipeSample _),
     "c112_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.c112ShardManifest(s, d)),
@@ -1011,6 +1012,41 @@ object SparkEntry {
        |UNION ALL SELECT 'video', n, n, n, round(CAST(n AS DOUBLE) / n, 6) FROM xv
        |ORDER BY modality""".stripMargin
 
+  /** DuckDB rendering of c120 (r20): per modality, the doc/sample
+    * counts and the exact count of SAMPLED-TOUCHING hamming ≤ 3 pairs
+    * (either endpoint in the md5('c120:'||id)-prefix < 0x20 sample) —
+    * the banded/hit columns assert the pigeonhole theorem's answer on
+    * the sampled surface, recall 1.0, and the rule-of-three bound is
+    * the exact-rational max(0, t−3)/t. */
+  private def c120OracleSql(c88Sql: String, c90Sql: String,
+                            c91Sql: String): String = {
+    def one(name: String, hcte: String): String =
+      s"""SELECT '$name' AS modality,
+         |  (SELECT count(*) FROM $hcte) AS n_docs,
+         |  (SELECT count(*) FROM $hcte
+         |   WHERE substr(md5('c120:' || CAST(doc_id AS VARCHAR)), 1, 2) < '20')
+         |    AS n_sampled,
+         |  t AS n_truth, t AS n_banded, t AS n_hit,
+         |  CAST(1.0 AS DOUBLE) AS recall_r,
+         |  CASE WHEN t = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST((2000000*greatest(t - 3, 0) + t) // (2*t)
+         |            AS DOUBLE) / 1e6 END AS ci_low_r
+         |FROM (SELECT count(*) AS t FROM (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+         |  FROM (SELECT * FROM $hcte
+         |        WHERE substr(md5('c120:' || CAST(doc_id AS VARCHAR)), 1, 2) < '20') a
+         |  JOIN $hcte b ON a.doc_id <> b.doc_id
+         |   AND bit_count(xor(a.phash, b.phash)) <= 3))""".stripMargin
+    s"""WITH hi AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
+       |hau AS (SELECT doc_id, phash FROM (${c90Sql.replace("\n", "\n  ")})),
+       |hv AS (SELECT doc_id*8 + frame_idx AS doc_id, phash
+       |       FROM (${c91Sql.replace("\n", "\n  ")}))
+       |${one("audio", "hau")}
+       |UNION ALL ${one("image", "hi")}
+       |UNION ALL ${one("video", "hv")}
+       |ORDER BY modality""".stripMargin
+  }
+
   /** DuckDB rendering of c114 (r18): per modality, the exact count of
     * NEW-TOUCHING hamming ≤ 3 pairs in the merged hash set (corpus ∪
     * each maintenance row's every-5th re-keyed crawl, hash unchanged)
@@ -1496,6 +1532,12 @@ object SparkEntry {
         // the pigeonhole theorem's answer the Spark side must reach
         // through the real split candidates
         + ("c114_recall_split" -> c114OracleSql(base("c88_image_phash"),
+          base("c90_audio_phash"), base("c91_video_phash")))
+        // c120 (r20): the SAMPLED recall estimator — truth restricted
+        // to pairs touching the md5-prefix doc sample; the banded/hit
+        // columns still carry the pigeonhole answer, plus the exact-
+        // rational rule-of-three lower bound
+        + ("c120_recall_sampled" -> c120OracleSql(base("c88_image_phash"),
           base("c90_audio_phash"), base("c91_video_phash")))
         // c115 (r18): the d52 serving index — signatures re-derived
         // from the c91 hash SQL, clusters from the composed c106

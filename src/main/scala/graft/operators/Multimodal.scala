@@ -1714,6 +1714,99 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** One modality's SAMPLED recall fold (r20 — the cap-FREE production
+    * form the r19 verdict asked for): c108/c114 rightly refuse exact
+    * all-pairs truth above [[RecallHashCap]], which left NO recall
+    * signal at production scale. Here the truth side is restricted to
+    * pairs touching a deterministic content-hash SAMPLE of the docs
+    * (md5 prefix < `rateHex`/256 — stable under re-partitioning and
+    * re-runs, the c17 rule): a broadcast of the bounded sample against
+    * the full hash table — O(sample·corpus) row-local comparisons, ONE
+    * linear pass over the corpus per modality, unbounded corpus size.
+    * The banded side is the REAL production candidate pipeline
+    * ([[phashCandidates]]) restricted to sample-touching pairs by two
+    * broadcast equi-joins (no BNL, the no-product rule). The cap
+    * guards only the SAMPLE (lower `rateHex` on bigger corpora — 1/256
+    * at ~10⁹ hashes keeps the sample ~4M).
+    *
+    * Estimator contract: per-pair recall over sampled-touching pairs is
+    * an unbiased estimate of corpus pair recall under the uniform
+    * content-hash sample. `ci_low_r` is the conservative exact-rational
+    * lower bound max(0, n_hit−3)/n_truth — at the expected n_hit =
+    * n_truth outcome this is the classical rule-of-three 95% bound
+    * 1 − 3/n (Hanley & Lippman-Hand); kept rational so the render is
+    * engine-exact (a Wilson/Clopper bound needs sqrt/beta — policy
+    * territory, not gate arithmetic). n_truth = 0 (nothing sampled
+    * collides) reads recall_r = 1.0 vacuously and ci_low_r = 0.0 — the
+    * "no signal" row, never a refusal. */
+  private[graft] def phashRecallSampledOf(modality: String, hs: DataFrame,
+                                          maxHamming: Int = 3,
+                                          rateHex: String = "20"): DataFrame = {
+    val h = hs.select(col("doc_id"), col("phash"))
+    val sampledPred = substring(md5(concat(lit("c120:"),
+      col("doc_id").cast("string"))), 1, 2) < rateHex
+    val statsRow = h.agg(count(lit(1)).as("n_docs"),
+      sum(when(sampledPred, 1L).otherwise(0L)).as("n_sampled")).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val nSampled = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    require(nSampled <= RecallHashCap,
+      s"c120's sampled truth broadcasts the sample: $modality sampled " +
+        s"$nSampled > cap $RecallHashCap — lower rateHex (sample rate = " +
+        s"0x$rateHex/256) for this corpus size")
+    val s = h.filter(sampledPred)
+    val truth = broadcast(s.select(col("doc_id").as("a"), col("phash").as("pa")))
+      .join(h.select(col("doc_id").as("b"), col("phash").as("pb")),
+        col("a") =!= col("b") &&
+          bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+      .select(least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"))
+      .distinct()
+    val sids = s.select(col("doc_id").as("sid"))
+    val bandedS = phashCandidates(h, maxHamming)
+      .join(broadcast(sids.select(col("sid").as("sa_id"), lit(1).as("fa"))),
+        col("doc_a") === col("sa_id"), "left")
+      .join(broadcast(sids.select(col("sid").as("sb_id"), lit(1).as("fb"))),
+        col("doc_b") === col("sb_id"), "left")
+      .filter(col("fa").isNotNull || col("fb").isNotNull)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    truth.withColumn("e", lit(1)).withColumn("b", lit(0))
+      .unionByName(bandedS.withColumn("e", lit(0)).withColumn("b", lit(1)))
+      .groupBy("da", "db")
+      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
+      .agg(coalesce(sum(col("e")), lit(0L)).cast("bigint").as("n_truth"),
+        coalesce(sum(col("b")), lit(0L)).cast("bigint").as("n_banded"),
+        coalesce(sum(col("e") * col("b")), lit(0L)).cast("bigint").as("n_hit"))
+      .select(lit(modality).as("modality"),
+        lit(nDocs).as("n_docs"), lit(nSampled).as("n_sampled"),
+        col("n_truth"), col("n_banded"), col("n_hit"))
+      .withColumn("recall_r",
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(TextOps.ratio6Col(col("n_hit"), col("n_truth"))))
+      .withColumn("ci_low_r",
+        when(col("n_truth") === 0, lit(0.0))
+          .otherwise(TextOps.ratio6Col(
+            greatest(col("n_hit") - lit(3L), lit(0L)), col("n_truth"))))
+  }
+
+  /** c120 gate row (r20): the SAMPLED recall estimator over the three
+    * memoized hash tables — c108's invariant surface, cap-free. The
+    * pigeonhole theorem still forces n_banded = n_hit = n_truth on the
+    * sampled surface (candidates at radius ≤ 3 are complete, so every
+    * sampled-touching truth pair is a sample-touching candidate), and
+    * the oracle asserts exactly that; what the SAMPLED row adds is the
+    * production shape: at 10⁹ hashes c108 refuses while this row reads
+    * recall from one linear corpus pass against a bounded sample. */
+  def c120RecallSampled(spark: SparkSession, dir: String): DataFrame =
+    phashRecallSampledOf("audio",
+        spark.read.parquet(audioHashTablePath(spark, dir)))
+      .unionByName(phashRecallSampledOf("image",
+        spark.read.parquet(phashIndexTablePath(spark, dir))
+          .select("doc_id", "phash")))
+      .unionByName(phashRecallSampledOf("video",
+        spark.read.parquet(videoFidTablePath(spark, dir))
+          .select("doc_id", "phash")))
+      .orderBy("modality")
+
   /** The order-invariant VIDEO SIGNATURE over an
     * array<struct<frame_idx, phash>> column (r18, d52's replay key):
     * md5 of the frame hashes joined in frame order. ONE Column subtree

@@ -80,9 +80,24 @@ object TokenizerJson {
         val arr = root.putArray("vocab")
         vocab.foreach(arr.add)
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+    // atomic publish (r20): a serving stack may watch PATH — write the
+    // bytes to a sibling temp file and move into place so no reader can
+    // observe a half-written artifact (the strict reader would refuse
+    // it, but refusing a torn file mid-deploy is still an outage)
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
       (m.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
         .getBytes("UTF-8"))
+    try
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     ()
   }
 

@@ -1705,6 +1705,53 @@ class CliSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft-tokenizer"))
   }
 
+  test("tokenizer JSON interop: FOREIGN hand-authored artifacts tokenize " +
+    "with expected ids; near-miss shapes refuse loudly") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val tmp = JFiles.createTempDirectory("graft-cli-foreign-").toString
+    // artifacts as a THIRD-PARTY producer would write them: compact,
+    // key order unlike the exporter's, no graft involved in creation
+    JFiles.write(Paths.get(s"$tmp/wp.json"),
+      ("""{"kind":"wordpiece","vocab":["##bted","##dou","##ly","##s","hello","un"],""" +
+        """"version":1,"format":"graft-tokenizer","meta":{"producer":"third-party"}}""")
+        .getBytes("UTF-8"))
+    JFiles.write(Paths.get(s"$tmp/uni.json"),
+      ("""{"meta":{},"pieces":[["ab",-100000],["a",-200000],["b",-200000],["c",-300000]],""" +
+        """"format":"graft-tokenizer","kind":"unigram","version":1}""")
+        .getBytes("UTF-8"))
+    Seq((0L, "hello undoubtedly"), (1L, "hellos"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/docs")
+    Main.main(Array("tokenize", "--wordpiece", "--in", s"$tmp/docs",
+      "--vocab", s"$tmp/wp.json", "--out", s"$tmp/wtoks"))
+    val wtoks = spark.read.parquet(s"$tmp/wtoks").orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](r.fieldIndex("tokens")))
+      .toMap
+    assert(wtoks(0L) == Seq("hello", "un", "##dou", "##bted", "##ly"),
+      s"greedy longest-match over the foreign vocab broke: ${wtoks(0L)}")
+    assert(wtoks(1L) == Seq("hello", "##s"), wtoks(1L).toString)
+    Seq((0L, "cab ab")).toDF("doc_id", "text").write.parquet(s"$tmp/docs2")
+    Main.main(Array("tokenize", "--unigram", "--in", s"$tmp/docs2",
+      "--pieces", s"$tmp/uni.json", "--out", s"$tmp/utoks"))
+    val utoks = spark.read.parquet(s"$tmp/utoks").collect()
+      .map(r => r.getSeq[String](r.fieldIndex("tokens"))).head
+    // Viterbi: -100000 ("ab") beats -400000 ("a"+"b"); "cab" = c + ab
+    assert(utoks == Seq("c", "ab", "ab"), utoks.toString)
+    // near-miss shapes refuse loudly, naming the defect
+    JFiles.write(Paths.get(s"$tmp/bad1.json"),
+      """{"format":"graft-tokenizer","version":2,"kind":"unigram","pieces":[]}"""
+        .getBytes("UTF-8"))
+    val e1 = intercept[RuntimeException] {
+      graft.sources.TokenizerJson.read(s"$tmp/bad1.json") }
+    assert(e1.getMessage.contains("version"), e1.getMessage)
+    JFiles.write(Paths.get(s"$tmp/bad2.json"),
+      ("""{"format":"graft-tokenizer","version":1,"kind":"unigram",""" +
+        """"pieces":[["a",-1,"extra"]]}""").getBytes("UTF-8"))
+    val e2 = intercept[RuntimeException] {
+      graft.sources.TokenizerJson.read(s"$tmp/bad2.json") }
+    assert(e2.getMessage.contains("2-element"), e2.getMessage)
+  }
+
   test("pipeline subcommand: composed crawl release from at-rest markup — " +
     "released set ≡ c119 kept docs, manifest digests verify") {
     import graft.operators.{Extract, TextOps}

@@ -1175,6 +1175,57 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
+  test("c120 sampled recall: truth ≡ driver brute over sampled-touching pairs, " +
+    "theorem holds, ci bound exact-rational, corpus-size cap-free") {
+    val got = Multimodal.c120RecallSampled(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got.map(_._1) == Seq("audio", "image", "video"), got.toString)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sampled(id: Long): Boolean = md5hex(s"c120:$id").substring(0, 2) < "20"
+    got.foreach { case (m, nd, ns, nt, nb, nh, rec, ci) =>
+      assert(ns > 0 && ns < nd, s"$m sample must be a strict subset at gate scale")
+      assert(nt == nb && nb == nh,
+        s"$m sampled pigeonhole completeness broke: truth=$nt banded=$nb hit=$nh")
+      assert(rec == 1.0, s"$m recall must read the theorem's answer")
+      val expCi =
+        if (nt == 0) 0.0
+        else ((2000000L * math.max(nt - 3, 0) + nt) / (2L * nt)).toDouble / 1e6
+      assert(ci == expCi, s"$m ci_low_r $ci != rule-of-three $expCi")
+    }
+    // the truth side agrees with a driver brute (image modality):
+    // every hamming ≤ 3 pair with at least one SAMPLED endpoint
+    val hs = Multimodal.imagePhashFrames(spark, sfDir)
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, pa) <- hs; (b, pb) <- hs
+      if a < b && (sampled(a) || sampled(b)) &&
+        java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield 1).size.toLong
+    val img = got.find(_._1 == "image").get
+    assert(img._4 == brute, s"truth side ${img._4} vs driver brute $brute")
+    assert(img._2 == hs.length.toLong &&
+      img._3 == hs.count(h => sampled(h._1)).toLong)
+    // an empty sample is the no-signal row, never a refusal or a NaN
+    import spark.implicits._
+    val none = Multimodal.phashRecallSampledOf("none",
+        hs.toSeq.toDF("doc_id", "phash"), rateHex = "00").collect()(0)
+    assert(none.getLong(2) == 0 && none.getLong(3) == 0 &&
+      none.getDouble(6) == 1.0 && none.getDouble(7) == 0.0)
+    // the cap guards the SAMPLE, not the corpus: an over-cap corpus
+    // with a tiny sample passes through (cap-free in corpus size)
+    val big = spark.range(Multimodal.RecallHashCap + 1)
+      .select(col("id").as("doc_id"),
+        xxhash64(col("id")).as("phash")) // ~random 64-bit: truth ~empty
+    val bigRow = Multimodal.phashRecallSampledOf("big", big,
+      rateHex = "01").collect()(0)
+    assert(bigRow.getLong(1) == Multimodal.RecallHashCap + 1)
+    assert(bigRow.getLong(2) <= Multimodal.RecallHashCap)
+  }
+
   test("c115 video signature index ≡ a driver re-derivation of sig → min c106 cluster") {
     // the d52 serving artifact, checked against an INDEPENDENT driver
     // md5 of the frame-order signature string (r18)

@@ -489,4 +489,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(!s.contains("n_chars"), s"scan pruning lost:\n$s")
     }
   }
+
+  test("c120 plan: sampled truth broadcasts the bounded sample; banded side " +
+    "is equi-join-only; no cartesian anywhere") {
+    val s = executedPlanOf(
+      graft.operators.Multimodal.c120RecallSampled(spark, sfDir))
+    // the deliberate non-equi truth join must ride a BROADCAST of the
+    // bounded sample (linear corpus pass), never a cartesian product
+    assert(!s.contains("CartesianProduct"), s"cartesian in sampled recall:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"truth side must broadcast the sample:\n$s")
+    // the production candidate path + sample restriction are hash joins
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"sample restriction must be an equi-join:\n$s")
+  }
 }
