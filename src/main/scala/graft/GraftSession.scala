@@ -13,7 +13,16 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+              // r20: SPARK_GRAFT_SHUFFLE_PARTITIONS decouples the
+              // partition count from the thread count — the sf1.0 spill
+              // lever: the 139M-row pair-surface sorts spill at 16g heap
+              // with 32 partitions (≈0.5 GiB of rows per task sort);
+              // 4× the partitions quarters the per-task sort. On a real
+              // cluster this is executors × cores × a spill headroom
+              // factor, exactly the knob a site tunes first.
+              shufflePartitions: Int =
+                sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                  sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).toInt)
       : SparkSession.Builder =
     SparkSession.builder()
       .master(master)
