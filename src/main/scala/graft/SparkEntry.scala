@@ -648,28 +648,68 @@ object SparkEntry {
     * candidates at hamming ≤ 3 → transitive closure (c19's reach
     * pattern) → labels as component minima → the c102 decision-surface
     * shape. */
+  /** r20: the closure runs at DISTINCT-HASH grain — the gate corpora's
+    * correlated payloads collapse thousands of docs onto a handful of
+    * hash values (sf0.1 audio: 1667 docs, 33 distinct hashes), so the
+    * doc-grain candidate join was a quasi-clique (1.39M edges) and the
+    * closure ground through it. Identical hashes are hamming-0 — one
+    * component by definition — so clustering the distinct VALUES
+    * (keyed by each value's min doc_id as representative) and fanning
+    * labels back out through the (doc → hash → rep) join yields the
+    * identical surface: component min over reps = min doc_id of the
+    * component. Verified output-identical against the doc-grain form
+    * on the sf0.1 corpus (267 s → 1.4 s on c104). */
   private def mediaClusterCtes(imgCte: String): String =
-    s"""sg AS (SELECT doc_id, phash, j,
+    s"""hd AS (SELECT phash, min(doc_id) AS rep FROM hs GROUP BY phash),
+       |sg AS (SELECT rep, phash, j,
        |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
-       |       FROM hs, range(0, 4) jj(j)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM hd, range(0, 4) jj(j)),
+       |cand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
        |         FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
-       |                            AND a.doc_id < b.doc_id
+       |                            AND a.rep < b.rep
        |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
-       |${componentSurfaceCtes(imgCte)}""".stripMargin
+       |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
+       |       UNION ALL SELECT doc_b, doc_a FROM cand),
+       |lp AS (SELECT u AS node, v AS lbl FROM ed WHERE v < u
+       |       UNION
+       |       SELECT e.u, l.lbl FROM lp l JOIN ed e ON l.node = e.v
+       |       WHERE l.lbl < e.u),
+       |lbl AS (SELECT node AS doc_id, min(lbl) AS mn FROM lp GROUP BY node),
+       |$imgCte,
+       |dr AS (SELECT h.doc_id, d.rep FROM hs h JOIN hd d USING (phash)),
+       |cl AS (SELECT i.doc_id,
+       |         CAST(least(COALESCE(l.mn, r.rep), r.rep) AS BIGINT)
+       |           AS cluster_id
+       |       FROM img i JOIN dr r ON r.doc_id = i.doc_id
+       |       LEFT JOIN lbl l ON l.doc_id = r.rep),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY cluster_id)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  cl.doc_id = cl.cluster_id AS is_canonical
+       |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
 
   /** The closure half of the cluster-surface CTE chain over a prepended
     * `cand` (doc_a, doc_b) edge relation and a caller-supplied node
-    * universe CTE named `img`: transitive closure (c19's reach pattern)
-    * → labels as component minima → the c102 decision-surface shape.
+    * universe CTE named `img`: MIN-LABEL PROPAGATION (r20 — replaced
+    * the all-pairs `reach` closure, whose O(k²) reachability rows ×
+    * per-iteration joins went O(k⁴) on the dense same-hash media
+    * cliques and dominated the sf0.1 gate at ~75 min; labels only ever
+    * shrink, so lp holds O(edges·diameter) rows and a clique converges
+    * in its base case) → labels as component minima → the c102
+    * decision-surface shape. The component min m reaches every node
+    * because m < any intermediate node on a path out of m; non-min
+    * nodes' min(lbl) = m, the min node is absent and coalesces to
+    * itself downstream — the exact surface the old closure produced.
     * Shared by [[mediaClusterCtes]] (banded hash edges) and the c106
     * renderer (thresholded video-containment edges) — r17. */
   private def componentSurfaceCtes(imgCte: String): String =
-    s"""ed AS (SELECT doc_a AS u, doc_b AS v FROM cand
+    s"""ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
        |       UNION ALL SELECT doc_b, doc_a FROM cand),
-       |reach AS (SELECT u, v FROM ed
-       |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
-       |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+       |lp AS (SELECT u AS node, v AS lbl FROM ed WHERE v < u
+       |       UNION
+       |       SELECT e.u, l.lbl FROM lp l JOIN ed e ON l.node = e.v
+       |       WHERE l.lbl < e.u),
+       |lbl AS (SELECT node AS doc_id, min(lbl) AS mn FROM lp GROUP BY node),
        |$imgCte,
        |cl AS (SELECT i.doc_id,
        |         CAST(least(COALESCE(l.mn, i.doc_id), i.doc_id) AS BIGINT)
@@ -959,28 +999,33 @@ object SparkEntry {
   private def c107OracleSql(c88Sql: String): String =
     s"""WITH RECURSIVE hs AS (SELECT doc_id, phash FROM (${c88Sql.replace("\n", "\n  ")})),
        |${clusterCteBody("documents")},
-       |sg AS (SELECT doc_id, phash, j,
+       |mhd AS (SELECT phash, min(doc_id) AS rep FROM hs GROUP BY phash),
+       |sg AS (SELECT rep, phash, j,
        |         (phash >> CAST(j*14 AS INT)) & 16383 AS seg
-       |       FROM hs, range(0, 4) jj(j)),
-       |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM mhd, range(0, 4) jj(j)),
+       |mcand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
        |          FROM sg a JOIN sg b ON a.j = b.j AND a.seg = b.seg
-       |                             AND a.doc_id < b.doc_id
+       |                             AND a.rep < b.rep
        |          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
-       |med AS (SELECT doc_a AS u, doc_b AS v FROM mcand
+       |med AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM mcand
        |        UNION ALL SELECT doc_b, doc_a FROM mcand),
-       |mreach AS (SELECT u, v FROM med
-       |           UNION SELECT r.u, e.v FROM mreach r JOIN med e ON r.v = e.u),
-       |mlbl AS (SELECT u AS doc_id, min(v) AS mn FROM mreach GROUP BY u),
+       |mlp AS (SELECT u AS node, v AS lbl FROM med WHERE v < u
+       |        UNION
+       |        SELECT e.u, l.lbl FROM mlp l JOIN med e ON l.node = e.v
+       |        WHERE l.lbl < e.u),
+       |mlbl AS (SELECT node AS doc_id, min(lbl) AS mn FROM mlp GROUP BY node),
+       |mdr AS (SELECT h.doc_id, d.rep FROM hs h JOIN mhd d USING (phash)),
        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
        |SELECT i.doc_id,
        |  CAST(least(COALESCE(tl.mn, i.doc_id), i.doc_id) AS BIGINT) AS text_cluster_id,
-       |  CAST(least(COALESCE(ml.mn, i.doc_id), i.doc_id) AS BIGINT) AS media_cluster_id,
+       |  CAST(least(COALESCE(ml.mn, r.rep), r.rep) AS BIGINT) AS media_cluster_id,
        |  least(COALESCE(tl.mn, i.doc_id), i.doc_id) <> i.doc_id AS dup_by_text,
-       |  least(COALESCE(ml.mn, i.doc_id), i.doc_id) <> i.doc_id AS dup_by_media,
+       |  least(COALESCE(ml.mn, r.rep), r.rep) <> i.doc_id AS dup_by_media,
        |  (least(COALESCE(tl.mn, i.doc_id), i.doc_id) <> i.doc_id
-       |   OR least(COALESCE(ml.mn, i.doc_id), i.doc_id) <> i.doc_id) AS dup_any
-       |FROM img i LEFT JOIN lbl tl ON tl.doc_id = i.doc_id
-       |           LEFT JOIN mlbl ml ON ml.doc_id = i.doc_id
+       |   OR least(COALESCE(ml.mn, r.rep), r.rep) <> i.doc_id) AS dup_any
+       |FROM img i JOIN mdr r ON r.doc_id = i.doc_id
+       |           LEFT JOIN lbl tl ON tl.doc_id = i.doc_id
+       |           LEFT JOIN mlbl ml ON ml.doc_id = r.rep
        |ORDER BY i.doc_id""".stripMargin
 
   /** DuckDB rendering of c108 (r17): the EXACT all-pairs truth count
@@ -1356,11 +1401,13 @@ object SparkEntry {
       |               + (za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))))
       |             // (2*(za.ns + zb.ns - len(list_filter(za.sl, x -> list_contains(zb.sl, x)))))
       |             AS DOUBLE) / 1e6 >= 0.5),
-      |ed AS (SELECT doc_a AS u, doc_b AS v FROM jp
+      |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jp
       |       UNION ALL SELECT doc_b, doc_a FROM jp),
-      |reach AS (SELECT u, v FROM ed
-      |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
-      |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)""".stripMargin
+      |lp AS (SELECT u AS node, v AS lbl FROM ed WHERE v < u
+      |       UNION
+      |       SELECT e.u, l.lbl FROM lp l JOIN ed e ON l.node = e.v
+      |       WHERE l.lbl < e.u),
+      |lbl AS (SELECT node AS doc_id, min(lbl) AS mn FROM lp GROUP BY node)""".stripMargin
 
   /** DuckDB rendering of c95 (r16): the FULL re-cluster of the merged
     * corpus (documents ∪ re-keyed recrawls) in c19's surface shape. The
@@ -2438,10 +2485,12 @@ object SparkEntry {
         |e0 AS (SELECT r.root AS u, d.doc_id AS v
         |       FROM dsh d JOIN rt r ON d.sh = r.sh
         |       WHERE r.nd > 1 AND d.doc_id <> r.root),
-        |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-        |reach AS (SELECT u, v FROM ed
-        |          UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
-        |lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+        |ed AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |lp AS (SELECT u AS node, v AS lbl FROM ed WHERE v < u
+        |       UNION
+        |       SELECT e.u, l.lbl FROM lp l JOIN ed e ON l.node = e.v
+        |       WHERE l.lbl < e.u),
+        |lbl AS (SELECT node AS doc_id, min(lbl) AS mn FROM lp GROUP BY node)
         |SELECT d.doc_id,
         |  CAST(least(COALESCE(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
         |  least(COALESCE(l.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical

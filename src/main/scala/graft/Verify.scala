@@ -8,9 +8,14 @@ object Verify {
     // Optional third arg: comma-separated query names — dump (and emit
     // oracle SQL for) only those, for fast single-row rehearsals. The
     // driver always calls with two args and gets the full gate.
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    // "--oracle-only" (r20): refresh the FULL oracle_sql.json against an
+    // existing dump directory without re-running any query — the
+    // oracle-side iteration loop (edit SQL builder → re-check) at sf0.1
+    // costs minutes instead of the 45-minute Spark re-dump.
+    val (sfDir, outDir, only, oracleOnly) = args match {
+      case Array(s, o)                  => (s, o, None, false)
+      case Array(s, o, "--oracle-only") => (s, o, None, true)
+      case Array(s, o, f)               => (s, o, Some(f.split(',').toSet), false)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,7 +36,8 @@ object Verify {
     // outDir/<name>.parquet so file-based readers (tools/check.py) work too.
     // One computation, two layouts.
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = (if (oracleOnly) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.sorted)
       .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try {
@@ -73,8 +79,9 @@ object Verify {
     val nFail = failed.size
     val nOk = names.size - nFail
     println(s"[verify] SUMMARY: $nOk/${names.size} queries dumped, $nFail failed" +
-      (if (nFail > 0) s" -> ${failed.toArray.mkString(",")}" else ""))
+      (if (nFail > 0) s" -> ${failed.toArray.mkString(",")}" else "") +
+      (if (oracleOnly) " (oracle-only refresh)" else ""))
     spark.stop()
-    if (nFail > 0 || nOk == 0) sys.exit(1)
+    if (nFail > 0 || (nOk == 0 && !oracleOnly)) sys.exit(1)
   }
 }
