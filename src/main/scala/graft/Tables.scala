@@ -18,6 +18,85 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Total on-disk bytes under a path (file or directory), from filesystem
+    * metadata only — the input to the scan-parallelism floor below. Cached
+    * per path: immutable driver corpora, and the floor must not pay a
+    * listing per plan build. */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def pathBytes(path: String): Long =
+    bytesCache.computeIfAbsent(path, p => {
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+          if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
+          else st.getLen
+        java.lang.Long.valueOf(walk(fs.getFileStatus(hp)))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // unknown size reads as "big": the floor becomes a no-op rather
+          // than forcing a shuffle onto a corpus it cannot size
+          System.err.println(s"[graft] pathBytes($p) failed — scan fan-out " +
+            s"disabled for this path: $e")
+          java.lang.Long.valueOf(Long.MaxValue)
+      }
+    }).longValue()
+
+  /** Scan-parallelism floor (r20, optimization guide §2/§6): a fact table
+    * whose parquet layout yields fewer scan splits than the session's
+    * shuffle parallelism is fanned out by an explicit hash repartition on
+    * its primary key — otherwise every row-local stage (regex extraction,
+    * tokenization, media decode) runs on a handful of tasks no matter how
+    * many cores the box has (the driver corpora are single-row-group
+    * files: ONE scan task each). Deliberate choices:
+    *  - conditional on file size vs `spark.sql.files.maxPartitionBytes`:
+    *    at cluster scale the scan already yields >= parallelism splits and
+    *    this is a NO-OP — the shuffle exists only where the alternative is
+    *    idle cores, never on a corpus that already parallelizes;
+    *  - explicit N (the session shuffle-partition count): per-row compute
+    *    cost is invisible to AQE's byte-based heuristics, which would
+    *    coalesce a few-MB exchange back to one partition (the r16 lesson
+    *    phashCandidates documents);
+    *  - hash on the primary key, not round-robin: deterministic under
+    *    retry (guide §2.5), no sort-before-repartition pass, and
+    *    downstream joins/groupBys on the same key reuse the partitioning
+    *    (b-series doc_id/orderkey folds skip their own exchange). */
+  private def fanOut(spark: SparkSession, df: DataFrame, path: String,
+                     keys: Seq[String]): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanParts = math.max(1L, (pathBytes(path) + maxPB - 1) / maxPB)
+    if (scanParts < n) df.repartition(n, keys.map(col): _*) else df
+  }
+  /** Opt-in fanned variants (r20): the floor pays one exchange plus
+    * ~30–100 ms of fixed task overhead × parallelism, so it is applied
+    * ONLY where the scan-adjacent stage's per-row compute was measured
+    * to dominate it (regex extraction, JSON parse, merge-apply
+    * tokenization, exact-truth evals, fact-table partial aggregation) —
+    * a blanket floor on every scan regressed 63 cheap queries ~1.3–2.5×
+    * at sf0.1 (per-task partial-aggregate state and the doubled
+    * range-sort sampling pass swamp trivial work; OPTIMIZATION_r20.md).
+    * Memo/table builders also read these so their scratch parquet lands
+    * as N part files and every later consumer scans in parallel without
+    * paying any query-time exchange. */
+  def lineitemFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, lineitem(spark, dir), s"$dir/lineitem.parquet",
+      Seq("l_orderkey", "l_linenumber"))
+  def ordersFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, orders(spark, dir), s"$dir/orders.parquet",
+      Seq("o_orderkey"))
+  def documentsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, documents(spark, dir), s"$dir/documents.parquet",
+      Seq("doc_id"))
+  def eventsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, events(spark, dir), s"$dir/events.parquet",
+      Seq("event_id"))
+  def embeddingsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, embeddings(spark, dir), s"$dir/embeddings.parquet",
+      Seq("vec_id"))
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -31,7 +31,7 @@ object IpcQueries {
     * any value lost or mangled in the Arrow wire format hash-mismatches.
     * Timestamps are compared in integer epoch-micros (the IPC unit). */
   def a6IpcSerialize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.eventsFanned(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val schema = ev.schema
     val messages = ArrowIpc.serialize(ev, maxRows = 2048, maxIpcBytes = 64 * 1024)

@@ -108,7 +108,16 @@ object Dedup {
     shingleCache.computeIfAbsent(s"$dir#$n", _ => {
       val p = graft.GraftSession.scratchDir(
         s"shingles-$n-${graft.sources.JsonConvert.pathKey(dir)}").toString
-      shingleRows(Tables.documents(spark, dir), n)
+      // memo parts at n/4 (r20, guide §6 file sizing): the fanned build
+      // parallelizes the shingling, but the consumers of THIS table are
+      // join/aggregation-bound — each scan task carries ~70 ms of fixed
+      // reader overhead (measured), so 32 tiny files taxed every one of
+      // c2/c24/c27/c37/c83's scans ~2.2 task-cpu-s; n/4 keeps consumer
+      // parallelism at a quarter of the session width for a quarter of
+      // the tax. coalesce() is narrow — no extra shuffle at any scale.
+      shingleRows(Tables.documentsFanned(spark, dir), n)
+        .coalesce(math.max(8,
+          spark.sessionState.conf.numShufflePartitions / 4))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -1146,7 +1155,7 @@ object Dedup {
     * Never all-pairs; bodies never shuffle. */
   def c81ContainmentDedup(spark: SparkSession, dir: String,
                           threshold: Double = 0.5): DataFrame =
-    containmentOn(graft.Tables.documents(spark, dir),
+    containmentOn(graft.Tables.documentsFanned(spark, dir),
       spark.read.parquet(shingleTablePath(spark, dir)), threshold)
 
   /** c81's core over injectable frames (`docs` for the winnow index,
@@ -1257,7 +1266,9 @@ object Dedup {
     shingleCache.computeIfAbsent(s"pos:$dir#$n", _ => {
       val p = graft.GraftSession.scratchDir(
         s"posshingles-$n-${graft.sources.JsonConvert.pathKey(dir)}").toString
-      positionalShingles(Tables.documents(spark, dir), n)
+      positionalShingles(Tables.documentsFanned(spark, dir), n)
+        .coalesce(math.max(8,
+          spark.sessionState.conf.numShufflePartitions / 4))
         .write.mode("overwrite").parquet(p)
       p
     })

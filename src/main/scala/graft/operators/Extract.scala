@@ -34,6 +34,8 @@ import graft.Tables
   * planted control bytes) — the c96 domainCapOn pattern. */
 object Extract {
 
+  private val pipelineRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   // ---------------------------------------------------------------- c117
 
   /** Block-level tags, OPENING and closing (plus <br>/<hr>): replaced
@@ -141,7 +143,7 @@ object Extract {
     * recomputed in closed form by the oracle. */
   def c117HtmlExtract(spark: SparkSession, dir: String): DataFrame =
     htmlExtractOn(
-      Tables.documents(spark, dir)
+      Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), gateMarkup.as("html")))
       .orderBy("doc_id")
 
@@ -209,7 +211,7 @@ object Extract {
     * the real detector, present counts + verdict + repaired text. */
   def c118EncodingFlag(spark: SparkSession, dir: String): DataFrame =
     encodingFlagOn(
-      Tables.documents(spark, dir)
+      Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), gateCorruption.as("text")))
       .select("doc_id", "n_fffd", "n_ctrl", "n_moji", "ok", "repaired")
       .orderBy("doc_id")
@@ -266,9 +268,20 @@ object Extract {
                                          markupCol: String = "html",
                                          minWords: Int = 4): DataFrame = {
     import graft.operators.TextOps
-    val enc = encodingFlagOn(
+    // r20: the extract→encoding stage materializes ONCE per run (the
+    // incremental-clusters seam rule): it feeds the quality branch, the
+    // dedup canon fold and the verdict join — left lazy, the whole regex
+    // chain re-executed per consumer (measured 3×: 10 of c119's 14.5
+    // task-cpu-s at sf0.1). At scale this is the pipeline's natural
+    // stage boundary — a crawl release lands the post-extract verdict
+    // table before dedup anyway.
+    val encLazy = encodingFlagOn(
       htmlExtractOn(raw, markupCol, minWords), "extracted")
       .withColumnRenamed("ok", "enc_ok")
+    val p = graft.GraftSession.scratchDir(
+      s"crawl-staged-${pipelineRuns.incrementAndGet()}").toString
+    encLazy.write.mode("overwrite").parquet(p)
+    val enc = raw.sparkSession.read.parquet(p)
     val q = TextOps.qualityCounted(
         enc.select(col("doc_id"), col("repaired").as("text")),
         t => TextOps.words(lower(t)))
@@ -295,7 +308,7 @@ object Extract {
     * rule and fails enc_ok. */
   def c119CrawlPipeline(spark: SparkSession, dir: String): DataFrame =
     crawlPipelineOn(
-      Tables.documents(spark, dir)
+      Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), gateCorruption.as("text"))
         .select(col("doc_id"), pipelineMarkup.as("html")))
       .orderBy("doc_id")

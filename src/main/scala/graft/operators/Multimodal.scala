@@ -964,44 +964,71 @@ object Multimodal {
     * equi-keys to the banding (the CLI bands per media_type — an image
     * gradient hash and an audio envelope hash must never pair). Shared
     * by [[phashPairs]] and `Main phash --pairs` (d29's rule). */
-  private[graft] def phashCandidates(hashes: DataFrame, maxHamming: Int,
-                                     keyCols: Seq[String] = Nil): DataFrame = {
+  /** Stage 0 of the banded pair machinery (r20, guide §2.3/§8): candidate
+    * HASH pairs at DISTINCT-HASH grain. Input must be distinct
+    * (keyCols…, phash) rows; returns (keyCols…, ha, hb, hamming) with
+    * ha <= hb canonical (the (h, h) self-pair rides for identical-hash
+    * clusters) and hamming <= maxHamming exact.
+    *
+    * Why hash grain: duplicate-hash clusters are the NORM on a dedup
+    * surface (the sf0.1 audio table: 1,667 docs over 33 distinct
+    * hashes), and the old doc-grain band join exploded quadratically in
+    * cluster size BEFORE the canonical-band filter could drop anything —
+    * measured 15M joined rows for c94's 16k-pair output. At hash grain
+    * the band join explodes over distinct hashes only; doc pairs
+    * materialize exactly once, in the output-sized expansion joins of
+    * [[phashCandidates]]. A corpus of all-unique hashes pays one extra
+    * map-side-combinable distinct over 8-byte keys for the same join.
+    *
+    * The explicit-N repartition on the join keys stays (r16): the hash
+    * table is tiny byte-wise, so AQE would coalesce its shuffle to ONE
+    * partition and run the join's output explosion single-threaded —
+    * join-output size is invisible to AQE's input-byte heuristics.
+    * Canonical-band emission (r16): a pair colliding in k of 4 segments
+    * is emitted ONLY at its first matching segment — "no earlier band
+    * matched" is a codegen'd filter, never a distinct shuffle. */
+  private[graft] def phashHashPairs(uniq: DataFrame, maxHamming: Int,
+                                    keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
-    // explicit-N repartition on the join keys: the hash table is tiny
-    // byte-wise (a few MB even at sf0.1), so AQE coalesces its shuffle
-    // to ONE partition — and then the join's 10⁷-row OUTPUT explosion
-    // runs in one task (measured: c94's 15M joined rows single-threaded,
-    // wall ≈ cpu on a 32-thread box). An explicit partition count is
-    // exempt from AQE coalescing; join-output size is invisible to AQE's
-    // input-byte heuristics, so sizing must come from the operator.
-    val n = hashes.sparkSession.sessionState.conf.numShufflePartitions
-    val seg = hashes.select(Seq(col("doc_id"), col("phash"),
+    val n = uniq.sparkSession.sessionState.conf.numShufflePartitions
+    val seg = uniq.select(Seq(col("phash"),
         posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*))) ++
         keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
       .repartition(n, (Seq("seg_idx", "seg") ++ keyCols).map(col): _*)
     val keys = Seq("seg_idx", "seg") ++ keyCols
-    // canonical band (r16): a pair colliding in k of 4 segments used to
-    // appear k times and get folded by a distinct — a full extra shuffle
-    // of the pre-dedup candidate set, 4× the output on identical-hash
-    // clusters (c93's complete-graph corpus). Instead each pair is
-    // emitted ONLY at its first matching segment: the hashes already
-    // ride the join, so "no earlier band matched" is a codegen'd filter
-    // (for every k < seg_idx, segment k must differ), and the emitted
-    // set is exactly the old distinct's — each qualifying pair once.
     val noEarlierBand = (0 until 3).map(k =>
       (col("seg_idx") <= lit(k)) ||
         (phashSeg(col("ha"), k) =!= phashSeg(col("hb"), k))).reduce(_ && _)
-    seg.select((Seq(col("doc_id").as("doc_a"), col("phash").as("ha")) ++
-        keys.map(col)): _*)
-      .join(seg.select((Seq(col("doc_id").as("doc_b"), col("phash").as("hb")) ++
-        keys.map(col)): _*), keys)
-      .filter(col("doc_a") < col("doc_b"))
+    seg.select((Seq(col("phash").as("ha")) ++ keys.map(col)): _*)
+      .join(seg.select((Seq(col("phash").as("hb")) ++ keys.map(col)): _*), keys)
+      .filter(col("ha") <= col("hb"))
       .filter(noEarlierBand)
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
+      .select(keyCols.map(col) ++ Seq(col("ha"), col("hb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming")): _*)
       .filter(col("hamming") <= maxHamming)
+  }
+
+  private[graft] def phashCandidates(hashes: DataFrame, maxHamming: Int,
+                                     keyCols: Seq[String] = Nil): DataFrame = {
+    // band at distinct-hash grain ([[phashHashPairs]]), then re-attach
+    // docs by two output-sized hash equi-joins. Each unordered doc pair
+    // appears exactly once: a doc belongs to one hash group, the hash
+    // pair is canonical (ha <= hb), and identical-hash pairs dedup by
+    // doc_a < doc_b inside their group.
+    val gcols = keyCols :+ "phash"
+    val uniq = hashes.select(gcols.map(col): _*).distinct()
+    val hp = phashHashPairs(uniq, maxHamming, keyCols)
+    val da = hashes.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("doc_a"), col("phash").as("ha")): _*)
+    val db = hashes.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("doc_b"), col("phash").as("hb")): _*)
+    hp.join(da, Seq("ha") ++ keyCols)
+      .join(db, Seq("hb") ++ keyCols)
+      .filter(col("ha") =!= col("hb") || col("doc_a") < col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
   }
 
   /** New-touching banded candidates at hash grain (r16, c103): the
@@ -1012,35 +1039,67 @@ object Multimodal {
     * as [[phashCandidates]]; NN pairs dedup by doc_a < doc_b, NE pairs
     * appear once by construction (the corpus never sits on the left).
     * Returns normalized (u, v) edges at hamming ≤ maxHamming. */
-  private[graft] def phashCandidatesSplit(newHashes: DataFrame,
-                                          corpusHashes: DataFrame,
-                                          maxHamming: Int,
-                                          keyCols: Seq[String] = Nil): DataFrame = {
+  /** Stage 0 of the SPLIT pair machinery (r20 — [[phashHashPairs]]'s
+    * shape for the incremental path): candidate HASH pairs with the
+    * crawl's distinct hashes on the LEFT and the merged (crawl ∪ corpus)
+    * distinct hashes on the RIGHT — corpus×corpus hash pairs are never
+    * formed. The sides are asymmetric, so pairs are ORDERED (ha, hb) —
+    * no hash-order canonicalization here; the per-ordered-pair
+    * first-band filter dedups, and doc-grain/consumer folds canonicalize
+    * after expansion. Inputs must be distinct (keyCols…, phash) rows. */
+  private[graft] def phashHashPairsSplit(newUniq: DataFrame,
+                                         unionUniq: DataFrame,
+                                         maxHamming: Int,
+                                         keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-segment banding finds all pairs only for hamming <= 3, got $maxHamming")
-    val n = newHashes.sparkSession.sessionState.conf.numShufflePartitions
-    def segOf(hashes: DataFrame): DataFrame = hashes
-      .select(Seq(col("doc_id"), col("phash"),
+    val n = newUniq.sparkSession.sessionState.conf.numShufflePartitions
+    def segOf(uniq: DataFrame): DataFrame = uniq
+      .select(Seq(col("phash"),
         posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*))) ++
         keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
     val keys = Seq("seg_idx", "seg") ++ keyCols
-    val left = segOf(newHashes)
-      .select(Seq(col("doc_id").as("doc_a"), col("phash").as("ha")) ++
-        keys.map(col): _*)
+    val left = segOf(newUniq)
+      .select(Seq(col("phash").as("ha")) ++ keys.map(col): _*)
       .repartition(n, keys.map(col): _*)
-    val right = segOf(newHashes).withColumn("is_new", lit(true))
-      .unionByName(segOf(corpusHashes).withColumn("is_new", lit(false)))
-      .select(Seq(col("doc_id").as("doc_b"), col("phash").as("hb"),
-        col("is_new")) ++ keys.map(col): _*)
+    val right = segOf(unionUniq)
+      .select(Seq(col("phash").as("hb")) ++ keys.map(col): _*)
       .repartition(n, keys.map(col): _*)
     val noEarlierBand = (0 until 3).map(k =>
       (col("seg_idx") <= lit(k)) ||
         (phashSeg(col("ha"), k) =!= phashSeg(col("hb"), k))).reduce(_ && _)
     left.join(right, keys)
-      .filter(!col("is_new") || col("doc_a") < col("doc_b"))
       .filter(noEarlierBand)
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(keyCols.map(col) ++ Seq(col("ha"), col("hb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming")): _*)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private[graft] def phashCandidatesSplit(newHashes: DataFrame,
+                                          corpusHashes: DataFrame,
+                                          maxHamming: Int,
+                                          keyCols: Seq[String] = Nil): DataFrame = {
+    // band at distinct-hash grain ([[phashHashPairsSplit]]), then
+    // re-attach docs: the crawl's docs expand the left hash, the merged
+    // set's docs (with their per-doc is_new flag) expand the right. NN
+    // pairs appear under both hash orders and dedup by doc_a < doc_b;
+    // NE pairs appear once (the corpus never sits on the left) — the
+    // same emission the old doc-grain join produced, row for row.
+    val gcols = keyCols :+ "phash"
+    val newUniq = newHashes.select(gcols.map(col): _*).distinct()
+    val unionUniq = newHashes.select(gcols.map(col): _*)
+      .unionByName(corpusHashes.select(gcols.map(col): _*)).distinct()
+    val hp = phashHashPairsSplit(newUniq, unionUniq, maxHamming, keyCols)
+    val da = newHashes.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("doc_a"), col("phash").as("ha")): _*)
+    val db = newHashes.withColumn("is_new", lit(true))
+      .unionByName(corpusHashes.withColumn("is_new", lit(false)))
+      .select(keyCols.map(col) ++ Seq(col("doc_id").as("doc_b"),
+        col("phash").as("hb"), col("is_new")): _*)
+    hp.join(da, Seq("ha") ++ keyCols)
+      .join(db, Seq("hb") ++ keyCols)
+      .filter(!col("is_new") || col("doc_a") < col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
   }
@@ -1087,14 +1146,23 @@ object Multimodal {
                                 maxHamming: Int = 3,
                                 valueCol: String = "gray",
                                 l1Name: String = "pix_l1"): DataFrame = {
-    val cand = phashCandidates(frames.select("doc_id", "phash"), maxHamming)
+    // NOTE (r20, measured and rejected): materializing the decoded frame
+    // table once per run (the c27/c119 seam) REGRESSED this family ~2×
+    // at sf0.1 — the five consumers' duplicate decodes execute in
+    // PARALLEL plan branches on idle cores, while a materialization
+    // barrier serializes decode → write → read. Duplicate-subtree
+    // elimination only pays when the branches were already serialized
+    // (c119's sampling/aggregation barriers) or the subtree dominates
+    // total cpu (c27's four full-table scans).
+    val f = frames
+    val cand = phashCandidates(f.select("doc_id", "phash"), maxHamming)
     // stage 2 — the exact per-point verify, ONCE per surviving pair
     // (c81's confinement): the value arrays (pixel thumbnails / audio
     // envelopes) join back by doc id; the L1 is the native codegen'd
     // graft_l1 (one fused long loop — the interpreted aggregate∘zip_with
     // lambda was the hot loop of the suite's most expensive row;
     // exact integer math, value-identical)
-    val g = frames.select(col("doc_id"), col(valueCol))
+    val g = f.select(col("doc_id"), col(valueCol))
     cand
       .join(g.select(col("doc_id").as("doc_a"), col(valueCol).as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col(valueCol).as("gb")), "doc_b")
@@ -1576,10 +1644,58 @@ object Multimodal {
     * must never run it silently. */
   private[graft] val RecallHashCap = 20000L
 
-  /** One modality's recall fold (c83's outer-union shape): the exact
-    * all-pairs truth at hamming ≤ maxHamming vs the banded pipeline's
-    * candidate set, folded to one (modality, n_exact, n_banded, n_hit,
-    * recall_r) row. Cap-guarded. */
+  /** 8-bit segment j of a 56-bit hash — the TRUTH-side pigeonhole's
+    * segmentation (7 × 8 bits), deliberately DIFFERENT from the
+    * production 4 × 14 [[phashSeg]] split so the recall rows keep
+    * checking the production path against an independently-derived
+    * exact truth (a wrong shift in one split cannot infect the other). */
+  private def seg8(c: Column, j: Int): Column =
+    shiftright(c, 8 * j).bitwiseAND(lit(0xFFL))
+
+  /** The EXACT hamming ≤ maxHamming hash-pair set over distinct hashes
+    * (r20): an independent 7×8-bit pigeonhole equi-join (hamming ≤ 3
+    * touches at most 3 of 7 segments, so every qualifying pair shares
+    * one — completeness needs only segments > maxHamming) followed by
+    * the exact bit_count filter, replacing the all-pairs
+    * BroadcastNestedLoopJoin (O(n²) hash comparisons; 15 task-cpu-s at
+    * sf0.1). The bit_count filter makes the set EXACT regardless of
+    * segmentation — the pigeonhole only bounds what must be compared.
+    * Input: distinct (phash, cnt) rows; output: canonical ha <= hb pairs
+    * with both group counts. Same canonical-band emission and
+    * explicit-N repartition as [[phashHashPairs]]. */
+  private[graft] def truthHashPairs8(g: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"7-segment truth banding is complete only for hamming <= 6, got $maxHamming")
+    val n = g.sparkSession.sessionState.conf.numShufflePartitions
+    val seg = g.select(col("phash"), col("cnt"),
+        posexplode(array((0 until 7).map(j => seg8(col("phash"), j)): _*)))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .repartition(n, col("seg_idx"), col("seg"))
+    val noEarlierBand = (0 until 6).map(k =>
+      (col("seg_idx") <= lit(k)) ||
+        (seg8(col("ha"), k) =!= seg8(col("hb"), k))).reduce(_ && _)
+    seg.select(col("phash").as("ha"), col("cnt").as("ca"),
+        col("seg_idx"), col("seg"))
+      .join(seg.select(col("phash").as("hb"), col("cnt").as("cb"),
+        col("seg_idx"), col("seg")), Seq("seg_idx", "seg"))
+      .filter(col("ha") <= col("hb"))
+      .filter(noEarlierBand)
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("ha"), col("hb"), col("ca"), col("cb"))
+  }
+
+  /** One modality's recall fold (c83's outer-union shape) at
+    * DISTINCT-HASH grain (r20, guide §2.3/§8): pair membership on both
+    * sides is a function of the two hashes alone, so each side reduces
+    * to a hash-pair SET and the doc-pair counts the old doc-grain fold
+    * computed are Σ over hash pairs of the exact group-size
+    * multiplicity — ca·cb across groups, C(ca,2) inside one. The truth
+    * side is [[truthHashPairs8]] (independent 7×8 pigeonhole + exact
+    * bit_count — never all-pairs); the banded side is the production
+    * 4×14 stage-0 ([[phashHashPairs]]). A lost band still reads
+    * n_banded < n_exact and hash-fails — the invariant is unchanged,
+    * only the O(n²) comparison surface and the dup-cluster doc-pair
+    * explosion are gone. Cap-guarded as before. */
   private[graft] def phashRecallOf(modality: String, hs: DataFrame,
                                    maxHamming: Int = 3): DataFrame = {
     val h = hs.select(col("doc_id"), col("phash"))
@@ -1588,20 +1704,24 @@ object Multimodal {
       s"c108's exact truth cross-compares O(n²) hashes: $modality has " +
         s"$n > cap $RecallHashCap — run the recall gate on an eval " +
         "corpus/sample, never a production corpus")
-    val truth = h.select(col("doc_id").as("da"), col("phash").as("pa"))
-      .join(h.select(col("doc_id").as("db"), col("phash").as("pb")),
-        col("da") < col("db") &&
-          bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
-      .select("da", "db")
-    val banded = phashCandidates(h, maxHamming)
-      .select(col("doc_a").as("da"), col("doc_b").as("db"))
-    truth.withColumn("e", lit(1)).withColumn("b", lit(0))
-      .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))
-      .groupBy("da", "db")
-      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
-      .agg(sum(col("e")).cast("bigint").as("n_exact"),
-        sum(col("b")).cast("bigint").as("n_banded"),
-        sum(col("e") * col("b")).cast("bigint").as("n_hit"))
+    val g = h.groupBy("phash").agg(count(lit(1)).as("cnt"))
+    val truth = truthHashPairs8(g, maxHamming).select("ha", "hb")
+    val banded = phashHashPairs(g.select("phash"), maxHamming)
+      .select("ha", "hb")
+    // exact integer pair multiplicity from the group sizes; the even
+    // product halves by shift, never a double division
+    val mult = when(col("ha") === col("hb"),
+      shiftright(col("ca") * (col("ca") - 1), 1))
+      .otherwise(col("ca") * col("cb"))
+    truth.withColumn("e", lit(1))
+      .join(banded.withColumn("b", lit(1)), Seq("ha", "hb"), "full_outer")
+      .join(g.select(col("phash").as("ha"), col("cnt").as("ca")), "ha")
+      .join(g.select(col("phash").as("hb"), col("cnt").as("cb")), "hb")
+      .select(coalesce(col("e"), lit(0)).as("e"),
+        coalesce(col("b"), lit(0)).as("b"), mult.as("m"))
+      .agg(sum(col("e") * col("m")).cast("bigint").as("n_exact"),
+        sum(col("b") * col("m")).cast("bigint").as("n_banded"),
+        sum(col("e") * col("b") * col("m")).cast("bigint").as("n_hit"))
       .select(lit(modality).as("modality"),
         col("n_exact"), col("n_banded"), col("n_hit"))
       .transform(TextOps.ratio6On(_, "recall_r",
@@ -1653,22 +1773,44 @@ object Multimodal {
       s"c114's exact truth cross-compares O(crawl·n) hashes: $modality " +
         s"has $n > cap $RecallHashCap — run the recall gate on an eval " +
         "corpus/sample, never a production corpus")
-    // truth: brute crawl×merged — every new-touching pair, canonicalized
-    val truth = nh.select(col("doc_id").as("a"), col("phash").as("pa"))
-      .join(merged.select(col("doc_id").as("b"), col("phash").as("pb")),
-        col("a") =!= col("b") &&
-          bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
-      .select(least(col("a"), col("b")).as("da"),
-        greatest(col("a"), col("b")).as("db"))
-    val banded = phashCandidatesSplit(nh, ch, maxHamming)
-      .select(col("u").as("da"), col("v").as("db"))
-    truth.withColumn("e", lit(1)).withColumn("b", lit(0))
-      .unionByName(banded.withColumn("e", lit(0)).withColumn("b", lit(1)))
-      .groupBy("da", "db")
-      .agg(max(col("e")).as("e"), max(col("b")).as("b"))
-      .agg(sum(col("e")).cast("bigint").as("n_exact"),
-        sum(col("b")).cast("bigint").as("n_banded"),
-        sum(col("e") * col("b")).cast("bigint").as("n_hit"))
+    // r20: the same distinct-hash-grain fold as [[phashRecallOf]], with
+    // the NEW-TOUCHING pair multiplicity — per hash the merged count cm
+    // and crawl count cn; a hash pair's new-touching doc pairs are all
+    // pairs minus the pure-corpus ones: cma·cmb − (cma−cna)(cmb−cnb)
+    // across groups, C(cm,2) − C(cm−cn,2) inside one. The truth side is
+    // the independent 7×8 pigeonhole + exact bit_count over the merged
+    // distinct hashes (replacing the brute crawl×merged
+    // BroadcastNestedLoopJoin); the banded side is the production split
+    // stage-0 ([[phashHashPairsSplit]] — crawl hashes left, merged
+    // right), canonicalized. A wrong split side or lost band still
+    // reads n_banded ≠ n_exact and hash-fails.
+    val g = merged.groupBy("phash").agg(count(lit(1)).as("cm"))
+      .join(nh.groupBy("phash").agg(count(lit(1)).as("cn")),
+        Seq("phash"), "left")
+      .withColumn("cn", coalesce(col("cn"), lit(0L)))
+    val truth = truthHashPairs8(g.select(col("phash"), col("cm").as("cnt")),
+      maxHamming).select("ha", "hb")
+    val newUniq = nh.select("phash").distinct()
+    val banded = phashHashPairsSplit(newUniq, g.select("phash"), maxHamming)
+      .select(least(col("ha"), col("hb")).as("ha"),
+        greatest(col("ha"), col("hb")).as("hb"))
+      .distinct()
+    def c2(c: Column): Column = shiftright(c * (c - 1), 1)
+    val mult = when(col("ha") === col("hb"),
+      c2(col("cma")) - c2(col("cma") - col("cna")))
+      .otherwise(col("cma") * col("cmb") -
+        (col("cma") - col("cna")) * (col("cmb") - col("cnb")))
+    truth.withColumn("e", lit(1))
+      .join(banded.withColumn("b", lit(1)), Seq("ha", "hb"), "full_outer")
+      .join(g.select(col("phash").as("ha"), col("cm").as("cma"),
+        col("cn").as("cna")), "ha")
+      .join(g.select(col("phash").as("hb"), col("cm").as("cmb"),
+        col("cn").as("cnb")), "hb")
+      .select(coalesce(col("e"), lit(0)).as("e"),
+        coalesce(col("b"), lit(0)).as("b"), mult.as("m"))
+      .agg(sum(col("e") * col("m")).cast("bigint").as("n_exact"),
+        sum(col("b") * col("m")).cast("bigint").as("n_banded"),
+        sum(col("e") * col("b") * col("m")).cast("bigint").as("n_hit"))
       .select(lit(modality).as("modality"),
         col("n_exact"), col("n_banded"), col("n_hit"))
       .transform(TextOps.ratio6On(_, "recall_r",

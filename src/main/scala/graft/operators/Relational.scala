@@ -56,7 +56,7 @@ object Relational {
     * Low-cardinality keys → map-side partial agg does nearly all the work;
     * the shuffle moves O(groups) rows regardless of input scale. */
   def b2AggPricing(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.lineitemFanned(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity").cast("bigint")).as("sum_qty"),
@@ -75,7 +75,7 @@ object Relational {
     * difference between shuffling the fact table and shuffling its
     * per-key summary. Dimensions broadcast; AQE handles skew. */
   def b3JoinMultiway(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    val l = Tables.lineitemFanned(spark, dir)
       .groupBy("l_orderkey")
       .agg(sum(discPrice).as("o_rev"), count(lit(1)).as("o_items"))
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")

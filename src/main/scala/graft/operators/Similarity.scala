@@ -842,7 +842,7 @@ object Similarity {
       val p = graft.GraftSession.scratchDir(
         s"cell-assign-${graft.sources.JsonConvert.pathKey(d)}").toString
       assignCells(
-        Tables.embeddings(spark, d)
+        Tables.embeddingsFanned(spark, d)
           .select(col("vec_id"), toDouble(col("embedding")).as("v")),
         labelCodebook(spark, d), maxProbe = 1)
         .select(col("vec_id"), col("v"), col("cell"), col("ccos"))
@@ -1452,7 +1452,7 @@ object Similarity {
       val p = graft.GraftSession.scratchDir(
         s"banded-pairs-${graft.sources.JsonConvert.pathKey(dir)}" +
           s"-t${(threshold * 1e6).toLong}").toString
-      bandedNearDupOn(Tables.embeddings(spark, dir), threshold)
+      bandedNearDupOn(Tables.embeddingsFanned(spark, dir), threshold)
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -1506,7 +1506,7 @@ object Similarity {
     * truth), so the measurement itself is engine-verified. */
   def c72NearDupRecall(spark: SparkSession, dir: String,
                        threshold: Double = 0.3): DataFrame = {
-    val exact = exactPairsOn(Tables.embeddings(spark, dir), threshold)
+    val exact = exactPairsOn(Tables.embeddingsFanned(spark, dir), threshold)
       .select("vec_a", "vec_b")
     val banded = spark.read
       .parquet(bandedPairsTablePath(spark, dir, threshold))

@@ -17,6 +17,7 @@ object TextOps {
 
   /** Monotone id distinguishing [[decontaminate]] invocations' scratch. */
   private val decontamRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private val c27Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Small fixed stopword profile used by quality scoring and language id. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
@@ -154,7 +155,7 @@ object TextOps {
       lit("@mail.example or +1-555-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
       lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .select(
         col("doc_id"),
         regexp_count(full, lit(EmailRe)).cast("bigint").as("n_emails"),
@@ -403,15 +404,25 @@ object TextOps {
   def c27BloomDecontam(spark: SparkSession, dir: String,
                        fpp: Double = 0.01): DataFrame = {
     val sh8 = spark.read.parquet(Dedup.shingleTablePath(spark, dir, n = 8))
-    // NOT persisted: the subtree is a cheap scan of the memoized shingle
-    // parquet, and c27 is called repeatedly by Verify/Bench — per-call
-    // persists without an unpersist hook would accumulate for the JVM
-    val evalShingles = sh8.filter(col("doc_id") % 50 === 0)
+    // r20 (guide §1.2 "don't compute things you throw away"): the eval
+    // shingle set feeds THREE consumers (sizing, the treeAggregate filter
+    // build, the exact verify join) and each consumer of the lazy frame
+    // re-scanned the FULL shingle table just to keep 1/50th of it —
+    // measured 4 full scans = 10 of c27's 11 task-cpu-s at sf0.1. Now it
+    // materializes once per run to scratch parquet (decontamOn's seam,
+    // same unpersist-free reasoning) and the consumers read the bounded
+    // eval-set table.
+    val runId = c27Runs.incrementAndGet()
+    val evalPath = graft.GraftSession.scratchDir(s"c27-eval-$runId").toString
+    sh8.filter(col("doc_id") % 50 === 0)
       .select(col("shingle")).distinct()
+      .write.mode("overwrite").parquet(evalPath)
+    val evalShingles = spark.read.parquet(evalPath)
     // size the filter from the eval side (bounded by definition) — a
     // hardcoded capacity would saturate on a large eval set, silently
-    // degrading fpp toward 1 and defeating the prefilter
-    val expected = math.max(1024L, evalShingles.count())
+    // degrading fpp toward 1 and defeating the prefilter. The count comes
+    // from the materialized table's parquet FOOTERS (O(files), no job).
+    val expected = math.max(1024L, Tables.parquetRowCount(evalPath))
     val filterBytes = graft.functions.BloomFunctions.buildFilter(
       evalShingles, "shingle", expectedItems = expected, fpp = fpp)
     val candidates = sh8.filter(col("doc_id") % 50 =!= 0)
@@ -587,14 +598,22 @@ object TextOps {
   /** c110's plan folded to the per-source (full epochs, 16-bit
     * fractional cutoff hex) pairs the doc-grain projection needs — a
     * bounded artifact (exact BigInt arithmetic driver-side). */
+  /** Memoized per dir (r20 — the trainBpe/bpeMemo rule: a bounded
+    * artifact both the query and its oracle rendering must see
+    * identically trains once per JVM): c111 and c116 each collected a
+    * full c110 execution at plan-construction time, paying c110's whole
+    * quality+fold subtree per run. */
+  private val recipePlanMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, String)]]()
   private[graft] def recipePlanOf(spark: SparkSession,
                                   dir: String): Seq[(String, Long, String)] =
-    c110DataRecipe(spark, dir).collect().map { r =>
-      val tk = BigInt(r.getAs[Long]("tokens"))
-      val pl = BigInt(r.getAs[Long]("planned_tokens"))
-      (r.getString(0), (pl / tk).toLong,
-        f"${((pl % tk) * 65536 / tk).toLong}%04x")
-    }.toSeq
+    recipePlanMemo.computeIfAbsent(dir, _ =>
+      c110DataRecipe(spark, dir).collect().map { r =>
+        val tk = BigInt(r.getAs[Long]("tokens"))
+        val pl = BigInt(r.getAs[Long]("planned_tokens"))
+        (r.getString(0), (pl / tk).toLong,
+          f"${((pl % tk) * 65536 / tk).toLong}%04x")
+      }.toSeq)
 
   /** THE per-doc copy-count projection over an arbitrary (doc_id,
     * source, text) frame and a collected plan — row-local, the plan as
@@ -1350,7 +1369,7 @@ object TextOps {
   def c66BpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainBpe(spark, dir)
     val ws = filter(words(lower(col("text"))), w => length(w) >= 1)
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 1)
@@ -1440,7 +1459,7 @@ object TextOps {
   def c70BpeBytes(spark: SparkSession, dir: String,
                   topK: Int = 100): DataFrame = {
     val merges = trainBpeBytes(spark, dir)
-    bytePretokenTypes(Tables.documents(spark, dir))
+    bytePretokenTypes(Tables.documentsFanned(spark, dir))
       .select(col("wcnt"),
         graft.functions.BpeFunctions.applyBpe(col("w"), merges).as("ts"))
       .select(col("wcnt"), explode(col("ts")).as("token"))
@@ -1464,7 +1483,7 @@ object TextOps {
     * staging drift hash-fails. */
   def c73ByteFertility(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainBpeBytes(spark, dir)
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), bytePretokens(col("text")).as("ps"))
       .filter(size(col("ps")) >= 1)
@@ -1812,7 +1831,7 @@ object TextOps {
     * the empty fingerprint set, n_fp = 0, md5("") — never a negative
     * `sequence` range (both branches are CASE-guarded). */
   def c57Winnow(spark: SparkSession, dir: String): DataFrame =
-    winnowProjection(Tables.documents(spark, dir)).orderBy("doc_id")
+    winnowProjection(Tables.documentsFanned(spark, dir)).orderBy("doc_id")
 
   /** The one winnowing projection batch c57 and streaming d23 share
     * (twins-share-core). The selector itself is the NATIVE codegen'd

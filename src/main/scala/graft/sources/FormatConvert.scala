@@ -17,7 +17,7 @@ object FormatConvert {
     * either direction hash-mismatches (doubles survive because Java's
     * toString/parseDouble round-trip is exact). */
   def a11CsvConvert(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+    val ev = Tables.eventsFanned(spark, dir).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
     val schema = ev.schema

@@ -78,7 +78,7 @@ object JsonConvert {
     * parse's corrupt classification is pinned exactly — a salvaged or
     * over-rejected line hash-mismatches. */
   def a13PermissiveParse(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+    val ev = Tables.eventsFanned(spark, dir).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
     val line = to_json(struct(ev.columns.map(col): _*))
@@ -137,7 +137,7 @@ object JsonConvert {
     * full strict mode (malformed AND unexpected-field errors). */
   def a1JsonParse(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(StructField("k", LongType)))
-    Tables.events(spark, dir)
+    Tables.eventsFanned(spark, dir)
       .select(col("event_id"),
         parseJsonStrict(col("props"), schema).getField("k").as("k"))
       .transform(graft.operators.Relational.gateOrder("event_id"))
@@ -174,7 +174,7 @@ object JsonConvert {
   private[graft] def batteryJsonCorpusPath(spark: SparkSession, dir: String): String =
     batteryCorpus.computeIfAbsent(dir, d => {
       val p = graft.GraftSession.scratchDir(s"a2-corpus-${pathKey(d)}").toString
-      Tables.lineitem(spark, d)
+      Tables.lineitemFanned(spark, d)
         .groupBy(col("l_orderkey"))
         .agg(transform(
           array_sort(collect_list(struct(col("l_linenumber").as("ln"),
@@ -239,7 +239,7 @@ object JsonConvert {
   private[graft] def tripJsonCorpusPath(spark: SparkSession, dir: String): String =
     tripCorpus.computeIfAbsent(dir, d => {
       val p = graft.GraftSession.scratchDir(s"a3-corpus-${pathKey(d)}").toString
-      tripJsonLines(Tables.orders(spark, d))
+      tripJsonLines(Tables.ordersFanned(spark, d))
         .select("json").write.mode("overwrite").text(p)
       p
     })

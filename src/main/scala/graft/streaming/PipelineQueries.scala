@@ -34,7 +34,7 @@ object PipelineQueries {
     * code path whose MB/s the benchmark reports (bolson's convert-stage
     * metric, reference: src/bolson/bench.cpp convert bench). */
   def a10ConvertBench(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+    val ev = Tables.eventsFanned(spark, dir).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
     val schema = ev.schema

@@ -201,7 +201,7 @@ class DedupSimSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val assigned = Similarity.assignCells(
       e, Similarity.labelCodebook(spark, sfDir), maxProbe = 1)
-    val planStr = assigned.queryExecution.executedPlan.toString
+    val planStr = sansFanOut(assigned.queryExecution.executedPlan.toString)
     assert(!planStr.contains("hashpartitioning"),
       s"assignment subtree must not shuffle:\n$planStr")
     assert(assigned.count() == Tables.embeddings(spark, sfDir).count(),
@@ -388,7 +388,7 @@ class DedupSimSpec extends SparkSpec {
     }
     // the quantization itself is one stateless projection: the only
     // exchanges are the broadcast codebook folds and the final range sort
-    val planStr = df.queryExecution.executedPlan.toString
+    val planStr = sansFanOut(df.queryExecution.executedPlan.toString)
     assert(!planStr.contains("hashpartitioning"),
       s"PQ assignment must not shuffle rows:\n$planStr")
   }

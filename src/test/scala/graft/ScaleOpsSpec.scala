@@ -87,7 +87,7 @@ class ScaleOpsSpec extends SparkSpec {
     // (run first: AQE only materializes codegen spans in the final plan)
     val c20 = TextOps.c20PiiScrub(spark, sfDir)
     c20.collect()
-    val p20 = c20.queryExecution.executedPlan.toString
+    val p20 = sansFanOut(c20.queryExecution.executedPlan.toString)
     // whole-stage codegen renders as a "*(n) " stage prefix in plan strings
     assert("""\*\(\d+\) Project""".r.findFirstIn(p20).nonEmpty,
       s"c20's projection must be inside whole-stage codegen:\n$p20")
@@ -109,8 +109,8 @@ class ScaleOpsSpec extends SparkSpec {
     // (queries·shortlist)-row shortlist and query sides — the corpus is
     // probed, never shuffled on vec_id; and no cross join anywhere (the
     // only ADC cross-join partner is the 5-row broadcast query side)
-    val p79 = Similarity.c79ExactRerank(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val p79 = sansFanOut(Similarity.c79ExactRerank(spark, sfDir)
+      .queryExecution.executedPlan.toString)
     assert(p79.contains("BroadcastHashJoin"),
       s"c79 stage 2 must broadcast the shortlist:\n$p79")
     assert(!p79.contains("CartesianProduct"),
@@ -120,9 +120,9 @@ class ScaleOpsSpec extends SparkSpec {
     // c80: scoring is ONE row-local fold — no shuffle at all before the
     // gate sort (the artifact rides as plan literals)
     val art = Dsir.trainDsir(spark, sfDir)
-    val p80 = Dsir.weightsOf(Dsir.scoreDocs(
+    val p80 = sansFanOut(Dsir.weightsOf(Dsir.scoreDocs(
         Tables.documents(spark, sfDir), art))
-      .queryExecution.executedPlan.toString
+      .queryExecution.executedPlan.toString)
     assert(!p80.contains("Exchange hashpartitioning"),
       s"c80 scoring is row-local — no shuffle:\n$p80")
     assert(!p80.contains("Generate explode"),

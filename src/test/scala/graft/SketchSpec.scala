@@ -114,7 +114,7 @@ class SketchSpec extends SparkSpec {
       .toDF("w", "pcnt")
       .groupBy("w").agg(sum("pcnt").as("pcnt"))
       .orderBy(desc("pcnt"), asc("w")).limit(Sketch.CmsCandidatePool)
-    val plan = partials.queryExecution.executedPlan.toString
+    val plan = sansFanOut(partials.queryExecution.executedPlan.toString)
     assert(plan.contains("TakeOrderedAndProject"),
       s"candidate cut must be TakeOrderedAndProject:\n$plan")
     // exactly ONE exchange, and it must sit ABOVE the Misra-Gries

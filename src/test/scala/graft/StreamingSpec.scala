@@ -1535,9 +1535,17 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val gap = 30L * 60 * 1000 * 1000
+    // arrival order is pinned to event time (r20): this spec splits the
+    // feed into two batches, so it must not depend on the scan's
+    // accidental row order — the fan-out floor hash-partitions the scan,
+    // and a near-max-ts event landing in batch 1 would advance the
+    // watermark past batch 2's older events (a genuine late-data drop,
+    // not a parity break). In-order arrival is the semantics this spec
+    // pins; late-arrival behavior is its own spec.
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent].collect().toSeq
+      .sortBy(e => (e.ts_us, e.user_id))
     val maxUs = ev.map(_.ts_us).max
     def runThrough(name: String,
                    f: org.apache.spark.sql.Dataset[SessionEvent] =>
