@@ -20,57 +20,68 @@ import org.apache.spark.unsafe.types.UTF8String
   * the oracle stays exact.
   */
 object WinnowUtil {
-  private val Space = UTF8String.fromString(" ")
-  private val HexDigits = "0123456789abcdef".toCharArray
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
 
   // one digest per thread: getInstance per row would dominate the loop
   private val Digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  private def md5hex(md: java.security.MessageDigest, s: String): String = {
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexDigits((d(i) >> 4) & 0xF)
-      out(2 * i + 1) = HexDigits(d(i) & 0xF)
-      i += 1
-    }
-    new String(out)
+  /** Unsigned byte-wise order over 16-byte digests ≡ lexicographic order
+    * of their lowercase-hex renders (each byte maps to two hex chars
+    * monotonically), so all comparisons stay on the raw digests and hex
+    * materializes only for the few SELECTED fingerprints. */
+  private val DigestOrder = new java.util.Comparator[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
   }
 
   def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val md = Digest.get()
-    val utoks = s.toLowerCase.split(Space, -1)
-    val nG = utoks.length - (k - 1)
+    // r20 byte-level pass (guide §1.2 per-task work): the first cut
+    // converted every token to java.lang.String, built every gram
+    // through a StringBuilder and re-encoded it to UTF-8 for the md5 —
+    // measured as the top scala-frame of the suite's JFR profile
+    // (c57/c81/d23/d25). Because the gram joiner equals the token
+    // delimiter (one 0x20 byte), gram i..i+k−1 IS the byte slice of the
+    // lowered text from token i's start to token i+k−1's end — interior
+    // empty tokens and all — so the md5 streams straight from the
+    // lowered bytes with zero string churn. Values are bit-identical:
+    // same bytes hashed, same order (hex ≡ digest byte order).
+    val bytes = s.toLowerCase.getBytes
+    // token start offsets: 0 and the byte after every space (spaces
+    // never occur inside a multi-byte UTF-8 sequence)
+    var nToks = 1
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') nToks += 1; p += 1 }
+    val nG = nToks - (k - 1)
     val nW = nG - (w - 1)
     if (nW < 1) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val toks = new Array[String](utoks.length)
+    val starts = new Array[Int](nToks + 1)
+    var t = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(t) = p + 1; t += 1 }
+      p += 1
+    }
+    starts(nToks) = bytes.length + 1 // sentinel: token i ends at starts(i+1)-1
+    val md = Digest.get()
+    val gs = new Array[Array[Byte]](nG)
     var i = 0
-    while (i < utoks.length) { toks(i) = utoks(i).toString; i += 1 }
-    val gs = new Array[String](nG)
-    val sb = new java.lang.StringBuilder(64)
-    i = 0
     while (i < nG) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      gs(i) = md5hex(md, sb.toString)
+      val off = starts(i)
+      val end = starts(i + k) - 1 // end of token i+k-1
+      md.reset()
+      md.update(bytes, off, end - off)
+      gs(i) = md.digest()
       i += 1
     }
-    // per-window lexicographic minima; TreeSet = distinct + sorted
-    val sel = new java.util.TreeSet[String]()
+    // per-window minima on raw digests; TreeSet = distinct + sorted
+    val sel = new java.util.TreeSet[Array[Byte]](DigestOrder)
     i = 0
     while (i < nW) {
       var m = gs(i)
       var j = 1
       while (j < w) {
-        if (gs(i + j).compareTo(m) < 0) m = gs(i + j)
+        if (java.util.Arrays.compareUnsigned(gs(i + j), m) < 0) m = gs(i + j)
         j += 1
       }
       sel.add(m)
@@ -79,7 +90,18 @@ object WinnowUtil {
     val out = new Array[UTF8String](sel.size)
     val it = sel.iterator()
     i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    while (it.hasNext) {
+      val d = it.next()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((d(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexDigits(d(b) & 0xF)
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 }

@@ -63,12 +63,17 @@ object Extract {
 
   /** Minimal entity decode — the half-dozen entities that dominate real
     * markup; runs AFTER tag stripping (a decoded `&lt;` must not look
-    * like a tag) with `&amp;` last (never double-decode). */
+    * like a tag) with `&amp;` last (never double-decode). Literal
+    * `replace`, not `regexp_replace` (r20, guide §1.2 per-task work):
+    * every pattern is a fixed string, and the regex engine's
+    * Matcher/StringBuffer machinery was pure overhead on the 8 full
+    * passes — byte-level UTF8String.replace is value-identical for
+    * literals. */
   private def decodeEntities(c: Column): Column = {
     val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&copy;" -> "©",
       "&amp;" -> "&")
-    pairs.foldLeft(c) { case (acc, (k, v)) => regexp_replace(acc, k, v) }
+    pairs.foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
   }
 
   /** THE extraction operator over an arbitrary (… , markupCol) frame —
@@ -182,7 +187,11 @@ object Extract {
     val t = col(textCol)
     docs
       .filter(t.isNotNull)
-      .withColumn("n_fffd", regexp_count(t, lit("�")).cast("bigint"))
+      // literal single-char count = length delta under literal replace
+      // (r20: regexp_count spun up the regex engine to count a fixed
+      // char; U+FFFD is one char, so the char-length delta IS the count)
+      .withColumn("n_fffd",
+        (length(t) - length(replace(t, lit("�"), lit("")))).cast("bigint"))
       .withColumn("n_ctrl", regexp_count(t, lit(CtrlClass)).cast("bigint"))
       .withColumn("n_moji", regexp_count(t, lit(MojiRe)).cast("bigint"))
       .withColumn("ok",

@@ -1155,18 +1155,28 @@ object Multimodal {
     // (c119's sampling/aggregation barriers) or the subtree dominates
     // total cpu (c27's four full-table scans).
     val f = frames
-    val cand = phashCandidates(f.select("doc_id", "phash"), maxHamming)
     // stage 2 — the exact per-point verify, ONCE per surviving pair
     // (c81's confinement): the value arrays (pixel thumbnails / audio
-    // envelopes) join back by doc id; the L1 is the native codegen'd
-    // graft_l1 (one fused long loop — the interpreted aggregate∘zip_with
-    // lambda was the hot loop of the suite's most expensive row;
-    // exact integer math, value-identical)
-    val g = f.select(col("doc_id"), col(valueCol))
-    cand
-      .join(g.select(col("doc_id").as("doc_a"), col(valueCol).as("ga")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col(valueCol).as("gb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("hamming"),
+    // envelopes) ride the SAME two hash-attach joins that expand hash
+    // pairs to doc pairs (r20, guide §2.4: the first cut attached docs
+    // and values in FOUR joins — six executions of the decode subtree;
+    // folding each side's doc_id and value into one join halves both).
+    // The L1 is the native codegen'd graft_l1 (one fused long loop —
+    // the interpreted aggregate∘zip_with lambda was the hot loop of the
+    // suite's most expensive row; exact integer math, value-identical);
+    // graft_l1 is symmetric, so it is computed BEFORE the least/greatest
+    // id canonicalization — the value is identical either way.
+    val uniq = f.select(col("phash")).distinct()
+    val hp = phashHashPairs(uniq, maxHamming)
+    val fa = f.select(col("doc_id").as("ida"), col("phash").as("ha"),
+      col(valueCol).as("ga"))
+    val fb = f.select(col("doc_id").as("idb"), col("phash").as("hb"),
+      col(valueCol).as("gb"))
+    hp.join(fa, "ha")
+      .join(fb, "hb")
+      .filter(col("ha") =!= col("hb") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"),
         graft.functions.VectorFunctions.l1(col("ga"), col("gb")).as(l1Name))
       .orderBy("doc_a", "doc_b")
   }
@@ -1523,10 +1533,16 @@ object Multimodal {
   private[graft] val VideoDupThreshold = 0.5
 
   /** Per-JVM memoized at-rest table of c94's VERIFIED frame pairs (the
-    * mediaLabelTablePath rule): c105's fold and c106's edges both read
-    * the materialized pair surface instead of re-paying the banded
-    * join + exact verify per execution — at scale this is the at-rest
-    * pair table a nightly dedup job maintains. */
+    * mediaLabelTablePath rule): c105's fold reads the materialized pair
+    * surface instead of re-paying the banded join + exact verify per
+    * execution — at scale this is the at-rest pair table a nightly
+    * dedup job maintains. (r20, measured and rejected: recomputing the
+    * fold live at (frame, partner-doc) grain — skipping this 1.6M-row
+    * materialization — REGRESSED c105 0.94 → 2.0 s at sf0.1: the live
+    * hash-band + expansion pipeline is ~7 serialized exchanges per
+    * execution, while the at-rest table costs one scan; the (fa, docB)
+    * surface is barely smaller than the (fa, fb) one on this corpus'
+    * ~1.5-frames-per-matching-doc geometry.) */
   private val videoPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def videoPairTablePath(spark: SparkSession,
@@ -1663,25 +1679,29 @@ object Multimodal {
     * Input: distinct (phash, cnt) rows; output: canonical ha <= hb pairs
     * with both group counts. Same canonical-band emission and
     * explicit-N repartition as [[phashHashPairs]]. */
-  private[graft] def truthHashPairs8(g: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def truthHashPairs8(g: DataFrame, maxHamming: Int,
+                                     keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"7-segment truth banding is complete only for hamming <= 6, got $maxHamming")
     val n = g.sparkSession.sessionState.conf.numShufflePartitions
-    val seg = g.select(col("phash"), col("cnt"),
-        posexplode(array((0 until 7).map(j => seg8(col("phash"), j)): _*)))
+    val seg = g.select(Seq(col("phash"), col("cnt"),
+        posexplode(array((0 until 7).map(j => seg8(col("phash"), j)): _*))) ++
+        keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
-      .repartition(n, col("seg_idx"), col("seg"))
+      .repartition(n, (Seq("seg_idx", "seg") ++ keyCols).map(col): _*)
+    val keys = Seq("seg_idx", "seg") ++ keyCols
     val noEarlierBand = (0 until 6).map(k =>
       (col("seg_idx") <= lit(k)) ||
         (seg8(col("ha"), k) =!= seg8(col("hb"), k))).reduce(_ && _)
-    seg.select(col("phash").as("ha"), col("cnt").as("ca"),
-        col("seg_idx"), col("seg"))
-      .join(seg.select(col("phash").as("hb"), col("cnt").as("cb"),
-        col("seg_idx"), col("seg")), Seq("seg_idx", "seg"))
+    seg.select(Seq(col("phash").as("ha"), col("cnt").as("ca")) ++
+        keys.map(col): _*)
+      .join(seg.select(Seq(col("phash").as("hb"), col("cnt").as("cb")) ++
+        keys.map(col): _*), keys)
       .filter(col("ha") <= col("hb"))
       .filter(noEarlierBand)
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
-      .select(col("ha"), col("hb"), col("ca"), col("cb"))
+      .select(keyCols.map(col) ++
+        Seq(col("ha"), col("hb"), col("ca"), col("cb")): _*)
   }
 
   /** One modality's recall fold (c83's outer-union shape) at
@@ -1696,37 +1716,61 @@ object Multimodal {
     * n_banded < n_exact and hash-fails — the invariant is unchanged,
     * only the O(n²) comparison surface and the dup-cluster doc-pair
     * explosion are gone. Cap-guarded as before. */
-  private[graft] def phashRecallOf(modality: String, hs: DataFrame,
-                                   maxHamming: Int = 3): DataFrame = {
-    val h = hs.select(col("doc_id"), col("phash"))
-    val n = h.count()
-    require(n <= RecallHashCap,
-      s"c108's exact truth cross-compares O(n²) hashes: $modality has " +
-        s"$n > cap $RecallHashCap — run the recall gate on an eval " +
-        "corpus/sample, never a production corpus")
-    val g = h.groupBy("phash").agg(count(lit(1)).as("cnt"))
-    val truth = truthHashPairs8(g, maxHamming).select("ha", "hb")
-    val banded = phashHashPairs(g.select("phash"), maxHamming)
-      .select("ha", "hb")
+  /** The KEYED recall fold (r20, guide §2.4 — share one pipeline): the
+    * r18 cut ran the full 8-exchange truth/banded/fold pipeline once PER
+    * modality (24 exchanges + 3 eager count jobs per execution of c108);
+    * with `modality` as a band/join key the three modalities ride ONE
+    * pipeline — identical per-modality pair sets (a key mismatch can
+    * never pair cross-modality), one cap-check job, one fold. `hs` must
+    * carry (modality, doc_id, phash); `modalities` is the output row
+    * universe — a modality with no pairs at all still emits its row
+    * (NULL counts), exactly as the per-modality global agg did. */
+  private[graft] def phashRecallKeyed(hs: DataFrame,
+                                      modalities: Seq[String],
+                                      maxHamming: Int = 3): DataFrame = {
+    import hs.sparkSession.implicits._
+    val h = hs.select(col("modality"), col("doc_id"), col("phash"))
+    h.groupBy("modality").agg(count(lit(1)).as("n")).collect().foreach { r =>
+      require(r.getLong(1) <= RecallHashCap,
+        s"c108's exact truth cross-compares O(n²) hashes: ${r.getString(0)} " +
+          s"has ${r.getLong(1)} > cap $RecallHashCap — run the recall gate " +
+          "on an eval corpus/sample, never a production corpus")
+    }
+    val mk = Seq("modality")
+    val g = h.groupBy("modality", "phash").agg(count(lit(1)).as("cnt"))
+    val truth = truthHashPairs8(g, maxHamming, mk)
+      .select("modality", "ha", "hb")
+    val banded = phashHashPairs(g.select("modality", "phash"), maxHamming, mk)
+      .select("modality", "ha", "hb")
     // exact integer pair multiplicity from the group sizes; the even
     // product halves by shift, never a double division
     val mult = when(col("ha") === col("hb"),
       shiftright(col("ca") * (col("ca") - 1), 1))
       .otherwise(col("ca") * col("cb"))
-    truth.withColumn("e", lit(1))
-      .join(banded.withColumn("b", lit(1)), Seq("ha", "hb"), "full_outer")
-      .join(g.select(col("phash").as("ha"), col("cnt").as("ca")), "ha")
-      .join(g.select(col("phash").as("hb"), col("cnt").as("cb")), "hb")
-      .select(coalesce(col("e"), lit(0)).as("e"),
+    val folded = truth.withColumn("e", lit(1))
+      .join(banded.withColumn("b", lit(1)),
+        Seq("modality", "ha", "hb"), "full_outer")
+      .join(g.select(col("modality"), col("phash").as("ha"),
+        col("cnt").as("ca")), Seq("modality", "ha"))
+      .join(g.select(col("modality"), col("phash").as("hb"),
+        col("cnt").as("cb")), Seq("modality", "hb"))
+      .select(col("modality"), coalesce(col("e"), lit(0)).as("e"),
         coalesce(col("b"), lit(0)).as("b"), mult.as("m"))
+      .groupBy("modality")
       .agg(sum(col("e") * col("m")).cast("bigint").as("n_exact"),
         sum(col("b") * col("m")).cast("bigint").as("n_banded"),
         sum(col("e") * col("b") * col("m")).cast("bigint").as("n_hit"))
-      .select(lit(modality).as("modality"),
-        col("n_exact"), col("n_banded"), col("n_hit"))
+    modalities.toDF("modality")
+      .join(folded, Seq("modality"), "left")
       .transform(TextOps.ratio6On(_, "recall_r",
         col("n_hit"), col("n_exact")))
   }
+
+  /** Single-modality wrapper (the spec seam — synthetic eval corpora). */
+  private[graft] def phashRecallOf(modality: String, hs: DataFrame,
+                                   maxHamming: Int = 3): DataFrame =
+    phashRecallKeyed(hs.select(lit(modality).as("modality"),
+      col("doc_id"), col("phash")), Seq(modality), maxHamming)
 
   /** c108 gate row (r17): banding-completeness EVAL for the whole
     * perceptual family — c72/c83's eval-as-operator rule at media
@@ -1746,13 +1790,16 @@ object Multimodal {
     // all three modalities read their MEMOIZED at-rest hash tables
     // (r17 review: the live frames re-ran the full media decode for
     // the count, the truth side AND the banded side — 3× per modality)
-    phashRecallOf("audio",
-        spark.read.parquet(audioHashTablePath(spark, dir)))
-      .unionByName(phashRecallOf("image",
-        spark.read.parquet(phashIndexTablePath(spark, dir))
-          .select("doc_id", "phash")))
-      .unionByName(phashRecallOf("video",
-        spark.read.parquet(videoFidTablePath(spark, dir))))
+    // and ride ONE keyed pipeline (r20 — [[phashRecallKeyed]])
+    def tag(m: String, df: DataFrame): DataFrame =
+      df.select(lit(m).as("modality"), col("doc_id"), col("phash"))
+    phashRecallKeyed(
+      tag("audio", spark.read.parquet(audioHashTablePath(spark, dir)))
+        .unionByName(tag("image",
+          spark.read.parquet(phashIndexTablePath(spark, dir))))
+        .unionByName(tag("video",
+          spark.read.parquet(videoFidTablePath(spark, dir)))),
+      Seq("audio", "image", "video"))
       .orderBy("modality")
   }
 
@@ -1762,17 +1809,26 @@ object Multimodal {
     * one crawl side) vs [[phashCandidatesSplit]]'s candidate set,
     * folded to one (modality, n_exact, n_banded, n_hit, recall_r) row.
     * Cap-guarded on the merged hash count (c83's refusal). */
-  private[graft] def phashRecallSplitOf(modality: String, crawl: DataFrame,
-                                        corpus: DataFrame,
-                                        maxHamming: Int = 3): DataFrame = {
-    val nh = crawl.select(col("doc_id"), col("phash"))
-    val ch = corpus.select(col("doc_id"), col("phash"))
+  /** The KEYED split-path recall fold (r20 — [[phashRecallKeyed]]'s rule
+    * for the incremental pipeline): one pipeline over all modalities
+    * instead of three. `crawl`/`corpus` must carry
+    * (modality, doc_id, phash). */
+  private[graft] def phashRecallSplitKeyed(crawl: DataFrame,
+                                           corpus: DataFrame,
+                                           modalities: Seq[String],
+                                           maxHamming: Int = 3): DataFrame = {
+    import crawl.sparkSession.implicits._
+    val nh = crawl.select(col("modality"), col("doc_id"), col("phash"))
+    val ch = corpus.select(col("modality"), col("doc_id"), col("phash"))
     val merged = nh.unionAll(ch)
-    val n = merged.count()
-    require(n <= RecallHashCap,
-      s"c114's exact truth cross-compares O(crawl·n) hashes: $modality " +
-        s"has $n > cap $RecallHashCap — run the recall gate on an eval " +
-        "corpus/sample, never a production corpus")
+    merged.groupBy("modality").agg(count(lit(1)).as("n")).collect()
+      .foreach { r =>
+        require(r.getLong(1) <= RecallHashCap,
+          s"c114's exact truth cross-compares O(crawl·n) hashes: " +
+            s"${r.getString(0)} has ${r.getLong(1)} > cap $RecallHashCap — " +
+            "run the recall gate on an eval corpus/sample, never a " +
+            "production corpus")
+      }
     // r20: the same distinct-hash-grain fold as [[phashRecallOf]], with
     // the NEW-TOUCHING pair multiplicity — per hash the merged count cm
     // and crawl count cn; a hash pair's new-touching doc pairs are all
@@ -1784,15 +1840,19 @@ object Multimodal {
     // stage-0 ([[phashHashPairsSplit]] — crawl hashes left, merged
     // right), canonicalized. A wrong split side or lost band still
     // reads n_banded ≠ n_exact and hash-fails.
-    val g = merged.groupBy("phash").agg(count(lit(1)).as("cm"))
-      .join(nh.groupBy("phash").agg(count(lit(1)).as("cn")),
-        Seq("phash"), "left")
+    val g = merged.groupBy("modality", "phash").agg(count(lit(1)).as("cm"))
+      .join(nh.groupBy("modality", "phash").agg(count(lit(1)).as("cn")),
+        Seq("modality", "phash"), "left")
       .withColumn("cn", coalesce(col("cn"), lit(0L)))
-    val truth = truthHashPairs8(g.select(col("phash"), col("cm").as("cnt")),
-      maxHamming).select("ha", "hb")
-    val newUniq = nh.select("phash").distinct()
-    val banded = phashHashPairsSplit(newUniq, g.select("phash"), maxHamming)
-      .select(least(col("ha"), col("hb")).as("ha"),
+    val mk = Seq("modality")
+    val truth = truthHashPairs8(
+        g.select(col("modality"), col("phash"), col("cm").as("cnt")),
+        maxHamming, mk)
+      .select("modality", "ha", "hb")
+    val newUniq = nh.select("modality", "phash").distinct()
+    val banded = phashHashPairsSplit(newUniq, g.select("modality", "phash"),
+        maxHamming, mk)
+      .select(col("modality"), least(col("ha"), col("hb")).as("ha"),
         greatest(col("ha"), col("hb")).as("hb"))
       .distinct()
     def c2(c: Column): Column = shiftright(c * (c - 1), 1)
@@ -1800,21 +1860,32 @@ object Multimodal {
       c2(col("cma")) - c2(col("cma") - col("cna")))
       .otherwise(col("cma") * col("cmb") -
         (col("cma") - col("cna")) * (col("cmb") - col("cnb")))
-    truth.withColumn("e", lit(1))
-      .join(banded.withColumn("b", lit(1)), Seq("ha", "hb"), "full_outer")
-      .join(g.select(col("phash").as("ha"), col("cm").as("cma"),
-        col("cn").as("cna")), "ha")
-      .join(g.select(col("phash").as("hb"), col("cm").as("cmb"),
-        col("cn").as("cnb")), "hb")
-      .select(coalesce(col("e"), lit(0)).as("e"),
+    val folded = truth.withColumn("e", lit(1))
+      .join(banded.withColumn("b", lit(1)),
+        Seq("modality", "ha", "hb"), "full_outer")
+      .join(g.select(col("modality"), col("phash").as("ha"),
+        col("cm").as("cma"), col("cn").as("cna")), Seq("modality", "ha"))
+      .join(g.select(col("modality"), col("phash").as("hb"),
+        col("cm").as("cmb"), col("cn").as("cnb")), Seq("modality", "hb"))
+      .select(col("modality"), coalesce(col("e"), lit(0)).as("e"),
         coalesce(col("b"), lit(0)).as("b"), mult.as("m"))
+      .groupBy("modality")
       .agg(sum(col("e") * col("m")).cast("bigint").as("n_exact"),
         sum(col("b") * col("m")).cast("bigint").as("n_banded"),
         sum(col("e") * col("b") * col("m")).cast("bigint").as("n_hit"))
-      .select(lit(modality).as("modality"),
-        col("n_exact"), col("n_banded"), col("n_hit"))
+    modalities.toDF("modality")
+      .join(folded, Seq("modality"), "left")
       .transform(TextOps.ratio6On(_, "recall_r",
         col("n_hit"), col("n_exact")))
+  }
+
+  /** Single-modality wrapper (the spec seam — synthetic eval corpora). */
+  private[graft] def phashRecallSplitOf(modality: String, crawl: DataFrame,
+                                        corpus: DataFrame,
+                                        maxHamming: Int = 3): DataFrame = {
+    def tag(df: DataFrame): DataFrame =
+      df.select(lit(modality).as("modality"), col("doc_id"), col("phash"))
+    phashRecallSplitKeyed(tag(crawl), tag(corpus), Seq(modality), maxHamming)
   }
 
   /** c114 gate row (r18): banding-completeness EVAL for the SPLIT
@@ -1850,9 +1921,16 @@ object Multimodal {
     val vcrawl = vf.filter(pmod(shiftright(col("doc_id"), 3), lit(5)) === 0)
       .select((col("doc_id") + lit(8000000000000L)).as("doc_id"),
         col("phash"))
-    phashRecallSplitOf("audio", rekeyed(au), au)
-      .unionByName(phashRecallSplitOf("image", rekeyed(im), im))
-      .unionByName(phashRecallSplitOf("video", vcrawl, vf))
+    // one keyed pipeline over all three modalities (r20 —
+    // [[phashRecallSplitKeyed]]; was 3 full pipelines + 3 count jobs)
+    def tag(m: String, df: DataFrame): DataFrame =
+      df.select(lit(m).as("modality"), col("doc_id"), col("phash"))
+    phashRecallSplitKeyed(
+      tag("audio", rekeyed(au)).unionByName(tag("image", rekeyed(im)))
+        .unionByName(tag("video", vcrawl)),
+      tag("audio", au).unionByName(tag("image", im))
+        .unionByName(tag("video", vf)),
+      Seq("audio", "image", "video"))
       .orderBy("modality")
   }
 
@@ -1881,21 +1959,22 @@ object Multimodal {
     * territory, not gate arithmetic). n_truth = 0 (nothing sampled
     * collides) reads recall_r = 1.0 vacuously and ci_low_r = 0.0 — the
     * "no signal" row, never a refusal. */
-  private[graft] def phashRecallSampledOf(modality: String, hs: DataFrame,
-                                          maxHamming: Int = 3,
-                                          rateHex: String = "20"): DataFrame = {
-    val h = hs.select(col("doc_id"), col("phash"))
-    val sampledPred = substring(md5(concat(lit("c120:"),
+  private def sampledPred(rateHex: String): Column =
+    substring(md5(concat(lit("c120:"),
       col("doc_id").cast("string"))), 1, 2) < rateHex
-    val statsRow = h.agg(count(lit(1)).as("n_docs"),
-      sum(when(sampledPred, 1L).otherwise(0L)).as("n_sampled")).collect()(0)
-    val nDocs = statsRow.getLong(0)
-    val nSampled = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    require(nSampled <= RecallHashCap,
-      s"c120's sampled truth broadcasts the sample: $modality sampled " +
-        s"$nSampled > cap $RecallHashCap — lower rateHex (sample rate = " +
-        s"0x$rateHex/256) for this corpus size")
-    val s = h.filter(sampledPred)
+
+  /** One modality's sampled fold with PRECOMPUTED stats — no eager job
+    * inside (r20: the caller batches the stats of ALL modalities into
+    * ONE collect; the three per-modality fold pipelines then stay
+    * independent plan branches and execute CONCURRENTLY inside the one
+    * action. A fully keyed single pipeline was measured and rejected:
+    * it serialized the three modalities' candidate expansions into one
+    * deep stage chain — c120 1.58 → 2.58 s at sf0.1 — where the union
+    * of three shallow branches overlaps them). */
+  private def sampledFoldOf(modality: String, h: DataFrame,
+                            nDocs: Long, nSampled: Long,
+                            maxHamming: Int, rateHex: String): DataFrame = {
+    val s = h.filter(sampledPred(rateHex))
     val truth = broadcast(s.select(col("doc_id").as("a"), col("phash").as("pa")))
       .join(h.select(col("doc_id").as("b"), col("phash").as("pb")),
         col("a") =!= col("b") &&
@@ -1930,6 +2009,40 @@ object Multimodal {
             greatest(col("n_hit") - lit(3L), lit(0L)), col("n_truth"))))
   }
 
+  /** The sampled recall fold over TAGGED (modality, doc_id, phash)
+    * frames: one stats job for every modality (cap check + the
+    * n_docs/n_sampled literals), then one independent fold branch per
+    * modality. */
+  private[graft] def phashRecallSampledTagged(hs: DataFrame,
+                                              modalities: Seq[String],
+                                              maxHamming: Int = 3,
+                                              rateHex: String = "20"): DataFrame = {
+    val h = hs.select(col("modality"), col("doc_id"), col("phash"))
+    val stats = h.groupBy("modality").agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(sampledPred(rateHex), 1L).otherwise(0L)), lit(0L))
+          .as("n_sampled"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    stats.foreach { case (modality, (_, nSampled)) =>
+      require(nSampled <= RecallHashCap,
+        s"c120's sampled truth broadcasts the sample: $modality sampled " +
+          s"$nSampled > cap $RecallHashCap — lower rateHex (sample rate = " +
+          s"0x$rateHex/256) for this corpus size")
+    }
+    modalities.map { m =>
+      val (nDocs, nSampled) = stats.getOrElse(m, (0L, 0L))
+      sampledFoldOf(m, h.filter(col("modality") === m)
+        .select("doc_id", "phash"), nDocs, nSampled, maxHamming, rateHex)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Single-modality wrapper (the spec seam — synthetic eval corpora). */
+  private[graft] def phashRecallSampledOf(modality: String, hs: DataFrame,
+                                          maxHamming: Int = 3,
+                                          rateHex: String = "20"): DataFrame =
+    phashRecallSampledTagged(
+      hs.select(lit(modality).as("modality"), col("doc_id"), col("phash")),
+      Seq(modality), maxHamming, rateHex)
+
   /** c120 gate row (r20): the SAMPLED recall estimator over the three
     * memoized hash tables — c108's invariant surface, cap-free. The
     * pigeonhole theorem still forces n_banded = n_hit = n_truth on the
@@ -1938,16 +2051,18 @@ object Multimodal {
     * the oracle asserts exactly that; what the SAMPLED row adds is the
     * production shape: at 10⁹ hashes c108 refuses while this row reads
     * recall from one linear corpus pass against a bounded sample. */
-  def c120RecallSampled(spark: SparkSession, dir: String): DataFrame =
-    phashRecallSampledOf("audio",
-        spark.read.parquet(audioHashTablePath(spark, dir)))
-      .unionByName(phashRecallSampledOf("image",
-        spark.read.parquet(phashIndexTablePath(spark, dir))
-          .select("doc_id", "phash")))
-      .unionByName(phashRecallSampledOf("video",
-        spark.read.parquet(videoFidTablePath(spark, dir))
-          .select("doc_id", "phash")))
+  def c120RecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    def tag(m: String, df: DataFrame): DataFrame =
+      df.select(lit(m).as("modality"), col("doc_id"), col("phash"))
+    phashRecallSampledTagged(
+      tag("audio", spark.read.parquet(audioHashTablePath(spark, dir)))
+        .unionByName(tag("image",
+          spark.read.parquet(phashIndexTablePath(spark, dir))))
+        .unionByName(tag("video",
+          spark.read.parquet(videoFidTablePath(spark, dir)))),
+      Seq("audio", "image", "video"))
       .orderBy("modality")
+  }
 
   /** The order-invariant VIDEO SIGNATURE over an
     * array<struct<frame_idx, phash>> column (r18, d52's replay key):
