@@ -1086,15 +1086,22 @@ object Multimodal {
     // pairs appear under both hash orders and dedup by doc_a < doc_b;
     // NE pairs appear once (the corpus never sits on the left) — the
     // same emission the old doc-grain join produced, row for row.
+    // project both inputs to the columns this machinery uses — callers
+    // may hand frames with extra payload columns (the r20 at-rest hash
+    // tables carry the verify arrays), and the is_new union below is
+    // positional in spirit
+    val icols = keyCols ++ Seq("doc_id", "phash")
+    val nhp = newHashes.select(icols.map(col): _*)
+    val chp = corpusHashes.select(icols.map(col): _*)
     val gcols = keyCols :+ "phash"
-    val newUniq = newHashes.select(gcols.map(col): _*).distinct()
-    val unionUniq = newHashes.select(gcols.map(col): _*)
-      .unionByName(corpusHashes.select(gcols.map(col): _*)).distinct()
+    val newUniq = nhp.select(gcols.map(col): _*).distinct()
+    val unionUniq = nhp.select(gcols.map(col): _*)
+      .unionByName(chp.select(gcols.map(col): _*)).distinct()
     val hp = phashHashPairsSplit(newUniq, unionUniq, maxHamming, keyCols)
-    val da = newHashes.select(keyCols.map(col) ++
+    val da = nhp.select(keyCols.map(col) ++
       Seq(col("doc_id").as("doc_a"), col("phash").as("ha")): _*)
-    val db = newHashes.withColumn("is_new", lit(true))
-      .unionByName(corpusHashes.withColumn("is_new", lit(false)))
+    val db = nhp.withColumn("is_new", lit(true))
+      .unionByName(chp.withColumn("is_new", lit(false)))
       .select(keyCols.map(col) ++ Seq(col("doc_id").as("doc_b"),
         col("phash").as("hb"), col("is_new")): _*)
     hp.join(da, Seq("ha") ++ keyCols)
@@ -1123,8 +1130,12 @@ object Multimodal {
     // clash check + both band sides, the corpus side the clash check +
     // its band side — a lazy frame backed by a decode mapPartitions
     // would re-decode the corpus per consumer
-    val nh = newHashes.persist()
-    val ch = corpusHashes.persist()
+    // project to the hash-table columns first: callers may hand frames
+    // with extra payload columns (the r20 at-rest tables carry verify
+    // arrays), and persisting those would pin payload bytes for nothing
+    val icols = keyCols ++ Seq("doc_id", "phash")
+    val nh = newHashes.select(icols.map(col): _*).persist()
+    val ch = corpusHashes.select(icols.map(col): _*).persist()
     try {
       val clash = nh.select("doc_id")
         .join(ch.select("doc_id"), "doc_id").limit(1).count()
@@ -1187,7 +1198,12 @@ object Multimodal {
     * the c88 hash SQL for the banding and re-derives pix_l1 from the
     * closed-form thumbnails — c58's composed-eval rule). */
   def c89PhashPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(imagePhashFrames(spark, dir))
+    // r20: the pair surface reads the memoized at-rest (doc_id, phash,
+    // gray) index (the c105/c108 rule — the decode ran once when the
+    // memo was built; the live per-execution decode fed FOUR separate
+    // plan subtrees here)
+    phashPairs(spark.read.parquet(phashIndexTablePath(spark, dir))
+      .select("doc_id", "phash", "gray"))
 
   /** c90 gate row: per audio doc, the 56-bit delta-sign perceptual hash
     * + its 4 Hamming-band segments — c88's shape for the 1-D modality
@@ -1230,7 +1246,10 @@ object Multimodal {
     * from) once per surviving pair. env_l1 is the number an audio dedup
     * policy thresholds when the hash alone is too coarse. */
   def c93AudioPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(audioPhashFrames(spark, dir),
+    // r20: reads the memoized at-rest (doc_id, phash, env) table — the
+    // c89 rule for the 1-D modality
+    phashPairs(spark.read.parquet(audioHashTablePath(spark, dir))
+        .select("doc_id", "phash", "env"),
       valueCol = "env", l1Name = "env_l1")
 
   /** c91 gate row: per-FRAME video perceptual hash — [[dhash56]] of each
@@ -1299,16 +1318,11 @@ object Multimodal {
     * luma_l1 is the exact 8×8-thumbnail L1 (native graft_l1) once per
     * surviving pair. */
   def c94VideoPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val frames = Tables.documents(spark, dir).select(col("doc_id"))
-      .filter(pmod(col("doc_id"), lit(3)) === 2)
-      .as[Long]
-      .mapPartitions(_.flatMap { id =>
-        videoFrameThumbs(id, y4mPayload(id)).map { case (f, t) =>
-          (id * 8 + f, dhash56(t), t.map(b => (b & 0xFF).toLong).toSeq)
-        }
-      })
-      .toDF("doc_id", "phash", "luma")
+    // r20: reads the memoized at-rest (fid, phash, luma) table — the
+    // real demux ran once when the memo was built ([[videoFidFrames]]
+    // is exactly the frame build this row used to run live)
+    val frames = spark.read.parquet(videoFidTablePath(spark, dir))
+      .select("doc_id", "phash", "luma")
     phashPairs(frames, valueCol = "luma", l1Name = "luma_l1")
       // unpack the composite keys: frame_idx < 8, so the /8 split is
       // exact bit arithmetic and fid order ≡ (doc, frame) lexicographic
@@ -1456,6 +1470,7 @@ object Multimodal {
       val p = graft.GraftSession.scratchDir(
         s"audio-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val corpus = spark.read.parquet(audioHashTablePath(spark, dir))
+        .select("doc_id", "phash")
       val crawl = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
           col("phash"))
@@ -1520,7 +1535,15 @@ object Multimodal {
     phashCache.computeIfAbsent(dir, _ => {
       val p = graft.GraftSession.scratchDir(
         s"phash-index-${graft.sources.JsonConvert.pathKey(dir)}").toString
-      c88ImagePhash(spark, dir).write.mode("overwrite").parquet(p)
+      // r20: the gray thumbnail rides into the at-rest table so c89's
+      // pair surface reads the memo instead of re-decoding per execution
+      // (c88's own gate output shape is unchanged — the memo is a
+      // superset; hash consumers keep selecting their columns by name)
+      imagePhashFrames(spark, dir)
+        .select(col("doc_id") +: col("phash") +: col("gray") +:
+          (0 until 4).map(j => phashSeg(col("phash"), j).as(s"seg$j")): _*)
+        .orderBy("doc_id")
+        .write.mode("overwrite").parquet(p)
       p
     })
 
@@ -1641,7 +1664,10 @@ object Multimodal {
     modalHashCache.computeIfAbsent(s"audio#$dir", _ => {
       val p = graft.GraftSession.scratchDir(
         s"audio-hash-${graft.sources.JsonConvert.pathKey(dir)}").toString
-      audioPhashFrames(spark, dir).select("doc_id", "phash")
+      // r20: the envelope rides into the at-rest table so c93's pair
+      // surface reads the memo instead of re-decoding per execution
+      // (hash consumers keep selecting (doc_id, phash))
+      audioPhashFrames(spark, dir).select("doc_id", "phash", "env")
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -2051,18 +2077,20 @@ object Multimodal {
     * the oracle asserts exactly that; what the SAMPLED row adds is the
     * production shape: at 10⁹ hashes c108 refuses while this row reads
     * recall from one linear corpus pass against a bounded sample. */
-  def c120RecallSampled(spark: SparkSession, dir: String): DataFrame = {
-    def tag(m: String, df: DataFrame): DataFrame =
-      df.select(lit(m).as("modality"), col("doc_id"), col("phash"))
-    phashRecallSampledTagged(
-      tag("audio", spark.read.parquet(audioHashTablePath(spark, dir)))
-        .unionByName(tag("image",
-          spark.read.parquet(phashIndexTablePath(spark, dir))))
-        .unionByName(tag("video",
-          spark.read.parquet(videoFidTablePath(spark, dir)))),
-      Seq("audio", "image", "video"))
+  def c120RecallSampled(spark: SparkSession, dir: String): DataFrame =
+    // three independent per-modality folds (r20: both a fully keyed
+    // single pipeline — 1.58 → 2.58 s — and a shared-stats-job variant
+    // — 1.58 → 1.83 s — were measured SLOWER at sf0.1 than the three
+    // shallow branches, whose stages overlap inside the one action)
+    phashRecallSampledOf("audio",
+        spark.read.parquet(audioHashTablePath(spark, dir)))
+      .unionByName(phashRecallSampledOf("image",
+        spark.read.parquet(phashIndexTablePath(spark, dir))
+          .select("doc_id", "phash")))
+      .unionByName(phashRecallSampledOf("video",
+        spark.read.parquet(videoFidTablePath(spark, dir))
+          .select("doc_id", "phash")))
       .orderBy("modality")
-  }
 
   /** The order-invariant VIDEO SIGNATURE over an
     * array<struct<frame_idx, phash>> column (r18, d52's replay key):
@@ -2140,11 +2168,11 @@ object Multimodal {
       .filter(pmod(col("doc_id"), lit(3)) === 2)
       .as[Long]
       .mapPartitions(_.flatMap { id =>
-        videoFramePhashes(id, y4mPayload(id)).map { case (f, ph) =>
-          (id * 8 + f, ph)
+        videoFrameThumbs(id, y4mPayload(id)).map { case (f, t) =>
+          (id * 8 + f, dhash56(t), t.map(b => (b & 0xFF).toLong).toSeq)
         }
       })
-      .toDF("doc_id", "phash")
+      .toDF("doc_id", "phash", "luma")
   }
 
   /** VIDEO-pair duplicate edges from a frame-grain (fid, fid) pair
@@ -2187,8 +2215,9 @@ object Multimodal {
                                corpusFrames: DataFrame,
                                frozenLabels: DataFrame): DataFrame = {
     val spark = crawlFrames.sparkSession
-    val nh = crawlFrames.persist()
-    val ch = corpusFrames.persist()
+    // same projection rule as incrementalMediaClusters (r20)
+    val nh = crawlFrames.select("doc_id", "phash").persist()
+    val ch = corpusFrames.select("doc_id", "phash").persist()
     try {
       val clash = nh.select(shiftright(col("doc_id"), 3).as("d")).distinct()
         .join(ch.select(shiftright(col("doc_id"), 3).as("d")).distinct(), "d")
@@ -2214,6 +2243,7 @@ object Multimodal {
       val p = graft.GraftSession.scratchDir(
         s"video-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val corpus = spark.read.parquet(videoFidTablePath(spark, dir))
+        .select("doc_id", "phash")
       // re-key at VIDEO grain: doc → doc + 10¹² ⇒ fid → fid + 8·10¹²
       val crawl = corpus
         .filter(pmod(shiftright(col("doc_id"), 3), lit(5)) === 0)

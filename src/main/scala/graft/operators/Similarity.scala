@@ -503,9 +503,16 @@ object Similarity {
 
   /** Embedding width of the corpus — one bounded metadata probe (a
     * 1-row limit job, the same class of scalar action as the bloom
-    * filter's sizing count). */
+    * filter's sizing count). Memoized per data dir (r20, guide §1.2):
+    * the width is schema-class metadata, and the eager 1-row job ran
+    * on EVERY execution of every PQ/whiten consumer (c36/c38/c79/c47 —
+    * one serialized job of pure latency per run). */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def embeddingDim(spark: SparkSession, dir: String): Int =
-    Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
+    dimCache.computeIfAbsent(dir, d =>
+      Tables.embeddings(spark, d).select(size(col("embedding")))
+        .head().getInt(0))
 
   /** crossJoins `e` with one broadcast single-row fold PER SUBSPACE —
     * column `cb`j holds the codebook's j-th contiguous `subDim`-wide

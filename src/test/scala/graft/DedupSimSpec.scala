@@ -1259,6 +1259,7 @@ class DedupSimSpec extends SparkSpec {
     // containment fold → threshold → confined CC must equal the
     // from-scratch two-stage re-cluster of the merged frame hashes
     val corpus = Multimodal.videoFidFrames(spark, sfDir)
+      .select("doc_id", "phash") // the r20 fid frames also carry luma
     val crawl = corpus
       .filter(shiftright(col("doc_id"), 3) % 5 === 0)
       .select((col("doc_id") + 8000000000000L).as("doc_id"), col("phash"))
@@ -1341,6 +1342,7 @@ class DedupSimSpec extends SparkSpec {
     // Spark-side next to the gate row's DuckDB full-re-cluster oracle
     val corpus = spark.read.parquet(
       Multimodal.audioHashTablePath(spark, sfDir))
+      .select("doc_id", "phash") // the r20 at-rest table also carries env
     val crawl = corpus.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000000000L).as("doc_id"), col("phash"))
     val frozen = spark.read.parquet(
