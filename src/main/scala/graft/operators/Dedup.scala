@@ -1054,10 +1054,21 @@ object Dedup {
     * expansion: a corpus with a hot shingle refuses loudly instead of
     * detonating a quadratic join ("never the production path", enforced
     * at runtime — r15). */
+  // r20: max per-shingle df is a property of the at-rest shingle table
+  // (the embeddingDim memo rule) — the eager groupBy+max job ran on
+  // every c83 execution; memoized per memo key, the require (same
+  // value, same refusal text) still evaluates per execution
+  private val maxDfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def requireTruthDfCap(sh: DataFrame,
-                                       cap: Long = TruthDfCap): Unit = {
-    val maxDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+                                       cap: Long = TruthDfCap,
+                                       memoKey: Option[String] = None): Unit = {
+    def compute(): Long = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .agg(max(col("df"))).head().getLong(0)
+    val maxDf: Long = memoKey match {
+      case Some(k) => maxDfCache.computeIfAbsent(k, _ => compute())
+      case None    => compute()
+    }
     require(maxDf <= cap,
       s"c83's exact truth expands shared-shingle pairs quadratically in " +
         s"per-shingle df: max df $maxDf > cap $cap — run the " +
@@ -1066,8 +1077,9 @@ object Dedup {
 
   def c83MinhashRecall(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame = {
-    val sh = spark.read.parquet(shingleTablePath(spark, dir))
-    requireTruthDfCap(sh)
+    val p = shingleTablePath(spark, dir)
+    val sh = spark.read.parquet(p)
+    requireTruthDfCap(sh, memoKey = Some(p))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")

@@ -483,7 +483,10 @@ object TextOps {
       .select(col("shingle")).distinct()
       .write.mode("overwrite").parquet(evalPath)
     val evalSh = docs.sparkSession.read.parquet(evalPath)
-    val expected = math.max(1024L, evalSh.count())
+    // r20: size the filter from the parquet FOOTERS of the table just
+    // written (O(files) driver-side reads, no Spark job) — the count()
+    // here was one serialized job of pure latency per execution
+    val expected = math.max(1024L, graft.Tables.parquetRowCount(evalPath))
     val bytes = graft.functions.BloomFunctions.buildFilter(
       evalSh, "shingle", expectedItems = expected, fpp = fpp)
     val hits = Dedup.shingleRows(docs.select(col("doc_id"), col("text")), n = 8)
