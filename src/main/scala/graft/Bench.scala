@@ -539,9 +539,17 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel in `queries`; exclude from total
     val total = results.map(_._2).filter(_ >= 0).sum
+    // r21 (r20 verdict item 4): one-time per-dir artifact builds (trainer
+    // vocabularies, shingle/phash index tables, wire-format corpora) land
+    // in each query's WARMUP run and are excluded from every timed sample
+    // by the min-of-3 methodology — this pair of ADDITIVE fields makes
+    // that amortization seam auditable: steady-state suite seconds and
+    // the one-time build seconds ship side by side in the same line.
+    val memoBuildS = graft.metrics.MemoClock.totalS
+    val memoBuilds = graft.metrics.MemoClock.count
     spark.stop()
     val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","queries":$qs,"queries_cpu_s":$qsCpu,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson,"weak_channels_median":$weakMedianJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":"min of 3 pass-interleaved suite runs","memo_build_s":$memoBuildS%.3f,"memo_builds":$memoBuilds,"queries":$qs,"queries_cpu_s":$qsCpu,"flaky":$flakyJson,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"convert_json_mb":${if (jsonBytes < 0) -1.0 else jsonBytes / 1e6}%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"publish_n_msgs":$nMsgs,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"channel_stats":$channelStats,"weak_channels":$weakJson,"weak_channels_median":$weakMedianJson}"""
     // the driver captures only a stdout tail (r7 lost the a-series times to
     // a 2,000-char cut) — the full line also lands in a file so the round
     // artifact is complete regardless of how stdout is clipped. The write is
@@ -576,7 +584,7 @@ object Bench {
     // never clip; the full per-query line still precedes it and lands in
     // the sidecar file above
     println(line)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"weak_channels":$weakJson}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"n_failed":${results.count(_._2 < 0)},"memo_build_s":$memoBuildS%.3f,"sf":"$sfDir","convert_mb_per_s":$convertMbps%.1f,"publish_msgs_per_s":$pubMsgsPerS%.0f,"publish_batched_msgs_per_s":$pubBatchedMsgsPerS%.0f,"ingest_mb_per_s":${ingest._1}%.1f,"ingest_rows_per_s":${ingest._2}%.0f,"weak_channels":$weakJson}"""
     println(compact)
     System.out.flush()
   }

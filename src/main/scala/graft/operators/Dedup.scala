@@ -105,7 +105,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def shingleTablePath(spark: SparkSession, dir: String,
                                       n: Int = 3): String =
-    shingleCache.computeIfAbsent(s"$dir#$n", _ => {
+    shingleCache.computeIfAbsent(s"$dir#$n", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"shingles-$n-${graft.sources.JsonConvert.pathKey(dir)}").toString
       // memo parts at n/4 (r20, guide §6 file sizing): the fanned build
@@ -468,7 +468,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def incrBaseLabelsPath(spark: SparkSession, dir: String,
                                         threshold: Double = 0.5): String =
-    incrBaseCache.computeIfAbsent(s"$dir#$threshold", _ => {
+    incrBaseCache.computeIfAbsent(s"$dir#$threshold", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"incr-base-labels-$threshold-${graft.sources.JsonConvert.pathKey(dir)}")
         .toString
@@ -501,7 +501,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def incrClustersTablePath(spark: SparkSession, dir: String,
                                            threshold: Double = 0.5): String =
-    incrResultCache.computeIfAbsent(s"$dir#$threshold", _ => {
+    incrResultCache.computeIfAbsent(s"$dir#$threshold", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"incr-clusters-$threshold-${graft.sources.JsonConvert.pathKey(dir)}")
         .toString
@@ -826,7 +826,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def clusterTablePath(spark: SparkSession, dir: String,
                                       threshold: Double = 0.5): String =
-    clusterCache.computeIfAbsent(s"$dir#$threshold", _ => {
+    clusterCache.computeIfAbsent(s"$dir#$threshold", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"clusters-$threshold-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val pairs = c2DedupMinhash(spark, dir)
@@ -1066,7 +1066,7 @@ object Dedup {
     def compute(): Long = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .agg(max(col("df"))).head().getLong(0)
     val maxDf: Long = memoKey match {
-      case Some(k) => maxDfCache.computeIfAbsent(k, _ => compute())
+      case Some(k) => maxDfCache.computeIfAbsent(k, _ => graft.metrics.MemoClock.timed(compute()))
       case None    => compute()
     }
     require(maxDf <= cap,
@@ -1275,7 +1275,7 @@ object Dedup {
     * [[dupSpans]]/[[scrubSpans]] entry points, which recompute live. */
   private[graft] def posShingleTablePath(spark: SparkSession, dir: String,
                                          n: Int = 5): String =
-    shingleCache.computeIfAbsent(s"pos:$dir#$n", _ => {
+    shingleCache.computeIfAbsent(s"pos:$dir#$n", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"posshingles-$n-${graft.sources.JsonConvert.pathKey(dir)}").toString
       positionalShingles(Tables.documentsFanned(spark, dir), n)
@@ -1386,7 +1386,7 @@ object Dedup {
     // hence also the dedicated map
     posShingleTablePath(spark, dir, 5)
     posShingleTablePath(spark, dir, strongN)
-    spanTableCache.computeIfAbsent(s"$dir#$minSpan#$strongN", _ => {
+    spanTableCache.computeIfAbsent(s"$dir#$minSpan#$strongN", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"spanmin-$minSpan-$strongN-${graft.sources.JsonConvert.pathKey(dir)}")
         .toString
@@ -1511,7 +1511,7 @@ object Dedup {
                                           strongN: Int = 20): String = {
     // pre-resolve the positional memo (the recursive-update rule)
     posShingleTablePath(spark, dir, strongN)
-    spanClusterCache.computeIfAbsent(s"$dir#$strongN", _ => {
+    spanClusterCache.computeIfAbsent(s"$dir#$strongN", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"spanclusters-$strongN-${graft.sources.JsonConvert.pathKey(dir)}")
         .toString

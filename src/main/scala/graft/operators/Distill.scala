@@ -215,7 +215,8 @@ object Distill {
     * renderer both read THIS artifact (trainBpe's memo rule). */
   def trainTree(spark: SparkSession, dir: String): QualityTree =
     treeMemo.computeIfAbsent(dir,
-      _ => trainTreeFrom(classifierFeatures(spark, dir)))
+      _ => graft.metrics.MemoClock.timed(
+        trainTreeFrom(classifierFeatures(spark, dir))))
 
   /** The tree as ONE column expression over the feature columns — shared
     * verbatim by the batch gate row and d35's ingest scoring (the d29

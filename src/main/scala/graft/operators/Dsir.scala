@@ -121,7 +121,8 @@ object Dsir {
 
   def trainDsir(spark: SparkSession, dir: String): Seq[(String, Long)] =
     dsirMemo.computeIfAbsent(dir,
-      _ => trainDsirOn(graft.Tables.documents(spark, dir)))
+      _ => graft.metrics.MemoClock.timed(
+        trainDsirOn(graft.Tables.documents(spark, dir))))
 
   /** The artifact as a plan-literal map and the per-WORD log-ratio
     * expression — the shared scoring subtree (d29's rule): both the

@@ -1390,7 +1390,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def mediaLabelTablePath(spark: SparkSession,
                                          dir: String): String =
-    mediaLabelCache.computeIfAbsent(dir, _ => {
+    mediaLabelCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"media-labels-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val edges = c89PhashPairs(spark, dir)
@@ -1445,7 +1445,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def audioLabelTablePath(spark: SparkSession,
                                          dir: String): String =
-    audioLabelCache.computeIfAbsent(dir, _ => {
+    audioLabelCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"audio-labels-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val edges = c93AudioPairs(spark, dir)
@@ -1466,7 +1466,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def maintainedAudioLabelTablePath(spark: SparkSession,
                                                    dir: String): String =
-    maintainedAudioLabelCache.computeIfAbsent(dir, _ => {
+    maintainedAudioLabelCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"audio-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val corpus = spark.read.parquet(audioHashTablePath(spark, dir))
@@ -1513,7 +1513,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def maintainedLabelTablePath(spark: SparkSession,
                                               dir: String): String =
-    maintainedLabelCache.computeIfAbsent(dir, _ => {
+    maintainedLabelCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"media-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val corpus = imagePhashFrames(spark, dir).select("doc_id", "phash")
@@ -1532,7 +1532,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def phashIndexTablePath(spark: SparkSession,
                                          dir: String): String =
-    phashCache.computeIfAbsent(dir, _ => {
+    phashCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"phash-index-${graft.sources.JsonConvert.pathKey(dir)}").toString
       // r20: the gray thumbnail rides into the at-rest table so c89's
@@ -1570,7 +1570,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def videoPairTablePath(spark: SparkSession,
                                         dir: String): String =
-    videoPairCache.computeIfAbsent(dir, _ => {
+    videoPairCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"video-pairs-${graft.sources.JsonConvert.pathKey(dir)}").toString
       c94VideoPairs(spark, dir).write.mode("overwrite").parquet(p)
@@ -1626,7 +1626,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def videoLabelTablePath(spark: SparkSession,
                                          dir: String): String =
-    videoLabelCache.computeIfAbsent(dir, _ => {
+    videoLabelCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"video-labels-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val edges = c105VideoPairs(spark, dir).filter(col("is_dup"))
@@ -1661,7 +1661,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def audioHashTablePath(spark: SparkSession,
                                         dir: String): String =
-    modalHashCache.computeIfAbsent(s"audio#$dir", _ => {
+    modalHashCache.computeIfAbsent(s"audio#$dir", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"audio-hash-${graft.sources.JsonConvert.pathKey(dir)}").toString
       // r20: the envelope rides into the at-rest table so c93's pair
@@ -1673,7 +1673,7 @@ object Multimodal {
     })
   private[graft] def videoFidTablePath(spark: SparkSession,
                                        dir: String): String =
-    modalHashCache.computeIfAbsent(s"video#$dir", _ => {
+    modalHashCache.computeIfAbsent(s"video#$dir", _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"video-fid-${graft.sources.JsonConvert.pathKey(dir)}").toString
       videoFidFrames(spark, dir).write.mode("overwrite").parquet(p)
@@ -2239,7 +2239,7 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def maintainedVideoLabelTablePath(spark: SparkSession,
                                                    dir: String): String =
-    videoMaintCache.computeIfAbsent(dir, _ => {
+    videoMaintCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"video-labels-incr-${graft.sources.JsonConvert.pathKey(dir)}").toString
       val corpus = spark.read.parquet(videoFidTablePath(spark, dir))

@@ -219,7 +219,7 @@ object Similarity {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def labelCodebookPath(spark: SparkSession, dir: String): String =
-    codebookCache.computeIfAbsent(dir, d => {
+    codebookCache.computeIfAbsent(dir, d => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"label-cb-${graft.sources.JsonConvert.pathKey(d)}").toString
       labelCodebookOf(Tables.embeddings(spark, d))
@@ -510,9 +510,9 @@ object Similarity {
   private val dimCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.computeIfAbsent(dir, d =>
+    dimCache.computeIfAbsent(dir, d => graft.metrics.MemoClock.timed(
       Tables.embeddings(spark, d).select(size(col("embedding")))
-        .head().getInt(0))
+        .head().getInt(0)))
 
   /** crossJoins `e` with one broadcast single-row fold PER SUBSPACE —
     * column `cb`j holds the codebook's j-th contiguous `subDim`-wide
@@ -845,7 +845,7 @@ object Similarity {
   private val assignedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def assignedTablePath(spark: SparkSession, dir: String): String =
-    assignedCache.computeIfAbsent(dir, d => {
+    assignedCache.computeIfAbsent(dir, d => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"cell-assign-${graft.sources.JsonConvert.pathKey(d)}").toString
       assignCells(
@@ -1268,7 +1268,8 @@ object Similarity {
   def pcaComponents(spark: SparkSession, dir: String, k: Int = C54K,
                     rounds: Int = C54Rounds): Seq[IndexedSeq[Long]] =
     pcaMemo.computeIfAbsent((dir, k, rounds),
-      _ => pcaComponentsOn(Tables.embeddings(spark, dir), k, rounds))
+      _ => graft.metrics.MemoClock.timed(
+        pcaComponentsOn(Tables.embeddings(spark, dir), k, rounds)))
 
   /** c54: PCA projection — every embedding projected onto the k learned
     * principal directions (the dimensionality-reduction pass a training
@@ -1455,7 +1456,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
   private[graft] def bandedPairsTablePath(spark: SparkSession, dir: String,
                                           threshold: Double): String =
-    bandedCache.computeIfAbsent((dir, threshold), _ => {
+    bandedCache.computeIfAbsent((dir, threshold), _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"banded-pairs-${graft.sources.JsonConvert.pathKey(dir)}" +
           s"-t${(threshold * 1e6).toLong}").toString

@@ -216,10 +216,10 @@ object Sketch {
     val stream = tokenStream(spark, dir)
     // the grid folds OCCURRENCES (wcnt = 1 per row): identical counters
     // to the type-table fold, without the vocabulary-sized shuffle
-    val grid = gridCache.computeIfAbsent(dir, _ =>
-      counterGrid(stream.select(col("w"), lit(1L).as("wcnt"))))
-    val cands = candCache.computeIfAbsent(dir, _ =>
-      heavyCandidates(spark, dir))
+    val grid = gridCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed(
+      counterGrid(stream.select(col("w"), lit(1L).as("wcnt")))))
+    val cands = candCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed(
+      heavyCandidates(spark, dir)))
     stream
       .filter(col("w").isin(cands: _*)) // row-local bounded-set probe
       .groupBy("w").agg(count(lit(1)).as("wcnt"))

@@ -610,13 +610,13 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, String)]]()
   private[graft] def recipePlanOf(spark: SparkSession,
                                   dir: String): Seq[(String, Long, String)] =
-    recipePlanMemo.computeIfAbsent(dir, _ =>
+    recipePlanMemo.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed(
       c110DataRecipe(spark, dir).collect().map { r =>
         val tk = BigInt(r.getAs[Long]("tokens"))
         val pl = BigInt(r.getAs[Long]("planned_tokens"))
         (r.getString(0), (pl / tk).toLong,
           f"${((pl % tk) * 65536 / tk).toLong}%04x")
-      }.toSeq)
+      }.toSeq))
 
   /** THE per-doc copy-count projection over an arbitrary (doc_id,
     * source, text) frame and a collected plan — row-local, the plan as
@@ -1232,10 +1232,10 @@ object TextOps {
     * memoized per dir exactly like [[trainBpe]] — the c84 gate row and
     * its oracle renderer must see the identical set. */
   private[graft] def bpeAlphabet(spark: SparkSession, dir: String): Seq[String] =
-    alphabetMemo.computeIfAbsent(dir, _ =>
+    alphabetMemo.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed(
       wordTypes(spark, dir)
         .select(explode(split(col("w"), "")).as("c")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted)
+        .collect().map(_.getString(0)).toSeq.sorted))
 
   /** Chars of a word column outside an alphabet — char-BPE's OOV token
     * count for the word (an uncovered char can join no merge, so it
@@ -1328,7 +1328,8 @@ object TextOps {
   def trainBpe(spark: SparkSession, dir: String,
                rounds: Int = C52Rounds): Seq[(String, String)] =
     bpeMemo.computeIfAbsent((dir, rounds),
-      _ => trainBpeOn(wordTypes(spark, dir), rounds))
+      _ => graft.metrics.MemoClock.timed(
+        trainBpeOn(wordTypes(spark, dir), rounds)))
 
   /** c52: the learned tokenizer END-TO-END — train [[C52Rounds]] merges on
     * the corpus, apply them to the vocabulary, and emit the token
@@ -1446,7 +1447,8 @@ object TextOps {
   def trainBpeBytes(spark: SparkSession, dir: String,
                     rounds: Int = C70Rounds): Seq[(String, String)] =
     byteBpeMemo.computeIfAbsent((dir, rounds),
-      _ => trainBpeOn(bytePretokenTypes(Tables.documents(spark, dir)), rounds))
+      _ => graft.metrics.MemoClock.timed(
+        trainBpeOn(bytePretokenTypes(Tables.documents(spark, dir)), rounds)))
 
   /** c70: BYTE-LEVEL learned BPE end-to-end — train [[C70Rounds]] merges
     * over the byte-staged pretoken vocabulary, apply them through the

@@ -181,7 +181,8 @@ object Unigram {
 
   def trainUnigram(spark: SparkSession, dir: String): Seq[(String, Long)] =
     unigramMemo.computeIfAbsent(dir,
-      _ => trainUnigramOn(TextOps.wordTypes(spark, dir)))
+      _ => graft.metrics.MemoClock.timed(
+        trainUnigramOn(TextOps.wordTypes(spark, dir))))
 
   /** (doc_id, n_words, n_tokens, tokens) projection of a (doc_id, text)
     * frame under a trained artifact — THE tokenize derivation, shared by

@@ -227,7 +227,8 @@ object Wordpiece {
 
   def trainWordpiece(spark: SparkSession, dir: String): Seq[String] =
     wpMemo.computeIfAbsent(dir,
-      _ => trainWordpieceOn(TextOps.wordTypes(spark, dir)))
+      _ => graft.metrics.MemoClock.timed(
+        trainWordpieceOn(TextOps.wordTypes(spark, dir))))
 
   /** (doc_id, n_words, n_tokens, tokens) projection of a (doc_id, text)
     * frame under a trained vocabulary — THE wordpiece tokenize

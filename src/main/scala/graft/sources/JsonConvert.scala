@@ -172,7 +172,7 @@ object JsonConvert {
     * same rationale as [[tripJsonCorpusPath]]. */
   private val batteryCorpus = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def batteryJsonCorpusPath(spark: SparkSession, dir: String): String =
-    batteryCorpus.computeIfAbsent(dir, d => {
+    batteryCorpus.computeIfAbsent(dir, d => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(s"a2-corpus-${pathKey(d)}").toString
       Tables.lineitemFanned(spark, d)
         .groupBy(col("l_orderkey"))
@@ -237,7 +237,7 @@ object JsonConvert {
     * the wire; it is never re-generated per query). */
   private val tripCorpus = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def tripJsonCorpusPath(spark: SparkSession, dir: String): String =
-    tripCorpus.computeIfAbsent(dir, d => {
+    tripCorpus.computeIfAbsent(dir, d => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(s"a3-corpus-${pathKey(d)}").toString
       tripJsonLines(Tables.ordersFanned(spark, d))
         .select("json").write.mode("overwrite").text(p)

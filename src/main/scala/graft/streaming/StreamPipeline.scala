@@ -88,7 +88,7 @@ object StreamPipeline {
   private val eventsCorpus =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def eventsJsonCorpusPath(spark: SparkSession, dir: String): String =
-    eventsCorpus.computeIfAbsent(dir, d => {
+    eventsCorpus.computeIfAbsent(dir, d => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"a8-corpus-${JsonConvert.pathKey(d)}").toString
       val ev = eventsProjection(spark, d)
