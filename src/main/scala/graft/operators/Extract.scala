@@ -98,6 +98,33 @@ object Extract {
                     minWords: Int = 4): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     val keep = docs.columns.filterNot(_ == markupCol).map(col).toSeq
+    // r21 (guide §1.2 per-task work): the 10-pass regexp_replace chain is
+    // now ONE hand-rolled linear-scan call per row (ExtractScan.extract —
+    // pass-by-pass identical, pinned by ExtractScanSpec's adversarial +
+    // fuzz differential against htmlExtractOnRegex below). Marked
+    // non-deterministic so CollapseProject cannot inline the call into
+    // its three field extractions and evaluate the scanner 3× per row
+    // (guide §4.4) — values are pure, only duplication is at stake.
+    val ex = udf((m: String) =>
+      if (m == null) (false, Array.empty[String])
+      else ExtractScan.extract(m, minWords)).asNondeterministic()
+    docs
+      .filter(col(markupCol).isNotNull)
+      .withColumn("__ex", ex(col(markupCol)))
+      .select(keep ++ Seq(col("__ex._1").as("well_formed"),
+        size(col("__ex._2")).cast("bigint").as("n_lines"),
+        array_join(col("__ex._2"), "\n").as("extracted")): _*)
+  }
+
+  /** The retired r20 regex chain — kept VERBATIM as the reference
+    * implementation ExtractScanSpec differentials the scanner against
+    * (adversarial corpus + seeded fuzz, exact output equality). Not on
+    * any query path. */
+  private[graft] def htmlExtractOnRegex(docs: DataFrame,
+                                        markupCol: String = "html",
+                                        minWords: Int = 4): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val keep = docs.columns.filterNot(_ == markupCol).map(col).toSeq
     docs
       .filter(col(markupCol).isNotNull)
       .withColumn("__x1", regexp_replace(col(markupCol), "(?s)<!--.*?-->", " "))
@@ -184,6 +211,29 @@ object Extract {
     * Counts are exact integers (the c45 lesson); everything row-local
     * and codegen'd. */
   def encodingFlagOn(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // r21: one hand-rolled scan per row (ExtractScan.encFlag) replaces
+    // the two regexp_count passes + the 3-way alternation regexp_replace
+    // — value-identical (ExtractScanSpec differential vs
+    // encodingFlagOnRegex); non-deterministic for the same
+    // CollapseProject reason as htmlExtractOn.
+    val ef = udf((s: String) =>
+      if (s == null) (0L, 0L, 0L, null: String)
+      else ExtractScan.encFlag(s)).asNondeterministic()
+    docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__ef", ef(col(textCol)))
+      .select(docs.columns.map(col).toSeq ++ Seq(
+        col("__ef._1").as("n_fffd"), col("__ef._2").as("n_ctrl"),
+        col("__ef._3").as("n_moji"),
+        (col("__ef._1") === 0 && col("__ef._2") === 0 &&
+          col("__ef._3") === 0).as("ok"),
+        col("__ef._4").as("repaired")): _*)
+  }
+
+  /** The retired r20 regex pass — kept VERBATIM as ExtractScanSpec's
+    * reference implementation (see [[htmlExtractOnRegex]]). */
+  private[graft] def encodingFlagOnRegex(docs: DataFrame,
+                                         textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs
       .filter(t.isNotNull)
