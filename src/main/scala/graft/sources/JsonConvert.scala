@@ -103,11 +103,14 @@ object JsonConvert {
   /** Strict parse: additionally errors when the JSON object carries any
     * field outside the schema — bolson's UnexpectedFieldBehavior::Error
     * (reference: src/bolson/parse/arrow.cpp:90-92). Key extraction uses
-    * from_json to map<string,string> (Spark stringifies non-string values
-    * in that position), so the check is codegen-adjacent and needs no UDF;
+    * json_object_keys — a pure tokenizer pass over the line that never
+    * materializes the VALUES (r21: the previous from_json to
+    * map<string,string> re-parsed and stringified every field, i.e. a
+    * second full parse per line — a3's top cpu row). Same verdict
+    * surface: top-level keys in document order, null on malformed input;
     * assert_true raises task-side exactly like a malformed record does. */
   def parseJsonStrict(c: Column, schema: StructType): Column = {
-    val keys = map_keys(from_json(c, MapType(StringType, StringType)))
+    val keys = json_object_keys(c)
     val unexpected = filter(keys, k => !k.isin(schema.fieldNames.toSeq: _*))
     val check = assert_true(size(unexpected) <= 0,
       concat(lit("unexpected JSON field(s): "), concat_ws(",", unexpected)))
@@ -123,7 +126,10 @@ object JsonConvert {
     * otherwise. */
   private[graft] def strictFieldGuard(lines: DataFrame,
                                       schema: StructType): DataFrame = {
-    val keys = map_keys(from_json(col("value"), MapType(StringType, StringType)))
+    // json_object_keys, not from_json-to-map: the keys-only tokenizer
+    // pass is the whole point of the guard — the map form re-parsed and
+    // stringified every value, doubling a3's parse cost (r21)
+    val keys = json_object_keys(col("value"))
     val unexpected = filter(keys, k => !k.isin(schema.fieldNames.toSeq: _*))
     lines
       .select(assert_true(size(unexpected) <= 0,
