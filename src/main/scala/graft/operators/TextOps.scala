@@ -1208,7 +1208,30 @@ object TextOps {
     * corpus), so each training round costs one vocab scan, and the only
     * corpus-sized pass is the map-side-combinable word count itself. */
   private[graft] def wordTypes(spark: SparkSession, dir: String): DataFrame =
-    wordTypeCounts(Tables.documents(spark, dir))
+    spark.read.parquet(wordTypeTablePath(spark, dir))
+
+  /** Per-dir memoized word-type table (r21): THE at-rest artifact of
+    * distributed tokenizer work — ten call sites (trainers, the
+    * c52/c75/c98 token tables, the four fertility frames, c84's three
+    * OOV folds) each re-ran the corpus explode + word-count shuffle per
+    * execution; a production pipeline lands the word count once per
+    * corpus and every vocabulary job reads it. Values unchanged (the
+    * oracle recomputes word counts independently in SQL, so any drift
+    * hash-fails); build time rides MemoClock → memo_build_s. */
+  private val wordTypeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wordTypeTablePath(spark: SparkSession, dir: String): String =
+    wordTypeMemo.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
+      val p = graft.GraftSession.scratchDir(
+        s"wordtypes-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      // fanned build (the r20 opt-in list: merge-apply tokenization);
+      // n/4 parts for the join/agg-bound consumers (shingleTablePath)
+      wordTypeCounts(Tables.documentsFanned(spark, dir))
+        .coalesce(math.max(8,
+          spark.sessionState.conf.numShufflePartitions / 4))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** The (w, wcnt) word-type frame over an ARBITRARY (.., text) docs
     * frame — THE shared word-type convention (lowercased ASCII
@@ -1502,6 +1525,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-dir memoized TOKENIZED-CORPUS tables (r21, the r20 verdict's
+    * item 2 — the same per-dir immutable-corpus key as the trainer
+    * memos): each family's per-doc (doc_id, n_units, n_tokens) frame —
+    * exactly the gate row's own derivation (c66/c73/c78/c99 run LIVE as
+    * gates; the memo build CALLS them, so the table can never drift
+    * from what the gates verify) — materialized once per (JVM, dir).
+    * c84 and c101 each re-ran all four full tokenizer apply passes per
+    * execution to fold numbers the per-family gates had already
+    * derived; a production eval pipeline lands the per-doc token-count
+    * table once per (corpus, tokenizer) and reads it for every report.
+    * Build time rides MemoClock → the bench's memo_build_s field. */
+  private val fertilityMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def fertilityTablePath(spark: SparkSession, dir: String,
+                                        family: String): String =
+    fertilityMemo.computeIfAbsent(s"$family#$dir",
+      _ => graft.metrics.MemoClock.timed {
+        val p = graft.GraftSession.scratchDir(
+          s"fert-$family-${graft.sources.JsonConvert.pathKey(dir)}").toString
+        val base = family match {
+          case "bpe_char" => c66BpeFertility(spark, dir)
+            .select("doc_id", "n_words", "n_tokens")
+          case "bpe_byte" => c73ByteFertility(spark, dir)
+            .select("doc_id", "n_pretokens", "n_tokens")
+          case "unigram" => graft.operators.Unigram
+            .c78UnigramFertility(spark, dir)
+            .select("doc_id", "n_words", "n_tokens")
+          case "wordpiece" => graft.operators.Wordpiece
+            .c99WordpieceFertility(spark, dir)
+            .select("doc_id", "n_words", "n_tokens")
+          case other => sys.error(s"unknown tokenizer family: $other")
+        }
+        // shingleTablePath's part sizing (guide §6): consumers fold or
+        // join these narrow rows — n/4 parts cap the per-file reader tax
+        base.coalesce(math.max(8,
+            spark.sessionState.conf.numShufflePartitions / 4))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+
   /** c84: cross-tokenizer fertility report — the three production
     * trainers (char-BPE c52, byte-BPE c70, unigram-LM c75) compared on
     * the ONE metric their eval rows share, folded to a 3-row
@@ -1547,16 +1610,19 @@ object TextOps {
     // emissions (BERT's unknown surface: 0 or 1 per word type)
     val wpOov = oovFold(graft.operators.Wordpiece.unkCount(col("w"),
       graft.operators.Wordpiece.trainWordpiece(spark, dir)))
-    withOov(fold(c66BpeFertility(spark, dir), "n_words", "bpe_char"), charOov)
+    // r21: the four folds read the per-dir tokenized-corpus memos (the
+    // apply passes ran once when the memos were built — each build IS
+    // the corresponding gate row's derivation, see fertilityTablePath)
+    def fert(family: String): DataFrame =
+      spark.read.parquet(fertilityTablePath(spark, dir, family))
+    withOov(fold(fert("bpe_char"), "n_words", "bpe_char"), charOov)
       .unionByName(
-        fold(c73ByteFertility(spark, dir), "n_pretokens", "bpe_byte")
+        fold(fert("bpe_byte"), "n_pretokens", "bpe_byte")
           .withColumn("oov_share_r", lit(0.0)))
-      .unionByName(withOov(fold(
-        graft.operators.Unigram.c78UnigramFertility(spark, dir),
-        "n_words", "unigram"), unkOov))
-      .unionByName(withOov(fold(
-        graft.operators.Wordpiece.c99WordpieceFertility(spark, dir),
-        "n_words", "wordpiece"), wpOov))
+      .unionByName(withOov(fold(fert("unigram"), "n_words", "unigram"),
+        unkOov))
+      .unionByName(withOov(fold(fert("wordpiece"), "n_words", "wordpiece"),
+        wpOov))
       .orderBy("tokenizer")
   }
 
@@ -1578,13 +1644,17 @@ object TextOps {
     * matrix is three doc_id equi-joins of per-doc aggregates — O(docs)
     * rows, AQE-sized exchanges, nothing new materializes. */
   def c101TokenizerMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val a = c66BpeFertility(spark, dir)
+    // r21: the four branches read the per-dir tokenized-corpus memos
+    // (fertilityTablePath — built from the gate rows' own derivations)
+    def fert(family: String): DataFrame =
+      spark.read.parquet(fertilityTablePath(spark, dir, family))
+    val a = fert("bpe_char")
       .select(col("doc_id"), col("n_tokens").as("nt_bpe_char"))
-    val b = c73ByteFertility(spark, dir)
+    val b = fert("bpe_byte")
       .select(col("doc_id"), col("n_tokens").as("nt_bpe_byte"))
-    val u = graft.operators.Unigram.c78UnigramFertility(spark, dir)
+    val u = fert("unigram")
       .select(col("doc_id"), col("n_tokens").as("nt_unigram"))
-    val w = graft.operators.Wordpiece.c99WordpieceFertility(spark, dir)
+    val w = fert("wordpiece")
       .select(col("doc_id"), col("n_tokens").as("nt_wordpiece"))
     val hi = greatest(col("nt_bpe_char"), col("nt_bpe_byte"),
       col("nt_unigram"), col("nt_wordpiece"))
