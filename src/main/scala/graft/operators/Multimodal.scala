@@ -996,12 +996,19 @@ object Multimodal {
         posexplode(array((0 until 4).map(j => phashSeg(col("phash"), j)): _*))) ++
         keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
-      .repartition(n, (Seq("seg_idx", "seg") ++ keyCols).map(col): _*)
     val keys = Seq("seg_idx", "seg") ++ keyCols
     val noEarlierBand = (0 until 3).map(k =>
       (col("seg_idx") <= lit(k)) ||
         (phashSeg(col("ha"), k) =!= phashSeg(col("hb"), k))).reduce(_ && _)
-    seg.select((Seq(col("phash").as("ha")) ++ keys.map(col)): _*)
+    // r21 (§2.4): the explicit-N fan-out (join-output explosion is
+    // invisible to AQE's input-byte heuristics — the r16 lesson) rides
+    // the PROBE side only. The build side broadcasts at eval scale, and
+    // an Exchange feeding a BroadcastExchange is pure overhead (the
+    // dimension-table rule); at scale, where the planner picks SMJ/SHJ
+    // instead, it inserts the build side's hash exchange itself — same
+    // cost as the old explicit one, one stage cheaper when broadcast.
+    seg.repartition(n, keys.map(col): _*)
+      .select((Seq(col("phash").as("ha")) ++ keys.map(col)): _*)
       .join(seg.select((Seq(col("phash").as("hb")) ++ keys.map(col)): _*), keys)
       .filter(col("ha") <= col("hb"))
       .filter(noEarlierBand)
@@ -1156,7 +1163,8 @@ object Multimodal {
   private[graft] def phashPairs(frames: DataFrame,
                                 maxHamming: Int = 3,
                                 valueCol: String = "gray",
-                                l1Name: String = "pix_l1"): DataFrame = {
+                                l1Name: String = "pix_l1",
+                                uniqHashes: Option[DataFrame] = None): DataFrame = {
     // NOTE (r20, measured and rejected): materializing the decoded frame
     // table once per run (the c27/c119 seam) REGRESSED this family ~2×
     // at sf0.1 — the five consumers' duplicate decodes execute in
@@ -1177,7 +1185,15 @@ object Multimodal {
     // suite's most expensive row; exact integer math, value-identical);
     // graft_l1 is symmetric, so it is computed BEFORE the least/greatest
     // id canonicalization — the value is identical either way.
-    val uniq = f.select(col("phash")).distinct()
+    // r21 (§2.4, the r20 verdict's stage-cut item): the live
+    // `distinct(phash)` subtree was planned ONCE PER SIDE of the banded
+    // self-join (scan + partial agg + exchange + final agg, twice — AQE
+    // does not reuse the exchange across the broadcast/probe split).
+    // Memo-backed callers hand the at-rest distinct-hash projection
+    // instead (built once per (JVM, dir) next to the hash table itself —
+    // at scale, the hash index's bucket manifest), so each side is a
+    // bare scan of a tiny parquet.
+    val uniq = uniqHashes.getOrElse(f.select(col("phash")).distinct())
     val hp = phashHashPairs(uniq, maxHamming)
     val fa = f.select(col("doc_id").as("ida"), col("phash").as("ha"),
       col(valueCol).as("ga"))
@@ -1203,7 +1219,9 @@ object Multimodal {
     // memo was built; the live per-execution decode fed FOUR separate
     // plan subtrees here)
     phashPairs(spark.read.parquet(phashIndexTablePath(spark, dir))
-      .select("doc_id", "phash", "gray"))
+      .select("doc_id", "phash", "gray"),
+      uniqHashes = Some(spark.read.parquet(uniqHashTablePath(spark, dir,
+        "image", phashIndexTablePath(spark, dir)))))
 
   /** c90 gate row: per audio doc, the 56-bit delta-sign perceptual hash
     * + its 4 Hamming-band segments — c88's shape for the 1-D modality
@@ -1250,7 +1268,9 @@ object Multimodal {
     // c89 rule for the 1-D modality
     phashPairs(spark.read.parquet(audioHashTablePath(spark, dir))
         .select("doc_id", "phash", "env"),
-      valueCol = "env", l1Name = "env_l1")
+      valueCol = "env", l1Name = "env_l1",
+      uniqHashes = Some(spark.read.parquet(uniqHashTablePath(spark, dir,
+        "audio", audioHashTablePath(spark, dir)))))
 
   /** c91 gate row: per-FRAME video perceptual hash — [[dhash56]] of each
     * frame's 8×8-resampled LUMA plane, one row per (video doc, frame):
@@ -1323,7 +1343,9 @@ object Multimodal {
     // is exactly the frame build this row used to run live)
     val frames = spark.read.parquet(videoFidTablePath(spark, dir))
       .select("doc_id", "phash", "luma")
-    phashPairs(frames, valueCol = "luma", l1Name = "luma_l1")
+    phashPairs(frames, valueCol = "luma", l1Name = "luma_l1",
+      uniqHashes = Some(spark.read.parquet(uniqHashTablePath(spark, dir,
+        "videofid", videoFidTablePath(spark, dir)))))
       // unpack the composite keys: frame_idx < 8, so the /8 split is
       // exact bit arithmetic and fid order ≡ (doc, frame) lexicographic
       .select(
@@ -1573,7 +1595,16 @@ object Multimodal {
     videoPairCache.computeIfAbsent(dir, _ => graft.metrics.MemoClock.timed {
       val p = graft.GraftSession.scratchDir(
         s"video-pairs-${graft.sources.JsonConvert.pathKey(dir)}").toString
-      c94VideoPairs(spark, dir).write.mode("overwrite").parquet(p)
+      // r21 (§6 — partition by what readers filter on): the at-rest pair
+      // table is written hive-partitioned by the cross-video flag. The
+      // self-similar corpus geometry makes INTRA-video frame pairs the
+      // bulk of the surface (adjacent frames are near-identical), and
+      // c105's fold filters them out first thing — partition pruning now
+      // skips those files at the scan instead of reading 1.6M rows to
+      // drop most of them. All pairs stay at rest (the superset rule).
+      c94VideoPairs(spark, dir)
+        .withColumn("cross", col("doc_a") =!= col("doc_b"))
+        .write.partitionBy("cross").mode("overwrite").parquet(p)
       p
     })
 
@@ -1597,8 +1628,12 @@ object Multimodal {
     * O(videos) equi-joins for the frame counts; nothing corpus² ever
     * forms (the pair surface itself is O(n·bands) by c94's banding). */
   def c105VideoPairs(spark: SparkSession, dir: String): DataFrame = {
+    // `cross` is the memo's hive-partition column (doc_a =!= doc_b at
+    // write time; inferred as string — partition inference has no
+    // boolean type) — filtering on it prunes the intra-video
+    // partition's files at the scan (r21, §6)
     val fp = spark.read.parquet(videoPairTablePath(spark, dir))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("cross") === "true")
     val folded = fp.groupBy("doc_a", "doc_b").agg(
       least(countDistinct(col("frame_a")), countDistinct(col("frame_b")))
         .as("matched"))
@@ -1680,6 +1715,27 @@ object Multimodal {
       p
     })
 
+  /** Per-JVM memoized DISTINCT-HASH projection of a modality's at-rest
+    * hash table (r21, the r20 verdict's pair-family stage-cut item):
+    * the banded self-join needs `distinct(phash)` on BOTH sides, and
+    * computing it live planned the scan+aggregate+exchange subtree
+    * twice per execution. Built once per (JVM, dir) from the hash memo
+    * it projects — at scale this is the hash index's bucket manifest,
+    * maintained with the index itself. AQE sizes the part count (the
+    * table is tiny relative to its source). */
+  private val uniqHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def uniqHashTablePath(spark: SparkSession, dir: String,
+                                       modality: String,
+                                       framesPath: String): String =
+    uniqHashCache.computeIfAbsent(s"$modality#$dir", _ => graft.metrics.MemoClock.timed {
+      val p = graft.GraftSession.scratchDir(
+        s"$modality-uniq-${graft.sources.JsonConvert.pathKey(dir)}").toString
+      spark.read.parquet(framesPath).select("phash").distinct()
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** Max hash rows the c108 exact truth side may cross-compare — the
     * c83 refusal at media grain: the brute is O(n²) in HASHES (8-byte
     * longs, never payloads); an eval corpus fits, a production corpus
@@ -1714,12 +1770,13 @@ object Multimodal {
         posexplode(array((0 until 7).map(j => seg8(col("phash"), j)): _*))) ++
         keyCols.map(col): _*)
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
-      .repartition(n, (Seq("seg_idx", "seg") ++ keyCols).map(col): _*)
     val keys = Seq("seg_idx", "seg") ++ keyCols
     val noEarlierBand = (0 until 6).map(k =>
       (col("seg_idx") <= lit(k)) ||
         (seg8(col("ha"), k) =!= seg8(col("hb"), k))).reduce(_ && _)
-    seg.select(Seq(col("phash").as("ha"), col("cnt").as("ca")) ++
+    // probe-side-only fan-out — [[phashHashPairs]]'s r21 rule
+    seg.repartition(n, keys.map(col): _*)
+      .select(Seq(col("phash").as("ha"), col("cnt").as("ca")) ++
         keys.map(col): _*)
       .join(seg.select(Seq(col("phash").as("hb"), col("cnt").as("cb")) ++
         keys.map(col): _*), keys)
@@ -2001,13 +2058,55 @@ object Multimodal {
                             nDocs: Long, nSampled: Long,
                             maxHamming: Int, rateHex: String): DataFrame = {
     val s = h.filter(sampledPred(rateHex))
-    val truth = broadcast(s.select(col("doc_id").as("a"), col("phash").as("pa")))
-      .join(h.select(col("doc_id").as("b"), col("phash").as("pb")),
-        col("a") =!= col("b") &&
-          bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+    // r21 (§3 — the no-exploding-join rule, now on the truth side too):
+    // the sample-vs-corpus comparison was a BroadcastNestedLoopJoin
+    // evaluating O(sample·corpus) hash comparisons row by row (14.6M at
+    // sf0.1 video, 4+ task-cpu-s — the row's dominant term, and the
+    // term that grows with the corpus). The 7×8-bit pigeonhole
+    // ([[truthHashPairs8]]'s segmentation — independent of the
+    // production 4×14 split, so the truth side keeps checking the
+    // candidate machinery from outside) bounds what must be compared:
+    // hamming ≤ 3 touches at most 3 of 7 segments, so every qualifying
+    // pair shares one. Banding runs at DISTINCT-HASH grain (decide with
+    // small rows, §8); docs re-attach by two output-sized equi-joins;
+    // the exact bit_count keeps the pair set EXACT; first-match
+    // emission keeps the pre-distinct surface one row per hash pair.
+    // The trailing distinct() is unchanged, so the doc-pair set is the
+    // old one row for row.
+    val sg = s.select(col("phash")).distinct()
+    val cg = h.select(col("phash")).distinct()
+    val nPart = h.sparkSession.sessionState.conf.numShufflePartitions
+    def segT(c: Column, j: Int): Column =
+      shiftright(c, 8 * j).bitwiseAND(lit(0xFFL))
+    def segsOf(g: DataFrame, as: String): DataFrame = g
+      .select(col("phash").as(as),
+        posexplode(array((0 until 7).map(j => segT(col("phash"), j)): _*)))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val noEarlierT = (0 until 6).map(k =>
+      (col("seg_idx") <= lit(k)) ||
+        (segT(col("pa"), k) =!= segT(col("pb"), k))).reduce(_ && _)
+    val hpT = segsOf(cg, "pb").repartition(nPart, col("seg_idx"), col("seg"))
+      .join(segsOf(sg, "pa"), Seq("seg_idx", "seg"))
+      .filter(noEarlierT)
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+      .select("pa", "pb")
+    val truth = hpT
+      .join(s.select(col("doc_id").as("a"), col("phash").as("pa")), "pa")
+      .join(h.select(col("doc_id").as("b"), col("phash").as("pb")), "pb")
+      .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("da"),
         greatest(col("a"), col("b")).as("db"))
       .distinct()
+    // NOTE (r21, measured and rejected): restricting the candidate
+    // expansion to sampled endpoints BEFORE the doc-attach joins
+    // (sampled-a × all-b ∪ all-a × sampled-b — the §8 "decide small"
+    // move) REGRESSED c120 2.30 → 2.85 s / 11 → 16 task-cpu-s at
+    // sf0.1: the union's two branches each re-plan the banded
+    // hash-pair subtree, and on the self-similar gate corpus the
+    // banding itself (dense hash-pair graph), not the expansion, is
+    // the dominant term — doubling it costs more than the 75% of
+    // expansion rows the restriction saves. Filter-after-expansion
+    // stays; the restriction joins are broadcast-tiny.
     val sids = s.select(col("doc_id").as("sid"))
     val bandedS = phashCandidates(h, maxHamming)
       .join(broadcast(sids.select(col("sid").as("sa_id"), lit(1).as("fa"))),

@@ -945,6 +945,24 @@ class DedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.phashPairs(frames, 4) }
   }
 
+  test("r21 uniq-hash memo: pre-distinct input leaves the pair surface identical") {
+    val frames = Multimodal.audioPhashFrames(spark, sfDir)
+    val live = Multimodal.phashPairs(frames, valueCol = "env",
+      l1Name = "env_l1").collect().map(_.toSeq).toSeq
+    val viaUniq = Multimodal.phashPairs(frames, valueCol = "env",
+      l1Name = "env_l1",
+      uniqHashes = Some(frames.select("phash").distinct()))
+      .collect().map(_.toSeq).toSeq
+    assert(live == viaUniq)
+    // the at-rest memo table IS that distinct set, nothing more or less
+    val p = Multimodal.uniqHashTablePath(spark, sfDir, "audio",
+      Multimodal.audioHashTablePath(spark, sfDir))
+    val got = spark.read.parquet(p).collect().map(_.getLong(0)).sorted.toSeq
+    val want = frames.select("phash").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("c102 media clusters equal a driver union-find over the verified pairs") {
     // driver union-find over the collected c89 edge set — the
     // independent re-derivation of the component structure

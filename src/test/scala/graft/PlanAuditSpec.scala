@@ -494,16 +494,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("c120 plan: sampled truth broadcasts the bounded sample; banded side " +
-    "is equi-join-only; no cartesian anywhere") {
+  test("c120 plan: sampled truth is pigeonhole equi-joins — no nested loop, " +
+    "no cartesian anywhere (r21: the O(sample·corpus) BNL is gone)") {
     val s = executedPlanOf(
       graft.operators.Multimodal.c120RecallSampled(spark, sfDir))
-    // the deliberate non-equi truth join must ride a BROADCAST of the
-    // bounded sample (linear corpus pass), never a cartesian product
+    // r21: the truth side bands sample-vs-corpus hashes through the
+    // independent 7×8 pigeonhole and re-attaches docs by equi-joins —
+    // the O(sample·corpus) BroadcastNestedLoopJoin comparison is gone
     assert(!s.contains("CartesianProduct"), s"cartesian in sampled recall:\n$s")
-    assert(s.contains("BroadcastNestedLoopJoin"),
-      s"truth side must broadcast the sample:\n$s")
-    // the production candidate path + sample restriction are hash joins
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"truth side must band, never cross-compare:\n$s")
+    // the candidate path, truth expansion and sample restriction are
+    // all hash joins
     assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
       s"sample restriction must be an equi-join:\n$s")
   }
