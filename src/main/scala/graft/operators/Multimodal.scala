@@ -1018,7 +1018,8 @@ object Multimodal {
   }
 
   private[graft] def phashCandidates(hashes: DataFrame, maxHamming: Int,
-                                     keyCols: Seq[String] = Nil): DataFrame = {
+                                     keyCols: Seq[String] = Nil,
+                                     spreadBuckets: Int = 1): DataFrame = {
     // band at distinct-hash grain ([[phashHashPairs]]), then re-attach
     // docs by two output-sized hash equi-joins. Each unordered doc pair
     // appears exactly once: a doc belongs to one hash group, the hash
@@ -1031,8 +1032,10 @@ object Multimodal {
       Seq(col("doc_id").as("doc_a"), col("phash").as("ha")): _*)
     val db = hashes.select(keyCols.map(col) ++
       Seq(col("doc_id").as("doc_b"), col("phash").as("hb")): _*)
-    hp.join(da, Seq("ha") ++ keyCols)
-      .join(db, Seq("hb") ++ keyCols)
+    // spread the attach expansions when the corpus is cliquey —
+    // [[spreadAttach]]'s r21 §2.5 design
+    spreadAttach(hp, da, db, Seq("ha") ++ keyCols, Seq("hb") ++ keyCols,
+        spreadBuckets, "doc_a")
       .filter(col("ha") =!= col("hb") || col("doc_a") < col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
@@ -1086,7 +1089,8 @@ object Multimodal {
   private[graft] def phashCandidatesSplit(newHashes: DataFrame,
                                           corpusHashes: DataFrame,
                                           maxHamming: Int,
-                                          keyCols: Seq[String] = Nil): DataFrame = {
+                                          keyCols: Seq[String] = Nil,
+                                          spreadBuckets: Int = 1): DataFrame = {
     // band at distinct-hash grain ([[phashHashPairsSplit]]), then
     // re-attach docs: the crawl's docs expand the left hash, the merged
     // set's docs (with their per-doc is_new flag) expand the right. NN
@@ -1111,8 +1115,10 @@ object Multimodal {
       .unionByName(chp.withColumn("is_new", lit(false)))
       .select(keyCols.map(col) ++ Seq(col("doc_id").as("doc_b"),
         col("phash").as("hb"), col("is_new")): _*)
-    hp.join(da, Seq("ha") ++ keyCols)
-      .join(db, Seq("hb") ++ keyCols)
+    // spread the attach expansions when the crawl is cliquey —
+    // [[spreadAttach]]'s r21 §2.5 design
+    spreadAttach(hp, da, db, Seq("ha") ++ keyCols, Seq("hb") ++ keyCols,
+        spreadBuckets, "doc_a")
       .filter(!col("is_new") || col("doc_a") < col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -1160,11 +1166,66 @@ object Multimodal {
   }
   private val mediaIngestRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** r21 (§2.5) — the banded-pair doc-attach with an optional EXPANSION
+    * SPREAD. The two attach joins multiply each hash-pair row by
+    * docs(ha)·docs(hb); hp leaves the banded self-join partitioned by
+    * (seg_idx, seg), and on a self-similar corpus most pairs share the
+    * common segment values, so most of the output expands INSIDE one
+    * task (the sf1.0 probe read a 99-second 1-task stage and 147 s of
+    * GC on c93; join-output skew is invisible to AQE's input-byte
+    * heuristics — the r16 lesson). With `buckets > 1` each hash-pair
+    * row explodes into that many spread buckets and the FIRST attach
+    * side joins on (hash, bucket-of-doc-id): a dominant clique's
+    * expansion — including its SELF-pair, a single hp row — lands on
+    * `buckets` distinct partition keys, the exchange stays
+    * |hash pairs|·buckets rows of longs, and the join output is
+    * row-identical (each doc belongs to exactly one bucket).
+    *
+    * The spread is OPT-IN because it only pays on CLIQUEY surfaces
+    * (docs ≫ distinct hashes — audio/image eval corpora, exact-dup
+    * storms). Measured at sf0.1 and rejected as a blanket rule: on the
+    * DIFFUSE video frame surface (docs ≈ hashes, so |hp| ≈ |output|)
+    * the hp exchange is output-sized and c120 regressed ~50% under
+    * every unconditional variant (intermediate repartition, pair
+    * re-key, unconditional bucket split), while cliquey c93 improved
+    * 1.65 → 0.61 s. Callers decide from the corpus shape they already
+    * know: memo-backed rows read docs/hashes row counts from parquet
+    * footers, c120's stats job counts both. */
+  private[graft] def spreadAttach(hp: DataFrame, da: DataFrame,
+                                  db: DataFrame,
+                                  aKeys: Seq[String], bKeys: Seq[String],
+                                  buckets: Int, aId: String): DataFrame =
+    if (buckets <= 1) hp.join(da, aKeys).join(db, bKeys)
+    else {
+      val n = hp.sparkSession.sessionState.conf.numShufflePartitions
+      val hpS = hp.withColumn("sb",
+          explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+        .repartition(n, (aKeys ++ bKeys ++ Seq("sb")).map(col): _*)
+      val daS = da.withColumn("sb",
+        pmod(xxhash64(col(aId)), lit(buckets.toLong)))
+      hpS.join(daS, aKeys :+ "sb").join(db, bKeys).drop("sb")
+    }
+
+  /** Bucket count for [[spreadAttach]] on VALUE-CARRYING expansions
+    * ([[phashPairs]]'s L1 arrays), from the corpus shape: spread to
+    * the session's shuffle parallelism when the surface is cliquey
+    * (docs-per-distinct-hash ≥ 8 — audio/image eval corpora read ~50,
+    * the diffuse video frame surface ~1.2), stay at 1 otherwise.
+    * Measured −52% c93 at sf0.1 AND −90% at sf1.0. ID-ONLY expansions
+    * (c120's candidates/truth) price on the dominant CLIQUE size
+    * instead — see [[phashRecallSampledTagged]]. */
+  private[graft] def spreadFor(spark: SparkSession,
+                               docRows: Long, hashRows: Long): Int =
+    if (hashRows > 0L && docRows / hashRows >= 8L)
+      spark.sessionState.conf.numShufflePartitions
+    else 1
+
   private[graft] def phashPairs(frames: DataFrame,
                                 maxHamming: Int = 3,
                                 valueCol: String = "gray",
                                 l1Name: String = "pix_l1",
-                                uniqHashes: Option[DataFrame] = None): DataFrame = {
+                                uniqHashes: Option[DataFrame] = None,
+                                spreadBuckets: Int = 1): DataFrame = {
     // NOTE (r20, measured and rejected): materializing the decoded frame
     // table once per run (the c27/c119 seam) REGRESSED this family ~2×
     // at sf0.1 — the five consumers' duplicate decodes execute in
@@ -1199,8 +1260,10 @@ object Multimodal {
       col(valueCol).as("ga"))
     val fb = f.select(col("doc_id").as("idb"), col("phash").as("hb"),
       col(valueCol).as("gb"))
-    hp.join(fa, "ha")
-      .join(fb, "hb")
+    // r21 (§2.5): [[spreadAttach]] spreads the doc expansion when the
+    // caller's corpus shape warrants it (cliquey modalities — see the
+    // helper's doc for the measured design space).
+    spreadAttach(hp, fa, fb, Seq("ha"), Seq("hb"), spreadBuckets, "ida")
       .filter(col("ha") =!= col("hb") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"),
@@ -1221,7 +1284,12 @@ object Multimodal {
     phashPairs(spark.read.parquet(phashIndexTablePath(spark, dir))
       .select("doc_id", "phash", "gray"),
       uniqHashes = Some(spark.read.parquet(uniqHashTablePath(spark, dir,
-        "image", phashIndexTablePath(spark, dir)))))
+        "image", phashIndexTablePath(spark, dir)))),
+      // footer row counts price the expansion spread (r21 §2.5)
+      spreadBuckets = spreadFor(spark,
+        graft.Tables.parquetRowCount(phashIndexTablePath(spark, dir)),
+        graft.Tables.parquetRowCount(uniqHashTablePath(spark, dir,
+          "image", phashIndexTablePath(spark, dir)))))
 
   /** c90 gate row: per audio doc, the 56-bit delta-sign perceptual hash
     * + its 4 Hamming-band segments — c88's shape for the 1-D modality
@@ -1270,7 +1338,12 @@ object Multimodal {
         .select("doc_id", "phash", "env"),
       valueCol = "env", l1Name = "env_l1",
       uniqHashes = Some(spark.read.parquet(uniqHashTablePath(spark, dir,
-        "audio", audioHashTablePath(spark, dir)))))
+        "audio", audioHashTablePath(spark, dir)))),
+      // footer row counts price the expansion spread (r21 §2.5)
+      spreadBuckets = spreadFor(spark,
+        graft.Tables.parquetRowCount(audioHashTablePath(spark, dir)),
+        graft.Tables.parquetRowCount(uniqHashTablePath(spark, dir,
+          "audio", audioHashTablePath(spark, dir)))))
 
   /** c91 gate row: per-FRAME video perceptual hash — [[dhash56]] of each
     * frame's 8×8-resampled LUMA plane, one row per (video doc, frame):
@@ -1345,7 +1418,14 @@ object Multimodal {
       .select("doc_id", "phash", "luma")
     phashPairs(frames, valueCol = "luma", l1Name = "luma_l1",
       uniqHashes = Some(spark.read.parquet(uniqHashTablePath(spark, dir,
-        "videofid", videoFidTablePath(spark, dir)))))
+        "videofid", videoFidTablePath(spark, dir)))),
+      // footer row counts price the expansion spread (r21 §2.5): the
+      // video FRAME surface is diffuse (hashes ≈ frames) so this reads
+      // 1 on the eval corpora — the wave-2 no-exchange shape
+      spreadBuckets = spreadFor(spark,
+        graft.Tables.parquetRowCount(videoFidTablePath(spark, dir)),
+        graft.Tables.parquetRowCount(uniqHashTablePath(spark, dir,
+          "videofid", videoFidTablePath(spark, dir)))))
       // unpack the composite keys: frame_idx < 8, so the /8 split is
       // exact bit arithmetic and fid order ≡ (doc, frame) lexicographic
       .select(
@@ -2056,7 +2136,8 @@ object Multimodal {
     * of three shallow branches overlaps them). */
   private def sampledFoldOf(modality: String, h: DataFrame,
                             nDocs: Long, nSampled: Long,
-                            maxHamming: Int, rateHex: String): DataFrame = {
+                            maxHamming: Int, rateHex: String,
+                            spreadBuckets: Int = 1): DataFrame = {
     val s = h.filter(sampledPred(rateHex))
     // r21 (§3 — the no-exploding-join rule, now on the truth side too):
     // the sample-vs-corpus comparison was a BroadcastNestedLoopJoin
@@ -2090,9 +2171,12 @@ object Multimodal {
       .filter(noEarlierT)
       .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
       .select("pa", "pb")
-    val truth = hpT
-      .join(s.select(col("doc_id").as("a"), col("phash").as("pa")), "pa")
-      .join(h.select(col("doc_id").as("b"), col("phash").as("pb")), "pb")
+    // spread the attach expansions when the corpus is cliquey —
+    // [[spreadAttach]]'s r21 §2.5 design
+    val truth = spreadAttach(hpT,
+        s.select(col("doc_id").as("a"), col("phash").as("pa")),
+        h.select(col("doc_id").as("b"), col("phash").as("pb")),
+        Seq("pa"), Seq("pb"), spreadBuckets, "a")
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("da"),
         greatest(col("a"), col("b")).as("db"))
@@ -2108,7 +2192,8 @@ object Multimodal {
     // expansion rows the restriction saves. Filter-after-expansion
     // stays; the restriction joins are broadcast-tiny.
     val sids = s.select(col("doc_id").as("sid"))
-    val bandedS = phashCandidates(h, maxHamming)
+    val bandedS = phashCandidates(h, maxHamming,
+      spreadBuckets = spreadBuckets)
       .join(broadcast(sids.select(col("sid").as("sa_id"), lit(1).as("fa"))),
         col("doc_a") === col("sa_id"), "left")
       .join(broadcast(sids.select(col("sid").as("sb_id"), lit(1).as("fb"))),
@@ -2143,20 +2228,43 @@ object Multimodal {
                                               maxHamming: Int = 3,
                                               rateHex: String = "20"): DataFrame = {
     val h = hs.select(col("modality"), col("doc_id"), col("phash"))
-    val stats = h.groupBy("modality").agg(count(lit(1)).as("n_docs"),
+    // the stats job aggregates at HASH grain first (r21): the modality
+    // totals are sums of the per-hash counts, and the per-hash MAX —
+    // the dominant clique size — prices the [[spreadAttach]] decision
+    // (it bounds the single-task expansion the spread exists to split;
+    // §2.5). Same one collect, same row count out.
+    val stats = h.groupBy("modality", "phash")
+      .agg(count(lit(1)).as("c"),
         coalesce(sum(when(sampledPred(rateHex), 1L).otherwise(0L)), lit(0L))
-          .as("n_sampled"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    stats.foreach { case (modality, (_, nSampled)) =>
+          .as("sc"))
+      .groupBy("modality").agg(sum("c").as("n_docs"),
+        sum("sc").as("n_sampled"), max("c").as("max_clique"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    stats.foreach { case (modality, (_, nSampled, _)) =>
       require(nSampled <= RecallHashCap,
         s"c120's sampled truth broadcasts the sample: $modality sampled " +
           s"$nSampled > cap $RecallHashCap — lower rateHex (sample rate = " +
           s"0x$rateHex/256) for this corpus size")
     }
     modalities.map { m =>
-      val (nDocs, nSampled) = stats.getOrElse(m, (0L, 0L))
+      val (nDocs, nSampled, maxClique) = stats.getOrElse(m, (0L, 0L, 0L))
+      // id-only expansions spread on ESTIMATED EXPANSION WORK
+      // (docs·maxClique — the dominant clique's contribution to the
+      // attach-join output), not the mean shape: their per-row work is
+      // a few longs, so the spread only pays when the expansion dwarfs
+      // the |hash pairs|·buckets exchange. Measured across all six
+      // (modality × SF) cells: sf0.1 reads 0.1–2.7M (every spread OFF
+      // — the wave-2 plan, byte-identical; the mean-shape rule had
+      // cost +44% here), sf1.0 reads 13–269M (every spread ON — c120
+      // 108.8 → 25.5 s; the clique-only rule left image+video serial
+      // at 53 s). 8M sits in the order-of-magnitude gap.
       sampledFoldOf(m, h.filter(col("modality") === m)
-        .select("doc_id", "phash"), nDocs, nSampled, maxHamming, rateHex)
+        .select("doc_id", "phash"), nDocs, nSampled, maxHamming, rateHex,
+        spreadBuckets =
+          if (nDocs * maxClique >= 8000000L)
+            h.sparkSession.sessionState.conf.numShufflePartitions
+          else 1)
     }.reduce(_ unionByName _)
   }
 
